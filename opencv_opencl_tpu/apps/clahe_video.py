@@ -1,0 +1,140 @@
+"""File-based CLAHE video relay (<- reference ``CLAHECompare.cpp`` +
+``clahevideo.cpp``).
+
+Usage:
+  python -m opencv_opencl_tpu.apps.clahe_video --input=video.mp4 \\
+      [--output=out.mp4] [--resolution=1280x720] [--fps=30] [--loop] \\
+      [--udp-only] [--clipLimit=2.0] [--tile=8] [--codec=h264|h265] \\
+      [--bitrate=25000] [--timing-window=200] [--detailed-timing] \\
+      [--max-frames=N] [--op=clahe|histeq]
+
+Defaults mirror the reference (1280x720 @ 30, clip 2.0, tile 8, 25 Mbps:
+``CLAHECompare.cpp:287-297``).  ``--udp-only`` skips the file sink branch
+(the reference's tee to mp4mux).  Timing instrumentation reproduces
+``clahevideo.cpp``: per-frame compute/memory/total decomposition, rolling
+window reports every 100 frames, detailed per-frame prints for the first 10
+frames then every 50th, and a final performance analysis block.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from opencv_opencl_tpu.apps._cli import parse_kv_args
+
+
+def run(argv: list[str]) -> int:
+    opts, _ = parse_kv_args(
+        argv,
+        {
+            "input": str, "output": str, "loop": bool, "udp-only": bool,
+            "resolution": str, "fps": str, "clipLimit": float, "tile": int,
+            "codec": str, "bitrate": int, "timing-window": int,
+            "detailed-timing": bool, "max-frames": int, "op": str,
+        },
+    )
+    input_file = opts.get("input")
+    if not input_file:
+        print(f"Usage: {sys.argv[0]} --input=/path/to/video.mp4 [OPTIONS]",
+              file=sys.stderr)
+        print("Options: --output= --resolution=WxH --fps=N --loop --udp-only\n"
+              "         --clipLimit=2.0 --tile=8 --codec=h264|h265 "
+              "--bitrate=25000\n"
+              "         --timing-window=200 --detailed-timing --max-frames=N",
+              file=sys.stderr)
+        return 1
+
+    width, height = 1280, 720
+    if "resolution" in opts:
+        try:
+            w, h = opts["resolution"].lower().split("x")
+            width, height = int(w), int(h)
+        except ValueError:
+            print("Invalid resolution format. Use --resolution=WIDTHxHEIGHT",
+                  file=sys.stderr)
+    fps = 30.0
+    if "fps" in opts:
+        s = opts["fps"]
+        fps = (float(s.split("/")[0]) / float(s.split("/")[1])
+               if "/" in s else float(s))
+    clip_limit = opts.get("clipLimit", 2.0)
+    tile = opts.get("tile", 8)
+    op = opts.get("op", "clahe")
+    window = opts.get("timing-window", 200)
+    detailed = opts.get("detailed-timing", False)
+    max_frames = opts.get("max-frames")
+    loop = opts.get("loop", False)
+
+    import numpy as np
+
+    from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+    from opencv_opencl_tpu.io.videofile import FileSink, FileSource, NullSink
+    from opencv_opencl_tpu.metrics.timing import Span, TimingStats
+    from opencv_opencl_tpu.models import Enhancer, EnhancerConfig
+
+    src = FileSource(input_file, width=width, height=height, loop=loop)
+    spec = FrameSpec(width=src.spec.width, height=src.spec.height, fps=fps)
+    print(f"Input: {input_file} -> {spec.width}x{spec.height} @ {fps:g} fps")
+    print(f"CLAHE parameters: clipLimit={clip_limit:g}, "
+          f"tileGrid={tile}x{tile}")
+
+    if opts.get("udp-only") or not opts.get("output"):
+        sink = NullSink()
+        sink_desc = "(udp-only / null sink)"
+    else:
+        sink = FileSink(opts["output"], spec)
+        sink_desc = opts["output"]
+    print(f"Output: {sink_desc}")
+
+    enhancer = Enhancer(
+        EnhancerConfig(
+            op=op, clip_limit=clip_limit, tile_grid=(tile, tile),
+            chroma=ChromaPolicy.PASSTHROUGH,
+        ),
+        spec,
+    )
+    timing = TimingStats(
+        window=window, detailed=False,
+        label=f"clipLimit={clip_limit:.1f}, tileGrid={tile}x{tile}",
+    )
+    print("=== TIMING MEASUREMENT STARTED ===")
+
+    import time
+
+    frame_count = 0
+    for nv12 in src:
+        if max_frames is not None and frame_count >= max_frames:
+            break
+        t_frame = time.perf_counter()
+        compute = Span()
+        mem = Span()
+        with compute:
+            out_dev = enhancer.process_frame(nv12)
+            out_dev.block_until_ready()
+        with mem:
+            out = np.asarray(out_dev)
+        sink.write(out)
+        total_ms = (time.perf_counter() - t_frame) * 1e3
+        timing.record(compute.ms, mem.ms, total_ms)
+        frame_count += 1
+        if detailed and (frame_count <= 10 or frame_count % 50 == 0):
+            print(f"Frame {frame_count}: Compute={compute.ms:.3f}ms, "
+                  f"Memory={mem.ms:.3f}ms, Total={total_ms:.3f}ms, "
+                  f"Other={total_ms - compute.ms - mem.ms:.3f}ms")
+        if frame_count % 100 == 0:
+            timing.window_report()
+
+    sink.close()
+    src.close()
+    if isinstance(sink, FileSink):
+        print(f"MP4 saved ({sink.frames} frames)")
+    timing.final_report()
+    return 0
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Live relay (<- reference ``OpenCVequalHist.cpp`` family + ``OpenCLequalHist.cpp``).
+
+Usage:
+  python -m opencv_opencl_tpu.apps.relay [--codec=h264|h265] [--bitrate=20000]
+      [--workers=2] [--width=1920] [--height=1080] [--fps=60]
+      [--op=histeq|clahe|none] [--chroma=gray|passthrough]
+      [--clipLimit=2.0] [--tile=8] [--batch=4]
+      [--source=test|<video file>] [--sink=null|<output file>]
+      [--duration=seconds] [--max-frames=N] [--status-interval=2]
+
+Defaults mirror the reference live relay (1920x1080 @ 60, h264, 20 Mbps,
+2 workers: ``OpenCVequalHist.cpp:262-266``).  The worker pool + GAsyncQueue +
+FPGA DMA of the reference become the TPU FrameFeeder (``--workers`` is the
+in-flight pipeline depth, clamped to 8 like the reference's thread cap);
+``--chroma`` selects between the gray (UV=128) and color-preserving
+(passthrough) variants of the reference family; the 2-second status tick and
+ACTIVE/IDLE/BACKLOG classifier are reproduced from ``OpenCLequalHist.cpp``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from opencv_opencl_tpu.apps._cli import parse_kv_args
+
+
+def run(argv: list[str]) -> int:
+    opts, _ = parse_kv_args(
+        argv,
+        {
+            "codec": str, "bitrate": int, "workers": int, "width": int,
+            "height": int, "fps": float, "op": str, "chroma": str,
+            "clipLimit": float, "tile": int, "batch": int, "source": str,
+            "sink": str, "duration": float, "max-frames": int,
+            "status-interval": float, "realtime": bool,
+        },
+    )
+    codec = opts.get("codec", "h264")
+    bitrate = opts.get("bitrate", 20000)
+    workers = min(max(opts.get("workers", 2), 1), 8)
+    width = opts.get("width", 1920)
+    height = opts.get("height", 1080)
+    fps = opts.get("fps", 60.0)
+    op = opts.get("op", "histeq")
+    chroma_s = opts.get("chroma", "gray")
+    batch = opts.get("batch", 4)
+    source = opts.get("source", "test")
+    sink_path = opts.get("sink", "null")
+    duration = opts.get("duration")
+    max_frames = opts.get("max-frames")
+    interval = opts.get("status-interval", 2.0)
+    realtime = opts.get("realtime", False)
+
+    import numpy as np
+
+    from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+    from opencv_opencl_tpu.io.videofile import (
+        FileSink, FileSource, NullSink, RawSink, TestSource,
+    )
+    from opencv_opencl_tpu.metrics.counters import FrameRateCounters, StatusReporter
+    from opencv_opencl_tpu.models import Enhancer, EnhancerConfig
+    from opencv_opencl_tpu.runtime import FrameFeeder
+
+    chroma = (ChromaPolicy.GRAY if chroma_s.lower() == "gray"
+              else ChromaPolicy.PASSTHROUGH)
+
+    if source == "test":
+        spec = FrameSpec(width=width, height=height, fps=fps)
+        src = TestSource(spec, num_frames=max_frames)
+    else:
+        src = FileSource(source, width=width, height=height)
+        spec = FrameSpec(width=src.spec.width, height=src.spec.height, fps=fps)
+
+    if sink_path == "null":
+        sink = NullSink()
+    elif sink_path.endswith(".nv12") or sink_path.endswith(".raw"):
+        sink = RawSink(sink_path)
+    else:
+        sink = FileSink(sink_path, spec)
+
+    cfg = EnhancerConfig(
+        op=op, clip_limit=opts.get("clipLimit", 2.0),
+        tile_grid=(opts.get("tile", 8),) * 2, chroma=chroma,
+    )
+    enhancer = Enhancer(cfg, spec)
+    counters = FrameRateCounters()
+
+    def on_output(seq, frame, meta):
+        sink.write(frame)
+        counters.count("encoder_frames")
+        counters.count("encoder_bytes", frame.nbytes)
+
+    feeder = FrameFeeder(
+        enhancer.process_batch, batch_size=batch, depth=workers,
+        on_output=on_output, counters=counters,
+    )
+    reporter = StatusReporter(
+        counters, interval_s=interval, num_workers=workers,
+        queue_length_fn=feeder.queue_length,
+        avg_process_ms_fn=lambda: feeder.timing.avg_total_ms,
+    )
+
+    print(f"NV12 {op} relay pipeline started "
+          f"({spec.width}x{spec.height}@{fps:g}, codec={codec}, "
+          f"bitrate={bitrate} kbps, workers={workers}, chroma={chroma.value})")
+    print("(with frame ordering)")
+
+    feeder.start()
+    reporter.start()
+    t_start = time.monotonic()
+    frame_period = 1.0 / fps if fps > 0 else 0.0
+    n = 0
+    try:
+        for nv12 in src:
+            counters.count("camera_frames")
+            feeder.submit(nv12, meta={"pts": n * frame_period})
+            n += 1
+            if max_frames is not None and n >= max_frames:
+                break
+            if duration is not None and time.monotonic() - t_start > duration:
+                break
+            if realtime:
+                next_t = t_start + n * frame_period
+                delay = next_t - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+    except KeyboardInterrupt:
+        print("\nInterrupted.")
+    feeder.stop(drain=True)
+    reporter.stop()
+    reporter.tick()
+    sink.close()
+
+    stats = feeder.stats
+    wall = time.monotonic() - t_start
+    print(f"\nShutdown: {stats['emitted']} frames emitted in {wall:.2f}s "
+          f"({stats['emitted'] / wall if wall > 0 else 0:.1f} fps), "
+          f"dropped(late)={stats['dropped_late']}, "
+          f"dropped(overflow)={stats['dropped_overflow']}, "
+          f"errors={stats['processing_errors']}")
+    feeder.timing.final_report()
+    return 0
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

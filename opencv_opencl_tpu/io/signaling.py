@@ -1,0 +1,239 @@
+"""WebRTC signaling: JSON-over-WebSocket client + room-relay server.
+
+Rebuilds the reference's L5 control plane:
+
+- **Client** — the sender-side signaling of ``webrtc/sender.cpp``:
+  connect, send ``{type: join, room, clientType}`` (``:369-376``), publish
+  SDP offers (``:216-222``) and ICE candidates (``:238-251``), dispatch
+  incoming ``answer`` / ``ice`` / ``ready`` messages (``:269-339``).
+  Session recovery reproduces ``webrtc/vad2connection.cpp``: on socket
+  close or error, schedule a reconnect with 2-3 s backoff behind an
+  ``is_reconnecting`` latch (``:31,367-400``) and re-join the room.
+- **Server** — the room relay the reference assumed as an external service
+  (``ws://...:8080``): forwards offer/answer/ice between the sender and
+  viewers in a room, emits ``ready`` to the sender when a viewer joins.
+  Having it in-repo makes the control plane self-contained and testable.
+
+Messages are JSON dicts; SDP blobs are opaque strings relayed verbatim.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+from typing import Callable
+
+__all__ = ["SignalingClient", "SignalingServer"]
+
+
+class SignalingClient:
+    """Threaded asyncio WebSocket signaling client with auto-reconnect."""
+
+    def __init__(
+        self,
+        url: str,
+        room: str,
+        client_type: str = "sender",
+        on_answer: Callable[[str], None] | None = None,
+        on_ice: Callable[[str, int], None] | None = None,
+        on_ready: Callable[[], None] | None = None,
+        on_connected: Callable[[], None] | None = None,
+        reconnect_delay_s: float = 2.0,
+        max_reconnects: int | None = None,
+    ) -> None:
+        self.url = url
+        self.room = room
+        self.client_type = client_type
+        self.on_answer = on_answer or (lambda sdp: None)
+        self.on_ice = on_ice or (lambda cand, mline: None)
+        self.on_ready = on_ready or (lambda: None)
+        self.on_connected = on_connected or (lambda: None)
+        self.reconnect_delay_s = reconnect_delay_s
+        self.max_reconnects = max_reconnects
+        self.reconnect_count = 0
+        self.is_reconnecting = False  # the vad2connection reentrancy latch
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self._ws = None
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        self._connected = threading.Event()
+
+    # ---- public API (any thread) ----
+
+    def start(self) -> "SignalingClient":
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="signaling")
+        self._thread.start()
+        return self
+
+    def wait_connected(self, timeout: float = 10.0) -> bool:
+        return self._connected.wait(timeout)
+
+    def send_offer(self, sdp: str) -> None:
+        self._send({"type": "offer", "room": self.room, "sdp": sdp})
+
+    def send_ice(self, candidate: str, sdp_mline_index: int) -> None:
+        self._send({
+            "type": "ice", "room": self.room,
+            "candidate": candidate, "sdpMLineIndex": sdp_mline_index,
+        })
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(lambda: None)  # wake
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    # ---- internals ----
+
+    def _send(self, msg: dict) -> None:
+        if self._loop is None or self._ws is None:
+            raise RuntimeError("not connected")
+        asyncio.run_coroutine_threadsafe(
+            self._ws.send(json.dumps(msg)), self._loop
+        ).result(timeout=5)
+
+    def _run(self) -> None:
+        asyncio.run(self._main())
+
+    async def _main(self) -> None:
+        import websockets
+
+        self._loop = asyncio.get_running_loop()
+        while not self._stop.is_set():
+            try:
+                async with websockets.connect(self.url) as ws:
+                    self._ws = ws
+                    self.is_reconnecting = False
+                    await ws.send(json.dumps({
+                        "type": "join", "room": self.room,
+                        "clientType": self.client_type,
+                    }))
+                    self._connected.set()
+                    self.on_connected()
+                    async for raw in ws:
+                        self._dispatch(raw)
+            except Exception:
+                pass
+            finally:
+                self._ws = None
+                self._connected.clear()
+            if self._stop.is_set():
+                break
+            # vad2connection-style recovery: latch + fixed backoff
+            if (self.max_reconnects is not None
+                    and self.reconnect_count >= self.max_reconnects):
+                break
+            self.is_reconnecting = True
+            self.reconnect_count += 1
+            await asyncio.sleep(self.reconnect_delay_s)
+
+    def _dispatch(self, raw: str) -> None:
+        try:
+            msg = json.loads(raw)
+        except json.JSONDecodeError:
+            return
+        t = msg.get("type")
+        if t == "answer":
+            sdp = msg.get("sdp") or msg.get("answer", {}).get("sdp", "")
+            self.on_answer(sdp)
+        elif t == "ice":
+            self.on_ice(msg.get("candidate", ""), int(msg.get("sdpMLineIndex", 0)))
+        elif t == "ready":
+            self.on_ready()
+
+
+class SignalingServer:
+    """Room-based relay server (the external ws://host:8080 service).
+
+    Senders and viewers join rooms; offer/ice from the sender fan out to
+    viewers, answer/ice from a viewer route to the sender, and the sender
+    gets a ``ready`` when a viewer joins.
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+        self.host = host
+        self.port = port
+        self.rooms: dict[str, dict] = {}
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self._thread: threading.Thread | None = None
+        self._started = threading.Event()
+        self._stop_event: asyncio.Event | None = None
+
+    def start(self) -> "SignalingServer":
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="signaling-server")
+        self._thread.start()
+        if not self._started.wait(10):
+            raise RuntimeError("signaling server failed to start")
+        return self
+
+    @property
+    def url(self) -> str:
+        return f"ws://{self.host}:{self.port}"
+
+    def stop(self) -> None:
+        if self._loop is not None and self._stop_event is not None:
+            self._loop.call_soon_threadsafe(self._stop_event.set)
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def _run(self) -> None:
+        asyncio.run(self._main())
+
+    async def _main(self) -> None:
+        import websockets
+
+        self._loop = asyncio.get_running_loop()
+        self._stop_event = asyncio.Event()
+        async with websockets.serve(self._handler, self.host, self.port) as server:
+            self.port = server.sockets[0].getsockname()[1]
+            self._started.set()
+            await self._stop_event.wait()
+
+    def _room(self, name: str) -> dict:
+        return self.rooms.setdefault(name, {"sender": None, "viewers": set()})
+
+    async def _handler(self, ws) -> None:
+        joined_room = None
+        role = None
+        try:
+            async for raw in ws:
+                try:
+                    msg = json.loads(raw)
+                except json.JSONDecodeError:
+                    continue
+                t = msg.get("type")
+                if t == "join":
+                    joined_room = msg.get("room", "default")
+                    room = self._room(joined_room)
+                    role = msg.get("clientType", "viewer")
+                    if role == "sender":
+                        room["sender"] = ws
+                    else:
+                        room["viewers"].add(ws)
+                        if room["sender"] is not None:
+                            await room["sender"].send(json.dumps({
+                                "type": "ready", "room": joined_room,
+                            }))
+                elif joined_room is not None:
+                    room = self._room(joined_room)
+                    if ws is room["sender"]:
+                        targets = list(room["viewers"])
+                    else:
+                        targets = [room["sender"]] if room["sender"] else []
+                    for t_ws in targets:
+                        try:
+                            await t_ws.send(raw)
+                        except Exception:
+                            pass
+        finally:
+            if joined_room is not None:
+                room = self._room(joined_room)
+                if ws is room.get("sender"):
+                    room["sender"] = None
+                room["viewers"].discard(ws)

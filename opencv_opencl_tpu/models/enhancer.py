@@ -1,0 +1,133 @@
+"""The flagship "model": a configurable NV12 frame-enhancement pipeline.
+
+This is the TPU equivalent of the reference's worker hot loop
+(``OpenCVequalHist.cpp:102-196``): NV12 in -> enhance Y plane (equalizeHist
+or CLAHE) -> chroma policy (gray / passthrough) -> NV12 out.  One jitted
+function maps a whole *batch* of frames (the data-parallel axis that
+replaces the 1-8 worker threads), uint8 end-to-end in HBM.
+
+The enhancement op runs with the same bit-exact OpenCV semantics as the
+golden models, so the relay output is indistinguishable from the reference's
+(`1frameMeasure.cpp` bar: absdiff <= 1; we hold 0).
+
+Example
+-------
+>>> cfg = EnhancerConfig(op="clahe", clip_limit=2.0, tile_grid=(8, 8),
+...                      chroma=ChromaPolicy.PASSTHROUGH)
+>>> enhancer = Enhancer(cfg, FrameSpec(width=1920, height=1080))
+>>> out = enhancer.process_batch(nv12_batch)   # uint8 (N, 1620, 1920)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+from opencv_opencl_tpu.ops import clahe as clahe_ops
+from opencv_opencl_tpu.ops import histeq as histeq_ops
+
+__all__ = ["EnhancerConfig", "Enhancer", "build_enhance_fn"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EnhancerConfig:
+    """What to run per frame.
+
+    op: "histeq" (global equalization, OpenCVequalHist family),
+        "clahe" (CLAHECompare family), or "none" (pure passthrough relay).
+    chroma: GRAY (UV=128) or PASSTHROUGH, the two reference chroma policies.
+    hist_method: histogram strategy ("onehot" | "scatter").
+    use_ref_frame: two-input mode — LUT from the previous frame's histogram
+        (the accel.cpp ref-frame hook) for latency hiding; histeq only.
+    """
+
+    op: str = "histeq"
+    clip_limit: float = 2.0
+    tile_grid: tuple[int, int] = (8, 8)
+    chroma: ChromaPolicy = ChromaPolicy.GRAY
+    hist_method: str = "onehot"
+    use_ref_frame: bool = False
+
+    def __post_init__(self):
+        if self.op not in ("histeq", "clahe", "none"):
+            raise ValueError(f"unknown op {self.op!r}")
+
+
+def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec):
+    """Returns a jitted ``fn(nv12_batch: uint8[N, H*3/2, W]) -> same shape``.
+
+    The whole frame batch is processed in one XLA program: Y-plane slice,
+    enhancement, chroma policy and re-concatenation all fuse on device.
+    """
+    h = spec.height
+    tile_grid = tuple(cfg.tile_grid)
+    clip_limit = float(cfg.clip_limit)
+    method = cfg.hist_method
+    plan = (
+        clahe_ops.make_clahe_plan(h, spec.width, clip_limit, tile_grid)
+        if cfg.op == "clahe"
+        else None
+    )
+
+    def enhance_y(y):
+        if cfg.op == "histeq":
+            if cfg.use_ref_frame:
+                # LUT of frame i comes from frame i-1 (frame 0 maps itself):
+                # the streaming use of the accel.cpp two-input signature.
+                ref = jnp.concatenate([y[:1], y[:-1]], axis=0)
+                total = h * spec.width
+
+                def one(frame, rframe):
+                    lut = histeq_ops.equalize_lut(
+                        histeq_ops.hist256(rframe, method), total=total
+                    )
+                    return histeq_ops.apply_lut(frame, lut)
+
+                return jax.vmap(one)(y, ref)
+            return histeq_ops.equalize_hist_batch(y, method=method)
+        if cfg.op == "clahe":
+            return clahe_ops.clahe_apply(y, plan, method=method)
+        return y
+
+    def fn(nv12_batch):
+        y = nv12_batch[:, :h, :]
+        uv = nv12_batch[:, h:, :]
+        y_out = enhance_y(y)
+        if cfg.chroma == ChromaPolicy.GRAY:
+            uv_out = jnp.full_like(uv, 128)
+        else:
+            uv_out = uv
+        return jnp.concatenate([y_out, uv_out], axis=1)
+
+    return jax.jit(fn)
+
+
+class Enhancer:
+    """Stateful convenience wrapper: config + spec -> reusable jitted step."""
+
+    def __init__(self, cfg: EnhancerConfig, spec: FrameSpec):
+        self.cfg = cfg
+        self.spec = spec
+        self._fn = build_enhance_fn(cfg, spec)
+
+    def process_batch(self, nv12_batch) -> jax.Array:
+        """uint8 (N, H*3/2, W) -> uint8 (N, H*3/2, W), on device."""
+        return self._fn(jnp.asarray(nv12_batch))
+
+    def process_frame(self, nv12) -> jax.Array:
+        """Single frame (H*3/2, W) convenience (batch of 1 under the hood)."""
+        return self.process_batch(jnp.asarray(nv12)[None])[0]
+
+    @functools.cached_property
+    def compiled_cost(self):
+        """Compile eagerly and return the compiled step (for warmup)."""
+        import numpy as np
+
+        dummy = np.zeros(
+            (1, self.spec.buffer_rows, self.spec.width), dtype=np.uint8
+        )
+        return self._fn.lower(dummy).compile()

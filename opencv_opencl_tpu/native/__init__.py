@@ -1,0 +1,215 @@
+"""Native C++ runtime bindings (ctypes) — build-on-first-use.
+
+The frame-transport hot path (staging ring, batch assembly, resequencing,
+NV12 UV interleave) runs in C++ with the GIL released, replacing the
+reference's GAsyncQueue/GstBuffer/C++-map machinery.  Falls back cleanly if
+no C++ toolchain is present (``available()`` returns False and the Python
+implementations in ``runtime/`` are used).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "framepipe.cpp")
+_SO = os.path.join(_DIR, "libframepipe.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_error: str | None = None
+
+
+def _build() -> str | None:
+    """Compile the shared library if missing/stale. Returns error or None."""
+    try:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return None
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            _SRC, "-o", _SO, "-pthread",
+        ]
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if res.returncode != 0:
+            return res.stderr[:2000]
+        return None
+    except (OSError, subprocess.SubprocessError) as e:
+        return str(e)
+
+
+def _load():
+    global _lib, _build_error
+    with _lib_lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        err = _build()
+        if err is not None:
+            _build_error = err
+            return None
+        lib = ctypes.CDLL(_SO)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.fp_ring_new.restype = ctypes.c_void_p
+        lib.fp_ring_new.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+        lib.fp_ring_free.argtypes = [ctypes.c_void_p]
+        lib.fp_ring_push.restype = ctypes.c_int
+        lib.fp_ring_push.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
+        lib.fp_ring_pop_batch.restype = ctypes.c_int64
+        lib.fp_ring_pop_batch.argtypes = [
+            ctypes.c_void_p, u8p, u64p, ctypes.c_size_t, ctypes.c_int64,
+        ]
+        lib.fp_ring_len.restype = ctypes.c_int64
+        lib.fp_ring_len.argtypes = [ctypes.c_void_p]
+        lib.fp_ring_dropped.restype = ctypes.c_uint64
+        lib.fp_ring_dropped.argtypes = [ctypes.c_void_p]
+        lib.fp_ring_close.argtypes = [ctypes.c_void_p]
+        lib.fp_reseq_new.restype = ctypes.c_void_p
+        lib.fp_reseq_new.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+        lib.fp_reseq_free.argtypes = [ctypes.c_void_p]
+        lib.fp_reseq_push.restype = ctypes.c_int64
+        lib.fp_reseq_push.argtypes = [ctypes.c_void_p, ctypes.c_uint64, u8p]
+        lib.fp_reseq_emit.restype = ctypes.c_int64
+        lib.fp_reseq_emit.argtypes = [ctypes.c_void_p, u8p]
+        lib.fp_reseq_dropped_late.restype = ctypes.c_uint64
+        lib.fp_reseq_dropped_late.argtypes = [ctypes.c_void_p]
+        lib.fp_reseq_frames_lost.restype = ctypes.c_uint64
+        lib.fp_reseq_frames_lost.argtypes = [ctypes.c_void_p]
+        lib.fp_reseq_pending.restype = ctypes.c_int64
+        lib.fp_reseq_pending.argtypes = [ctypes.c_void_p]
+        for name in ("fp_uv_interleave", "fp_uv_deinterleave"):
+            getattr(lib, name).argtypes = [u8p, u8p, u8p, ctypes.c_size_t,
+                                           ctypes.c_size_t]
+        lib.fp_uv_gray.argtypes = [u8p, ctypes.c_size_t]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_error() -> str | None:
+    _load()
+    return _build_error
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+class NativeRing:
+    """Preallocated leaky staging ring (C++), frame granularity."""
+
+    def __init__(self, capacity: int, frame_bytes: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native runtime unavailable: {_build_error}")
+        self._lib = lib
+        self.frame_bytes = frame_bytes
+        self._h = lib.fp_ring_new(capacity, frame_bytes)
+
+    def push(self, frame: np.ndarray, seq: int) -> bool:
+        """Returns True if no drop occurred."""
+        frame = np.ascontiguousarray(frame)
+        assert frame.nbytes == self.frame_bytes
+        r = self._lib.fp_ring_push(self._h, _ptr(frame), seq)
+        if r < 0:
+            raise RuntimeError("ring closed")
+        return r == 0
+
+    def pop_batch(self, batch_out: np.ndarray, max_frames: int,
+                  timeout_ms: int = 50):
+        """Fill batch_out's first rows; returns (n, seqs) — n==-1 => closed."""
+        seqs = np.zeros(max_frames, dtype=np.uint64)
+        n = self._lib.fp_ring_pop_batch(
+            self._h, _ptr(batch_out),
+            seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            max_frames, timeout_ms,
+        )
+        return int(n), seqs[: max(int(n), 0)]
+
+    def __len__(self) -> int:
+        return int(self._lib.fp_ring_len(self._h))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.fp_ring_dropped(self._h))
+
+    def close(self) -> None:
+        self._lib.fp_ring_close(self._h)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.fp_ring_free(self._h)
+            self._h = None
+
+
+class NativeResequencer:
+    """C++ ordered-map resequencer (the `improvement` ELF ProcessedFrame map)."""
+
+    def __init__(self, max_pending: int, frame_bytes: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native runtime unavailable: {_build_error}")
+        self._lib = lib
+        self.frame_bytes = frame_bytes
+        self._h = lib.fp_reseq_new(max_pending, frame_bytes)
+
+    def push(self, seq: int, frame: np.ndarray) -> int:
+        """Returns how many frames are now emittable in order."""
+        frame = np.ascontiguousarray(frame)
+        assert frame.nbytes == self.frame_bytes
+        return int(self._lib.fp_reseq_push(self._h, seq, _ptr(frame)))
+
+    def emit(self, out: np.ndarray) -> int:
+        """Pop next in-order frame into out; returns seq or -1."""
+        return int(self._lib.fp_reseq_emit(self._h, _ptr(out)))
+
+    @property
+    def dropped_late(self) -> int:
+        return int(self._lib.fp_reseq_dropped_late(self._h))
+
+    @property
+    def frames_lost(self) -> int:
+        return int(self._lib.fp_reseq_frames_lost(self._h))
+
+    @property
+    def pending(self) -> int:
+        return int(self._lib.fp_reseq_pending(self._h))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.fp_reseq_free(self._h)
+            self._h = None
+
+
+def uv_interleave(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    lib = _load()
+    half_h, half_w = u.shape
+    out = np.empty((half_h, 2 * half_w), dtype=np.uint8)
+    lib.fp_uv_interleave(_ptr(np.ascontiguousarray(u)),
+                         _ptr(np.ascontiguousarray(v)),
+                         _ptr(out), half_h, half_w)
+    return out
+
+
+def uv_deinterleave(uv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    half_h, w = uv.shape
+    half_w = w // 2
+    u = np.empty((half_h, half_w), dtype=np.uint8)
+    v = np.empty((half_h, half_w), dtype=np.uint8)
+    lib.fp_uv_deinterleave(_ptr(np.ascontiguousarray(uv)), _ptr(u), _ptr(v),
+                           half_h, half_w)
+    return u, v
+
+
+def uv_gray(uv: np.ndarray) -> None:
+    """In-place UV := 128 (the reference memset)."""
+    lib = _load()
+    lib.fp_uv_gray(_ptr(uv), uv.nbytes)

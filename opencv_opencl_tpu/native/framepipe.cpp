@@ -1,0 +1,237 @@
+// framepipe.cpp — native frame-transport runtime for the TPU feeder.
+//
+// The TPU-native counterpart of the reference's C/C++ L2 transport:
+// GAsyncQueue + preallocated GstBuffers + the binary-only ProcessedFrame
+// resequencer (reference OpenCVequalHist.cpp:71-98, improvement ELF).
+// Python-level per-frame work (slicing, memcpy, dict bookkeeping) costs
+// real milliseconds at 4K60; these pieces run in C++ with the GIL released
+// (ctypes releases it around foreign calls).
+//
+// Components:
+//   fp_ring   — fixed-capacity leaky ring of preallocated frame slots
+//               (drop-oldest under overload, like queue leaky=downstream).
+//               Producers memcpy into a slot; the feeder assembles a batch
+//               into one contiguous staging buffer for device_put.
+//   fp_reseq  — out-of-order sequence reorderer with late-drop (the
+//               std::map<uint64_t, ProcessedFrame*> of the improvement ELF).
+//   nv12 ops  — interleave/deinterleave UV, gray-fill, plane splits.
+//
+// Build: g++ -O3 -march=native -shared -fPIC framepipe.cpp -o libframepipe.so
+// (done automatically by opencv_opencl_tpu.native.build)
+
+#include <atomic>
+#include <chrono>
+#include <cstdint>
+#include <cstring>
+#include <condition_variable>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- ring ----
+
+struct FpRing {
+    size_t frame_bytes;
+    size_t capacity;
+    std::vector<uint8_t> storage;          // capacity * frame_bytes
+    std::deque<std::pair<uint64_t, size_t>> queue;  // (seq, slot)
+    std::deque<size_t> free_slots;
+    std::mutex mu;
+    std::condition_variable cv;
+    std::atomic<uint64_t> dropped{0};
+    std::atomic<uint64_t> pushed{0};
+    bool closed = false;
+};
+
+FpRing* fp_ring_new(size_t capacity, size_t frame_bytes) {
+    auto* r = new FpRing();
+    r->frame_bytes = frame_bytes;
+    r->capacity = capacity;
+    r->storage.resize(capacity * frame_bytes);
+    for (size_t i = 0; i < capacity; ++i) r->free_slots.push_back(i);
+    return r;
+}
+
+void fp_ring_free(FpRing* r) { delete r; }
+
+// Push one frame (memcpy into a slot). Returns 1 if an old frame was
+// dropped to make room (leaky semantics), 0 otherwise, -1 if closed.
+int fp_ring_push(FpRing* r, const uint8_t* data, uint64_t seq) {
+    size_t slot;
+    int dropped = 0;
+    {
+        std::lock_guard<std::mutex> lk(r->mu);
+        if (r->closed) return -1;
+        if (r->free_slots.empty()) {
+            // drop the oldest queued frame, reuse its slot
+            slot = r->queue.front().second;
+            r->queue.pop_front();
+            r->dropped.fetch_add(1, std::memory_order_relaxed);
+            dropped = 1;
+        } else {
+            slot = r->free_slots.front();
+            r->free_slots.pop_front();
+        }
+    }
+    std::memcpy(&r->storage[slot * r->frame_bytes], data, r->frame_bytes);
+    {
+        std::lock_guard<std::mutex> lk(r->mu);
+        r->queue.emplace_back(seq, slot);
+        r->pushed.fetch_add(1, std::memory_order_relaxed);
+    }
+    r->cv.notify_one();
+    return dropped;
+}
+
+// Pop up to max_frames frames into the contiguous batch buffer (batch
+// assembly for device_put). Blocks up to timeout_ms for the first frame.
+// Writes their seqs into seqs_out. Returns the number of frames copied
+// (0 on timeout, -1 if closed and drained).
+int64_t fp_ring_pop_batch(FpRing* r, uint8_t* batch_out, uint64_t* seqs_out,
+                          size_t max_frames, int64_t timeout_ms) {
+    std::vector<size_t> slots;
+    {
+        std::unique_lock<std::mutex> lk(r->mu);
+        if (r->queue.empty()) {
+            if (r->closed) return -1;
+            r->cv.wait_for(lk, std::chrono::milliseconds(timeout_ms),
+                           [&] { return !r->queue.empty() || r->closed; });
+            if (r->queue.empty()) return r->closed ? -1 : 0;
+        }
+        size_t n = std::min(max_frames, r->queue.size());
+        slots.reserve(n);
+        for (size_t i = 0; i < n; ++i) {
+            auto [seq, slot] = r->queue.front();
+            r->queue.pop_front();
+            seqs_out[i] = seq;
+            slots.push_back(slot);
+        }
+    }
+    for (size_t i = 0; i < slots.size(); ++i) {
+        std::memcpy(batch_out + i * r->frame_bytes,
+                    &r->storage[slots[i] * r->frame_bytes], r->frame_bytes);
+    }
+    {
+        std::lock_guard<std::mutex> lk(r->mu);
+        for (size_t s : slots) r->free_slots.push_back(s);
+    }
+    return static_cast<int64_t>(slots.size());
+}
+
+int64_t fp_ring_len(FpRing* r) {
+    std::lock_guard<std::mutex> lk(r->mu);
+    return static_cast<int64_t>(r->queue.size());
+}
+
+uint64_t fp_ring_dropped(FpRing* r) { return r->dropped.load(); }
+
+void fp_ring_close(FpRing* r) {
+    std::lock_guard<std::mutex> lk(r->mu);
+    r->closed = true;
+    r->cv.notify_all();
+}
+
+// ---------------------------------------------------------- resequencer ----
+
+struct FpReseq {
+    std::map<uint64_t, std::vector<uint8_t>> pending;
+    uint64_t next_seq = 0;
+    size_t max_pending;
+    size_t frame_bytes;
+    std::atomic<uint64_t> dropped_late{0};
+    std::atomic<uint64_t> frames_lost{0};
+    std::mutex mu;
+};
+
+FpReseq* fp_reseq_new(size_t max_pending, size_t frame_bytes) {
+    auto* q = new FpReseq();
+    q->max_pending = max_pending;
+    q->frame_bytes = frame_bytes;
+    return q;
+}
+
+void fp_reseq_free(FpReseq* q) { delete q; }
+
+// Push frame with sequence number. Returns number of frames now ready to
+// emit in order (fetch with fp_reseq_emit). Late frames are counted+dropped.
+int64_t fp_reseq_push(FpReseq* q, uint64_t seq, const uint8_t* data) {
+    std::lock_guard<std::mutex> lk(q->mu);
+    if (seq < q->next_seq) {
+        q->dropped_late.fetch_add(1, std::memory_order_relaxed);
+        return 0;
+    }
+    q->pending.emplace(seq, std::vector<uint8_t>(data, data + q->frame_bytes));
+    if (q->pending.size() > q->max_pending) {
+        uint64_t oldest = q->pending.begin()->first;
+        if (oldest > q->next_seq) {
+            q->frames_lost.fetch_add(oldest - q->next_seq,
+                                     std::memory_order_relaxed);
+            q->next_seq = oldest;
+        }
+    }
+    int64_t ready = 0;
+    uint64_t s = q->next_seq;
+    for (auto it = q->pending.find(s); it != q->pending.end();
+         it = q->pending.find(++s))
+        ++ready;
+    return ready;
+}
+
+// Emit the next in-order frame into out. Returns its seq, or -1 if the next
+// frame is not ready.
+int64_t fp_reseq_emit(FpReseq* q, uint8_t* out) {
+    std::lock_guard<std::mutex> lk(q->mu);
+    auto it = q->pending.find(q->next_seq);
+    if (it == q->pending.end()) return -1;
+    std::memcpy(out, it->second.data(), q->frame_bytes);
+    int64_t seq = static_cast<int64_t>(it->first);
+    q->pending.erase(it);
+    q->next_seq = seq + 1;
+    return seq;
+}
+
+uint64_t fp_reseq_dropped_late(FpReseq* q) { return q->dropped_late.load(); }
+uint64_t fp_reseq_frames_lost(FpReseq* q) { return q->frames_lost.load(); }
+
+int64_t fp_reseq_pending(FpReseq* q) {
+    std::lock_guard<std::mutex> lk(q->mu);
+    return static_cast<int64_t>(q->pending.size());
+}
+
+// ------------------------------------------------------------- nv12 ops ----
+
+// Interleave separate U and V quarter-planes into NV12 UV rows.
+void fp_uv_interleave(const uint8_t* u, const uint8_t* v, uint8_t* uv,
+                      size_t half_h, size_t half_w) {
+    for (size_t r = 0; r < half_h; ++r) {
+        const uint8_t* ur = u + r * half_w;
+        const uint8_t* vr = v + r * half_w;
+        uint8_t* o = uv + r * 2 * half_w;
+        for (size_t c = 0; c < half_w; ++c) {
+            o[2 * c] = ur[c];
+            o[2 * c + 1] = vr[c];
+        }
+    }
+}
+
+void fp_uv_deinterleave(const uint8_t* uv, uint8_t* u, uint8_t* v,
+                        size_t half_h, size_t half_w) {
+    for (size_t r = 0; r < half_h; ++r) {
+        const uint8_t* in = uv + r * 2 * half_w;
+        uint8_t* ur = u + r * half_w;
+        uint8_t* vr = v + r * half_w;
+        for (size_t c = 0; c < half_w; ++c) {
+            ur[c] = in[2 * c];
+            vr[c] = in[2 * c + 1];
+        }
+    }
+}
+
+// The reference's gray chroma policy: memset(uv, 128, size)
+// (OpenCVequalHist.cpp:162).
+void fp_uv_gray(uint8_t* uv, size_t bytes) { std::memset(uv, 128, bytes); }
+
+}  // extern "C"

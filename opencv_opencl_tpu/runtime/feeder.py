@@ -1,0 +1,189 @@
+"""Host->TPU double-buffered frame feeder — the processing engine.
+
+Rebuilds the reference's L2 transport + L3 dispatch as a TPU pipeline:
+
+reference                                  here
+---------------------------------------   -----------------------------------
+appsink cb -> GAsyncQueue (O(1) ref)       submit() -> LeakyQueue
+1-8 worker threads pop + process           feeder thread batches frames and
+  (OpenCVequalHist.cpp:102-196)              dispatches the jitted enhance fn
+ARM->FPGA DMA write/exec/read              async device_put + XLA dispatch +
+  (OpenCLequalHist.cpp:346-365)              overlapped host readback
+ProcessedFrame re-order map (binary-only)  Resequencer
+appsrc push                                on_output callback
+
+Double buffering: JAX dispatch is asynchronous, so the feeder keeps up to
+``depth`` batches in flight — while batch i is executing on the TPU, batch
+i+1 is staged and dispatched; only then is batch i's result materialized to
+host memory.  This overlaps host->HBM transfer, device compute, and
+HBM->host readback exactly like the reference overlaps its per-worker
+OpenCL command queues.
+
+The ``workers`` knob of the reference CLIs (clamped to 8,
+``OpenCVequalHist.cpp:274-275``) maps to ``depth`` here.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable
+
+import numpy as np
+
+from opencv_opencl_tpu.metrics.counters import FrameRateCounters
+from opencv_opencl_tpu.metrics.timing import TimingStats
+from opencv_opencl_tpu.runtime.queues import Closed, LeakyQueue
+from opencv_opencl_tpu.runtime.sequencer import Resequencer
+
+__all__ = ["FrameFeeder"]
+
+_POP_TIMEOUT_S = 0.05  # the reference workers' 50 ms timeout pop
+
+
+class FrameFeeder:
+    """Streaming frame processor around a jitted batch function.
+
+    Parameters
+    ----------
+    process_batch: callable mapping uint8 (N, rows, W) -> device array of the
+        same shape (e.g. ``Enhancer.process_batch``). N may vary per call up
+        to ``batch_size`` (each distinct N jit-compiles once).
+    batch_size: max frames fused into one device dispatch.
+    depth: in-flight batches (double buffering at 2; reference --workers).
+    queue_capacity: input LeakyQueue size (reference max-size-buffers=8).
+    on_output: called with (seq, np.uint8 frame, meta) in seq order.
+    """
+
+    def __init__(
+        self,
+        process_batch: Callable,
+        batch_size: int = 4,
+        depth: int = 2,
+        queue_capacity: int = 8,
+        on_output: Callable[[int, np.ndarray, Any], None] | None = None,
+        counters: FrameRateCounters | None = None,
+        timing: TimingStats | None = None,
+        pad_batches: bool = True,
+    ) -> None:
+        self.process_batch = process_batch
+        self.batch_size = max(1, batch_size)
+        self.depth = min(max(1, depth), 8)
+        self.on_output = on_output or (lambda seq, frame, meta: None)
+        self.counters = counters or FrameRateCounters()
+        self.timing = timing or TimingStats(label="feeder")
+        self.pad_batches = pad_batches
+        self._inq = LeakyQueue(
+            max_size=queue_capacity,
+            on_drop=lambda item: self.counters.count("dropped_overflow"),
+        )
+        self._seq = 0
+        self._seq_lock = threading.Lock()
+        self._reseq = Resequencer(self._emit)
+        self._inflight: list[tuple[list[tuple[int, Any]], Any, float]] = []
+        self._thread: threading.Thread | None = None
+        self._stopping = threading.Event()
+
+    # ---- input side (any thread) ----
+
+    def submit(self, frame: np.ndarray, meta: Any = None) -> int:
+        """O(1) enqueue of one frame; returns its sequence number."""
+        with self._seq_lock:
+            seq = self._seq
+            self._seq += 1
+        self.counters.count("input_frames")
+        self._inq.put((seq, np.asarray(frame), meta))
+        return seq
+
+    def queue_length(self) -> int:
+        return len(self._inq)
+
+    # ---- output side (feeder thread) ----
+
+    def _emit(self, seq: int, item: tuple[np.ndarray, Any]) -> None:
+        frame, meta = item
+        self.counters.count("output_frames")
+        try:
+            self.on_output(seq, frame, meta)
+        except Exception:
+            self.counters.count("push_failures")
+
+    def _retire_oldest(self) -> None:
+        import time
+
+        entries, device_out, t_dispatch = self._inflight.pop(0)
+        t0 = time.perf_counter()
+        host = np.asarray(device_out)  # blocks until device done + D2H copy
+        mem_ms = (time.perf_counter() - t0) * 1e3
+        compute_ms = (t0 - t_dispatch) * 1e3
+        n = len(entries)
+        self.timing.record(compute_ms, mem_ms, compute_ms + mem_ms)
+        for i, (seq, meta) in enumerate(entries):
+            self._reseq.push(seq, (host[i], meta))
+        del device_out
+
+    def _dispatch(self, items: list[tuple[int, np.ndarray, Any]]) -> None:
+        import time
+
+        frames = [f for (_, f, _) in items]
+        n = len(frames)
+        if self.pad_batches and n < self.batch_size:
+            # keep the device shape static: pad with repeats, slice on retire
+            frames = frames + [frames[-1]] * (self.batch_size - n)
+        batch = np.stack(frames)
+        t_dispatch = time.perf_counter()
+        try:
+            out = self.process_batch(batch)
+        except Exception:
+            self.counters.count("processing_errors", n)
+            return
+        entries = [(seq, meta) for (seq, _, meta) in items]
+        self._inflight.append((entries, out, t_dispatch))
+        while len(self._inflight) >= self.depth:
+            self._retire_oldest()
+
+    def _run(self) -> None:
+        while True:
+            try:
+                got = self._inq.get_batch(self.batch_size, timeout=_POP_TIMEOUT_S)
+            except TimeoutError:
+                if self._stopping.is_set():
+                    break
+                # idle: retire whatever is in flight so latency stays low
+                while self._inflight:
+                    self._retire_oldest()
+                continue
+            except Closed:
+                break
+            self._dispatch(got)
+        while self._inflight:
+            self._retire_oldest()
+        self._reseq.flush()
+
+    # ---- lifecycle ----
+
+    def start(self) -> "FrameFeeder":
+        if self._thread is not None:
+            raise RuntimeError("feeder already started")
+        self._stopping.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True, name="tpu-feeder")
+        self._thread.start()
+        return self
+
+    def stop(self, drain: bool = True) -> None:
+        """Stop the feeder; with drain=True, process everything queued first."""
+        if self._thread is None:
+            return
+        if not drain:
+            self._inq.clear()
+        self._stopping.set()
+        self._inq.close()  # queued frames still drain; get raises Closed after
+        self._thread.join(timeout=30)
+        self._thread = None
+
+    @property
+    def stats(self) -> dict[str, int]:
+        s = self.counters.snapshot()
+        s["dropped_late"] = self._reseq.dropped_late
+        s["frames_lost"] = self._reseq.frames_lost
+        s["emitted"] = self._reseq.emitted
+        return s

@@ -7,15 +7,42 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-overwrite: the environment pre-sets JAX_PLATFORMS to the real TPU
+# platform and a sitecustomize eagerly registers its PJRT plugin, so env
+# vars alone are NOT enough — jax.config is the authoritative override.
+# Tests must never touch the chip (bench.py owns it).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np
 import pytest
+
+
+def assert_clahe_close(out, ref):
+    """CLAHE-vs-cv2 assertion: the reference's hard <=1 LSB bar.
+
+    On TPU the kernels are bit-exact (0 LSB, verified on hardware by
+    apps/parity_bench); on this CPU test backend LLVM FMA-contracts the
+    bilinear blend, flipping rare exact-tie pixels by 1.  The fraction
+    limit catches any real algorithmic error.
+    """
+    out = np.asarray(out)
+    ref = np.asarray(ref)
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 1, f"max diff {d.max()}"
+    # ties are denser on tiny frames (coarse LUT steps); a real algorithmic
+    # error shows up as diffs > 1 or a large fraction, not scattered 1s
+    frac = (d > 0).mean()
+    assert frac < 0.01, f"{frac:.2%} pixels off by 1 — more than FMA ties"
 
 
 @pytest.fixture(scope="session")

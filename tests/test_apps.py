@@ -1,0 +1,139 @@
+"""CLI apps: end-to-end runs on tiny inputs + reference-format checks."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.apps import clahe_image, histeq_image, parity_bench, relay
+from opencv_opencl_tpu.apps._cli import parse_kv_args
+
+
+class TestCliParser:
+    def test_eq_and_space_forms(self):
+        opts, pos = parse_kv_args(
+            ["--codec=h265", "--bitrate", "5000", "file.mp4"],
+            {"codec": str, "bitrate": int},
+        )
+        assert opts == {"codec": "h265", "bitrate": 5000}
+        assert pos == ["file.mp4"]
+
+    def test_bool_flags(self):
+        opts, _ = parse_kv_args(
+            ["--loop", "--udp-only=false"], {"loop": bool, "udp-only": bool}
+        )
+        assert opts == {"loop": True, "udp-only": False}
+
+    def test_unknown_arg_ignored(self, capsys):
+        opts, _ = parse_kv_args(["--nope=1"], {"input": str})
+        assert opts == {}
+        assert "ignoring unknown arg" in capsys.readouterr().err
+
+    def test_bad_value_warned(self, capsys):
+        opts, _ = parse_kv_args(["--bitrate=abc"], {"bitrate": int})
+        assert "bitrate" not in opts
+
+
+@pytest.fixture
+def small_png(tmp_path, rng):
+    import cv2
+
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    p = str(tmp_path / "small.png")
+    cv2.imwrite(p, img)
+    return p
+
+
+def test_clahe_image_output_naming():
+    assert clahe_image.output_name("/a/b/2K.jpg", 2.0, 8) == "2K2-8x8.jpg"
+    assert clahe_image.output_name("x.png", 2.5, 4) == "x2p5-4x4.png"
+    assert clahe_image.output_name("noext", 3.0, 4) == "noext3-4x4.jpg"
+
+
+def test_histeq_image_app(small_png, tmp_path, capsys):
+    out = str(tmp_path / "out.png")
+    rc = histeq_image.run([small_png, out])
+    assert rc == 0
+    assert os.path.exists(out)
+    text = capsys.readouterr().out
+    assert "PERFORMANCE BREAKDOWN" in text
+    assert "Potential FPS" in text
+
+
+def test_histeq_image_usage(capsys):
+    assert histeq_image.run([]) == -1
+
+
+def test_clahe_image_app(small_png, tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = clahe_image.run([f"--input={small_png}", "--clipLimit=2.0", "--tile=4"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "CLAHE_apply_time_ms=" in text
+    assert os.path.exists(str(tmp_path / "small2-4x4.png"))
+
+
+def test_clahe_image_rejects_bad_params(capsys):
+    assert clahe_image.run(["--input=x.png", "--clipLimit=0"]) == 1
+    assert clahe_image.run([]) == 1
+
+
+def test_parity_bench_histeq(small_png, capsys):
+    rc = parity_bench.run([f"--input={small_png}", "--op=histeq", "--repeat=2"])
+    text = capsys.readouterr().out
+    assert rc == 0
+    assert "Results match!" in text
+    assert "OpenCV histeq time" in text
+    assert "TPU histeq time" in text
+
+
+def test_parity_bench_clahe(small_png, capsys):
+    rc = parity_bench.run(
+        [f"--input={small_png}", "--op=clahe", "--clipLimit=2.0",
+         "--tile=4", "--repeat=2"]
+    )
+    assert rc == 0
+    assert "Results match!" in capsys.readouterr().out
+
+
+def test_relay_test_source(capsys):
+    rc = relay.run([
+        "--width=64", "--height=48", "--fps=30", "--max-frames=8",
+        "--batch=2", "--workers=2", "--op=histeq", "--chroma=gray",
+        "--status-interval=60",
+    ])
+    text = capsys.readouterr().out
+    assert rc == 0
+    assert "relay pipeline started" in text
+    assert "(with frame ordering)" in text
+    assert "8 frames emitted" in text
+    assert "FINAL PERFORMANCE ANALYSIS" in text
+
+
+def test_clahe_video_app(tmp_path, rng, capsys):
+    import cv2
+
+    from opencv_opencl_tpu.apps import clahe_video
+
+    # build a tiny 10-frame video
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    assert w.isOpened(), "cv2 VideoWriter unavailable"
+    for _ in range(10):
+        w.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    out = str(tmp_path / "out.mp4")
+    rc = clahe_video.run([
+        f"--input={vid}", f"--output={out}", "--resolution=64x48",
+        "--clipLimit=2.0", "--tile=4", "--max-frames=10",
+        "--detailed-timing",
+    ])
+    text = capsys.readouterr().out
+    assert rc == 0
+    assert "TIMING MEASUREMENT STARTED" in text
+    assert "FINAL PERFORMANCE ANALYSIS" in text
+    assert "MP4 saved" in text
+    assert os.path.exists(out)

@@ -1,0 +1,82 @@
+"""The flagship Enhancer pipeline: NV12 in -> enhanced NV12 out.
+
+Covers the four reference relay behaviors: histeq+gray (OpenCVequalHist),
+histeq+passthrough (improvement/nextimprovement), CLAHE (CLAHECompare),
+and the two-input ref-frame streaming mode.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.core import golden
+from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+from opencv_opencl_tpu.models import Enhancer, EnhancerConfig
+from tests.conftest import assert_clahe_close
+
+SPEC = FrameSpec(width=64, height=48, fps=30)
+
+
+@pytest.fixture
+def nv12_batch(rng):
+    return rng.integers(0, 256, (4, SPEC.buffer_rows, SPEC.width), dtype=np.uint8)
+
+
+def test_histeq_gray(nv12_batch):
+    enh = Enhancer(EnhancerConfig(op="histeq", chroma=ChromaPolicy.GRAY), SPEC)
+    out = np.asarray(enh.process_batch(nv12_batch))
+    for i in range(4):
+        assert np.array_equal(out[i, :48], cv2.equalizeHist(nv12_batch[i, :48]))
+    assert (out[:, 48:] == 128).all()
+
+
+def test_histeq_passthrough(nv12_batch):
+    enh = Enhancer(
+        EnhancerConfig(op="histeq", chroma=ChromaPolicy.PASSTHROUGH), SPEC
+    )
+    out = np.asarray(enh.process_batch(nv12_batch))
+    assert np.array_equal(out[:, 48:], nv12_batch[:, 48:])
+
+
+def test_clahe_passthrough(nv12_batch):
+    enh = Enhancer(
+        EnhancerConfig(op="clahe", clip_limit=2.0, tile_grid=(8, 8),
+                       chroma=ChromaPolicy.PASSTHROUGH),
+        SPEC,
+    )
+    out = np.asarray(enh.process_batch(nv12_batch))
+    c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    for i in range(4):
+        assert_clahe_close(out[i, :48], c.apply(nv12_batch[i, :48]))
+
+
+def test_none_op_is_identity(nv12_batch):
+    enh = Enhancer(
+        EnhancerConfig(op="none", chroma=ChromaPolicy.PASSTHROUGH), SPEC
+    )
+    assert np.array_equal(np.asarray(enh.process_batch(nv12_batch)), nv12_batch)
+
+
+def test_ref_frame_mode(nv12_batch):
+    """Frame i is mapped with frame i-1's LUT (frame 0 with its own)."""
+    enh = Enhancer(
+        EnhancerConfig(op="histeq", use_ref_frame=True,
+                       chroma=ChromaPolicy.PASSTHROUGH),
+        SPEC,
+    )
+    out = np.asarray(enh.process_batch(nv12_batch))
+    ys = nv12_batch[:, :48]
+    assert np.array_equal(out[0, :48], golden.equalize_hist(ys[0], ys[0]))
+    for i in range(1, 4):
+        assert np.array_equal(out[i, :48], golden.equalize_hist(ys[i], ys[i - 1]))
+
+
+def test_single_frame_api(nv12_batch):
+    enh = Enhancer(EnhancerConfig(op="histeq"), SPEC)
+    out = np.asarray(enh.process_frame(nv12_batch[0]))
+    assert out.shape == (SPEC.buffer_rows, SPEC.width)
+
+
+def test_bad_op_rejected():
+    with pytest.raises(ValueError):
+        EnhancerConfig(op="sharpen")

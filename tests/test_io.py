@@ -1,0 +1,154 @@
+"""io layer: video sources/sinks, gst pipeline builders, signaling."""
+
+import time
+
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.core.frames import FrameSpec
+from opencv_opencl_tpu.io import gst
+from opencv_opencl_tpu.io.signaling import SignalingClient, SignalingServer
+from opencv_opencl_tpu.io.videofile import FileSink, FileSource, NullSink, TestSource
+
+
+class TestVideoFile:
+    def test_test_source_deterministic(self):
+        spec = FrameSpec(width=64, height=48, fps=30)
+        a = list(TestSource(spec, num_frames=3, seed=7))
+        b = list(TestSource(spec, num_frames=3, seed=7))
+        assert len(a) == 3
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)
+            assert x.shape == (72, 64)
+
+    def test_file_roundtrip(self, tmp_path, rng):
+        spec = FrameSpec(width=64, height=48, fps=30)
+        path = str(tmp_path / "t.mp4")
+        sink = FileSink(path, spec)
+        for f in TestSource(spec, num_frames=8):
+            sink.write(f)
+        sink.close()
+        src = FileSource(path)
+        frames = list(src)
+        src.close()
+        assert len(frames) == 8
+        assert frames[0].shape == (72, 64)
+
+    def test_file_source_loop(self, tmp_path):
+        spec = FrameSpec(width=64, height=48, fps=30)
+        path = str(tmp_path / "t.mp4")
+        sink = FileSink(path, spec)
+        for f in TestSource(spec, num_frames=4):
+            sink.write(f)
+        sink.close()
+        src = FileSource(path, loop=True)
+        got = [src.read() for _ in range(10)]
+        src.close()
+        assert all(f is not None for f in got)
+        assert src.loops_done >= 1
+
+    def test_missing_file_raises(self):
+        with pytest.raises(IOError):
+            FileSource("/nonexistent/x.mp4")
+
+
+class TestGstBuilders:
+    def test_capture_pipeline(self):
+        s = gst.capture_pipeline(width=1920, height=1080, fps=60)
+        assert "v4l2src" in s and "io-mode=4" in s
+        assert "leaky=downstream" in s
+        assert "max-buffers=1 drop=true" in s
+
+    def test_emit_pipeline_default(self):
+        enc = gst.EncoderConfig(codec="h264", bitrate_kbps=20000)
+        s = gst.emit_pipeline(enc)
+        assert "omxh264enc" in s and "rtph264pay" in s
+        assert "control-rate=low-latency" in s
+        assert "qos-dscp=60" in s
+        assert "cpb-size=500" in s
+
+    def test_emit_pipeline_tuned(self):
+        """The binary-only `improvement` ELF tuning deltas."""
+        enc = gst.EncoderConfig(codec="h265")
+        s = gst.emit_pipeline(enc, tuned=True)
+        assert "mtu=1200" in s
+        assert "cpb-size=1000" in s and "initial-delay=500" in s
+        assert "buffer-size=100000000" in s
+        assert "omxh265enc" in s and "rtph265pay" in s
+
+    def test_file_emit_tee(self):
+        enc = gst.EncoderConfig()
+        s = gst.file_emit_pipeline(enc, output_file="out.mp4")
+        assert "tee name=t" in s and "mp4mux" in s
+        s2 = gst.file_emit_pipeline(enc)
+        assert "tee" not in s2
+
+    def test_webrtc_pipeline(self):
+        enc = gst.EncoderConfig(codec="h264")
+        s = gst.webrtc_pipeline(enc)
+        assert "webrtcbin" in s
+        assert "stun.l.google.com:19302" in s
+        assert "profile=baseline" in s
+
+    def test_gst_shell_gated(self):
+        if not gst.gst_available():
+            with pytest.raises(RuntimeError, match="gst-launch"):
+                gst.GstShell("fakesrc ! fakesink").start()
+
+
+class TestSignaling:
+    def test_offer_answer_ice_roundtrip(self):
+        server = SignalingServer().start()
+        events = {"ready": 0, "answers": [], "ices": []}
+        sender = SignalingClient(
+            server.url, room="r1", client_type="sender",
+            on_ready=lambda: events.__setitem__("ready", events["ready"] + 1),
+            on_answer=lambda sdp: events["answers"].append(sdp),
+            on_ice=lambda c, m: events["ices"].append((c, m)),
+        ).start()
+        assert sender.wait_connected(10)
+
+        viewer_msgs = []
+        viewer = SignalingClient(
+            server.url, room="r1", client_type="viewer",
+            on_ice=lambda c, m: viewer_msgs.append(("ice", c, m)),
+        ).start()
+        assert viewer.wait_connected(10)
+
+        deadline = time.time() + 5
+        while events["ready"] == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert events["ready"] == 1  # viewer join -> ready at sender
+
+        sender.send_offer("v=0 FAKE SDP OFFER")
+        sender.send_ice("candidate:1 1 UDP 1 1.2.3.4 5000 typ host", 0)
+        # viewer answers through the relay
+        viewer._send({"type": "answer", "room": "r1", "sdp": "v=0 FAKE ANSWER"})
+        viewer._send({"type": "ice", "room": "r1",
+                      "candidate": "candidate:9", "sdpMLineIndex": 1})
+
+        deadline = time.time() + 5
+        while (not events["answers"] or not events["ices"]) and time.time() < deadline:
+            time.sleep(0.05)
+        assert events["answers"] == ["v=0 FAKE ANSWER"]
+        assert events["ices"] == [("candidate:9", 1)]
+
+        sender.stop()
+        viewer.stop()
+        server.stop()
+
+    def test_reconnect_after_server_restart(self):
+        server = SignalingServer().start()
+        port = server.port
+        client = SignalingClient(
+            server.url, room="r", reconnect_delay_s=0.2,
+        ).start()
+        assert client.wait_connected(10)
+        server.stop()
+        time.sleep(0.3)
+        # bring a new server up on the same port; client should rejoin
+        server2 = SignalingServer(port=port).start()
+        assert client.wait_connected(10)
+        assert client.reconnect_count >= 1
+        client.stop()
+        server2.stop()

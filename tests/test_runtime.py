@@ -1,0 +1,179 @@
+"""Runtime layer: leaky queue, resequencer, double-buffered feeder."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+from opencv_opencl_tpu.models import Enhancer, EnhancerConfig
+from opencv_opencl_tpu.runtime import Closed, FrameFeeder, LeakyQueue, Resequencer
+
+
+class TestLeakyQueue:
+    def test_fifo(self):
+        q = LeakyQueue(max_size=4)
+        for i in range(3):
+            q.put(i)
+        assert [q.get(0.1) for _ in range(3)] == [0, 1, 2]
+
+    def test_drops_oldest_when_full(self):
+        dropped = []
+        q = LeakyQueue(max_size=2, on_drop=dropped.append)
+        q.put(0), q.put(1)
+        assert q.put(2) is False  # 0 dropped
+        assert dropped == [0]
+        assert q.dropped == 1
+        assert [q.get(0.1), q.get(0.1)] == [1, 2]
+
+    def test_get_timeout(self):
+        q = LeakyQueue(max_size=2)
+        with pytest.raises(TimeoutError):
+            q.get(timeout=0.01)
+
+    def test_close_drains_then_raises(self):
+        q = LeakyQueue(max_size=4)
+        q.put(7)
+        q.close()
+        assert q.get(0.1) == 7
+        with pytest.raises(Closed):
+            q.get(0.1)
+
+    def test_get_batch(self):
+        q = LeakyQueue(max_size=8)
+        for i in range(5):
+            q.put(i)
+        assert q.get_batch(3, 0.1) == [0, 1, 2]
+        assert q.get_batch(8, 0.1) == [3, 4]
+
+    def test_threaded_producer(self):
+        q = LeakyQueue(max_size=100)
+        t = threading.Thread(target=lambda: [q.put(i) for i in range(50)])
+        t.start()
+        got = [q.get(1.0) for _ in range(50)]
+        t.join()
+        assert got == list(range(50))
+
+
+class TestResequencer:
+    def test_in_order_passthrough(self):
+        out = []
+        r = Resequencer(lambda s, f: out.append((s, f)))
+        for i in range(5):
+            r.push(i, f"f{i}")
+        assert out == [(i, f"f{i}") for i in range(5)]
+
+    def test_reorders(self):
+        out = []
+        r = Resequencer(lambda s, f: out.append(s))
+        for seq in [1, 0, 3, 2, 4]:
+            r.push(seq, None)
+        assert out == [0, 1, 2, 3, 4]
+
+    def test_late_drop(self):
+        out = []
+        r = Resequencer(lambda s, f: out.append(s), max_pending=2)
+        r.push(1, None)
+        r.push(2, None)
+        r.push(3, None)  # exceeds max_pending -> skip gap at 0
+        assert out == [1, 2, 3]
+        assert r.frames_lost == 1
+        r.push(0, None)  # too late: its slot was given up
+        assert r.dropped_late == 1
+        assert out == [1, 2, 3]
+
+    def test_flush(self):
+        out = []
+        r = Resequencer(lambda s, f: out.append(s))
+        r.push(0, None)
+        r.push(2, None)
+        r.push(5, None)
+        r.flush()
+        assert out == [0, 2, 5]
+        assert r.frames_lost == 3  # slots 1, 3, 4
+
+
+SPEC = FrameSpec(width=64, height=48, fps=30)
+
+
+def _mk_feeder(batch_size=2, depth=2, **kw):
+    enh = Enhancer(
+        EnhancerConfig(op="histeq", chroma=ChromaPolicy.PASSTHROUGH), SPEC
+    )
+    results = {}
+    feeder = FrameFeeder(
+        enh.process_batch,
+        batch_size=batch_size,
+        depth=depth,
+        on_output=lambda seq, frame, meta: results.__setitem__(seq, (frame, meta)),
+        **kw,
+    )
+    return feeder, results
+
+
+def test_feeder_end_to_end(rng):
+    import cv2
+
+    feeder, results = _mk_feeder()
+    frames = rng.integers(0, 256, (6, SPEC.buffer_rows, SPEC.width), dtype=np.uint8)
+    feeder.start()
+    for i, f in enumerate(frames):
+        feeder.submit(f, meta={"pts": i})
+    feeder.stop(drain=True)
+    assert sorted(results) == list(range(6))
+    for i in range(6):
+        out, meta = results[i]
+        assert meta == {"pts": i}
+        assert np.array_equal(out[:48], cv2.equalizeHist(frames[i, :48]))
+        assert np.array_equal(out[48:], frames[i, 48:])  # chroma passthrough
+    stats = feeder.stats
+    assert stats["input_frames"] == 6
+    assert stats["output_frames"] == 6
+    assert stats["processing_errors"] == 0
+
+
+def test_feeder_odd_batch_padding(rng):
+    # 5 frames with batch_size=2: last dispatch is a padded single frame
+    feeder, results = _mk_feeder(batch_size=2)
+    frames = rng.integers(0, 256, (5, SPEC.buffer_rows, SPEC.width), dtype=np.uint8)
+    feeder.start()
+    for f in frames:
+        feeder.submit(f)
+    feeder.stop(drain=True)
+    assert sorted(results) == list(range(5))
+
+
+def test_feeder_overflow_drops_oldest(rng):
+    # tiny queue, feeder not started: submits overflow
+    feeder, _ = _mk_feeder(queue_capacity=2)
+    frames = rng.integers(0, 256, (5, SPEC.buffer_rows, SPEC.width), dtype=np.uint8)
+    for f in frames:
+        feeder.submit(f)
+    assert feeder.counters.get("dropped_overflow") == 3
+    assert feeder.queue_length() == 2
+
+
+def test_feeder_processing_error_counted():
+    def broken(batch):
+        raise RuntimeError("boom")
+
+    feeder = FrameFeeder(broken, batch_size=1)
+    feeder.start()
+    feeder.submit(np.zeros((SPEC.buffer_rows, SPEC.width), np.uint8))
+    feeder.stop(drain=True)
+    assert feeder.stats["processing_errors"] == 1
+    assert feeder.stats["output_frames"] == 0
+
+
+def test_feeder_latency_idle_retire(rng):
+    """With depth=2, a lone frame must still come out promptly when the
+    input goes idle (the latency-first contract)."""
+    feeder, results = _mk_feeder(batch_size=4, depth=2)
+    feeder.start()
+    feeder.submit(rng.integers(0, 256, (SPEC.buffer_rows, SPEC.width), dtype=np.uint8))
+    t0 = time.monotonic()
+    while not results and time.monotonic() - t0 < 5:
+        time.sleep(0.01)
+    feeder.stop()
+    assert 0 in results
