@@ -33,7 +33,7 @@ def run(argv: list[str]) -> int:
             "height": int, "fps": float, "op": str, "chroma": str,
             "clipLimit": float, "tile": int, "batch": int, "source": str,
             "sink": str, "duration": float, "max-frames": int,
-            "status-interval": float, "realtime": bool,
+            "status-interval": float, "realtime": bool, "max-rate": float,
         },
     )
     codec = opts.get("codec", "h264")
@@ -61,6 +61,7 @@ def run(argv: list[str]) -> int:
     from opencv_opencl_tpu.metrics.counters import FrameRateCounters, StatusReporter
     from opencv_opencl_tpu.models import Enhancer, EnhancerConfig
     from opencv_opencl_tpu.runtime import FrameFeeder
+    from opencv_opencl_tpu.runtime.governor import RateGovernor
 
     chroma = (ChromaPolicy.GRAY if chroma_s.lower() == "gray"
               else ChromaPolicy.PASSTHROUGH)
@@ -106,6 +107,8 @@ def run(argv: list[str]) -> int:
           f"bitrate={bitrate} kbps, workers={workers}, chroma={chroma.value})")
     print("(with frame ordering)")
 
+    governor = (RateGovernor(opts["max-rate"]) if "max-rate" in opts else None)
+
     feeder.start()
     reporter.start()
     t_start = time.monotonic()
@@ -114,6 +117,8 @@ def run(argv: list[str]) -> int:
     try:
         for nv12 in src:
             counters.count("camera_frames")
+            if governor is not None and not governor.admit():
+                continue  # videorate drop-only: cap the input rate
             feeder.submit(nv12, meta={"pts": n * frame_period})
             n += 1
             if max_frames is not None and n >= max_frames:

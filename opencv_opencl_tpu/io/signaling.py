@@ -79,6 +79,24 @@ class SignalingClient:
             "candidate": candidate, "sdpMLineIndex": sdp_mline_index,
         })
 
+    def send_ice_peer(self, candidate: str, sdp_mline_index: int,
+                      peer_id: str | None = None) -> None:
+        """Peer-id dialect (reference ``webrtc/vad.cpp:118-144``):
+        ``ice-candidate`` with a nested candidate object, sdpMid derived
+        from the mline index, and an optional ``to`` peer."""
+        mid = "audio1" if sdp_mline_index == 1 else "video0"
+        msg = {
+            "type": "ice-candidate",
+            "candidate": {
+                "candidate": candidate,
+                "sdpMLineIndex": sdp_mline_index,
+                "sdpMid": mid,
+            },
+        }
+        if peer_id:
+            msg["to"] = peer_id
+        self._send(msg)
+
     def stop(self) -> None:
         self._stop.set()
         if self._loop is not None:

@@ -212,19 +212,43 @@ def _interpolate_rows(
     return _blend(l11, l12, l21, l22, xa, xa1, ya, ya1)
 
 
-def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot") -> jax.Array:
-    """CLAHE one frame (H, W) or a batch (N, H, W) against a prebuilt plan."""
+def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
+                backend: str = "auto") -> jax.Array:
+    """CLAHE one frame (H, W) or a batch (N, H, W) against a prebuilt plan.
+
+    backend: "pallas" (MXU one-hot interpolation — the fast TPU path),
+    "xla" (gather-based), or "auto" (pallas when the geometry admits the
+    uniform-cell kernel, else xla).
+    """
     if y.ndim == 3:
-        return jax.vmap(lambda f: clahe_apply(f, plan, method))(y)
+        return jax.vmap(lambda f: clahe_apply(f, plan, method, backend))(y)
     hists = _tile_histograms(y, plan, method)
     luts = _luts_from_hists(hists, plan)
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from opencv_opencl_tpu.ops.pallas import lut_kernels
+
+        spec = lut_kernels.make_interp_spec(
+            plan.height, plan.width, plan.clip_limit,
+            (plan.tiles_x, plan.tiles_y),
+        )
+        if spec is not None:
+            return lut_kernels.clahe_interpolate_pallas(y, luts, spec)
+        if backend == "pallas":
+            raise ValueError(
+                f"geometry {plan.height}x{plan.width} grid "
+                f"{plan.tiles_x}x{plan.tiles_y} has no pallas fast path"
+            )
     return _interpolate(y, luts, plan)
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_apply(height, width, clip_limit, tile_grid, method):
+def _jitted_apply(height, width, clip_limit, tile_grid, method,
+                  backend="auto"):
     plan = make_clahe_plan(height, width, clip_limit, tile_grid)
-    return jax.jit(lambda y: clahe_apply(y, plan, method))
+    return jax.jit(lambda y: clahe_apply(y, plan, method, backend))
 
 
 def clahe(
@@ -232,10 +256,12 @@ def clahe(
     clip_limit: float = 40.0,
     tile_grid: tuple[int, int] = (8, 8),
     method: str = "onehot",
+    backend: str = "auto",
 ) -> jax.Array:
     """One-shot OpenCV-exact CLAHE (jit-cached per frame shape)."""
     h, w = y.shape[-2], y.shape[-1]
-    return _jitted_apply(h, w, float(clip_limit), tuple(tile_grid), method)(y)
+    return _jitted_apply(h, w, float(clip_limit), tuple(tile_grid), method,
+                         backend)(y)
 
 
 class CLAHE:

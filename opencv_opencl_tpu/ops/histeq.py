@@ -31,8 +31,19 @@ __all__ = [
 ]
 
 
-def apply_lut(y: jax.Array, lut: jax.Array) -> jax.Array:
-    """Map a uint8 image through a 256-entry uint8 LUT (gather)."""
+def apply_lut(y: jax.Array, lut: jax.Array, backend: str = "auto") -> jax.Array:
+    """Map a uint8 image through a 256-entry uint8 LUT.
+
+    "pallas"/"auto": MXU one-hot matmul kernel (XLA's gather lowers ~1000x
+    slower on TPU); "xla": plain jnp.take.
+    """
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas and y.ndim == 2:
+        from opencv_opencl_tpu.ops.pallas import lut_kernels
+
+        return lut_kernels.apply_lut_pallas(y, lut)
     return jnp.take(lut, y.astype(jnp.int32), axis=0)
 
 
