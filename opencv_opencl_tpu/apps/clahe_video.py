@@ -86,10 +86,12 @@ def run(argv: list[str]) -> int:
         sink_desc = opts["output"]
     print(f"Output: {sink_desc}")
 
+    chroma = (ChromaPolicy.GRAY if opts.get("chroma", "").lower() == "gray"
+              else ChromaPolicy.PASSTHROUGH)
     enhancer = Enhancer(
         EnhancerConfig(
             op=op, clip_limit=clip_limit, tile_grid=(tile, tile),
-            chroma=ChromaPolicy.PASSTHROUGH,
+            chroma=chroma,
         ),
         spec,
     )

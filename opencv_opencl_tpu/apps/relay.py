@@ -34,6 +34,7 @@ def run(argv: list[str]) -> int:
             "clipLimit": float, "tile": int, "batch": int, "source": str,
             "sink": str, "duration": float, "max-frames": int,
             "status-interval": float, "realtime": bool, "max-rate": float,
+            "native": bool,
         },
     )
     codec = opts.get("codec", "h264")
@@ -95,6 +96,8 @@ def run(argv: list[str]) -> int:
     feeder = FrameFeeder(
         enhancer.process_batch, batch_size=batch, depth=workers,
         on_output=on_output, counters=counters,
+        native_staging=((spec.buffer_rows, spec.width)
+                        if opts.get("native") else False),
     )
     reporter = StatusReporter(
         counters, interval_s=interval, num_workers=workers,
@@ -102,9 +105,11 @@ def run(argv: list[str]) -> int:
         avg_process_ms_fn=lambda: feeder.timing.avg_total_ms,
     )
 
+    staging = "native C++ ring" if feeder._native is not None else "python queue"
     print(f"NV12 {op} relay pipeline started "
           f"({spec.width}x{spec.height}@{fps:g}, codec={codec}, "
-          f"bitrate={bitrate} kbps, workers={workers}, chroma={chroma.value})")
+          f"bitrate={bitrate} kbps, workers={workers}, chroma={chroma.value}, "
+          f"staging={staging})")
     print("(with frame ordering)")
 
     governor = (RateGovernor(opts["max-rate"]) if "max-rate" in opts else None)

@@ -64,7 +64,12 @@ class FrameFeeder:
         counters: FrameRateCounters | None = None,
         timing: TimingStats | None = None,
         pad_batches: bool = True,
+        native_staging: bool | tuple[int, ...] = False,
     ) -> None:
+        """``native_staging``: pass the frame shape (rows, width) to stage
+        frames through the C++ preallocated ring (GIL-free memcpy + batch
+        assembly into one contiguous buffer — the reference's preallocated
+        GstBuffer pool); metas ride a parallel Python dict."""
         self.process_batch = process_batch
         self.batch_size = max(1, batch_size)
         self.depth = min(max(1, depth), 8)
@@ -72,6 +77,16 @@ class FrameFeeder:
         self.counters = counters or FrameRateCounters()
         self.timing = timing or TimingStats(label="feeder")
         self.pad_batches = pad_batches
+        self._native = None
+        self._native_shape = None
+        self._native_metas: dict[int, Any] = {}
+        if native_staging:
+            from opencv_opencl_tpu import native
+
+            if native.available():
+                self._native_shape = tuple(native_staging)
+                frame_bytes = int(np.prod(self._native_shape))
+                self._native = native.NativeRing(queue_capacity, frame_bytes)
         self._inq = LeakyQueue(
             max_size=queue_capacity,
             on_drop=lambda item: self.counters.count("dropped_overflow"),
@@ -91,11 +106,40 @@ class FrameFeeder:
             seq = self._seq
             self._seq += 1
         self.counters.count("input_frames")
-        self._inq.put((seq, np.asarray(frame), meta))
+        if self._native is not None:
+            self._native_metas[seq] = meta
+            if not self._native.push(np.asarray(frame).reshape(-1), seq):
+                self.counters.count("dropped_overflow")
+        else:
+            self._inq.put((seq, np.asarray(frame), meta))
         return seq
 
     def queue_length(self) -> int:
+        if self._native is not None:
+            return len(self._native)
         return len(self._inq)
+
+    def _native_get_batch(self) -> list[tuple[int, np.ndarray, Any]] | None:
+        """Pop a batch from the C++ ring (returns None on timeout/closed)."""
+        flat = np.empty(
+            (self.batch_size, self._native.frame_bytes), dtype=np.uint8
+        )
+        n, seqs = self._native.pop_batch(
+            flat, self.batch_size, timeout_ms=int(_POP_TIMEOUT_S * 1000)
+        )
+        if n <= 0:
+            return [] if n == 0 else None
+        out = []
+        for i in range(n):
+            seq = int(seqs[i])
+            out.append((seq, flat[i].reshape(self._native_shape),
+                        self._native_metas.pop(seq, None)))
+        # metas of ring-dropped frames (seq below the oldest popped) can
+        # never surface again — prune so a long stream doesn't leak
+        floor = int(seqs[:n].min())
+        for k in [k for k in self._native_metas if k < floor]:
+            del self._native_metas[k]
+        return out
 
     # ---- output side (feeder thread) ----
 
@@ -143,17 +187,30 @@ class FrameFeeder:
 
     def _run(self) -> None:
         while True:
-            try:
-                got = self._inq.get_batch(self.batch_size, timeout=_POP_TIMEOUT_S)
-            except TimeoutError:
-                if self._stopping.is_set():
+            if self._native is not None:
+                got = self._native_get_batch()
+                if got is None:
+                    break  # ring closed + drained
+                if not got:
+                    if self._stopping.is_set():
+                        break
+                    while self._inflight:
+                        self._retire_oldest()
+                    continue
+            else:
+                try:
+                    got = self._inq.get_batch(
+                        self.batch_size, timeout=_POP_TIMEOUT_S
+                    )
+                except TimeoutError:
+                    if self._stopping.is_set():
+                        break
+                    # idle: retire in-flight work so latency stays low
+                    while self._inflight:
+                        self._retire_oldest()
+                    continue
+                except Closed:
                     break
-                # idle: retire whatever is in flight so latency stays low
-                while self._inflight:
-                    self._retire_oldest()
-                continue
-            except Closed:
-                break
             self._dispatch(got)
         while self._inflight:
             self._retire_oldest()
@@ -177,6 +234,8 @@ class FrameFeeder:
             self._inq.clear()
         self._stopping.set()
         self._inq.close()  # queued frames still drain; get raises Closed after
+        if self._native is not None and not drain:
+            self._native.close()
         self._thread.join(timeout=30)
         self._thread = None
 

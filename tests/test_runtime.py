@@ -177,3 +177,33 @@ def test_feeder_latency_idle_retire(rng):
         time.sleep(0.01)
     feeder.stop()
     assert 0 in results
+
+
+def test_feeder_native_staging(rng):
+    """The C++ ring staging path: same end-to-end results as Python queue."""
+    import cv2
+
+    from opencv_opencl_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    enh = Enhancer(
+        EnhancerConfig(op="histeq", chroma=ChromaPolicy.PASSTHROUGH), SPEC
+    )
+    results = {}
+    feeder = FrameFeeder(
+        enh.process_batch, batch_size=2, depth=2,
+        native_staging=(SPEC.buffer_rows, SPEC.width),
+        on_output=lambda seq, frame, meta: results.__setitem__(seq, (frame, meta)),
+    )
+    assert feeder._native is not None
+    frames = rng.integers(0, 256, (6, SPEC.buffer_rows, SPEC.width), dtype=np.uint8)
+    feeder.start()
+    for i, f in enumerate(frames):
+        feeder.submit(f, meta=i)
+    feeder.stop(drain=True)
+    assert sorted(results) == list(range(6))
+    for i in range(6):
+        out, meta = results[i]
+        assert meta == i
+        assert np.array_equal(out[:48], cv2.equalizeHist(frames[i, :48]))
