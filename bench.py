@@ -31,6 +31,12 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    try:  # reuse cached executables across runs (remote compiles are slow)
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec

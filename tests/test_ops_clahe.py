@@ -82,3 +82,26 @@ def test_plan_caching():
     p1 = clahe_ops.make_clahe_plan(64, 64, 2.0, (8, 8))
     p2 = clahe_ops.make_clahe_plan(64, 64, 2.0, (8, 8))
     assert p1 is p2
+
+
+def test_clahe_1x1_grid(rng):
+    """Degenerate 1x1 tile grid (single global tile)."""
+    y = rng.integers(0, 256, (64, 96), dtype=np.uint8)
+    _check(y, 2.0, (1, 1))
+
+
+def test_clahe_huge_clip_no_clipping(rng):
+    """Clip limit above any bin count: behaves like plain AHE."""
+    y = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    _check(y, 1e6, (4, 4))
+
+
+def test_clahe_pallas_odd_1080p_slice(rng):
+    """Interpret-mode pallas on an odd-size frame slice (reflect padding in
+    the LUT stage, original-size interpolation)."""
+    from tests.conftest import assert_clahe_close
+
+    y = rng.integers(0, 256, (135, 241), dtype=np.uint8)
+    out = np.asarray(clahe_ops.clahe(y, 2.0, (8, 8), backend="pallas"))
+    ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(y)
+    assert_clahe_close(out, ref)
