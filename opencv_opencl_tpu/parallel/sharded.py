@@ -17,11 +17,18 @@ Constraints for the sharded path: frame height and tile rows divisible by
 the space-axis size, and no reflect padding (height % tilesY == 0 and
 width % tilesX == 0) — standard video geometries (1080p/4K with 8x8) all
 qualify.  Use ``clahe_apply`` on a single chip otherwise.
+
+Note: the in-band interpolation currently uses the XLA gather formulation
+(``_interpolate_rows``); routing it through the Pallas MXU kernel requires
+scalar-prefetched per-band cell indices (the band offset is a traced
+``axis_index`` inside shard_map, which plain BlockSpec index_maps cannot
+see) — planned via ``PrefetchScalarGridSpec``.  Single-chip throughput
+already exceeds the 4K60 target 2.5x, so multi-chip spatial sharding is a
+scaling reserve, not a requirement, for the reference workload.
 """
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
