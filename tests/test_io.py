@@ -152,3 +152,31 @@ class TestSignaling:
         assert client.reconnect_count >= 1
         client.stop()
         server2.stop()
+
+
+def test_env_report():
+    from opencv_opencl_tpu.utils import env_report
+
+    r = env_report()
+    assert r["backend"] == "cpu"  # conftest forces cpu
+    assert r["device_count"] == 8
+    assert r["opencv_oracle"]
+    assert r["native_runtime"] in (True, False)
+
+
+def test_send_ice_peer_dialect():
+    """Peer-id dialect message shape (webrtc/vad.cpp family)."""
+    from opencv_opencl_tpu.io.signaling import SignalingClient
+
+    sent = []
+    c = SignalingClient("ws://unused", room="r")
+    c._send = sent.append  # bypass the socket
+    c.send_ice_peer("candidate:42", 1, peer_id="peer-9")
+    msg = sent[0]
+    assert msg["type"] == "ice-candidate"
+    assert msg["to"] == "peer-9"
+    assert msg["candidate"]["sdpMid"] == "audio1"
+    assert msg["candidate"]["sdpMLineIndex"] == 1
+    c.send_ice_peer("candidate:1", 0)
+    assert sent[1]["candidate"]["sdpMid"] == "video0"
+    assert "to" not in sent[1]
