@@ -244,12 +244,48 @@ def _interp_kernel(y_ref, lp_ref, xa_ref, ya_ref, out_ref):
         )
 
 
+def _interp_kernel_radix(y_ref, lp_ref, xa_ref, ya_ref, out_ref):
+    # Radix-16 LUT selection: v = 16*hi + lo.  Two 16-wide one-hots replace
+    # the 256-wide one (8x less compare/convert work on the VPU):
+    #   W[j*16+b, c] = lut_j[hi_c, b]        (one (64,16)@(16,twp) MXU dot)
+    #   four[j, c]   = sum_b W[j*16+b, c] * [lo_c == b]   (VPU mul+reduce)
+    # Both stages select exactly one entry -> bit-identical to the gather.
+    rs, twp = y_ref.shape
+    bins16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    lp = lp_ref[0, 0]                    # (64, 16) bf16: [lut j, hi] x lo
+    xa = xa_ref[0, 0, :][None, :]        # (1, twp)
+    xa1 = jnp.float32(1.0) - xa
+    for r in range(rs):  # static unroll
+        v = y_ref[r : r + 1, :].astype(jnp.int32)       # (1, twp)
+        hi = v >> 4
+        lo = v & 15
+        oh_hi = (bins16 == hi).astype(jnp.bfloat16)     # (16, twp)
+        w = jnp.dot(lp, oh_hi, preferred_element_type=jnp.float32)  # (64,twp)
+        oh_lo = (bins16 == lo).astype(jnp.float32)      # (16, twp)
+        fours = []
+        for j in range(4):
+            fours.append(
+                jnp.sum(w[j * 16 : (j + 1) * 16, :] * oh_lo, axis=0,
+                        keepdims=True)
+            )
+        ya = ya_ref[0, 0, r]
+        ya1 = jnp.float32(1.0) - ya
+        r1 = fours[0] * xa1 + fours[1] * xa
+        r2 = fours[2] * xa1 + fours[3] * xa
+        res = r1 * ya1 + r2 * ya
+        out_ref[r : r + 1, :] = (
+            jnp.clip(jnp.rint(res), 0, 255).astype(jnp.int32).astype(jnp.uint8)
+        )
+
+
 def clahe_interpolate_pallas(y: jax.Array, luts: jax.Array,
                              spec: InterpSpec,
-                             interpret: bool | None = None) -> jax.Array:
+                             interpret: bool | None = None,
+                             radix: bool = False) -> jax.Array:
     """CLAHE bilinear LUT interpolation of one (H, W) uint8 frame.
 
     ``luts`` is (tilesY*tilesX, 256) uint8 (or (tilesY, tilesX, 256)).
+    ``radix=True`` selects the radix-16 kernel variant.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -261,6 +297,15 @@ def clahe_interpolate_pallas(y: jax.Array, luts: jax.Array,
     lp = jnp.take(luts_flat, jnp.asarray(spec.cell_lut_idx), axis=0).astype(
         jnp.bfloat16
     )
+    if radix:
+        # -> (CY, CX, 4*16, 16): row (j*16+b), column h holds
+        # lut_j[h*16 + b], so dotting with the hi one-hot (h contracted)
+        # yields W[(j*16+b), px] = lut_j[hi_px*16 + b]
+        lp = (
+            lp.reshape(cy, cx, 4, 16, 16)
+            .transpose(0, 1, 2, 4, 3)
+            .reshape(cy, cx, 4 * 16, 16)
+        )
     # embed the frame in the uniform cell grid, then align cells to (8, 128)
     y_pad = jnp.zeros((cy * th, cx * tw), jnp.uint8)
     y_pad = jax.lax.dynamic_update_slice(
@@ -272,14 +317,15 @@ def clahe_interpolate_pallas(y: jax.Array, luts: jax.Array,
     xa_pad = jnp.asarray(spec.xa_pad)
     ya_pad = jnp.asarray(spec.ya_pad)
 
+    lp_block = (1, 1, 4 * 16, 16) if radix else (1, 1, 4, 256)
     out_blk = pl.pallas_call(
-        _interp_kernel,
+        _interp_kernel_radix if radix else _interp_kernel,
         out_shape=jax.ShapeDtypeStruct((cy * thp, cx * twp), jnp.uint8),
         grid=(cy, subs, cx),
         in_specs=[
             pl.BlockSpec((rs, twp), lambda c, s, x: (c * subs + s, x),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4, 256), lambda c, s, x: (c, x, 0, 0),
+            pl.BlockSpec(lp_block, lambda c, s, x: (c, x, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, twp), lambda c, s, x: (x, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -104,3 +104,20 @@ class TestClaheInterpolate:
                 clahe_ops.clahe_apply(
                     jnp.zeros((64, 10000), jnp.uint8), plan, backend="pallas"
                 )
+
+
+class TestRadixVariant:
+    def test_radix_matches_standard(self, rng):
+        import jax.numpy as jnp
+
+        y = rng.integers(0, 256, (96, 128), dtype=np.uint8)
+        luts, th, tw = golden.clahe_luts(y, 2.0, (8, 8))
+        spec = lut_kernels.make_interp_spec(96, 128, 2.0, (8, 8))
+        ref = golden.clahe_apply_luts(y, luts, th, tw)
+        for radix in (False, True):
+            out = np.asarray(lut_kernels.clahe_interpolate_pallas(
+                jnp.asarray(y), jnp.asarray(luts.reshape(-1, 256)), spec,
+                radix=radix,
+            ))
+            d = np.abs(out.astype(int) - ref.astype(int))
+            assert d.max() <= 1, (radix, d.max())
