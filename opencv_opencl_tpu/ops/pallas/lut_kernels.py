@@ -244,6 +244,83 @@ def _interp_kernel(y_ref, lp_ref, xa_ref, ya_ref, out_ref):
         )
 
 
+def clahe_interpolate_pallas_band(y: jax.Array, luts: jax.Array,
+                                  spec: InterpSpec, row0: jax.Array,
+                                  interpret: bool | None = None) -> jax.Array:
+    """Band variant for spatially-sharded CLAHE (shard_map over row bands).
+
+    ``y`` is a horizontal band of ``rows_loc`` rows whose first row sits at
+    *traced* global row ``row0`` (``axis_index * rows_loc`` inside
+    shard_map); ``luts`` is the all-gathered full (T, 256) table.  Each
+    output pixel depends only on its own input pixel, its cell's 4 LUTs and
+    the per-axis weights, so the band is embedded into its own cell-aligned
+    layout: the traced offsets are absorbed by XLA ``dynamic_update_slice``
+    / ``dynamic_slice`` around the kernel, and the per-band LUT-pack and
+    row-weight tables are traced ``dynamic_slice``s of the zero-padded
+    global tables — the pallas grid itself stays static.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    rows_loc, width = y.shape
+    assert width == spec.width
+    th, tw, rs = spec.tile_h, spec.tile_w, spec.rows_sub
+    thp, twp = spec.th_pad, spec.tw_pad
+    cy, cx, subs = spec.cy, spec.cx, spec.subs
+    # cell rows a band can touch (static bound), first touched cell (traced)
+    ncb = rows_loc // th + 2
+    pr0 = row0 + spec.pad_top
+    c0 = pr0 // th
+    off = pr0 - c0 * th  # band start inside its first cell (traced, < th)
+
+    luts_flat = luts.reshape(-1, 256)
+    lp = jnp.take(luts_flat, jnp.asarray(spec.cell_lut_idx), axis=0).astype(
+        jnp.bfloat16
+    )  # (cy, cx, 4, 256)
+    # zero-pad cell-row tables so the traced slice can't run off the end
+    lp_padded = jnp.pad(lp, ((0, ncb), (0, 0), (0, 0), (0, 0)))
+    lp_band = jax.lax.dynamic_slice(
+        lp_padded, (c0, 0, 0, 0), (ncb, cx, 4, 256)
+    )
+    ya_full = jnp.asarray(spec.ya_pad).reshape(cy, subs, 1, rs)
+    ya_padded = jnp.pad(ya_full, ((0, ncb), (0, 0), (0, 0), (0, 0)))
+    ya_band = jax.lax.dynamic_slice(
+        ya_padded, (c0, 0, 0, 0), (ncb, subs, 1, rs)
+    ).reshape(ncb * subs, 1, rs)
+    xa_pad = jnp.asarray(spec.xa_pad)
+
+    # embed the band at its in-cell offset, columns exactly as the full frame
+    y_pad = jnp.zeros((ncb * th, cx * tw), jnp.uint8)
+    y_pad = jax.lax.dynamic_update_slice(y_pad, y, (off, spec.pad_left))
+    y_blk = y_pad.reshape(ncb, th, cx, tw)
+    y_blk = jnp.pad(y_blk, ((0, 0), (0, thp - th), (0, 0), (0, twp - tw)))
+    y_blk = y_blk.reshape(ncb * thp, cx * twp)
+
+    out_blk = pl.pallas_call(
+        _interp_kernel,
+        out_shape=jax.ShapeDtypeStruct((ncb * thp, cx * twp), jnp.uint8),
+        grid=(ncb, subs, cx),
+        in_specs=[
+            pl.BlockSpec((rs, twp), lambda c, s, x: (c * subs + s, x),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4, 256), lambda c, s, x: (c, x, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, twp), lambda c, s, x: (x, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rs), lambda c, s, x: (c * subs + s, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rs, twp), lambda c, s, x: (c * subs + s, x),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(y_blk, lp_band, xa_pad, ya_band)
+    out_pad = out_blk.reshape(ncb, thp, cx, twp)[:, :th, :, :tw].reshape(
+        ncb * th, cx * tw
+    )
+    return jax.lax.dynamic_slice(
+        out_pad, (off, spec.pad_left), (rows_loc, width)
+    )
+
+
 def _interp_kernel_radix(y_ref, lp_ref, xa_ref, ya_ref, out_ref):
     # Radix-16 LUT selection: v = 16*hi + lo.  Two 16-wide one-hots replace
     # the 256-wide one (8x less compare/convert work on the VPU):

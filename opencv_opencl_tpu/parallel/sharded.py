@@ -18,13 +18,12 @@ the space-axis size, and no reflect padding (height % tilesY == 0 and
 width % tilesX == 0) — standard video geometries (1080p/4K with 8x8) all
 qualify.  Use ``clahe_apply`` on a single chip otherwise.
 
-Note: the in-band interpolation currently uses the XLA gather formulation
-(``_interpolate_rows``); routing it through the Pallas MXU kernel requires
-scalar-prefetched per-band cell indices (the band offset is a traced
-``axis_index`` inside shard_map, which plain BlockSpec index_maps cannot
-see) — planned via ``PrefetchScalarGridSpec``.  Single-chip throughput
-already exceeds the 4K60 target 2.5x, so multi-chip spatial sharding is a
-scaling reserve, not a requirement, for the reference workload.
+The in-band interpolation uses the Pallas MXU kernel on TPU
+(``clahe_interpolate_pallas_band``: traced band offsets absorbed by XLA
+dynamic slices around a static pallas grid) and the XLA gather formulation
+elsewhere; select with ``backend``.  The pallas route requires
+``check_vma=False`` on the shard_map (pallas out_shapes carry no varying
+-manual-axes annotation).
 """
 
 from __future__ import annotations
@@ -76,6 +75,7 @@ def _clahe_band(
     plan: clahe_ops.ClahePlan,
     space_axis: str,
     method: str,
+    backend: str = "auto",
 ) -> jax.Array:
     """Per-device body: local tile LUTs -> all_gather -> band interpolate."""
     nsp = jax.lax.axis_size(space_axis)
@@ -90,6 +90,22 @@ def _clahe_band(
     hists = jax.vmap(lambda t: hist_ops.hist256(t, method))(tiles)
     luts_loc = clahe_ops._luts_from_hists(hists, plan)
     luts = jax.lax.all_gather(luts_loc, space_axis, axis=0, tiled=True)
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from opencv_opencl_tpu.ops.pallas import lut_kernels
+
+        spec = lut_kernels.make_interp_spec(
+            plan.height, plan.width, plan.clip_limit,
+            (plan.tiles_x, plan.tiles_y),
+        )
+        if spec is not None:
+            return lut_kernels.clahe_interpolate_pallas_band(
+                y_band, luts, spec, idx * rows_loc
+            )
+        if backend == "pallas":
+            raise ValueError("geometry has no pallas fast path")
     return clahe_ops._interpolate_rows(y_band, luts, plan, idx * rows_loc)
 
 
@@ -111,17 +127,22 @@ def sharded_histeq(mesh: Mesh, height: int, width: int,
 
 def sharded_clahe(mesh: Mesh, plan: clahe_ops.ClahePlan,
                   method: str = "onehot",
-                  data_axis: str = "data", space_axis: str = "space"):
+                  data_axis: str = "data", space_axis: str = "space",
+                  backend: str = "auto"):
     """Jitted (N, H, W) -> (N, H, W) CLAHE over a (data, space) mesh."""
     _check_divisible(plan, mesh.shape[space_axis])
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
 
     def band_fn(y):
         return jax.vmap(
-            lambda f: _clahe_band(f, plan, space_axis, method)
+            lambda f: _clahe_band(f, plan, space_axis, method, backend)
         )(y)
 
     spec = P(data_axis, space_axis, None)
-    fn = shard_map(band_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    fn = shard_map(band_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                   check_vma=not use_pallas)
     return jax.jit(fn)
 
 
@@ -144,6 +165,8 @@ def build_sharded_pipeline(cfg: EnhancerConfig, height: int, width: int,
     if plan is not None:
         _check_divisible(plan, mesh.shape[space_axis])
 
+    use_pallas = cfg.op == "clahe" and jax.default_backend() == "tpu"
+
     def band_fn(y, uv):
         if cfg.op == "histeq":
             y_out = jax.vmap(
@@ -161,7 +184,7 @@ def build_sharded_pipeline(cfg: EnhancerConfig, height: int, width: int,
     spec = P(data_axis, space_axis, None)
     fn = jax.jit(
         shard_map(band_fn, mesh=mesh, in_specs=(spec, spec),
-                  out_specs=(spec, spec))
+                  out_specs=(spec, spec), check_vma=not use_pallas)
     )
     sharding = NamedSharding(mesh, spec)
     return fn, sharding

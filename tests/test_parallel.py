@@ -96,3 +96,17 @@ def test_full_sharded_pipeline_gray_histeq(rng):
     for i in range(2):
         assert np.array_equal(np.asarray(y_out)[i], cv2.equalizeHist(y[i]))
     assert (np.asarray(uv_out) == 128).all()
+
+
+def test_sharded_clahe_pallas_band(rng):
+    """The pallas band-interpolation path under shard_map (interpret mode):
+    must match cv2 within the CLAHE bar for both space-axis sizes."""
+    for shape, nsp in [((2, 2), None), ((2, 4), None)]:
+        mesh = make_mesh(shape[0] * shape[1], shape=shape)
+        batch = rng.integers(0, 256, (2, 64, 128), dtype=np.uint8)
+        plan = clahe_ops.make_clahe_plan(64, 128, 2.0, (8, 8))
+        fn = sharded_clahe(mesh, plan, backend="pallas")
+        out = np.asarray(fn(batch))
+        c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        for i in range(2):
+            assert_clahe_close(out[i], c.apply(batch[i]))
