@@ -121,7 +121,10 @@ def sharded_histeq(mesh: Mesh, height: int, width: int,
         )(y)
 
     spec = P(data_axis, space_axis, None)
-    fn = shard_map(band_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    # check_vma off when the LUT apply routes to pallas (TPU): pallas
+    # out_shapes carry no varying-manual-axes annotation
+    fn = shard_map(band_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                   check_vma=jax.default_backend() != "tpu")
     return jax.jit(fn)
 
 
@@ -165,7 +168,8 @@ def build_sharded_pipeline(cfg: EnhancerConfig, height: int, width: int,
     if plan is not None:
         _check_divisible(plan, mesh.shape[space_axis])
 
-    use_pallas = cfg.op == "clahe" and jax.default_backend() == "tpu"
+    use_pallas = (cfg.op in ("histeq", "clahe")
+                  and jax.default_backend() == "tpu")
 
     def band_fn(y, uv):
         if cfg.op == "histeq":
