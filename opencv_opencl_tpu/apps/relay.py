@@ -105,6 +105,8 @@ def run(argv: list[str]) -> int:
         avg_process_ms_fn=lambda: feeder.timing.avg_total_ms,
     )
 
+    print("Compiling device program (one-time, like the xclbin load)...")
+    feeder.warmup((spec.buffer_rows, spec.width))
     staging = "native C++ ring" if feeder._native is not None else "python queue"
     print(f"NV12 {op} relay pipeline started "
           f"({spec.width}x{spec.height}@{fps:g}, codec={codec}, "

@@ -226,8 +226,13 @@ class FrameFeeder:
         self._thread.start()
         return self
 
-    def stop(self, drain: bool = True) -> None:
-        """Stop the feeder; with drain=True, process everything queued first."""
+    def stop(self, drain: bool = True, timeout: float = 600.0) -> None:
+        """Stop the feeder; with drain=True, process everything queued first.
+
+        ``timeout`` bounds the join — generous by default because the very
+        first dispatch may include device-program compilation (the
+        reference's equivalent one-time cost is the xclbin load).
+        """
         if self._thread is None:
             return
         if not drain:
@@ -236,8 +241,20 @@ class FrameFeeder:
         self._inq.close()  # queued frames still drain; get raises Closed after
         if self._native is not None and not drain:
             self._native.close()
-        self._thread.join(timeout=30)
+        self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            self.counters.count("processing_errors")
         self._thread = None
+
+    def warmup(self, frame_shape: tuple[int, ...]) -> None:
+        """Compile the batch program before streaming starts — the analogue
+        of the reference loading the FPGA bitstream before PLAYING
+        (OpenCLequalHist.cpp:106-140)."""
+        import numpy as np
+
+        dummy = np.zeros((self.batch_size, *frame_shape), dtype=np.uint8)
+        out = self.process_batch(dummy)
+        np.asarray(out)
 
     @property
     def stats(self) -> dict[str, int]:
