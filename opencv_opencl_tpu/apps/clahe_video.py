@@ -31,6 +31,7 @@ def run(argv: list[str]) -> int:
             "resolution": str, "fps": str, "clipLimit": float, "tile": int,
             "codec": str, "bitrate": int, "timing-window": int,
             "detailed-timing": bool, "max-frames": int, "op": str,
+            "chroma": str,
         },
     )
     input_file = opts.get("input")
@@ -68,7 +69,9 @@ def run(argv: list[str]) -> int:
     import numpy as np
 
     from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
-    from opencv_opencl_tpu.io.videofile import FileSink, FileSource, NullSink
+    from opencv_opencl_tpu.io.videofile import (
+        FileSink, FileSource, NullSink, resample_fps,
+    )
     from opencv_opencl_tpu.metrics.timing import Span, TimingStats
     from opencv_opencl_tpu.models import Enhancer, EnhancerConfig
 
@@ -104,7 +107,9 @@ def run(argv: list[str]) -> int:
     import time
 
     frame_count = 0
-    for nv12 in src:
+    # videorate equivalent: convert the decoded rate to the target --fps
+    frames = resample_fps(src, src.spec.fps, fps)
+    for nv12 in frames:
         if max_frames is not None and frame_count >= max_frames:
             break
         t_frame = time.perf_counter()

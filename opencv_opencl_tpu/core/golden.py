@@ -69,11 +69,15 @@ def equalize_lut(hist: np.ndarray, total: int | None = None) -> np.ndarray:
     if hist[first] == total:
         # constant image: OpenCV copies the source through unchanged
         return np.arange(256, dtype=np.uint8)
-    scale = 255.0 / (total - hist[first])
+    # OpenCV: float scale = 255.f/(total - hist[i]) — float32, and the
+    # product sum*scale is a float32 multiply; f64 here flips ~1%% of
+    # histograms by 1 LSB on exact rounding ties
+    scale = np.float32(255.0) / np.float32(total - hist[first])
     cum = np.cumsum(hist)
     # cumsum *excluding* the first non-zero bin's mass
     cum_excl = cum - cum[first]
-    lut = np.clip(np.rint(cum_excl * scale), 0, 255).astype(np.uint8)
+    prod = (cum_excl.astype(np.float32) * scale).astype(np.float32)
+    lut = np.clip(np.rint(prod), 0, 255).astype(np.uint8)
     lut[: first + 1] = 0
     lut[first] = 0
     return lut
@@ -94,24 +98,30 @@ def equalize_hist(y: np.ndarray, ref: np.ndarray | None = None) -> np.ndarray:
     return lut[y]
 
 
+def reflect101_indices(n_out: int, n: int) -> np.ndarray:
+    """Source indices for BORDER_REFLECT_101 extension to length n_out.
+
+    Reflect-101 mirrors *without* repeating the edge pixel (..., n-2, n-1,
+    n-2, ...), and wraps periodically when the pad exceeds the source size
+    (period 2n-2) — matching cv::borderInterpolate multi-reflection.
+    """
+    if n == 1:
+        return np.zeros(n_out, dtype=np.int64)
+    period = 2 * (n - 1)
+    j = np.arange(n_out, dtype=np.int64) % period
+    return np.where(j < n, j, period - j)
+
+
 def copy_make_border_reflect101(
     src: np.ndarray, bottom: int, right: int
 ) -> np.ndarray:
-    """cv::copyMakeBorder(..., BORDER_REFLECT_101) for bottom/right only.
-
-    Reflect-101 mirrors *without* repeating the edge pixel:
-    row indices ..., H-2, H-1, H-2, H-3, ...
-    """
+    """cv::copyMakeBorder(..., BORDER_REFLECT_101) for bottom/right only."""
     if bottom == 0 and right == 0:
         return src
     h, w = src.shape
-    out = np.empty((h + bottom, w + right), dtype=src.dtype)
-    out[:h, :w] = src
-    if bottom:
-        out[h:, :w] = src[h - 2 : h - 2 - bottom : -1, :]
-    if right:
-        out[:, w:] = out[:, w - 2 : w - 2 - right : -1]
-    return out
+    rows = reflect101_indices(h + bottom, h)
+    cols = reflect101_indices(w + right, w)
+    return src[rows][:, cols]
 
 
 def _clip_histogram(hist: np.ndarray, clip: int) -> np.ndarray:

@@ -22,6 +22,7 @@ Reference pipelines reproduced:
 from __future__ import annotations
 
 import dataclasses
+import shlex
 import shutil
 import subprocess
 
@@ -233,7 +234,9 @@ class GstShell:
                 "gst-launch-1.0 not found: install GStreamer or use the "
                 "cv2-based io.videofile sinks"
             )
-        self.proc = subprocess.Popen(["gst-launch-1.0", "-q", *self.description.split()])
+        self.proc = subprocess.Popen(
+            ["gst-launch-1.0", "-q", *shlex.split(self.description)]
+        )
 
     def stop(self) -> None:
         if self.proc is not None:

@@ -100,7 +100,20 @@ class SignalingClient:
     def stop(self) -> None:
         self._stop.set()
         if self._loop is not None:
-            self._loop.call_soon_threadsafe(lambda: None)  # wake
+            ws = self._ws
+            if ws is not None:
+                # a client parked in `async for` only notices _stop once the
+                # connection drops — close the socket from its own loop
+                try:
+                    asyncio.run_coroutine_threadsafe(
+                        ws.close(), self._loop
+                    ).result(timeout=5)
+                except Exception:
+                    pass
+            try:
+                self._loop.call_soon_threadsafe(lambda: None)  # wake
+            except RuntimeError:
+                pass  # loop already closed
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
@@ -110,9 +123,18 @@ class SignalingClient:
     def _send(self, msg: dict) -> None:
         if self._loop is None or self._ws is None:
             raise RuntimeError("not connected")
-        asyncio.run_coroutine_threadsafe(
-            self._ws.send(json.dumps(msg)), self._loop
-        ).result(timeout=5)
+        coro = self._ws.send(json.dumps(msg))
+        try:
+            running = asyncio.get_running_loop()
+        except RuntimeError:
+            running = None
+        if running is self._loop:
+            # called from a message callback on the client's own event-loop
+            # thread (e.g. send_offer from on_ready): blocking on .result()
+            # here would deadlock the loop — fire and forget instead
+            self._loop.create_task(coro)
+        else:
+            asyncio.run_coroutine_threadsafe(coro, self._loop).result(timeout=5)
 
     def _run(self) -> None:
         asyncio.run(self._main())

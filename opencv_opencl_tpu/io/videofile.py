@@ -17,7 +17,24 @@ import numpy as np
 from opencv_opencl_tpu.core import color as gcolor
 from opencv_opencl_tpu.core.frames import FrameSpec
 
-__all__ = ["FileSource", "TestSource", "FileSink", "RawSink", "NullSink"]
+__all__ = ["FileSource", "TestSource", "FileSink", "RawSink", "NullSink",
+           "resample_fps"]
+
+
+def resample_fps(frames, src_fps: float, dst_fps: float):
+    """Drop/duplicate frames to convert ``src_fps`` -> ``dst_fps`` (the
+    GStreamer ``videorate`` element's caps-rate conversion,
+    ``CLAHECompare.cpp:419-423``): output slot k takes the nearest source
+    frame round(k * src/dst)."""
+    if src_fps <= 0 or dst_fps <= 0 or abs(src_fps - dst_fps) < 1e-9:
+        yield from frames
+        return
+    ratio = src_fps / dst_fps
+    k = 0
+    for i, f in enumerate(frames):
+        while int(k * ratio + 0.5) == i:
+            yield f
+            k += 1
 
 
 class FileSource:

@@ -117,8 +117,23 @@ def _tile_histograms(y: jax.Array, plan: ClahePlan, method: str) -> jax.Array:
     """Per-tile 256-bin histograms, int32[(tilesY*tilesX), 256]."""
     ext = y
     if plan.pad_bottom or plan.pad_right:
-        # numpy/jnp 'reflect' == OpenCV BORDER_REFLECT_101 (no edge repeat)
-        ext = jnp.pad(y, ((0, plan.pad_bottom), (0, plan.pad_right)), mode="reflect")
+        if plan.pad_bottom < plan.height and plan.pad_right < plan.width:
+            # numpy/jnp 'reflect' == OpenCV BORDER_REFLECT_101 (no edge repeat)
+            ext = jnp.pad(
+                y, ((0, plan.pad_bottom), (0, plan.pad_right)), mode="reflect"
+            )
+        else:
+            # pad >= dim (tiles larger than the image): jnp.pad can't
+            # multi-reflect — use static OpenCV-equivalent index arrays
+            from opencv_opencl_tpu.core.golden import reflect101_indices
+
+            rows = jnp.asarray(
+                reflect101_indices(plan.height + plan.pad_bottom, plan.height)
+            )
+            cols = jnp.asarray(
+                reflect101_indices(plan.width + plan.pad_right, plan.width)
+            )
+            ext = jnp.take(jnp.take(y, rows, axis=0), cols, axis=1)
     tiles = (
         ext.reshape(plan.tiles_y, plan.tile_h, plan.tiles_x, plan.tile_w)
         .transpose(0, 2, 1, 3)

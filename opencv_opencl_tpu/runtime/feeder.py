@@ -93,6 +93,8 @@ class FrameFeeder:
         )
         self._seq = 0
         self._seq_lock = threading.Lock()
+        self._meta_lock = threading.Lock()
+        self._out_seq = 0  # dense output ordering, assigned at dispatch
         self._reseq = Resequencer(self._emit)
         self._inflight: list[tuple[list[tuple[int, Any]], Any, float]] = []
         self._thread: threading.Thread | None = None
@@ -107,7 +109,8 @@ class FrameFeeder:
             self._seq += 1
         self.counters.count("input_frames")
         if self._native is not None:
-            self._native_metas[seq] = meta
+            with self._meta_lock:
+                self._native_metas[seq] = meta
             if not self._native.push(np.asarray(frame).reshape(-1), seq):
                 self.counters.count("dropped_overflow")
         else:
@@ -130,15 +133,16 @@ class FrameFeeder:
         if n <= 0:
             return [] if n == 0 else None
         out = []
-        for i in range(n):
-            seq = int(seqs[i])
-            out.append((seq, flat[i].reshape(self._native_shape),
-                        self._native_metas.pop(seq, None)))
-        # metas of ring-dropped frames (seq below the oldest popped) can
-        # never surface again — prune so a long stream doesn't leak
-        floor = int(seqs[:n].min())
-        for k in [k for k in self._native_metas if k < floor]:
-            del self._native_metas[k]
+        with self._meta_lock:
+            for i in range(n):
+                seq = int(seqs[i])
+                out.append((seq, flat[i].reshape(self._native_shape),
+                            self._native_metas.pop(seq, None)))
+            # metas of ring-dropped frames (seq below the oldest popped) can
+            # never surface again — prune so a long stream doesn't leak
+            floor = int(seqs[:n].min())
+            for k in [k for k in self._native_metas if k < floor]:
+                del self._native_metas[k]
         return out
 
     # ---- output side (feeder thread) ----
@@ -179,8 +183,13 @@ class FrameFeeder:
             out = self.process_batch(batch)
         except Exception:
             self.counters.count("processing_errors", n)
-            return
-        entries = [(seq, meta) for (seq, _, meta) in items]
+            return  # no output seqs consumed -> no resequencer gap
+        # dense output sequence assigned at dispatch (queue drops and
+        # processing errors therefore never create gaps the resequencer
+        # would stall on — the stream degrades to drops, never to stalls)
+        entries = [(self._out_seq + i, meta)
+                   for i, (_, _, meta) in enumerate(items)]
+        self._out_seq += len(items)
         self._inflight.append((entries, out, t_dispatch))
         while len(self._inflight) >= self.depth:
             self._retire_oldest()

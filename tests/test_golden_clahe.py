@@ -73,3 +73,18 @@ def test_reflect101_border():
     ours = golden.copy_make_border_reflect101(src, 2, 3)
     ref = cv2.copyMakeBorder(src, 0, 2, 0, 3, cv2.BORDER_REFLECT_101)
     assert np.array_equal(ours, ref)
+
+
+def test_clahe_image_smaller_than_grid(rng):
+    """Degenerate: image smaller than the tile grid — multi-reflection
+    border (cv::borderInterpolate wrapping)."""
+    for shape in [(3, 5), (2, 2), (7, 60)]:
+        y = rng.integers(0, 256, shape, dtype=np.uint8)
+        _check(y, 2.0, (8, 8))
+
+
+def test_reflect101_multiwrap(rng):
+    src = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    ours = golden.copy_make_border_reflect101(src, 10, 9)
+    ref = cv2.copyMakeBorder(src, 0, 10, 0, 9, cv2.BORDER_REFLECT_101)
+    assert np.array_equal(ours, ref)

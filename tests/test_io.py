@@ -180,3 +180,51 @@ def test_send_ice_peer_dialect():
     c.send_ice_peer("candidate:1", 0)
     assert sent[1]["candidate"]["sdpMid"] == "video0"
     assert "to" not in sent[1]
+
+
+def test_resample_fps():
+    from opencv_opencl_tpu.io.videofile import resample_fps
+
+    src = list(range(60))
+    assert list(resample_fps(iter(src), 60, 30)) == list(range(0, 60, 2))
+    up = list(resample_fps(iter(src[:30]), 30, 60))
+    assert len(up) in (59, 60) and up[:4] == [0, 1, 1, 2]
+    assert list(resample_fps(iter(src), 30, 30)) == src
+
+
+def test_send_offer_from_on_ready_no_deadlock():
+    """The sender app sends the offer from inside on_ready, which runs on
+    the client's own event-loop thread — must not deadlock (code review
+    finding: blocking .result() there starved the loop)."""
+    from opencv_opencl_tpu.io.signaling import SignalingClient, SignalingServer
+
+    server = SignalingServer().start()
+    offers = []
+    sender = SignalingClient(
+        server.url, room="dl", client_type="sender",
+        on_ready=lambda: sender.send_offer("v=0 OFFER-FROM-READY"),
+    ).start()
+    assert sender.wait_connected(10)
+    got = []
+    viewer = SignalingClient(
+        server.url, room="dl", client_type="viewer",
+    ).start()
+    viewer.on_answer = lambda sdp: None
+    # capture the raw offer at the viewer
+    orig = viewer._dispatch
+    def spy(raw):
+        import json as _json
+        m = _json.loads(raw)
+        if m.get("type") == "offer":
+            got.append(m["sdp"])
+        orig(raw)
+    viewer._dispatch = spy
+    assert viewer.wait_connected(10)
+    deadline = time.time() + 8
+    while not got and time.time() < deadline:
+        time.sleep(0.05)
+    assert got == ["v=0 OFFER-FROM-READY"]
+    assert sender.reconnect_count == 0  # no timeout-induced teardown
+    sender.stop()
+    viewer.stop()
+    server.stop()
