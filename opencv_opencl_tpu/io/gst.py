@@ -34,6 +34,9 @@ __all__ = [
     "file_emit_pipeline",
     "mp4_capture_pipeline",
     "webrtc_pipeline",
+    "webrtc_pipeline_sw",
+    "webrtc_pipeline_vp8",
+    "silent_audio_branch",
     "gst_available",
     "GstShell",
 ]
@@ -209,6 +212,75 @@ def webrtc_pipeline(
         f"{'H265' if enc.codec == 'h265' else 'H264'},payload=96 ! "
         f"webrtcbin name={webrtc_name} stun-server={stun_server} "
         f"bundle-policy=max-bundle latency=0"
+    )
+
+
+def webrtc_pipeline_sw(
+    codec: str = "h264",
+    device: str = "/dev/video0",
+    width: int = 1280,
+    height: int = 720,
+    fps: int = 30,
+    bitrate_kbps: int = 2000,
+    stun_server: str = "stun://stun.l.google.com:19302",
+    webrtc_name: str = "sendrecv",
+) -> str:
+    """Software-encoder WebRTC pipeline (``webrtc/index.cpp:239-273``):
+    x264/x265 tune=zerolatency with mtu=1200."""
+    if codec == "h265":
+        enc = (f"videoconvert ! x265enc tune=zerolatency speed-preset=ultrafast "
+               f"bitrate={bitrate_kbps} ! video/x-h265 ! "
+               f"rtph265pay config-interval=-1 pt=96 mtu=1200")
+        enc_name = "H265"
+    else:
+        enc = (f"videoconvert ! x264enc tune=zerolatency speed-preset=ultrafast "
+               f"bitrate={bitrate_kbps} key-int-max={2 * fps} ! "
+               f"video/x-h264,profile=baseline ! "
+               f"rtph264pay config-interval=-1 pt=96 mtu=1200")
+        enc_name = "H264"
+    return (
+        f"v4l2src device={device} ! "
+        f"video/x-raw,width={width},height={height},framerate={fps}/1 ! "
+        f"{enc} ! "
+        f"application/x-rtp,media=video,encoding-name={enc_name},payload=96 ! "
+        f"webrtcbin name={webrtc_name} stun-server={stun_server} "
+        f"bundle-policy=max-bundle"
+    )
+
+
+def webrtc_pipeline_vp8(
+    device: str = "/dev/video0",
+    width: int = 1920,
+    height: int = 1080,
+    fps: int = 30,
+    target_bitrate: int = 25_000_000,
+    stun_server: str = "stun://stun.l.google.com:19302",
+    webrtc_name: str = "sendrecv",
+) -> str:
+    """VP8 WebRTC pipeline (``webrtc/claude.cpp:233-249``): NV12 ->
+    videoconvert I420 -> vp8enc deadline=1 cpu-used=8."""
+    return (
+        f"v4l2src device={device} io-mode=4 ! "
+        f"video/x-raw,format=NV12,width={width},height={height},framerate={fps}/1 ! "
+        f"videoconvert ! video/x-raw,format=I420 ! "
+        f"vp8enc deadline=1 cpu-used=8 threads=4 target-bitrate={target_bitrate} "
+        f"keyframe-max-dist={2 * fps} ! "
+        f"rtpvp8pay pt=96 mtu=1200 ! "
+        f"application/x-rtp,media=video,encoding-name=VP8,payload=96 ! "
+        f"webrtcbin name={webrtc_name} stun-server={stun_server} "
+        f"bundle-policy=max-bundle"
+    )
+
+
+def silent_audio_branch(webrtc_name: str = "sendrecv") -> str:
+    """Silent Opus audio track (``webrtc/vadcamera.cpp:415-487``): keeps
+    browsers' AV sync state machines happy on video-only senders."""
+    return (
+        f"audiotestsrc wave=silence is-live=true ! "
+        f"audio/x-raw,rate=48000,channels=2 ! audioconvert ! opusenc ! "
+        f"rtpopuspay pt=97 ! "
+        f"application/x-rtp,media=audio,encoding-name=OPUS,payload=97 ! "
+        f"{webrtc_name}."
     )
 
 

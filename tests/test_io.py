@@ -228,3 +228,21 @@ def test_send_offer_from_on_ready_no_deadlock():
     sender.stop()
     viewer.stop()
     server.stop()
+
+
+class TestWebrtcVariantBuilders:
+    def test_sw_encoder_pipeline(self):
+        s = gst.webrtc_pipeline_sw(codec="h264")
+        assert "x264enc" in s and "tune=zerolatency" in s and "mtu=1200" in s
+        s265 = gst.webrtc_pipeline_sw(codec="h265")
+        assert "x265enc" in s265
+
+    def test_vp8_pipeline(self):
+        s = gst.webrtc_pipeline_vp8()
+        assert "vp8enc deadline=1 cpu-used=8" in s
+        assert "rtpvp8pay" in s and "format=I420" in s
+
+    def test_audio_branch(self):
+        s = gst.silent_audio_branch()
+        assert "audiotestsrc wave=silence" in s
+        assert "opusenc" in s and s.endswith("sendrecv.")
