@@ -207,3 +207,38 @@ def test_feeder_native_staging(rng):
         out, meta = results[i]
         assert meta == i
         assert np.array_equal(out[:48], cv2.equalizeHist(frames[i, :48]))
+
+
+def test_feeder_durability_under_drops(rng):
+    """Sustained stream with forced overflow drops: output must stay
+    strictly ordered and gapless, with exact drop accounting (regression
+    for the review finding where each drop stalled output ~16 frames)."""
+    import time
+
+    from opencv_opencl_tpu import native
+
+    enh = Enhancer(
+        EnhancerConfig(op="histeq", chroma=ChromaPolicy.PASSTHROUGH), SPEC
+    )
+    seen = []
+    feeder = FrameFeeder(
+        enh.process_batch, batch_size=4, depth=2, queue_capacity=4,
+        native_staging=((SPEC.buffer_rows, SPEC.width)
+                        if native.available() else False),
+        on_output=lambda s, f, m: seen.append(s),
+    )
+    feeder.warmup((SPEC.buffer_rows, SPEC.width))
+    feeder.start()
+    frames = rng.integers(0, 256, (200, SPEC.buffer_rows, SPEC.width),
+                          dtype=np.uint8)
+    for i, f in enumerate(frames):
+        feeder.submit(f, meta=i)
+        if i % 3 == 0:
+            time.sleep(0.001)
+    feeder.stop(drain=True)
+    s = feeder.stats
+    assert s["emitted"] + s["dropped_overflow"] == 200
+    assert seen == sorted(seen)
+    assert len(set(seen)) == len(seen)
+    assert s["frames_lost"] == 0
+    assert s["processing_errors"] == 0
