@@ -88,3 +88,11 @@ def test_reflect101_multiwrap(rng):
     ours = golden.copy_make_border_reflect101(src, 10, 9)
     ref = cv2.copyMakeBorder(src, 0, 10, 0, 9, cv2.BORDER_REFLECT_101)
     assert np.array_equal(ours, ref)
+
+
+def test_clahe_4k_both_reference_configs(rng):
+    """SURVEY §7 acceptance: bit-compare at (2.0, 8x8) and (3.0, 4x4) on 4K
+    (1080p covered by test_clahe_hun_1080p)."""
+    y = rng.integers(0, 256, (2160, 3840), dtype=np.uint8)
+    _check(y, 2.0, (8, 8))
+    _check(y, 3.0, (4, 4))
