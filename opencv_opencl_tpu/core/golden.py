@@ -159,8 +159,14 @@ def clahe_luts(
     """
     tiles_x, tiles_y = tile_grid
     rows, cols = y.shape
-    pb = (tiles_y - rows % tiles_y) % tiles_y
-    pr = (tiles_x - cols % tiles_x) % tiles_x
+    if rows % tiles_y == 0 and cols % tiles_x == 0:
+        pb = pr = 0
+    else:
+        # OpenCV pads with NO modulo wrap once either dim is non-divisible:
+        # a divisible dim still gets a full extra tile (tiles - 0), which
+        # changes the tile size globally — found by randomized fuzzing
+        pb = tiles_y - rows % tiles_y
+        pr = tiles_x - cols % tiles_x
     ext = copy_make_border_reflect101(y, pb, pr)
     tile_h = ext.shape[0] // tiles_y
     tile_w = ext.shape[1] // tiles_x

@@ -96,8 +96,13 @@ def make_clahe_plan(
     ``tile_grid`` is (tilesX, tilesY), OpenCV cv::Size argument order.
     """
     tiles_x, tiles_y = tile_grid
-    pb = (tiles_y - height % tiles_y) % tiles_y
-    pr = (tiles_x - width % tiles_x) % tiles_x
+    if height % tiles_y == 0 and width % tiles_x == 0:
+        pb = pr = 0
+    else:
+        # OpenCV pads with NO modulo wrap once either dim is non-divisible
+        # (a divisible dim still gets a full extra tile) — see golden.py
+        pb = tiles_y - height % tiles_y
+        pr = tiles_x - width % tiles_x
     tile_h = (height + pb) // tiles_y
     tile_w = (width + pr) // tiles_x
     tile_area = tile_h * tile_w

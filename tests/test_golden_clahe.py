@@ -96,3 +96,28 @@ def test_clahe_4k_both_reference_configs(rng):
     y = rng.integers(0, 256, (2160, 3840), dtype=np.uint8)
     _check(y, 2.0, (8, 8))
     _check(y, 3.0, (4, 4))
+
+
+def test_clahe_fuzz_seeded():
+    """Seeded mini-fuzz across shapes/grids/clips — catches semantic
+    divergences broad parametrization misses (this found the unwrapped-
+    padding rule: a divisible dim still gets a full extra tile when the
+    other dim needs padding)."""
+    r = np.random.default_rng(99)
+    for _ in range(40):
+        h = int(r.integers(2, 200))
+        w = int(r.integers(2, 200))
+        tx = int(r.integers(1, 17))
+        ty = int(r.integers(1, 17))
+        clip = float(r.choice([0.0, 0.5, 2.0, 40.0, 300.0]))
+        y = r.integers(0, 256, (h, w), dtype=np.uint8)
+        _check(y, clip, (tx, ty))
+
+
+def test_clahe_mixed_divisibility(rng):
+    """One dim divisible, the other not: OpenCV pads the divisible dim by a
+    FULL extra tile (no modulo wrap), changing the tile size globally."""
+    y = rng.integers(0, 256, (99, 28), dtype=np.uint8)
+    _check(y, 2.0, (8, 11))  # 99 % 11 == 0 but 28 % 8 != 0
+    y2 = rng.integers(0, 256, (100, 32), dtype=np.uint8)
+    _check(y2, 2.0, (8, 11))  # 32 % 8 == 0 but 100 % 11 != 0
