@@ -121,3 +121,14 @@ class TestRadixVariant:
             ))
             d = np.abs(out.astype(int) - ref.astype(int))
             assert d.max() <= 1, (radix, d.max())
+
+
+def test_pallas_mixed_divisibility(rng):
+    """Unwrapped-padding geometries through the pallas backend."""
+    from opencv_opencl_tpu.ops import clahe as clahe_ops
+    from tests.conftest import assert_clahe_close
+
+    y = rng.integers(0, 256, (99, 28), dtype=np.uint8)  # 99%11==0, 28%8!=0
+    out = np.asarray(clahe_ops.clahe(y, 2.0, (8, 11), backend="pallas"))
+    ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 11)).apply(y)
+    assert_clahe_close(out, ref)
