@@ -106,3 +106,42 @@ class TestNv12Helpers:
         uv = np.zeros((24, 64), dtype=np.uint8)
         native.uv_gray(uv)
         assert (uv == 128).all()
+
+
+def test_ring_multiproducer_stress(rng):
+    """4 producer threads hammering the ring while a consumer drains:
+    no crashes, no duplicates, FIFO per producer, full accounting."""
+    import threading
+
+    ring = native.NativeRing(capacity=16, frame_bytes=FRAME)
+    per_producer = 200
+    n_producers = 4
+
+    def produce(pid):
+        fs = _frames(np.random.default_rng(pid), per_producer)
+        for i, f in enumerate(fs):
+            ring.push(f, pid * 100000 + i)
+
+    threads = [threading.Thread(target=produce, args=(p,))
+               for p in range(n_producers)]
+    got = []
+    out = np.zeros((8, FRAME), dtype=np.uint8)
+    for t in threads:
+        t.start()
+    import time
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        n, seqs = ring.pop_batch(out, 8, timeout_ms=20)
+        got.extend(int(s) for s in seqs)
+        if all(not t.is_alive() for t in threads) and len(ring) == 0:
+            break
+    for t in threads:
+        t.join()
+    n, seqs = ring.pop_batch(out, 8, timeout_ms=20)
+    got.extend(int(s) for s in seqs)
+    assert len(got) == len(set(got)), "duplicate frames surfaced"
+    assert len(got) + ring.dropped == n_producers * per_producer
+    # FIFO per producer
+    for p in range(n_producers):
+        mine = [s for s in got if s // 100000 == p]
+        assert mine == sorted(mine)

@@ -242,3 +242,20 @@ def test_feeder_durability_under_drops(rng):
     assert len(set(seen)) == len(seen)
     assert s["frames_lost"] == 0
     assert s["processing_errors"] == 0
+
+
+def test_resequencer_property_fuzz(rng):
+    """Random completion orders with random late/lost patterns: emissions
+    strictly increasing, nothing duplicated."""
+    for trial in range(20):
+        n = int(rng.integers(5, 60))
+        seqs = rng.permutation(n).tolist()
+        out = []
+        r = Resequencer(lambda s, f: out.append(s),
+                        max_pending=int(rng.integers(2, 10)))
+        for s in seqs:
+            r.push(s, None)
+        r.flush()
+        assert out == sorted(out)
+        assert len(out) == len(set(out))
+        assert len(out) + r.dropped_late == n
