@@ -123,6 +123,7 @@ class InterpSpec:
     pad_top: int         # frame origin inside the padded cell grid
     pad_left: int
     rows_sub: int        # kernel block rows (divides th_pad, mult of 8)
+    row_block_live: np.ndarray  # int32 (CY*SUBS, 1, 1): 0 = block is all padding
     cell_lut_idx: np.ndarray  # int32 (CY, CX, 4): flat tile index of the 4 LUTs
     xa_pad: np.ndarray        # f32 (CX, 1, tw_pad): per-cell column weights
     ya_pad: np.ndarray        # f32 (CY*SUBS, 1, rows_sub): per-block row weights
@@ -208,16 +209,29 @@ def make_interp_spec(height: int, width: int, clip_limit: float,
     ya_pad[rows // th, rows % th] = plan.ya
     ya_pad = ya_pad.reshape(cy * subs, 1, rows_sub)
 
+    # mark row-blocks that contain no real frame rows (border-cell padding
+    # halves + alignment slack) so the kernel can skip their compute
+    live = np.zeros((cy, subs), np.int32)
+    for c in range(cy):
+        for sub in range(subs):
+            r0, r1 = sub * rows_sub, min(sub * rows_sub + rows_sub, th)
+            if r1 > r0:
+                g0, g1 = c * th + r0, c * th + r1  # cell-grid rows
+                if g1 > pad_top and g0 < pad_top + height:
+                    live[c, sub] = 1
+    row_block_live = live.reshape(cy * subs, 1, 1)
+
     return InterpSpec(
         height=height, width=width, tiles_x=plan.tiles_x,
         tiles_y=plan.tiles_y, tile_h=th, tile_w=tw,
         th_pad=th_pad, tw_pad=tw_pad,
         pad_top=pad_top, pad_left=pad_left, rows_sub=rows_sub,
+        row_block_live=row_block_live,
         cell_lut_idx=cell_lut_idx, xa_pad=xa_pad, ya_pad=ya_pad,
     )
 
 
-def _interp_kernel(y_ref, lp_ref, xa_ref, ya_ref, out_ref):
+def _interp_kernel(y_ref, lp_ref, xa_ref, ya_ref, live_ref, out_ref):
     # Per-row transposed one-hot: oh[k, c] = (y[r, c] == k) — a broadcast
     # compare, no in-kernel reshape (Mosaic cannot fold lanes to sublanes).
     # One (4, 256) @ (256, twp) MXU dot gathers all four LUT values per
@@ -229,6 +243,13 @@ def _interp_kernel(y_ref, lp_ref, xa_ref, ya_ref, out_ref):
     lp = lp_ref[0, 0]                    # (4, 256) bf16
     xa = xa_ref[0, 0, :][None, :]        # (1, twp)
     xa1 = jnp.float32(1.0) - xa
+
+    @pl.when(live_ref[0, 0, 0] != 0)
+    def _body():
+        _interp_rows(y_ref, lp, xa, xa1, ya_ref, out_ref, rs, bins)
+
+
+def _interp_rows(y_ref, lp, xa, xa1, ya_ref, out_ref, rs, bins):
     for r in range(rs):  # static unroll
         v = y_ref[r : r + 1, :].astype(jnp.int32)     # (1, twp)
         oh = (bins == v).astype(jnp.bfloat16)         # (256, twp)
@@ -295,6 +316,7 @@ def clahe_interpolate_pallas_band(y: jax.Array, luts: jax.Array,
     y_blk = jnp.pad(y_blk, ((0, 0), (0, thp - th), (0, 0), (0, twp - tw)))
     y_blk = y_blk.reshape(ncb * thp, cx * twp)
 
+    live = jnp.ones((ncb * subs, 1, 1), jnp.int32)  # band blocks: all live
     out_blk = pl.pallas_call(
         _interp_kernel,
         out_shape=jax.ShapeDtypeStruct((ncb * thp, cx * twp), jnp.uint8),
@@ -308,11 +330,13 @@ def clahe_interpolate_pallas_band(y: jax.Array, luts: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rs), lambda c, s, x: (c * subs + s, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda c, s, x: (c * subs + s, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((rs, twp), lambda c, s, x: (c * subs + s, x),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(y_blk, lp_band, xa_pad, ya_band)
+    )(y_blk, lp_band, xa_pad, ya_band, live)
     out_pad = out_blk.reshape(ncb, thp, cx, twp)[:, :th, :, :tw].reshape(
         ncb * th, cx * tw
     )
@@ -321,7 +345,7 @@ def clahe_interpolate_pallas_band(y: jax.Array, luts: jax.Array,
     )
 
 
-def _interp_kernel_radix(y_ref, lp_ref, xa_ref, ya_ref, out_ref):
+def _interp_kernel_radix(y_ref, lp_ref, xa_ref, ya_ref, live_ref, out_ref):
     # Radix-16 LUT selection: v = 16*hi + lo.  Two 16-wide one-hots replace
     # the 256-wide one (8x less compare/convert work on the VPU):
     #   W[j*16+b, c] = lut_j[hi_c, b]        (one (64,16)@(16,twp) MXU dot)
@@ -332,6 +356,13 @@ def _interp_kernel_radix(y_ref, lp_ref, xa_ref, ya_ref, out_ref):
     lp = lp_ref[0, 0]                    # (64, 16) bf16: [lut j, hi] x lo
     xa = xa_ref[0, 0, :][None, :]        # (1, twp)
     xa1 = jnp.float32(1.0) - xa
+
+    @pl.when(live_ref[0, 0, 0] != 0)
+    def _body():
+        _interp_rows_radix(y_ref, lp, xa, xa1, ya_ref, out_ref, rs, bins16)
+
+
+def _interp_rows_radix(y_ref, lp, xa, xa1, ya_ref, out_ref, rs, bins16):
     for r in range(rs):  # static unroll
         v = y_ref[r : r + 1, :].astype(jnp.int32)       # (1, twp)
         hi = v >> 4
@@ -393,6 +424,7 @@ def clahe_interpolate_pallas(y: jax.Array, luts: jax.Array,
     y_blk = y_blk.reshape(cy * thp, cx * twp)
     xa_pad = jnp.asarray(spec.xa_pad)
     ya_pad = jnp.asarray(spec.ya_pad)
+    live = jnp.asarray(spec.row_block_live)
 
     lp_block = (1, 1, 4 * 16, 16) if radix else (1, 1, 4, 256)
     out_blk = pl.pallas_call(
@@ -408,11 +440,13 @@ def clahe_interpolate_pallas(y: jax.Array, luts: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rs), lambda c, s, x: (c * subs + s, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda c, s, x: (c * subs + s, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((rs, twp), lambda c, s, x: (c * subs + s, x),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(y_blk, lp, xa_pad, ya_pad)
+    )(y_blk, lp, xa_pad, ya_pad, live)
     out_pad = out_blk.reshape(cy, thp, cx, twp)[:, :th, :, :tw].reshape(
         cy * th, cx * tw
     )
