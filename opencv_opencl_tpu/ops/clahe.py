@@ -118,8 +118,8 @@ def make_clahe_plan(
     )
 
 
-def _tile_histograms(y: jax.Array, plan: ClahePlan, method: str) -> jax.Array:
-    """Per-tile 256-bin histograms, int32[(tilesY*tilesX), 256]."""
+def _extend(y: jax.Array, plan: ClahePlan) -> jax.Array:
+    """Reflect-101 extension of the frame to the tile-divisible size."""
     ext = y
     if plan.pad_bottom or plan.pad_right:
         if plan.pad_bottom < plan.height and plan.pad_right < plan.width:
@@ -139,6 +139,12 @@ def _tile_histograms(y: jax.Array, plan: ClahePlan, method: str) -> jax.Array:
                 reflect101_indices(plan.width + plan.pad_right, plan.width)
             )
             ext = jnp.take(jnp.take(y, rows, axis=0), cols, axis=1)
+    return ext
+
+
+def _tile_histograms(y: jax.Array, plan: ClahePlan, method: str) -> jax.Array:
+    """Per-tile 256-bin histograms, int32[(tilesY*tilesX), 256]."""
+    ext = _extend(y, plan)
     tiles = (
         ext.reshape(plan.tiles_y, plan.tile_h, plan.tiles_x, plan.tile_w)
         .transpose(0, 2, 1, 3)
@@ -242,8 +248,6 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
     """
     if y.ndim == 3:
         return jax.vmap(lambda f: clahe_apply(f, plan, method, backend))(y)
-    hists = _tile_histograms(y, plan, method)
-    luts = _luts_from_hists(hists, plan)
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
@@ -255,12 +259,21 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
             (plan.tiles_x, plan.tiles_y),
         )
         if spec is not None:
+            # pallas histogram too: the XLA scan formulation costs ~4 ms at
+            # 4K vs ~interp-level cost for the VMEM-resident kernel
+            hists = lut_kernels.tile_histograms_pallas(
+                _extend(y, plan), plan.tiles_y, plan.tiles_x,
+                plan.tile_h, plan.tile_w,
+            )
+            luts = _luts_from_hists(hists, plan)
             return lut_kernels.clahe_interpolate_pallas(y, luts, spec)
         if backend == "pallas":
             raise ValueError(
                 f"geometry {plan.height}x{plan.width} grid "
                 f"{plan.tiles_x}x{plan.tiles_y} has no pallas fast path"
             )
+    hists = _tile_histograms(y, plan, method)
+    luts = _luts_from_hists(hists, plan)
     return _interpolate(y, luts, plan)
 
 

@@ -100,6 +100,70 @@ def apply_lut_pallas(y: jax.Array, lut: jax.Array,
     )(y, lut.reshape(1, 256))
 
 
+# ------------------------------------------------------------- histogram ----
+
+
+def _tile_hist_kernel(y_ref, out_ref):
+    """Per-tile 256-bin histogram: per-row transposed one-hot summed over
+    lanes, accumulated across rows with a fori_loop carry.  Alignment
+    padding contributes zeros to bin 0 and is subtracted statically by the
+    caller."""
+    thp, twp = y_ref.shape
+    bins = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+
+    def body(r8, acc):
+        # dynamic slices in the sublane dim must be 8-aligned; grab an
+        # 8-row chunk and unroll the rows as static value slices
+        base = pl.multiple_of(r8 * 8, 8)
+        chunk = y_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, twp)
+        for k in range(8):
+            oh = (bins == chunk[k : k + 1, :]).astype(jnp.float32)
+            acc = acc + jnp.sum(oh, axis=1, keepdims=True)  # exact ints
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, thp // 8, body, jnp.zeros((256, 1), jnp.float32)
+    )
+    out_ref[0, :, :] = acc.astype(jnp.int32)
+
+
+def tile_histograms_pallas(ext: jax.Array, tiles_y: int, tiles_x: int,
+                           tile_h: int, tile_w: int,
+                           interpret: bool | None = None) -> jax.Array:
+    """Per-tile histograms of a tile-divisible image, int32 (T, 256).
+
+    ``ext`` is (tiles_y*tile_h, tiles_x*tile_w) uint8 (the reflect-extended
+    CLAHE image).  Tiles are re-laid out to (8, 128)-aligned slots with
+    zero padding; the padded-pixel count (a static constant) is subtracted
+    from bin 0.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    thp = -(-tile_h // 8) * 8
+    twp = -(-tile_w // 128) * 128
+    blk = ext.reshape(tiles_y, tile_h, tiles_x, tile_w)
+    blk = jnp.pad(blk, ((0, 0), (0, thp - tile_h), (0, 0), (0, twp - tile_w)))
+    blk = blk.reshape(tiles_y * thp, tiles_x * twp)
+    out = pl.pallas_call(
+        _tile_hist_kernel,
+        out_shape=jax.ShapeDtypeStruct((tiles_y * tiles_x, 256, 1), jnp.int32),
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec((thp, twp), lambda ty, tx: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 256, 1),
+                               lambda ty, tx: (ty * tiles_x + tx, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(blk)
+    hists = out.reshape(tiles_y * tiles_x, 256)
+    slack = thp * twp - tile_h * tile_w
+    if slack:
+        hists = hists.at[:, 0].add(-slack)
+    return hists
+
+
 # ---------------------------------------------------------------- clahe ----
 
 

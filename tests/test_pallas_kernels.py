@@ -132,3 +132,35 @@ def test_pallas_mixed_divisibility(rng):
     out = np.asarray(clahe_ops.clahe(y, 2.0, (8, 11), backend="pallas"))
     ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 11)).apply(y)
     assert_clahe_close(out, ref)
+
+
+def test_tile_histograms_pallas(rng):
+    """Pallas per-tile histogram vs the golden per-tile bincount."""
+    import jax.numpy as jnp
+
+    from opencv_opencl_tpu.core import golden
+
+    ext = rng.integers(0, 256, (96, 256), dtype=np.uint8)  # 4x2 tiles of 24x128
+    hists = np.asarray(lut_kernels.tile_histograms_pallas(
+        jnp.asarray(ext), 4, 2, 24, 128,
+    ))
+    for ty in range(4):
+        for tx in range(2):
+            tile = ext[ty * 24:(ty + 1) * 24, tx * 128:(tx + 1) * 128]
+            assert np.array_equal(hists[ty * 2 + tx], golden.hist256(tile)), (ty, tx)
+
+
+def test_tile_histograms_pallas_unaligned(rng):
+    """Tile sizes needing (8,128) alignment slack — bin-0 correction."""
+    import jax.numpy as jnp
+
+    from opencv_opencl_tpu.core import golden
+
+    ext = rng.integers(1, 256, (54, 90), dtype=np.uint8)  # 2x3 tiles of 27x30
+    hists = np.asarray(lut_kernels.tile_histograms_pallas(
+        jnp.asarray(ext), 2, 3, 27, 30,
+    ))
+    for ty in range(2):
+        for tx in range(3):
+            tile = ext[ty * 27:(ty + 1) * 27, tx * 30:(tx + 1) * 30]
+            assert np.array_equal(hists[ty * 3 + tx], golden.hist256(tile)), (ty, tx)
