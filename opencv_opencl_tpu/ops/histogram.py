@@ -74,8 +74,28 @@ def hist256_scatter(y: jax.Array) -> jax.Array:
     return jnp.zeros(256, jnp.int32).at[flat].add(1)
 
 
+def hist256_pallas(y: jax.Array) -> jax.Array:
+    """Full-image histogram via the VMEM-resident Pallas tile kernel
+    (split into quadrants when they divide evenly, summed)."""
+    from opencv_opencl_tpu.ops.pallas.lut_kernels import tile_histograms_pallas
+
+    h, w = y.shape
+    ty = 2 if h % 2 == 0 and h >= 16 else 1
+    tx = 2 if w % 2 == 0 and w >= 256 else 1
+    hists = tile_histograms_pallas(y, ty, tx, h // ty, w // tx)
+    return jnp.sum(hists, axis=0)
+
+
 def hist256(y: jax.Array, method: str = "onehot") -> jax.Array:
     if method == "onehot":
+        # full 2-D images route to the Pallas kernel on TPU (the XLA scan
+        # costs ~4 ms at 4K); tiles and odd shapes keep the scan
+        if (
+            y.ndim == 2
+            and jax.default_backend() == "tpu"
+            and y.shape[0] * y.shape[1] >= 1 << 16
+        ):
+            return hist256_pallas(y)
         return hist256_onehot(y)
     if method == "scatter":
         return hist256_scatter(y)

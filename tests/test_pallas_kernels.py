@@ -164,3 +164,15 @@ def test_tile_histograms_pallas_unaligned(rng):
         for tx in range(3):
             tile = ext[ty * 27:(ty + 1) * 27, tx * 30:(tx + 1) * 30]
             assert np.array_equal(hists[ty * 3 + tx], golden.hist256(tile)), (ty, tx)
+
+
+def test_hist256_pallas_full_image(rng):
+    import jax.numpy as jnp
+
+    from opencv_opencl_tpu.core import golden
+    from opencv_opencl_tpu.ops.histogram import hist256_pallas
+
+    for shape in [(64, 256), (48, 130), (33, 512)]:
+        y = rng.integers(0, 256, shape, dtype=np.uint8)
+        h = np.asarray(hist256_pallas(jnp.asarray(y)))
+        assert np.array_equal(h, golden.hist256(y)), shape
