@@ -187,6 +187,15 @@ def file_emit_pipeline(
     )
 
 
+def _webrtc_bin(name: str, stun_server: str, latency: int | None = None) -> str:
+    """Shared webrtcbin tail (all sender variants end here)."""
+    tail = (f"webrtcbin name={name} stun-server={stun_server} "
+            f"bundle-policy=max-bundle")
+    if latency is not None:
+        tail += f" latency={latency}"
+    return tail
+
+
 def webrtc_pipeline(
     enc: EncoderConfig,
     device: str = "/dev/video0",
@@ -210,8 +219,7 @@ def webrtc_pipeline(
         f"{enc.payloader} config-interval=-1 pt=96 mtu=1200 ! "
         f"application/x-rtp,media=video,encoding-name="
         f"{'H265' if enc.codec == 'h265' else 'H264'},payload=96 ! "
-        f"webrtcbin name={webrtc_name} stun-server={stun_server} "
-        f"bundle-policy=max-bundle latency=0"
+        + _webrtc_bin(webrtc_name, stun_server, latency=0)
     )
 
 
@@ -243,8 +251,8 @@ def webrtc_pipeline_sw(
         f"video/x-raw,width={width},height={height},framerate={fps}/1 ! "
         f"{enc} ! "
         f"application/x-rtp,media=video,encoding-name={enc_name},payload=96 ! "
-        f"webrtcbin name={webrtc_name} stun-server={stun_server} "
-        f"bundle-policy=max-bundle"
+        + _webrtc_bin(webrtc_name, stun_server)  # reference index.cpp: no
+        # io-mode/NV12 caps (videoconvert path) and no latency override
     )
 
 
@@ -267,8 +275,7 @@ def webrtc_pipeline_vp8(
         f"keyframe-max-dist={2 * fps} ! "
         f"rtpvp8pay pt=96 mtu=1200 ! "
         f"application/x-rtp,media=video,encoding-name=VP8,payload=96 ! "
-        f"webrtcbin name={webrtc_name} stun-server={stun_server} "
-        f"bundle-policy=max-bundle"
+        + _webrtc_bin(webrtc_name, stun_server)
     )
 
 

@@ -261,10 +261,13 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
         if spec is not None:
             # pallas histogram too: the XLA scan formulation costs ~4 ms at
             # 4K vs ~interp-level cost for the VMEM-resident kernel
-            hists = lut_kernels.tile_histograms_pallas(
-                _extend(y, plan), plan.tiles_y, plan.tiles_x,
-                plan.tile_h, plan.tile_w,
-            )
+            try:
+                hists = lut_kernels.tile_histograms_pallas(
+                    _extend(y, plan), plan.tiles_y, plan.tiles_x,
+                    plan.tile_h, plan.tile_w,
+                )
+            except ValueError:  # tile exceeds VMEM budget: scan fallback
+                hists = _tile_histograms(y, plan, method)
             luts = _luts_from_hists(hists, plan)
             return lut_kernels.clahe_interpolate_pallas(y, luts, spec)
         if backend == "pallas":

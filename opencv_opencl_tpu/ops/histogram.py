@@ -28,6 +28,7 @@ __all__ = [
     "hist256",
     "hist256_onehot",
     "hist256_scatter",
+    "hist256_pallas",
     "equalize_lut",
 ]
 
@@ -76,13 +77,25 @@ def hist256_scatter(y: jax.Array) -> jax.Array:
 
 def hist256_pallas(y: jax.Array) -> jax.Array:
     """Full-image histogram via the VMEM-resident Pallas tile kernel
-    (split into quadrants when they divide evenly, summed)."""
-    from opencv_opencl_tpu.ops.pallas.lut_kernels import tile_histograms_pallas
+    (split into even strips that fit the VMEM budget, summed).
+
+    Raises ValueError when no divisor keeps a strip within budget (caller
+    falls back to the chunked scan)."""
+    from opencv_opencl_tpu.ops.pallas.lut_kernels import (
+        HIST_TILE_PX_LIMIT,
+        tile_histograms_pallas,
+    )
 
     h, w = y.shape
-    ty = 2 if h % 2 == 0 and h >= 16 else 1
-    tx = 2 if w % 2 == 0 and w >= 256 else 1
-    hists = tile_histograms_pallas(y, ty, tx, h // ty, w // tx)
+    twp = -(-w // 128) * 128
+    ty = 0
+    for cand in (1, 2, 4, 8, 16, 32):
+        if h % cand == 0 and (-(-(h // cand) // 8) * 8) * twp <= HIST_TILE_PX_LIMIT:
+            ty = cand
+            break
+    if ty == 0:
+        raise ValueError("no strip split fits the VMEM histogram budget")
+    hists = tile_histograms_pallas(y, ty, 1, h // ty, w)
     return jnp.sum(hists, axis=0)
 
 
@@ -95,7 +108,10 @@ def hist256(y: jax.Array, method: str = "onehot") -> jax.Array:
             and jax.default_backend() == "tpu"
             and y.shape[0] * y.shape[1] >= 1 << 16
         ):
-            return hist256_pallas(y)
+            try:
+                return hist256_pallas(y)
+            except ValueError:
+                pass  # no VMEM-sized split: fall back to the chunked scan
         return hist256_onehot(y)
     if method == "scatter":
         return hist256_scatter(y)

@@ -46,6 +46,7 @@ __all__ = [
 ]
 
 _PX_BUDGET = 8192  # one-hot pixels per block: 8192*256*2B = 4 MB VMEM
+HIST_TILE_PX_LIMIT = 4 * 1024 * 1024  # uint8 tile block bytes kept <= 4 MB
 
 
 def _interpret_default() -> bool:
@@ -117,14 +118,16 @@ def _tile_hist_kernel(y_ref, out_ref):
         base = pl.multiple_of(r8 * 8, 8)
         chunk = y_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, twp)
         for k in range(8):
-            oh = (bins == chunk[k : k + 1, :]).astype(jnp.float32)
-            acc = acc + jnp.sum(oh, axis=1, keepdims=True)  # exact ints
+            oh = (bins == chunk[k : k + 1, :]).astype(jnp.int32)
+            acc = acc + jnp.sum(oh, axis=1, keepdims=True)
         return acc
 
+    # int32 accumulator: exact at any tile size (f32 would silently lose
+    # counts past 2^24 on huge tiles)
     acc = jax.lax.fori_loop(
-        0, thp // 8, body, jnp.zeros((256, 1), jnp.float32)
+        0, thp // 8, body, jnp.zeros((256, 1), jnp.int32)
     )
-    out_ref[0, :, :] = acc.astype(jnp.int32)
+    out_ref[0, :, :] = acc
 
 
 def tile_histograms_pallas(ext: jax.Array, tiles_y: int, tiles_x: int,
@@ -141,6 +144,10 @@ def tile_histograms_pallas(ext: jax.Array, tiles_y: int, tiles_x: int,
         interpret = _interpret_default()
     thp = -(-tile_h // 8) * 8
     twp = -(-tile_w // 128) * 128
+    if thp * twp > HIST_TILE_PX_LIMIT:
+        raise ValueError(
+            f"tile block {thp}x{twp} exceeds the VMEM histogram budget"
+        )
     blk = ext.reshape(tiles_y, tile_h, tiles_x, tile_w)
     blk = jnp.pad(blk, ((0, 0), (0, thp - tile_h), (0, 0), (0, twp - tile_w)))
     blk = blk.reshape(tiles_y * thp, tiles_x * twp)
