@@ -44,7 +44,7 @@ def main() -> None:
 
     width, height = 3840, 2160
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    chain = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    chain = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
     spec = FrameSpec(width=width, height=height, fps=60)
     cfg = EnhancerConfig(
@@ -67,6 +67,8 @@ def main() -> None:
         return jnp.sum(out.astype(jnp.int32))
 
     # compile + measure loop overhead at n=1, amortized rate at n=chain+1
+    # (chain long enough that tunnel RPC jitter (~20 ms) stays <5% of the
+    # chained total)
     _ = int(chained(dev, 1))
     t0 = time.perf_counter()
     _ = int(chained(dev, 1))
