@@ -34,9 +34,23 @@ def run(argv: list[str]) -> int:
             "clipLimit": float, "tile": int, "batch": int, "source": str,
             "sink": str, "duration": float, "max-frames": int,
             "status-interval": float, "realtime": bool, "max-rate": float,
-            "native": bool,
+            "native": bool, "preset": str,
         },
     )
+    if "preset" in opts:
+        from opencv_opencl_tpu.models.presets import PRESETS
+
+        p = PRESETS[opts["preset"]]
+        opts.setdefault("codec", p.encoder.codec)
+        opts.setdefault("bitrate", p.encoder.bitrate_kbps)
+        opts.setdefault("width", p.width)
+        opts.setdefault("height", p.height)
+        opts.setdefault("fps", p.fps)
+        opts.setdefault("op", p.enhancer.op)
+        opts.setdefault("chroma", p.enhancer.chroma.value)
+        opts.setdefault("clipLimit", p.enhancer.clip_limit)
+        opts.setdefault("tile", p.enhancer.tile_grid[0])
+        print(f"Preset '{opts['preset']}' ({p.reference}): {p.description}")
     codec = opts.get("codec", "h264")
     bitrate = opts.get("bitrate", 20000)
     workers = min(max(opts.get("workers", 2), 1), 8)

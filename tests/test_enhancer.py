@@ -80,3 +80,17 @@ def test_single_frame_api(nv12_batch):
 def test_bad_op_rejected():
     with pytest.raises(ValueError):
         EnhancerConfig(op="sharpen")
+
+
+def test_presets_registry():
+    """Every reference program/binary has a named preset that builds."""
+    from opencv_opencl_tpu.models.presets import PRESETS, build
+
+    expected = {"histequalize", "color", "next", "opencl", "improvement",
+                "imp", "clahecompare", "airplanmp4"}
+    assert expected == set(PRESETS)
+    enh, spec, enc = build("clahecompare")
+    assert (spec.width, spec.height, spec.fps) == (1280, 720, 30)
+    assert enh.cfg.op == "clahe" and enh.cfg.clip_limit == 2.0
+    assert PRESETS["imp"].width == 3840 and PRESETS["imp"].tuned_emit
+    assert PRESETS["histequalize"].enhancer.chroma.value == "gray"
