@@ -86,16 +86,29 @@ def run(argv: list[str]) -> int:
         tpu_fn = _jitted_apply(
             height, width, float(clip_limit), (tile, tile), "onehot"
         )
-    y_dev = jnp.asarray(y_plane)
-    tpu_fn(y_dev).block_until_ready()  # compile (the xclbin-load analogue)
+    import jax
 
+    y_dev = jnp.asarray(y_plane)
+    y_tpu_dev = tpu_fn(y_dev)  # compile (the xclbin-load analogue)
+    y_tpu_dev.block_until_ready()
+
+    # honest device latency via data-dependent chaining + scalar fetch
+    # (block_until_ready may be asynchronous on remote platforms)
+    @jax.jit
+    def _chain(y, n):
+        out = jax.lax.fori_loop(0, n, lambda i, y: tpu_fn(y), y)
+        return jnp.sum(out.astype(jnp.int32))
+
+    _ = int(_chain(y_dev, 1))
     t3 = time.perf_counter()
-    for _ in range(repeat):
-        y_tpu_dev = tpu_fn(y_dev)
-        y_tpu_dev.block_until_ready()  # per-call latency, like CL profiling
+    _ = int(_chain(y_dev, 1))
     t4 = time.perf_counter()
-    tpu_ms = (t4 - t3) * 1e3 / repeat
-    print(f"TPU {op} time: {tpu_ms:.3f} ms  (avg of {repeat})")
+    _ = int(_chain(y_dev, repeat + 1))
+    t5 = time.perf_counter()
+    _ = int(_chain(y_dev, repeat + 1))
+    t6 = time.perf_counter()
+    tpu_ms = max(((t6 - t5) - (t4 - t3)) / repeat, 0.0) * 1e3
+    print(f"TPU {op} time: {tpu_ms:.3f} ms  (chained avg of {repeat})")
     y_tpu = np.asarray(y_tpu_dev)
 
     # -------------------- Compare results --------------------
