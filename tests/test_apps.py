@@ -137,3 +137,52 @@ def test_clahe_video_app(tmp_path, rng, capsys):
     assert "FINAL PERFORMANCE ANALYSIS" in text
     assert "MP4 saved" in text
     assert os.path.exists(out)
+
+
+def test_sender_full_handshake(capsys):
+    """sender app end-to-end in signaling-only mode: self-served room,
+    a viewer joins, the offer flows, the viewer answers."""
+    import threading
+    import time as _time
+
+    from opencv_opencl_tpu.apps import sender
+    from opencv_opencl_tpu.io.signaling import SignalingClient
+
+    rc = {}
+
+    def run_sender():
+        rc["rc"] = sender.run([
+            "--ws=ws://127.0.0.1:18099", "--room=t1", "--serve-signaling",
+            "--signaling-only", "--duration=4",
+        ])
+
+    t = threading.Thread(target=run_sender)
+    t.start()
+    _time.sleep(1.0)  # let the server + sender come up
+
+    got = {"offer": None}
+    viewer = SignalingClient(
+        "ws://127.0.0.1:18099", room="t1", client_type="viewer",
+    ).start()
+    orig = viewer._dispatch
+
+    def spy(raw):
+        import json as _json
+        m = _json.loads(raw)
+        if m.get("type") == "offer":
+            got["offer"] = m["sdp"]
+            viewer._send({"type": "answer", "room": "t1", "sdp": "v=0 ANS"})
+        orig(raw)
+
+    viewer._dispatch = spy
+    assert viewer.wait_connected(10)
+    deadline = _time.time() + 5
+    while got["offer"] is None and _time.time() < deadline:
+        _time.sleep(0.05)
+    viewer.stop()
+    t.join(timeout=15)
+    assert rc.get("rc") == 0
+    assert got["offer"] and "m=video" in got["offer"]
+    out = capsys.readouterr().out
+    assert "Viewer joined" in out
+    assert "Received answer" in out
