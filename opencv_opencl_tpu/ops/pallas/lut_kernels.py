@@ -9,17 +9,24 @@ matrix.  Each product selects exactly one LUT entry (values <= 255, exact in
 bf16; f32 accumulation of a single non-zero term is exact), so results are
 bit-identical to the gather formulation.  The one-hot never touches HBM.
 
-Two kernels:
+The kernels:
 
 - ``apply_lut_pallas`` — global equalizeHist mapping (one LUT, N=1).
+- ``tile_histograms_pallas`` — per-tile 256-bin histograms entirely in VMEM
+  (8-row chunks, transposed one-hot lane-reductions, int32 accumulator);
+  also serves full-image histograms via strip splits (``hist256_pallas``).
 - ``clahe_interpolate_pallas`` — CLAHE bilinear interpolation.  The frame is
   embedded in a *padded uniform cell grid*: cell (cy, cx) is the region
   between tile centers where the same four tile LUTs contribute, so blocks
-  get a constant (256, 4) LUT pack and per-axis weight vectors, and the
+  get a constant (4, 256) LUT pack and per-axis weight vectors, and the
   bilinear blend runs on the VPU.  Cell boundaries follow OpenCV's exact
   float32 reciprocal-multiply coordinates — the integer cell mapping is
   *verified against the plan's exact per-pixel indices* at spec-build time
   (``make_interp_spec``), falling back to the XLA path if it ever disagrees.
+  Fully-padded border row-blocks skip compute via per-block SMEM live flags.
+  ``clahe_interpolate_pallas_band`` is the shard_map band variant (traced
+  offsets absorbed by XLA dynamic slices); ``radix=True`` selects a radix-16
+  experiment (bit-exact, no speedup measured — kept for reference).
 
 Reference lineage: this is the TPU re-design of the FPGA offload kernel
 (``accel.cpp`` / ``OpenCLequalHist.cpp:346-365``) — same role (the per-pixel
@@ -40,9 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "apply_lut_pallas",
+    "tile_histograms_pallas",
     "InterpSpec",
     "make_interp_spec",
     "clahe_interpolate_pallas",
+    "clahe_interpolate_pallas_band",
 ]
 
 _PX_BUDGET = 8192  # one-hot pixels per block: 8192*256*2B = 4 MB VMEM
