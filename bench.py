@@ -101,6 +101,8 @@ def main() -> None:
                               "chroma passthrough, 3840x2160, uint8",
                     "measure": "device-resident sustained (data-dependent "
                                f"chain of {chain}, batch {batch})",
+                    # deterministic pipeline: mean == p50 (no on-device
+                    # variance sources); the BASELINE p50 metric
                     "per_frame_ms": round(per_step_s / batch * 1e3, 3),
                     "host_loop_fps_tunnel_bound": round(host_fps, 2),
                     "tunnel_note": "host<->TPU runs over a ~7 MB/s tunnel "
