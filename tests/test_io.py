@@ -246,3 +246,39 @@ class TestWebrtcVariantBuilders:
         s = gst.silent_audio_branch()
         assert "audiotestsrc wave=silence" in s
         assert "opusenc" in s and s.endswith("sendrecv.")
+
+
+def test_viewer_pages_protocol():
+    """The browser viewer assets speak the signaling protocol and carry the
+    stats panel (the reference details.html feature set)."""
+    import os
+
+    import opencv_opencl_tpu.io as io_pkg
+
+    base = os.path.join(os.path.dirname(io_pkg.__file__), "viewers")
+    viewer = open(os.path.join(base, "viewer.html")).read()
+    stats = open(os.path.join(base, "stats.html")).read()
+    for page in (viewer, stats):
+        assert "type: 'join'" in page or '"join"' in page or "'join'" in page
+        assert "RTCPeerConnection" in page
+        assert "stun.l.google.com:19302" in page
+        assert "addIceCandidate" in page
+    # stats panel fields (reference webrtc/details.html:292-392)
+    for field in ("Resolution", "Codec", "FPS", "Bitrate", "Packets lost",
+                  "RTT", "getStats"):
+        assert field in stats, field
+
+
+def test_pyproject_entry_points():
+    import tomllib
+
+    with open("pyproject.toml", "rb") as f:
+        meta = tomllib.load(f)
+    scripts = meta["project"]["scripts"]
+    # every console script resolves to an importable module:main
+    import importlib
+
+    for name, target in scripts.items():
+        mod, fn = target.split(":")
+        m = importlib.import_module(mod)
+        assert callable(getattr(m, fn)), name
