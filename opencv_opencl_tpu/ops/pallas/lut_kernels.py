@@ -127,16 +127,15 @@ def _tile_hist_kernel(y_ref, out_ref):
         base = pl.multiple_of(r8 * 8, 8)
         chunk = y_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, twp)
         for k in range(8):
-            oh = (bins == chunk[k : k + 1, :]).astype(jnp.int32)
-            acc = acc + jnp.sum(oh, axis=1, keepdims=True)
+            acc = acc + (bins == chunk[k : k + 1, :]).astype(jnp.int32)
         return acc
 
-    # int32 accumulator: exact at any tile size (f32 would silently lose
-    # counts past 2^24 on huge tiles)
+    # full-width int32 accumulator (exact at any tile size; f32 would lose
+    # counts past 2^24), lane-reduced ONCE per tile instead of per row
     acc = jax.lax.fori_loop(
-        0, thp // 8, body, jnp.zeros((256, 1), jnp.int32)
+        0, thp // 8, body, jnp.zeros((256, twp), jnp.int32)
     )
-    out_ref[0, :, :] = acc
+    out_ref[0, :, :] = jnp.sum(acc, axis=1, keepdims=True)
 
 
 def tile_histograms_pallas(ext: jax.Array, tiles_y: int, tiles_x: int,
