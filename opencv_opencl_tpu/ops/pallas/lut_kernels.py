@@ -130,8 +130,9 @@ def _tile_hist_kernel(y_ref, out_ref):
             acc = acc + (bins == chunk[k : k + 1, :]).astype(jnp.int32)
         return acc
 
-    # full-width int32 accumulator (exact at any tile size; f32 would lose
-    # counts past 2^24), lane-reduced ONCE per tile instead of per row
+    # full-width int32 accumulator (exact at any tile size; i16/i8 variants
+    # measured SLOWER on v5e — Mosaic narrow-int packing overhead), with a
+    # single lane-reduce per tile at the end
     acc = jax.lax.fori_loop(
         0, thp // 8, body, jnp.zeros((256, twp), jnp.int32)
     )
@@ -152,7 +153,9 @@ def tile_histograms_pallas(ext: jax.Array, tiles_y: int, tiles_x: int,
         interpret = _interpret_default()
     thp = -(-tile_h // 8) * 8
     twp = -(-tile_w // 128) * 128
-    if thp * twp > HIST_TILE_PX_LIMIT:
+    if thp * twp > HIST_TILE_PX_LIMIT or thp > 32000:
+        # second bound: the kernel's int16 per-(bin,lane) counts must stay
+        # below 32767, i.e. tile rows < 32767
         raise ValueError(
             f"tile block {thp}x{twp} exceeds the VMEM histogram budget"
         )
