@@ -260,7 +260,13 @@ def make_interp_spec(height: int, width: int, clip_limit: float,
     th_pad = -(-th // 8) * 8
     if 256 * tw_pad * 2 > 8 * 1024 * 1024:
         return None  # per-row one-hot exceeds the VMEM budget
-    rows_sub = 8  # statically unrolled in the kernel; th_pad is a mult of 8
+    # block rows: larger blocks halve grid/DMA overhead; statically
+    # unrolled in the kernel, so keep them modest
+    rows_sub = 8
+    for d in (32, 24, 16):
+        if th_pad % d == 0:
+            rows_sub = d
+            break
     cy, cx = plan.tiles_y + 1, plan.tiles_x + 1
     subs = th_pad // rows_sub
 
