@@ -121,9 +121,12 @@ class SignalingClient:
     # ---- internals ----
 
     def _send(self, msg: dict) -> None:
-        if self._loop is None or self._ws is None:
+        # capture once: the reconnect loop's finally block can null _ws
+        # between a check and the send (TOCTOU)
+        ws = self._ws
+        if self._loop is None or ws is None:
             raise RuntimeError("not connected")
-        coro = self._ws.send(json.dumps(msg))
+        coro = ws.send(json.dumps(msg))
         try:
             running = asyncio.get_running_loop()
         except RuntimeError:

@@ -153,9 +153,9 @@ def tile_histograms_pallas(ext: jax.Array, tiles_y: int, tiles_x: int,
         interpret = _interpret_default()
     thp = -(-tile_h // 8) * 8
     twp = -(-tile_w // 128) * 128
-    if thp * twp > HIST_TILE_PX_LIMIT or thp > 32000:
-        # second bound: the kernel's int16 per-(bin,lane) counts must stay
-        # below 32767, i.e. tile rows < 32767
+    if thp * twp > HIST_TILE_PX_LIMIT:
+        # VMEM bound only: the accumulator is full int32 (exact at any tile
+        # size — see _tile_hist_kernel), so there is no count-overflow limit
         raise ValueError(
             f"tile block {thp}x{twp} exceeds the VMEM histogram budget"
         )

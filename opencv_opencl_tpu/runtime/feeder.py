@@ -108,13 +108,24 @@ class FrameFeeder:
             seq = self._seq
             self._seq += 1
         self.counters.count("input_frames")
+        # a frame arriving after stop() (the appsink callback can race
+        # shutdown) degrades to a drop — never an exception in the caller
         if self._native is not None:
             with self._meta_lock:
                 self._native_metas[seq] = meta
-            if not self._native.push(np.asarray(frame).reshape(-1), seq):
+            try:
+                ok = self._native.push(np.asarray(frame).reshape(-1), seq)
+            except RuntimeError:  # ring closed
+                ok = False
+            if not ok:
                 self.counters.count("dropped_overflow")
+                with self._meta_lock:
+                    self._native_metas.pop(seq, None)
         else:
-            self._inq.put((seq, np.asarray(frame), meta))
+            try:
+                self._inq.put((seq, np.asarray(frame), meta))
+            except Closed:
+                self.counters.count("dropped_overflow")
         return seq
 
     def queue_length(self) -> int:
@@ -248,7 +259,10 @@ class FrameFeeder:
             self._inq.clear()
         self._stopping.set()
         self._inq.close()  # queued frames still drain; get raises Closed after
-        if self._native is not None and not drain:
+        if self._native is not None:
+            # close() lets already-queued frames drain (pop returns -1 only
+            # after empty); without it the ring stays open and post-stop
+            # submit() calls would silently enqueue frames no one pops
             self._native.close()
         self._thread.join(timeout=timeout)
         if self._thread.is_alive():

@@ -259,3 +259,22 @@ def test_resequencer_property_fuzz(rng):
         assert out == sorted(out)
         assert len(out) == len(set(out))
         assert len(out) + r.dropped_late == n
+
+
+def test_feeder_submit_after_stop_degrades_to_drop():
+    """A frame racing shutdown (the appsink callback can fire after stop)
+    must count as a drop, never raise in the caller — for both staging
+    paths.  Also: stop(drain=True) must close the native ring (round-1
+    advisor finding) so nothing silently queues forever."""
+    for staging in (False, (8, 16)):
+        f = FrameFeeder(lambda b: b, batch_size=2,
+                        native_staging=staging)
+        if staging and f._native is None:
+            continue  # native lib unavailable
+        f.start()
+        f.submit(np.zeros((8, 16), np.uint8))
+        f.stop(drain=True)
+        before = f.stats["dropped_overflow"]
+        f.submit(np.zeros((8, 16), np.uint8))  # must not raise
+        assert f.stats["dropped_overflow"] == before + 1
+        assert f.queue_length() == 0
