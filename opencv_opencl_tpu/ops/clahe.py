@@ -248,6 +248,29 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
     """
     if y.ndim == 3:
         return jax.vmap(lambda f: clahe_apply(f, plan, method, backend))(y)
+    # "auto" stays on the round-1-validated cell-grid kernel until the
+    # natural kernel is hardware-proven (flip here once BENCH confirms)
+    if backend == "natural":
+        from opencv_opencl_tpu.ops.pallas import natural
+
+        nspec = natural.make_natural_spec(
+            plan.height, plan.width, plan.clip_limit,
+            (plan.tiles_x, plan.tiles_y),
+        )
+        if nspec is not None:
+            try:
+                hists = natural.tile_histograms_radix(
+                    _extend(y, plan), plan.tiles_y, plan.tiles_x,
+                    plan.tile_h, plan.tile_w,
+                )
+            except ValueError:  # tile exceeds VMEM budget: scan fallback
+                hists = _tile_histograms(y, plan, method)
+            luts = _luts_from_hists(hists, plan)
+            return natural.clahe_interpolate_natural(y, luts, nspec)
+        if backend == "natural":
+            raise ValueError(
+                f"width {plan.width} exceeds the natural-kernel VMEM budget"
+            )
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
