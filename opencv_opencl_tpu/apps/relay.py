@@ -7,6 +7,9 @@ Usage:
       [--clipLimit=2.0] [--tile=8] [--batch=4]
       [--source=test|<video file>] [--sink=null|<output file>]
       [--duration=seconds] [--max-frames=N] [--status-interval=2]
+      [--io=gst]   # drive a real GStreamer pipeline via python-gi
+                   # (appsink -> feeder -> appsrc; sink may be
+                   #  rtp://host:port, a file, or null)
 
 Defaults mirror the reference live relay (1920x1080 @ 60, h264, 20 Mbps,
 2 workers: ``OpenCVequalHist.cpp:262-266``).  The worker pool + GAsyncQueue +
@@ -34,9 +37,18 @@ def run(argv: list[str]) -> int:
             "clipLimit": float, "tile": int, "batch": int, "source": str,
             "sink": str, "duration": float, "max-frames": int,
             "status-interval": float, "realtime": bool, "max-rate": float,
-            "native": bool, "preset": str,
+            "native": bool, "preset": str, "io": str,
         },
     )
+    if opts.get("io") == "gst":
+        from opencv_opencl_tpu.io.gst_adapter import gi_available
+
+        if not gi_available():
+            print("--io=gst unavailable: python-gi with GStreamer 1.0 is "
+                  "not available on this host; use io.videofile "
+                  "sources/sinks or install gir1.2-gstreamer",
+                  file=sys.stderr)
+            return 2
     if "preset" in opts:
         from opencv_opencl_tpu.models.presets import PRESETS
 
@@ -127,6 +139,66 @@ def run(argv: list[str]) -> int:
           f"bitrate={bitrate} kbps, workers={workers}, chroma={chroma.value}, "
           f"staging={staging})")
     print("(with frame ordering)")
+
+    if opts.get("io") == "gst":
+        # live GStreamer path: appsink -> feeder -> appsrc over python-gi
+        # (the reference's actual frame transport, OpenCVequalHist.cpp:71-98)
+        from opencv_opencl_tpu.io import gst as gstb
+        from opencv_opencl_tpu.io.gst_adapter import GstAppBridge, TimestampPolicy
+
+        if source == "test":
+            cap = gstb.test_capture_pipeline(
+                width=width, height=height, fps=int(fps),
+                num_buffers=max_frames)
+            policy = TimestampPolicy.RELAY
+        elif source.startswith("/dev/video"):
+            cap = gstb.capture_pipeline(device=source, width=width,
+                                        height=height, fps=int(fps))
+            policy = TimestampPolicy.RELAY
+        else:
+            cap = gstb.file_capture_pipeline(source, width=width,
+                                             height=height, fps_num=int(fps))
+            policy = TimestampPolicy.SYNTHESIZE
+        enc = gstb.EncoderConfig(codec=codec, bitrate_kbps=bitrate)
+        if sink_path == "null":
+            emit = (f"appsrc name=my_src format=time is-live=true "
+                    f"do-timestamp=true caps=video/x-raw,format=NV12,"
+                    f"width={width},height={height},framerate={int(fps)}/1 "
+                    f"! fakesink sync=false")
+        elif "://" in sink_path:
+            host_port = sink_path.split("://", 1)[1]
+            h_, p_ = host_port.rsplit(":", 1)
+            emit = gstb.emit_pipeline(enc, width=width, height=height,
+                                      fps=int(fps), host=h_, port=int(p_))
+        else:
+            emit = gstb.file_emit_pipeline(enc, width=width, height=height,
+                                           fps_num=int(fps),
+                                           output_file=sink_path)
+        try:
+            bridge = GstAppBridge.from_gi(
+                cap, emit, feeder, (spec.buffer_rows, spec.width), fps=fps,
+                policy=policy,
+            )
+        except RuntimeError as e:
+            print(f"--io=gst unavailable: {e}", file=sys.stderr)
+            return 2
+        feeder.start()
+        reporter.start()
+        bridge.start()
+        try:
+            bridge.wait(duration)
+        except KeyboardInterrupt:
+            print("\nInterrupted.")
+        bridge.stop()
+        feeder.stop(drain=True)
+        reporter.stop()
+        reporter.tick()
+        stats = feeder.stats
+        print(f"\nShutdown: {stats['emitted']} frames emitted, "
+              f"dropped(late)={stats['dropped_late']}, "
+              f"errors={stats['processing_errors']}")
+        feeder.timing.final_report()
+        return 0
 
     governor = (RateGovernor(opts["max-rate"]) if "max-rate" in opts else None)
 

@@ -29,6 +29,7 @@ import subprocess
 __all__ = [
     "EncoderConfig",
     "capture_pipeline",
+    "test_capture_pipeline",
     "emit_pipeline",
     "file_capture_pipeline",
     "file_emit_pipeline",
@@ -146,6 +147,23 @@ def file_capture_pipeline(
         f"video/x-raw,format=NV12,width={width},height={height},"
         f"framerate={fps_num}/{fps_den} ! "
         f"appsink name={appsink_name} emit-signals=true max-buffers=4 drop=false sync=false"
+    )
+
+
+def test_capture_pipeline(
+    width: int = 1920,
+    height: int = 1080,
+    fps: int = 30,
+    num_buffers: int | None = None,
+    appsink_name: str = "cv_sink",
+) -> str:
+    """videotestsrc -> NV12 -> appsink: the camera-less test capture (the
+    reference's ``videotestsrc`` senders, ``webrtc/vad.cpp:312-330``)."""
+    nb = f" num-buffers={num_buffers}" if num_buffers is not None else ""
+    return (
+        f"videotestsrc is-live=true{nb} ! "
+        f"video/x-raw,format=NV12,width={width},height={height},framerate={fps}/1 ! "
+        f"appsink name={appsink_name} emit-signals=true max-buffers=1 drop=true sync=false"
     )
 
 

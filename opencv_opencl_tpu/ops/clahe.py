@@ -282,10 +282,12 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
             (plan.tiles_x, plan.tiles_y),
         )
         if spec is not None:
-            # pallas histogram too: the XLA scan formulation costs ~4 ms at
-            # 4K vs ~interp-level cost for the VMEM-resident kernel
+            # radix-16 pallas histogram (hardware: 3.2x the 256-row compare
+            # kernel at 4K, which itself was ~7x the XLA scan)
+            from opencv_opencl_tpu.ops.pallas import natural
+
             try:
-                hists = lut_kernels.tile_histograms_pallas(
+                hists = natural.tile_histograms_radix(
                     _extend(y, plan), plan.tiles_y, plan.tiles_x,
                     plan.tile_h, plan.tile_w,
                 )

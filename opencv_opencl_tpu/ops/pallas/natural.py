@@ -85,8 +85,8 @@ class NaturalSpec:
     pack_idx: np.ndarray         # int32 (R * Pp,): flat tile id per pack row
     m_table: np.ndarray          # f32 (Pp, W): column-group select masks
     xat: np.ndarray              # f32 (8, W): rows [xa1, xa, xa1, xa, 0...]
-    rp_rows: np.ndarray          # int32 (nrb, rs): row-pair id per row
-    ya_rows: np.ndarray          # f32 (nrb, rs): row fraction per row
+    rp_rows: np.ndarray          # int32 (nrb, 1, rs): row-pair id per row
+    ya_rows: np.ndarray          # f32 (nrb, 1, rs): row fraction per row
 
     @property
     def groups(self) -> int:
@@ -154,9 +154,11 @@ def make_natural_spec(height: int, width: int, clip_limit: float,
 
     nrb = -(-height // rs)
     pad_r = nrb * rs - height
-    rp_rows = np.pad(rp_of_r, (0, pad_r), mode="edge").reshape(nrb, rs)
+    # (nrb, 1, rs) with trailing dims equal to the array dims — the only
+    # SMEM block layout Mosaic accepts for per-block scalar rows
+    rp_rows = np.pad(rp_of_r, (0, pad_r), mode="edge").reshape(nrb, 1, rs)
     ya_rows = np.pad(plan.ya.astype(np.float32), (0, pad_r),
-                     mode="edge").reshape(nrb, rs)
+                     mode="edge").reshape(nrb, 1, rs)
 
     return NaturalSpec(
         height=height, width=width, tiles_x=tx, tiles_y=ty,
@@ -176,7 +178,7 @@ def _natural_interp_kernel(G: int, Pp: int,
     m = m_ref[:]                                   # (Pp, W) f32
     xat = xat_ref[:]                               # (8, W) f32
     for r in range(rs):  # static unroll
-        rp = rp_ref[0, r]
+        rp = rp_ref[0, 0, r]
         lp = lp_ref[pl.ds(rp * Pp, Pp), :]          # (Pp, 256) bf16, 8-aligned
         v = y_ref[r : r + 1, :].astype(jnp.int32)   # (1, W)
         oh = (bins == v).astype(jnp.bfloat16)       # (256, W)
@@ -187,7 +189,7 @@ def _natural_interp_kernel(G: int, Pp: int,
         f1 = jnp.sum(dm[1 * G : 2 * G, :], axis=0, keepdims=True) * xat[1:2, :]
         f2 = jnp.sum(dm[2 * G : 3 * G, :], axis=0, keepdims=True) * xat[2:3, :]
         f3 = jnp.sum(dm[3 * G : 4 * G, :], axis=0, keepdims=True) * xat[3:4, :]
-        ya = ya_ref[0, r]
+        ya = ya_ref[0, 0, r]
         res = (f0 + f1) * (jnp.float32(1.0) - ya) + (f2 + f3) * ya
         out_ref[r : r + 1, :] = (
             jnp.clip(jnp.rint(res), 0, 255).astype(jnp.int32).astype(jnp.uint8)
@@ -219,8 +221,10 @@ def clahe_interpolate_natural(y: jax.Array, luts: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Pp, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rs), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, rs), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rs), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rs), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((rs, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
