@@ -1,19 +1,23 @@
 """WebRTC sender (<- reference ``webrtc/sender.cpp`` family +
-``vad2connection.cpp`` recovery).
+``vadcamera.cpp`` audio + ``vad.cpp`` test sender + ``vad2connection.cpp``
+recovery).
 
 Usage:
   python -m opencv_opencl_tpu.apps.sender [--ws=ws://host:8080]
       [--room=default] [--width=1280] [--height=720] [--fps=30]
-      [--codec=h264|h265] [--bitrate=200] [--device=/dev/video0]
-      [--serve-signaling] [--signaling-only] [--duration=seconds]
+      [--codec=h264|h265|vp8] [--bitrate=200] [--device=/dev/video0]
+      [--audio] [--test-source] [--serve-signaling] [--signaling-only]
+      [--duration=seconds]
 
-Flags and defaults mirror ``webrtc/sender.cpp:37-69``.  The media plane
-(webrtcbin) requires a GStreamer host; on this container the app runs the
-full *control plane* — pipeline description assembly, WebSocket signaling
-with join/offer/answer/ice, reconnect with 2 s backoff — and launches the
-media pipeline only when GStreamer is available.  ``--serve-signaling``
-starts the in-repo room-relay server (the reference assumed an external
-one).  ``--signaling-only`` forces control-plane mode even with GStreamer.
+Flags and defaults mirror ``webrtc/sender.cpp:37-69``.  ``--audio`` embeds
+the silent Opus track in the sender pipeline (``vadcamera.cpp:415-487``);
+``--test-source`` selects the two-track videotestsrc+audiotestsrc VP8/Opus
+pipeline of ``webrtc/vad.cpp:312-330``.  On GStreamer hosts the media plane
+launches for real; everywhere the control plane carries REAL parseable SDP:
+the offer is generated for the exact media configuration (io.sdp) and
+answers are parsed, so the signaling path is valid end-to-end with no
+placeholder blobs.  ``--serve-signaling`` starts the in-repo room-relay
+server.  ``--signaling-only`` forces control-plane mode even with GStreamer.
 """
 
 from __future__ import annotations
@@ -23,19 +27,14 @@ import time
 
 from opencv_opencl_tpu.apps._cli import parse_kv_args
 
-_FAKE_SDP = (
-    "v=0\r\no=- 0 0 IN IP4 127.0.0.1\r\ns=tpu-relay\r\nt=0 0\r\n"
-    "m=video 9 UDP/TLS/RTP/SAVPF 96\r\nc=IN IP4 0.0.0.0\r\n"
-    "a=rtpmap:96 H264/90000\r\na=sendonly\r\n"
-)
-
 
 def run(argv: list[str]) -> int:
     opts, _ = parse_kv_args(
         argv,
         {
             "ws": str, "room": str, "width": int, "height": int, "fps": int,
-            "codec": str, "bitrate": int, "device": str,
+            "codec": str, "bitrate": int, "device": str, "audio": bool,
+            "test-source": bool,
             "serve-signaling": bool, "signaling-only": bool, "duration": float,
         },
     )
@@ -48,18 +47,36 @@ def run(argv: list[str]) -> int:
     bitrate = opts.get("bitrate", 200)
     device = opts.get("device", "/dev/video0")
     duration = opts.get("duration")
+    audio = opts.get("audio", False)
+    test_source = opts.get("test-source", False)
 
-    from opencv_opencl_tpu.io import gst
+    from opencv_opencl_tpu.io import gst, sdp
     from opencv_opencl_tpu.io.signaling import SignalingClient, SignalingServer
 
-    enc = gst.EncoderConfig(codec=codec, bitrate_kbps=bitrate)
-    pipeline = gst.webrtc_pipeline(
-        enc, device=device, width=width, height=height, fps=fps
-    )
+    if test_source:
+        # two-track VP8 + Opus test pipeline (vad.cpp)
+        pipeline = gst.vad_test_pipeline()
+        medias = [sdp.media_for_codec("vp8", "video", mid="video0"),
+                  sdp.media_for_codec("opus", "audio", mid="audio1")]
+    else:
+        enc = gst.EncoderConfig(codec=codec, bitrate_kbps=bitrate)
+        if codec == "vp8":
+            pipeline = gst.webrtc_pipeline_vp8(
+                device=device, width=width, height=height, fps=fps)
+        else:
+            pipeline = gst.webrtc_pipeline(
+                enc, device=device, width=width, height=height, fps=fps)
+        medias = [sdp.media_for_codec(codec, "video", mid="video0")]
+        if audio:
+            # silent Opus track keeps browser AV-sync happy (vadcamera.cpp)
+            pipeline = pipeline + " " + gst.silent_audio_branch(
+                webrtc_name="sendrecv")
+            medias.append(sdp.media_for_codec("opus", "audio", mid="audio1"))
     print("=== TPU WebRTC sender ===")
     print(f"Signaling: {ws_url}  room={room}")
     print(f"Config: {width}x{height}@{fps} codec={codec} "
-          f"bitrate={bitrate} kbps device={device}")
+          f"bitrate={bitrate} kbps device={device} "
+          f"audio={'on' if audio or test_source else 'off'}")
     print(f"Pipeline: {pipeline}")
 
     server = None
@@ -73,19 +90,23 @@ def run(argv: list[str]) -> int:
         print(f"Started in-process signaling server at {ws_url}")
 
     have_media = gst.gst_available() and not opts.get("signaling-only")
-    state = {"viewers": 0, "offers": 0}
+    state = {"viewers": 0, "offers": 0, "answers": 0}
 
     def on_ready():
         state["viewers"] += 1
         print(f"Viewer joined (total {state['viewers']}) — sending offer")
-        # with a real webrtcbin this fires on-negotiation-needed; in
-        # control-plane mode we emit a descriptive placeholder offer
-        client.send_offer(_FAKE_SDP)
+        # with a real webrtcbin this fires on-negotiation-needed ->
+        # create-offer; control-plane mode generates the equivalent offer
+        # for the same media configuration
+        client.send_offer(sdp.build_offer(medias))
         state["offers"] += 1
 
-    def on_answer(sdp):
-        print(f"Received answer ({len(sdp)} bytes SDP) — "
+    def on_answer(sdp_text):
+        sess = sdp.parse_sdp(sdp_text)
+        kinds = "+".join(m.kind for m in sess.medias)
+        print(f"Received answer ({len(sess.medias)} m-line(s): {kinds}) — "
               "set-remote-description")
+        state["answers"] += 1
 
     def on_ice(cand, mline):
         print(f"Remote ICE candidate (mline={mline}): {cand[:60]}")
@@ -126,7 +147,8 @@ def run(argv: list[str]) -> int:
         if server:
             server.stop()
     print(f"Sender shut down: {state['viewers']} viewer(s), "
-          f"{state['offers']} offer(s), reconnects={client.reconnect_count}")
+          f"{state['offers']} offer(s), {state['answers']} answer(s), "
+          f"reconnects={client.reconnect_count}")
     return 0
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "webrtc_pipeline",
     "webrtc_pipeline_sw",
     "webrtc_pipeline_vp8",
+    "vad_test_pipeline",
     "silent_audio_branch",
     "gst_available",
     "GstShell",
@@ -294,6 +295,27 @@ def webrtc_pipeline_vp8(
         f"rtpvp8pay pt=96 mtu=1200 ! "
         f"application/x-rtp,media=video,encoding-name=VP8,payload=96 ! "
         + _webrtc_bin(webrtc_name, stun_server)
+    )
+
+
+def vad_test_pipeline(
+    stun_server: str = "stun://stun.l.google.com:19302",
+    webrtc_name: str = "webrtcbin",
+    video_bitrate: int = 10_240_000,
+) -> str:
+    """Two-track test sender (``webrtc/vad.cpp:312-330`` / ``atc.cpp``):
+    videotestsrc -> VP8 and audiotestsrc -> Opus into one webrtcbin."""
+    return (
+        f"webrtcbin name={webrtc_name} bundle-policy=max-bundle latency=100 "
+        f"stun-server={stun_server} "
+        f"videotestsrc is-live=true ! videoconvert ! queue ! "
+        f"vp8enc target-bitrate={video_bitrate} deadline=1 ! rtpvp8pay ! "
+        f"application/x-rtp,media=video,encoding-name=VP8,payload=96 ! "
+        f"{webrtc_name}. "
+        f"audiotestsrc is-live=true ! audioconvert ! audioresample ! queue ! "
+        f"opusenc ! rtpopuspay ! "
+        f"application/x-rtp,media=audio,encoding-name=OPUS,payload=97 ! "
+        f"{webrtc_name}."
     )
 
 

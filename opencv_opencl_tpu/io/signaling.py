@@ -39,6 +39,8 @@ class SignalingClient:
         on_ice: Callable[[str, int], None] | None = None,
         on_ready: Callable[[], None] | None = None,
         on_connected: Callable[[], None] | None = None,
+        on_offer: Callable[[str, str | None], None] | None = None,
+        on_registered: Callable[[str], None] | None = None,
         reconnect_delay_s: float = 2.0,
         max_reconnects: int | None = None,
     ) -> None:
@@ -49,6 +51,10 @@ class SignalingClient:
         self.on_ice = on_ice or (lambda cand, mline: None)
         self.on_ready = on_ready or (lambda: None)
         self.on_connected = on_connected or (lambda: None)
+        self.on_offer = on_offer or (lambda sdp, frm: None)
+        self.on_registered = on_registered or (lambda my_id: None)
+        self.my_id: str | None = None          # peer-id dialect: registered
+        self.remote_peer_id: str | None = None  # ...and the answering peer
         self.reconnect_delay_s = reconnect_delay_s
         self.max_reconnects = max_reconnects
         self.reconnect_count = 0
@@ -78,6 +84,13 @@ class SignalingClient:
             "type": "ice", "room": self.room,
             "candidate": candidate, "sdpMLineIndex": sdp_mline_index,
         })
+
+    def send_answer(self, sdp: str, to: str | None = None) -> None:
+        """Viewer-side answer; ``to`` selects the peer-id dialect."""
+        msg = {"type": "answer", "room": self.room, "sdp": sdp}
+        if to:
+            msg["to"] = to
+        self._send(msg)
 
     def send_ice_peer(self, candidate: str, sdp_mline_index: int,
                       peer_id: str | None = None) -> None:
@@ -175,6 +188,16 @@ class SignalingClient:
             await asyncio.sleep(self.reconnect_delay_s)
 
     def _dispatch(self, raw: str) -> None:
+        """Understands BOTH reference signaling dialects:
+
+        - room dialect (``webrtc/sender.cpp:269-339``): ``answer`` /
+          flat ``ice`` / ``ready``.
+        - peer-id dialect (``webrtc/vad.cpp:69-115``, ``atc.cpp`` same):
+          ``registered`` carrying our ``id``; ``answer``/``offer`` carrying
+          ``from``; ``ice-candidate`` with a NESTED candidate object whose
+          empty candidate string is the end-of-candidates signal (ignored,
+          vad.cpp:100-104).
+        """
         try:
             msg = json.loads(raw)
         except json.JSONDecodeError:
@@ -182,9 +205,26 @@ class SignalingClient:
         t = msg.get("type")
         if t == "answer":
             sdp = msg.get("sdp") or msg.get("answer", {}).get("sdp", "")
+            frm = msg.get("from")
+            if frm:
+                self.remote_peer_id = frm
             self.on_answer(sdp)
+        elif t == "offer":
+            self.on_offer(msg.get("sdp", ""), msg.get("from"))
+        elif t == "registered":
+            self.my_id = msg.get("id")
+            self.on_registered(self.my_id)
         elif t == "ice":
             self.on_ice(msg.get("candidate", ""), int(msg.get("sdpMLineIndex", 0)))
+        elif t == "ice-candidate":
+            cand = msg.get("candidate") or {}
+            cand_str = cand.get("candidate", "")
+            if not cand_str:
+                return  # end-of-candidates signal
+            frm = msg.get("from")
+            if frm:
+                self.remote_peer_id = frm
+            self.on_ice(cand_str, int(cand.get("sdpMLineIndex", 0)))
         elif t == "ready":
             self.on_ready()
 
@@ -201,6 +241,7 @@ class SignalingServer:
         self.host = host
         self.port = port
         self.rooms: dict[str, dict] = {}
+        self._peers: dict[str, object] = {}  # peer-id -> websocket
         self._loop: asyncio.AbstractEventLoop | None = None
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
@@ -244,6 +285,14 @@ class SignalingServer:
     async def _handler(self, ws) -> None:
         joined_room = None
         role = None
+        # peer-id dialect: every connection gets an id at join time and is
+        # told via {"type": "registered", "id": ...}; relayed messages carry
+        # "from" so receivers can address replies with "to"
+        # (``/root/reference/webrtc/vad.cpp:71-77,137-138`` message shapes)
+        import secrets
+
+        peer_id = secrets.token_hex(4)
+        self._peers[peer_id] = ws
         try:
             async for raw in ws:
                 try:
@@ -255,6 +304,8 @@ class SignalingServer:
                     joined_room = msg.get("room", "default")
                     room = self._room(joined_room)
                     role = msg.get("clientType", "viewer")
+                    await ws.send(json.dumps(
+                        {"type": "registered", "id": peer_id}))
                     if role == "sender":
                         room["sender"] = ws
                     else:
@@ -262,19 +313,26 @@ class SignalingServer:
                         if room["sender"] is not None:
                             await room["sender"].send(json.dumps({
                                 "type": "ready", "room": joined_room,
+                                "from": peer_id,
                             }))
                 elif joined_room is not None:
                     room = self._room(joined_room)
-                    if ws is room["sender"]:
+                    to = msg.get("to")
+                    if to and to in self._peers:
+                        targets = [self._peers[to]]
+                    elif ws is room["sender"]:
                         targets = list(room["viewers"])
                     else:
                         targets = [room["sender"]] if room["sender"] else []
+                    msg["from"] = peer_id
+                    out = json.dumps(msg)
                     for t_ws in targets:
                         try:
-                            await t_ws.send(raw)
+                            await t_ws.send(out)
                         except Exception:
                             pass
         finally:
+            self._peers.pop(peer_id, None)
             if joined_room is not None:
                 room = self._room(joined_room)
                 if ws is room.get("sender"):

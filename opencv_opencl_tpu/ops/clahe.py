@@ -248,9 +248,12 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
     """
     if y.ndim == 3:
         return jax.vmap(lambda f: clahe_apply(f, plan, method, backend))(y)
-    # "auto" stays on the round-1-validated cell-grid kernel until the
-    # natural kernel is hardware-proven (flip here once BENCH confirms)
-    if backend == "natural":
+    # hardware-validated round 2 (scripts/tpu_r2_kernels.json): natural
+    # kernel 0 LSB at 4K/1080p/1919x1079 and 2.2x the cell-grid pipeline
+    # (1.76 vs 3.92 ms/frame at 4K) -> the TPU default
+    if backend == "natural" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    ):
         from opencv_opencl_tpu.ops.pallas import natural
 
         nspec = natural.make_natural_spec(
@@ -271,6 +274,8 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
             raise ValueError(
                 f"width {plan.width} exceeds the natural-kernel VMEM budget"
             )
+    # cell-grid kernel: explicit opt-in or the auto fallback for widths
+    # beyond the natural kernel's VMEM budget
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )

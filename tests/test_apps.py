@@ -139,21 +139,24 @@ def test_clahe_video_app(tmp_path, rng, capsys):
     assert os.path.exists(out)
 
 
-def test_sender_full_handshake(capsys):
-    """sender app end-to-end in signaling-only mode: self-served room,
-    a viewer joins, the offer flows, the viewer answers."""
+def _handshake(extra_args, port, room, expect_kinds):
+    """sender app end-to-end in signaling-only mode: self-served room, a
+    viewer joins, a REAL generated offer flows, the viewer parses it and
+    answers with a real mirrored SDP (io.sdp), the sender parses that."""
     import threading
     import time as _time
 
     from opencv_opencl_tpu.apps import sender
+    from opencv_opencl_tpu.io import sdp
     from opencv_opencl_tpu.io.signaling import SignalingClient
 
     rc = {}
 
     def run_sender():
         rc["rc"] = sender.run([
-            "--ws=ws://127.0.0.1:18099", "--room=t1", "--serve-signaling",
-            "--signaling-only", "--duration=4",
+            f"--ws=ws://127.0.0.1:{port}", f"--room={room}",
+            "--serve-signaling", "--signaling-only", "--duration=4",
+            *extra_args,
         ])
 
     t = threading.Thread(target=run_sender)
@@ -161,20 +164,16 @@ def test_sender_full_handshake(capsys):
     _time.sleep(1.0)  # let the server + sender come up
 
     got = {"offer": None}
+
+    def on_offer(sdp_text, frm):
+        got["offer"] = sdp_text
+        sess = sdp.parse_sdp(sdp_text)
+        viewer.send_answer(sdp.build_answer(sess))
+
     viewer = SignalingClient(
-        "ws://127.0.0.1:18099", room="t1", client_type="viewer",
+        f"ws://127.0.0.1:{port}", room=room, client_type="viewer",
+        on_offer=on_offer,
     ).start()
-    orig = viewer._dispatch
-
-    def spy(raw):
-        import json as _json
-        m = _json.loads(raw)
-        if m.get("type") == "offer":
-            got["offer"] = m["sdp"]
-            viewer._send({"type": "answer", "room": "t1", "sdp": "v=0 ANS"})
-        orig(raw)
-
-    viewer._dispatch = spy
     assert viewer.wait_connected(10)
     deadline = _time.time() + 5
     while got["offer"] is None and _time.time() < deadline:
@@ -182,7 +181,39 @@ def test_sender_full_handshake(capsys):
     viewer.stop()
     t.join(timeout=15)
     assert rc.get("rc") == 0
-    assert got["offer"] and "m=video" in got["offer"]
+    # the offer must be real, parseable SDP with the configured media set
+    sess = sdp.parse_sdp(got["offer"])
+    assert [m.kind for m in sess.medias] == expect_kinds
+    for m in sess.medias:
+        assert m.encoding_name and m.clock_rate > 0
+        assert m.direction == "sendonly"
+        assert m.mid
+    assert sess.ice_ufrag and sess.ice_pwd and sess.fingerprint
+    return sess
+
+
+def test_sender_full_handshake(capsys):
+    sess = _handshake([], 18099, "t1", ["video"])
+    assert sess.medias[0].encoding_name == "H264"
     out = capsys.readouterr().out
     assert "Viewer joined" in out
-    assert "Received answer" in out
+    assert "Received answer (1 m-line(s): video)" in out
+
+
+def test_sender_handshake_with_audio(capsys):
+    """--audio: silent Opus track rides the same offer (vadcamera.cpp)."""
+    sess = _handshake(["--audio"], 18098, "t2", ["video", "audio"])
+    assert sess.medias[1].encoding_name == "OPUS"
+    assert sess.medias[1].channels == 2
+    out = capsys.readouterr().out
+    assert "Received answer (2 m-line(s): video+audio)" in out
+    assert "audiotestsrc wave=silence" in out  # pipeline embeds the branch
+
+
+def test_sender_test_source_two_track(capsys):
+    """--test-source: the vad.cpp VP8+Opus two-track test sender."""
+    sess = _handshake(["--test-source"], 18097, "t3", ["video", "audio"])
+    assert sess.medias[0].encoding_name == "VP8"
+    out = capsys.readouterr().out
+    assert "videotestsrc is-live=true" in out
+    assert "opusenc" in out
