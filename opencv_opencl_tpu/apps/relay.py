@@ -102,6 +102,15 @@ def run(argv: list[str]) -> int:
 
     if sink_path == "null":
         sink = NullSink()
+    elif sink_path.startswith(("rtp://", "rtp+raw://")):
+        # native RTP/UDP data plane (no GStreamer needed): JPEG/RTP
+        # (RFC 2435, interoperable with rtpjpegdepay) or raw NV12 lines
+        from opencv_opencl_tpu.io.rtp import RtpUdpSink
+
+        kind = "raw" if sink_path.startswith("rtp+raw://") else "jpeg"
+        hostport = sink_path.split("://", 1)[1]
+        rtp_host, rtp_port = hostport.rsplit(":", 1)
+        sink = RtpUdpSink(rtp_host, int(rtp_port), kind=kind, fps=fps)
     elif sink_path.endswith(".nv12") or sink_path.endswith(".raw"):
         sink = RawSink(sink_path)
     else:

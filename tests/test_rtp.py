@@ -1,0 +1,135 @@
+"""RTP/UDP data plane: packets really go on the wire and decode back.
+
+The strong JPEG claim: the receiver-side JFIF reconstruction (RFC 2435
+Appendix B standard tables) must decode to EXACTLY the same pixels as
+decoding the sender's original JPEG — proving the packetizer carried all
+information (scan data + quant tables) and the header rebuild is correct.
+"""
+
+import struct
+
+import cv2
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.core import color as gcolor
+from opencv_opencl_tpu.core.frames import FrameSpec
+from opencv_opencl_tpu.io import rtp
+from opencv_opencl_tpu.io.videofile import TestSource
+
+W, H = 128, 96
+ROWS = H * 3 // 2
+
+
+def nv12_frame(seed=0):
+    return TestSource(FrameSpec(width=W, height=H, fps=30), seed=seed).read()
+
+
+class TestJpegParsing:
+    def test_parse_and_rebuild_decodes_identically(self):
+        nv12 = nv12_frame()
+        bgr = cv2.cvtColor(nv12, cv2.COLOR_YUV2BGR_NV12)
+        ok, enc = cv2.imencode(".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, 85])
+        data = enc.tobytes()
+        scan, qtables, w, h, jtype = rtp.parse_jpeg(data)
+        assert (w, h) == (W, H)
+        assert jtype == 1  # libjpeg default 4:2:0
+        assert set(qtables) == {0, 1}
+        rebuilt = rtp.rebuild_jfif(scan, qtables, w, h, jtype)
+        a = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        b = cv2.imdecode(np.frombuffer(rebuilt, np.uint8), cv2.IMREAD_COLOR)
+        assert b is not None, "rebuilt JFIF failed to decode"
+        assert np.array_equal(a, b)
+
+    def test_various_qualities(self):
+        nv12 = nv12_frame(3)
+        bgr = cv2.cvtColor(nv12, cv2.COLOR_YUV2BGR_NV12)
+        for q in (30, 70, 95):
+            ok, enc = cv2.imencode(".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, q])
+            scan, qt, w, h, t = rtp.parse_jpeg(enc.tobytes())
+            rebuilt = rtp.rebuild_jfif(scan, qt, w, h, t)
+            a = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+            b = cv2.imdecode(np.frombuffer(rebuilt, np.uint8),
+                             cv2.IMREAD_COLOR)
+            assert np.array_equal(a, b), f"quality {q}"
+
+
+class TestPacketFormat:
+    def test_rtp_headers(self):
+        p = rtp.JpegRtpPayloader(fps=30)
+        pkts = p.packetize(nv12_frame())
+        assert len(pkts) > 1
+        for i, pkt in enumerate(pkts):
+            assert pkt[0] >> 6 == 2                    # version
+            assert pkt[1] & 0x7F == rtp.PT_JPEG
+            seq = struct.unpack("!H", pkt[2:4])[0]
+            assert seq == i
+            marker = bool(pkt[1] & 0x80)
+            assert marker == (i == len(pkts) - 1)      # marker on last
+            assert len(pkt) <= rtp.DEFAULT_MTU
+        # fragment offsets are cumulative over the scan
+        offs = [(pkt[13] << 16) | (pkt[14] << 8) | pkt[15] for pkt in pkts]
+        assert offs[0] == 0 and offs == sorted(offs)
+
+    def test_timestamp_advances_per_frame(self):
+        p = rtp.JpegRtpPayloader(fps=30)
+        p.packetize(nv12_frame(0))
+        pkts2 = p.packetize(nv12_frame(1))
+        ts = struct.unpack("!I", pkts2[0][4:8])[0]
+        assert ts == 3000  # 90000/30
+
+
+class TestLoopback:
+    def test_jpeg_over_udp(self):
+        rx = rtp.RtpUdpReceiver(kind="jpeg")
+        tx = rtp.RtpUdpSink("127.0.0.1", rx.port, kind="jpeg", fps=30)
+        nv12 = nv12_frame()
+        tx.write(nv12)
+        got = rx.recv_frame()
+        tx.close()
+        rx.close()
+        assert got is not None and got.shape == (H, W, 3)
+        # lossy path: compare against the direct decode of the same encode
+        bgr = cv2.cvtColor(nv12, cv2.COLOR_YUV2BGR_NV12)
+        ok, enc = cv2.imencode(".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, 85])
+        direct = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+        assert np.array_equal(got, direct)
+        assert tx.packets > 1 and tx.bytes > 1000
+
+    def test_raw_nv12_bit_exact(self):
+        rx = rtp.RtpUdpReceiver(kind="raw", frame_shape=(ROWS, W))
+        tx = rtp.RtpUdpSink("127.0.0.1", rx.port, kind="raw", fps=30)
+        nv12 = nv12_frame(7)
+        tx.write(nv12)
+        got = rx.recv_frame()
+        tx.close()
+        rx.close()
+        assert np.array_equal(got, nv12)
+
+    def test_relay_streams_to_rtp_sink(self):
+        """relay --sink=rtp://... : frames leave the process as RTP/UDP
+        (the udpsink host=... port=5004 analogue)."""
+        import threading
+
+        from opencv_opencl_tpu.apps import relay
+
+        rx = rtp.RtpUdpReceiver(kind="jpeg", timeout=30.0)
+        frames = []
+
+        def collect():
+            for _ in range(2):
+                f = rx.recv_frame()
+                if f is not None:
+                    frames.append(f)
+
+        t = threading.Thread(target=collect)
+        t.start()
+        rc = relay.run([
+            "--source=test", "--width=96", "--height=64", "--max-frames=6",
+            f"--sink=rtp://127.0.0.1:{rx.port}", "--batch=2", "--op=histeq",
+        ])
+        t.join(timeout=30)
+        rx.close()
+        assert rc == 0
+        assert len(frames) == 2
+        assert frames[0].shape == (64, 96, 3)
