@@ -51,6 +51,7 @@ __all__ = [
     "NaturalSpec",
     "make_natural_spec",
     "clahe_interpolate_natural",
+    "clahe_interpolate_natural_band",
     "tile_histograms_radix",
 ]
 
@@ -110,9 +111,15 @@ def _pair_ids(lo: np.ndarray, hi: np.ndarray, tiles: int) -> np.ndarray:
 @functools.lru_cache(maxsize=64)
 def make_natural_spec(height: int, width: int, clip_limit: float,
                       tile_grid: tuple[int, int],
-                      rs: int = 16) -> NaturalSpec | None:
+                      rs: int = 16,
+                      rows_pad: int | None = None) -> NaturalSpec | None:
     """Build the natural-kernel spec for a CLAHE plan; None only when the
-    width exceeds the one-hot VMEM budget (then use the XLA fallback)."""
+    width exceeds the one-hot VMEM budget (then use the XLA fallback).
+
+    ``rows_pad``: extend the per-row SMEM tables to cover this many rows
+    (>= height, multiple of rs) — the sharded band variant needs tables
+    spanning the space-padded frame; pad rows repeat the last real row and
+    their outputs are sliced away by the caller."""
     from opencv_opencl_tpu.ops.clahe import make_clahe_plan
 
     if -(-width // 128) * 128 > _MAX_WIDTH:
@@ -152,7 +159,7 @@ def make_natural_spec(height: int, width: int, clip_limit: float,
     xat[2] = 1.0 - xa
     xat[3] = xa
 
-    nrb = -(-height // rs)
+    nrb = -(-max(height, rows_pad or 0) // rs)
     pad_r = nrb * rs - height
     # (nrb, 1, rs) with trailing dims equal to the array dims — the only
     # SMEM block layout Mosaic accepts for per-block scalar rows
@@ -307,3 +314,61 @@ def tile_histograms_radix(ext: jax.Array, tiles_y: int, tiles_x: int,
     if slack:
         hists = hists.at[:, 0].add(-slack)
     return hists
+
+
+def clahe_interpolate_natural_band(y_band: jax.Array, luts: jax.Array,
+                                   spec: "NaturalSpec", row0: jax.Array,
+                                   interpret: bool | None = None) -> jax.Array:
+    """Band variant for spatially-sharded CLAHE (shard_map over row bands).
+
+    ``y_band`` holds ``rows_loc`` rows whose first row sits at *traced*
+    global row ``row0``; rows_loc and row0 must be multiples of ``spec.rs``
+    (the sharded builder pads the frame so they are), so the band's row
+    blocks coincide with global blocks and the per-block SMEM tables are a
+    traced ``dynamic_slice`` of the global ones.  The pallas grid itself
+    stays static.  ``spec`` must be built with ``rows_pad`` >= the padded
+    sharded height so the tables cover every band row.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    rows_loc, w = y_band.shape
+    assert w == spec.width
+    rs, Pp, G = spec.rs, spec.pack_rows, spec.groups
+    assert rows_loc % rs == 0
+    nrb_loc = rows_loc // rs
+    blk0 = row0 // rs
+    rp_band = jax.lax.dynamic_slice(
+        jnp.asarray(spec.rp_rows), (blk0, 0, 0), (nrb_loc, 1, rs))
+    ya_band = jax.lax.dynamic_slice(
+        jnp.asarray(spec.ya_rows), (blk0, 0, 0), (nrb_loc, 1, rs))
+    luts_flat = luts.reshape(-1, 256)
+    lp = jnp.take(luts_flat, jnp.asarray(spec.pack_idx), axis=0).astype(
+        jnp.bfloat16
+    )
+    kern = functools.partial(_natural_interp_kernel, G, Pp)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((rows_loc, w), jnp.uint8),
+        grid=(nrb_loc,),
+        in_specs=[
+            pl.BlockSpec((rs, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.row_pairs * Pp, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pp, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rs), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rs), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rs, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        y_band,
+        lp,
+        jnp.asarray(spec.m_table),
+        jnp.asarray(spec.xat),
+        rp_band,
+        ya_band,
+    )

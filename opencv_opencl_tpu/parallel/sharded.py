@@ -5,29 +5,37 @@ The scaling story (SURVEY §2 parallelism table -> TPU):
 - **data** axis: the batch of frames is sharded across chips — each chip
   enhances its own frames end-to-end, no communication (the perfect-scaling
   analogue of the reference's worker pool).
-- **space** axis: each frame's Y plane is split into horizontal row bands.
+- **space** axis: each frame's rows are split into horizontal bands.
   Histogram equalization needs one *global* histogram -> ``psum`` over the
-  space axis (256 int32 = 1 KB, negligible on ICI).  CLAHE's tile rows are
-  band-local, but the bilinear blend needs the *neighbour* tiles' LUTs ->
-  ``all_gather`` of the per-tile LUT table (tilesY*tilesX*256 uint8 = 16 KB
-  at 8x8), after which interpolation is band-local.  Both collectives are
-  tiny compared to the pixel data, which never moves between chips.
+  space axis (256 int32 = 1 KB, negligible on ICI).  CLAHE's per-tile
+  histograms are band-local (bands own whole tile rows), and the bilinear
+  blend needs neighbour tiles' LUTs -> a tiled ``all_gather`` of the
+  per-band tile histograms (~tiny), after which LUT construction is
+  replicated math and interpolation is band-local.  Both collectives are
+  <100 KB at 4K; the pixel data never moves between chips.
 
-Constraints for the sharded path: frame height and tile rows divisible by
-the space-axis size, and no reflect padding (height % tilesY == 0 and
-width % tilesX == 0) — standard video geometries (1080p/4K with 8x8) all
-qualify.  Use ``clahe_apply`` on a single chip otherwise.
+**Arbitrary geometry** (round-2 generalization — round 1 required
+tile-divisible frames and tiles_y % space == 0):
 
-The in-band interpolation uses the Pallas MXU kernel on TPU
-(``clahe_interpolate_pallas_band``: traced band offsets absorbed by XLA
-dynamic slices around a static pallas grid) and the XLA gather formulation
-elsewhere; select with ``backend``.  The pallas route requires
-``check_vma=False`` on the shard_map (pallas out_shapes carry no varying
--manual-axes annotation).
+1. the frame is reflect-extended to the tile-divisible size exactly as the
+   single-chip plan prescribes (OpenCV semantics), then zero-padded with
+   FAKE tile rows up to a space-divisible tile count.  Fake tiles produce
+   LUTs no real pixel ever references (the interpolation clip pattern only
+   reaches real tiles), so bands can own whole tile rows on any mesh.
+2. the interpolation runs over the frame padded to rs*space-aligned rows;
+   pad rows compute garbage that is sliced off after the shard_map.
+3. both pads are applied inside jit with sharding constraints, so XLA
+   inserts the (boundary-only) resharding collectives itself.
+
+The in-band compute uses the round-2 natural-layout Pallas kernels
+(``ops/pallas/natural.py``: radix-16 histograms + wide-dot interpolation,
+0 LSB on hardware), in interpret mode off-TPU; ``backend="xla"`` selects
+the pure-XLA gather formulation instead.  Pallas under shard_map requires
+``check_vma=False`` (pallas out_shapes carry no varying-manual-axes
+annotation).
 """
 
 from __future__ import annotations
-
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +47,7 @@ from opencv_opencl_tpu.models.enhancer import EnhancerConfig
 from opencv_opencl_tpu.ops import clahe as clahe_ops
 from opencv_opencl_tpu.ops import histeq as histeq_ops
 from opencv_opencl_tpu.ops import histogram as hist_ops
+from opencv_opencl_tpu.ops.pallas import natural
 
 __all__ = [
     "sharded_histeq",
@@ -46,107 +55,144 @@ __all__ = [
     "build_sharded_pipeline",
 ]
 
-
-def _check_divisible(plan: clahe_ops.ClahePlan, nsp: int) -> None:
-    if plan.pad_bottom or plan.pad_right:
-        raise ValueError(
-            "sharded CLAHE requires tile-divisible geometry "
-            f"({plan.height}x{plan.width} with grid "
-            f"{plan.tiles_x}x{plan.tiles_y} needs padding)"
-        )
-    if plan.tiles_y % nsp or plan.height % nsp:
-        raise ValueError(
-            f"tiles_y={plan.tiles_y} and height={plan.height} must divide "
-            f"by space axis size {nsp}"
-        )
+_BAND_RS = 8  # band row-block size: keeps row0 8-aligned on any mesh
 
 
-def _histeq_band(y_band: jax.Array, total: int, space_axis: str,
-                 method: str) -> jax.Array:
-    """Per-device body: band histogram -> psum -> LUT -> band map."""
-    local_hist = hist_ops.hist256(y_band, method)
-    global_hist = jax.lax.psum(local_hist, space_axis)
-    lut = hist_ops.equalize_lut(global_hist, total=total)
-    return histeq_ops.apply_lut(y_band, lut)
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
 
 
-def _clahe_band(
-    y_band: jax.Array,
-    plan: clahe_ops.ClahePlan,
-    space_axis: str,
-    method: str,
-    backend: str = "auto",
-) -> jax.Array:
-    """Per-device body: local tile LUTs -> all_gather -> band interpolate."""
-    nsp = jax.lax.axis_size(space_axis)
-    idx = jax.lax.axis_index(space_axis)
-    rows_loc = y_band.shape[0]
-    tiles_y_loc = plan.tiles_y // nsp
-    tiles = (
-        y_band.reshape(tiles_y_loc, plan.tile_h, plan.tiles_x, plan.tile_w)
-        .transpose(0, 2, 1, 3)
-        .reshape(tiles_y_loc * plan.tiles_x, plan.tile_area)
-    )
-    hists = jax.vmap(lambda t: hist_ops.hist256(t, method))(tiles)
-    luts_loc = clahe_ops._luts_from_hists(hists, plan)
-    luts = jax.lax.all_gather(luts_loc, space_axis, axis=0, tiled=True)
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
-        from opencv_opencl_tpu.ops.pallas import lut_kernels
+def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
+    """Zero-pad dim -2 up to ``rows`` (batched)."""
+    cur = x.shape[-2]
+    if cur == rows:
+        return x
+    return jnp.pad(x, ((0, 0), (0, rows - cur), (0, 0)))
 
-        spec = lut_kernels.make_interp_spec(
-            plan.height, plan.width, plan.clip_limit,
-            (plan.tiles_x, plan.tiles_y),
-        )
-        if spec is not None:
-            return lut_kernels.clahe_interpolate_pallas_band(
-                y_band, luts, spec, idx * rows_loc
-            )
-        if backend == "pallas":
-            raise ValueError("geometry has no pallas fast path")
-    return clahe_ops._interpolate_rows(y_band, luts, plan, idx * rows_loc)
+
+# ---------------------------------------------------------------- histeq ----
 
 
 def sharded_histeq(mesh: Mesh, height: int, width: int,
                    method: str = "onehot",
                    data_axis: str = "data", space_axis: str = "space"):
-    """Jitted (N, H, W) -> (N, H, W) equalizeHist over a (data, space) mesh."""
+    """Jitted (N, H, W) -> (N, H, W) equalizeHist over a (data, space) mesh.
+
+    Any height: rows are zero-padded to a space multiple; the pad pixels'
+    bin-0 counts are subtracted after the psum (a static constant)."""
+    nsp = mesh.shape[space_axis]
     total = height * width
+    hq = _ceil_to(height, nsp)
+    pad_zeros = (hq - height) * width
+    spec_in = P(data_axis, space_axis, None) if height % nsp == 0 else \
+        P(data_axis, None, None)
+    spec_band = P(data_axis, space_axis, None)
 
-    def band_fn(y):  # y: (B_loc, rows_loc, W)
-        return jax.vmap(
-            lambda f: _histeq_band(f, total, space_axis, method)
-        )(y)
+    def band_fn(y):  # (B_loc, rows_loc, W)
+        def one(f):
+            local = hist_ops.hist256(f, method)
+            ghist = jax.lax.psum(local, space_axis)
+            if pad_zeros:
+                ghist = ghist.at[0].add(-pad_zeros)
+            lut = hist_ops.equalize_lut(ghist, total=total)
+            return histeq_ops.apply_lut(f, lut)
+        return jax.vmap(one)(y)
 
-    spec = P(data_axis, space_axis, None)
-    # check_vma off when the LUT apply routes to pallas (TPU): pallas
-    # out_shapes carry no varying-manual-axes annotation
-    fn = shard_map(band_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                   check_vma=jax.default_backend() != "tpu")
-    return jax.jit(fn)
+    fn_band = shard_map(band_fn, mesh=mesh, in_specs=(spec_band,),
+                        out_specs=spec_band, check_vma=False)
+
+    @jax.jit
+    def fn(y):
+        y_q = jax.lax.with_sharding_constraint(
+            _pad_rows(y, hq), NamedSharding(mesh, spec_band))
+        out = fn_band(y_q)
+        return out[:, :height, :]
+
+    return fn, NamedSharding(mesh, spec_in)
+
+
+# ----------------------------------------------------------------- clahe ----
+
+
+def _clahe_geometry(plan: clahe_ops.ClahePlan, nsp: int):
+    """Static padded-grid geometry for a (space=nsp) mesh."""
+    tiles_yp = _ceil_to(plan.tiles_y, nsp)
+    hp = tiles_yp * plan.tile_h              # hist-stage padded rows
+    hq = _ceil_to(plan.height, _BAND_RS * nsp)  # interp-stage padded rows
+    return tiles_yp, hp, hq
+
+
+def _build_clahe_fns(plan: clahe_ops.ClahePlan, mesh: Mesh,
+                     data_axis: str, space_axis: str, backend: str):
+    nsp = mesh.shape[space_axis]
+    tiles_yp, hp, hq = _clahe_geometry(plan, nsp)
+    tiles_loc = tiles_yp // nsp
+    rows_loc = hq // nsp
+    t_real = plan.tiles_y * plan.tiles_x
+    use_natural = backend in ("auto", "natural", "pallas")
+    nspec = None
+    if use_natural:
+        nspec = natural.make_natural_spec(
+            plan.height, plan.width, plan.clip_limit,
+            (plan.tiles_x, plan.tiles_y), rs=_BAND_RS, rows_pad=hq)
+    spec_band = P(data_axis, space_axis, None)
+    spec_rep = P(data_axis, None, None)
+
+    def hist_band(ext_p):  # (B_loc, hp/nsp, We) -> (B_loc, T', 256)
+        def one(band):
+            hloc = natural.tile_histograms_radix(
+                band, tiles_loc, plan.tiles_x, plan.tile_h, plan.tile_w)
+            return jax.lax.all_gather(hloc, space_axis, axis=0, tiled=True)
+        return jax.vmap(one)(ext_p)
+
+    def interp_band(y_band, luts):  # (B_loc, rows_loc, W), (B_loc, T, 256)
+        idx = jax.lax.axis_index(space_axis)
+        row0 = idx * rows_loc
+
+        def one(f, l):
+            if nspec is not None:
+                return natural.clahe_interpolate_natural_band(
+                    f, l, nspec, row0)
+            return clahe_ops._interpolate_rows(f, l, plan, row0)
+        return jax.vmap(one)(y_band, luts)
+
+    sm_hist = shard_map(hist_band, mesh=mesh, in_specs=(spec_band,),
+                        out_specs=spec_rep, check_vma=False)
+    sm_interp = shard_map(interp_band, mesh=mesh,
+                          in_specs=(spec_band, spec_rep),
+                          out_specs=spec_band, check_vma=False)
+
+    def clahe_y(y):  # (B, H, W) -> (B, H, W), inside jit
+        ext = jax.vmap(lambda f: clahe_ops._extend(f, plan))(y)
+        ext_p = jax.lax.with_sharding_constraint(
+            _pad_rows(ext, hp), NamedSharding(mesh, spec_band))
+        hists = sm_hist(ext_p)                     # (B, T', 256) replicated
+        luts = jax.vmap(
+            lambda h: clahe_ops._luts_from_hists(h[:t_real], plan)
+        )(hists)                                   # (B, T, 256)
+        y_q = jax.lax.with_sharding_constraint(
+            _pad_rows(y, hq), NamedSharding(mesh, spec_band))
+        out = sm_interp(y_q, luts)
+        return out[:, : plan.height, :]
+
+    spec_in = (P(data_axis, space_axis, None)
+               if plan.height % nsp == 0 else P(data_axis, None, None))
+    return clahe_y, NamedSharding(mesh, spec_in)
 
 
 def sharded_clahe(mesh: Mesh, plan: clahe_ops.ClahePlan,
                   method: str = "onehot",
                   data_axis: str = "data", space_axis: str = "space",
                   backend: str = "auto"):
-    """Jitted (N, H, W) -> (N, H, W) CLAHE over a (data, space) mesh."""
-    _check_divisible(plan, mesh.shape[space_axis])
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu"
-    )
+    """Jitted (N, H, W) -> (N, H, W) CLAHE over a (data, space) mesh.
 
-    def band_fn(y):
-        return jax.vmap(
-            lambda f: _clahe_band(f, plan, space_axis, method, backend)
-        )(y)
+    Works for ANY frame geometry, tile grid, and space-axis size (see the
+    module docstring for the padded-grid scheme)."""
+    clahe_y, _ = _build_clahe_fns(plan, mesh, data_axis, space_axis, backend)
+    return jax.jit(clahe_y)
 
-    spec = P(data_axis, space_axis, None)
-    fn = shard_map(band_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                   check_vma=not use_pallas)
-    return jax.jit(fn)
+
+# ----------------------------------------------------------- full pipeline ----
 
 
 def build_sharded_pipeline(cfg: EnhancerConfig, height: int, width: int,
@@ -154,41 +200,49 @@ def build_sharded_pipeline(cfg: EnhancerConfig, height: int, width: int,
                            data_axis: str = "data", space_axis: str = "space"):
     """The full multi-chip NV12 step: (y, uv) batches in, enhanced out.
 
-    Y is sharded (data, space, -) and enhanced with the sharded op; UV is
-    sharded (data, space, -) and either grayed or passed through.  Returns a
-    jitted fn plus the NamedShardings callers should place inputs with.
+    Returns ``(fn, y_sharding)``; place the uv batch with the same
+    NamedSharding (its height is H/2 — when that is not space-divisible
+    place it with P(data, None, None); the fn only applies the elementwise
+    chroma policy to it, so any placement is correct).
     """
+    nsp = mesh.shape[space_axis]
     total = height * width
-    plan = (
-        clahe_ops.make_clahe_plan(height, width, float(cfg.clip_limit),
-                                  tuple(cfg.tile_grid))
-        if cfg.op == "clahe"
-        else None
-    )
-    if plan is not None:
-        _check_divisible(plan, mesh.shape[space_axis])
 
-    use_pallas = (cfg.op in ("histeq", "clahe")
-                  and jax.default_backend() == "tpu")
+    if cfg.op == "clahe":
+        plan = clahe_ops.make_clahe_plan(
+            height, width, float(cfg.clip_limit), tuple(cfg.tile_grid))
+        clahe_y, y_sharding = _build_clahe_fns(
+            plan, mesh, data_axis, space_axis, "auto")
 
-    def band_fn(y, uv):
-        if cfg.op == "histeq":
-            y_out = jax.vmap(
-                lambda f: _histeq_band(f, total, space_axis, cfg.hist_method)
-            )(y)
-        elif cfg.op == "clahe":
-            y_out = jax.vmap(
-                lambda f: _clahe_band(f, plan, space_axis, cfg.hist_method)
-            )(y)
-        else:
-            y_out = y
-        uv_out = jnp.full_like(uv, 128) if cfg.chroma == ChromaPolicy.GRAY else uv
-        return y_out, uv_out
+        @jax.jit
+        def fn(y, uv):
+            y_out = clahe_y(y)
+            uv_out = (jnp.full_like(uv, 128)
+                      if cfg.chroma == ChromaPolicy.GRAY else uv)
+            return y_out, uv_out
 
-    spec = P(data_axis, space_axis, None)
-    fn = jax.jit(
-        shard_map(band_fn, mesh=mesh, in_specs=(spec, spec),
-                  out_specs=(spec, spec), check_vma=not use_pallas)
-    )
-    sharding = NamedSharding(mesh, spec)
-    return fn, sharding
+        return fn, y_sharding
+
+    if cfg.op == "histeq":
+        histeq_fn, y_sharding = sharded_histeq(
+            mesh, height, width, cfg.hist_method, data_axis, space_axis)
+
+        @jax.jit
+        def fn(y, uv):
+            y_out = histeq_fn(y)
+            uv_out = (jnp.full_like(uv, 128)
+                      if cfg.chroma == ChromaPolicy.GRAY else uv)
+            return y_out, uv_out
+
+        return fn, y_sharding
+
+    spec_in = (P(data_axis, space_axis, None)
+               if height % nsp == 0 else P(data_axis, None, None))
+
+    @jax.jit
+    def fn(y, uv):
+        uv_out = (jnp.full_like(uv, 128)
+                  if cfg.chroma == ChromaPolicy.GRAY else uv)
+        return y, uv_out
+
+    return fn, NamedSharding(mesh, spec_in)

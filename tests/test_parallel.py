@@ -37,7 +37,7 @@ def test_make_mesh_8():
 def test_sharded_histeq_matches_cv2(rng):
     mesh = make_mesh(8)  # data=4, space=2
     batch = rng.integers(0, 256, (4, 64, 128), dtype=np.uint8)
-    fn = sharded_histeq(mesh, 64, 128)
+    fn, _ = sharded_histeq(mesh, 64, 128)
     out = np.asarray(fn(batch))
     for i in range(4):
         assert np.array_equal(out[i], cv2.equalizeHist(batch[i]))
@@ -64,11 +64,51 @@ def test_sharded_clahe_space4(rng):
         assert_clahe_close(out[i], c.apply(batch[i]))
 
 
-def test_sharded_clahe_rejects_padding():
-    mesh = make_mesh(8)
-    plan = clahe_ops.make_clahe_plan(63, 127, 2.0, (8, 8))  # needs padding
-    with pytest.raises(ValueError, match="tile-divisible"):
-        sharded_clahe(mesh, plan)
+@pytest.mark.parametrize("h,w,grid,shape", [
+    (63, 127, (8, 8), (4, 2)),    # reflect-padded tiles
+    (97, 131, (8, 8), (2, 4)),    # odd geometry, space=4
+    (64, 128, (8, 8), (2, 3)),    # tiles_y=8 NOT divisible by space=3
+    (67, 131, (5, 3), (2, 3)),    # odd grid AND odd mesh
+])
+def test_sharded_clahe_arbitrary_geometry(rng, h, w, grid, shape):
+    """Round-2 generalization: any frame size / tile grid / mesh works
+    (round 1 raised on non-tile-divisible or tiles_y % space != 0)."""
+    mesh = make_mesh(shape[0] * shape[1], shape=shape)
+    batch = rng.integers(0, 256, (shape[0], h, w), dtype=np.uint8)
+    plan = clahe_ops.make_clahe_plan(h, w, 2.0, grid)
+    out = np.asarray(sharded_clahe(mesh, plan)(batch))
+    c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=grid)
+    for i in range(batch.shape[0]):
+        assert_clahe_close(out[i], c.apply(batch[i]))
+
+
+def test_sharded_histeq_odd_height(rng):
+    mesh = make_mesh(6, shape=(2, 3))  # 63 rows % 3 == 0 but % 8 != 0; try 61
+    fn, _ = sharded_histeq(mesh, 61, 127)
+    batch = rng.integers(0, 256, (2, 61, 127), dtype=np.uint8)
+    out = np.asarray(fn(batch))
+    for i in range(2):
+        assert np.array_equal(out[i], cv2.equalizeHist(batch[i]))
+
+
+def test_full_sharded_pipeline_odd_geometry(rng):
+    """The flagship 1919x1079-style odd case, scaled down: full NV12 step
+    over a mesh whose space axis divides nothing."""
+    mesh = make_mesh(6, shape=(2, 3))
+    cfg = EnhancerConfig(op="clahe", clip_limit=2.0, tile_grid=(8, 8),
+                         chroma=ChromaPolicy.PASSTHROUGH)
+    h, w = 119, 191
+    fn, sharding = build_sharded_pipeline(cfg, h, w, mesh)
+    y = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+    uv = rng.integers(0, 256, (2, (h + 1) // 2, w), dtype=np.uint8)
+    import jax
+    y_dev = jax.device_put(y, sharding)
+    y_out, uv_out = fn(y_dev, uv)
+    y_out = np.asarray(y_out)
+    c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    for i in range(2):
+        assert_clahe_close(y_out[i], c.apply(y[i]))
+    assert np.array_equal(np.asarray(uv_out), uv)
 
 
 def test_full_sharded_pipeline(rng):
