@@ -168,10 +168,15 @@ def test_capture_pipeline(
     )
 
 
-def mp4_capture_pipeline(path: str, appsink_name: str = "cv_sink") -> str:
-    """MP4 H.264 hardware-decode capture (``AirplanMP4.cpp:309-317``)."""
+def mp4_capture_pipeline(path: str, appsink_name: str = "cv_sink",
+                         decoder: str = "omx") -> str:
+    """MP4 H.264 hardware-decode capture (``AirplanMP4.cpp:309-317``).
+
+    ``decoder``: "omx" (the reference's VCU element) or "avdec" (software
+    fallback for hosts without an OMX stack, same demux/parse chain)."""
+    dec = "omxh264dec" if decoder == "omx" else "avdec_h264 ! videoconvert"
     return (
-        f'filesrc location="{path}" ! qtdemux ! h264parse ! omxh264dec ! '
+        f'filesrc location="{path}" ! qtdemux ! h264parse ! {dec} ! '
         f"video/x-raw,format=NV12 ! "
         f"appsink name={appsink_name} emit-signals=true max-buffers=4 drop=false sync=false"
     )

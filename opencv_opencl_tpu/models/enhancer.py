@@ -57,11 +57,19 @@ class EnhancerConfig:
             raise ValueError(f"unknown op {self.op!r}")
 
 
-def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec):
+def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec,
+                     donate: bool = True):
     """Returns a jitted ``fn(nv12_batch: uint8[N, H*3/2, W]) -> same shape``.
 
     The whole frame batch is processed in one XLA program: Y-plane slice,
     enhancement, chroma policy and re-concatenation all fuse on device.
+
+    ``donate=True`` donates the input buffer to the output (the shapes and
+    dtype match, so XLA aliases them — no second HBM frame allocation, the
+    analogue of the reference's pre-allocated per-worker CL buffers,
+    ``OpenCLequalHist.cpp:175-192``).  Callers passing host arrays (the
+    FrameFeeder path) are unaffected; callers holding a device array must
+    not reuse it after the call.
     """
     h = spec.height
     tile_grid = tuple(cfg.tile_grid)
@@ -103,7 +111,7 @@ def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec):
             uv_out = uv
         return jnp.concatenate([y_out, uv_out], axis=1)
 
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 class Enhancer:

@@ -96,7 +96,14 @@ class FrameFeeder:
         self._meta_lock = threading.Lock()
         self._out_seq = 0  # dense output ordering, assigned at dispatch
         self._reseq = Resequencer(self._emit)
-        self._inflight: list[tuple[list[tuple[int, Any]], Any, float]] = []
+        self._inflight: list[tuple] = []
+        # preallocated host staging buffers (one per in-flight batch + 1):
+        # no per-batch np.stack allocation — the analogue of the reference's
+        # pre-allocated per-worker CL buffers (OpenCLequalHist.cpp:175-192).
+        # A slot is recycled only once its batch retires, so it can never be
+        # rewritten while a (possibly zero-copy) transfer still reads it.
+        self._staging_free: list[np.ndarray] = []
+        self._staging_shape: tuple[int, ...] | None = None
         self._thread: threading.Thread | None = None
         self._stopping = threading.Event()
 
@@ -169,7 +176,7 @@ class FrameFeeder:
     def _retire_oldest(self) -> None:
         import time
 
-        entries, device_out, t_dispatch = self._inflight.pop(0)
+        entries, device_out, t_dispatch, slot = self._inflight.pop(0)
         t0 = time.perf_counter()
         host = np.asarray(device_out)  # blocks until device done + D2H copy
         mem_ms = (time.perf_counter() - t0) * 1e3
@@ -179,21 +186,41 @@ class FrameFeeder:
         for i, (seq, meta) in enumerate(entries):
             self._reseq.push(seq, (host[i], meta))
         del device_out
+        if slot is not None:
+            self._staging_free.append(slot)
+
+    def _stage(self, frames: list[np.ndarray]) -> tuple[np.ndarray, Any]:
+        """Assemble a batch into a recycled staging buffer (alloc-free in
+        steady state).  Returns (batch_view, slot)."""
+        shape = (self.batch_size, *frames[0].shape)
+        if self._staging_shape != shape:
+            self._staging_shape = shape
+            self._staging_free = [
+                np.empty(shape, np.uint8) for _ in range(self.depth + 2)
+            ]
+        slot = self._staging_free.pop() if self._staging_free else np.empty(
+            shape, np.uint8)
+        for i, f in enumerate(frames):
+            np.copyto(slot[i], f)
+        if self.pad_batches and len(frames) < self.batch_size:
+            # keep the device shape static: pad with repeats of the last
+            for i in range(len(frames), self.batch_size):
+                np.copyto(slot[i], frames[-1])
+            return slot, slot
+        return slot[: len(frames)], slot
 
     def _dispatch(self, items: list[tuple[int, np.ndarray, Any]]) -> None:
         import time
 
         frames = [f for (_, f, _) in items]
         n = len(frames)
-        if self.pad_batches and n < self.batch_size:
-            # keep the device shape static: pad with repeats, slice on retire
-            frames = frames + [frames[-1]] * (self.batch_size - n)
-        batch = np.stack(frames)
+        batch, slot = self._stage(frames)
         t_dispatch = time.perf_counter()
         try:
             out = self.process_batch(batch)
         except Exception:
             self.counters.count("processing_errors", n)
+            self._staging_free.append(slot)
             return  # no output seqs consumed -> no resequencer gap
         # dense output sequence assigned at dispatch (queue drops and
         # processing errors therefore never create gaps the resequencer
@@ -201,7 +228,7 @@ class FrameFeeder:
         entries = [(self._out_seq + i, meta)
                    for i, (_, _, meta) in enumerate(items)]
         self._out_seq += len(items)
-        self._inflight.append((entries, out, t_dispatch))
+        self._inflight.append((entries, out, t_dispatch, slot))
         while len(self._inflight) >= self.depth:
             self._retire_oldest()
 

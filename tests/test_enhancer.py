@@ -94,3 +94,22 @@ def test_presets_registry():
     assert enh.cfg.op == "clahe" and enh.cfg.clip_limit == 2.0
     assert PRESETS["imp"].width == 3840 and PRESETS["imp"].tuned_emit
     assert PRESETS["histequalize"].enhancer.chroma.value == "gray"
+
+
+def test_build_enhance_fn_donates_input_buffer():
+    """The jitted step aliases input->output (no second HBM frame buffer):
+    the compiled HLO must carry the input_output_alias directive."""
+    import numpy as np
+
+    from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+    from opencv_opencl_tpu.models.enhancer import EnhancerConfig, build_enhance_fn
+
+    spec = FrameSpec(width=64, height=48, fps=30)
+    cfg = EnhancerConfig(op="histeq", chroma=ChromaPolicy.GRAY)
+    fn = build_enhance_fn(cfg, spec)
+    batch = np.zeros((2, spec.buffer_rows, spec.width), np.uint8)
+    hlo = fn.lower(batch).as_text()
+    assert "tf.aliasing_output" in hlo  # lowered alias annotation
+    # and the non-donating variant must not alias
+    fn2 = build_enhance_fn(cfg, spec, donate=False)
+    assert "tf.aliasing_output" not in fn2.lower(batch).as_text()

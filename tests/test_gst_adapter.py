@@ -193,3 +193,20 @@ def test_relay_io_gst_unavailable_exits_cleanly(capsys):
                     "--max-frames=2"])
     assert rc == 2
     assert "unavailable" in capsys.readouterr().err
+
+
+def test_mp4_capture_pipeline_decoders():
+    """The AirplanMP4 hardware-decode chain and its software fallback."""
+    hw = gstb.mp4_capture_pipeline("/x.mp4")
+    assert "qtdemux ! h264parse ! omxh264dec" in hw
+    sw = gstb.mp4_capture_pipeline("/x.mp4", decoder="avdec")
+    assert "avdec_h264" in sw and "omx" not in sw
+
+
+def test_airplan_mp4_gst_unavailable(capsys):
+    if gi_available():
+        pytest.skip("gi present")
+    from opencv_opencl_tpu.apps import airplan_mp4
+
+    rc = airplan_mp4.run(["--input=/nonexistent.mp4", "--io=gst"])
+    assert rc == 2

@@ -278,3 +278,33 @@ def test_feeder_submit_after_stop_degrades_to_drop():
         f.submit(np.zeros((8, 16), np.uint8))  # must not raise
         assert f.stats["dropped_overflow"] == before + 1
         assert f.queue_length() == 0
+
+
+def test_feeder_staging_reuse_no_alloc_growth():
+    """Steady state uses a fixed pool of staging buffers (depth+2) and
+    recycles them at retire — no per-batch np.stack allocation."""
+    f = FrameFeeder(lambda b: b + 1, batch_size=4, depth=2)
+    outs = []
+    f.on_output = lambda seq, fr, m: outs.append((seq, fr.copy()))
+    f.start()
+    for i in range(40):
+        f.submit(np.full((8, 16), i % 250, np.uint8))
+    f.stop(drain=True)
+    # pool never exceeds depth+2 buffers and frames are correct + ordered
+    assert len(f._staging_free) <= f.depth + 2
+    assert [s for s, _ in outs] == sorted(s for s, _ in outs)
+    for seq, fr in outs:
+        assert fr.min() == fr.max()  # each frame uniform: no cross-batch mix
+
+
+def test_feeder_staging_odd_batch_correct():
+    f = FrameFeeder(lambda b: b, batch_size=4, depth=1, pad_batches=True)
+    got = []
+    f.on_output = lambda seq, fr, m: got.append(fr.copy())
+    f.start()
+    for i in range(3):  # odd: pads with repeats, slices on retire
+        f.submit(np.full((8, 16), 10 + i, np.uint8))
+    f.stop(drain=True)
+    assert len(got) == 3
+    for i, fr in enumerate(got):
+        assert (fr == 10 + i).all()
