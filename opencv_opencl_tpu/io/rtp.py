@@ -292,7 +292,29 @@ class RtpUdpSink:
         self.bytes = 0
 
     def write(self, nv12: np.ndarray) -> None:
-        for pkt in self.payloader.packetize(np.asarray(nv12)):
+        nv12 = np.asarray(nv12)
+        if isinstance(self.payloader, RawNv12Payloader):
+            try:
+                # GIL-free C++ fast path: header arena + zero-copy payload
+                # iovecs + sendmmsg (Python-side per-packet loops cost ~10k
+                # syscalls per 4K frame — nowhere near 60 fps)
+                from opencv_opencl_tpu import native
+
+                if native.available():
+                    p = self.payloader
+                    n = native.rtp_send_raw(
+                        self.sock.fileno(), nv12, p.mtu, p.seq, p.ts,
+                        p.ssrc, PT_RAW, self.addr[0], self.addr[1],
+                    )
+                    p.seq = (p.seq + n) & 0xFFFF
+                    p.ts = (p.ts + p.ts_step) & 0xFFFFFFFF
+                    self.packets += n
+                    self.bytes += n * 20 + nv12.nbytes
+                    self.frames += 1
+                    return
+            except OSError:
+                pass  # fall through to the Python path
+        for pkt in self.payloader.packetize(nv12):
             self.sock.sendto(pkt, self.addr)
             self.packets += 1
             self.bytes += len(pkt)

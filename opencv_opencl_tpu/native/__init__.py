@@ -85,6 +85,13 @@ def _load():
             getattr(lib, name).argtypes = [u8p, u8p, u8p, ctypes.c_size_t,
                                            ctypes.c_size_t]
         lib.fp_uv_gray.argtypes = [u8p, ctypes.c_size_t]
+        lib.fp_rtp_send_raw.restype = ctypes.c_int64
+        lib.fp_rtp_send_raw.argtypes = [
+            ctypes.c_int, u8p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint8, ctypes.c_char_p,
+            ctypes.c_uint16,
+        ]
         _lib = lib
         return _lib
 
@@ -213,3 +220,22 @@ def uv_gray(uv: np.ndarray) -> None:
     """In-place UV := 128 (the reference memset)."""
     lib = _load()
     lib.fp_uv_gray(_ptr(uv), uv.nbytes)
+
+
+def rtp_send_raw(fd: int, frame: np.ndarray, mtu: int, seq0: int, ts: int,
+                 ssrc: int, pt: int, host: str, port: int) -> int:
+    """Packetize + send one raw NV12 frame as RTP/UDP entirely in C++
+    (header arena + zero-copy payload iovecs + sendmmsg batches, GIL-free).
+    Returns packets sent, or raises on socket/address failure."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    frame = np.ascontiguousarray(frame)
+    rows, width = frame.shape
+    n = lib.fp_rtp_send_raw(
+        fd, _ptr(frame), rows, width, mtu, seq0 & 0xFFFF, ts & 0xFFFFFFFF,
+        ssrc, pt, host.encode(), port,
+    )
+    if n < 0:
+        raise OSError("fp_rtp_send_raw failed")
+    return int(n)

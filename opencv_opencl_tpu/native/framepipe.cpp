@@ -235,3 +235,95 @@ void fp_uv_deinterleave(const uint8_t* uv, uint8_t* u, uint8_t* v,
 void fp_uv_gray(uint8_t* uv, size_t bytes) { std::memset(uv, 128, bytes); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- rtp ----
+// Raw NV12 line packetizer + sender (io/rtp.py RawNv12Payloader wire
+// format: 12 B RTP header, 2 B extended seq (0), one 6 B SRD
+// (length, line, offset), payload). Python-side per-packet loops cost
+// ~10k syscalls+pack calls per 4K frame; here headers are built in an
+// arena, payloads ride zero-copy iovecs into sendmmsg batches, GIL-free.
+// The reference analogue is udpsink's socket loop (OpenCVequalHist.cpp:316).
+
+#include <sys/socket.h>
+#include <sys/uio.h>
+#include <netinet/in.h>
+#include <arpa/inet.h>
+
+namespace {
+inline void put16(uint8_t* p, uint16_t v) {
+    p[0] = uint8_t(v >> 8);
+    p[1] = uint8_t(v);
+}
+inline void put32(uint8_t* p, uint32_t v) {
+    p[0] = uint8_t(v >> 24);
+    p[1] = uint8_t(v >> 16);
+    p[2] = uint8_t(v >> 8);
+    p[3] = uint8_t(v);
+}
+}  // namespace
+
+extern "C" int64_t fp_rtp_send_raw(int fd, const uint8_t* frame,
+                                   uint64_t rows, uint64_t width,
+                                   uint64_t mtu, uint32_t seq0, uint32_t ts,
+                                   uint32_t ssrc, uint8_t pt,
+                                   const char* host, uint16_t port) {
+    if (mtu <= 20 || rows == 0 || width == 0) return -1;
+    sockaddr_in dest{};
+    dest.sin_family = AF_INET;
+    dest.sin_port = htons(port);
+    if (inet_pton(AF_INET, host, &dest.sin_addr) != 1) return -1;
+    const uint64_t room = mtu - 12 - 2 - 6;
+    constexpr size_t kBatch = 64;
+    constexpr size_t kHdr = 20;
+    uint8_t arena[kBatch * kHdr];
+    mmsghdr msgs[kBatch];
+    iovec iovs[kBatch][2];
+    uint16_t seq = uint16_t(seq0);
+    int64_t sent = 0;
+    size_t n_in_batch = 0;
+    auto flush = [&]() -> bool {
+        size_t done = 0;
+        while (done < n_in_batch) {
+            int r = sendmmsg(fd, msgs + done, unsigned(n_in_batch - done), 0);
+            if (r <= 0) return false;
+            done += size_t(r);
+        }
+        sent += int64_t(n_in_batch);
+        n_in_batch = 0;
+        return true;
+    };
+    for (uint64_t line = 0; line < rows; ++line) {
+        for (uint64_t off = 0; off < width;) {
+            uint64_t n = width - off;
+            if (n > room) n = room;
+            bool marker = (line == rows - 1) && (off + n >= width);
+            uint8_t* h = arena + n_in_batch * kHdr;
+            h[0] = 0x80;  // v=2
+            h[1] = uint8_t((marker ? 0x80 : 0) | (pt & 0x7F));
+            put16(h + 2, seq);
+            put32(h + 4, ts);
+            put32(h + 8, ssrc);
+            h[12] = 0; h[13] = 0;                      // extended seq
+            put16(h + 14, uint16_t(n));                // SRD length
+            put16(h + 16, uint16_t(line));             // SRD line
+            put16(h + 18, uint16_t(off));              // SRD offset
+            iovs[n_in_batch][0] = {h, kHdr};
+            iovs[n_in_batch][1] = {
+                const_cast<uint8_t*>(frame + line * width + off), size_t(n)};
+            msghdr& m = msgs[n_in_batch].msg_hdr;
+            m = msghdr{};
+            m.msg_name = &dest;
+            m.msg_namelen = sizeof(dest);
+            m.msg_iov = iovs[n_in_batch];
+            m.msg_iovlen = 2;
+            msgs[n_in_batch].msg_len = 0;
+            ++n_in_batch;
+            seq = uint16_t(seq + 1);
+            off += n;
+            if (n_in_batch == kBatch && !flush()) return -1;
+        }
+    }
+    if (n_in_batch && !flush()) return -1;
+    return sent;
+}
+

@@ -86,6 +86,13 @@ class NaturalSpec:
     pack_idx: np.ndarray         # int32 (R * Pp,): flat tile id per pack row
     m_table: np.ndarray          # f32 (Pp, W): column-group select masks
     xat: np.ndarray              # f32 (8, W): rows [xa1, xa, xa1, xa, 0...]
+    # pair-factored variant (v2): per row-pair only the 2*tiles_x row LUTs
+    # [lut[ty_lo, 0..tx-1], lut[ty_hi, 0..tx-1]]; column selection happens
+    # via tx_lo/tx_hi one-hot masks -> the per-row MXU dot shrinks 2.5x
+    pack2_rows: int              # Pp2: 2*tiles_x padded to a multiple of 8
+    pack2_idx: np.ndarray        # int32 (R * Pp2,)
+    mlo2: np.ndarray             # f32 (Pp2, W): [mlo; mlo] stacked (pad 0)
+    mhi2: np.ndarray             # f32 (Pp2, W): [mhi; mhi] stacked (pad 0)
     rp_rows: np.ndarray          # int32 (nrb, 1, rs): row-pair id per row
     ya_rows: np.ndarray          # f32 (nrb, 1, rs): row fraction per row
 
@@ -159,6 +166,25 @@ def make_natural_spec(height: int, width: int, clip_limit: float,
     xat[2] = 1.0 - xa
     xat[3] = xa
 
+    # pair-factored (v2) tables
+    Pp2 = -(-2 * tx // 8) * 8
+    pack2_idx = np.zeros((R, Pp2), np.int32)
+    for rp in range(R):
+        ty_lo = min(max(rp - 1, 0), ty - 1)
+        ty_hi = min(max(rp, 0), ty - 1)
+        for t in range(tx):
+            pack2_idx[rp, t] = ty_lo * tx + t
+            pack2_idx[rp, tx + t] = ty_hi * tx + t
+    pack2_idx = pack2_idx.reshape(-1)
+    tx_lo = np.clip(g_of_c - 1, 0, tx - 1)
+    tx_hi = np.clip(g_of_c, 0, tx - 1)
+    mlo = np.zeros((Pp2, width), np.float32)
+    mhi = np.zeros((Pp2, width), np.float32)
+    mlo[tx_lo, cols] = 1.0
+    mlo[tx + tx_lo, cols] = 1.0
+    mhi[tx_hi, cols] = 1.0
+    mhi[tx + tx_hi, cols] = 1.0
+
     nrb = -(-max(height, rows_pad or 0) // rs)
     pad_r = nrb * rs - height
     # (nrb, 1, rs) with trailing dims equal to the array dims — the only
@@ -171,6 +197,7 @@ def make_natural_spec(height: int, width: int, clip_limit: float,
         height=height, width=width, tiles_x=tx, tiles_y=ty,
         rs=rs, nrb=nrb, pack_rows=Pp, pack_idx=pack_idx,
         m_table=m_table, xat=xat, rp_rows=rp_rows, ya_rows=ya_rows,
+        pack2_rows=Pp2, pack2_idx=pack2_idx, mlo2=mlo, mhi2=mhi,
     )
 
 
@@ -203,17 +230,94 @@ def _natural_interp_kernel(G: int, Pp: int,
         )
 
 
+
+
+def _natural_interp_kernel_v2(TX, Pp2,
+                              y_ref, lp_ref, mlo_ref, mhi_ref, xat_ref,
+                              rp_ref, ya_ref, out_ref):
+    """Pair-factored variant: the dot gathers only the 2*tiles_x row-LUT
+    values; tx_lo/tx_hi one-hot masks select each column's pair.  Same
+    f32 mul-then-add blend order as OpenCV (each select sums exactly one
+    non-zero product -> exact)."""
+    rs, w = y_ref.shape
+    bins = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    mlo = mlo_ref[:]
+    mhi = mhi_ref[:]
+    xat = xat_ref[:]
+    xa1 = xat[0:1, :]
+    xa = xat[1:2, :]
+    for r in range(rs):  # static unroll
+        rp = rp_ref[0, 0, r]
+        lp = lp_ref[pl.ds(rp * Pp2, Pp2), :]        # (Pp2, 256) bf16
+        v = y_ref[r : r + 1, :].astype(jnp.int32)
+        oh = (bins == v).astype(jnp.bfloat16)       # (256, W)
+        d = jnp.dot(lp, oh, preferred_element_type=jnp.float32)  # (Pp2, W)
+        dmlo = d * mlo
+        dmhi = d * mhi
+        l11 = jnp.sum(dmlo[0:TX, :], axis=0, keepdims=True)
+        l21 = jnp.sum(dmlo[TX : 2 * TX, :], axis=0, keepdims=True)
+        l12 = jnp.sum(dmhi[0:TX, :], axis=0, keepdims=True)
+        l22 = jnp.sum(dmhi[TX : 2 * TX, :], axis=0, keepdims=True)
+        r1 = l11 * xa1 + l12 * xa
+        r2 = l21 * xa1 + l22 * xa
+        ya = ya_ref[0, 0, r]
+        res = r1 * (jnp.float32(1.0) - ya) + r2 * ya
+        out_ref[r : r + 1, :] = (
+            jnp.clip(jnp.rint(res), 0, 255).astype(jnp.int32).astype(jnp.uint8)
+        )
+
 def clahe_interpolate_natural(y: jax.Array, luts: jax.Array,
                               spec: NaturalSpec,
-                              interpret: bool | None = None) -> jax.Array:
+                              interpret: bool | None = None,
+                              variant: int = 2) -> jax.Array:
     """CLAHE bilinear LUT interpolation of one (H, W) uint8 frame in its
-    natural layout.  ``luts`` is (T, 256) uint8 (or (tilesY, tilesX, 256))."""
+    natural layout.  ``luts`` is (T, 256) uint8 (or (tilesY, tilesX, 256)).
+    ``variant``: 1 = 4G-row pack + group masks; 2 = pair-factored 2*tilesX
+    pack (2.5x smaller per-row dot) — both bit-exact; v2 measured 1.25x
+    faster on hardware (scripts/tpu_r2_v2.json), the default."""
     if interpret is None:
         interpret = _interpret_default()
     h, w = spec.height, spec.width
     assert y.shape == (h, w)
-    Pp, G, rs = spec.pack_rows, spec.groups, spec.rs
+    rs = spec.rs
     luts_flat = luts.reshape(-1, 256)
+    rp = jnp.asarray(spec.rp_rows)
+    ya = jnp.asarray(spec.ya_rows)
+    smem = [
+        pl.BlockSpec((1, 1, rs), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, rs), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    row_blk = pl.BlockSpec((rs, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    if variant == 2:
+        Pp2 = spec.pack2_rows
+        lp2 = jnp.take(luts_flat, jnp.asarray(spec.pack2_idx), axis=0).astype(
+            jnp.bfloat16)
+        kern = functools.partial(_natural_interp_kernel_v2, spec.tiles_x, Pp2)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+            grid=(spec.nrb,),
+            in_specs=[
+                row_blk,
+                const((spec.row_pairs * Pp2, 256)),
+                const((Pp2, w)),
+                const((Pp2, w)),
+                const((8, w)),
+                *smem,
+            ],
+            out_specs=row_blk,
+            interpret=interpret,
+        )(y, lp2, jnp.asarray(spec.mlo2), jnp.asarray(spec.mhi2),
+          jnp.asarray(spec.xat), rp, ya)
+
+    Pp, G = spec.pack_rows, spec.groups
     lp = jnp.take(luts_flat, jnp.asarray(spec.pack_idx), axis=0).astype(
         jnp.bfloat16
     )  # (R*Pp, 256)
@@ -223,26 +327,21 @@ def clahe_interpolate_natural(y: jax.Array, luts: jax.Array,
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
         grid=(spec.nrb,),
         in_specs=[
-            pl.BlockSpec((rs, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((spec.row_pairs * Pp, 256), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Pp, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rs), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, rs), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+            row_blk,
+            const((spec.row_pairs * Pp, 256)),
+            const((Pp, w)),
+            const((8, w)),
+            *smem,
         ],
-        out_specs=pl.BlockSpec((rs, w), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=row_blk,
         interpret=interpret,
     )(
         y,
         lp,
         jnp.asarray(spec.m_table),
         jnp.asarray(spec.xat),
-        jnp.asarray(spec.rp_rows),
-        jnp.asarray(spec.ya_rows),
+        rp,
+        ya,
     )
 
 
