@@ -1,0 +1,104 @@
+"""RTP/UDP receiver — the PC-side counterpart of the relay's native RTP
+sinks (the reference pointed ``udpsink`` at a lab PC, 192.168.25.69:5004,
+and watched with an external player; this is the in-repo player/recorder).
+
+Usage:
+  python -m opencv_opencl_tpu.apps.rtp_receiver --port=5004
+      [--kind=jpeg|raw] [--width=W --height=H]   # raw needs the geometry
+      [--output=out.mp4] [--max-frames=N] [--timeout=5]
+      [--stats-interval=2]
+
+Receives the JPEG/RTP (RFC 2435) or raw NV12 stream produced by
+``relay --sink=rtp://...`` / ``rtp+raw://...``, optionally recording to a
+file, and prints periodic receive stats (the ``details.html`` getStats
+analogue for headless hosts).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from opencv_opencl_tpu.apps._cli import parse_kv_args
+
+
+def run(argv: list[str]) -> int:
+    opts, _ = parse_kv_args(
+        argv,
+        {"port": int, "kind": str, "width": int, "height": int,
+         "output": str, "max-frames": int, "timeout": float,
+         "stats-interval": float, "host": str},
+    )
+    port = opts.get("port", 5004)
+    kind = opts.get("kind", "jpeg")
+    timeout = opts.get("timeout", 5.0)
+    max_frames = opts.get("max-frames")
+    interval = opts.get("stats-interval", 2.0)
+
+    import cv2
+    import numpy as np
+
+    from opencv_opencl_tpu.io.rtp import RtpUdpReceiver
+
+    frame_shape = None
+    if kind == "raw":
+        if "width" not in opts or "height" not in opts:
+            print("--kind=raw needs --width and --height", file=sys.stderr)
+            return 1
+        frame_shape = (opts["height"] * 3 // 2, opts["width"])
+
+    rx = RtpUdpReceiver(host=opts.get("host", "0.0.0.0"), port=port,
+                        kind=kind, frame_shape=frame_shape, timeout=timeout)
+    print(f"Listening for {kind} RTP on :{rx.port}")
+
+    writer = None
+    frames = 0
+    byte_est = 0
+    t0 = time.monotonic()
+    last_tick = t0
+    try:
+        while max_frames is None or frames < max_frames:
+            try:
+                frame = rx.recv_frame()
+            except (TimeoutError, OSError):
+                print("Receive timeout — stream ended?")
+                break
+            if frame is None:
+                continue
+            if kind == "raw":
+                bgr = cv2.cvtColor(frame, cv2.COLOR_YUV2BGR_NV12)
+            else:
+                bgr = frame
+            frames += 1
+            byte_est += bgr.nbytes
+            if "output" in opts:
+                if writer is None:
+                    writer = cv2.VideoWriter(
+                        opts["output"], cv2.VideoWriter_fourcc(*"mp4v"),
+                        30, (bgr.shape[1], bgr.shape[0]))
+                writer.write(bgr)
+            now = time.monotonic()
+            if now - last_tick >= interval:
+                fps = frames / (now - t0)
+                print(f"[stats] frames={frames} fps={fps:.1f} "
+                      f"size={bgr.shape[1]}x{bgr.shape[0]}")
+                last_tick = now
+    except KeyboardInterrupt:
+        print("\nInterrupted.")
+    finally:
+        if writer is not None:
+            writer.release()
+            print(f"Saved {frames} frames to {opts['output']}")
+        rx.close()
+    wall = time.monotonic() - t0
+    print(f"Received {frames} frames in {wall:.1f}s "
+          f"({frames / wall if wall > 0 else 0:.1f} fps)")
+    return 0
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

@@ -266,6 +266,42 @@ def _natural_interp_kernel_v2(TX, Pp2,
             jnp.clip(jnp.rint(res), 0, 255).astype(jnp.int32).astype(jnp.uint8)
         )
 
+def _tile_hist_radix8_kernel(y_ref, out_ref):
+    """Radix-16 histogram with 8 rows batched into ONE MXU dot: the hi/lo
+    one-hots of 8 rows are sublane-concatenated to (128, W) and contracted
+    lane-wise; only the 8 diagonal (16, 16) blocks of the (128, 128) result
+    are real (cross-row blocks are discarded) — 8x more MXU FLOPs, 8x fewer
+    dot issues.  REJECTED on hardware: 0.93 vs 0.52 ms/frame at 4K (the
+    FLOP overshoot outweighs the issue savings; scripts/tpu_r2_v3.json) —
+    kept as a tested record of the experiment."""
+    thp, twp = y_ref.shape
+    bins16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+
+    def body(r8, acc):
+        base = pl.multiple_of(r8 * 8, 8)
+        chunk = y_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, W)
+        hi = chunk >> 4
+        lo = chunk & 15
+        a_rows = [(bins16 == hi[k : k + 1, :]).astype(jnp.bfloat16)
+                  for k in range(8)]
+        b_rows = [(bins16 == lo[k : k + 1, :]).astype(jnp.bfloat16)
+                  for k in range(8)]
+        a8 = jnp.concatenate(a_rows, axis=0)        # (128, W)
+        b8 = jnp.concatenate(b_rows, axis=0)        # (128, W)
+        d = jax.lax.dot_general(
+            a8, b8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (128, 128)
+        for k in range(8):
+            acc = acc + d[16 * k : 16 * k + 16, 16 * k : 16 * k + 16]
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, thp // 8, body, jnp.zeros((16, 16), jnp.float32)
+    )
+    out_ref[0, :, :] = acc.astype(jnp.int32)
+
+
 def clahe_interpolate_natural(y: jax.Array, luts: jax.Array,
                               spec: NaturalSpec,
                               interpret: bool | None = None,
@@ -299,6 +335,8 @@ def clahe_interpolate_natural(y: jax.Array, luts: jax.Array,
         Pp2 = spec.pack2_rows
         lp2 = jnp.take(luts_flat, jnp.asarray(spec.pack2_idx), axis=0).astype(
             jnp.bfloat16)
+        # (a bf16-compare variant was tried and rejected: Mosaic "Target
+        # does not support this comparison" -- compares stay int32)
         kern = functools.partial(_natural_interp_kernel_v2, spec.tiles_x, Pp2)
         return pl.pallas_call(
             kern,
@@ -376,7 +414,8 @@ def _tile_hist_radix_kernel(y_ref, out_ref):
 
 def tile_histograms_radix(ext: jax.Array, tiles_y: int, tiles_x: int,
                           tile_h: int, tile_w: int,
-                          interpret: bool | None = None) -> jax.Array:
+                          interpret: bool | None = None,
+                          batched8: bool = False) -> jax.Array:
     """Per-tile histograms of a tile-divisible image, int32 (T, 256).
 
     Same contract as ``lut_kernels.tile_histograms_pallas`` (zero alignment
@@ -396,7 +435,7 @@ def tile_histograms_radix(ext: jax.Array, tiles_y: int, tiles_x: int,
     blk = jnp.pad(blk, ((0, 0), (0, thp - tile_h), (0, 0), (0, twp - tile_w)))
     blk = blk.reshape(tiles_y * thp, tiles_x * twp)
     out = pl.pallas_call(
-        _tile_hist_radix_kernel,
+        _tile_hist_radix8_kernel if batched8 else _tile_hist_radix_kernel,
         out_shape=jax.ShapeDtypeStruct((tiles_y * tiles_x, 16, 16), jnp.int32),
         grid=(tiles_y, tiles_x),
         in_specs=[

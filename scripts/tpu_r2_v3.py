@@ -1,0 +1,88 @@
+import json, sys, time, traceback
+sys.path.insert(0, "/root/repo")
+import numpy as np
+RESULTS = {}
+OUT = "/root/repo/scripts/tpu_r2_v3.json"
+def save(): json.dump(RESULTS, open(OUT, "w"), indent=1, default=str)
+def log(*a): print(*a, flush=True)
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import cv2
+    import jax.numpy as jnp
+    from opencv_opencl_tpu.ops import clahe as cops
+    from opencv_opencl_tpu.ops.pallas import natural
+    log("devices:", jax.devices())
+
+    def chained_ms(fn, x, chain=32, key=None):
+        @jax.jit
+        def run(x, n):
+            return jnp.sum(jax.lax.fori_loop(0, n, lambda i, x: fn(x), x).astype(jnp.int32))
+        t=time.perf_counter(); _=int(run(x,1)); log(f"  [compiled {time.perf_counter()-t:.0f}s]")
+        t0=time.perf_counter(); _=int(run(x,1)); t1=time.perf_counter()
+        _=int(run(x,chain+1)); t2=time.perf_counter()
+        _=int(run(x,chain+1)); t3=time.perf_counter()
+        ms = max(((t3-t2)-(t1-t0))/chain, 1e-9)*1e3
+        if key: RESULTS[key]=round(ms,4); save()
+        return ms
+
+    rng = np.random.default_rng(0)
+    h, w = 2160, 3840
+    plan = cops.make_clahe_plan(h,w,2.0,(8,8))
+    spec = natural.make_natural_spec(h,w,2.0,(8,8))
+    y = rng.integers(0,256,(h,w),np.uint8)
+    ref = cv2.createCLAHE(2.0,(8,8)).apply(y)
+    # parity of the full v3 + batched8 combination
+    @jax.jit
+    def full_new(yy):
+        hists = natural.tile_histograms_radix(yy, 8, 8, 270, 480, batched8=True)
+        luts = cops._luts_from_hists(hists, plan)
+        return natural.clahe_interpolate_natural(yy, luts, spec, variant=2)
+    try:
+        out = np.asarray(full_new(y))
+        d = int(np.abs(out.astype(int)-ref.astype(int)).max())
+        log("parity v2+hist8 4K:", d); RESULTS["parity_v2h8_4k"]=d
+    except Exception:
+        log(traceback.format_exc()); RESULTS["parity_v2h8_4k"]="error"
+    save()
+
+    B = 4
+    yb = jnp.asarray(rng.integers(0,256,(B,h,w),np.uint8))
+    luts = jnp.asarray(rng.integers(0,256,(64,256),np.uint8))
+    for var in ():
+        def f(x, var=var):
+            return jax.vmap(lambda fr: natural.clahe_interpolate_natural(fr, luts, spec, variant=var))(x)
+        try:
+            ms = chained_ms(f, yb, key=f"interp_v{var}_4k_ms_b4")
+            log(f"interp v{var}: {ms:.3f} ms/step = {ms/B:.3f} ms/frame")
+        except Exception:
+            log(traceback.format_exc()); RESULTS[f"interp_v{var}_4k_ms_b4"]="error"; save()
+    for b8 in (True, False):
+        def fh(x, b8=b8):
+            def one(fr):
+                hs = natural.tile_histograms_radix(fr, 8, 8, 270, 480, batched8=b8)
+                return fr ^ (jnp.sum(hs) & 1).astype(jnp.uint8)
+            return jax.vmap(one)(x)
+        try:
+            ms = chained_ms(fh, yb, key=f"hist_b8_{b8}_4k_ms_b4")
+            log(f"hist batched8={b8}: {ms:.3f} ms/step = {ms/B:.3f} ms/frame")
+        except Exception:
+            log(traceback.format_exc()); RESULTS[f"hist_b8_{b8}_4k_ms_b4"]="error"; save()
+    # full best-combo timing
+    for var, b8 in ((2, True),):
+        def f2(x, var=var, b8=b8):
+            def one(fr):
+                hs = natural.tile_histograms_radix(fr, 8, 8, 270, 480, batched8=b8)
+                l = cops._luts_from_hists(hs, plan)
+                return natural.clahe_interpolate_natural(fr, l, spec, variant=var)
+            return jax.vmap(one)(x)
+        try:
+            ms = chained_ms(f2, yb, key=f"full_v{var}_h8{b8}_4k_ms_b4")
+            log(f"full v{var} hist8={b8}: {ms:.3f} ms/step = {ms/B:.3f} ms/frame")
+        except Exception:
+            log(traceback.format_exc()); RESULTS[f"full_v{var}_h8{b8}_4k_ms_b4"]="error"; save()
+    log("DONE"); save()
+
+main()

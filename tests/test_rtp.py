@@ -181,3 +181,39 @@ def test_native_raw_sink_roundtrip_and_speed():
     assert np.array_equal(got2, nv12b)
     tx.close()
     rx.close()
+
+
+def test_rtp_receiver_app_records(tmp_path):
+    """relay --sink=rtp:// ... -> rtp_receiver --output=...mp4 end-to-end."""
+    import threading
+
+    from opencv_opencl_tpu.apps import relay, rtp_receiver
+
+    out = str(tmp_path / "rx.mp4")
+    # pick a free port via a throwaway receiver
+    probe = rtp.RtpUdpReceiver(kind="jpeg")
+    port = probe.port
+    probe.close()
+    res = {}
+
+    def rx():
+        res["rc"] = rtp_receiver.run([
+            f"--port={port}", "--kind=jpeg", f"--output={out}",
+            "--max-frames=3", "--timeout=25",
+        ])
+
+    t = threading.Thread(target=rx)
+    t.start()
+    import time
+
+    time.sleep(0.3)
+    rc_tx = relay.run([
+        "--source=test", "--width=96", "--height=64", "--max-frames=8",
+        f"--sink=rtp://127.0.0.1:{port}", "--batch=2", "--op=histeq",
+    ])
+    t.join(timeout=60)
+    assert rc_tx == 0
+    assert res.get("rc") == 0
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0
