@@ -140,28 +140,40 @@ class FrameFeeder:
             return len(self._native)
         return len(self._inq)
 
-    def _native_get_batch(self) -> list[tuple[int, np.ndarray, Any]] | None:
-        """Pop a batch from the C++ ring (returns None on timeout/closed)."""
-        flat = np.empty(
-            (self.batch_size, self._native.frame_bytes), dtype=np.uint8
-        )
+    def _acquire_slot(self, frame_shape: tuple[int, ...]) -> np.ndarray:
+        shape = (self.batch_size, *frame_shape)
+        if self._staging_shape != shape:
+            self._staging_shape = shape
+            self._staging_free = [
+                np.empty(shape, np.uint8) for _ in range(self.depth + 2)
+            ]
+        return (self._staging_free.pop() if self._staging_free
+                else np.empty(shape, np.uint8))
+
+    def _native_get_batch(self):
+        """Pop a batch from the C++ ring DIRECTLY into a staging slot (the
+        ring's GIL-free memcpy is the only copy).  Returns (items, slot);
+        items None on close, empty on timeout."""
+        slot = self._acquire_slot(self._native_shape)
         n, seqs = self._native.pop_batch(
-            flat, self.batch_size, timeout_ms=int(_POP_TIMEOUT_S * 1000)
+            slot.reshape(self.batch_size, -1), self.batch_size,
+            timeout_ms=int(_POP_TIMEOUT_S * 1000),
         )
         if n <= 0:
-            return [] if n == 0 else None
+            self._staging_free.append(slot)
+            return ([] if n == 0 else None), None
         out = []
         with self._meta_lock:
             for i in range(n):
                 seq = int(seqs[i])
-                out.append((seq, flat[i].reshape(self._native_shape),
+                out.append((seq, slot[i],
                             self._native_metas.pop(seq, None)))
             # metas of ring-dropped frames (seq below the oldest popped) can
             # never surface again — prune so a long stream doesn't leak
             floor = int(seqs[:n].min())
             for k in [k for k in self._native_metas if k < floor]:
                 del self._native_metas[k]
-        return out
+        return out, slot
 
     # ---- output side (feeder thread) ----
 
@@ -189,19 +201,15 @@ class FrameFeeder:
         if slot is not None:
             self._staging_free.append(slot)
 
-    def _stage(self, frames: list[np.ndarray]) -> tuple[np.ndarray, Any]:
+    def _stage(self, frames: list[np.ndarray],
+               slot: np.ndarray | None = None) -> tuple[np.ndarray, Any]:
         """Assemble a batch into a recycled staging buffer (alloc-free in
-        steady state).  Returns (batch_view, slot)."""
-        shape = (self.batch_size, *frames[0].shape)
-        if self._staging_shape != shape:
-            self._staging_shape = shape
-            self._staging_free = [
-                np.empty(shape, np.uint8) for _ in range(self.depth + 2)
-            ]
-        slot = self._staging_free.pop() if self._staging_free else np.empty(
-            shape, np.uint8)
-        for i, f in enumerate(frames):
-            np.copyto(slot[i], f)
+        steady state).  Returns (batch_view, slot).  A pre-filled ``slot``
+        (the native-ring pop target) skips the copy entirely."""
+        if slot is None:
+            slot = self._acquire_slot(frames[0].shape)
+            for i, f in enumerate(frames):
+                np.copyto(slot[i], f)
         if self.pad_batches and len(frames) < self.batch_size:
             # keep the device shape static: pad with repeats of the last
             for i in range(len(frames), self.batch_size):
@@ -209,12 +217,13 @@ class FrameFeeder:
             return slot, slot
         return slot[: len(frames)], slot
 
-    def _dispatch(self, items: list[tuple[int, np.ndarray, Any]]) -> None:
+    def _dispatch(self, items: list[tuple[int, np.ndarray, Any]],
+                  slot: np.ndarray | None = None) -> None:
         import time
 
         frames = [f for (_, f, _) in items]
         n = len(frames)
-        batch, slot = self._stage(frames)
+        batch, slot = self._stage(frames, slot)
         t_dispatch = time.perf_counter()
         try:
             out = self.process_batch(batch)
@@ -234,8 +243,9 @@ class FrameFeeder:
 
     def _run(self) -> None:
         while True:
+            slot = None
             if self._native is not None:
-                got = self._native_get_batch()
+                got, slot = self._native_get_batch()
                 if got is None:
                     break  # ring closed + drained
                 if not got:
@@ -258,7 +268,7 @@ class FrameFeeder:
                     continue
                 except Closed:
                     break
-            self._dispatch(got)
+            self._dispatch(got, slot)
         while self._inflight:
             self._retire_oldest()
         self._reseq.flush()
