@@ -18,7 +18,7 @@ import sys
 import time
 
 
-def _chain_time(fn, x, n=6):
+def _chain_time(fn, x, n=64):
     """Honest device ms/iteration via data-dependent chaining."""
     import jax
     import jax.numpy as jnp
@@ -104,7 +104,7 @@ def main() -> None:
                 0, 256, (4, spec4.buffer_rows, 3840), dtype=np.uint8
             )
         )
-        ms4 = _chain_time(step4, batch4, n=4)
+        ms4 = _chain_time(step4, batch4, n=24)
         results.append(
             ("4. NV12 CLAHE 4K batch=4", f"{ms4:.2f} ms/step",
              f"{4000 / ms4:.0f} fps/chip")
@@ -120,7 +120,7 @@ def main() -> None:
                 [bgr[..., 0], enhanced[:, 2160:, :]], axis=1
             )
 
-        ms5 = _chain_time(sender_step, batch4, n=4)
+        ms5 = _chain_time(sender_step, batch4, n=24)
         results.append(
             ("5. sender loop 4K batch=4", f"{ms5:.2f} ms/step",
              f"{4000 / ms5:.0f} fps/chip")

@@ -3,7 +3,7 @@
 Usage:
   python -m opencv_opencl_tpu.apps.parity_bench --input=hun.png \\
       [--op=histeq|clahe] [--clipLimit=2.0] [--tile=8] [--threshold=1] \\
-      [--dump-images] [--repeat=10]
+      [--dump-images] [--repeat=64]
 
 Reproduces the reference harness exactly (``1frameMeasure.cpp``): same Y
 plane through the CPU OpenCV implementation and the TPU kernel, both timed;
@@ -38,7 +38,7 @@ def run(argv: list[str]) -> int:
     clip_limit = opts.get("clipLimit", 2.0)
     tile = opts.get("tile", 8)
     threshold = opts.get("threshold", 1)
-    repeat = max(opts.get("repeat", 10), 1)
+    repeat = max(opts.get("repeat", 64), 1)  # long chain: RPC jitter (~20 ms) must stay small vs the chained total
 
     if not input_path:
         print(f"Usage: {sys.argv[0]} --input=<image> [--op=histeq|clahe] ...",
