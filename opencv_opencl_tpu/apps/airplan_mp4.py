@@ -59,8 +59,18 @@ def _run_gst(opts: dict) -> int:
         print("--io=gst unavailable: python-gi with GStreamer 1.0 is not "
               "available on this host", file=sys.stderr)
         return 2
-    width = opts.get("width", 1280)
-    height = opts.get("height", 720)
+    width = opts.get("width")
+    height = opts.get("height")
+    if width is None or height is None:
+        # the decoder emits the file's NATIVE geometry (no scaler in the
+        # reference chain) — probe it so the frame shape always matches
+        import cv2
+
+        cap = cv2.VideoCapture(opts["input"])
+        width = width or int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) or 1280
+        height = height or int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) or 720
+        cap.release()
+        print(f"Probed input geometry: {width}x{height}")
     chroma = (ChromaPolicy.PASSTHROUGH
               if opts.get("chroma") == "passthrough" else ChromaPolicy.GRAY)
     spec = FrameSpec(width=width, height=height, fps=30)

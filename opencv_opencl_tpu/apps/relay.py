@@ -93,14 +93,23 @@ def run(argv: list[str]) -> int:
     chroma = (ChromaPolicy.GRAY if chroma_s.lower() == "gray"
               else ChromaPolicy.PASSTHROUGH)
 
-    if source == "test":
+    gst_mode = opts.get("io") == "gst"
+    src = sink = None
+    if gst_mode:
+        # the GStreamer pipelines own capture/emit: do NOT open cv2
+        # sources/sinks here (a FileSink would truncate the very file the
+        # gst filesink writes; sockets/captures would leak)
+        spec = FrameSpec(width=width, height=height, fps=fps)
+    elif source == "test":
         spec = FrameSpec(width=width, height=height, fps=fps)
         src = TestSource(spec, num_frames=max_frames)
     else:
         src = FileSource(source, width=width, height=height)
         spec = FrameSpec(width=src.spec.width, height=src.spec.height, fps=fps)
 
-    if sink_path == "null":
+    if gst_mode:
+        pass
+    elif sink_path == "null":
         sink = NullSink()
     elif sink_path.startswith(("rtp://", "rtp+raw://")):
         # native RTP/UDP data plane (no GStreamer needed): JPEG/RTP
@@ -124,7 +133,8 @@ def run(argv: list[str]) -> int:
     counters = FrameRateCounters()
 
     def on_output(seq, frame, meta):
-        sink.write(frame)
+        if sink is not None:
+            sink.write(frame)
         counters.count("encoder_frames")
         counters.count("encoder_bytes", frame.nbytes)
 
@@ -149,7 +159,7 @@ def run(argv: list[str]) -> int:
           f"staging={staging})")
     print("(with frame ordering)")
 
-    if opts.get("io") == "gst":
+    if gst_mode:
         # live GStreamer path: appsink -> feeder -> appsrc over python-gi
         # (the reference's actual frame transport, OpenCVequalHist.cpp:71-98)
         from opencv_opencl_tpu.io import gst as gstb
@@ -174,6 +184,16 @@ def run(argv: list[str]) -> int:
                     f"do-timestamp=true caps=video/x-raw,format=NV12,"
                     f"width={width},height={height},framerate={int(fps)}/1 "
                     f"! fakesink sync=false")
+        elif sink_path.startswith("rtp+raw://"):
+            # raw (unencoded) RTP: rtpvrawpay wants I420
+            host_port = sink_path.split("://", 1)[1]
+            h_, p_ = host_port.rsplit(":", 1)
+            emit = (f"appsrc name=my_src format=time is-live=true "
+                    f"do-timestamp=true caps=video/x-raw,format=NV12,"
+                    f"width={width},height={height},framerate={int(fps)}/1 "
+                    f"! videoconvert ! video/x-raw,format=I420 ! "
+                    f"rtpvrawpay mtu=1200 ! "
+                    f"udpsink host={h_} port={p_} sync=false qos-dscp=60")
         elif "://" in sink_path:
             host_port = sink_path.split("://", 1)[1]
             h_, p_ = host_port.rsplit(":", 1)

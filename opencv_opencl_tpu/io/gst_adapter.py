@@ -86,6 +86,7 @@ class GstAppBridge:
         appsrc_name: str = "my_src",
         loop: bool = False,
         on_stop: Callable[[], None] | None = None,
+        glib: Any = None,
     ) -> None:
         self.gst = gst
         self.capture_desc = capture_desc
@@ -98,6 +99,12 @@ class GstAppBridge:
         self.appsrc_name = appsrc_name
         self.loop = loop
         self.on_stop = on_stop or (lambda: None)
+        # real gi needs an iterated GLib main context for bus signal
+        # dispatch; from_gi() passes GLib and start() runs the loop in a
+        # daemon thread (the fake-Gst tests dispatch synchronously)
+        self.glib = glib
+        self._mainloop = None
+        self._mainloop_thread: threading.Thread | None = None
         self.frame_duration_ns = int(round(1e9 / self.fps)) if self.fps else 0
         self._out_count = 0
         self._video_info: tuple[int, int] | None = None  # cached from caps
@@ -125,8 +132,11 @@ class GstAppBridge:
         gi.require_version("GstApp", "1.0")
         from gi.repository import Gst, GstApp  # noqa: F401
 
+        from gi.repository import GLib
+
         if not Gst.is_initialized():
             Gst.init(None)
+        kwargs.setdefault("glib", GLib)
         return cls(Gst, *args, **kwargs)
 
     # ---- lifecycle ----
@@ -148,6 +158,11 @@ class GstAppBridge:
             bus = pipe.get_bus()
             bus.add_signal_watch()
             bus.connect("message", cb)
+        if self.glib is not None:
+            self._mainloop = self.glib.MainLoop()
+            self._mainloop_thread = threading.Thread(
+                target=self._mainloop.run, daemon=True, name="gst-mainloop")
+            self._mainloop_thread.start()
         self.emit.set_state(gst.State.PLAYING)
         self.capture.set_state(gst.State.PLAYING)
         return self
@@ -159,6 +174,11 @@ class GstAppBridge:
                 self.capture.set_state(gst.State.NULL)
             if self.emit is not None:
                 self.emit.set_state(gst.State.NULL)
+        if self._mainloop is not None:
+            self._mainloop.quit()
+            if self._mainloop_thread is not None:
+                self._mainloop_thread.join(timeout=5)
+            self._mainloop = None
         self._finished.set()
 
     def wait(self, timeout: float | None = None) -> bool:
@@ -174,13 +194,25 @@ class GstAppBridge:
         buf = sample.get_buffer()
         if self._video_info is None:
             self._video_info = self._parse_caps(sample)
+            w, h = self._video_info
+            if (h * 3 // 2, w) != self.frame_shape:
+                print(
+                    f"GstAppBridge: stream is {w}x{h} but the pipeline was "
+                    f"configured for frame_shape={self.frame_shape} — "
+                    f"frames will be DROPPED; pass matching "
+                    f"--width/--height", flush=True)
         ok, mapinfo = buf.map(gst.MapFlags.READ)
         if not ok:
             return gst.FlowReturn.ERROR
         try:
             rows, width = self.frame_shape
+            w, h = self._video_info
+            if (h * 3 // 2, w) != (rows, width):
+                self.feeder.counters.count("processing_errors")
+                return gst.FlowReturn.OK  # mismatched stream: drop, counted
             data = np.frombuffer(mapinfo.data, dtype=np.uint8)
             if data.size < rows * width:
+                self.feeder.counters.count("processing_errors")
                 return gst.FlowReturn.OK  # short buffer: count + skip
             frame = data[: rows * width].reshape(rows, width).copy()
         finally:

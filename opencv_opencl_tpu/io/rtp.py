@@ -200,6 +200,11 @@ class JpegRtpPayloader:
             scale = 2040 / max(w, h)
             bgr = cv2.resize(bgr, (int(w * scale) & ~7, int(h * scale) & ~7))
             h, w = bgr.shape[:2]
+        if (w & 7) or (h & 7):
+            # the header carries dim/8: crop to multiples of 8 (lossy path;
+            # a stock rtpjpegdepay would rebuild a mismatched SOF otherwise)
+            bgr = bgr[: h & ~7, : w & ~7]
+            h, w = bgr.shape[:2]
         ok, enc = cv2.imencode(
             ".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, self.quality])
         if not ok:
@@ -287,33 +292,45 @@ class RtpUdpSink:
             self.payloader = RawNv12Payloader(mtu=mtu, fps=fps)
         else:
             raise ValueError(f"unknown rtp payload kind {kind!r}")
+        self._use_native = False
+        if kind == "raw":
+            try:
+                from opencv_opencl_tpu import native
+
+                self._use_native = native.available()
+            except Exception:
+                pass
         self.frames = 0
         self.packets = 0
         self.bytes = 0
+        self.send_errors = 0
 
     def write(self, nv12: np.ndarray) -> None:
         nv12 = np.asarray(nv12)
-        if isinstance(self.payloader, RawNv12Payloader):
-            try:
-                # GIL-free C++ fast path: header arena + zero-copy payload
-                # iovecs + sendmmsg (Python-side per-packet loops cost ~10k
-                # syscalls per 4K frame — nowhere near 60 fps)
-                from opencv_opencl_tpu import native
+        if self._use_native:
+            # GIL-free C++ fast path: header arena + zero-copy payload
+            # iovecs + sendmmsg (Python-side per-packet loops cost ~10k
+            # syscalls per 4K frame — nowhere near 60 fps)
+            from opencv_opencl_tpu import native
 
-                if native.available():
-                    p = self.payloader
-                    n = native.rtp_send_raw(
-                        self.sock.fileno(), nv12, p.mtu, p.seq, p.ts,
-                        p.ssrc, PT_RAW, self.addr[0], self.addr[1],
-                    )
-                    p.seq = (p.seq + n) & 0xFFFF
-                    p.ts = (p.ts + p.ts_step) & 0xFFFFFFFF
-                    self.packets += n
-                    self.bytes += n * 20 + nv12.nbytes
-                    self.frames += 1
-                    return
-            except OSError:
-                pass  # fall through to the Python path
+            p = self.payloader
+            try:
+                n = native.rtp_send_raw(
+                    self.sock.fileno(), nv12, p.mtu, p.seq, p.ts,
+                    p.ssrc, PT_RAW, self.addr[0], self.addr[1],
+                )
+                self.packets += n
+            except OSError as e:
+                # a partial frame may be on the wire; NEVER re-send with
+                # stale sequence numbers — skip the frame, stay consistent
+                n = getattr(e, "packets_sent", 0)
+                self.send_errors += 1
+                self.packets += n
+            p.seq = (p.seq + max(n, 0)) & 0xFFFF
+            p.ts = (p.ts + p.ts_step) & 0xFFFFFFFF
+            self.bytes += max(n, 0) * 20
+            self.frames += 1
+            return
         for pkt in self.payloader.packetize(nv12):
             self.sock.sendto(pkt, self.addr)
             self.packets += 1

@@ -237,5 +237,8 @@ def rtp_send_raw(fd: int, frame: np.ndarray, mtu: int, seq0: int, ts: int,
         ssrc, pt, host.encode(), port,
     )
     if n < 0:
-        raise OSError("fp_rtp_send_raw failed")
+        # encoding: -(sent+1) => `sent` packets made it out before the error
+        err = OSError("fp_rtp_send_raw failed")
+        err.packets_sent = int(-n - 1)
+        raise err
     return int(n)

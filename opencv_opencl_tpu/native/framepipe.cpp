@@ -267,7 +267,7 @@ extern "C" int64_t fp_rtp_send_raw(int fd, const uint8_t* frame,
                                    uint64_t mtu, uint32_t seq0, uint32_t ts,
                                    uint32_t ssrc, uint8_t pt,
                                    const char* host, uint16_t port) {
-    if (mtu <= 20 || rows == 0 || width == 0) return -1;
+    if (mtu <= 20 || rows == 0 || width == 0) return -1;  // = -(0+1): 0 sent
     sockaddr_in dest{};
     dest.sin_family = AF_INET;
     dest.sin_port = htons(port);
@@ -285,7 +285,10 @@ extern "C" int64_t fp_rtp_send_raw(int fd, const uint8_t* frame,
         size_t done = 0;
         while (done < n_in_batch) {
             int r = sendmmsg(fd, msgs + done, unsigned(n_in_batch - done), 0);
-            if (r <= 0) return false;
+            if (r <= 0) {
+                sent += int64_t(done);
+                return false;
+            }
             done += size_t(r);
         }
         sent += int64_t(n_in_batch);
@@ -320,10 +323,12 @@ extern "C" int64_t fp_rtp_send_raw(int fd, const uint8_t* frame,
             ++n_in_batch;
             seq = uint16_t(seq + 1);
             off += n;
-            if (n_in_batch == kBatch && !flush()) return -1;
+            // failure encoding: -(sent+1) — the caller must advance its
+            // RTP sequence by `sent` so no stale seq is ever re-used
+            if (n_in_batch == kBatch && !flush()) return -sent - 1;
         }
     }
-    if (n_in_batch && !flush()) return -1;
+    if (n_in_batch && !flush()) return -sent - 1;
     return sent;
 }
 

@@ -50,6 +50,7 @@ from opencv_opencl_tpu.ops import histogram as hist_ops
 from opencv_opencl_tpu.ops.pallas import natural
 
 __all__ = [
+    "input_sharding",
     "sharded_histeq",
     "sharded_clahe",
     "build_sharded_pipeline",
@@ -73,10 +74,22 @@ def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
 # ---------------------------------------------------------------- histeq ----
 
 
+def input_sharding(mesh: Mesh, height: int,
+                   data_axis: str = "data",
+                   space_axis: str = "space") -> NamedSharding:
+    """The NamedSharding callers should place (N, rows, W) inputs with:
+    row-banded when the height divides the space axis, else batch-only."""
+    nsp = mesh.shape[space_axis]
+    spec = (P(data_axis, space_axis, None) if height % nsp == 0
+            else P(data_axis, None, None))
+    return NamedSharding(mesh, spec)
+
+
 def sharded_histeq(mesh: Mesh, height: int, width: int,
                    method: str = "onehot",
                    data_axis: str = "data", space_axis: str = "space"):
-    """Jitted (N, H, W) -> (N, H, W) equalizeHist over a (data, space) mesh.
+    """Jitted (N, H, W) -> (N, H, W) equalizeHist over a (data, space) mesh
+    (place inputs with :func:`input_sharding`).
 
     Any height: rows are zero-padded to a space multiple; the pad pixels'
     bin-0 counts are subtracted after the psum (a static constant)."""
@@ -84,8 +97,6 @@ def sharded_histeq(mesh: Mesh, height: int, width: int,
     total = height * width
     hq = _ceil_to(height, nsp)
     pad_zeros = (hq - height) * width
-    spec_in = P(data_axis, space_axis, None) if height % nsp == 0 else \
-        P(data_axis, None, None)
     spec_band = P(data_axis, space_axis, None)
 
     def band_fn(y):  # (B_loc, rows_loc, W)
@@ -108,7 +119,7 @@ def sharded_histeq(mesh: Mesh, height: int, width: int,
         out = fn_band(y_q)
         return out[:, :height, :]
 
-    return fn, NamedSharding(mesh, spec_in)
+    return fn
 
 
 # ----------------------------------------------------------------- clahe ----
@@ -138,10 +149,26 @@ def _build_clahe_fns(plan: clahe_ops.ClahePlan, mesh: Mesh,
     spec_band = P(data_axis, space_axis, None)
     spec_rep = P(data_axis, None, None)
 
+    def _band_hists(band):
+        try:
+            return natural.tile_histograms_radix(
+                band, tiles_loc, plan.tiles_x, plan.tile_h, plan.tile_w)
+        except ValueError:
+            # tile block exceeds the VMEM budget (huge tiles, e.g. 1x1
+            # grids at 4K): chunked-scan fallback, same any-geometry
+            # contract as the single-chip path
+            tiles = (
+                band.reshape(tiles_loc, plan.tile_h, plan.tiles_x,
+                             plan.tile_w)
+                .transpose(0, 2, 1, 3)
+                .reshape(tiles_loc * plan.tiles_x,
+                         plan.tile_h * plan.tile_w)
+            )
+            return jax.vmap(lambda t: hist_ops.hist256(t, "onehot"))(tiles)
+
     def hist_band(ext_p):  # (B_loc, hp/nsp, We) -> (B_loc, T', 256)
         def one(band):
-            hloc = natural.tile_histograms_radix(
-                band, tiles_loc, plan.tiles_x, plan.tile_h, plan.tile_w)
+            hloc = _band_hists(band)
             return jax.lax.all_gather(hloc, space_axis, axis=0, tiled=True)
         return jax.vmap(one)(ext_p)
 
@@ -224,8 +251,9 @@ def build_sharded_pipeline(cfg: EnhancerConfig, height: int, width: int,
         return fn, y_sharding
 
     if cfg.op == "histeq":
-        histeq_fn, y_sharding = sharded_histeq(
+        histeq_fn = sharded_histeq(
             mesh, height, width, cfg.hist_method, data_axis, space_axis)
+        y_sharding = input_sharding(mesh, height, data_axis, space_axis)
 
         @jax.jit
         def fn(y, uv):

@@ -198,7 +198,9 @@ class FrameFeeder:
         for i, (seq, meta) in enumerate(entries):
             self._reseq.push(seq, (host[i], meta))
         del device_out
-        if slot is not None:
+        if slot is not None and slot.shape == self._staging_shape:
+            # shape-tag check: a mid-stream frame-shape change resets the
+            # pool; stale-shape slots must not poison it
             self._staging_free.append(slot)
 
     def _stage(self, frames: list[np.ndarray],
@@ -229,7 +231,8 @@ class FrameFeeder:
             out = self.process_batch(batch)
         except Exception:
             self.counters.count("processing_errors", n)
-            self._staging_free.append(slot)
+            if slot.shape == self._staging_shape:
+                self._staging_free.append(slot)
             return  # no output seqs consumed -> no resequencer gap
         # dense output sequence assigned at dispatch (queue drops and
         # processing errors therefore never create gaps the resequencer
@@ -268,7 +271,12 @@ class FrameFeeder:
                     continue
                 except Closed:
                     break
-            self._dispatch(got, slot)
+            try:
+                self._dispatch(got, slot)
+            except Exception:
+                # staging/assembly failures must not kill the feeder
+                # thread — count and keep streaming (drop semantics)
+                self.counters.count("processing_errors", len(got))
         while self._inflight:
             self._retire_oldest()
         self._reseq.flush()

@@ -37,7 +37,7 @@ def test_make_mesh_8():
 def test_sharded_histeq_matches_cv2(rng):
     mesh = make_mesh(8)  # data=4, space=2
     batch = rng.integers(0, 256, (4, 64, 128), dtype=np.uint8)
-    fn, _ = sharded_histeq(mesh, 64, 128)
+    fn = sharded_histeq(mesh, 64, 128)
     out = np.asarray(fn(batch))
     for i in range(4):
         assert np.array_equal(out[i], cv2.equalizeHist(batch[i]))
@@ -84,7 +84,7 @@ def test_sharded_clahe_arbitrary_geometry(rng, h, w, grid, shape):
 
 def test_sharded_histeq_odd_height(rng):
     mesh = make_mesh(6, shape=(2, 3))  # 63 rows % 3 == 0 but % 8 != 0; try 61
-    fn, _ = sharded_histeq(mesh, 61, 127)
+    fn = sharded_histeq(mesh, 61, 127)
     batch = rng.integers(0, 256, (2, 61, 127), dtype=np.uint8)
     out = np.asarray(fn(batch))
     for i in range(2):

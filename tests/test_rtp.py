@@ -217,3 +217,50 @@ def test_rtp_receiver_app_records(tmp_path):
     import os
 
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_jpeg_odd_dimensions_cropped_to_decodable():
+    """RFC 2435 carries dim/8: odd geometry must crop to multiples of 8 so
+    the receiver-rebuilt SOF matches the scan data (round-2 review fix)."""
+    from opencv_opencl_tpu.core.frames import FrameSpec
+
+    spec = FrameSpec(width=126, height=94, fps=30)  # not /8
+    nv12 = TestSource(spec).read()
+    rx = rtp.RtpUdpReceiver(kind="jpeg")
+    tx = rtp.RtpUdpSink("127.0.0.1", rx.port, kind="jpeg", fps=30)
+    tx.write(nv12)
+    got = rx.recv_frame()
+    tx.close()
+    rx.close()
+    assert got is not None
+    assert got.shape == (88, 120, 3)  # cropped to /8
+
+
+def test_native_failure_never_resends_stale_seqs():
+    """A failed native send must not fall back to re-packetizing the frame
+    with stale sequence numbers (duplicate-seq corruption)."""
+    from opencv_opencl_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    tx = rtp.RtpUdpSink("127.0.0.1", 1, kind="raw", fps=30)
+    if not tx._use_native:
+        pytest.skip("native path off")
+    tx.sock.close()  # force sendmmsg failure (bad fd)
+    import socket as socklib
+
+    tx.sock = socklib.socket(socklib.AF_INET, socklib.SOCK_DGRAM)
+    fd = tx.sock.fileno()
+    tx.sock.close()  # fd now invalid -> native send fails immediately
+    class _FakeSock:
+        def fileno(self):
+            return fd
+        def close(self):
+            pass
+    tx.sock = _FakeSock()
+    seq_before = tx.payloader.seq
+    tx.write(nv12_frame())  # must not raise, must not python-resend
+    assert tx.send_errors == 1
+    assert tx.packets == 0  # nothing went out
+    assert tx.payloader.seq == seq_before  # 0 sent -> seq unchanged
+    assert tx.frames == 1
