@@ -7,6 +7,8 @@ Usage:
       [--clipLimit=2.0] [--tile=8] [--batch=4]
       [--source=test|<video file>] [--sink=null|<output file>]
       [--duration=seconds] [--max-frames=N] [--status-interval=2]
+      [--ref-frame]  # clahe: LUTs from the previous frame (latency
+                     # hiding; fused single-pass kernel on TPU)
       [--io=gst]   # drive a real GStreamer pipeline via python-gi
                    # (appsink -> feeder -> appsrc; sink may be
                    #  rtp://host:port, a file, or null)
@@ -37,7 +39,7 @@ def run(argv: list[str]) -> int:
             "clipLimit": float, "tile": int, "batch": int, "source": str,
             "sink": str, "duration": float, "max-frames": int,
             "status-interval": float, "realtime": bool, "max-rate": float,
-            "native": bool, "preset": str, "io": str,
+            "native": bool, "preset": str, "io": str, "ref-frame": bool,
         },
     )
     if opts.get("io") == "gst":
@@ -128,8 +130,17 @@ def run(argv: list[str]) -> int:
     cfg = EnhancerConfig(
         op=op, clip_limit=opts.get("clipLimit", 2.0),
         tile_grid=(opts.get("tile", 8),) * 2, chroma=chroma,
+        use_ref_frame=opts.get("ref-frame", False),
     )
-    enhancer = Enhancer(cfg, spec)
+    if cfg.use_ref_frame and op == "clahe":
+        # streaming mode: LUTs from the previous frame's histograms (the
+        # accel.cpp two-input hook) — on TPU the map + hist fuse into one
+        # Pallas pass
+        from opencv_opencl_tpu.models.enhancer import StreamingEnhancer
+
+        enhancer = StreamingEnhancer(cfg, spec)
+    else:
+        enhancer = Enhancer(cfg, spec)
     counters = FrameRateCounters()
 
     def on_output(seq, frame, meta):

@@ -52,6 +52,7 @@ __all__ = [
     "make_natural_spec",
     "clahe_interpolate_natural",
     "clahe_interpolate_natural_band",
+    "clahe_interp_and_hist_natural",
     "tile_histograms_radix",
 ]
 
@@ -510,3 +511,156 @@ def clahe_interpolate_natural_band(y_band: jax.Array, luts: jax.Array,
         rp_band,
         ya_band,
     )
+
+# ------------------------------------------------- fused streaming mode ----
+
+
+def _natural_interp_hist_kernel(TX, Pp2,
+                                y_ref, lp_ref, mlo_ref, mhi_ref, xat_ref,
+                                seg_ref, rp_ref, ya_ref, sel_ref,
+                                out_ref, h0_ref, h1_ref):
+    """v2 interpolation + per-block partial tile histograms in ONE pass —
+    the streaming (ref-frame) mode: the LUT pack comes from the PREVIOUS
+    frame, so this frame's histograms can be accumulated while mapping it
+    (the two-input ``accel.cpp:36-40`` design extended to CLAHE).
+
+    Per row the 256-wide one-hot is built ONCE and used twice: the (Pp2,
+    256) interp dot and a lane-contracted (256, W) x (TXp, W) segment dot
+    that buckets the row's counts by tile column (lane-lane dot_general —
+    padding the tile-col axis to 128 MXU output lanes instead cost 8x the
+    interp dot and made the fused mode SLOWER than two kernels).  A block
+    may straddle one tile-row boundary, so each row adds its counts to
+    accumulator 0 or 1 per the SMEM ``sel`` flag; the caller reduces the
+    per-block partials with a static row-block -> tile-row mapping.  f32
+    counts are exact (< 2^24).
+    """
+    rs, w = y_ref.shape
+    bins = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    mlo = mlo_ref[:]
+    mhi = mhi_ref[:]
+    xat = xat_ref[:]
+    seg = seg_ref[:]                                # (TXp, W) bf16 0/1
+    xa1 = xat[0:1, :]
+    xa = xat[1:2, :]
+    acc0 = jnp.zeros(h0_ref.shape[1:], jnp.float32)  # (256, TXp)
+    acc1 = jnp.zeros(h1_ref.shape[1:], jnp.float32)
+    for r in range(rs):  # static unroll
+        rp = rp_ref[0, 0, r]
+        lp = lp_ref[pl.ds(rp * Pp2, Pp2), :]
+        v = y_ref[r : r + 1, :].astype(jnp.int32)
+        oh = (bins == v).astype(jnp.bfloat16)       # (256, W) — built once
+        d = jnp.dot(lp, oh, preferred_element_type=jnp.float32)
+        dmlo = d * mlo
+        dmhi = d * mhi
+        l11 = jnp.sum(dmlo[0:TX, :], axis=0, keepdims=True)
+        l21 = jnp.sum(dmlo[TX : 2 * TX, :], axis=0, keepdims=True)
+        l12 = jnp.sum(dmhi[0:TX, :], axis=0, keepdims=True)
+        l22 = jnp.sum(dmhi[TX : 2 * TX, :], axis=0, keepdims=True)
+        r1 = l11 * xa1 + l12 * xa
+        r2 = l21 * xa1 + l22 * xa
+        ya = ya_ref[0, 0, r]
+        res = r1 * (jnp.float32(1.0) - ya) + r2 * ya
+        out_ref[r : r + 1, :] = (
+            jnp.clip(jnp.rint(res), 0, 255).astype(jnp.int32).astype(jnp.uint8)
+        )
+        hrow = jax.lax.dot_general(
+            oh, seg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (256, TXp)
+        sel = sel_ref[0, 0, r].astype(jnp.float32)   # 0 -> acc0, 1 -> acc1
+        acc0 = acc0 + hrow * (jnp.float32(1.0) - sel)
+        acc1 = acc1 + hrow * sel
+    h0_ref[0, :, :] = acc0.astype(jnp.int32)
+    h1_ref[0, :, :] = acc1.astype(jnp.int32)
+
+
+def clahe_interp_and_hist_natural(y: jax.Array, luts: jax.Array,
+                                  spec: "NaturalSpec",
+                                  interpret: bool | None = None):
+    """Fused streaming step for TILE-DIVISIBLE geometry: returns
+    ``(mapped_frame, tile_hists)`` where ``luts`` came from the previous
+    frame and ``tile_hists`` is THIS frame's (T, 256) int32 histogram set
+    (exactly ``tile_histograms_radix`` of it).
+
+    REJECTED on hardware: the in-kernel histogram side-contraction lowers
+    ~4x slower than running the separate radix kernel (3.79 vs 1.42
+    ms/frame at 4K — scripts/tpu_r2_stream_diag.json), under both the
+    (256,W)@(W,TXpad128) and the lane-contracted (256,W)x(TX,W) forms.
+    The streaming mode uses the two-pass scan instead; this stays as a
+    tested record of the experiment."""
+    if interpret is None:
+        interpret = _interpret_default()
+    h, w = spec.height, spec.width
+    assert y.shape == (h, w)
+    tx, ty = spec.tiles_x, spec.tiles_y
+    assert h % ty == 0 and w % tx == 0, "fused mode needs divisible geometry"
+    tile_h, tile_w = h // ty, w // tx
+    rs, Pp2 = spec.rs, spec.pack2_rows
+    txp = -(-tx // 8) * 8  # sublane-pad the tile-col axis (lane-lane dot)
+    nrb = spec.nrb
+
+    luts_flat = luts.reshape(-1, 256)
+    lp = jnp.take(luts_flat, jnp.asarray(spec.pack2_idx), axis=0).astype(
+        jnp.bfloat16)
+
+    # static row -> tile-row bookkeeping
+    rows = np.arange(nrb * rs)
+    trow = np.minimum(rows // tile_h, ty - 1)
+    trow_blocks = trow.reshape(nrb, rs)
+    first = trow_blocks[:, :1]
+    sel = (trow_blocks != first).astype(np.int32).reshape(nrb, 1, rs)
+    # per-block target tile rows for accumulators 0 and 1
+    t0 = first[:, 0]
+    t1 = trow_blocks.max(axis=1)
+
+    seg = np.zeros((txp, w), np.float32)
+    seg[np.minimum(np.arange(w) // tile_w, tx - 1), np.arange(w)] = 1.0
+
+    kern = functools.partial(_natural_interp_hist_kernel, tx, Pp2)
+    row_blk = pl.BlockSpec((rs, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    smem_blk = pl.BlockSpec((1, 1, rs), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+    out, h0, h1 = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((nrb, 256, txp), jnp.int32),
+            jax.ShapeDtypeStruct((nrb, 256, txp), jnp.int32),
+        ),
+        grid=(nrb,),
+        in_specs=[
+            row_blk,
+            const((spec.row_pairs * Pp2, 256)),
+            const((Pp2, w)),
+            const((Pp2, w)),
+            const((8, w)),
+            const((txp, w)),
+            smem_blk,
+            smem_blk,
+            smem_blk,
+        ],
+        out_specs=(
+            row_blk,
+            pl.BlockSpec((1, 256, txp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 256, txp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        y, lp, jnp.asarray(spec.mlo2), jnp.asarray(spec.mhi2),
+        jnp.asarray(spec.xat), jnp.asarray(seg).astype(jnp.bfloat16),
+        jnp.asarray(spec.rp_rows), jnp.asarray(spec.ya_rows),
+        jnp.asarray(sel),
+    )
+    # reduce per-block partials into tile rows (static mapping)
+    hists = jnp.zeros((ty, 256, txp), jnp.int32)
+    hists = hists.at[jnp.asarray(t0)].add(h0)
+    hists = hists.at[jnp.asarray(t1)].add(h1)
+    hists = hists[:, :, :tx]                      # drop lane padding
+    return out, hists.transpose(0, 2, 1).reshape(ty * tx, 256)

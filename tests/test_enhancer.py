@@ -113,3 +113,70 @@ def test_build_enhance_fn_donates_input_buffer():
     # and the non-donating variant must not alias
     fn2 = build_enhance_fn(cfg, spec, donate=False)
     assert "tf.aliasing_output" not in fn2.lower(batch).as_text()
+
+
+class TestStreamingClahe:
+    """Ref-frame streaming CLAHE (the accel.cpp two-input hook for CLAHE)."""
+
+    def make(self, w=128, h=96):
+        from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+        from opencv_opencl_tpu.models.enhancer import (
+            EnhancerConfig, StreamingEnhancer,
+        )
+
+        cfg = EnhancerConfig(op="clahe", clip_limit=2.0, tile_grid=(8, 8),
+                             chroma=ChromaPolicy.PASSTHROUGH,
+                             use_ref_frame=True)
+        from opencv_opencl_tpu.core.frames import FrameSpec as FS
+
+        return StreamingEnhancer(cfg, FS(width=w, height=h, fps=30))
+
+    def test_static_scene_converges_to_cv2(self, rng):
+        import cv2
+
+        from tests.conftest import assert_clahe_close
+
+        se = self.make()
+        frame = rng.integers(0, 256, (144, 128), dtype=np.uint8)
+        batch = np.stack([frame] * 4)
+        out = np.asarray(se.process_batch(batch))
+        ref = cv2.createCLAHE(2.0, (8, 8)).apply(frame[:96])
+        for i in range(1, 4):  # frames >= 1 use frame's own stats
+            assert_clahe_close(out[i, :96], ref)
+        assert np.array_equal(out[:, 96:], batch[:, 96:])  # uv passthrough
+
+    def test_state_carries_across_batches(self, rng):
+        import cv2
+
+        from tests.conftest import assert_clahe_close
+
+        se = self.make()
+        frame = rng.integers(0, 256, (144, 128), dtype=np.uint8)
+        se.process_batch(np.stack([frame] * 2))
+        out2 = np.asarray(se.process_batch(np.stack([frame] * 2)))
+        ref = cv2.createCLAHE(2.0, (8, 8)).apply(frame[:96])
+        assert_clahe_close(out2[0, :96], ref)  # batch-0 state flowed in
+
+    def test_moving_scene_uses_previous_frame_luts(self, rng):
+        from opencv_opencl_tpu.core import golden
+        from opencv_opencl_tpu.ops import clahe as cops
+        from tests.conftest import assert_clahe_close
+
+        se = self.make()
+        frames = [rng.integers(0, 256, (144, 128), dtype=np.uint8)
+                  for _ in range(3)]
+        out = np.asarray(se.process_batch(np.stack(frames)))
+        # golden two-pass ref model: luts from frame i-1 applied to frame i
+        plan = cops.make_clahe_plan(96, 128, 2.0, (8, 8))
+        for i in (1, 2):
+            luts, th, tw = golden.clahe_luts(frames[i - 1][:96], 2.0, (8, 8))
+            ref = golden.clahe_apply_luts(frames[i][:96], luts, th, tw)
+            assert_clahe_close(out[i, :96], ref)
+
+    def test_reset(self, rng):
+        se = self.make()
+        f = rng.integers(0, 256, (144, 128), dtype=np.uint8)
+        a = np.asarray(se.process_batch(np.stack([f])))
+        se.reset()
+        b = np.asarray(se.process_batch(np.stack([f])))
+        assert np.array_equal(a, b)  # same initial state -> same output
