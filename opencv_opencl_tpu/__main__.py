@@ -17,7 +17,8 @@ def main() -> None:
         ("clahe_video", "CLAHECompare.cpp / clahevideo.cpp"),
         ("airplan_mp4", "AirplanMP4.cpp"),
         ("relay", "OpenCVequalHist family / OpenCLequalHist / improvement"),
-        ("sender", "webrtc/sender.cpp family"),
+        ("sender", "webrtc/sender.cpp family (+ --audio, --test-source)"),
+        ("rtp_receiver", "PC-side RTP player/recorder (extension)"),
     ]:
         print(f"  {name:<14} <- {ref}")
     print("\nPresets (relay --preset=<name>):")

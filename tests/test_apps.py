@@ -217,3 +217,15 @@ def test_sender_test_source_two_track(capsys):
     out = capsys.readouterr().out
     assert "videotestsrc is-live=true" in out
     assert "opusenc" in out
+
+
+def test_relay_ref_frame_streaming(capsys):
+    """relay --ref-frame: the streaming CLAHE mode end-to-end."""
+    from opencv_opencl_tpu.apps import relay
+
+    rc = relay.run([
+        "--source=test", "--width=128", "--height=96", "--max-frames=12",
+        "--batch=4", "--op=clahe", "--ref-frame", "--chroma=passthrough",
+    ])
+    assert rc == 0
+    assert "relay pipeline started" in capsys.readouterr().out
