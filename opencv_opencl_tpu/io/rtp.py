@@ -346,13 +346,21 @@ class RtpUdpReceiver:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  kind: str = "jpeg", frame_shape: tuple[int, int] | None = None,
-                 timeout: float = 5.0):
+                 timeout: float = 5.0, buffer_size: int = 60_000_000):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            # the reference's 60 MB socket buffers (udpsink buffer-size):
+            # a 4K raw frame is ~12 MB of datagrams per frame interval
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                 buffer_size)
+        except OSError:
+            pass
         self.sock.bind((host, port))
         self.sock.settimeout(timeout)
         self.port = self.sock.getsockname()[1]
         self.kind = kind
         self.frame_shape = frame_shape
+        self.frames_dropped = 0  # incomplete frames discarded (loss resync)
 
     def recv_frame(self) -> np.ndarray | None:
         """Block until one complete frame arrives (marker bit)."""
@@ -366,9 +374,21 @@ class RtpUdpReceiver:
         frags: dict[int, bytes] = {}
         qtables: dict[int, bytes] = {}
         geom = None
+        cur_ts = None
         while True:
             pkt, _ = self.sock.recvfrom(65536)
             marker = bool(pkt[1] & 0x80)
+            ts = struct.unpack("!I", pkt[4:8])[0]
+            if cur_ts is None:
+                cur_ts = ts
+            elif ts != cur_ts:
+                # a new frame started: the previous one lost its marker
+                # packet — drop its fragments and resync (stream degrades
+                # to frame drops, never to corrupted decodes)
+                frags.clear()
+                qtables.clear()
+                self.frames_dropped += 1
+                cur_ts = ts
             p = pkt[12:]
             off = (p[1] << 16) | (p[2] << 8) | p[3]
             jtype, q, w8, h8 = p[4], p[5], p[6], p[7]
@@ -382,7 +402,21 @@ class RtpUdpReceiver:
                 body = body[4 + qlen :]
             frags[off] = body
             if marker:
-                break
+                # completeness: fragment offsets must tile the scan with
+                # no holes (a lost mid-frame packet leaves a gap)
+                expect = 0
+                complete = True
+                for k in sorted(frags):
+                    if k != expect:
+                        complete = False
+                        break
+                    expect = k + len(frags[k])
+                if complete and qtables:
+                    break
+                frags.clear()
+                qtables.clear()
+                self.frames_dropped += 1
+                cur_ts = None
         scan = b"".join(frags[k] for k in sorted(frags))
         w, h, jtype = geom
         jfif = rebuild_jfif(scan, qtables, w, h, jtype)
@@ -392,15 +426,33 @@ class RtpUdpReceiver:
     def _recv_raw(self):
         rows, width = self.frame_shape
         frame = np.zeros((rows, width), np.uint8)
+        filled = 0
+        cur_ts = None
         while True:
             pkt, _ = self.sock.recvfrom(65536)
             marker = bool(pkt[1] & 0x80)
+            ts = struct.unpack("!I", pkt[4:8])[0]
+            if cur_ts is None:
+                cur_ts = ts
+            elif ts != cur_ts:
+                # previous frame never completed: drop + resync
+                frame[:] = 0
+                filled = 0
+                self.frames_dropped += 1
+                cur_ts = ts
             p = pkt[14:]  # strip RTP + extended seq
             n, line, off = struct.unpack("!HHH", p[:6])
             frame[line, off : off + n] = np.frombuffer(
                 p[6 : 6 + n], np.uint8)
+            filled += n
             if marker:
-                return frame
+                if filled == rows * width:
+                    return frame
+                # lost packets: incomplete frame — drop, await the next
+                frame[:] = 0
+                filled = 0
+                self.frames_dropped += 1
+                cur_ts = None
 
     def close(self) -> None:
         self.sock.close()

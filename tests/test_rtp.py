@@ -264,3 +264,58 @@ def test_native_failure_never_resends_stale_seqs():
     assert tx.packets == 0  # nothing went out
     assert tx.payloader.seq == seq_before  # 0 sent -> seq unchanged
     assert tx.frames == 1
+
+
+class TestPacketLoss:
+    """Receivers must degrade to frame drops under loss, never to
+    corrupted decodes (the reference's leaky-queue philosophy on the
+    receive side)."""
+
+    def _send_with_loss(self, rx_port, kind, frames, drop_pred):
+        import socket as socklib
+
+        pay = (rtp.RawNv12Payloader(fps=30) if kind == "raw"
+               else rtp.JpegRtpPayloader(fps=30))
+        sock = socklib.socket(socklib.AF_INET, socklib.SOCK_DGRAM)
+        i = 0
+        for f in frames:
+            for pkt in pay.packetize(f):
+                if not drop_pred(i):
+                    sock.sendto(pkt, ("127.0.0.1", rx_port))
+                i += 1
+        sock.close()
+
+    def test_raw_drops_incomplete_frame(self):
+        rx = rtp.RtpUdpReceiver(kind="raw", frame_shape=(ROWS, W))
+        frames = [nv12_frame(1), nv12_frame(2)]
+        # drop a mid-frame packet of frame 0 only
+        self._send_with_loss(rx.port, "raw", frames, lambda i: i == 3)
+        got = rx.recv_frame()
+        rx.close()
+        assert np.array_equal(got, frames[1])  # frame 0 dropped, 1 intact
+        assert rx.frames_dropped == 1
+
+    def test_jpeg_drops_incomplete_frame(self):
+        rx = rtp.RtpUdpReceiver(kind="jpeg")
+        frames = [nv12_frame(3), nv12_frame(4)]
+        self._send_with_loss(rx.port, "jpeg", frames, lambda i: i == 1)
+        got = rx.recv_frame()
+        rx.close()
+        assert got is not None
+        # frame 1 decodes exactly as its direct encode
+        bgr = cv2.cvtColor(frames[1], cv2.COLOR_YUV2BGR_NV12)
+        ok, enc = cv2.imencode(".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, 85])
+        assert np.array_equal(got, cv2.imdecode(enc, cv2.IMREAD_COLOR))
+        assert rx.frames_dropped == 1
+
+    def test_lost_marker_resyncs_on_next_frame(self):
+        rx = rtp.RtpUdpReceiver(kind="raw", frame_shape=(ROWS, W))
+        frames = [nv12_frame(5), nv12_frame(6)]
+        # drop frame 0's LAST packet (the marker)
+        pay_probe = rtp.RawNv12Payloader(fps=30)
+        n0 = len(pay_probe.packetize(frames[0]))
+        self._send_with_loss(rx.port, "raw", frames, lambda i: i == n0 - 1)
+        got = rx.recv_frame()
+        rx.close()
+        assert np.array_equal(got, frames[1])
+        assert rx.frames_dropped == 1
