@@ -163,6 +163,10 @@ def run(argv: list[str]) -> int:
 
     print("Compiling device program (one-time, like the xclbin load)...")
     feeder.warmup((spec.buffer_rows, spec.width))
+    if hasattr(enhancer, "reset"):
+        # warmup ran zero frames through the stateful streaming enhancer —
+        # restore the documented identity-like initial histogram state
+        enhancer.reset()
     staging = "native C++ ring" if feeder._native is not None else "python queue"
     print(f"NV12 {op} relay pipeline started "
           f"({spec.width}x{spec.height}@{fps:g}, codec={codec}, "

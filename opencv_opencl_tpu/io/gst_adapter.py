@@ -176,8 +176,11 @@ class GstAppBridge:
                 self.emit.set_state(gst.State.NULL)
         if self._mainloop is not None:
             self._mainloop.quit()
-            if self._mainloop_thread is not None:
-                self._mainloop_thread.join(timeout=5)
+            t = self._mainloop_thread
+            # bus callbacks run ON the mainloop thread and may call stop():
+            # joining the current thread would raise and skip _finished
+            if t is not None and t is not threading.current_thread():
+                t.join(timeout=5)
             self._mainloop = None
         self._finished.set()
 

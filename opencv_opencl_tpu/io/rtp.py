@@ -328,7 +328,8 @@ class RtpUdpSink:
                 self.packets += n
             p.seq = (p.seq + max(n, 0)) & 0xFFFF
             p.ts = (p.ts + p.ts_step) & 0xFFFFFFFF
-            self.bytes += max(n, 0) * 20
+            # headers + the payload bytes that actually went out
+            self.bytes += max(n, 0) * 20 + (nv12.nbytes if n > 0 else 0)
             self.frames += 1
             return
         for pkt in self.payloader.packetize(nv12):
@@ -361,6 +362,7 @@ class RtpUdpReceiver:
         self.kind = kind
         self.frame_shape = frame_shape
         self.frames_dropped = 0  # incomplete frames discarded (loss resync)
+        self.packets_bad = 0     # runt/foreign/mismatched datagrams ignored
 
     def recv_frame(self) -> np.ndarray | None:
         """Block until one complete frame arrives (marker bit)."""
@@ -377,6 +379,9 @@ class RtpUdpReceiver:
         cur_ts = None
         while True:
             pkt, _ = self.sock.recvfrom(65536)
+            if len(pkt) < 20:  # runt/foreign datagram: ignore
+                self.packets_bad += 1
+                continue
             marker = bool(pkt[1] & 0x80)
             ts = struct.unpack("!I", pkt[4:8])[0]
             if cur_ts is None:
@@ -430,6 +435,9 @@ class RtpUdpReceiver:
         cur_ts = None
         while True:
             pkt, _ = self.sock.recvfrom(65536)
+            if len(pkt) < 20:  # runt/foreign datagram: ignore
+                self.packets_bad += 1
+                continue
             marker = bool(pkt[1] & 0x80)
             ts = struct.unpack("!I", pkt[4:8])[0]
             if cur_ts is None:
@@ -442,6 +450,10 @@ class RtpUdpReceiver:
                 cur_ts = ts
             p = pkt[14:]  # strip RTP + extended seq
             n, line, off = struct.unpack("!HHH", p[:6])
+            if line >= rows or off + n > width or len(p) < 6 + n:
+                # geometry-mismatched or truncated SRD: not our stream
+                self.packets_bad += 1
+                continue
             frame[line, off : off + n] = np.frombuffer(
                 p[6 : 6 + n], np.uint8)
             filled += n

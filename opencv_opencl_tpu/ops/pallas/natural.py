@@ -596,6 +596,11 @@ def clahe_interp_and_hist_natural(y: jax.Array, luts: jax.Array,
     assert h % ty == 0 and w % tx == 0, "fused mode needs divisible geometry"
     tile_h, tile_w = h // ty, w // tx
     rs, Pp2 = spec.rs, spec.pack2_rows
+    # the two-accumulator partials assume each rs-aligned block touches at
+    # most TWO tile rows ((rs-1)//tile_h <= 1) and that blocks tile the
+    # frame exactly (h % rs == 0)
+    assert (rs - 1) // (h // ty) <= 1, "fused mode: tile_h too small for rs"
+    assert h % rs == 0, "fused mode needs height % rs == 0"
     txp = -(-tx // 8) * 8  # sublane-pad the tile-col axis (lane-lane dot)
     nrb = spec.nrb
 

@@ -21,7 +21,7 @@ def main():
         c = cv2.createCLAHE(2.0, (8, 8))
         d = max(int(np.abs(out[i].astype(int) - c.apply(y[i]).astype(int)).max()) for i in range(2))
         print(f"sharded clahe {w}x{h} size-1 mesh: maxdiff={d} ({time.perf_counter()-t0:.0f}s)", flush=True)
-        fn, _ = sharded_histeq(mesh, h, w)
+        fn = sharded_histeq(mesh, h, w)
         out2 = np.asarray(fn(y))
         d2 = max(int(np.abs(out2[i].astype(int) - cv2.equalizeHist(y[i]).astype(int)).max()) for i in range(2))
         print(f"sharded histeq {w}x{h} size-1 mesh: maxdiff={d2}", flush=True)

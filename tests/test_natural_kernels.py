@@ -105,3 +105,38 @@ class TestRadixHist:
         with pytest.raises(ValueError):
             natural.tile_histograms_radix(y, 1, 1, 4096, 2048,
                                           interpret=True)
+
+
+class TestFusedExperiment:
+    """clahe_interp_and_hist_natural — the rejected-on-hardware fused
+    streaming kernel stays exact and guarded (it is exported)."""
+
+    @pytest.mark.parametrize("h,w,grid", [(96, 128, (8, 8)),
+                                          (64, 256, (4, 4)),
+                                          (80, 120, (5, 4))])
+    def test_matches_separate_kernels(self, rng, h, w, grid):
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        plan = cops.make_clahe_plan(h, w, 2.0, grid)
+        luts = cops._luts_from_hists(
+            cops._tile_histograms(np.asarray(y), plan, "onehot"), plan)
+        spec = natural.make_natural_spec(h, w, 2.0, grid)
+        out_ref = np.asarray(natural.clahe_interpolate_natural(
+            y, luts, spec, interpret=True))
+        out, hists = natural.clahe_interp_and_hist_natural(
+            y, luts, spec, interpret=True)
+        hr = np.asarray(natural.tile_histograms_radix(
+            y, plan.tiles_y, plan.tiles_x, plan.tile_h, plan.tile_w,
+            interpret=True))
+        assert np.array_equal(np.asarray(out), out_ref)
+        assert np.array_equal(np.asarray(hists), hr)
+
+    def test_rejects_unsafe_geometry(self, rng):
+        # tile_h=6 < rs/2: an rs-block would straddle 3 tile rows
+        y = rng.integers(0, 256, (48, 128), dtype=np.uint8)
+        plan = cops.make_clahe_plan(48, 128, 2.0, (8, 8))
+        luts = cops._luts_from_hists(
+            cops._tile_histograms(np.asarray(y), plan, "onehot"), plan)
+        spec = natural.make_natural_spec(48, 128, 2.0, (8, 8))
+        with pytest.raises(AssertionError):
+            natural.clahe_interp_and_hist_natural(y, luts, spec,
+                                                  interpret=True)

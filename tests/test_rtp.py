@@ -319,3 +319,39 @@ class TestPacketLoss:
         rx.close()
         assert np.array_equal(got, frames[1])
         assert rx.frames_dropped == 1
+
+
+def test_receiver_ignores_foreign_datagrams():
+    """Runt / geometry-mismatched packets must be counted and skipped,
+    never crash the receive loop."""
+    import socket as socklib
+
+    rx = rtp.RtpUdpReceiver(kind="raw", frame_shape=(ROWS, W))
+    s = socklib.socket(socklib.AF_INET, socklib.SOCK_DGRAM)
+    s.sendto(b"\x80", ("127.0.0.1", rx.port))          # runt
+    s.sendto(b"\x80" * 14 + struct.pack("!HHH", 4, 9999, 0) + b"abcd",
+             ("127.0.0.1", rx.port))                    # line out of range
+    tx = rtp.RtpUdpSink("127.0.0.1", rx.port, kind="raw", fps=30)
+    f = nv12_frame(21)
+    tx.write(f)
+    got = rx.recv_frame()
+    s.close()
+    tx.close()
+    rx.close()
+    assert np.array_equal(got, f)
+    assert rx.packets_bad >= 2
+
+
+def test_native_sink_bytes_counts_payload():
+    from opencv_opencl_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rx = rtp.RtpUdpReceiver(kind="raw", frame_shape=(ROWS, W))
+    tx = rtp.RtpUdpSink("127.0.0.1", rx.port, kind="raw", fps=30)
+    f = nv12_frame(22)
+    tx.write(f)
+    rx.recv_frame()
+    rx.close()
+    assert tx.bytes >= f.nbytes  # payload counted, not just headers
+    tx.close()
