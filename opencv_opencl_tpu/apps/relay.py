@@ -272,6 +272,16 @@ def run(argv: list[str]) -> int:
     feeder.stop(drain=True)
     reporter.stop()
     reporter.tick()
+    if getattr(sink, "rtcp", None) is not None:
+        # surface the far end's Receiver Report, if any arrived (loss/RTT
+        # — the numbers the reference read off details.html)
+        sink.rtcp.poll()
+        if sink.rtcp.remote_blocks:
+            blk = sink.rtcp.remote_blocks[-1]
+            rtt = f"{sink.rtt_ms:.1f} ms" if sink.rtt_ms is not None else "n/a"
+            print(f"[rtcp] receiver reports: lost={blk.cumulative_lost} "
+                  f"fraction={blk.fraction_lost}/256 "
+                  f"jitter={blk.jitter} rtp-units rtt={rtt}")
     sink.close()
 
     stats = feeder.stats

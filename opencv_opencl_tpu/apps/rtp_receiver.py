@@ -80,8 +80,18 @@ def run(argv: list[str]) -> int:
             now = time.monotonic()
             if now - last_tick >= interval:
                 fps = frames / (now - t0)
-                print(f"[stats] frames={frames} fps={fps:.1f} "
-                      f"size={bgr.shape[1]}x{bgr.shape[0]}")
+                line = (f"[stats] frames={frames} fps={fps:.1f} "
+                        f"size={bgr.shape[1]}x{bgr.shape[0]}")
+                if rx.rtcp is not None:
+                    # the details.html getStats fields, from RTCP receive
+                    # accounting (loss / jitter / wire bitrate)
+                    st = rx.rtcp.stats
+                    mbps = st.octets * 8 / (now - t0) / 1e6
+                    line += (f" bitrate={mbps:.2f}Mbps"
+                             f" lost={st.cumulative_lost}"
+                             f" jitter={st.jitter_ms():.2f}ms"
+                             f" rr_sent={rx.rtcp.rr_sent}")
+                print(line)
                 last_tick = now
     except KeyboardInterrupt:
         print("\nInterrupted.")

@@ -276,7 +276,8 @@ class RtpUdpSink:
 
     def __init__(self, host: str, port: int, kind: str = "jpeg",
                  fps: float = 30.0, quality: int = 85,
-                 mtu: int = DEFAULT_MTU, buffer_size: int = 60_000_000):
+                 mtu: int = DEFAULT_MTU, buffer_size: int = 60_000_000,
+                 rtcp: bool = True):
         self.addr = (host, port)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
@@ -292,6 +293,16 @@ class RtpUdpSink:
             self.payloader = RawNv12Payloader(mtu=mtu, fps=fps)
         else:
             raise ValueError(f"unknown rtp payload kind {kind!r}")
+        self.rtcp = None
+        if rtcp:
+            # Sender Reports on the conventional companion port; Receiver
+            # Reports coming back carry loss/jitter/RTT (the getStats
+            # numbers of webrtc/details.html:292-392, natively).
+            from opencv_opencl_tpu.io.rtcp import RtcpPeer
+
+            self.rtcp = RtcpPeer(self.payloader.ssrc,
+                                 remote=(host, port + 1))
+        self.payload_octets = 0
         self._use_native = False
         if kind == "raw":
             try:
@@ -330,15 +341,33 @@ class RtpUdpSink:
             p.ts = (p.ts + p.ts_step) & 0xFFFFFFFF
             # headers + the payload bytes that actually went out
             self.bytes += max(n, 0) * 20 + (nv12.nbytes if n > 0 else 0)
+            self.payload_octets += max(n, 0) * 8 + (
+                nv12.nbytes if n > 0 else 0)
             self.frames += 1
+            self._rtcp_tick()
             return
         for pkt in self.payloader.packetize(nv12):
             self.sock.sendto(pkt, self.addr)
             self.packets += 1
             self.bytes += len(pkt)
+            self.payload_octets += len(pkt) - 12
         self.frames += 1
+        self._rtcp_tick()
+
+    def _rtcp_tick(self) -> None:
+        if self.rtcp is not None:
+            self.rtcp.maybe_send_sr(self.payloader.ts, self.packets,
+                                    self.payload_octets)
+
+    @property
+    def rtt_ms(self) -> float | None:
+        """Round-trip time from the latest Receiver Report, if any."""
+        return self.rtcp.rtt_ms if self.rtcp is not None else None
 
     def close(self) -> None:
+        if self.rtcp is not None:
+            self.rtcp.send_bye()
+            self.rtcp.close()
         self.sock.close()
 
 
@@ -347,7 +376,8 @@ class RtpUdpReceiver:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  kind: str = "jpeg", frame_shape: tuple[int, int] | None = None,
-                 timeout: float = 5.0, buffer_size: int = 60_000_000):
+                 timeout: float = 5.0, buffer_size: int = 60_000_000,
+                 rtcp: bool = True):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
             # the reference's 60 MB socket buffers (udpsink buffer-size):
@@ -363,12 +393,35 @@ class RtpUdpReceiver:
         self.frame_shape = frame_shape
         self.frames_dropped = 0  # incomplete frames discarded (loss resync)
         self.packets_bad = 0     # runt/foreign/mismatched datagrams ignored
+        self.rtcp = None
+        if rtcp:
+            # Receiver Reports (loss/jitter + LSR/DLSR for the sender's
+            # RTT) on the companion port; the peer is learned from the
+            # sender's SRs.  RFC 3550 via io/rtcp.py.
+            from opencv_opencl_tpu.io.rtcp import RtcpPeer
+
+            try:
+                self.rtcp = RtcpPeer(0x52435652,
+                                     local_port=self.port + 1)
+            except OSError:
+                self.rtcp = None  # companion port taken: stats-only mode
 
     def recv_frame(self) -> np.ndarray | None:
         """Block until one complete frame arrives (marker bit)."""
         if self.kind == "jpeg":
             return self._recv_jpeg()
         return self._recv_raw()
+
+    def _note_packet(self, pkt: bytes) -> None:
+        """Feed RTCP receive stats (seq machine + jitter) and emit RRs."""
+        if self.rtcp is None:
+            return
+        if self.rtcp.stats.ssrc is None:
+            self.rtcp.stats.ssrc = struct.unpack("!I", pkt[8:12])[0]
+        seq = struct.unpack("!H", pkt[2:4])[0]
+        ts = struct.unpack("!I", pkt[4:8])[0]
+        self.rtcp.stats.note(seq, ts, len(pkt) - 12)
+        self.rtcp.maybe_send_rr()
 
     def _recv_jpeg(self):
         import cv2
@@ -382,6 +435,7 @@ class RtpUdpReceiver:
             if len(pkt) < 20:  # runt/foreign datagram: ignore
                 self.packets_bad += 1
                 continue
+            self._note_packet(pkt)
             marker = bool(pkt[1] & 0x80)
             ts = struct.unpack("!I", pkt[4:8])[0]
             if cur_ts is None:
@@ -438,6 +492,7 @@ class RtpUdpReceiver:
             if len(pkt) < 20:  # runt/foreign datagram: ignore
                 self.packets_bad += 1
                 continue
+            self._note_packet(pkt)
             marker = bool(pkt[1] & 0x80)
             ts = struct.unpack("!I", pkt[4:8])[0]
             if cur_ts is None:
@@ -467,4 +522,9 @@ class RtpUdpReceiver:
                 cur_ts = None
 
     def close(self) -> None:
+        if self.rtcp is not None:
+            # a final (forced) RR so short sessions still report, then BYE
+            self.rtcp.maybe_send_rr(force=True)
+            self.rtcp.send_bye()
+            self.rtcp.close()
         self.sock.close()

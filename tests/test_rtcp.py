@@ -1,0 +1,266 @@
+"""RTCP (RFC 3550) control-plane tests.
+
+The reference observes loss/jitter/RTT via WebRTC getStats
+(webrtc/details.html:292-392); the native RTP plane reports the same
+numbers via RTCP SR/RR (io/rtcp.py).  These tests pin the wire format,
+the Appendix A.1 sequence machine, the A.8 jitter estimator, and the
+end-to-end SR -> RR -> RTT loop over real loopback sockets.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.io.rtcp import (
+    ReceiverStats,
+    ReportBlock,
+    RtcpPeer,
+    build_bye,
+    build_receiver_report,
+    build_sdes_cname,
+    build_sender_report,
+    ntp_now,
+    ntp_to_middle32,
+    parse_compound,
+)
+
+
+class TestWireFormat:
+    def test_sender_report_roundtrip(self):
+        blk = ReportBlock(ssrc=7, fraction_lost=12, cumulative_lost=34,
+                          ext_highest_seq=0x10020, jitter=55,
+                          lsr=0xAABBCCDD, dlsr=123)
+        sr = build_sender_report(0xCAFE, (100, 200), 90000, 42, 99999,
+                                 [blk])
+        assert len(sr) % 4 == 0
+        pkts = parse_compound(sr)
+        assert len(pkts) == 1
+        p = pkts[0]
+        assert p["type"] == "SR"
+        assert p["ssrc"] == 0xCAFE
+        assert p["ntp"] == (100, 200)
+        assert p["rtp_ts"] == 90000
+        assert p["packet_count"] == 42
+        assert p["octet_count"] == 99999
+        b = p["blocks"][0]
+        assert (b.ssrc, b.fraction_lost, b.cumulative_lost) == (7, 12, 34)
+        assert (b.ext_highest_seq, b.jitter, b.lsr, b.dlsr) == (
+            0x10020, 55, 0xAABBCCDD, 123)
+
+    def test_receiver_report_roundtrip(self):
+        blk = ReportBlock(1, 0, -3, 5, 0, 0, 0)  # negative lost (dup-heavy)
+        rr = build_receiver_report(0xBEEF, [blk])
+        p = parse_compound(rr)[0]
+        assert p["type"] == "RR"
+        assert p["ssrc"] == 0xBEEF
+        assert p["blocks"][0].cumulative_lost == -3
+
+    def test_compound_sr_sdes_bye(self):
+        data = (build_sender_report(1, ntp_now(), 0, 0, 0)
+                + build_sdes_cname(1, "tpu@host")
+                + build_bye(1))
+        types = [p["type"] for p in parse_compound(data)]
+        assert types == ["SR", "SDES", "BYE"]
+
+    def test_sdes_cname_text(self):
+        p = parse_compound(build_sdes_cname(9, "abc"))[0]
+        assert p["items"][(9, 1)] == "abc"
+
+    def test_garbage_ignored(self):
+        assert parse_compound(b"\x00\x01\x02\x03") == []
+        assert parse_compound(b"") == []
+        # truncated length field
+        sr = build_sender_report(1, (0, 0), 0, 0, 0)
+        assert parse_compound(sr[: len(sr) - 4]) == []
+
+
+class TestSequenceMachine:
+    def test_in_order_no_loss(self):
+        st = ReceiverStats()
+        for s in range(100, 150):
+            st.note(s, 0, arrival=0.0)
+        assert st.received == 50
+        assert st.cumulative_lost == 0
+        assert st.ext_highest_seq == 149
+        assert st.fraction_lost_interval() == 0
+
+    def test_gap_counts_lost(self):
+        st = ReceiverStats()
+        for s in list(range(10)) + list(range(12, 20)):
+            st.note(s, 0, arrival=0.0)
+        assert st.cumulative_lost == 2
+        # 18 received of 20 expected -> fraction = 2*256/20 = 25
+        assert st.fraction_lost_interval() == 25
+
+    def test_interval_fraction_resets(self):
+        st = ReceiverStats()
+        for s in range(8):
+            st.note(s, 0, arrival=0.0)
+        st.note(9, 0, arrival=0.0)  # one lost
+        assert st.fraction_lost_interval() == 256 // 10
+        for s in range(10, 20):  # clean interval
+            st.note(s, 0, arrival=0.0)
+        assert st.fraction_lost_interval() == 0
+        assert st.cumulative_lost == 1  # cumulative stays
+
+    def test_wraparound_extends_cycles(self):
+        st = ReceiverStats()
+        for s in [65533, 65534, 65535, 0, 1, 2]:
+            st.note(s, 0, arrival=0.0)
+        assert st.cumulative_lost == 0
+        assert st.ext_highest_seq == (1 << 16) + 2
+
+    def test_source_restart_resyncs(self):
+        st = ReceiverStats()
+        for s in range(5):
+            st.note(s, 0, arrival=0.0)
+        # a jump far beyond MAX_DROPOUT: first packet probation...
+        st.note(40000, 0, arrival=0.0)
+        # ...second consecutive confirms the restart
+        st.note(40001, 0, arrival=0.0)
+        assert st.base_seq == 40001
+        assert st.cumulative_lost == 0
+
+
+class TestJitter:
+    def test_constant_transit_zero_jitter(self):
+        st = ReceiverStats(clock_rate=90000)
+        # 0.5 s spacing: exactly representable, so transit is exact
+        for i in range(20):
+            st.note(i, i * 45000, arrival=i * 0.5 + 0.5)
+        assert st.jitter == 0.0
+
+    def test_single_late_packet(self):
+        st = ReceiverStats(clock_rate=90000)
+        st.note(0, 0, arrival=0.0)
+        st.note(1, 45000, arrival=0.5)          # on time
+        st.note(2, 90000, arrival=1.0 + 0.010)  # 10 ms late
+        # d = 900 RTP units; jitter = 900/16 = 56.25
+        assert st.jitter == pytest.approx(56.25)
+        assert st.jitter_ms() == pytest.approx(0.625)
+
+    def test_report_block_lsr_dlsr(self):
+        st = ReceiverStats()
+        st.note(0, 0, arrival=0.0)
+        ntp = (0x11112222, 0x33334444)
+        st.note_sr(ntp, arrival=100.0)
+        blk = st.report_block(now=100.5)
+        assert blk.lsr == ntp_to_middle32(*ntp) == 0x22223333
+        assert blk.dlsr == int(0.5 * 65536)
+
+
+def _drain_frames(rx, n):
+    out = []
+    for _ in range(n):
+        out.append(rx.recv_frame())
+    return out
+
+
+class TestEndToEnd:
+    def test_sr_rr_rtt_loopback(self):
+        from opencv_opencl_tpu.io.rtp import RtpUdpReceiver, RtpUdpSink
+
+        shape = (48, 64)  # NV12 rows x width (32x64 frame)
+        rx = RtpUdpReceiver(port=0, kind="raw", frame_shape=shape,
+                            timeout=5.0)
+        assert rx.rtcp is not None
+        rx.rtcp.interval = 0.0
+        sink = RtpUdpSink("127.0.0.1", rx.port, kind="raw", fps=30)
+        assert sink.rtcp is not None
+        sink.rtcp.interval = 0.0
+        try:
+            frame = np.arange(shape[0] * shape[1], dtype=np.uint8).reshape(
+                shape)
+            sink.write(frame)           # RTP packets then an SR
+            got = rx.recv_frame()       # notes packets, emits an RR
+            assert np.array_equal(got, frame)
+            time.sleep(0.05)            # let the SR land
+            sink.write(frame)
+            rx.recv_frame()             # this RR now carries LSR/DLSR
+            time.sleep(0.05)
+            sink.rtcp.poll()
+            assert sink.rtcp.remote_blocks, "no RR reached the sender"
+            blk = sink.rtcp.remote_blocks[-1]
+            assert blk.cumulative_lost == 0
+            assert blk.fraction_lost == 0
+            assert sink.rtt_ms is not None
+            assert 0.0 <= sink.rtt_ms < 5000.0
+            assert sink.payload_octets > 0
+        finally:
+            sink.close()
+            rx.close()
+
+    def test_receiver_reports_loss(self):
+        """Drop one RTP packet in flight: the RR must say so."""
+        import socket as socketmod
+
+        from opencv_opencl_tpu.io.rtp import RawNv12Payloader, RtpUdpReceiver
+
+        shape = (24, 64)
+        rx = RtpUdpReceiver(port=0, kind="raw", frame_shape=shape,
+                            timeout=2.0)
+        # keep the default report interval: no RR fires mid-test, so the
+        # manual report_block() below sees the full loss interval
+        tx = socketmod.socket(socketmod.AF_INET, socketmod.SOCK_DGRAM)
+        pay = RawNv12Payloader(mtu=80)
+        frame = np.zeros(shape, np.uint8)
+        try:
+            pkts1 = pay.packetize(frame)
+            for p in pkts1[:-2] + pkts1[-1:]:  # drop a mid-frame packet
+                tx.sendto(p, ("127.0.0.1", rx.port))
+            pkts2 = pay.packetize(frame)  # a clean frame to complete on
+            for p in pkts2:
+                tx.sendto(p, ("127.0.0.1", rx.port))
+            got = rx.recv_frame()
+            assert got is not None
+            assert rx.frames_dropped == 1
+            st = rx.rtcp.stats
+            assert st.cumulative_lost == 1
+            blk = st.report_block()
+            assert blk.fraction_lost > 0
+        finally:
+            tx.close()
+            rx.close()
+
+    def test_rtcp_disabled(self):
+        from opencv_opencl_tpu.io.rtp import RtpUdpReceiver, RtpUdpSink
+
+        rx = RtpUdpReceiver(port=0, kind="raw", frame_shape=(6, 64),
+                            timeout=1.0, rtcp=False)
+        sink = RtpUdpSink("127.0.0.1", rx.port, kind="raw", rtcp=False)
+        try:
+            assert rx.rtcp is None and sink.rtcp is None
+            assert sink.rtt_ms is None
+            frame = np.zeros((6, 64), np.uint8)
+            sink.write(frame)
+            assert np.array_equal(rx.recv_frame(), frame)
+        finally:
+            sink.close()
+            rx.close()
+
+    def test_rtcp_port_conflict_degrades_gracefully(self):
+        import socket as socketmod
+
+        from opencv_opencl_tpu.io.rtp import RtpUdpReceiver
+
+        # occupy a port pair's companion slot first
+        rx1 = RtpUdpReceiver(port=0, kind="raw", frame_shape=(6, 64))
+        blocker = None
+        try:
+            # a second receiver whose rtcp port collides with rx1's RTP port
+            blocker = socketmod.socket(socketmod.AF_INET,
+                                       socketmod.SOCK_DGRAM)
+            # find a port P where P+1 is taken: use rx1.port - 1 as RTP port
+            p = rx1.port - 1
+            try:
+                rx2 = RtpUdpReceiver(port=p, kind="raw",
+                                     frame_shape=(6, 64))
+            except OSError:
+                pytest.skip("adjacent port unavailable")
+            assert rx2.rtcp is None  # companion port taken: stats-only
+            rx2.close()
+        finally:
+            if blocker is not None:
+                blocker.close()
+            rx1.close()
