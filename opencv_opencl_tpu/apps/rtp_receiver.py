@@ -4,14 +4,16 @@ and watched with an external player; this is the in-repo player/recorder).
 
 Usage:
   python -m opencv_opencl_tpu.apps.rtp_receiver --port=5004
-      [--kind=jpeg|raw] [--width=W --height=H]   # raw needs the geometry
-      [--output=out.mp4] [--max-frames=N] [--timeout=5]
-      [--stats-interval=2]
+      [--kind=jpeg|raw|h264|h265]
+      [--width=W --height=H]   # raw needs the geometry
+      [--output=out.mp4]       # h264/h265: an Annex-B elementary file
+      [--max-frames=N] [--timeout=5] [--stats-interval=2]
 
-Receives the JPEG/RTP (RFC 2435) or raw NV12 stream produced by
-``relay --sink=rtp://...`` / ``rtp+raw://...``, optionally recording to a
-file, and prints periodic receive stats (the ``details.html`` getStats
-analogue for headless hosts).
+Receives the JPEG/RTP (RFC 2435), raw NV12, or H.26x (RFC 6184/7798)
+stream produced by ``relay --sink=rtp://...`` / ``rtp+raw://...`` or
+``H26xRtpSink``, optionally recording to a file, and prints periodic
+receive stats with RTCP loss/jitter/bitrate (the ``details.html``
+getStats analogue for headless hosts).
 """
 
 from __future__ import annotations
@@ -34,6 +36,9 @@ def run(argv: list[str]) -> int:
     timeout = opts.get("timeout", 5.0)
     max_frames = opts.get("max-frames")
     interval = opts.get("stats-interval", 2.0)
+
+    if kind in ("h264", "h265"):
+        return _run_h26x(opts, port, kind, timeout, max_frames, interval)
 
     import cv2
     import numpy as np
@@ -103,6 +108,57 @@ def run(argv: list[str]) -> int:
     wall = time.monotonic() - t0
     print(f"Received {frames} frames in {wall:.1f}s "
           f"({frames / wall if wall > 0 else 0:.1f} fps)")
+    return 0
+
+
+def _run_h26x(opts, port, kind, timeout, max_frames, interval) -> int:
+    """Record an RFC 6184/7798 stream to an Annex-B elementary file
+    (playable with ffmpeg/mpv; the depacketized analogue of the
+    reference's rtph264depay leg)."""
+    from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
+
+    rx = H26xRtpReceiver(host=opts.get("host", "0.0.0.0"), port=port,
+                         codec=kind, timeout=timeout)
+    print(f"Listening for {kind} RTP on :{rx.port}")
+    out = open(opts["output"], "wb") if "output" in opts else None
+    aus = 0
+    nbytes = 0
+    t0 = time.monotonic()
+    last_tick = t0
+    try:
+        while max_frames is None or aus < max_frames:
+            try:
+                au = rx.recv_access_unit()
+            except (TimeoutError, OSError):
+                print("Receive timeout — stream ended?")
+                break
+            aus += 1
+            nbytes += len(au)
+            if out is not None:
+                out.write(au)
+            now = time.monotonic()
+            if now - last_tick >= interval:
+                line = (f"[stats] aus={aus} fps={aus / (now - t0):.1f} "
+                        f"dropped={rx.depay.aus_dropped}")
+                if rx.rtcp is not None:
+                    st = rx.rtcp.stats
+                    mbps = st.octets * 8 / (now - t0) / 1e6
+                    line += (f" bitrate={mbps:.2f}Mbps"
+                             f" lost={st.cumulative_lost}"
+                             f" jitter={st.jitter_ms():.2f}ms")
+                print(line)
+                last_tick = now
+    except KeyboardInterrupt:
+        print("\nInterrupted.")
+    finally:
+        if out is not None:
+            out.close()
+            print(f"Saved {aus} access units ({nbytes} bytes) "
+                  f"to {opts['output']}")
+        rx.close()
+    wall = time.monotonic() - t0
+    print(f"Received {aus} access units in {wall:.1f}s "
+          f"(dropped={rx.depay.aus_dropped})")
     return 0
 
 

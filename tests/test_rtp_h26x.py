@@ -1,0 +1,263 @@
+"""RTP H.264 (RFC 6184) / H.265 (RFC 7798) payloading tests.
+
+The reference's wire format is whatever ``rtph264pay``/``rtph265pay``
+emit after the OMX encoder (``OpenCVequalHist.cpp:308-332``); this repo's
+native packetizer must interoperate with those elements, so these tests
+pin the packet layouts (single NAL / STAP-A / FU-A / AP / FU) and the
+loss-tolerance contract (an AU with a gap is dropped whole, never torn).
+
+No H.26x encoder exists in this container (see io/rtp_h26x.py), so the
+bitstreams are synthetic Annex-B: NAL headers are real, payloads are
+pseudo-random.  Round-trip equality is byte-exact on the NAL level.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.io.rtp_h26x import (
+    H26xDepacketizer,
+    H26xRtpReceiver,
+    H26xRtpSink,
+    H264RtpPayloader,
+    H265RtpPayloader,
+    split_annexb,
+)
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def h264_nal(ntype: int, size: int, seed: int = 0, nri: int = 3) -> bytes:
+    body = _rng(seed).integers(1, 255, size - 1, dtype=np.uint8).tobytes()
+    return bytes([(nri << 5) | ntype]) + body
+
+
+def h265_nal(ntype: int, size: int, seed: int = 0) -> bytes:
+    hdr = struct.pack("!H", (ntype << 9) | (0 << 3) | 1)  # layer 0, tid 1
+    body = _rng(seed).integers(1, 255, size - 2, dtype=np.uint8).tobytes()
+    return hdr + body
+
+
+def annexb(*nals: bytes) -> bytes:
+    return b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+
+
+def roundtrip(payloader, codec, au: bytes) -> bytes | None:
+    depay = H26xDepacketizer(codec)
+    out = None
+    for pkt in payloader.packetize(au):
+        got = depay.push(pkt)
+        if got is not None:
+            out = got
+    return out
+
+
+class TestAnnexB:
+    def test_split_mixed_start_codes(self):
+        n1, n2, n3 = h264_nal(7, 10), h264_nal(8, 6), h264_nal(5, 50)
+        data = b"\x00\x00\x00\x01" + n1 + b"\x00\x00\x01" + n2 + \
+               b"\x00\x00\x00\x01" + n3
+        assert split_annexb(data) == [n1, n2, n3]
+
+    def test_split_empty_and_garbage(self):
+        assert split_annexb(b"") == []
+        assert split_annexb(b"\x01\x02\x03") == []
+
+
+class TestH264:
+    def test_single_nal_roundtrip(self):
+        au = annexb(h264_nal(5, 400))
+        pay = H264RtpPayloader(mtu=1200)
+        pkts = pay.packetize(au)
+        assert len(pkts) == 1
+        assert pkts[0][12] & 0x1F == 5  # single NAL unit packet
+        assert pkts[0][1] & 0x80        # marker on last packet of AU
+        assert roundtrip(H264RtpPayloader(mtu=1200), "h264", au) == au
+
+    def test_stap_a_aggregates_sps_pps(self):
+        sps, pps, idr = h264_nal(7, 20), h264_nal(8, 8), h264_nal(5, 5000)
+        au = annexb(sps, pps, idr)
+        pay = H264RtpPayloader(mtu=1200)
+        pkts = pay.packetize(au)
+        # first packet: STAP-A carrying SPS+PPS; then FU-A for the IDR
+        assert pkts[0][12] & 0x1F == 24
+        assert all(p[12] & 0x1F == 28 for p in pkts[1:])
+        assert roundtrip(H264RtpPayloader(mtu=1200), "h264", au) == au
+
+    def test_fu_a_fragment_layout(self):
+        nal = h264_nal(1, 3000)
+        pay = H264RtpPayloader(mtu=1200, aggregate=False)
+        pkts = pay.packetize(annexb(nal))
+        assert len(pkts) == 3
+        for i, p in enumerate(pkts):
+            assert p[12] & 0x1F == 28
+            assert len(p) <= 1200
+            fu = p[13]
+            assert bool(fu & 0x80) == (i == 0)              # S bit
+            assert bool(fu & 0x40) == (i == len(pkts) - 1)  # E bit
+            assert fu & 0x1F == 1                           # original type
+            assert p[12] & 0x60 == nal[0] & 0x60            # NRI preserved
+        # marker only on the AU's last packet
+        assert [bool(p[1] & 0x80) for p in pkts] == [False, False, True]
+
+    def test_fu_boundary_exact_fit(self):
+        # NAL exactly at the single-packet limit must NOT fragment
+        room = 1200 - 12
+        au = annexb(h264_nal(1, room))
+        pkts = H264RtpPayloader(mtu=1200, aggregate=False).packetize(au)
+        assert len(pkts) == 1
+        # one byte over: fragments
+        au2 = annexb(h264_nal(1, room + 1))
+        pkts2 = H264RtpPayloader(mtu=1200, aggregate=False).packetize(au2)
+        assert len(pkts2) == 2
+        assert roundtrip(H264RtpPayloader(mtu=1200, aggregate=False),
+                         "h264", au2) == au2
+
+    def test_many_aus_sequence_and_timestamps(self):
+        pay = H264RtpPayloader(mtu=300, fps=30)
+        depay = H26xDepacketizer("h264")
+        aus = [annexb(h264_nal(7, 15), h264_nal(8, 9), h264_nal(5, 900, i))
+               for i in range(5)]
+        got = []
+        ts_seen = []
+        for au in aus:
+            pkts = pay.packetize(au)
+            ts_seen.append(struct.unpack("!I", pkts[0][4:8])[0])
+            for p in pkts:
+                out = depay.push(p)
+                if out is not None:
+                    got.append(out)
+        assert got == aus
+        assert ts_seen == [i * 3000 for i in range(5)]
+
+    def test_lost_packet_drops_whole_au(self):
+        pay = H264RtpPayloader(mtu=300)
+        depay = H26xDepacketizer("h264")
+        au1 = annexb(h264_nal(5, 2000, 1))
+        au2 = annexb(h264_nal(1, 2000, 2))
+        pkts1 = pay.packetize(au1)
+        got = [depay.push(p) for p in pkts1[:2] + pkts1[3:]]  # drop one
+        assert all(g is None for g in got)
+        assert depay.aus_dropped == 1
+        # next AU still decodes (resync)
+        got2 = [depay.push(p) for p in pay.packetize(au2)]
+        assert got2[-1] == au2
+
+    def test_lost_marker_drops_on_next_au(self):
+        pay = H264RtpPayloader(mtu=300)
+        depay = H26xDepacketizer("h264")
+        au1 = annexb(h264_nal(5, 600, 1))
+        au2 = annexb(h264_nal(1, 600, 2))
+        pkts1 = pay.packetize(au1)
+        for p in pkts1[:-1]:  # marker packet lost
+            assert depay.push(p) is None
+        # AU2's packets arrive: AU1 dropped; AU2 is ALSO dropped because
+        # the seq gap is ambiguous (could have been AU2's first packet)
+        got = [depay.push(p) for p in pay.packetize(au2)]
+        assert all(g is None for g in got)
+        assert depay.aus_dropped >= 1
+        # the third AU is clean again
+        au3 = annexb(h264_nal(1, 600, 3))
+        got3 = [depay.push(p) for p in pay.packetize(au3)]
+        assert got3[-1] == au3
+
+
+class TestH265:
+    def test_single_nal_roundtrip(self):
+        au = annexb(h265_nal(19, 700))  # IDR_W_RADL
+        assert roundtrip(H265RtpPayloader(mtu=1200), "h265", au) == au
+
+    def test_ap_aggregation(self):
+        vps, sps, pps = h265_nal(32, 12), h265_nal(33, 30), h265_nal(34, 9)
+        au = annexb(vps, sps, pps, h265_nal(19, 4000))
+        pay = H265RtpPayloader(mtu=1200)
+        pkts = pay.packetize(au)
+        assert (struct.unpack("!H", pkts[0][12:14])[0] >> 9) & 0x3F == 48
+        assert roundtrip(H265RtpPayloader(mtu=1200), "h265", au) == au
+
+    def test_fu_layout_and_roundtrip(self):
+        nal = h265_nal(19, 5000)
+        au = annexb(nal)
+        pay = H265RtpPayloader(mtu=1200, aggregate=False)
+        pkts = pay.packetize(au)
+        assert len(pkts) > 1
+        for i, p in enumerate(pkts):
+            (h,) = struct.unpack("!H", p[12:14])
+            assert (h >> 9) & 0x3F == 49
+            fu = p[14]
+            assert bool(fu & 0x80) == (i == 0)
+            assert bool(fu & 0x40) == (i == len(pkts) - 1)
+            assert fu & 0x3F == 19
+        assert roundtrip(H265RtpPayloader(mtu=1200, aggregate=False),
+                         "h265", au) == au
+
+    def test_layer_tid_preserved_through_fu(self):
+        hdr = struct.pack("!H", (19 << 9) | (5 << 3) | 2)  # layer 5, tid 2
+        nal = hdr + bytes(range(256)) * 12
+        au = annexb(nal)
+        got = roundtrip(H265RtpPayloader(mtu=300, aggregate=False),
+                        "h265", au)
+        assert got == au
+
+
+class TestUdpLoopback:
+    def test_sink_to_receiver_with_rtcp(self):
+        rx = H26xRtpReceiver(port=0, codec="h264", timeout=5.0)
+        assert rx.rtcp is not None
+        rx.rtcp.interval = 0.0
+        sink = H26xRtpSink("127.0.0.1", rx.port, codec="h264", fps=30)
+        sink.rtcp.interval = 0.0
+        try:
+            aus = [annexb(h264_nal(7, 20), h264_nal(8, 10),
+                          h264_nal(5, 9000, i)) for i in range(3)]
+            got = []
+            import time
+
+            for au in aus:
+                sink.write(au)
+                got.append(rx.recv_access_unit())
+                time.sleep(0.02)
+            assert got == aus
+            sink.rtcp.poll()
+            assert sink.rtcp.remote_blocks
+            assert sink.rtcp.remote_blocks[-1].cumulative_lost == 0
+        finally:
+            sink.close()
+            rx.close()
+
+    def test_receiver_app_records_elementary_stream(self, tmp_path):
+        import threading
+
+        from opencv_opencl_tpu.apps import rtp_receiver
+
+        out = tmp_path / "cap.h264"
+        result = []
+
+        # grab a free port for the app to listen on
+        import socket
+
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        t = threading.Thread(
+            target=lambda: result.append(rtp_receiver.run(
+                [f"--port={port}", "--kind=h264", "--max-frames=2",
+                 "--timeout=10", f"--output={out}"])))
+        t.start()
+        import time
+
+        time.sleep(0.3)
+        sink = H26xRtpSink("127.0.0.1", port, codec="h264")
+        aus = [annexb(h264_nal(7, 20), h264_nal(5, 2500, i))
+               for i in range(2)]
+        for au in aus:
+            sink.write(au)
+            time.sleep(0.05)
+        t.join(timeout=10)
+        sink.close()
+        assert result == [0]
+        assert out.read_bytes() == b"".join(aus)
