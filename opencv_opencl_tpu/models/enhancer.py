@@ -151,9 +151,13 @@ def build_streaming_clahe_fn(cfg: EnhancerConfig, spec: FrameSpec):
     use_natural = jax.default_backend() == "tpu" and nspec is not None
 
     def one(hists, frame):
-        luts = clahe_ops._luts_from_hists(hists, plan)
         if use_natural:
-            out = natural.clahe_interpolate_natural(frame, luts, nspec)
+            # fused LUT build (clip+cumsum+pack in one pallas dispatch,
+            # bit-exact vs _luts_from_hists — scripts/tpu_r2b_lut3.json)
+            lp = natural.build_lut_pack_pallas(
+                hists, plan.clip, plan.lut_scale, nspec)
+            out = natural.clahe_interpolate_natural(frame, None, nspec,
+                                                    lp=lp)
             try:
                 new_h = natural.tile_histograms_radix(
                     clahe_ops._extend(frame, plan), plan.tiles_y,
@@ -162,6 +166,7 @@ def build_streaming_clahe_fn(cfg: EnhancerConfig, spec: FrameSpec):
                 new_h = clahe_ops._tile_histograms(frame, plan,
                                                    cfg.hist_method)
         else:
+            luts = clahe_ops._luts_from_hists(hists, plan)
             out = clahe_ops._interpolate(frame, luts, plan)
             new_h = clahe_ops._tile_histograms(frame, plan, cfg.hist_method)
         return new_h, out

@@ -268,8 +268,11 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
                 )
             except ValueError:  # tile exceeds VMEM budget: scan fallback
                 hists = _tile_histograms(y, plan, method)
-            luts = _luts_from_hists(hists, plan)
-            return natural.clahe_interpolate_natural(y, luts, nspec)
+            # fused LUT build: clip+redistribute+cumsum+scale+pack in ONE
+            # pallas dispatch (bit-exact vs _luts_from_hists + take)
+            lp = natural.build_lut_pack_pallas(
+                hists, plan.clip, plan.lut_scale, nspec)
+            return natural.clahe_interpolate_natural(y, None, nspec, lp=lp)
         if backend == "natural":
             raise ValueError(
                 f"width {plan.width} exceeds the natural-kernel VMEM budget"

@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "NaturalSpec",
     "make_natural_spec",
+    "build_lut_pack_pallas",
     "clahe_interpolate_natural",
     "clahe_interpolate_natural_band",
     "clahe_interp_and_hist_natural",
@@ -303,21 +304,24 @@ def _tile_hist_radix8_kernel(y_ref, out_ref):
     out_ref[0, :, :] = acc.astype(jnp.int32)
 
 
-def clahe_interpolate_natural(y: jax.Array, luts: jax.Array,
+def clahe_interpolate_natural(y: jax.Array, luts: jax.Array | None,
                               spec: NaturalSpec,
                               interpret: bool | None = None,
-                              variant: int = 2) -> jax.Array:
+                              variant: int = 2,
+                              lp: jax.Array | None = None) -> jax.Array:
     """CLAHE bilinear LUT interpolation of one (H, W) uint8 frame in its
     natural layout.  ``luts`` is (T, 256) uint8 (or (tilesY, tilesX, 256)).
     ``variant``: 1 = 4G-row pack + group masks; 2 = pair-factored 2*tilesX
     pack (2.5x smaller per-row dot) — both bit-exact; v2 measured 1.25x
-    faster on hardware (scripts/tpu_r2_v2.json), the default."""
+    faster on hardware (scripts/tpu_r2_v2.json), the default.
+
+    ``lp``: a prebuilt (row_pairs*Pp2, 256) bf16 pack (variant 2 only),
+    e.g. from :func:`build_lut_pack_pallas` — skips the take/cast here."""
     if interpret is None:
         interpret = _interpret_default()
     h, w = spec.height, spec.width
     assert y.shape == (h, w)
     rs = spec.rs
-    luts_flat = luts.reshape(-1, 256)
     rp = jnp.asarray(spec.rp_rows)
     ya = jnp.asarray(spec.ya_rows)
     smem = [
@@ -334,8 +338,13 @@ def clahe_interpolate_natural(y: jax.Array, luts: jax.Array,
 
     if variant == 2:
         Pp2 = spec.pack2_rows
-        lp2 = jnp.take(luts_flat, jnp.asarray(spec.pack2_idx), axis=0).astype(
-            jnp.bfloat16)
+        if lp is not None:
+            lp2 = lp
+            assert lp2.shape == (spec.row_pairs * Pp2, 256)
+        else:
+            lp2 = jnp.take(
+                luts.reshape(-1, 256), jnp.asarray(spec.pack2_idx), axis=0
+            ).astype(jnp.bfloat16)
         # (a bf16-compare variant was tried and rejected: Mosaic "Target
         # does not support this comparison" -- compares stay int32)
         kern = functools.partial(_natural_interp_kernel_v2, spec.tiles_x, Pp2)
@@ -357,9 +366,8 @@ def clahe_interpolate_natural(y: jax.Array, luts: jax.Array,
           jnp.asarray(spec.xat), rp, ya)
 
     Pp, G = spec.pack_rows, spec.groups
-    lp = jnp.take(luts_flat, jnp.asarray(spec.pack_idx), axis=0).astype(
-        jnp.bfloat16
-    )  # (R*Pp, 256)
+    lp = jnp.take(luts.reshape(-1, 256), jnp.asarray(spec.pack_idx),
+                  axis=0).astype(jnp.bfloat16)  # (R*Pp, 256)
     kern = functools.partial(_natural_interp_kernel, G, Pp)
     return pl.pallas_call(
         kern,
@@ -382,6 +390,85 @@ def clahe_interpolate_natural(y: jax.Array, luts: jax.Array,
         rp,
         ya,
     )
+
+
+# ---------------------------------------------------------- LUT building ----
+
+
+def _lut_pack_kernel(clip: int, scale: float,
+                     h_ref, pk_ref, out_ref):
+    """Fused LUT build: OpenCV clip+redistribute -> CDF -> scaled LUT ->
+    interp pack, all in one dispatch.
+
+    Exactness on hardware: VPU f32 elementwise arithmetic is true f32
+    (integers < 2^24 exact), but MXU "f32" dots lower as bf16-split
+    passes which lose the low bits of counts wider than ~15 bits (4K
+    tiles hold 480*270 = 2^17 pixels — measured 1 LSB off via a
+    triangular-matrix cumsum dot, scripts/tpu_r2b_lut.json).  So the
+    cumulative sum is an 8-step integer shift-add scan (int32, exact),
+    and the only MXU dot is the pack 'gather' (PR, T) @ (T, 256) whose
+    operands are one-hot rows and 8-bit LUT values — both exact in
+    bf16.  The LUT quantization ``rint(cdf * scale)`` is the same single
+    f32 multiply+rint as the golden model (``core/golden.py`` /
+    ``ops/clahe._luts_from_hists``) — bit-exact.
+    """
+    h = h_ref[:].astype(jnp.float32)                     # (T, 256)
+    if clip > 0:
+        clipf = jnp.float32(clip)
+        hc = jnp.minimum(h, clipf)
+        excess = jnp.sum(h - hc, axis=1, keepdims=True)  # (T, 1) int-exact
+        redist = jnp.floor(excess * jnp.float32(1.0 / 256.0))  # /2^8: exact
+        residual = excess - redist * 256.0               # in [0, 256)
+        # step = max(256 // max(residual, 1), 1): f32 floor-div is exact
+        # here (the gap to the next integer is >= 1/255 >> f32 eps)
+        step = jnp.maximum(
+            jnp.floor(256.0 / jnp.maximum(residual, 1.0)), 1.0)
+        # Mosaic rejects f32 iota ('tpu.iota' needs integer result):
+        # build int32 and convert
+        bins = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 256), 1).astype(jnp.float32)  # 0..255 as f32
+        q = jnp.floor(bins / step)                       # (T, 256)
+        bump = ((bins - q * step == 0.0) & (q < residual)).astype(
+            jnp.float32)
+        h = hc + redist + bump
+    # inclusive lane prefix sum, int32-exact (log2(256) = 8 shift-adds)
+    acc = h.astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    for k in range(8):
+        s = 1 << k
+        acc = acc + jnp.where(lane >= s, pltpu.roll(acc, s, axis=1), 0)
+    lut = jnp.clip(
+        jnp.rint(acc.astype(jnp.float32) * jnp.float32(scale)), 0.0, 255.0)
+    packed = jnp.dot(pk_ref[:], lut.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    out_ref[:] = packed.astype(jnp.bfloat16)
+
+
+def build_lut_pack_pallas(hists: jax.Array, clip: int, lut_scale: float,
+                          spec: "NaturalSpec",
+                          interpret: bool | None = None) -> jax.Array:
+    """(T, 256) int32 tile histograms -> (row_pairs*Pp2, 256) bf16 LUT
+    pack, ready for the v2 interpolation kernel — the whole XLA glue
+    (clip, redistribution, cumsum, scale, pack gather, bf16 cast) fused
+    into one Pallas dispatch.  Bit-exact vs ``_luts_from_hists`` + take.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    T = spec.tiles_y * spec.tiles_x
+    PR = spec.row_pairs * spec.pack2_rows
+    assert hists.shape == (T, 256)
+    pk = np.zeros((PR, T), np.float32)
+    pk[np.arange(PR), spec.pack2_idx] = 1.0
+    return pl.pallas_call(
+        functools.partial(_lut_pack_kernel, int(clip), float(lut_scale)),
+        out_shape=jax.ShapeDtypeStruct((PR, 256), jnp.bfloat16),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(hists, jnp.asarray(pk).astype(jnp.bfloat16))
 
 
 # ------------------------------------------------------------- histogram ----
@@ -413,14 +500,54 @@ def _tile_hist_radix_kernel(y_ref, out_ref):
     out_ref[0, :, :] = acc.astype(jnp.int32)
 
 
+def _tile_hist_radixn_kernel(nb: int, y_ref, out_ref):
+    """Radix-16 histogram with ``nb`` rows batched per MXU dot: the hi/lo
+    one-hots of nb rows are sublane-concatenated to (16*nb, W) and
+    contracted lane-wise; only the nb diagonal (16, 16) blocks of the
+    result are real.  nb trades FLOP overshoot (x nb) against dot-issue
+    count (/ nb) — nb=8 was rejected on hardware (0.93 vs 0.52 ms/frame,
+    scripts/tpu_r2_v3.json); nb in {2, 4} probes the crossover."""
+    thp, twp = y_ref.shape
+    bins16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+
+    def body(r8, acc):
+        base = pl.multiple_of(r8 * 8, 8)
+        chunk = y_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, W)
+        hi = chunk >> 4
+        lo = chunk & 15
+        for g in range(0, 8, nb):
+            a = jnp.concatenate(
+                [(bins16 == hi[k : k + 1, :]).astype(jnp.bfloat16)
+                 for k in range(g, g + nb)], axis=0)        # (16nb, W)
+            b = jnp.concatenate(
+                [(bins16 == lo[k : k + 1, :]).astype(jnp.bfloat16)
+                 for k in range(g, g + nb)], axis=0)
+            d = jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # (16nb, 16nb)
+            for k in range(nb):
+                acc = acc + d[16 * k : 16 * k + 16, 16 * k : 16 * k + 16]
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, thp // 8, body, jnp.zeros((16, 16), jnp.float32)
+    )
+    out_ref[0, :, :] = acc.astype(jnp.int32)
+
+
 def tile_histograms_radix(ext: jax.Array, tiles_y: int, tiles_x: int,
                           tile_h: int, tile_w: int,
                           interpret: bool | None = None,
-                          batched8: bool = False) -> jax.Array:
+                          batched8: bool = False,
+                          batch_rows: int = 1) -> jax.Array:
     """Per-tile histograms of a tile-divisible image, int32 (T, 256).
 
     Same contract as ``lut_kernels.tile_histograms_pallas`` (zero alignment
     padding subtracted from bin 0), radix-16 MXU formulation.
+    ``batch_rows`` in {1, 2, 4} selects the rows-per-dot batching (see
+    ``_tile_hist_radixn_kernel``); ``batched8`` keeps the rejected nb=8
+    experiment reachable.
     """
     from opencv_opencl_tpu.ops.pallas.lut_kernels import HIST_TILE_PX_LIMIT
 
@@ -435,8 +562,14 @@ def tile_histograms_radix(ext: jax.Array, tiles_y: int, tiles_x: int,
     blk = ext.reshape(tiles_y, tile_h, tiles_x, tile_w)
     blk = jnp.pad(blk, ((0, 0), (0, thp - tile_h), (0, 0), (0, twp - tile_w)))
     blk = blk.reshape(tiles_y * thp, tiles_x * twp)
+    if batched8:
+        kern = _tile_hist_radix8_kernel
+    elif batch_rows > 1:
+        kern = functools.partial(_tile_hist_radixn_kernel, batch_rows)
+    else:
+        kern = _tile_hist_radix_kernel
     out = pl.pallas_call(
-        _tile_hist_radix8_kernel if batched8 else _tile_hist_radix_kernel,
+        kern,
         out_shape=jax.ShapeDtypeStruct((tiles_y * tiles_x, 16, 16), jnp.int32),
         grid=(tiles_y, tiles_x),
         in_specs=[

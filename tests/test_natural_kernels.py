@@ -140,3 +140,61 @@ class TestFusedExperiment:
         with pytest.raises(AssertionError):
             natural.clahe_interp_and_hist_natural(y, luts, spec,
                                                   interpret=True)
+
+
+class TestLutPackFused:
+    """build_lut_pack_pallas must equal _luts_from_hists + pack2 take,
+    bin for bin — including the clip/redistribution edge cases."""
+
+    @pytest.mark.parametrize("h,w,clip,grid", GEOMETRIES)
+    def test_matches_xla_lut_build(self, rng, h, w, clip, grid):
+        spec = natural.make_natural_spec(h, w, clip, grid)
+        plan = cops.make_clahe_plan(h, w, clip, grid)
+        T = plan.num_tiles
+        hists = rng.integers(0, plan.tile_area // 4 + 2, (T, 256)).astype(
+            np.int32)
+        # make the rows sum to tile_area like real histograms
+        hists[:, 0] += plan.tile_area - hists.sum(axis=1, dtype=np.int64).astype(np.int32)
+        hists[:, 0] = np.maximum(hists[:, 0], 0)
+        import jax.numpy as jnp
+
+        luts = cops._luts_from_hists(jnp.asarray(hists), plan)
+        want = np.asarray(luts).reshape(-1, 256)[spec.pack2_idx]
+        got = np.asarray(natural.build_lut_pack_pallas(
+            jnp.asarray(hists), plan.clip, plan.lut_scale, spec))
+        assert got.dtype == np.dtype("bfloat16") or str(got.dtype) == "bfloat16"
+        assert np.array_equal(got.astype(np.float32), want.astype(np.float32))
+
+    def test_residual_edge_cases(self):
+        """Rows engineered so the redistribution residual is 0, 1, 255 and
+        the step logic hits its max(…, 1) guards."""
+        import jax.numpy as jnp
+
+        h, w, clip, grid = 96, 128, 2.0, (8, 8)
+        spec = natural.make_natural_spec(h, w, clip, grid)
+        plan = cops.make_clahe_plan(h, w, clip, grid)
+        T = plan.num_tiles
+        hists = np.zeros((T, 256), np.int32)
+        c = plan.clip
+        hists[0, 0] = plan.tile_area            # everything in one bin
+        hists[1, :] = plan.tile_area // 256     # uniform (residual small)
+        hists[1, 0] += plan.tile_area - hists[1].sum()
+        hists[2, :2] = [c + 255, plan.tile_area - (c + 255)]  # residual 255
+        hists[3, :2] = [c + 256, plan.tile_area - (c + 256)]  # residual 0
+        hists[4, :2] = [c + 1, plan.tile_area - (c + 1)]      # residual 1
+        luts = cops._luts_from_hists(jnp.asarray(hists), plan)
+        want = np.asarray(luts).reshape(-1, 256)[spec.pack2_idx]
+        got = np.asarray(natural.build_lut_pack_pallas(
+            jnp.asarray(hists), plan.clip, plan.lut_scale, spec))
+        assert np.array_equal(got.astype(np.float32), want.astype(np.float32))
+
+
+class TestRadixRowBatched:
+    @pytest.mark.parametrize("nb", [2, 4])
+    def test_exact_vs_unbatched(self, rng, nb):
+        y = rng.integers(0, 256, (96, 256), dtype=np.uint8)
+        base = np.asarray(natural.tile_histograms_radix(
+            y, 4, 2, 24, 128, interpret=True))
+        batched = np.asarray(natural.tile_histograms_radix(
+            y, 4, 2, 24, 128, interpret=True, batch_rows=nb))
+        assert np.array_equal(base, batched)
