@@ -9,6 +9,8 @@ Usage:
       [--duration=seconds] [--max-frames=N] [--status-interval=2]
       [--ref-frame]  # clahe: LUTs from the previous frame (latency
                      # hiding; fused single-pass kernel on TPU)
+      [--max-rate=N] [--adaptive-rate]  # static videorate cap, or an
+                     # RTCP-loss-driven AIMD rate loop (native RTP sinks)
       [--io=gst]   # drive a real GStreamer pipeline via python-gi
                    # (appsink -> feeder -> appsrc; sink may be
                    #  rtp://host:port, a file, or null)
@@ -39,7 +41,8 @@ def run(argv: list[str]) -> int:
             "clipLimit": float, "tile": int, "batch": int, "source": str,
             "sink": str, "duration": float, "max-frames": int,
             "status-interval": float, "realtime": bool, "max-rate": float,
-            "native": bool, "preset": str, "io": str, "ref-frame": bool,
+            "adaptive-rate": bool, "native": bool, "preset": str,
+            "io": str, "ref-frame": bool,
         },
     )
     if opts.get("io") == "gst":
@@ -244,7 +247,16 @@ def run(argv: list[str]) -> int:
         feeder.timing.final_report()
         return 0
 
-    governor = (RateGovernor(opts["max-rate"]) if "max-rate" in opts else None)
+    if opts.get("adaptive-rate"):
+        # congestion-aware: RTCP receiver reports drive an AIMD rate loop
+        # (ceiling = --max-rate or the configured fps)
+        from opencv_opencl_tpu.runtime.governor import AdaptiveRateGovernor
+
+        governor = AdaptiveRateGovernor(opts.get("max-rate", fps or 30.0))
+    else:
+        governor = (RateGovernor(opts["max-rate"])
+                    if "max-rate" in opts else None)
+    rr_seen = 0
 
     feeder.start()
     reporter.start()
@@ -258,6 +270,18 @@ def run(argv: list[str]) -> int:
                 continue  # videorate drop-only: cap the input rate
             feeder.submit(nv12, meta={"pts": n * frame_period})
             n += 1
+            if (opts.get("adaptive-rate")
+                    and getattr(sink, "rtcp", None) is not None):
+                sink.rtcp.poll()
+                blocks = sink.rtcp.remote_blocks
+                while rr_seen < len(blocks):
+                    rate = governor.on_receiver_report(
+                        blocks[rr_seen].fraction_lost)
+                    rr_seen += 1
+                    if blocks[rr_seen - 1].fraction_lost:
+                        print(f"[adaptive-rate] loss="
+                              f"{blocks[rr_seen - 1].fraction_lost}/256 "
+                              f"-> {rate:.1f} fps")
             if max_frames is not None and n >= max_frames:
                 break
             if duration is not None and time.monotonic() - t_start > duration:

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import time
 
-__all__ = ["RateGovernor"]
+__all__ = ["RateGovernor", "AdaptiveRateGovernor"]
 
 
 class RateGovernor:
@@ -42,3 +42,50 @@ class RateGovernor:
             return True
         self.dropped += 1
         return False
+
+
+class AdaptiveRateGovernor(RateGovernor):
+    """Congestion-aware drop-only limiter: the admitted rate follows RTCP
+    receiver reports with an AIMD-style loop (multiplicative backoff on
+    loss, gentle recovery on clean reports), capped at the configured
+    ceiling.
+
+    The reference only has the static ``videorate max-rate`` cap
+    (``OpenCVequalHist.cpp:294-295``) and leaves congestion to the
+    encoder's ``control-rate=low-latency``; with the native RTP plane the
+    far end's RRs (``io/rtcp.py``) carry ``fraction_lost``, so the relay
+    can shed frames *before* the network does — the loss-based half of a
+    WebRTC-style congestion controller.
+    """
+
+    def __init__(self, max_rate: float, min_rate: float = 1.0,
+                 clock=time.monotonic, loss_threshold: float = 0.02,
+                 backoff: float = 0.7, recover: float = 1.05):
+        super().__init__(max_rate, clock)
+        if not (0 < backoff < 1) or recover < 1:
+            raise ValueError("need 0 < backoff < 1 and recover >= 1")
+        self.ceiling = float(max_rate)
+        self.min_rate = float(min_rate)
+        self.rate = float(max_rate)
+        self.loss_threshold = loss_threshold
+        self.backoff = backoff
+        self.recover = recover
+        self.backoffs = 0
+
+    def _set_rate(self, rate: float) -> None:
+        rate = min(max(rate, self.min_rate), self.ceiling)
+        if rate != self.rate:
+            self.rate = rate
+            self.period = 1.0 / rate
+            # re-anchor the slot grid so the new period takes effect now
+            self._next_due = None
+
+    def on_receiver_report(self, fraction_lost: int) -> float:
+        """Feed one RR's ``fraction_lost`` (0..255); returns the new rate."""
+        loss = fraction_lost / 256.0
+        if loss > self.loss_threshold:
+            self.backoffs += 1
+            self._set_rate(self.rate * self.backoff)
+        else:
+            self._set_rate(self.rate * self.recover)
+        return self.rate
