@@ -4,13 +4,17 @@
 Usage:
   python -m opencv_opencl_tpu.apps.clahe_video --input=video.mp4 \\
       [--output=out.mp4] [--resolution=1280x720] [--fps=30] [--loop] \\
-      [--udp-only] [--clipLimit=2.0] [--tile=8] [--codec=h264|h265] \\
+      [--udp=host:port] [--udp-kind=jpeg|raw] [--udp-only] \\
+      [--clipLimit=2.0] [--tile=8] [--codec=h264|h265] \\
       [--bitrate=25000] [--timing-window=200] [--detailed-timing] \\
       [--max-frames=N] [--op=clahe|histeq]
 
 Defaults mirror the reference (1280x720 @ 30, clip 2.0, tile 8, 25 Mbps:
-``CLAHECompare.cpp:287-297``).  ``--udp-only`` skips the file sink branch
-(the reference's tee to mp4mux).  Timing instrumentation reproduces
+``CLAHECompare.cpp:287-297``).  The reference's emit side is a tee:
+RTP/UDP always, plus ``mp4mux ! filesink`` unless ``--udp-only``
+(``CLAHECompare.cpp:438-483``) — here ``--udp=host:port`` attaches the
+native RTP sink (io/rtp.py, RTCP on) alongside the mp4 FileSink, and
+``--udp-only`` drops the file branch.  Timing instrumentation reproduces
 ``clahevideo.cpp``: per-frame compute/memory/total decomposition, rolling
 window reports every 100 frames, detailed per-frame prints for the first 10
 frames then every 50th, and a final performance analysis block.
@@ -28,6 +32,7 @@ def run(argv: list[str]) -> int:
         argv,
         {
             "input": str, "output": str, "loop": bool, "udp-only": bool,
+            "udp": str, "udp-kind": str,
             "resolution": str, "fps": str, "clipLimit": float, "tile": int,
             "codec": str, "bitrate": int, "timing-window": int,
             "detailed-timing": bool, "max-frames": int, "op": str,
@@ -81,13 +86,23 @@ def run(argv: list[str]) -> int:
     print(f"CLAHE parameters: clipLimit={clip_limit:g}, "
           f"tileGrid={tile}x{tile}")
 
-    if opts.get("udp-only") or not opts.get("output"):
-        sink = NullSink()
-        sink_desc = "(udp-only / null sink)"
-    else:
-        sink = FileSink(opts["output"], spec)
-        sink_desc = opts["output"]
-    print(f"Output: {sink_desc}")
+    sinks = []
+    descs = []
+    if "udp" in opts:
+        # the reference's RTP/UDP leg of the tee, natively
+        from opencv_opencl_tpu.io.rtp import RtpUdpSink
+
+        udp_host, udp_port = opts["udp"].rsplit(":", 1)
+        sinks.append(RtpUdpSink(udp_host, int(udp_port),
+                                kind=opts.get("udp-kind", "jpeg"), fps=fps))
+        descs.append(f"rtp://{opts['udp']}")
+    if opts.get("output") and not opts.get("udp-only"):
+        sinks.append(FileSink(opts["output"], spec))
+        descs.append(opts["output"])
+    if not sinks:
+        sinks.append(NullSink())
+        descs.append("(udp-only / null sink)")
+    print(f"Output: {' + '.join(descs)}")
 
     chroma = (ChromaPolicy.GRAY if opts.get("chroma", "").lower() == "gray"
               else ChromaPolicy.PASSTHROUGH)
@@ -120,7 +135,8 @@ def run(argv: list[str]) -> int:
             out_dev.block_until_ready()
         with mem:
             out = np.asarray(out_dev)
-        sink.write(out)
+        for sink in sinks:
+            sink.write(out)
         total_ms = (time.perf_counter() - t_frame) * 1e3
         timing.record(compute.ms, mem.ms, total_ms)
         frame_count += 1
@@ -131,10 +147,12 @@ def run(argv: list[str]) -> int:
         if frame_count % 100 == 0:
             timing.window_report()
 
-    sink.close()
+    for sink in sinks:
+        sink.close()
     src.close()
-    if isinstance(sink, FileSink):
-        print(f"MP4 saved ({sink.frames} frames)")
+    for sink in sinks:
+        if isinstance(sink, FileSink):
+            print(f"MP4 saved ({sink.frames} frames)")
     timing.final_report()
     return 0
 

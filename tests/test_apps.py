@@ -139,6 +139,54 @@ def test_clahe_video_app(tmp_path, rng, capsys):
     assert os.path.exists(out)
 
 
+def test_clahe_video_udp_tee(tmp_path, rng, capsys):
+    """The reference's tee: RTP/UDP + mp4 simultaneously
+    (CLAHECompare.cpp:438-483) — receiver decodes frames while the file
+    sink records."""
+    import threading
+
+    import cv2
+
+    from opencv_opencl_tpu.apps import clahe_video
+    from opencv_opencl_tpu.io.rtp import RtpUdpReceiver
+
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    assert w.isOpened(), "cv2 VideoWriter unavailable"
+    for _ in range(8):
+        w.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    rx = RtpUdpReceiver(port=0, kind="raw", frame_shape=(72, 64),
+                        timeout=20.0)
+    got = []
+
+    def drain():
+        try:
+            while len(got) < 4:
+                got.append(rx.recv_frame())
+        except (TimeoutError, OSError):
+            pass
+
+    t = threading.Thread(target=drain)
+    t.start()
+    out = str(tmp_path / "out.mp4")
+    rc = clahe_video.run([
+        f"--input={vid}", f"--output={out}",
+        f"--udp=127.0.0.1:{rx.port}", "--udp-kind=raw",
+        "--resolution=64x48", "--tile=4", "--max-frames=8",
+    ])
+    t.join(timeout=25)
+    rx.close()
+    text = capsys.readouterr().out
+    assert rc == 0
+    assert "rtp://127.0.0.1" in text
+    assert "MP4 saved" in text
+    assert os.path.exists(out)
+    assert len(got) >= 1            # frames really crossed the wire
+    assert got[0].shape == (72, 64)  # NV12 rows of a 64x48 frame
+
+
 def _handshake(extra_args, port, room, expect_kinds):
     """sender app end-to-end in signaling-only mode: self-served room, a
     viewer joins, a REAL generated offer flows, the viewer parses it and
