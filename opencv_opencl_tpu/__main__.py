@@ -19,6 +19,7 @@ def main() -> None:
         ("relay", "OpenCVequalHist family / OpenCLequalHist / improvement"),
         ("sender", "webrtc/sender.cpp family (+ --audio, --test-source)"),
         ("rtp_receiver", "PC-side RTP player/recorder (extension)"),
+        ("multi_relay", "N streams / one chip serving (extension)"),
     ]:
         print(f"  {name:<14} <- {ref}")
     print("\nPresets (relay --preset=<name>):")

@@ -1,0 +1,153 @@
+"""Multi-stream relay: N independent streams served by ONE chip.
+
+Usage:
+  python -m opencv_opencl_tpu.apps.multi_relay --streams=4
+      [--width=1920 --height=1080 --fps=30] [--op=clahe|histeq]
+      [--chroma=gray|passthrough] [--clipLimit=2.0] [--tile=8]
+      [--batch=4] [--workers=2] [--max-frames=N] [--duration=s]
+      [--source=test|<video file>]      # one source replicated per stream
+      [--sink=null|rtp://host:port]     # rtp: stream i goes to port+2*i
+      [--status-interval=2]
+
+The serving extension of ``relay``: one chip is ~10x faster than a 4K60
+stream needs (docs/RESULTS_R2.md), so production packs many streams per
+chip.  Frames from all streams share device batches via
+``runtime/mux.StreamMux``; outputs route back per stream in order.  The
+reference cannot do this at all — its OpenCL context is process-exclusive
+(``OpenCLequalHist.cpp:106-140``) and each relay binary owns one stream.
+
+RTP port spacing is 2 per stream because each RTP session's RTCP rides
+its companion port (port+1, io/rtcp.py).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from opencv_opencl_tpu.apps._cli import parse_kv_args
+
+
+def run(argv: list[str]) -> int:
+    opts, _ = parse_kv_args(
+        argv,
+        {
+            "streams": int, "width": int, "height": int, "fps": float,
+            "op": str, "chroma": str, "clipLimit": float, "tile": int,
+            "batch": int, "workers": int, "max-frames": int,
+            "duration": float, "source": str, "sink": str,
+            "status-interval": float,
+        },
+    )
+    n = opts.get("streams", 2)
+    width = opts.get("width", 1920)
+    height = opts.get("height", 1080)
+    fps = opts.get("fps", 30.0)
+    op = opts.get("op", "clahe")
+    max_frames = opts.get("max-frames")
+    duration = opts.get("duration")
+    sink_spec = opts.get("sink", "null")
+    interval = opts.get("status-interval", 2.0)
+
+    import numpy as np
+
+    from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+    from opencv_opencl_tpu.io.videofile import FileSource, NullSink, TestSource
+    from opencv_opencl_tpu.models import Enhancer, EnhancerConfig
+    from opencv_opencl_tpu.runtime.mux import StreamMux
+
+    spec = FrameSpec(width=width, height=height, fps=fps)
+    chroma = (ChromaPolicy.GRAY if opts.get("chroma", "").lower() == "gray"
+              else ChromaPolicy.PASSTHROUGH)
+    enhancer = Enhancer(
+        EnhancerConfig(
+            op=op, clip_limit=opts.get("clipLimit", 2.0),
+            tile_grid=(opts.get("tile", 8),) * 2, chroma=chroma,
+        ),
+        spec,
+    )
+
+    sinks = []
+    if sink_spec.startswith("rtp://"):
+        from opencv_opencl_tpu.io.rtp import RtpUdpSink
+
+        host, port = sink_spec[len("rtp://"):].rsplit(":", 1)
+        for s in range(n):
+            sinks.append(RtpUdpSink(host, int(port) + 2 * s, kind="jpeg",
+                                    fps=fps))
+        print(f"Sinks: rtp://{host}:{port}..{int(port) + 2 * (n - 1)} "
+              f"(stride 2: RTCP companions)")
+    else:
+        sinks = [NullSink() for _ in range(n)]
+
+    def on_out(stream, sseq, frame, meta):
+        sinks[stream].write(frame)
+
+    mux = StreamMux(enhancer.process_batch, n, on_output=on_out,
+                    batch_size=opts.get("batch", 4),
+                    depth=opts.get("workers", 2),
+                    queue_capacity=max(8, 4 * n))
+    src_path = opts.get("source", "test")
+    sources = []
+    for s in range(n):
+        if src_path == "test":
+            sources.append(iter(TestSource(spec)))
+        else:
+            sources.append(iter(FileSource(src_path, width=width,
+                                           height=height, loop=True)))
+
+    print(f"Serving {n} streams of {width}x{height} {op} on one chip "
+          f"(batch={opts.get('batch', 4)}, depth={opts.get('workers', 2)})")
+    mux.start()
+    t0 = time.monotonic()
+    last_tick = t0
+    k = 0
+    period = 1.0 / fps if fps > 0 else 0.0
+    try:
+        while True:
+            if max_frames is not None and k >= max_frames:
+                break
+            if duration is not None and time.monotonic() - t0 > duration:
+                break
+            for s in range(n):
+                try:
+                    mux.submit(s, next(sources[s]))
+                except StopIteration:
+                    sources[s] = iter(TestSource(spec))
+                    mux.submit(s, next(sources[s]))
+            k += 1
+            now = time.monotonic()
+            if now - last_tick >= interval:
+                st = mux.stats
+                agg_fps = st["emitted"] / (now - t0)
+                print(f"[status] rounds={k} emitted={st['emitted']} "
+                      f"({agg_fps:.1f} fps aggregate, "
+                      f"{agg_fps / n:.1f}/stream) "
+                      f"dropped(late)={st['dropped_late']} "
+                      f"errors={st['processing_errors']}")
+                last_tick = now
+            next_t = t0 + k * period
+            delay = next_t - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+    except KeyboardInterrupt:
+        print("\nInterrupted.")
+    mux.stop(drain=True)
+    for sk in sinks:
+        sk.close()
+    wall = time.monotonic() - t0
+    st = mux.stats
+    print(f"\nShutdown: {st['emitted']} frames across {n} streams in "
+          f"{wall:.2f}s ({st['emitted'] / wall if wall > 0 else 0:.1f} fps "
+          f"aggregate); per-stream: "
+          + ", ".join(f"#{i}={p['emitted']}/{p['submitted']}"
+                      for i, p in enumerate(st["per_stream"])))
+    return 0
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()
