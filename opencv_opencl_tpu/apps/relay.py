@@ -42,7 +42,7 @@ def run(argv: list[str]) -> int:
             "sink": str, "duration": float, "max-frames": int,
             "status-interval": float, "realtime": bool, "max-rate": float,
             "adaptive-rate": bool, "native": bool, "preset": str,
-            "io": str, "ref-frame": bool,
+            "io": str, "ref-frame": bool, "sdp-file": str,
         },
     )
     if opts.get("io") == "gst":
@@ -125,6 +125,17 @@ def run(argv: list[str]) -> int:
         hostport = sink_path.split("://", 1)[1]
         rtp_host, rtp_port = hostport.rsplit(":", 1)
         sink = RtpUdpSink(rtp_host, int(rtp_port), kind=kind, fps=fps)
+        if "sdp-file" in opts:
+            # a stock player (ffplay/VLC) opens this file to receive the
+            # stream — the in-repo equivalent of handing the lab PC the
+            # udpsink coordinates
+            from opencv_opencl_tpu.io.sdp import build_rtp_session_sdp
+
+            with open(opts["sdp-file"], "w") as f:
+                f.write(build_rtp_session_sdp(
+                    rtp_host, int(rtp_port), kind,
+                    width=spec.width, height=spec.height))
+            print(f"SDP written: {opts['sdp-file']}")
     elif sink_path.endswith(".nv12") or sink_path.endswith(".raw"):
         sink = RawSink(sink_path)
     else:

@@ -25,6 +25,7 @@ __all__ = [
     "SdpSession",
     "build_offer",
     "build_answer",
+    "build_rtp_session_sdp",
     "parse_sdp",
     "media_for_codec",
 ]
@@ -113,6 +114,53 @@ def build_offer(medias: list[MediaDescription],
             m.rtpmap,
             *m.attributes,
         ]
+    return "\r\n".join(lines) + "\r\n"
+
+
+def build_rtp_session_sdp(host: str, port: int, kind: str,
+                          width: int | None = None,
+                          height: int | None = None,
+                          session_name: str = "opencv-opencl-tpu") -> str:
+    """A plain (non-WebRTC) RTP session description for the native RTP
+    sinks (io/rtp.py, io/rtp_h26x.py) — the ``.sdp`` file a stock player
+    (ffplay/VLC/GStreamer ``sdpdemux``) opens to receive the stream the
+    reference pointed at a lab PC (``udpsink host=… port=5004``,
+    ``OpenCVequalHist.cpp:316-317``).
+
+    kinds: ``jpeg`` (RFC 2435, static PT 26 — universally decodable),
+    ``h264``/``h265`` (RFC 6184/7798, packetization-mode=1), and ``raw``
+    (our RFC 4175-style NV12 line format; advertised with the private
+    encoding name ``X-NV12`` since 4175 has no NV12 sampling — only our
+    receiver decodes it, so the SDP is honest about that).
+    """
+    sid = secrets.randbits(62)
+    lines = [
+        "v=0",
+        f"o=- {sid} 1 IN IP4 {host}",
+        f"s={session_name}",
+        f"c=IN IP4 {host}",
+        "t=0 0",
+    ]
+    if kind == "jpeg":
+        lines += [f"m=video {port} RTP/AVP 26", "a=rtpmap:26 JPEG/90000"]
+    elif kind in ("h264", "h265"):
+        enc = "H264" if kind == "h264" else "H265"
+        lines += [
+            f"m=video {port} RTP/AVP 96",
+            f"a=rtpmap:96 {enc}/90000",
+            "a=fmtp:96 packetization-mode=1",
+        ]
+    elif kind == "raw":
+        fmtp = "a=fmtp:96 sampling=YCbCr-4:2:0; depth=8"
+        if width and height:
+            fmtp += f"; width={width}; height={height}"
+        lines += [
+            f"m=video {port} RTP/AVP 96",
+            "a=rtpmap:96 X-NV12/90000",
+            fmtp,
+        ]
+    else:
+        raise ValueError(f"unknown rtp payload kind {kind!r}")
     return "\r\n".join(lines) + "\r\n"
 
 

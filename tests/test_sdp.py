@@ -173,3 +173,52 @@ def test_peer_id_roundtrip_over_relay():
         sender_c.stop()
     finally:
         server.stop()
+
+
+class TestRtpSessionSdp:
+    def test_jpeg_session(self):
+        from opencv_opencl_tpu.io.sdp import build_rtp_session_sdp, parse_sdp
+
+        text = build_rtp_session_sdp("10.0.0.2", 5004, "jpeg")
+        assert "m=video 5004 RTP/AVP 26" in text
+        assert "a=rtpmap:26 JPEG/90000" in text
+        assert "c=IN IP4 10.0.0.2" in text
+        sess = parse_sdp(text)  # our own parser can read it back
+        assert sess.medias and sess.medias[0].payload_type == 26
+
+    def test_h264_session(self):
+        from opencv_opencl_tpu.io.sdp import build_rtp_session_sdp
+
+        text = build_rtp_session_sdp("192.168.25.69", 5004, "h264")
+        assert "a=rtpmap:96 H264/90000" in text
+        assert "packetization-mode=1" in text
+
+    def test_raw_session_honest_private_name(self):
+        from opencv_opencl_tpu.io.sdp import build_rtp_session_sdp
+
+        text = build_rtp_session_sdp("127.0.0.1", 6000, "raw",
+                                     width=1920, height=1080)
+        assert "X-NV12/90000" in text
+        assert "width=1920; height=1080" in text
+
+    def test_unknown_kind(self):
+        import pytest
+
+        from opencv_opencl_tpu.io.sdp import build_rtp_session_sdp
+
+        with pytest.raises(ValueError):
+            build_rtp_session_sdp("h", 1, "mpeg2")
+
+
+def test_relay_writes_sdp_file(tmp_path):
+    from opencv_opencl_tpu.apps import relay
+
+    sdp = tmp_path / "stream.sdp"
+    rc = relay.run([
+        "--source=test", "--width=96", "--height=64", "--op=histeq",
+        "--batch=2", "--max-frames=4", "--fps=30",
+        "--sink=rtp://127.0.0.1:55999", f"--sdp-file={sdp}",
+    ])
+    assert rc == 0
+    text = sdp.read_text()
+    assert "m=video 55999 RTP/AVP 26" in text
