@@ -267,7 +267,6 @@ def run(argv: list[str]) -> int:
     else:
         governor = (RateGovernor(opts["max-rate"])
                     if "max-rate" in opts else None)
-    rr_seen = 0
 
     feeder.start()
     reporter.start()
@@ -284,14 +283,11 @@ def run(argv: list[str]) -> int:
             if (opts.get("adaptive-rate")
                     and getattr(sink, "rtcp", None) is not None):
                 sink.rtcp.poll()
-                blocks = sink.rtcp.remote_blocks
-                while rr_seen < len(blocks):
-                    rate = governor.on_receiver_report(
-                        blocks[rr_seen].fraction_lost)
-                    rr_seen += 1
-                    if blocks[rr_seen - 1].fraction_lost:
+                for blk in sink.rtcp.take_blocks():
+                    rate = governor.on_receiver_report(blk.fraction_lost)
+                    if blk.fraction_lost:
                         print(f"[adaptive-rate] loss="
-                              f"{blocks[rr_seen - 1].fraction_lost}/256 "
+                              f"{blk.fraction_lost}/256 "
                               f"-> {rate:.1f} fps")
             if max_frames is not None and n >= max_frames:
                 break

@@ -26,6 +26,7 @@ from __future__ import annotations
 import socket
 import struct
 import time
+from collections import deque
 
 __all__ = [
     "RTCP_SR",
@@ -352,8 +353,11 @@ class RtcpPeer:
         self.sock.setblocking(False)
         self.port = self.sock.getsockname()[1]
         self._last_report = 0.0
-        # what the far end told us about our stream (sender side)
-        self.remote_blocks: list[ReportBlock] = []
+        # what the far end told us about our stream (sender side); bounded
+        # — an always-on relay accumulates ~43k RRs/day at the 2 s cadence,
+        # so history is a deque and one-shot consumers use take_blocks()
+        self.remote_blocks: deque[ReportBlock] = deque(maxlen=64)
+        self._fresh_blocks: list[ReportBlock] = []
         self.rtt_ms: float | None = None
         # last SR seen (receiver side)
         self.remote_sr: dict | None = None
@@ -382,7 +386,15 @@ class RtcpPeer:
                     for blk in pkt["blocks"]:
                         if blk.ssrc == self.ssrc:
                             self.remote_blocks.append(blk)
+                            if len(self._fresh_blocks) < 1024:
+                                self._fresh_blocks.append(blk)
                             self._update_rtt(blk)
+
+    def take_blocks(self) -> list[ReportBlock]:
+        """Drain report blocks not yet consumed (each returned once)."""
+        out = self._fresh_blocks
+        self._fresh_blocks = []
+        return out
 
     def _update_rtt(self, blk: ReportBlock) -> None:
         if blk.lsr == 0:

@@ -189,6 +189,7 @@ class JpegRtpPayloader:
         self.ssrc = ssrc
         self.seq = 0
         self.ts = 0
+        self.last_ts = 0  # timestamp of the most recently packetized frame
         self.ts_step = int(round(90000 / fps)) if fps > 0 else 3000
 
     def packetize(self, nv12: np.ndarray) -> list[bytes]:
@@ -234,6 +235,7 @@ class JpegRtpPayloader:
             packets.append(hdr + jpeg_hdr + extra + chunk)
             self.seq = (self.seq + 1) & 0xFFFF
             off += len(chunk)
+        self.last_ts = self.ts
         self.ts = (self.ts + self.ts_step) & 0xFFFFFFFF
         return packets
 
@@ -247,6 +249,7 @@ class RawNv12Payloader:
         self.ssrc = ssrc
         self.seq = 0
         self.ts = 0
+        self.last_ts = 0
         self.ts_step = int(round(90000 / fps)) if fps > 0 else 3000
 
     def packetize(self, nv12: np.ndarray) -> list[bytes]:
@@ -266,6 +269,7 @@ class RawNv12Payloader:
                                + flat[line, off : off + n].tobytes())
                 self.seq = (self.seq + 1) & 0xFFFF
                 off += n
+        self.last_ts = self.ts
         self.ts = (self.ts + self.ts_step) & 0xFFFFFFFF
         return packets
 
@@ -286,6 +290,11 @@ class RtpUdpSink:
             self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_TOS, 60 << 2)
         except OSError:
             pass  # container caps: keep streaming regardless
+        # pin the RTP source port now so RTCP can ride the RFC 3550
+        # convention (RTP source port + 1) — standards peers address their
+        # RRs there, not to the SR datagram's source address
+        self.sock.bind(("0.0.0.0", 0))
+        self.rtp_port = self.sock.getsockname()[1]
         if kind == "jpeg":
             self.payloader = JpegRtpPayloader(quality=quality, mtu=mtu,
                                               fps=fps)
@@ -300,8 +309,15 @@ class RtpUdpSink:
             # numbers of webrtc/details.html:292-392, natively).
             from opencv_opencl_tpu.io.rtcp import RtcpPeer
 
-            self.rtcp = RtcpPeer(self.payloader.ssrc,
-                                 remote=(host, port + 1))
+            try:
+                self.rtcp = RtcpPeer(self.payloader.ssrc,
+                                     local_port=self.rtp_port + 1,
+                                     remote=(host, port + 1))
+            except OSError:
+                # companion port taken: fall back to an ephemeral one
+                # (in-repo receivers reply to the SR's source address)
+                self.rtcp = RtcpPeer(self.payloader.ssrc,
+                                     remote=(host, port + 1))
         self.payload_octets = 0
         self._use_native = False
         if kind == "raw":
@@ -338,6 +354,7 @@ class RtpUdpSink:
                 self.send_errors += 1
                 self.packets += n
             p.seq = (p.seq + max(n, 0)) & 0xFFFF
+            p.last_ts = p.ts
             p.ts = (p.ts + p.ts_step) & 0xFFFFFFFF
             # headers + the payload bytes that actually went out
             self.bytes += max(n, 0) * 20 + (nv12.nbytes if n > 0 else 0)
@@ -356,7 +373,9 @@ class RtpUdpSink:
 
     def _rtcp_tick(self) -> None:
         if self.rtcp is not None:
-            self.rtcp.maybe_send_sr(self.payloader.ts, self.packets,
+            # pair NTP-now with the frame just sent: packetize already
+            # advanced .ts one frame period past it
+            self.rtcp.maybe_send_sr(self.payloader.last_ts, self.packets,
                                     self.payload_octets)
 
     @property
@@ -393,6 +412,8 @@ class RtpUdpReceiver:
         self.frame_shape = frame_shape
         self.frames_dropped = 0  # incomplete frames discarded (loss resync)
         self.packets_bad = 0     # runt/foreign/mismatched datagrams ignored
+        self._pt = PT_JPEG if kind == "jpeg" else PT_RAW
+        self._ssrc_lock: int | None = None
         self.rtcp = None
         if rtcp:
             # Receiver Reports (loss/jitter + LSR/DLSR for the sender's
@@ -412,12 +433,27 @@ class RtpUdpReceiver:
             return self._recv_jpeg()
         return self._recv_raw()
 
+    def _accept(self, pkt: bytes) -> bool:
+        """Lock onto the first stream seen: reject wrong-version, wrong-PT
+        and foreign-SSRC datagrams before they touch frame reassembly or
+        the RTCP sequence/jitter machine (two senders on one port would
+        otherwise saturate fraction_lost and drive --adaptive-rate to the
+        floor on a loss-free link)."""
+        if pkt[0] >> 6 != RTP_VERSION or (pkt[1] & 0x7F) != self._pt:
+            return False
+        ssrc = struct.unpack("!I", pkt[8:12])[0]
+        if self._ssrc_lock is None:
+            self._ssrc_lock = ssrc
+        elif ssrc != self._ssrc_lock:
+            return False
+        return True
+
     def _note_packet(self, pkt: bytes) -> None:
         """Feed RTCP receive stats (seq machine + jitter) and emit RRs."""
         if self.rtcp is None:
             return
         if self.rtcp.stats.ssrc is None:
-            self.rtcp.stats.ssrc = struct.unpack("!I", pkt[8:12])[0]
+            self.rtcp.stats.ssrc = self._ssrc_lock
         seq = struct.unpack("!H", pkt[2:4])[0]
         ts = struct.unpack("!I", pkt[4:8])[0]
         self.rtcp.stats.note(seq, ts, len(pkt) - 12)
@@ -432,7 +468,7 @@ class RtpUdpReceiver:
         cur_ts = None
         while True:
             pkt, _ = self.sock.recvfrom(65536)
-            if len(pkt) < 20:  # runt/foreign datagram: ignore
+            if len(pkt) < 20 or not self._accept(pkt):
                 self.packets_bad += 1
                 continue
             self._note_packet(pkt)
@@ -489,7 +525,7 @@ class RtpUdpReceiver:
         cur_ts = None
         while True:
             pkt, _ = self.sock.recvfrom(65536)
-            if len(pkt) < 20:  # runt/foreign datagram: ignore
+            if len(pkt) < 20 or not self._accept(pkt):
                 self.packets_bad += 1
                 continue
             self._note_packet(pkt)

@@ -27,6 +27,8 @@ from __future__ import annotations
 import socket
 import struct
 
+from opencv_opencl_tpu.io.rtp import _rtp_header
+
 __all__ = [
     "H264RtpPayloader",
     "H265RtpPayloader",
@@ -60,12 +62,6 @@ def split_annexb(data: bytes) -> list[bytes]:
     return nals
 
 
-def _rtp_header(pt: int, seq: int, ts: int, ssrc: int, marker: bool) -> bytes:
-    b0 = 2 << 6
-    b1 = (0x80 if marker else 0) | (pt & 0x7F)
-    return struct.pack("!BBHII", b0, b1, seq & 0xFFFF, ts & 0xFFFFFFFF, ssrc)
-
-
 class _H26xPayloaderBase:
     """Shared packetization driver; codec specifics live in subclasses."""
 
@@ -75,12 +71,19 @@ class _H26xPayloaderBase:
     def __init__(self, mtu: int = DEFAULT_MTU, ssrc: int = 0x48323634,
                  fps: float = 30.0, pt: int = PT_H26X,
                  aggregate: bool = True):
+        # FU fragments need >=1 payload byte after RTP header + payload
+        # header + FU header, or _fu_fragments would loop forever
+        min_mtu = 12 + self.nal_hdr_len + 1 + 1
+        if mtu < min_mtu:
+            raise ValueError(f"mtu {mtu} < minimum {min_mtu} for "
+                             f"{type(self).__name__}")
         self.mtu = mtu
         self.ssrc = ssrc
         self.pt = pt
         self.aggregate = aggregate
         self.seq = 0
         self.ts = 0
+        self.last_ts = 0  # timestamp of the most recently packetized AU
         self.ts_step = int(round(90000 / fps)) if fps > 0 else 3000
 
     # -- codec hooks -------------------------------------------------------
@@ -127,6 +130,7 @@ class _H26xPayloaderBase:
             hdr = _rtp_header(self.pt, self.seq, self.ts, self.ssrc, marker)
             packets.append(hdr + payload)
             self.seq = (self.seq + 1) & 0xFFFF
+        self.last_ts = self.ts
         self.ts = (self.ts + self.ts_step) & 0xFFFFFFFF
         return packets
 
@@ -272,6 +276,12 @@ class H26xDepacketizer:
             i = 1
             while i + 2 <= len(p):
                 (n,) = struct.unpack("!H", p[i : i + 2])
+                if n == 0 or i + 2 + n > len(p):
+                    # zero-length or truncated aggregation unit: poison
+                    # the AU rather than emit a torn/empty NAL
+                    self.packets_bad += 1
+                    self._broken = True
+                    return
                 self._nals.append(p[i + 2 : i + 2 + n])
                 i += 2 + n
         elif ntype == 28:  # FU-A
@@ -303,6 +313,10 @@ class H26xDepacketizer:
             i = 2
             while i + 2 <= len(p):
                 (n,) = struct.unpack("!H", p[i : i + 2])
+                if n == 0 or i + 2 + n > len(p):
+                    self.packets_bad += 1
+                    self._broken = True
+                    return
                 self._nals.append(p[i + 2 : i + 2 + n])
                 i += 2 + n
         elif ntype == 49:  # FU
@@ -344,6 +358,9 @@ class H26xRtpSink:
             self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_TOS, 60 << 2)
         except OSError:
             pass
+        # RFC 3550 port convention: RTCP on RTP source port + 1
+        self.sock.bind(("0.0.0.0", 0))
+        self.rtp_port = self.sock.getsockname()[1]
         if codec == "h264":
             self.payloader = H264RtpPayloader(mtu=mtu, fps=fps)
         elif codec == "h265":
@@ -354,8 +371,13 @@ class H26xRtpSink:
         if rtcp:
             from opencv_opencl_tpu.io.rtcp import RtcpPeer
 
-            self.rtcp = RtcpPeer(self.payloader.ssrc,
-                                 remote=(host, port + 1))
+            try:
+                self.rtcp = RtcpPeer(self.payloader.ssrc,
+                                     local_port=self.rtp_port + 1,
+                                     remote=(host, port + 1))
+            except OSError:
+                self.rtcp = RtcpPeer(self.payloader.ssrc,
+                                     remote=(host, port + 1))
         self.frames = 0
         self.packets = 0
         self.bytes = 0
@@ -369,7 +391,9 @@ class H26xRtpSink:
             self.payload_octets += len(pkt) - 12
         self.frames += 1
         if self.rtcp is not None:
-            self.rtcp.maybe_send_sr(self.payloader.ts, self.packets,
+            # pair NTP-now with the AU just sent (ts was already advanced
+            # past it by packetize) so the SR's clock mapping is honest
+            self.rtcp.maybe_send_sr(self.payloader.last_ts, self.packets,
                                     self.payload_octets)
 
     @property
@@ -388,7 +412,9 @@ class H26xRtpReceiver:
 
     def __init__(self, host: str = "0.0.0.0", port: int = 0,
                  codec: str = "h264", timeout: float = 5.0,
-                 buffer_size: int = 60_000_000, rtcp: bool = True):
+                 buffer_size: int = 60_000_000, rtcp: bool = True,
+                 pt: int = PT_H26X):
+        self.depay_pt = pt
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
@@ -399,6 +425,7 @@ class H26xRtpReceiver:
         self.sock.settimeout(timeout)
         self.port = self.sock.getsockname()[1]
         self.depay = H26xDepacketizer(codec)
+        self._ssrc_lock: int | None = None
         self.rtcp = None
         if rtcp:
             from opencv_opencl_tpu.io.rtcp import RtcpPeer
@@ -413,6 +440,18 @@ class H26xRtpReceiver:
         while True:
             pkt, _ = self.sock.recvfrom(65536)
             if len(pkt) < 13:
+                self.depay.packets_bad += 1
+                continue
+            # lock onto the first stream: foreign datagrams (a second
+            # sender, a stray process on the port) must corrupt neither
+            # the depacketizer's seq chain nor the RTCP loss stats
+            if pkt[0] >> 6 != 2 or (pkt[1] & 0x7F) != self.depay_pt:
+                self.depay.packets_bad += 1
+                continue
+            ssrc = struct.unpack("!I", pkt[8:12])[0]
+            if self._ssrc_lock is None:
+                self._ssrc_lock = ssrc
+            elif ssrc != self._ssrc_lock:
                 self.depay.packets_bad += 1
                 continue
             if self.rtcp is not None:

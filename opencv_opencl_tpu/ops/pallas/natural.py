@@ -319,6 +319,10 @@ def clahe_interpolate_natural(y: jax.Array, luts: jax.Array | None,
     e.g. from :func:`build_lut_pack_pallas` — skips the take/cast here."""
     if interpret is None:
         interpret = _interpret_default()
+    if variant != 2 and lp is not None:
+        raise ValueError("lp (prebuilt LUT pack) requires variant=2")
+    if luts is None and lp is None:
+        raise ValueError("one of luts / lp must be provided")
     h, w = spec.height, spec.width
     assert y.shape == (h, w)
     rs = spec.rs

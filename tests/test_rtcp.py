@@ -264,3 +264,37 @@ class TestEndToEnd:
             if blocker is not None:
                 blocker.close()
             rx1.close()
+
+
+class TestBlockBookkeeping:
+    def test_take_blocks_drains_once_and_history_bounded(self):
+        """remote_blocks is bounded history (no unbounded growth in
+        always-on serving); take_blocks() hands each RR to the governor
+        exactly once."""
+        from opencv_opencl_tpu.io.rtcp import (
+            RtcpPeer, ReportBlock, build_receiver_report)
+
+        peer = RtcpPeer(0xAABBCCDD)
+        import socket as socketmod
+
+        tx = socketmod.socket(socketmod.AF_INET, socketmod.SOCK_DGRAM)
+        try:
+            for i in range(100):
+                blk = ReportBlock(0xAABBCCDD, i % 256, i, 1000 + i, 0, 0, 0)
+                tx.sendto(build_receiver_report(0x1, [blk]),
+                          ("127.0.0.1", peer.port))
+            import time as timemod
+
+            deadline = timemod.monotonic() + 5.0
+            drained = []
+            while timemod.monotonic() < deadline and len(drained) < 100:
+                peer.poll()
+                drained.extend(peer.take_blocks())
+                timemod.sleep(0.01)
+        finally:
+            tx.close()
+            peer.close()
+        assert len(drained) == 100           # each block seen exactly once
+        assert peer.take_blocks() == []      # and never twice
+        assert len(peer.remote_blocks) == 64  # deque maxlen
+        assert peer.remote_blocks[-1].cumulative_lost == 99

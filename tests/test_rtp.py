@@ -355,3 +355,52 @@ def test_native_sink_bytes_counts_payload():
     rx.close()
     assert tx.bytes >= f.nbytes  # payload counted, not just headers
     tx.close()
+
+
+def test_receiver_ignores_foreign_ssrc_and_pt():
+    """Two senders on one port: the receiver locks the first SSRC; the
+    second stream neither corrupts reassembly nor saturates the RTCP
+    loss stats (review finding: fraction_lost would hit 255 and drive
+    --adaptive-rate to the floor on a loss-free link)."""
+    import socket as socketmod
+
+    rx = rtp.RtpUdpReceiver(kind="raw", frame_shape=(ROWS, W))
+    tx = rtp.RtpUdpSink("127.0.0.1", rx.port, kind="raw", fps=30)
+    stray = socketmod.socket(socketmod.AF_INET, socketmod.SOCK_DGRAM)
+    foreign = rtp.RawNv12Payloader(ssrc=0xDEADBEEF)
+    foreign.seq = 40000  # a disjoint sequence space
+    try:
+        f1 = nv12_frame(31)
+        tx.write(f1)
+        got1 = rx.recv_frame()
+        for pkt in foreign.packetize(nv12_frame(32)):
+            stray.sendto(pkt, ("127.0.0.1", rx.port))
+        f2 = nv12_frame(33)
+        tx.write(f2)
+        got2 = rx.recv_frame()
+    finally:
+        stray.close()
+        tx.close()
+        rx.close()
+    assert np.array_equal(got1, f1) and np.array_equal(got2, f2)
+    assert rx.packets_bad >= 1
+    if rx.rtcp is not None:
+        assert rx.rtcp.stats.cumulative_lost == 0
+
+
+def test_sink_rtcp_rides_companion_port():
+    """RFC 3550 port convention: the sink's RTCP socket binds its RTP
+    source port + 1 so standards peers can address RRs without having
+    seen an SR first."""
+    tx = rtp.RtpUdpSink("127.0.0.1", 59999, kind="raw", fps=30)
+    try:
+        assert tx.rtcp is not None
+        assert tx.rtcp.port == tx.rtp_port + 1
+    finally:
+        tx.close()
+
+
+def test_raw_payloader_last_ts():
+    pay = rtp.RawNv12Payloader(fps=30)
+    pay.packetize(np.zeros((6, 64), np.uint8))
+    assert pay.last_ts == 0 and pay.ts == pay.ts_step

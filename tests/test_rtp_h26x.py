@@ -261,3 +261,89 @@ class TestUdpLoopback:
         sink.close()
         assert result == [0]
         assert out.read_bytes() == b"".join(aus)
+
+
+class TestRobustness:
+    """Hardened depacketizer paths: malformed aggregation packets and
+    misconfigured MTUs fail safe (review findings, round 2)."""
+
+    def test_truncated_stap_length_drops_au(self):
+        # STAP-A whose 16-bit NAL length exceeds the remaining bytes must
+        # poison the AU, never emit a torn NAL
+        pay = H264RtpPayloader()
+        (pkt,) = pay.packetize(annexb(h264_nal(7, 10), h264_nal(8, 6)))
+        p = bytearray(pkt)
+        # first aggregation-unit length field lives at payload offset 1
+        struct.pack_into("!H", p, 12 + 1, 0x4000)
+        depay = H26xDepacketizer("h264")
+        assert depay.push(bytes(p)) is None
+        assert depay.aus_dropped == 1 and depay.packets_bad == 1
+
+    def test_zero_length_stap_unit_drops_au(self):
+        pay = H264RtpPayloader()
+        (pkt,) = pay.packetize(annexb(h264_nal(7, 10), h264_nal(8, 6)))
+        p = bytearray(pkt)
+        struct.pack_into("!H", p, 12 + 1, 0)
+        depay = H26xDepacketizer("h264")
+        assert depay.push(bytes(p)) is None
+        assert depay.aus_dropped == 1
+
+    def test_h265_truncated_ap_drops_au(self):
+        pay = H265RtpPayloader()
+        (pkt,) = pay.packetize(annexb(h265_nal(33, 12), h265_nal(34, 8)))
+        p = bytearray(pkt)
+        # AP payload: 2B PayloadHdr, then length at offset 2
+        struct.pack_into("!H", p, 12 + 2, 0x4000)
+        depay = H26xDepacketizer("h265")
+        assert depay.push(bytes(p)) is None
+        assert depay.aus_dropped == 1
+
+    def test_tiny_mtu_rejected(self):
+        # mtu so small FU fragments would carry 0 payload bytes used to
+        # loop forever in _fu_fragments
+        with pytest.raises(ValueError):
+            H264RtpPayloader(mtu=14)
+        with pytest.raises(ValueError):
+            H265RtpPayloader(mtu=15)
+        H264RtpPayloader(mtu=15)  # smallest legal
+        H265RtpPayloader(mtu=16)
+
+    def test_receiver_ignores_foreign_ssrc(self):
+        """A second sender on the same port must not corrupt the locked
+        stream's depacketizer or its RTCP loss statistics."""
+        import socket as socketmod
+
+        rx = H26xRtpReceiver(codec="h264", timeout=10.0)
+        sink = H26xRtpSink("127.0.0.1", rx.port, codec="h264", rtcp=False)
+        stray = socketmod.socket(socketmod.AF_INET, socketmod.SOCK_DGRAM)
+        foreign = H264RtpPayloader(ssrc=0xDEADBEEF)
+        try:
+            au = annexb(h264_nal(7, 20), h264_nal(5, 2500, 1))
+            sink.write(au)  # locks rx onto the sink's SSRC
+            got1 = rx.recv_access_unit()
+            # interleave foreign packets with a wildly different seq space
+            foreign.seq = 30000
+            for pkt in foreign.packetize(annexb(h264_nal(5, 900, 9))):
+                stray.sendto(pkt, ("127.0.0.1", rx.port))
+            au2 = annexb(h264_nal(7, 20), h264_nal(5, 2500, 2))
+            sink.write(au2)
+            got2 = rx.recv_access_unit()
+        finally:
+            stray.close()
+            sink.close()
+            rx.close()
+        assert got1 == au and got2 == au2
+        assert rx.depay.packets_bad >= 1  # foreign datagrams counted
+        if rx.rtcp is not None:
+            assert rx.rtcp.stats.cumulative_lost == 0
+
+    def test_sr_timestamp_matches_sent_au(self):
+        """The payloader exposes last_ts == the RTP timestamp of the AU
+        just packetized (the SR NTP<->RTP pairing), while .ts has already
+        advanced one frame period."""
+        pay = H264RtpPayloader(fps=30)
+        pay.packetize(annexb(h264_nal(5, 100)))
+        assert pay.last_ts == 0
+        assert pay.ts == pay.ts_step
+        pay.packetize(annexb(h264_nal(5, 100, 1)))
+        assert pay.last_ts == pay.ts_step
