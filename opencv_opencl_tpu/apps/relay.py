@@ -11,6 +11,8 @@ Usage:
                      # hiding; fused single-pass kernel on TPU)
       [--max-rate=N] [--adaptive-rate]  # static videorate cap, or an
                      # RTCP-loss-driven AIMD rate loop (native RTP sinks)
+      [--rtcp-schedule=tick|rfc3550]  # fixed 2-s SR cadence (reference
+                     # semantics) or the RFC 3550 interval algorithm
       [--io=gst]   # drive a real GStreamer pipeline via python-gi
                    # (appsink -> feeder -> appsrc; sink may be
                    #  rtp://host:port, a file, or null)
@@ -43,6 +45,7 @@ def run(argv: list[str]) -> int:
             "status-interval": float, "realtime": bool, "max-rate": float,
             "adaptive-rate": bool, "native": bool, "preset": str,
             "io": str, "ref-frame": bool, "sdp-file": str,
+            "rtcp-schedule": str,
         },
     )
     if opts.get("io") == "gst":
@@ -124,7 +127,8 @@ def run(argv: list[str]) -> int:
         kind = "raw" if sink_path.startswith("rtp+raw://") else "jpeg"
         hostport = sink_path.split("://", 1)[1]
         rtp_host, rtp_port = hostport.rsplit(":", 1)
-        sink = RtpUdpSink(rtp_host, int(rtp_port), kind=kind, fps=fps)
+        sink = RtpUdpSink(rtp_host, int(rtp_port), kind=kind, fps=fps,
+                          rtcp_schedule=opts.get("rtcp-schedule", "tick"))
         if "sdp-file" in opts:
             # a stock player (ffplay/VLC) opens this file to receive the
             # stream — the in-repo equivalent of handing the lab PC the

@@ -23,6 +23,7 @@ interval has elapsed, and both drain their RTCP socket non-blockingly.
 
 from __future__ import annotations
 
+import random
 import socket
 import struct
 import time
@@ -43,6 +44,7 @@ __all__ = [
     "ntp_now",
     "ntp_to_middle32",
     "parse_compound",
+    "rtcp_interval",
 ]
 
 RTCP_SR = 200
@@ -327,6 +329,45 @@ class ReceiverStats:
         )
 
 
+# RFC 3550 §6.2 / A.7 scheduling constants
+RTCP_MIN_TIME = 5.0            # seconds; halved for the very first packet
+SENDER_BW_FRACTION = 0.25      # senders get >= 1/4 of the RTCP bandwidth
+RCVR_BW_FRACTION = 1.0 - SENDER_BW_FRACTION
+_COMPENSATION = 2.71828 - 1.5  # e-3/2: unconditional reconsideration fix
+RTCP_BW_FRACTION = 0.05        # RTCP budget = 5% of the session bandwidth
+_UDP_IP_OVERHEAD = 28          # avg_rtcp_size includes lower layers (A.7)
+
+
+def rtcp_interval(members: int, senders: int, rtcp_bw: float,
+                  we_sent: bool, avg_rtcp_size: float, initial: bool,
+                  rand: float | None = None) -> float:
+    """The RFC 3550 §6.3.1 / A.7 ``rtcp_interval()`` computation.
+
+    ``rtcp_bw`` is the RTCP budget in bytes/second (conventionally 5% of
+    the session bandwidth); ``avg_rtcp_size`` the EWMA compound-packet
+    size including UDP/IP overhead; ``rand`` overrides the uniform [0,1)
+    draw (tests).  Returns the randomized interval T in seconds: the
+    deterministic ``Td = max(Tmin, n * avg_size / bw)`` drawn over
+    [0.5, 1.5]*Td and divided by e-3/2 to compensate for the timer
+    reconsideration convergence bias.
+    """
+    rtcp_min_time = RTCP_MIN_TIME / 2.0 if initial else RTCP_MIN_TIME
+    n = max(members, 1)
+    if senders > 0 and senders <= members * SENDER_BW_FRACTION:
+        # split the budget: 25% to the sender subgroup, 75% to receivers
+        if we_sent:
+            rtcp_bw *= SENDER_BW_FRACTION
+            n = senders
+        else:
+            rtcp_bw *= RCVR_BW_FRACTION
+            n -= senders
+    t = avg_rtcp_size * n / rtcp_bw if rtcp_bw > 0 else rtcp_min_time
+    if t < rtcp_min_time:
+        t = rtcp_min_time
+    r = random.random() if rand is None else rand
+    return t * (r + 0.5) / _COMPENSATION
+
+
 class RtcpPeer:
     """Poll-driven RTCP endpoint on the companion port (RTP port + 1).
 
@@ -335,17 +376,42 @@ class RtcpPeer:
     from :attr:`remote_blocks` / :attr:`rtt_ms`; the media *receiver*
     calls :meth:`maybe_send_rr` from its receive loop (stats come from
     the :class:`ReceiverStats` it owns).  ``poll()`` drains the socket
-    either way.  No threads — mirrors the reference's 2-second status
-    tick cadence (``OpenCVequalHist.cpp:200-234``) by default.
+    either way.  No threads.
+
+    Two transmit schedules (``schedule=``):
+
+    - ``"tick"`` (default) — a fixed ``interval`` cadence, mirroring the
+      reference's 2-second status tick (``OpenCVequalHist.cpp:200-234``).
+    - ``"rfc3550"`` — the full §6.2/§6.3/A.7 interval algorithm:
+      member/sender tables fed from received SR/RR/SDES/BYE, a 5%%-of-
+      session-bandwidth RTCP budget with the 25/75 sender/receiver
+      split, EWMA compound-packet sizing, randomized [0.5,1.5]*Td
+      transmit times with the e-3/2 compensation, the halved initial
+      minimum, and §6.3.4 reverse reconsideration on BYE.
     """
 
     def __init__(self, ssrc: int, *, local_port: int = 0,
                  remote: tuple[str, int] | None = None,
                  interval: float = 2.0, cname: str = "opencv-opencl-tpu",
-                 clock_rate: int = 90000):
+                 clock_rate: int = 90000, schedule: str = "tick",
+                 session_bw: float = 4_000_000.0):
+        if schedule not in ("tick", "rfc3550"):
+            raise ValueError(f"unknown rtcp schedule {schedule!r}")
         self.ssrc = ssrc
         self.remote = remote
         self.interval = interval
+        self.schedule = schedule
+        # §6.2: the RTCP budget is 5% of the session bandwidth (bits/s
+        # in, bytes/s kept — the units avg_rtcp_size is counted in)
+        self.rtcp_bw = RTCP_BW_FRACTION * session_bw / 8.0
+        # member/sender tables (§6.3.3): ourselves + every SSRC heard
+        self.members: set[int] = {ssrc}
+        self.senders: set[int] = set()
+        self._we_sent = False
+        self._pmembers = 1
+        self.avg_rtcp_size = 52.0 + _UDP_IP_OVERHEAD  # probe size, §6.3.2
+        self._tn: float | None = None  # next transmit time (rfc3550 mode)
+        self._initial = True
         self.cname = cname
         self.stats = ReceiverStats(clock_rate=clock_rate)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -378,11 +444,23 @@ class RtcpPeer:
             if self.remote is None:
                 self.remote = addr  # learn the peer from its first packet
             now = time.monotonic()
+            self._note_rtcp_size(len(data))
             for pkt in parse_compound(data):
                 if pkt["type"] == "SR":
+                    self.members.add(pkt["ssrc"])
+                    self.senders.add(pkt["ssrc"])
                     self.remote_sr = pkt
                     self.stats.note_sr(pkt["ntp"], arrival=now)
+                elif pkt["type"] == "BYE":
+                    for s in pkt["ssrcs"]:
+                        self.members.discard(s)
+                        self.senders.discard(s)
+                    self._reverse_reconsider(now)
+                elif pkt["type"] == "SDES":
+                    for (s, _typ) in pkt["items"]:
+                        self.members.add(s)
                 elif pkt["type"] == "RR":
+                    self.members.add(pkt["ssrc"])
                     for blk in pkt["blocks"]:
                         if blk.ssrc == self.ssrc:
                             self.remote_blocks.append(blk)
@@ -404,27 +482,63 @@ class RtcpPeer:
         if delta < (1 << 31):  # sane (non-negative) only
             self.rtt_ms = delta * 1000.0 / 65536.0
 
-    # -- sending -----------------------------------------------------------
+    # -- scheduling --------------------------------------------------------
+
+    def _note_rtcp_size(self, size: int) -> None:
+        """§6.3.3: EWMA (gain 1/16) over compound packets sent AND
+        received, counting lower-layer overhead."""
+        self.avg_rtcp_size += (
+            size + _UDP_IP_OVERHEAD - self.avg_rtcp_size) / 16.0
+
+    def _reverse_reconsider(self, now: float) -> None:
+        """§6.3.4 reverse reconsideration: when BYEs shrink the group,
+        pull the next report forward proportionally."""
+        if self._tn is None or self._pmembers <= 0:
+            return
+        frac = len(self.members) / self._pmembers
+        self._tn = now + frac * (self._tn - now)
+        self._pmembers = len(self.members)
+
+    def _interval(self) -> float:
+        return rtcp_interval(len(self.members), len(self.senders),
+                             self.rtcp_bw, self._we_sent,
+                             self.avg_rtcp_size, self._initial)
 
     def _due(self) -> bool:
         now = time.monotonic()
-        if now - self._last_report >= self.interval:
-            self._last_report = now
+        if self.schedule == "tick":
+            # the reference's fixed status cadence
+            # (OpenCVequalHist.cpp:200-234)
+            if now - self._last_report >= self.interval:
+                self._last_report = now
+                return True
+            return False
+        # rfc3550: randomized, bandwidth/membership-scaled transmit times
+        if self._tn is None:
+            self._tn = now + self._interval()  # initial: half Tmin-based
+            self._pmembers = len(self.members)
+            return False
+        if now >= self._tn:
+            self._initial = False
+            self._tn = now + self._interval()
+            self._pmembers = len(self.members)
             return True
         return False
 
     def _send(self, payload: bytes) -> None:
         if self.remote is None:
             return
+        compound = payload + build_sdes_cname(self.ssrc, self.cname)
+        self._note_rtcp_size(len(compound))
         try:
-            self.sock.sendto(payload + build_sdes_cname(self.ssrc,
-                                                        self.cname),
-                             self.remote)
+            self.sock.sendto(compound, self.remote)
         except OSError:
             pass  # RTCP is advisory; never take down the media path
 
     def maybe_send_sr(self, rtp_ts: int, packet_count: int,
                       octet_count: int) -> bool:
+        self._we_sent = True
+        self.senders.add(self.ssrc)
         self.poll()
         if not self._due():
             return False

@@ -281,7 +281,7 @@ class RtpUdpSink:
     def __init__(self, host: str, port: int, kind: str = "jpeg",
                  fps: float = 30.0, quality: int = 85,
                  mtu: int = DEFAULT_MTU, buffer_size: int = 60_000_000,
-                 rtcp: bool = True):
+                 rtcp: bool = True, rtcp_schedule: str = "tick"):
         self.addr = (host, port)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
@@ -312,12 +312,14 @@ class RtpUdpSink:
             try:
                 self.rtcp = RtcpPeer(self.payloader.ssrc,
                                      local_port=self.rtp_port + 1,
-                                     remote=(host, port + 1))
+                                     remote=(host, port + 1),
+                                     schedule=rtcp_schedule)
             except OSError:
                 # companion port taken: fall back to an ephemeral one
                 # (in-repo receivers reply to the SR's source address)
                 self.rtcp = RtcpPeer(self.payloader.ssrc,
-                                     remote=(host, port + 1))
+                                     remote=(host, port + 1),
+                                     schedule=rtcp_schedule)
         self.payload_octets = 0
         self._use_native = False
         if kind == "raw":
@@ -396,7 +398,7 @@ class RtpUdpReceiver:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  kind: str = "jpeg", frame_shape: tuple[int, int] | None = None,
                  timeout: float = 5.0, buffer_size: int = 60_000_000,
-                 rtcp: bool = True):
+                 rtcp: bool = True, rtcp_schedule: str = "tick"):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
             # the reference's 60 MB socket buffers (udpsink buffer-size):
@@ -423,7 +425,8 @@ class RtpUdpReceiver:
 
             try:
                 self.rtcp = RtcpPeer(0x52435652,
-                                     local_port=self.port + 1)
+                                     local_port=self.port + 1,
+                                     schedule=rtcp_schedule)
             except OSError:
                 self.rtcp = None  # companion port taken: stats-only mode
 

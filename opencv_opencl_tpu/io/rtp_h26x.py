@@ -349,7 +349,8 @@ class H26xRtpSink:
 
     def __init__(self, host: str, port: int, codec: str = "h264",
                  fps: float = 30.0, mtu: int = DEFAULT_MTU,
-                 buffer_size: int = 60_000_000, rtcp: bool = True):
+                 buffer_size: int = 60_000_000, rtcp: bool = True,
+                 rtcp_schedule: str = "tick"):
         self.addr = (host, port)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
@@ -374,10 +375,12 @@ class H26xRtpSink:
             try:
                 self.rtcp = RtcpPeer(self.payloader.ssrc,
                                      local_port=self.rtp_port + 1,
-                                     remote=(host, port + 1))
+                                     remote=(host, port + 1),
+                                     schedule=rtcp_schedule)
             except OSError:
                 self.rtcp = RtcpPeer(self.payloader.ssrc,
-                                     remote=(host, port + 1))
+                                     remote=(host, port + 1),
+                                     schedule=rtcp_schedule)
         self.frames = 0
         self.packets = 0
         self.bytes = 0
@@ -413,7 +416,7 @@ class H26xRtpReceiver:
     def __init__(self, host: str = "0.0.0.0", port: int = 0,
                  codec: str = "h264", timeout: float = 5.0,
                  buffer_size: int = 60_000_000, rtcp: bool = True,
-                 pt: int = PT_H26X):
+                 pt: int = PT_H26X, rtcp_schedule: str = "tick"):
         self.depay_pt = pt
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
@@ -431,7 +434,8 @@ class H26xRtpReceiver:
             from opencv_opencl_tpu.io.rtcp import RtcpPeer
 
             try:
-                self.rtcp = RtcpPeer(0x48525856, local_port=self.port + 1)
+                self.rtcp = RtcpPeer(0x48525856, local_port=self.port + 1,
+                                     schedule=rtcp_schedule)
             except OSError:
                 self.rtcp = None
 

@@ -298,3 +298,130 @@ class TestBlockBookkeeping:
         assert peer.take_blocks() == []      # and never twice
         assert len(peer.remote_blocks) == 64  # deque maxlen
         assert peer.remote_blocks[-1].cumulative_lost == 99
+
+
+class TestRfc3550Schedule:
+    """The full §6.2/§6.3/A.7 interval algorithm (opt-in schedule)."""
+
+    def test_interval_deterministic_part(self):
+        from opencv_opencl_tpu.io.rtcp import rtcp_interval
+
+        # small group, big bandwidth: clamped to Tmin (5 s), halved
+        # for the very first packet; rand pins the [0.5, 1.5) draw
+        c = 2.71828 - 1.5
+        t = rtcp_interval(2, 1, 25000.0, True, 80.0, initial=True, rand=0.0)
+        assert abs(t - 2.5 * 0.5 / c) < 1e-9
+        t = rtcp_interval(2, 1, 25000.0, True, 80.0, initial=False, rand=0.5)
+        assert abs(t - 5.0 * 1.0 / c) < 1e-9
+        # large group, tiny budget: bandwidth-scaled Td = n*avg/bw
+        t = rtcp_interval(100, 0, 100.0, False, 100.0,
+                          initial=False, rand=0.5)
+        assert abs(t - 100.0 / c) < 1e-9
+
+    def test_interval_sender_bandwidth_split(self):
+        from opencv_opencl_tpu.io.rtcp import rtcp_interval
+
+        c = 2.71828 - 1.5
+        # senders <= 25% of members: the sender subgroup shares 25% of
+        # the budget among `senders` members (Td above the Tmin clamp)
+        t_s = rtcp_interval(100, 10, 100.0, True, 100.0,
+                            initial=False, rand=0.5)
+        assert abs(t_s - (100.0 * 10 / 25.0) / c) < 1e-9
+        # ... and receivers share the other 75% among the rest
+        t_r = rtcp_interval(100, 10, 100.0, False, 100.0,
+                            initial=False, rand=0.5)
+        assert abs(t_r - (100.0 * 90 / 75.0) / c) < 1e-9
+
+    def test_randomization_spread(self):
+        from opencv_opencl_tpu.io.rtcp import rtcp_interval
+
+        c = 2.71828 - 1.5
+        ts = [rtcp_interval(2, 1, 25000.0, True, 80.0, initial=False)
+              for _ in range(200)]
+        assert all(5.0 * 0.5 / c <= t <= 5.0 * 1.5 / c for t in ts)
+        assert max(ts) - min(ts) > 0.5  # actually randomized
+
+    def test_peer_defers_first_report(self):
+        """rfc3550 mode: no report goes out before the (randomized,
+        halved-minimum) initial interval elapses — unlike tick mode,
+        which reports on the first write."""
+        from opencv_opencl_tpu.io.rtcp import RtcpPeer
+
+        peer = RtcpPeer(0x1, remote=("127.0.0.1", 65000),
+                        schedule="rfc3550")
+        try:
+            assert peer.maybe_send_sr(0, 0, 0) is False
+            assert peer._tn is not None
+            # force the deadline into the past: the next call sends
+            peer._tn = 0.0
+            assert peer.maybe_send_sr(3000, 10, 1000) is True
+            assert peer.sr_sent == 1
+        finally:
+            peer.close()
+
+    def test_member_tracking_and_bye(self):
+        """SR/RR/SDES feed the member/sender tables; BYE removes and
+        reverse-reconsiders (§6.3.4: tn pulled forward)."""
+        import socket as socketmod
+        import time as timemod
+
+        from opencv_opencl_tpu.io.rtcp import (
+            RtcpPeer, build_bye, build_sdes_cname, build_sender_report,
+            ntp_now)
+
+        peer = RtcpPeer(0x1, schedule="rfc3550")
+        tx = socketmod.socket(socketmod.AF_INET, socketmod.SOCK_DGRAM)
+        try:
+            tx.sendto(build_sender_report(0x2, ntp_now(), 0, 0, 0)
+                      + build_sdes_cname(0x2, "peer2"),
+                      ("127.0.0.1", peer.port))
+            tx.sendto(build_sdes_cname(0x3, "peer3"),
+                      ("127.0.0.1", peer.port))
+            deadline = timemod.monotonic() + 5.0
+            while timemod.monotonic() < deadline and len(peer.members) < 3:
+                peer.poll()
+                timemod.sleep(0.01)
+            assert peer.members == {0x1, 0x2, 0x3}
+            assert peer.senders == {0x2}
+            # schedule a far-away deadline, then BYE one member: the
+            # deadline must move closer (reverse reconsideration)
+            now = timemod.monotonic()
+            peer._tn = now + 12.0
+            peer._pmembers = 3
+            tx.sendto(build_bye(0x3), ("127.0.0.1", peer.port))
+            deadline = timemod.monotonic() + 5.0
+            while timemod.monotonic() < deadline and 0x3 in peer.members:
+                peer.poll()
+                timemod.sleep(0.01)
+            assert peer.members == {0x1, 0x2}
+            assert peer._tn < now + 12.0
+        finally:
+            tx.close()
+            peer.close()
+
+    def test_avg_rtcp_size_ewma(self):
+        from opencv_opencl_tpu.io.rtcp import RtcpPeer
+
+        peer = RtcpPeer(0x1, schedule="rfc3550")
+        try:
+            before = peer.avg_rtcp_size
+            peer._note_rtcp_size(1000)
+            assert before < peer.avg_rtcp_size < 1028
+        finally:
+            peer.close()
+
+    def test_sink_accepts_schedule(self):
+        from opencv_opencl_tpu.io.rtp import RtpUdpSink
+
+        tx = RtpUdpSink("127.0.0.1", 59997, kind="raw", fps=30,
+                        rtcp_schedule="rfc3550")
+        try:
+            assert tx.rtcp.schedule == "rfc3550"
+        finally:
+            tx.close()
+
+    def test_unknown_schedule_rejected(self):
+        from opencv_opencl_tpu.io.rtcp import RtcpPeer
+
+        with pytest.raises(ValueError):
+            RtcpPeer(0x1, schedule="cron")
