@@ -493,7 +493,16 @@ class RtpUdpReceiver:
             geom = (w8 * 8, h8 * 8, jtype)
             body = p[8:]
             if off == 0 and q >= 128:
+                # in-band quantization header: validate before trusting
+                # the length field (a truncated datagram must drop the
+                # frame, not crash the receive loop or poison the JFIF)
+                if len(body) < 4:
+                    self.packets_bad += 1
+                    continue
                 qlen = struct.unpack("!H", body[2:4])[0]
+                if qlen < 64 or len(body) < 4 + qlen:
+                    self.packets_bad += 1
+                    continue
                 qt = body[4 : 4 + qlen]
                 qtables[0] = qt[0:64]
                 qtables[1] = qt[64:128] if qlen >= 128 else qt[0:64]

@@ -404,3 +404,34 @@ def test_raw_payloader_last_ts():
     pay = rtp.RawNv12Payloader(fps=30)
     pay.packetize(np.zeros((6, 64), np.uint8))
     assert pay.last_ts == 0 and pay.ts == pay.ts_step
+
+
+def test_jpeg_receiver_survives_truncated_qtable_header():
+    """A matching-SSRC/PT datagram whose in-band Q-table header is
+    truncated (or lies about its length) must be counted bad and the
+    stream must recover on the next intact frame — not crash the loop."""
+    rx = rtp.RtpUdpReceiver(kind="jpeg")
+    tx = rtp.RtpUdpSink("127.0.0.1", rx.port, kind="jpeg", fps=30)
+    import socket as socketmod
+
+    stray = socketmod.socket(socketmod.AF_INET, socketmod.SOCK_DGRAM)
+    try:
+        nv12 = nv12_frame(41)
+        # lock the receiver onto the sink's stream first
+        tx.write(nv12)
+        assert rx.recv_frame() is not None
+        # hand-craft a first-fragment packet with q>=128 but a body too
+        # short for its claimed q-table length, using the locked SSRC
+        p = tx.payloader
+        hdr = rtp._rtp_header(rtp.PT_JPEG, p.seq, p.ts, p.ssrc, False)
+        jpeg_hdr = struct.pack("!BBBBBBBB", 0, 0, 0, 0, 1, 255, 16, 12)
+        evil = hdr + jpeg_hdr + struct.pack("!BBH", 0, 0, 4096) + b"\x00" * 8
+        stray.sendto(evil, ("127.0.0.1", rx.port))
+        tx.write(nv12)  # an intact frame follows
+        got = rx.recv_frame()
+        assert got is not None
+        assert rx.packets_bad >= 1
+    finally:
+        stray.close()
+        tx.close()
+        rx.close()

@@ -347,3 +347,59 @@ class TestRobustness:
         assert pay.ts == pay.ts_step
         pay.packetize(annexb(h264_nal(5, 100, 1)))
         assert pay.last_ts == pay.ts_step
+
+
+class TestFuzz:
+    """Depacketizer robustness: arbitrary bytes and bit-flipped valid
+    packets must never raise and never emit a torn access unit."""
+
+    def test_random_garbage_never_raises(self):
+        rng = _rng(123)
+        for codec in ("h264", "h265"):
+            depay = H26xDepacketizer(codec)
+            for _ in range(300):
+                n = int(rng.integers(0, 64))
+                pkt = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+                depay.push(pkt)  # must not raise
+
+    def test_mutated_valid_stream_integrity(self):
+        """Flip bytes in an otherwise valid packet stream: every AU that
+        IS returned must byte-match one of the originals (drop, never
+        corrupt) — the loss contract under corruption, not just loss."""
+        rng = _rng(7)
+        for codec, payloader, mknal in (
+            ("h264", H264RtpPayloader(), h264_nal),
+            ("h265", H265RtpPayloader(), h265_nal),
+        ):
+            aus = [
+                annexb(mknal(7 if codec == "h264" else 33, 18, s),
+                       mknal(5 if codec == "h264" else 19, 2200, s + 50))
+                for s in range(12)
+            ]
+            packets = [p for au in aus for p in payloader.packetize(au)]
+            depay = H26xDepacketizer(codec)
+            got = []
+            for pkt in packets:
+                p = bytearray(pkt)
+                if rng.random() < 0.3:  # corrupt ~30% of packets
+                    # flip a byte in the payload region only: header
+                    # corruption is covered by the SSRC/PT filters
+                    idx = int(rng.integers(12, len(p)))
+                    p[idx] ^= int(rng.integers(1, 256))
+                out = depay.push(bytes(p))
+                if out is not None:
+                    got.append(out)
+            valid = set(aus)
+            for au in got:
+                # every emitted AU decodes NAL-identically to an original
+                # OR differs only inside one NAL body (payload byte flip
+                # is undetectable without a CRC — structure must survive)
+                nals = split_annexb(au)
+                assert nals, "empty AU emitted"
+                assert all(len(n) > 0 for n in nals), "empty NAL emitted"
+                if au in valid:
+                    continue
+                ref = min(valid,
+                          key=lambda a: abs(len(a) - len(au)))
+                assert len(split_annexb(ref)) == len(nals), (
+                    "NAL structure torn by payload corruption")
