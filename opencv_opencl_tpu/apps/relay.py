@@ -13,6 +13,10 @@ Usage:
                      # RTCP-loss-driven AIMD rate loop (native RTP sinks)
       [--rtcp-schedule=tick|rfc3550]  # fixed 2-s SR cadence (reference
                      # semantics) or the RFC 3550 interval algorithm
+      [--mesh=auto|DxS]  # multi-chip: shard the batch over a (data,
+                     # space) device mesh (e.g. --mesh=4x2); batch must
+                     # be a multiple of D.  Takes precedence over
+                     # --ref-frame (the sharded path is stateless).
       [--io=gst]   # drive a real GStreamer pipeline via python-gi
                    # (appsink -> feeder -> appsrc; sink may be
                    #  rtp://host:port, a file, or null)
@@ -45,7 +49,7 @@ def run(argv: list[str]) -> int:
             "status-interval": float, "realtime": bool, "max-rate": float,
             "adaptive-rate": bool, "native": bool, "preset": str,
             "io": str, "ref-frame": bool, "sdp-file": str,
-            "rtcp-schedule": str,
+            "rtcp-schedule": str, "mesh": str,
         },
     )
     if opts.get("io") == "gst":
@@ -150,7 +154,25 @@ def run(argv: list[str]) -> int:
         tile_grid=(opts.get("tile", 8),) * 2, chroma=chroma,
         use_ref_frame=opts.get("ref-frame", False),
     )
-    if cfg.use_ref_frame and op == "clahe":
+    if "mesh" in opts:
+        # multi-chip: shard the batch over `data`, rows over `space` —
+        # the scaling analogue of the reference's worker pool, one flag
+        from opencv_opencl_tpu.parallel.sharded import ShardedEnhancer
+
+        mesh_spec = opts["mesh"]
+        shape = None
+        if mesh_spec != "auto":
+            d, s = mesh_spec.lower().split("x", 1)
+            shape = (int(d), int(s))
+        enhancer = ShardedEnhancer(cfg, spec, shape=shape)
+        ndata = enhancer.mesh.shape["data"]
+        if batch % ndata:
+            print(f"--batch={batch} must be a multiple of the mesh data "
+                  f"axis ({ndata})", file=sys.stderr)
+            return 2
+        print(f"Sharded over mesh {dict(enhancer.mesh.shape)} "
+              f"({len(enhancer.mesh.devices.flat)} devices)")
+    elif cfg.use_ref_frame and op == "clahe":
         # streaming mode: LUTs from the previous frame's histograms (the
         # accel.cpp two-input hook) — on TPU the map + hist fuse into one
         # Pallas pass

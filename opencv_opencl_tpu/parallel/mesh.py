@@ -42,7 +42,12 @@ def make_mesh(
 ) -> Mesh:
     """Create a 2-D (data, space) mesh over the first n devices."""
     devs = jax.devices()
-    n = n_devices if n_devices is not None else len(devs)
+    if n_devices is not None:
+        n = n_devices
+    elif shape is not None:
+        n = shape[0] * shape[1]  # an explicit shape names its own size
+    else:
+        n = len(devs)
     if n > len(devs):
         raise ValueError(f"requested {n} devices, have {len(devs)}")
     if shape is None:

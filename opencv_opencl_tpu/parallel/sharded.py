@@ -54,6 +54,7 @@ __all__ = [
     "sharded_histeq",
     "sharded_clahe",
     "build_sharded_pipeline",
+    "ShardedEnhancer",
 ]
 
 _BAND_RS = 8  # band row-block size: keeps row0 8-aligned on any mesh
@@ -274,3 +275,46 @@ def build_sharded_pipeline(cfg: EnhancerConfig, height: int, width: int,
         return y, uv_out
 
     return fn, NamedSharding(mesh, spec_in)
+
+
+class ShardedEnhancer:
+    """Drop-in multi-chip replacement for ``models.enhancer.Enhancer``:
+    the same ``process_batch(nv12_batch) -> nv12_batch`` surface the
+    FrameFeeder drives, with the batch sharded over the ``data`` axis and
+    each frame's rows banded over ``space`` (collectives per the module
+    docstring).  The relay exposes it as ``--mesh=auto`` / ``--mesh=DxS``
+    — the multi-chip analogue of the reference's ``--workers`` scaling
+    (``OpenCLequalHist.cpp`` worker pool).
+
+    The batch size must be a multiple of the mesh's data axis (each chip
+    owns whole frames).
+    """
+
+    def __init__(self, cfg: EnhancerConfig, spec, mesh: Mesh | None = None,
+                 shape: tuple[int, int] | None = None):
+        from opencv_opencl_tpu.parallel.mesh import make_mesh
+
+        self.cfg = cfg
+        self.spec = spec
+        self.mesh = mesh if mesh is not None else make_mesh(shape=shape)
+        self.h, self.w = spec.height, spec.width
+        self._fn, self._y_sharding = build_sharded_pipeline(
+            cfg, self.h, self.w, self.mesh)
+        # uv is elementwise-only: batch-sharded placement is always valid
+        self._uv_sharding = NamedSharding(self.mesh, P("data", None, None))
+
+    def process_batch(self, nv12_batch):
+        x = jnp.asarray(nv12_batch)
+        n = x.shape[0]
+        ndata = self.mesh.shape["data"]
+        if n % ndata:
+            raise ValueError(
+                f"batch {n} not divisible by mesh data axis {ndata}")
+        y = jax.device_put(x[:, : self.h, :], self._y_sharding)
+        uv = jax.device_put(x[:, self.h :, :], self._uv_sharding)
+        y_out, uv_out = self._fn(y, uv)
+        return jnp.concatenate(
+            [y_out, uv_out.astype(y_out.dtype)], axis=1)
+
+    def process_frame(self, nv12):
+        return self.process_batch(jnp.asarray(nv12)[None])[0]

@@ -150,3 +150,51 @@ def test_sharded_clahe_pallas_band(rng):
         c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
         for i in range(2):
             assert_clahe_close(out[i], c.apply(batch[i]))
+
+
+def test_sharded_enhancer_matches_single_chip(rng):
+    """ShardedEnhancer (the relay --mesh path) produces bit-identical NV12
+    output to the single-chip Enhancer across mesh shapes."""
+    from opencv_opencl_tpu.core.frames import FrameSpec
+    from opencv_opencl_tpu.models.enhancer import Enhancer
+    from opencv_opencl_tpu.parallel.sharded import ShardedEnhancer
+
+    spec = FrameSpec(width=128, height=64, fps=30)
+    cfg = EnhancerConfig(op="clahe", clip_limit=2.0, tile_grid=(8, 8),
+                         chroma=ChromaPolicy.PASSTHROUGH)
+    batch = rng.integers(0, 256, (4, spec.buffer_rows, 128), dtype=np.uint8)
+    ref = np.asarray(Enhancer(cfg, spec).process_batch(batch))
+    for shape in ((4, 2), (2, 2), (2, 4)):
+        se = ShardedEnhancer(cfg, spec, shape=shape)
+        out = np.asarray(se.process_batch(batch))
+        assert out.shape == batch.shape
+        assert np.array_equal(out, ref), f"mesh {shape} diverged"
+
+
+def test_sharded_enhancer_rejects_bad_batch(rng):
+    from opencv_opencl_tpu.core.frames import FrameSpec
+    from opencv_opencl_tpu.models.enhancer import EnhancerConfig
+    from opencv_opencl_tpu.parallel.sharded import ShardedEnhancer
+
+    spec = FrameSpec(width=128, height=64, fps=30)
+    cfg = EnhancerConfig(op="histeq", chroma=ChromaPolicy.GRAY)
+    se = ShardedEnhancer(cfg, spec, shape=(4, 2))
+    batch = rng.integers(0, 256, (3, spec.buffer_rows, 128), dtype=np.uint8)
+    with pytest.raises(ValueError, match="not divisible"):
+        se.process_batch(batch)
+
+
+def test_relay_mesh_flag(tmp_path):
+    """relay --mesh=2x2 runs the full feeder loop over a sharded enhancer
+    on the virtual 8-device CPU mesh and writes correct frames."""
+    from opencv_opencl_tpu.apps import relay
+
+    out = tmp_path / "out.nv12"
+    rc = relay.run([
+        "--source=test", "--width=128", "--height=64", "--max-frames=4",
+        "--batch=2", "--op=clahe", "--mesh=2x2", f"--sink={out}",
+    ])
+    assert rc == 0
+    data = out.read_bytes()
+    frame_bytes = 128 * 96  # 64*3//2 rows
+    assert len(data) == 4 * frame_bytes
