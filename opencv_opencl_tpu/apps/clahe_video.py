@@ -32,7 +32,7 @@ def run(argv: list[str]) -> int:
         argv,
         {
             "input": str, "output": str, "loop": bool, "udp-only": bool,
-            "udp": str, "udp-kind": str,
+            "udp": str, "udp-kind": str, "rtcp-schedule": str,
             "resolution": str, "fps": str, "clipLimit": float, "tile": int,
             "codec": str, "bitrate": int, "timing-window": int,
             "detailed-timing": bool, "max-frames": int, "op": str,
@@ -93,8 +93,9 @@ def run(argv: list[str]) -> int:
         from opencv_opencl_tpu.io.rtp import RtpUdpSink
 
         udp_host, udp_port = opts["udp"].rsplit(":", 1)
-        sinks.append(RtpUdpSink(udp_host, int(udp_port),
-                                kind=opts.get("udp-kind", "jpeg"), fps=fps))
+        sinks.append(RtpUdpSink(
+            udp_host, int(udp_port), kind=opts.get("udp-kind", "jpeg"),
+            fps=fps, rtcp_schedule=opts.get("rtcp-schedule", "tick")))
         descs.append(f"rtp://{opts['udp']}")
     if opts.get("output") and not opts.get("udp-only"):
         sinks.append(FileSink(opts["output"], spec))

@@ -36,7 +36,7 @@ def run(argv: list[str]) -> int:
             "op": str, "chroma": str, "clipLimit": float, "tile": int,
             "batch": int, "workers": int, "max-frames": int,
             "duration": float, "source": str, "sink": str,
-            "status-interval": float,
+            "status-interval": float, "rtcp-schedule": str,
         },
     )
     n = opts.get("streams", 2)
@@ -73,8 +73,9 @@ def run(argv: list[str]) -> int:
 
         host, port = sink_spec[len("rtp://"):].rsplit(":", 1)
         for s in range(n):
-            sinks.append(RtpUdpSink(host, int(port) + 2 * s, kind="jpeg",
-                                    fps=fps))
+            sinks.append(RtpUdpSink(
+                host, int(port) + 2 * s, kind="jpeg", fps=fps,
+                rtcp_schedule=opts.get("rtcp-schedule", "tick")))
         print(f"Sinks: rtp://{host}:{port}..{int(port) + 2 * (n - 1)} "
               f"(stride 2: RTCP companions)")
     else:
