@@ -144,7 +144,8 @@ def main() -> None:
         agg = 8000 / ms6
         results.append(
             ("6. serving 8x1080p streams", f"{ms6:.2f} ms/step",
-             f"{agg:.0f} fps aggregate = {agg / 30:.0f} streams@30")
+             # floor, not round: N streams@30 must actually be servable
+             f"{agg:.0f} fps aggregate = {int(agg // 30)} streams@30")
         )
 
     print(f"\n{'scenario':<28} {'latency':<16} note")

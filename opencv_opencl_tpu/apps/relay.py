@@ -162,9 +162,20 @@ def run(argv: list[str]) -> int:
         mesh_spec = opts["mesh"]
         shape = None
         if mesh_spec != "auto":
-            d, s = mesh_spec.lower().split("x", 1)
-            shape = (int(d), int(s))
-        enhancer = ShardedEnhancer(cfg, spec, shape=shape)
+            try:
+                d, s = mesh_spec.lower().split("x", 1)
+                shape = (int(d), int(s))
+                if shape[0] < 1 or shape[1] < 1:
+                    raise ValueError("axes must be >= 1")
+            except ValueError:
+                print(f"--mesh={mesh_spec!r} invalid: use 'auto' or DxS "
+                      f"(e.g. 4x2) with positive axes", file=sys.stderr)
+                return 2
+        try:
+            enhancer = ShardedEnhancer(cfg, spec, shape=shape)
+        except ValueError as e:
+            print(f"--mesh={mesh_spec}: {e}", file=sys.stderr)
+            return 2
         ndata = enhancer.mesh.shape["data"]
         if batch % ndata:
             print(f"--batch={batch} must be a multiple of the mesh data "

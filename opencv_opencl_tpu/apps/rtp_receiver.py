@@ -29,7 +29,7 @@ def run(argv: list[str]) -> int:
         argv,
         {"port": int, "kind": str, "width": int, "height": int,
          "output": str, "max-frames": int, "timeout": float,
-         "stats-interval": float, "host": str},
+         "stats-interval": float, "host": str, "pt": int},
     )
     port = opts.get("port", 5004)
     kind = opts.get("kind", "jpeg")
@@ -118,7 +118,8 @@ def _run_h26x(opts, port, kind, timeout, max_frames, interval) -> int:
     from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
 
     rx = H26xRtpReceiver(host=opts.get("host", "0.0.0.0"), port=port,
-                         codec=kind, timeout=timeout)
+                         codec=kind, timeout=timeout,
+                         pt=opts.get("pt"))  # None = lock first dynamic PT
     print(f"Listening for {kind} RTP on :{rx.port}")
     out = open(opts["output"], "wb") if "output" in opts else None
     aus = 0

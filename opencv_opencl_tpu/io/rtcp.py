@@ -404,13 +404,18 @@ class RtcpPeer:
         # §6.2: the RTCP budget is 5% of the session bandwidth (bits/s
         # in, bytes/s kept — the units avg_rtcp_size is counted in)
         self.rtcp_bw = RTCP_BW_FRACTION * session_bw / 8.0
-        # member/sender tables (§6.3.3): ourselves + every SSRC heard
+        # member/sender tables (§6.3.3): ourselves + every SSRC heard,
+        # with last-heard times for the §6.3.5 timeout (a crashed sender
+        # that restarts with a fresh random SSRC and never BYEs must not
+        # inflate the member count — and the interval — forever)
         self.members: set[int] = {ssrc}
         self.senders: set[int] = set()
+        self._heard: dict[int, float] = {}
         self._we_sent = False
         self._pmembers = 1
         self.avg_rtcp_size = 52.0 + _UDP_IP_OVERHEAD  # probe size, §6.3.2
         self._tn: float | None = None  # next transmit time (rfc3550 mode)
+        self._tp: float | None = None  # last transmit time (A.7 OnExpire)
         self._initial = True
         self.cname = cname
         self.stats = ReceiverStats(clock_rate=clock_rate)
@@ -449,18 +454,22 @@ class RtcpPeer:
                 if pkt["type"] == "SR":
                     self.members.add(pkt["ssrc"])
                     self.senders.add(pkt["ssrc"])
+                    self._heard[pkt["ssrc"]] = now
                     self.remote_sr = pkt
                     self.stats.note_sr(pkt["ntp"], arrival=now)
                 elif pkt["type"] == "BYE":
                     for s in pkt["ssrcs"]:
                         self.members.discard(s)
                         self.senders.discard(s)
+                        self._heard.pop(s, None)
                     self._reverse_reconsider(now)
                 elif pkt["type"] == "SDES":
                     for (s, _typ) in pkt["items"]:
                         self.members.add(s)
+                        self._heard[s] = now
                 elif pkt["type"] == "RR":
                     self.members.add(pkt["ssrc"])
+                    self._heard[pkt["ssrc"]] = now
                     for blk in pkt["blocks"]:
                         if blk.ssrc == self.ssrc:
                             self.remote_blocks.append(blk)
@@ -499,7 +508,25 @@ class RtcpPeer:
         self._tn = now + frac * (self._tn - now)
         self._pmembers = len(self.members)
 
+    def _timeout_members(self, now: float) -> None:
+        """§6.3.5: drop members not heard from within 5 intervals (Tmin
+        floor) and senders within 2 — with reverse reconsideration, like
+        a BYE."""
+        dead = [s for s, t in self._heard.items()
+                if now - t > 5.0 * RTCP_MIN_TIME]
+        for s in dead:
+            self.members.discard(s)
+            self.senders.discard(s)
+            del self._heard[s]
+        for s in list(self.senders):
+            t = self._heard.get(s)
+            if t is not None and now - t > 2.0 * RTCP_MIN_TIME:
+                self.senders.discard(s)
+        if dead:
+            self._reverse_reconsider(now)
+
     def _interval(self) -> float:
+        self._timeout_members(time.monotonic())
         return rtcp_interval(len(self.members), len(self.senders),
                              self.rtcp_bw, self._we_sent,
                              self.avg_rtcp_size, self._initial)
@@ -519,7 +546,16 @@ class RtcpPeer:
             self._pmembers = len(self.members)
             return False
         if now >= self._tn:
+            # §6.3.6/A.7 OnExpire — conditional (timer) reconsideration:
+            # redraw T and transmit only if tp + T has also passed; else
+            # defer to tp + T.  Without this the e-3/2 compensation makes
+            # the mean interval ~0.82*Td, violating Tmin and the budget.
+            t = self._interval()
+            if self._tp is not None and self._tp + t > now:
+                self._tn = self._tp + t
+                return False
             self._initial = False
+            self._tp = now
             self._tn = now + self._interval()
             self._pmembers = len(self.members)
             return True

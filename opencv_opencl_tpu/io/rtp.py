@@ -36,6 +36,7 @@ __all__ = [
     "RawNv12Payloader",
     "RtpUdpSink",
     "RtpUdpReceiver",
+    "StreamLock",
     "parse_jpeg",
     "rebuild_jfif",
 ]
@@ -50,6 +51,45 @@ def _rtp_header(pt: int, seq: int, ts: int, ssrc: int, marker: bool) -> bytes:
     b0 = RTP_VERSION << 6
     b1 = (0x80 if marker else 0) | (pt & 0x7F)
     return struct.pack("!BBHII", b0, b1, seq & 0xFFFF, ts & 0xFFFFFFFF, ssrc)
+
+
+class StreamLock:
+    """Version/PT/SSRC gate shared by every receiver: locks onto the
+    first matching stream so foreign datagrams (a second sender, a stray
+    process on the port) can corrupt neither frame reassembly nor the
+    RTCP sequence/jitter machine.
+
+    ``pt=None`` locks onto the first payload type seen (restricted to
+    the dynamic range 96-127 when ``require_dynamic``), matching
+    standards senders whose SDP negotiated any dynamic PT."""
+
+    def __init__(self, pt: int | None = None, require_dynamic: bool = False):
+        self.pt = pt
+        self.ssrc: int | None = None
+        self.require_dynamic = require_dynamic
+
+    def accept(self, pkt: bytes) -> bool:
+        if pkt[0] >> 6 != RTP_VERSION:
+            return False
+        pt = pkt[1] & 0x7F
+        if self.pt is None:
+            if self.require_dynamic and pt < 96:
+                return False
+            self.pt = pt
+        elif pt != self.pt:
+            return False
+        ssrc = struct.unpack("!I", pkt[8:12])[0]
+        if self.ssrc is None:
+            self.ssrc = ssrc
+        elif ssrc != self.ssrc:
+            return False
+        return True
+
+
+def _companion_port(rtp_port: int) -> int:
+    """The RFC 3550 companion (RTCP) port, or 0 (ephemeral) when RTP
+    landed on 65535 and port+1 would not be bindable."""
+    return rtp_port + 1 if rtp_port + 1 <= 65535 else 0
 
 
 # ------------------------------------------------------------ JPEG / JFIF ----
@@ -311,7 +351,7 @@ class RtpUdpSink:
 
             try:
                 self.rtcp = RtcpPeer(self.payloader.ssrc,
-                                     local_port=self.rtp_port + 1,
+                                     local_port=_companion_port(self.rtp_port),
                                      remote=(host, port + 1),
                                      schedule=rtcp_schedule)
             except OSError:
@@ -414,8 +454,7 @@ class RtpUdpReceiver:
         self.frame_shape = frame_shape
         self.frames_dropped = 0  # incomplete frames discarded (loss resync)
         self.packets_bad = 0     # runt/foreign/mismatched datagrams ignored
-        self._pt = PT_JPEG if kind == "jpeg" else PT_RAW
-        self._ssrc_lock: int | None = None
+        self._lock = StreamLock(pt=PT_JPEG if kind == "jpeg" else PT_RAW)
         self.rtcp = None
         if rtcp:
             # Receiver Reports (loss/jitter + LSR/DLSR for the sender's
@@ -425,7 +464,7 @@ class RtpUdpReceiver:
 
             try:
                 self.rtcp = RtcpPeer(0x52435652,
-                                     local_port=self.port + 1,
+                                     local_port=_companion_port(self.port),
                                      schedule=rtcp_schedule)
             except OSError:
                 self.rtcp = None  # companion port taken: stats-only mode
@@ -437,26 +476,14 @@ class RtpUdpReceiver:
         return self._recv_raw()
 
     def _accept(self, pkt: bytes) -> bool:
-        """Lock onto the first stream seen: reject wrong-version, wrong-PT
-        and foreign-SSRC datagrams before they touch frame reassembly or
-        the RTCP sequence/jitter machine (two senders on one port would
-        otherwise saturate fraction_lost and drive --adaptive-rate to the
-        floor on a loss-free link)."""
-        if pkt[0] >> 6 != RTP_VERSION or (pkt[1] & 0x7F) != self._pt:
-            return False
-        ssrc = struct.unpack("!I", pkt[8:12])[0]
-        if self._ssrc_lock is None:
-            self._ssrc_lock = ssrc
-        elif ssrc != self._ssrc_lock:
-            return False
-        return True
+        return self._lock.accept(pkt)
 
     def _note_packet(self, pkt: bytes) -> None:
         """Feed RTCP receive stats (seq machine + jitter) and emit RRs."""
         if self.rtcp is None:
             return
         if self.rtcp.stats.ssrc is None:
-            self.rtcp.stats.ssrc = self._ssrc_lock
+            self.rtcp.stats.ssrc = self._lock.ssrc
         seq = struct.unpack("!H", pkt[2:4])[0]
         ts = struct.unpack("!I", pkt[4:8])[0]
         self.rtcp.stats.note(seq, ts, len(pkt) - 12)

@@ -27,7 +27,7 @@ from __future__ import annotations
 import socket
 import struct
 
-from opencv_opencl_tpu.io.rtp import _rtp_header
+from opencv_opencl_tpu.io.rtp import StreamLock, _companion_port, _rtp_header
 
 __all__ = [
     "H264RtpPayloader",
@@ -374,7 +374,7 @@ class H26xRtpSink:
 
             try:
                 self.rtcp = RtcpPeer(self.payloader.ssrc,
-                                     local_port=self.rtp_port + 1,
+                                     local_port=_companion_port(self.rtp_port),
                                      remote=(host, port + 1),
                                      schedule=rtcp_schedule)
             except OSError:
@@ -416,8 +416,11 @@ class H26xRtpReceiver:
     def __init__(self, host: str = "0.0.0.0", port: int = 0,
                  codec: str = "h264", timeout: float = 5.0,
                  buffer_size: int = 60_000_000, rtcp: bool = True,
-                 pt: int = PT_H26X, rtcp_schedule: str = "tick"):
-        self.depay_pt = pt
+                 pt: int | None = None, rtcp_schedule: str = "tick"):
+        # pt=None: lock onto the first dynamic payload type seen, so
+        # external senders whose SDP negotiated PT != 96 interoperate;
+        # pass pt= to pin a specific negotiated type
+        self._lock = StreamLock(pt=pt, require_dynamic=True)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
@@ -428,13 +431,13 @@ class H26xRtpReceiver:
         self.sock.settimeout(timeout)
         self.port = self.sock.getsockname()[1]
         self.depay = H26xDepacketizer(codec)
-        self._ssrc_lock: int | None = None
         self.rtcp = None
         if rtcp:
             from opencv_opencl_tpu.io.rtcp import RtcpPeer
 
             try:
-                self.rtcp = RtcpPeer(0x48525856, local_port=self.port + 1,
+                self.rtcp = RtcpPeer(0x48525856,
+                                     local_port=_companion_port(self.port),
                                      schedule=rtcp_schedule)
             except OSError:
                 self.rtcp = None
@@ -446,21 +449,15 @@ class H26xRtpReceiver:
             if len(pkt) < 13:
                 self.depay.packets_bad += 1
                 continue
-            # lock onto the first stream: foreign datagrams (a second
-            # sender, a stray process on the port) must corrupt neither
-            # the depacketizer's seq chain nor the RTCP loss stats
-            if pkt[0] >> 6 != 2 or (pkt[1] & 0x7F) != self.depay_pt:
-                self.depay.packets_bad += 1
-                continue
-            ssrc = struct.unpack("!I", pkt[8:12])[0]
-            if self._ssrc_lock is None:
-                self._ssrc_lock = ssrc
-            elif ssrc != self._ssrc_lock:
+            # shared version/PT/SSRC gate (io.rtp.StreamLock): foreign
+            # datagrams must corrupt neither the depacketizer's seq
+            # chain nor the RTCP loss stats
+            if not self._lock.accept(pkt):
                 self.depay.packets_bad += 1
                 continue
             if self.rtcp is not None:
                 if self.rtcp.stats.ssrc is None:
-                    self.rtcp.stats.ssrc = struct.unpack("!I", pkt[8:12])[0]
+                    self.rtcp.stats.ssrc = self._lock.ssrc
                 self.rtcp.stats.note(struct.unpack("!H", pkt[2:4])[0],
                                      struct.unpack("!I", pkt[4:8])[0],
                                      len(pkt) - 12)

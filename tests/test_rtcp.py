@@ -425,3 +425,56 @@ class TestRfc3550Schedule:
 
         with pytest.raises(ValueError):
             RtcpPeer(0x1, schedule="cron")
+
+
+class TestScheduleRefinements:
+    def test_timer_reconsideration_defers(self):
+        """A7 OnExpire: when the redrawn interval says tp+T is still in
+        the future, the transmit is deferred, keeping the mean interval
+        at Td (not 0.82*Td) — the e-3/2 compensation's other half."""
+        import time as timemod
+
+        from opencv_opencl_tpu.io.rtcp import RtcpPeer
+
+        peer = RtcpPeer(0x1, remote=("127.0.0.1", 65001),
+                        schedule="rfc3550")
+        try:
+            now = timemod.monotonic()
+            peer._tp = now          # just transmitted
+            peer._tn = now - 0.001  # timer expired anyway
+            assert peer._due() is False   # reconsidered: deferred
+            assert peer._tn > now         # pushed to tp + T
+            # a transmit long enough ago passes
+            peer._tp = now - 100.0
+            peer._tn = now - 0.001
+            assert peer._due() is True
+        finally:
+            peer.close()
+
+    def test_member_timeout_prunes(self):
+        """6.3.5: members not heard from within 5*Tmin are timed out
+        (senders at 2*Tmin), so SSRC churn cannot inflate the interval
+        forever."""
+        import time as timemod
+
+        from opencv_opencl_tpu.io.rtcp import RtcpPeer
+
+        peer = RtcpPeer(0x1, schedule="rfc3550")
+        try:
+            now = timemod.monotonic()
+            peer.members |= {0x2, 0x3}
+            peer.senders |= {0x2}
+            peer._heard[0x2] = now - 11.0   # sender stale (> 2*5 s)
+            peer._heard[0x3] = now - 26.0   # member dead (> 5*5 s)
+            peer._interval()
+            assert peer.members == {0x1, 0x2}
+            assert peer.senders == set()
+        finally:
+            peer.close()
+
+    def test_companion_port_edge(self):
+        from opencv_opencl_tpu.io.rtp import _companion_port
+
+        assert _companion_port(5004) == 5005
+        assert _companion_port(65534) == 65535
+        assert _companion_port(65535) == 0  # ephemeral, not OverflowError

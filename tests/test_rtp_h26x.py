@@ -403,3 +403,32 @@ class TestFuzz:
                           key=lambda a: abs(len(a) - len(au)))
                 assert len(split_annexb(ref)) == len(nals), (
                     "NAL structure torn by payload corruption")
+
+
+class TestInterop:
+    def test_receiver_locks_any_dynamic_pt(self):
+        """External senders negotiate arbitrary dynamic PTs (e.g. 97);
+        pt=None (the default) locks onto the first dynamic PT seen."""
+        rx = H26xRtpReceiver(codec="h264", timeout=10.0)
+        sink = H26xRtpSink("127.0.0.1", rx.port, codec="h264", rtcp=False)
+        sink.payloader.pt = 97  # what an ffmpeg/WebRTC SDP often assigns
+        try:
+            au = annexb(h264_nal(7, 20), h264_nal(5, 1500, 3))
+            sink.write(au)
+            assert rx.recv_access_unit() == au
+        finally:
+            sink.close()
+            rx.close()
+
+    def test_receiver_pinned_pt_rejects_others(self):
+        rx = H26xRtpReceiver(codec="h264", timeout=2.0, pt=96)
+        sink = H26xRtpSink("127.0.0.1", rx.port, codec="h264", rtcp=False)
+        sink.payloader.pt = 97
+        try:
+            sink.write(annexb(h264_nal(5, 200)))
+            with pytest.raises(TimeoutError):
+                rx.recv_access_unit()
+            assert rx.depay.packets_bad >= 1
+        finally:
+            sink.close()
+            rx.close()
