@@ -368,6 +368,26 @@ def rtcp_interval(members: int, senders: int, rtcp_bw: float,
     return t * (r + 0.5) / _COMPENSATION
 
 
+def companion_peer(ssrc: int, rtp_port: int, *,
+                   remote: tuple[str, int] | None = None,
+                   schedule: str = "tick",
+                   fallback_ephemeral: bool = True) -> "RtcpPeer | None":
+    """Build an :class:`RtcpPeer` on the RFC 3550 companion port
+    (``rtp_port + 1``; ephemeral when RTP landed on 65535).  When the
+    companion port is taken: fall back to an ephemeral port
+    (``fallback_ephemeral``, sender side — in-repo receivers reply to
+    the SR's source address) or return ``None`` (receiver side:
+    stats-only mode)."""
+    companion = rtp_port + 1 if rtp_port + 1 <= 65535 else 0
+    try:
+        return RtcpPeer(ssrc, local_port=companion, remote=remote,
+                        schedule=schedule)
+    except OSError:
+        if not fallback_ephemeral:
+            return None
+        return RtcpPeer(ssrc, remote=remote, schedule=schedule)
+
+
 class RtcpPeer:
     """Poll-driven RTCP endpoint on the companion port (RTP port + 1).
 

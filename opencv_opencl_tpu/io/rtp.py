@@ -86,12 +86,6 @@ class StreamLock:
         return True
 
 
-def _companion_port(rtp_port: int) -> int:
-    """The RFC 3550 companion (RTCP) port, or 0 (ephemeral) when RTP
-    landed on 65535 and port+1 would not be bindable."""
-    return rtp_port + 1 if rtp_port + 1 <= 65535 else 0
-
-
 # ------------------------------------------------------------ JPEG / JFIF ----
 
 
@@ -347,19 +341,11 @@ class RtpUdpSink:
             # Sender Reports on the conventional companion port; Receiver
             # Reports coming back carry loss/jitter/RTT (the getStats
             # numbers of webrtc/details.html:292-392, natively).
-            from opencv_opencl_tpu.io.rtcp import RtcpPeer
+            from opencv_opencl_tpu.io.rtcp import companion_peer
 
-            try:
-                self.rtcp = RtcpPeer(self.payloader.ssrc,
-                                     local_port=_companion_port(self.rtp_port),
-                                     remote=(host, port + 1),
-                                     schedule=rtcp_schedule)
-            except OSError:
-                # companion port taken: fall back to an ephemeral one
-                # (in-repo receivers reply to the SR's source address)
-                self.rtcp = RtcpPeer(self.payloader.ssrc,
-                                     remote=(host, port + 1),
-                                     schedule=rtcp_schedule)
+            self.rtcp = companion_peer(self.payloader.ssrc, self.rtp_port,
+                                       remote=(host, port + 1),
+                                       schedule=rtcp_schedule)
         self.payload_octets = 0
         self._use_native = False
         if kind == "raw":
@@ -460,14 +446,12 @@ class RtpUdpReceiver:
             # Receiver Reports (loss/jitter + LSR/DLSR for the sender's
             # RTT) on the companion port; the peer is learned from the
             # sender's SRs.  RFC 3550 via io/rtcp.py.
-            from opencv_opencl_tpu.io.rtcp import RtcpPeer
+            from opencv_opencl_tpu.io.rtcp import companion_peer
 
-            try:
-                self.rtcp = RtcpPeer(0x52435652,
-                                     local_port=_companion_port(self.port),
-                                     schedule=rtcp_schedule)
-            except OSError:
-                self.rtcp = None  # companion port taken: stats-only mode
+            # companion port taken -> None: stats-only mode
+            self.rtcp = companion_peer(0x52435652, self.port,
+                                       schedule=rtcp_schedule,
+                                       fallback_ephemeral=False)
 
     def recv_frame(self) -> np.ndarray | None:
         """Block until one complete frame arrives (marker bit)."""

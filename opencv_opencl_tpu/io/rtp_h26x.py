@@ -27,7 +27,7 @@ from __future__ import annotations
 import socket
 import struct
 
-from opencv_opencl_tpu.io.rtp import StreamLock, _companion_port, _rtp_header
+from opencv_opencl_tpu.io.rtp import StreamLock, _rtp_header
 
 __all__ = [
     "H264RtpPayloader",
@@ -370,17 +370,11 @@ class H26xRtpSink:
             raise ValueError(f"unknown codec {codec!r}")
         self.rtcp = None
         if rtcp:
-            from opencv_opencl_tpu.io.rtcp import RtcpPeer
+            from opencv_opencl_tpu.io.rtcp import companion_peer
 
-            try:
-                self.rtcp = RtcpPeer(self.payloader.ssrc,
-                                     local_port=_companion_port(self.rtp_port),
-                                     remote=(host, port + 1),
-                                     schedule=rtcp_schedule)
-            except OSError:
-                self.rtcp = RtcpPeer(self.payloader.ssrc,
-                                     remote=(host, port + 1),
-                                     schedule=rtcp_schedule)
+            self.rtcp = companion_peer(self.payloader.ssrc, self.rtp_port,
+                                       remote=(host, port + 1),
+                                       schedule=rtcp_schedule)
         self.frames = 0
         self.packets = 0
         self.bytes = 0
@@ -433,14 +427,11 @@ class H26xRtpReceiver:
         self.depay = H26xDepacketizer(codec)
         self.rtcp = None
         if rtcp:
-            from opencv_opencl_tpu.io.rtcp import RtcpPeer
+            from opencv_opencl_tpu.io.rtcp import companion_peer
 
-            try:
-                self.rtcp = RtcpPeer(0x48525856,
-                                     local_port=_companion_port(self.port),
-                                     schedule=rtcp_schedule)
-            except OSError:
-                self.rtcp = None
+            self.rtcp = companion_peer(0x48525856, self.port,
+                                       schedule=rtcp_schedule,
+                                       fallback_ephemeral=False)
 
     def recv_access_unit(self) -> bytes | None:
         """Block until one complete access unit arrives."""

@@ -472,9 +472,27 @@ class TestScheduleRefinements:
         finally:
             peer.close()
 
-    def test_companion_port_edge(self):
-        from opencv_opencl_tpu.io.rtp import _companion_port
+    def test_companion_peer_port_edge(self):
+        """rtp_port 65535 must fall back to an ephemeral RTCP port (not
+        raise OverflowError binding 65536); a taken companion port falls
+        back per fallback_ephemeral."""
+        from opencv_opencl_tpu.io.rtcp import companion_peer
 
-        assert _companion_port(5004) == 5005
-        assert _companion_port(65534) == 65535
-        assert _companion_port(65535) == 0  # ephemeral, not OverflowError
+        peer = companion_peer(0x1, 65535)
+        try:
+            assert peer is not None and peer.port != 0
+        finally:
+            peer.close()
+        # occupy a companion port, then ask for it
+        blocker = companion_peer(0x1, 47500)  # binds 47501
+        try:
+            if blocker is None or blocker.port != 47501:
+                pytest.skip("port 47501 unavailable")
+            assert companion_peer(0x2, 47500,
+                                  fallback_ephemeral=False) is None
+            p2 = companion_peer(0x2, 47500)
+            assert p2 is not None and p2.port != 47501
+            p2.close()
+        finally:
+            if blocker is not None:
+                blocker.close()
