@@ -131,8 +131,13 @@ def run(argv: list[str]) -> int:
         kind = "raw" if sink_path.startswith("rtp+raw://") else "jpeg"
         hostport = sink_path.split("://", 1)[1]
         rtp_host, rtp_port = hostport.rsplit(":", 1)
+        schedule = opts.get("rtcp-schedule", "tick")
+        if schedule not in ("tick", "rfc3550"):
+            print(f"--rtcp-schedule={schedule!r} invalid: tick|rfc3550",
+                  file=sys.stderr)
+            return 2
         sink = RtpUdpSink(rtp_host, int(rtp_port), kind=kind, fps=fps,
-                          rtcp_schedule=opts.get("rtcp-schedule", "tick"))
+                          rtcp_schedule=schedule)
         if "sdp-file" in opts:
             # a stock player (ffplay/VLC) opens this file to receive the
             # stream — the in-repo equivalent of handing the lab PC the

@@ -277,3 +277,21 @@ def test_relay_ref_frame_streaming(capsys):
     ])
     assert rc == 0
     assert "relay pipeline started" in capsys.readouterr().out
+
+
+def test_relay_rejects_bad_rtcp_schedule(capsys):
+    from opencv_opencl_tpu.apps import relay
+
+    rc = relay.run(["--source=test", "--width=64", "--height=32",
+                    "--sink=rtp://127.0.0.1:59000",
+                    "--rtcp-schedule=cron"])
+    assert rc == 2
+
+
+def test_relay_rejects_bad_mesh(capsys):
+    from opencv_opencl_tpu.apps import relay
+
+    for bad in ("8", "axb", "0x2"):
+        rc = relay.run(["--source=test", "--width=64", "--height=32",
+                        f"--mesh={bad}"])
+        assert rc == 2, bad
