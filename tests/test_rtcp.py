@@ -496,3 +496,24 @@ class TestScheduleRefinements:
         finally:
             if blocker is not None:
                 blocker.close()
+
+
+class TestParseFuzz:
+    def test_parse_compound_garbage_never_raises(self):
+        rng = np.random.default_rng(99)
+        for _ in range(500):
+            n = int(rng.integers(0, 96))
+            parse_compound(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+
+    def test_parse_compound_bitflipped_valid(self):
+        """Bit-flip real compound packets: parse must never raise and
+        never return blocks past the datagram bounds."""
+        rng = np.random.default_rng(7)
+        base = (build_sender_report(1, ntp_now(), 0, 5, 100,
+                                    [ReportBlock(2, 0, 0, 9, 0, 0, 0)])
+                + build_sdes_cname(1, "x") + build_bye(1))
+        for _ in range(500):
+            p = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                p[int(rng.integers(0, len(p)))] ^= int(rng.integers(1, 256))
+            parse_compound(bytes(p))  # must not raise
