@@ -247,6 +247,15 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
     uniform-cell kernel, else xla).
     """
     if y.ndim == 3:
+        if y.shape[0] <= 8:
+            # unrolled per-frame dispatches beat vmap-over-pallas for
+            # small static batches (measured at 4K b4: hist 0.444 vs
+            # 0.548, interp 0.903 vs 0.949 ms/frame —
+            # scripts/tpu_r3_batchmap.json); compile size bounds the
+            # unroll at 8
+            return jnp.stack(
+                [clahe_apply(y[i], plan, method, backend)
+                 for i in range(y.shape[0])])
         return jax.vmap(lambda f: clahe_apply(f, plan, method, backend))(y)
     # hardware-validated round 2 (scripts/tpu_r2_kernels.json): natural
     # kernel 0 LSB at 4K/1080p/1919x1079 and 2.2x the cell-grid pipeline
