@@ -176,11 +176,16 @@ def run(argv: list[str]) -> int:
                 print(f"--mesh={mesh_spec!r} invalid: use 'auto' or DxS "
                       f"(e.g. 4x2) with positive axes", file=sys.stderr)
                 return 2
+        from opencv_opencl_tpu.parallel.mesh import make_mesh
+
         try:
-            enhancer = ShardedEnhancer(cfg, spec, shape=shape)
+            mesh = make_mesh(shape=shape)
         except ValueError as e:
+            # only mesh construction errors belong to the flag; anything
+            # ShardedEnhancer itself raises is a real config error
             print(f"--mesh={mesh_spec}: {e}", file=sys.stderr)
             return 2
+        enhancer = ShardedEnhancer(cfg, spec, mesh=mesh)
         ndata = enhancer.mesh.shape["data"]
         if batch % ndata:
             print(f"--batch={batch} must be a multiple of the mesh data "

@@ -53,7 +53,8 @@ def run(argv: list[str]) -> int:
         frame_shape = (opts["height"] * 3 // 2, opts["width"])
 
     rx = RtpUdpReceiver(host=opts.get("host", "0.0.0.0"), port=port,
-                        kind=kind, frame_shape=frame_shape, timeout=timeout)
+                        kind=kind, frame_shape=frame_shape, timeout=timeout,
+                        pt=opts.get("pt"))
     print(f"Listening for {kind} RTP on :{rx.port}")
 
     writer = None

@@ -379,6 +379,10 @@ def companion_peer(ssrc: int, rtp_port: int, *,
     the SR's source address) or return ``None`` (receiver side:
     stats-only mode)."""
     companion = rtp_port + 1 if rtp_port + 1 <= 65535 else 0
+    if remote is not None and remote[1] > 65535:
+        # RTP destination on 65535: no companion port exists on the far
+        # side — learn the peer from its first RTCP packet instead
+        remote = None
     try:
         return RtcpPeer(ssrc, local_port=companion, remote=remote,
                         schedule=schedule)
@@ -528,19 +532,35 @@ class RtcpPeer:
         self._tn = now + frac * (self._tn - now)
         self._pmembers = len(self.members)
 
+    def _deterministic_interval(self) -> float:
+        """Td of §6.3.1 — the unrandomized, uncompensated interval the
+        §6.3.5 timeouts are multiples of."""
+        n = max(len(self.members), 1)
+        senders = len(self.senders)
+        bw = self.rtcp_bw
+        if senders > 0 and senders <= n * SENDER_BW_FRACTION:
+            if self._we_sent:
+                bw *= SENDER_BW_FRACTION
+                n = senders
+            else:
+                bw *= RCVR_BW_FRACTION
+                n -= senders
+        td = self.avg_rtcp_size * n / bw if bw > 0 else RTCP_MIN_TIME
+        return max(td, RTCP_MIN_TIME)
+
     def _timeout_members(self, now: float) -> None:
-        """§6.3.5: drop members not heard from within 5 intervals (Tmin
-        floor) and senders within 2 — with reverse reconsideration, like
-        a BYE."""
-        dead = [s for s, t in self._heard.items()
-                if now - t > 5.0 * RTCP_MIN_TIME]
+        """§6.3.5: drop members not heard from within 5 deterministic
+        intervals (Td, Tmin-floored) and senders within 2 — with reverse
+        reconsideration, like a BYE."""
+        td = self._deterministic_interval()
+        dead = [s for s, t in self._heard.items() if now - t > 5.0 * td]
         for s in dead:
             self.members.discard(s)
             self.senders.discard(s)
             del self._heard[s]
         for s in list(self.senders):
             t = self._heard.get(s)
-            if t is not None and now - t > 2.0 * RTCP_MIN_TIME:
+            if t is not None and now - t > 2.0 * td:
                 self.senders.discard(s)
         if dead:
             self._reverse_reconsider(now)
@@ -573,6 +593,9 @@ class RtcpPeer:
             t = self._interval()
             if self._tp is not None and self._tp + t > now:
                 self._tn = self._tp + t
+                # A.7 OnExpire updates pmembers in BOTH branches — a
+                # stale value would invert reverse reconsideration
+                self._pmembers = len(self.members)
                 return False
             self._initial = False
             self._tp = now
@@ -588,7 +611,7 @@ class RtcpPeer:
         self._note_rtcp_size(len(compound))
         try:
             self.sock.sendto(compound, self.remote)
-        except OSError:
+        except (OSError, OverflowError):
             pass  # RTCP is advisory; never take down the media path
 
     def maybe_send_sr(self, rtp_ts: int, packet_count: int,

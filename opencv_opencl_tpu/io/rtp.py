@@ -424,7 +424,8 @@ class RtpUdpReceiver:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  kind: str = "jpeg", frame_shape: tuple[int, int] | None = None,
                  timeout: float = 5.0, buffer_size: int = 60_000_000,
-                 rtcp: bool = True, rtcp_schedule: str = "tick"):
+                 rtcp: bool = True, rtcp_schedule: str = "tick",
+                 pt: int | None = None):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
             # the reference's 60 MB socket buffers (udpsink buffer-size):
@@ -440,7 +441,9 @@ class RtpUdpReceiver:
         self.frame_shape = frame_shape
         self.frames_dropped = 0  # incomplete frames discarded (loss resync)
         self.packets_bad = 0     # runt/foreign/mismatched datagrams ignored
-        self._lock = StreamLock(pt=PT_JPEG if kind == "jpeg" else PT_RAW)
+        if pt is None:
+            pt = PT_JPEG if kind == "jpeg" else PT_RAW
+        self._lock = StreamLock(pt=pt)
         self.rtcp = None
         if rtcp:
             # Receiver Reports (loss/jitter + LSR/DLSR for the sender's

@@ -247,7 +247,7 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
     uniform-cell kernel, else xla).
     """
     if y.ndim == 3:
-        if y.shape[0] <= 8:
+        if 1 <= y.shape[0] <= 8:
             # unrolled per-frame dispatches beat vmap-over-pallas for
             # small static batches (measured at 4K b4: hist 0.444 vs
             # 0.548, interp 0.903 vs 0.949 ms/frame —

@@ -71,7 +71,7 @@ def equalize_hist_batch(y: jax.Array, method: str = "onehot") -> jax.Array:
         lut = equalize_lut(hist256(frame, method), total=total)
         return apply_lut(frame, lut)
 
-    if y.shape[0] <= 8:
+    if 1 <= y.shape[0] <= 8:
         # unrolled per-frame dispatches beat vmap-over-pallas for small
         # static batches (scripts/tpu_r3_batchmap.json; same finding as
         # ops/clahe.clahe_apply)

@@ -517,3 +517,61 @@ class TestParseFuzz:
             for _ in range(int(rng.integers(1, 4))):
                 p[int(rng.integers(0, len(p)))] ^= int(rng.integers(1, 256))
             parse_compound(bytes(p))  # must not raise
+
+
+class TestReviewFixes3:
+    def test_sink_to_port_65535_never_crashes_write(self):
+        """RTP destination 65535: the companion 'port 65536' must not
+        crash the media write path (OverflowError is not an OSError)."""
+        from opencv_opencl_tpu.io.rtp import RtpUdpSink
+
+        tx = RtpUdpSink("127.0.0.1", 65535, kind="raw", fps=30)
+        try:
+            assert tx.rtcp is not None
+            assert tx.rtcp.remote is None  # learned from far end instead
+            tx.rtcp.interval = 0.0
+            tx.write(np.zeros((6, 64), np.uint8))  # SR due: must not raise
+        finally:
+            tx.close()
+
+    def test_send_overflow_port_is_advisory(self):
+        peer = RtcpPeer(0x1, remote=("127.0.0.1", 65536))
+        try:
+            peer._send(build_bye(0x1))  # must not raise
+        finally:
+            peer.close()
+
+    def test_defer_branch_updates_pmembers(self):
+        """A.7 OnExpire updates pmembers in the reschedule branch too —
+        else a later BYE's reverse reconsideration pushes tn OUT."""
+        import time as timemod
+
+        peer = RtcpPeer(0x1, schedule="rfc3550")
+        try:
+            now = timemod.monotonic()
+            peer.members |= {0x2, 0x3, 0x4, 0x5}
+            peer._pmembers = 2
+            peer._tp = now            # just transmitted -> defer path
+            peer._tn = now - 0.001
+            assert peer._due() is False
+            assert peer._pmembers == len(peer.members)
+        finally:
+            peer.close()
+
+    def test_timeout_scales_with_td(self):
+        """6.3.5 timeouts are multiples of the deterministic interval,
+        not the 5 s floor: a big/slow session must not prune members
+        that report every Td."""
+        import time as timemod
+
+        peer = RtcpPeer(0x1, schedule="rfc3550", session_bw=8000.0)
+        try:
+            # rtcp_bw = 50 B/s; ~100 members -> Td = 80*100/50 = 160 s
+            for s in range(2, 100):
+                peer.members.add(s)
+                peer._heard[s] = timemod.monotonic() - 30.0  # stale > 25 s
+            before = len(peer.members)
+            peer._interval()
+            assert len(peer.members) == before  # NOT pruned at 5*Tmin
+        finally:
+            peer.close()

@@ -435,3 +435,34 @@ def test_jpeg_receiver_survives_truncated_qtable_header():
         stray.close()
         tx.close()
         rx.close()
+
+
+def test_receiver_custom_pt():
+    """--pt pins the payload type on the jpeg/raw plane too."""
+    rx = rtp.RtpUdpReceiver(kind="raw", frame_shape=(6, 64), pt=111)
+    tx = rtp.RtpUdpSink("127.0.0.1", rx.port, kind="raw", fps=30)
+    tx.payloader.ssrc = 0x42
+    try:
+        f = np.arange(6 * 64, dtype=np.uint8).reshape(6, 64)
+        pkts = [bytearray(p) for p in tx.payloader.packetize(f)]
+        import socket as socketmod
+
+        s = socketmod.socket(socketmod.AF_INET, socketmod.SOCK_DGRAM)
+        for p in pkts:
+            p[1] = (p[1] & 0x80) | 111  # rewrite PT to 111
+            s.sendto(bytes(p), ("127.0.0.1", rx.port))
+        got = rx.recv_frame()
+        s.close()
+        assert np.array_equal(got, f)
+    finally:
+        tx.close()
+        rx.close()
+
+
+def test_empty_batch_histeq():
+    import jax.numpy as jnp
+
+    from opencv_opencl_tpu.ops import histeq
+
+    out = histeq.equalize_hist_batch(jnp.zeros((0, 8, 128), jnp.uint8))
+    assert out.shape == (0, 8, 128)
