@@ -121,3 +121,18 @@ def test_clahe_mixed_divisibility(rng):
     _check(y, 2.0, (8, 11))  # 99 % 11 == 0 but 28 % 8 != 0
     y2 = rng.integers(0, 256, (100, 32), dtype=np.uint8)
     _check(y2, 2.0, (8, 11))  # 32 % 8 == 0 but 100 % 11 != 0
+
+
+@pytest.mark.slow
+def test_clahe_fuzz_extended():
+    """1000-case seeded fuzz (the checked-in reproducible version of the
+    round-1 exploratory run) — run explicitly with `-m slow`."""
+    r = np.random.default_rng(1234)
+    for _ in range(1000):
+        h = int(r.integers(2, 300))
+        w = int(r.integers(2, 300))
+        tx = int(r.integers(1, 17))
+        ty = int(r.integers(1, 17))
+        clip = float(r.choice([0.0, 0.3, 1.0, 2.0, 2.5, 40.0, 300.0]))
+        y = r.integers(0, 256, (h, w), dtype=np.uint8)
+        _check(y, clip, (tx, ty))
