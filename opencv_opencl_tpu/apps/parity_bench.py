@@ -38,7 +38,9 @@ def run(argv: list[str]) -> int:
     clip_limit = opts.get("clipLimit", 2.0)
     tile = opts.get("tile", 8)
     threshold = opts.get("threshold", 1)
-    repeat = max(opts.get("repeat", 64), 1)  # long chain: RPC jitter (~20 ms) must stay small vs the chained total
+    # long chain: the tunnel's RPC jitter (~20 ms) must stay small vs the
+    # chained total (sub-ms ops at chain-64 were measurable as ~0!)
+    repeat = max(opts.get("repeat", 256), 1)
 
     if not input_path:
         print(f"Usage: {sys.argv[0]} --input=<image> [--op=histeq|clahe] ...",
@@ -100,15 +102,19 @@ def run(argv: list[str]) -> int:
         return jnp.sum(out.astype(jnp.int32))
 
     _ = int(_chain(y_dev, 1))
-    t3 = time.perf_counter()
-    _ = int(_chain(y_dev, 1))
-    t4 = time.perf_counter()
-    _ = int(_chain(y_dev, repeat + 1))
-    t5 = time.perf_counter()
-    _ = int(_chain(y_dev, repeat + 1))
-    t6 = time.perf_counter()
-    tpu_ms = max(((t6 - t5) - (t4 - t3)) / repeat, 0.0) * 1e3
-    print(f"TPU {op} time: {tpu_ms:.3f} ms  (chained avg of {repeat})")
+    _ = int(_chain(y_dev, repeat + 1))  # compile the long-chain shape
+    samples = []
+    for _i in range(3):  # median of 3: one jittered RPC can't skew it
+        t3 = time.perf_counter()
+        _ = int(_chain(y_dev, 1))
+        t4 = time.perf_counter()
+        t5 = time.perf_counter()
+        _ = int(_chain(y_dev, repeat + 1))
+        t6 = time.perf_counter()
+        samples.append(max(((t6 - t5) - (t4 - t3)) / repeat, 0.0) * 1e3)
+    tpu_ms = sorted(samples)[1]
+    print(f"TPU {op} time: {tpu_ms:.3f} ms  "
+          f"(chained avg of {repeat}, median of 3)")
     y_tpu = np.asarray(y_tpu_dev)
 
     # -------------------- Compare results --------------------
