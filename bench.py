@@ -68,16 +68,19 @@ def main() -> None:
 
     # compile + measure loop overhead at n=1, amortized rate at n=chain+1
     # (chain long enough that tunnel RPC jitter (~20 ms) stays <5% of the
-    # chained total)
+    # chained total); median of 3 so one jittered fetch cannot skew the
+    # recorded headline
     _ = int(chained(dev, 1))
-    t0 = time.perf_counter()
-    _ = int(chained(dev, 1))
-    t1 = time.perf_counter()
     _ = int(chained(dev, chain + 1))
-    t2 = time.perf_counter()
-    _ = int(chained(dev, chain + 1))
-    t3 = time.perf_counter()
-    per_step_s = max(((t3 - t2) - (t1 - t0)) / chain, 1e-9)
+    samples = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = int(chained(dev, 1))
+        t1 = time.perf_counter()
+        _ = int(chained(dev, chain + 1))
+        t2 = time.perf_counter()
+        samples.append(max(((t2 - t1) - (t1 - t0)) / chain, 1e-9))
+    per_step_s = sorted(samples)[1]
     device_fps = batch / per_step_s
 
     # host loop (tunnel-bound here; PCIe-bound on production hosts)

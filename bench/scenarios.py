@@ -19,8 +19,10 @@ import sys
 import time
 
 
-def _chain_time(fn, x, n=64):
-    """Honest device ms/iteration via data-dependent chaining."""
+def _chain_time(fn, x, n=256):
+    """Honest device ms/iteration via data-dependent chaining; median of
+    3 samples so one ~20 ms RPC-jittered fetch cannot skew a sub-ms op
+    (the chain length keeps the chained total well above the jitter)."""
     import jax
     import jax.numpy as jnp
 
@@ -30,14 +32,16 @@ def _chain_time(fn, x, n=64):
         return jnp.sum(out.astype(jnp.int32))
 
     _ = int(run(x, 1))
-    t0 = time.perf_counter()
-    _ = int(run(x, 1))
-    t1 = time.perf_counter()
-    _ = int(run(x, n + 1))
-    t2 = time.perf_counter()
-    _ = int(run(x, n + 1))
-    t3 = time.perf_counter()
-    return max(((t3 - t2) - (t1 - t0)) / n, 1e-9) * 1e3
+    _ = int(run(x, n + 1))  # compile the long-chain shape
+    samples = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = int(run(x, 1))
+        t1 = time.perf_counter()
+        _ = int(run(x, n + 1))
+        t2 = time.perf_counter()
+        samples.append(max(((t2 - t1) - (t1 - t0)) / n, 1e-9) * 1e3)
+    return sorted(samples)[1]
 
 
 def main() -> None:
