@@ -216,8 +216,14 @@ def parse_sdp(text: str) -> SdpSession:
             session_name = val
         elif key == "m":
             parts = val.split()
+            if not parts:
+                continue  # malformed m-line from a broken peer: skip
             kind = parts[0]
-            pts = [int(p) for p in parts[3:]] if len(parts) > 3 else []
+            try:
+                pts = ([int(p) for p in parts[3:]]
+                       if len(parts) > 3 else [])
+            except ValueError:
+                pts = []  # non-numeric payload list: treat as none
             cur = MediaDescription(
                 kind=kind, payload_type=pts[0] if pts else 0,
                 encoding_name="", clock_rate=0, direction="sendrecv",
@@ -229,14 +235,19 @@ def parse_sdp(text: str) -> SdpSession:
                 session_attrs.append(val)
                 continue
             if val.startswith("rtpmap:"):
-                body = val[len("rtpmap:"):]
-                pt_s, enc = body.split(" ", 1)
-                if int(pt_s) == cur.payload_type:
-                    enc_parts = enc.split("/")
-                    cur.encoding_name = enc_parts[0]
-                    cur.clock_rate = int(enc_parts[1])
-                    if len(enc_parts) > 2:
-                        cur.channels = int(enc_parts[2])
+                # tolerate malformed rtpmap from broken peers: a parse
+                # failure must not crash the signaling dispatch
+                try:
+                    body = val[len("rtpmap:"):]
+                    pt_s, enc = body.split(" ", 1)
+                    if int(pt_s) == cur.payload_type:
+                        enc_parts = enc.split("/")
+                        cur.encoding_name = enc_parts[0]
+                        cur.clock_rate = int(enc_parts[1])
+                        if len(enc_parts) > 2:
+                            cur.channels = int(enc_parts[2])
+                except (ValueError, IndexError):
+                    pass
             elif val.startswith("mid:"):
                 cur.mid = val[4:]
             elif val in _REVERSE:

@@ -222,3 +222,51 @@ def test_relay_writes_sdp_file(tmp_path):
     assert rc == 0
     text = sdp.read_text()
     assert "m=video 55999 RTP/AVP 26" in text
+
+
+class TestParseRobustness:
+    def test_malformed_lines_never_raise(self):
+        """A broken peer's SDP must not crash the signaling dispatch:
+        bad m-lines, non-numeric PTs, truncated rtpmaps all degrade to
+        skipped fields."""
+        from opencv_opencl_tpu.io.sdp import parse_sdp
+
+        bad = "\r\n".join([
+            "v=0", "s=x",
+            "m=",                      # empty m-line
+            "m=video 5004 RTP/AVP xx yy",  # non-numeric payloads
+            "a=rtpmap:96",             # no space
+            "a=rtpmap:zz H264/90000",  # non-numeric pt
+            "m=video 5004 RTP/AVP 96",
+            "a=rtpmap:96 H264",        # missing clock rate
+            "a=rtpmap:96 H264/ninety", # non-numeric clock rate
+        ])
+        sess = parse_sdp(bad)
+        assert len(sess.medias) == 2
+
+    def test_fuzz_garbage_never_raises(self):
+        import numpy as np
+
+        from opencv_opencl_tpu.io.sdp import parse_sdp
+
+        rng = np.random.default_rng(5)
+        chars = "vsmoactbk=:/ \r\n0123456789abcdefHRTPAVP-"
+        for _ in range(300):
+            n = int(rng.integers(0, 200))
+            text = "".join(chars[i] for i in rng.integers(0, len(chars), n))
+            parse_sdp(text)  # must not raise
+
+    def test_bitflipped_valid_offer_never_raises(self):
+        import numpy as np
+
+        from opencv_opencl_tpu.io.sdp import (
+            build_offer, media_for_codec, parse_sdp)
+
+        rng = np.random.default_rng(6)
+        offer = build_offer([media_for_codec("h264")])
+        for _ in range(300):
+            chars = list(offer)
+            for _ in range(int(rng.integers(1, 5))):
+                i = int(rng.integers(0, len(chars)))
+                chars[i] = chr(int(rng.integers(32, 127)))
+            parse_sdp("".join(chars))  # must not raise
