@@ -58,6 +58,7 @@ class SignalingClient:
         self.reconnect_delay_s = reconnect_delay_s
         self.max_reconnects = max_reconnects
         self.reconnect_count = 0
+        self.bad_messages = 0  # malformed peer messages dropped
         self.is_reconnecting = False  # the vad2connection reentrancy latch
         self._loop: asyncio.AbstractEventLoop | None = None
         self._ws = None
@@ -202,6 +203,17 @@ class SignalingClient:
             msg = json.loads(raw)
         except json.JSONDecodeError:
             return
+        if not isinstance(msg, dict):
+            return  # arrays/scalars from a broken peer: ignore
+        try:
+            self._dispatch_msg(msg)
+        except (AttributeError, TypeError, ValueError, KeyError):
+            # a malformed field (string where an object was expected,
+            # non-numeric index, ...) must not tear down the websocket —
+            # the receive loop's except would force a full reconnect
+            self.bad_messages += 1
+
+    def _dispatch_msg(self, msg: dict) -> None:
         t = msg.get("type")
         if t == "answer":
             sdp = msg.get("sdp") or msg.get("answer", {}).get("sdp", "")

@@ -282,3 +282,36 @@ def test_pyproject_entry_points():
         mod, fn = target.split(":")
         m = importlib.import_module(mod)
         assert callable(getattr(m, fn)), name
+
+
+class TestDispatchRobustness:
+    def test_malformed_messages_never_raise(self):
+        """A broken/hostile peer's message must not tear down the
+        websocket (the receive loop's except forces a reconnect)."""
+        from opencv_opencl_tpu.io.signaling import SignalingClient
+
+        c = SignalingClient("ws://x", "room")
+        for raw in (
+            "[1,2,3]", '"str"', "42", "null",
+            '{"type": "answer", "answer": "notadict"}',
+            '{"type": "ice", "sdpMLineIndex": "NaN!"}',
+            '{"type": "ice-candidate", "candidate": "flat-string"}',
+            '{"type": "ice-candidate", "candidate": {"candidate": "c",'
+            ' "sdpMLineIndex": []}}',
+            "not json at all",
+        ):
+            c._dispatch(raw)  # must not raise
+        assert c.bad_messages >= 3
+
+    def test_valid_messages_still_dispatch(self):
+        from opencv_opencl_tpu.io.signaling import SignalingClient
+
+        got = []
+        c = SignalingClient("ws://x", "room",
+                            on_answer=lambda sdp: got.append(sdp),
+                            on_ice=lambda cand, ml: got.append((cand, ml)))
+        c._dispatch('{"type": "answer", "sdp": "v=0"}')
+        c._dispatch('{"type": "ice", "candidate": "c1",'
+                    ' "sdpMLineIndex": 1}')
+        assert got == ["v=0", ("c1", 1)]
+        assert c.bad_messages == 0
