@@ -8,6 +8,8 @@ Usage:
       [--source=test|<video file>]      # one source replicated per stream
       [--sink=null|rtp://host:port]     # rtp: stream i goes to port+2*i
       [--status-interval=2]
+      [--mesh=auto|DxS]  # multi-chip serving: shard the stream batch
+                         # over a (data, space) device mesh
 
 The serving extension of ``relay``: one chip is ~10x faster than a 4K60
 stream needs (docs/RESULTS_R2.md), so production packs many streams per
@@ -36,7 +38,7 @@ def run(argv: list[str]) -> int:
             "op": str, "chroma": str, "clipLimit": float, "tile": int,
             "batch": int, "workers": int, "max-frames": int,
             "duration": float, "source": str, "sink": str,
-            "status-interval": float, "rtcp-schedule": str,
+            "status-interval": float, "rtcp-schedule": str, "mesh": str,
         },
     )
     n = opts.get("streams", 2)
@@ -59,13 +61,41 @@ def run(argv: list[str]) -> int:
     spec = FrameSpec(width=width, height=height, fps=fps)
     chroma = (ChromaPolicy.GRAY if opts.get("chroma", "").lower() == "gray"
               else ChromaPolicy.PASSTHROUGH)
-    enhancer = Enhancer(
-        EnhancerConfig(
-            op=op, clip_limit=opts.get("clipLimit", 2.0),
-            tile_grid=(opts.get("tile", 8),) * 2, chroma=chroma,
-        ),
-        spec,
+    cfg = EnhancerConfig(
+        op=op, clip_limit=opts.get("clipLimit", 2.0),
+        tile_grid=(opts.get("tile", 8),) * 2, chroma=chroma,
     )
+    if "mesh" in opts:
+        # multi-chip serving: the stream batch shards over the mesh's
+        # data axis (whole frames per chip), rows over space — N streams
+        # across M chips with the same StreamMux front
+        from opencv_opencl_tpu.parallel.mesh import make_mesh
+        from opencv_opencl_tpu.parallel.sharded import ShardedEnhancer
+
+        shape = None
+        if opts["mesh"] != "auto":
+            try:
+                d, sx = opts["mesh"].lower().split("x", 1)
+                shape = (int(d), int(sx))
+                if shape[0] < 1 or shape[1] < 1:
+                    raise ValueError("axes must be >= 1")
+            except ValueError:
+                print(f"--mesh={opts['mesh']!r} invalid: use 'auto' or "
+                      f"DxS (e.g. 4x2)", file=sys.stderr)
+                return 2
+        try:
+            mesh = make_mesh(shape=shape)
+        except ValueError as e:
+            print(f"--mesh={opts['mesh']}: {e}", file=sys.stderr)
+            return 2
+        enhancer = ShardedEnhancer(cfg, spec, mesh=mesh)
+        if opts.get("batch", 4) % mesh.shape["data"]:
+            print(f"--batch must be a multiple of the mesh data axis "
+                  f"({mesh.shape['data']})", file=sys.stderr)
+            return 2
+        print(f"Sharded over mesh {dict(mesh.shape)}")
+    else:
+        enhancer = Enhancer(cfg, spec)
 
     sinks = []
     if sink_spec.startswith("rtp://"):

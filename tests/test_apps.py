@@ -295,3 +295,17 @@ def test_relay_rejects_bad_mesh(capsys):
         rc = relay.run(["--source=test", "--width=64", "--height=32",
                         f"--mesh={bad}"])
         assert rc == 2, bad
+
+
+def test_multi_relay_mesh(capsys):
+    """multi_relay --mesh: N streams served by a sharded pipeline on the
+    virtual 8-device mesh."""
+    from opencv_opencl_tpu.apps import multi_relay
+
+    rc = multi_relay.run([
+        "--streams=2", "--width=128", "--height=64", "--fps=30",
+        "--max-frames=6", "--batch=2", "--op=clahe", "--mesh=2x2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Sharded over mesh" in out
