@@ -69,31 +69,22 @@ def run(argv: list[str]) -> int:
         # multi-chip serving: the stream batch shards over the mesh's
         # data axis (whole frames per chip), rows over space — N streams
         # across M chips with the same StreamMux front
-        from opencv_opencl_tpu.parallel.mesh import make_mesh
+        from opencv_opencl_tpu.parallel.mesh import mesh_from_cli
         from opencv_opencl_tpu.parallel.sharded import ShardedEnhancer
 
-        shape = None
-        if opts["mesh"] != "auto":
-            try:
-                d, sx = opts["mesh"].lower().split("x", 1)
-                shape = (int(d), int(sx))
-                if shape[0] < 1 or shape[1] < 1:
-                    raise ValueError("axes must be >= 1")
-            except ValueError:
-                print(f"--mesh={opts['mesh']!r} invalid: use 'auto' or "
-                      f"DxS (e.g. 4x2)", file=sys.stderr)
-                return 2
         try:
-            mesh = make_mesh(shape=shape)
+            mesh = mesh_from_cli(opts["mesh"])
         except ValueError as e:
-            print(f"--mesh={opts['mesh']}: {e}", file=sys.stderr)
+            print(str(e), file=sys.stderr)
             return 2
         enhancer = ShardedEnhancer(cfg, spec, mesh=mesh)
-        if opts.get("batch", 4) % mesh.shape["data"]:
-            print(f"--batch must be a multiple of the mesh data axis "
-                  f"({mesh.shape['data']})", file=sys.stderr)
+        batch = opts.get("batch", 4)
+        if batch < 1 or batch % mesh.shape["data"]:
+            print(f"--batch={batch} must be a positive multiple of the "
+                  f"mesh data axis ({mesh.shape['data']})", file=sys.stderr)
             return 2
-        print(f"Sharded over mesh {dict(mesh.shape)}")
+        print(f"Sharded over mesh {dict(mesh.shape)} "
+              f"({len(mesh.devices.flat)} devices)")
     else:
         enhancer = Enhancer(cfg, spec)
 

@@ -162,34 +162,22 @@ def run(argv: list[str]) -> int:
     if "mesh" in opts:
         # multi-chip: shard the batch over `data`, rows over `space` —
         # the scaling analogue of the reference's worker pool, one flag
+        from opencv_opencl_tpu.parallel.mesh import mesh_from_cli
         from opencv_opencl_tpu.parallel.sharded import ShardedEnhancer
 
-        mesh_spec = opts["mesh"]
-        shape = None
-        if mesh_spec != "auto":
-            try:
-                d, s = mesh_spec.lower().split("x", 1)
-                shape = (int(d), int(s))
-                if shape[0] < 1 or shape[1] < 1:
-                    raise ValueError("axes must be >= 1")
-            except ValueError:
-                print(f"--mesh={mesh_spec!r} invalid: use 'auto' or DxS "
-                      f"(e.g. 4x2) with positive axes", file=sys.stderr)
-                return 2
-        from opencv_opencl_tpu.parallel.mesh import make_mesh
-
         try:
-            mesh = make_mesh(shape=shape)
-        except ValueError as e:
-            # only mesh construction errors belong to the flag; anything
+            # one shared parser (relay + multi_relay): only mesh
+            # construction errors belong to the flag; anything
             # ShardedEnhancer itself raises is a real config error
-            print(f"--mesh={mesh_spec}: {e}", file=sys.stderr)
+            mesh = mesh_from_cli(opts["mesh"])
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
             return 2
         enhancer = ShardedEnhancer(cfg, spec, mesh=mesh)
         ndata = enhancer.mesh.shape["data"]
-        if batch % ndata:
-            print(f"--batch={batch} must be a multiple of the mesh data "
-                  f"axis ({ndata})", file=sys.stderr)
+        if batch < 1 or batch % ndata:
+            print(f"--batch={batch} must be a positive multiple of the "
+                  f"mesh data axis ({ndata})", file=sys.stderr)
             return 2
         print(f"Sharded over mesh {dict(enhancer.mesh.shape)} "
               f"({len(enhancer.mesh.devices.flat)} devices)")

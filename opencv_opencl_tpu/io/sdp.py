@@ -217,13 +217,20 @@ def parse_sdp(text: str) -> SdpSession:
         elif key == "m":
             parts = val.split()
             if not parts:
-                continue  # malformed m-line from a broken peer: skip
+                # malformed m-line from a broken peer: its following a=
+                # attributes must be discarded, not attributed to the
+                # previous media section — point cur at a throwaway
+                cur = MediaDescription(
+                    kind="", payload_type=0, encoding_name="",
+                    clock_rate=0, direction="sendrecv", mid="")
+                continue
             kind = parts[0]
-            try:
-                pts = ([int(p) for p in parts[3:]]
-                       if len(parts) > 3 else [])
-            except ValueError:
-                pts = []  # non-numeric payload list: treat as none
+            pts = []
+            for tok in parts[3:]:
+                try:
+                    pts.append(int(tok))
+                except ValueError:
+                    pass  # salvage the valid payload types around it
             cur = MediaDescription(
                 kind=kind, payload_type=pts[0] if pts else 0,
                 encoding_name="", clock_rate=0, direction="sendrecv",

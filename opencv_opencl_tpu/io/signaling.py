@@ -202,43 +202,60 @@ class SignalingClient:
         try:
             msg = json.loads(raw)
         except json.JSONDecodeError:
+            self.bad_messages += 1
             return
         if not isinstance(msg, dict):
-            return  # arrays/scalars from a broken peer: ignore
+            self.bad_messages += 1  # arrays/scalars from a broken peer
+            return
         try:
-            self._dispatch_msg(msg)
+            action = self._parse_msg(msg)
         except (AttributeError, TypeError, ValueError, KeyError):
             # a malformed field (string where an object was expected,
             # non-numeric index, ...) must not tear down the websocket —
             # the receive loop's except would force a full reconnect
             self.bad_messages += 1
+            return
+        if action is not None:
+            # user callbacks run OUTSIDE the malformed-message guard: an
+            # application bug must surface (via the receive loop), not be
+            # silently blamed on the peer
+            action()
 
-    def _dispatch_msg(self, msg: dict) -> None:
+    def _parse_msg(self, msg: dict):
+        """Field extraction/coercion only (may raise on malformed input);
+        returns the callback invocation to run, or None."""
         t = msg.get("type")
         if t == "answer":
             sdp = msg.get("sdp") or msg.get("answer", {}).get("sdp", "")
             frm = msg.get("from")
             if frm:
                 self.remote_peer_id = frm
-            self.on_answer(sdp)
-        elif t == "offer":
-            self.on_offer(msg.get("sdp", ""), msg.get("from"))
-        elif t == "registered":
+            return lambda: self.on_answer(sdp)
+        if t == "offer":
+            sdp = msg.get("sdp", "")
+            frm = msg.get("from")
+            return lambda: self.on_offer(sdp, frm)
+        if t == "registered":
             self.my_id = msg.get("id")
-            self.on_registered(self.my_id)
-        elif t == "ice":
-            self.on_ice(msg.get("candidate", ""), int(msg.get("sdpMLineIndex", 0)))
-        elif t == "ice-candidate":
+            my = self.my_id
+            return lambda: self.on_registered(my)
+        if t == "ice":
+            cand = msg.get("candidate", "")
+            ml = int(msg.get("sdpMLineIndex", 0))
+            return lambda: self.on_ice(cand, ml)
+        if t == "ice-candidate":
             cand = msg.get("candidate") or {}
             cand_str = cand.get("candidate", "")
             if not cand_str:
-                return  # end-of-candidates signal
+                return None  # end-of-candidates signal
             frm = msg.get("from")
             if frm:
                 self.remote_peer_id = frm
-            self.on_ice(cand_str, int(cand.get("sdpMLineIndex", 0)))
-        elif t == "ready":
-            self.on_ready()
+            ml = int(cand.get("sdpMLineIndex", 0))
+            return lambda: self.on_ice(cand_str, ml)
+        if t == "ready":
+            return self.on_ready
+        return None
 
 
 class SignalingServer:

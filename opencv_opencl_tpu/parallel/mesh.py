@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh", "best_mesh_shape"]
+__all__ = ["make_mesh", "best_mesh_shape", "mesh_from_cli"]
 
 
 def best_mesh_shape(n: int) -> tuple[int, int]:
@@ -56,3 +56,23 @@ def make_mesh(
         raise ValueError(f"mesh shape {shape} != {n} devices")
     arr = np.array(devs[:n]).reshape(shape)
     return Mesh(arr, axis_names)
+
+
+def mesh_from_cli(spec: str) -> Mesh:
+    """Parse a ``--mesh`` flag value ('auto' or 'DxS', e.g. '4x2') and
+    build the mesh.  Raises ValueError with a user-facing message for a
+    malformed spec or an unsatisfiable device count — one parser shared
+    by every app exposing the flag."""
+    shape = None
+    if spec != "auto":
+        try:
+            d, s = spec.lower().split("x", 1)
+            shape = (int(d), int(s))
+        except ValueError:
+            raise ValueError(
+                f"--mesh={spec!r} invalid: use 'auto' or DxS (e.g. 4x2)"
+            ) from None
+        if shape[0] < 1 or shape[1] < 1:
+            raise ValueError(
+                f"--mesh={spec!r} invalid: axes must be >= 1")
+    return make_mesh(shape=shape)

@@ -309,3 +309,9 @@ def test_multi_relay_mesh(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Sharded over mesh" in out
+    # frames must actually flow: a sharded-pipeline regression swallowed
+    # as per-batch processing errors would still print the banner
+    import re
+
+    m = re.search(r"Shutdown: (\d+) frames across", out)
+    assert m and int(m.group(1)) > 0

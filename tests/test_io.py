@@ -301,7 +301,22 @@ class TestDispatchRobustness:
             "not json at all",
         ):
             c._dispatch(raw)  # must not raise
-        assert c.bad_messages >= 3
+        assert c.bad_messages == 9  # every malformed message counted
+
+    def test_callback_bugs_are_not_blamed_on_the_peer(self):
+        """An exception from a user callback must propagate (visible via
+        the receive loop), not be counted as a bad peer message."""
+        from opencv_opencl_tpu.io.signaling import SignalingClient
+
+        def boom(sdp):
+            raise ValueError("app bug")
+
+        c = SignalingClient("ws://x", "room", on_answer=boom)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="app bug"):
+            c._dispatch('{"type": "answer", "sdp": "v=0"}')
+        assert c.bad_messages == 0
 
     def test_valid_messages_still_dispatch(self):
         from opencv_opencl_tpu.io.signaling import SignalingClient

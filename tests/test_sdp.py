@@ -233,16 +233,24 @@ class TestParseRobustness:
 
         bad = "\r\n".join([
             "v=0", "s=x",
-            "m=",                      # empty m-line
-            "m=video 5004 RTP/AVP xx yy",  # non-numeric payloads
+            "m=video 5004 RTP/AVP 96",
+            "a=rtpmap:96 H264/90000",
+            "a=mid:video0",
+            "m=",                      # empty m-line: section discarded
+            "a=mid:evil",              # ...with its attributes
+            "m=video 5004 RTP/AVP xx 97",  # bad token among valid PTs
             "a=rtpmap:96",             # no space
             "a=rtpmap:zz H264/90000",  # non-numeric pt
-            "m=video 5004 RTP/AVP 96",
-            "a=rtpmap:96 H264",        # missing clock rate
-            "a=rtpmap:96 H264/ninety", # non-numeric clock rate
+            "a=rtpmap:97 H265",        # missing clock rate
+            "a=rtpmap:97 H265/ninety", # non-numeric clock rate
         ])
         sess = parse_sdp(bad)
         assert len(sess.medias) == 2
+        # the garbled section's attributes must not leak into a valid one
+        assert sess.medias[0].mid == "video0"
+        assert sess.medias[0].encoding_name == "H264"
+        # ...and a non-numeric token doesn't discard the valid PTs
+        assert sess.medias[1].payload_type == 97
 
     def test_fuzz_garbage_never_raises(self):
         import numpy as np
