@@ -198,3 +198,45 @@ def test_relay_mesh_flag(tmp_path):
     data = out.read_bytes()
     frame_bytes = 128 * 96  # 64*3//2 rows
     assert len(data) == 4 * frame_bytes
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_fuzz():
+    """Property fuzz of the multi-chip path: random geometry x tile grid
+    x mesh shape x op, each vs cv2 (run with -m slow)."""
+    r = np.random.default_rng(404)
+    import jax
+
+    from opencv_opencl_tpu.core.frames import FrameSpec
+    from opencv_opencl_tpu.parallel.sharded import ShardedEnhancer
+
+    shapes = [(4, 2), (2, 2), (2, 4), (8, 1), (1, 8), (2, 3)]
+    c_ops = ["clahe", "histeq"]
+    for i in range(20):
+        h = int(r.integers(16, 220)) * 2  # NV12 needs even dims
+        w = int(r.integers(16, 160)) * 2
+        grid = (int(r.integers(1, 9)), int(r.integers(1, 9)))
+        mesh_shape = shapes[int(r.integers(0, len(shapes)))]
+        op = c_ops[int(r.integers(0, 2))]
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(
+            op=op, clip_limit=float(r.choice([0.5, 2.0, 40.0])),
+            tile_grid=grid, chroma=ChromaPolicy.PASSTHROUGH)
+        n = mesh_shape[0]
+        batch = np.asarray(r.integers(
+            0, 256, (n, spec.buffer_rows, w), dtype=np.uint8))
+        se = ShardedEnhancer(cfg, spec, shape=mesh_shape)
+        out = np.asarray(se.process_batch(batch))
+        for b in range(n):
+            y = batch[b, :h]
+            if op == "clahe":
+                ref = cv2.createCLAHE(
+                    clipLimit=cfg.clip_limit,
+                    tileGridSize=grid).apply(y)
+                assert_clahe_close(out[b, :h], ref), (h, w, grid,
+                                                      mesh_shape, op)
+            else:
+                ref = cv2.equalizeHist(y)
+                assert np.array_equal(out[b, :h], ref), (h, w, grid,
+                                                         mesh_shape, op)
+            assert np.array_equal(out[b, h:], batch[b, h:])
