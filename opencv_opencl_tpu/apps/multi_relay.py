@@ -10,6 +10,9 @@ Usage:
       [--status-interval=2]
       [--mesh=auto|DxS]  # multi-chip serving: shard the stream batch
                          # over a (data, space) device mesh
+      [--adaptive-rate [--max-rate=FPS]]  # per-stream AIMD on each RTP
+                         # session's RTCP loss: a congested viewer sheds
+                         # only its own frames
 
 The serving extension of ``relay``: one chip is ~10x faster than a 4K60
 stream needs (docs/RESULTS_R2.md), so production packs many streams per
@@ -39,6 +42,7 @@ def run(argv: list[str]) -> int:
             "batch": int, "workers": int, "max-frames": int,
             "duration": float, "source": str, "sink": str,
             "status-interval": float, "rtcp-schedule": str, "mesh": str,
+            "adaptive-rate": bool, "max-rate": float,
         },
     )
     n = opts.get("streams", 2)
@@ -102,6 +106,16 @@ def run(argv: list[str]) -> int:
     else:
         sinks = [NullSink() for _ in range(n)]
 
+    governors = None
+    if opts.get("adaptive-rate"):
+        # per-stream congestion control: each stream's RTCP receiver
+        # reports drive its own AIMD loop, so one congested viewer sheds
+        # only its own frames — the other streams keep their full rate
+        from opencv_opencl_tpu.runtime.governor import AdaptiveRateGovernor
+
+        governors = [AdaptiveRateGovernor(opts.get("max-rate", fps or 30.0))
+                     for _ in range(n)]
+
     def on_out(stream, sseq, frame, meta):
         sinks[stream].write(frame)
 
@@ -132,6 +146,19 @@ def run(argv: list[str]) -> int:
             if duration is not None and time.monotonic() - t0 > duration:
                 break
             for s in range(n):
+                if governors is not None:
+                    rtcp = getattr(sinks[s], "rtcp", None)
+                    if rtcp is not None:
+                        rtcp.poll()
+                        for blk in rtcp.take_blocks():
+                            rate = governors[s].on_receiver_report(
+                                blk.fraction_lost)
+                            if blk.fraction_lost:
+                                print(f"[adaptive-rate] stream {s} loss="
+                                      f"{blk.fraction_lost}/256 "
+                                      f"-> {rate:.1f} fps")
+                    if not governors[s].admit():
+                        continue  # shed THIS stream's frame only
                 try:
                     mux.submit(s, next(sources[s]))
                 except StopIteration:

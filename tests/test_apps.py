@@ -315,3 +315,45 @@ def test_multi_relay_mesh(capsys):
 
     m = re.search(r"Shutdown: (\d+) frames across", out)
     assert m and int(m.group(1)) > 0
+
+
+def test_multi_relay_per_stream_adaptive_rate(capsys):
+    """Per-stream congestion control: a lossy stream backs off while its
+    neighbor keeps full rate."""
+    import threading
+
+    from opencv_opencl_tpu.apps import multi_relay
+    from opencv_opencl_tpu.io import rtp
+
+    rxs = [rtp.RtpUdpReceiver(kind="jpeg", port=47700 + 2 * i,
+                              timeout=30.0) for i in range(2)]
+    # receiver 1 pretends to see loss: force its RR fraction_lost high
+    # by monkey-patching its stats' interval fraction
+    orig = rxs[1].rtcp.stats.fraction_lost_interval
+    rxs[1].rtcp.stats.fraction_lost_interval = lambda: 128  # 50% loss
+    rxs[1].rtcp.interval = 0.0  # report immediately
+    rxs[0].rtcp.interval = 0.0
+    stop = threading.Event()
+    def drain(i):
+        while not stop.is_set():
+            try:
+                rxs[i].recv_frame()
+            except (TimeoutError, OSError):
+                return
+    ts = [threading.Thread(target=drain, args=(i,), daemon=True)
+          for i in range(2)]
+    [t.start() for t in ts]
+    rc = multi_relay.run([
+        "--streams=2", "--width=128", "--height=96", "--fps=30",
+        "--max-frames=40", "--batch=2", "--op=histeq",
+        "--sink=rtp://127.0.0.1:47700", "--adaptive-rate", "--max-rate=60",
+    ])
+    stop.set()
+    rxs[1].rtcp.stats.fraction_lost_interval = orig
+    [r.close() for r in rxs]
+    [t.join(timeout=5) for t in ts]
+    assert rc == 0
+    out = capsys.readouterr().out
+    # the lossy stream (1) backed off; the clean stream (0) did not
+    assert "[adaptive-rate] stream 1 loss=128/256" in out
+    assert "[adaptive-rate] stream 0" not in out
