@@ -13,6 +13,9 @@ Usage:
       [--adaptive-rate [--max-rate=FPS]]  # per-stream AIMD on each RTP
                          # session's RTCP loss: a congested viewer sheds
                          # only its own frames
+      [--priorities=2,1,...]  # per-stream QoS classes (higher = more
+                         # important): overload evicts the lowest class
+                         # first, so premium streams survive congestion
 
 The serving extension of ``relay``: one chip is ~10x faster than a 4K60
 stream needs (docs/RESULTS_R2.md), so production packs many streams per
@@ -42,7 +45,7 @@ def run(argv: list[str]) -> int:
             "batch": int, "workers": int, "max-frames": int,
             "duration": float, "source": str, "sink": str,
             "status-interval": float, "rtcp-schedule": str, "mesh": str,
-            "adaptive-rate": bool, "max-rate": float,
+            "adaptive-rate": bool, "max-rate": float, "priorities": str,
         },
     )
     n = opts.get("streams", 2)
@@ -119,7 +122,20 @@ def run(argv: list[str]) -> int:
     def on_out(stream, sseq, frame, meta):
         sinks[stream].write(frame)
 
+    priorities = None
+    if "priorities" in opts:
+        try:
+            priorities = [int(x) for x in opts["priorities"].split(",")]
+        except ValueError:
+            print(f"--priorities={opts['priorities']!r} invalid: "
+                  f"comma-separated ints", file=sys.stderr)
+            return 2
+        if len(priorities) != n:
+            print(f"--priorities needs {n} entries (one per stream)",
+                  file=sys.stderr)
+            return 2
     mux = StreamMux(enhancer.process_batch, n, on_output=on_out,
+                    priorities=priorities,
                     batch_size=opts.get("batch", 4),
                     depth=opts.get("workers", 2),
                     queue_capacity=max(8, 4 * n))

@@ -65,6 +65,7 @@ class FrameFeeder:
         timing: TimingStats | None = None,
         pad_batches: bool = True,
         native_staging: bool | tuple[int, ...] = False,
+        priority_of: Callable | None = None,
     ) -> None:
         """``native_staging``: pass the frame shape (rows, width) to stage
         frames through the C++ preallocated ring (GIL-free memcpy + batch
@@ -87,10 +88,22 @@ class FrameFeeder:
                 self._native_shape = tuple(native_staging)
                 frame_bytes = int(np.prod(self._native_shape))
                 self._native = native.NativeRing(queue_capacity, frame_bytes)
-        self._inq = LeakyQueue(
-            max_size=queue_capacity,
-            on_drop=lambda item: self.counters.count("dropped_overflow"),
-        )
+        if priority_of is not None:
+            # QoS eviction (python staging only: the native ring is FIFO)
+            from opencv_opencl_tpu.runtime.queues import PriorityLeakyQueue
+
+            self._inq = PriorityLeakyQueue(
+                max_size=queue_capacity,
+                on_drop=lambda item: self.counters.count(
+                    "dropped_overflow"),
+                priority_of=priority_of,
+            )
+        else:
+            self._inq = LeakyQueue(
+                max_size=queue_capacity,
+                on_drop=lambda item: self.counters.count(
+                    "dropped_overflow"),
+            )
         self._seq = 0
         self._seq_lock = threading.Lock()
         self._meta_lock = threading.Lock()

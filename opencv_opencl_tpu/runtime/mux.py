@@ -42,6 +42,11 @@ class StreamMux:
     n_streams: stream count (ids are 0..n_streams-1).
     on_output: called with ``(stream_id, stream_seq, frame, meta)`` in
         per-stream order.
+    priorities: optional per-stream QoS classes (higher = more
+        important).  When given, overload eviction drops the oldest
+        frame of the lowest-priority stream first
+        (:class:`~opencv_opencl_tpu.runtime.queues.PriorityLeakyQueue`),
+        so congestion sheds best-effort streams before premium ones.
     Remaining kwargs are forwarded to :class:`FrameFeeder`.
     """
 
@@ -50,14 +55,23 @@ class StreamMux:
         process_batch: Callable,
         n_streams: int,
         on_output: Callable[[int, int, np.ndarray, Any], None] | None = None,
+        priorities: list[int] | None = None,
         **feeder_kwargs,
     ) -> None:
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
+        if priorities is not None and len(priorities) != n_streams:
+            raise ValueError(
+                f"priorities has {len(priorities)} entries for "
+                f"{n_streams} streams")
         self.n_streams = n_streams
         self.on_output = on_output or (lambda s, k, f, m: None)
         self._submit_seq = [0] * n_streams
         self._emit_seq = [0] * n_streams
+        self.priorities = priorities
+        if priorities is not None:
+            feeder_kwargs["priority_of"] = (
+                lambda item: priorities[item[2]["_mux_stream"]])
         self.feeder = FrameFeeder(
             process_batch, on_output=self._route, **feeder_kwargs)
 

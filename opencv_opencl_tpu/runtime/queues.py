@@ -13,7 +13,7 @@ import collections
 import threading
 from typing import Any
 
-__all__ = ["LeakyQueue", "Closed"]
+__all__ = ["LeakyQueue", "PriorityLeakyQueue", "Closed"]
 
 
 class Closed(Exception):
@@ -89,3 +89,52 @@ class LeakyQueue:
         with self._lock:
             self._closed = True
             self._not_empty.notify_all()
+
+
+class PriorityLeakyQueue(LeakyQueue):
+    """LeakyQueue whose overflow eviction honors per-item priorities.
+
+    On overflow the OLDEST item among those with the LOWEST priority is
+    evicted; an incoming item ranking below everything queued is dropped
+    itself.  Equal priorities degrade to the plain drop-oldest policy.
+    ``priority_of(item) -> int`` (higher = more important) is consulted
+    only on overflow, so the happy path stays O(1); the scan is bounded
+    by ``max_size`` (small by design).
+
+    The serving QoS hook: `StreamMux(priorities=...)` routes premium
+    streams' frames here so congestion sheds best-effort streams first —
+    beyond the reference, whose single queue drops blindly
+    (``OpenCVequalHist.cpp:71-98``).
+    """
+
+    def __init__(self, max_size: int = 8, on_drop=None,
+                 priority_of=None) -> None:
+        super().__init__(max_size=max_size, on_drop=on_drop)
+        self._prio = priority_of or (lambda item: 0)
+
+    def put(self, item: Any) -> bool:
+        dropped_item = None
+        with self._lock:
+            if self._closed:
+                raise Closed("queue is closed")
+            if len(self._q) >= self.max_size:
+                p_new = self._prio(item)
+                idx = 0
+                p_min = None
+                for i, it in enumerate(self._q):
+                    p = self._prio(it)
+                    if p_min is None or p < p_min:
+                        idx, p_min = i, p
+                if p_min is not None and p_min <= p_new:
+                    dropped_item = self._q[idx]
+                    del self._q[idx]
+                else:
+                    dropped_item = item  # incoming ranks below the queue
+                    item = None
+                self.dropped += 1
+            if item is not None:
+                self._q.append(item)
+                self._not_empty.notify()
+        if dropped_item is not None and self.on_drop is not None:
+            self.on_drop(dropped_item)
+        return dropped_item is None

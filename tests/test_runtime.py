@@ -308,3 +308,77 @@ def test_feeder_staging_odd_batch_correct():
     assert len(got) == 3
     for i, fr in enumerate(got):
         assert (fr == 10 + i).all()
+
+
+class TestPriorityLeakyQueue:
+    def test_evicts_lowest_priority_oldest_first(self):
+        from opencv_opencl_tpu.runtime.queues import PriorityLeakyQueue
+
+        dropped = []
+        q = PriorityLeakyQueue(max_size=3, on_drop=dropped.append,
+                               priority_of=lambda it: it[0])
+        q.put((1, "a"))   # prio 1
+        q.put((0, "b"))   # prio 0 (oldest low)
+        q.put((0, "c"))   # prio 0
+        q.put((2, "d"))   # overflow: evict oldest prio-0 item -> "b"
+        assert dropped == [(0, "b")]
+        q.put((2, "e"))   # overflow: evict "c"
+        assert dropped[-1] == (0, "c")
+        # queue now [(1,a),(2,d),(2,e)]: an incoming prio-0 item ranks
+        # below everything -> it is dropped itself
+        assert q.put((0, "f")) is False
+        assert dropped[-1] == (0, "f")
+        assert [q.get(0.1) for _ in range(3)] == [(1, "a"), (2, "d"),
+                                                  (2, "e")]
+        assert q.dropped == 3
+
+    def test_equal_priorities_degrade_to_drop_oldest(self):
+        from opencv_opencl_tpu.runtime.queues import PriorityLeakyQueue
+
+        q = PriorityLeakyQueue(max_size=2, priority_of=lambda it: 0)
+        q.put("a"); q.put("b"); q.put("c")
+        assert [q.get(0.1), q.get(0.1)] == ["b", "c"]
+
+
+def test_mux_priorities_shed_best_effort_first():
+    """Under overload, the premium stream's frames survive; the
+    best-effort stream's are evicted."""
+    import threading
+    import time as timemod
+
+    import numpy as np
+
+    from opencv_opencl_tpu.runtime.mux import StreamMux
+
+    gate = threading.Event()
+
+    def slow_process(batch):
+        gate.wait(5.0)  # hold the queue full until released
+        return batch
+
+    out = []
+    mux = StreamMux(slow_process, 2,
+                    on_output=lambda s, k, f, m: out.append(s),
+                    priorities=[0, 5],  # stream 1 is premium
+                    batch_size=1, depth=1, queue_capacity=2)
+    mux.start()
+    try:
+        f = np.zeros((6, 8), np.uint8)
+        # overfill: queue_capacity=2, alternate streams
+        for i in range(8):
+            mux.submit(i % 2, f)
+            timemod.sleep(0.01)
+        gate.set()
+        deadline = timemod.monotonic() + 5.0
+        while timemod.monotonic() < deadline and len(out) < 3:
+            timemod.sleep(0.05)
+    finally:
+        gate.set()
+        mux.stop(drain=True)
+    st = mux.stats
+    # the premium stream emitted at least as much as best-effort, and
+    # best-effort took the eviction losses
+    prem = st["per_stream"][1]["emitted"]
+    be = st["per_stream"][0]["emitted"]
+    assert prem >= be
+    assert prem >= 2
