@@ -110,14 +110,25 @@ def run(argv: list[str]) -> int:
         sinks = [NullSink() for _ in range(n)]
 
     governors = None
-    if opts.get("adaptive-rate"):
+    adaptive = opts.get("adaptive-rate", False)
+    if "max-rate" in opts and opts["max-rate"] <= 0:
+        print("--max-rate must be > 0", file=sys.stderr)
+        return 2
+    if adaptive:
         # per-stream congestion control: each stream's RTCP receiver
         # reports drive its own AIMD loop, so one congested viewer sheds
-        # only its own frames — the other streams keep their full rate
+        # only its own frames — the other streams keep their full rate.
+        # Default ceiling 10% above the pacing rate (slot-grid resonance
+        # with an exactly-at-fps submit cadence would shed clean frames).
         from opencv_opencl_tpu.runtime.governor import AdaptiveRateGovernor
 
-        governors = [AdaptiveRateGovernor(opts.get("max-rate", fps or 30.0))
-                     for _ in range(n)]
+        rate_cap = opts.get("max-rate", (fps or 30.0) * 1.1)
+        governors = [AdaptiveRateGovernor(rate_cap) for _ in range(n)]
+    elif "max-rate" in opts:
+        # static per-stream cap, like relay --max-rate (drop-only)
+        from opencv_opencl_tpu.runtime.governor import RateGovernor
+
+        governors = [RateGovernor(opts["max-rate"]) for _ in range(n)]
 
     def on_out(stream, sseq, frame, meta):
         sinks[stream].write(frame)
@@ -163,16 +174,12 @@ def run(argv: list[str]) -> int:
                 break
             for s in range(n):
                 if governors is not None:
-                    rtcp = getattr(sinks[s], "rtcp", None)
-                    if rtcp is not None:
-                        rtcp.poll()
-                        for blk in rtcp.take_blocks():
-                            rate = governors[s].on_receiver_report(
-                                blk.fraction_lost)
-                            if blk.fraction_lost:
-                                print(f"[adaptive-rate] stream {s} loss="
-                                      f"{blk.fraction_lost}/256 "
-                                      f"-> {rate:.1f} fps")
+                    if adaptive:
+                        from opencv_opencl_tpu.runtime.governor import (
+                            feed_governor_from_rtcp)
+
+                        feed_governor_from_rtcp(governors[s], sinks[s],
+                                                label=f" stream {s}")
                     if not governors[s].admit():
                         continue  # shed THIS stream's frame only
                 try:

@@ -298,7 +298,14 @@ def run(argv: list[str]) -> int:
         # (ceiling = --max-rate or the configured fps)
         from opencv_opencl_tpu.runtime.governor import AdaptiveRateGovernor
 
-        governor = AdaptiveRateGovernor(opts.get("max-rate", fps or 30.0))
+        # default ceiling 10% above the pacing rate: an exactly-at-fps
+        # submit cadence would otherwise resonate with the admit slot
+        # grid and shed frames on a loss-free stream
+        rate_cap = opts.get("max-rate", (fps or 30.0) * 1.1)
+        if rate_cap <= 0:
+            print("--max-rate must be > 0", file=sys.stderr)
+            return 2
+        governor = AdaptiveRateGovernor(rate_cap)
     else:
         governor = (RateGovernor(opts["max-rate"])
                     if "max-rate" in opts else None)
@@ -315,15 +322,11 @@ def run(argv: list[str]) -> int:
                 continue  # videorate drop-only: cap the input rate
             feeder.submit(nv12, meta={"pts": n * frame_period})
             n += 1
-            if (opts.get("adaptive-rate")
-                    and getattr(sink, "rtcp", None) is not None):
-                sink.rtcp.poll()
-                for blk in sink.rtcp.take_blocks():
-                    rate = governor.on_receiver_report(blk.fraction_lost)
-                    if blk.fraction_lost:
-                        print(f"[adaptive-rate] loss="
-                              f"{blk.fraction_lost}/256 "
-                              f"-> {rate:.1f} fps")
+            if opts.get("adaptive-rate"):
+                from opencv_opencl_tpu.runtime.governor import (
+                    feed_governor_from_rtcp)
+
+                feed_governor_from_rtcp(governor, sink)
             if max_frames is not None and n >= max_frames:
                 break
             if duration is not None and time.monotonic() - t_start > duration:

@@ -88,22 +88,20 @@ class FrameFeeder:
                 self._native_shape = tuple(native_staging)
                 frame_bytes = int(np.prod(self._native_shape))
                 self._native = native.NativeRing(queue_capacity, frame_bytes)
+        if priority_of is not None and self._native is not None:
+            raise ValueError(
+                "QoS priorities require python staging: the native ring "
+                "evicts FIFO (drop native_staging or priority_of)")
+        qkw = dict(
+            max_size=queue_capacity,
+            on_drop=lambda item: self.counters.count("dropped_overflow"),
+        )
         if priority_of is not None:
-            # QoS eviction (python staging only: the native ring is FIFO)
             from opencv_opencl_tpu.runtime.queues import PriorityLeakyQueue
 
-            self._inq = PriorityLeakyQueue(
-                max_size=queue_capacity,
-                on_drop=lambda item: self.counters.count(
-                    "dropped_overflow"),
-                priority_of=priority_of,
-            )
+            self._inq = PriorityLeakyQueue(priority_of=priority_of, **qkw)
         else:
-            self._inq = LeakyQueue(
-                max_size=queue_capacity,
-                on_drop=lambda item: self.counters.count(
-                    "dropped_overflow"),
-            )
+            self._inq = LeakyQueue(**qkw)
         self._seq = 0
         self._seq_lock = threading.Lock()
         self._meta_lock = threading.Lock()

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import time
 
-__all__ = ["RateGovernor", "AdaptiveRateGovernor"]
+__all__ = ["RateGovernor", "AdaptiveRateGovernor",
+           "feed_governor_from_rtcp"]
 
 
 class RateGovernor:
@@ -89,3 +90,28 @@ class AdaptiveRateGovernor(RateGovernor):
         else:
             self._set_rate(self.rate * self.recover)
         return self.rate
+
+
+def feed_governor_from_rtcp(governor: AdaptiveRateGovernor, sink,
+                            label: str = "") -> None:
+    """Drain a sink's pending RTCP receiver reports into the governor.
+
+    One congestion decision per drain: a burst of queued RRs (a stalled
+    main loop, a fast reporter) feeds only the WORST fraction_lost —
+    applying the multiplicative backoff once per report would collapse
+    the rate toward min_rate for what is a single congestion episode.
+    Shared by relay and multi_relay so the AIMD feeding logic cannot
+    drift between them.
+    """
+    rtcp = getattr(sink, "rtcp", None)
+    if rtcp is None:
+        return
+    rtcp.poll()
+    blocks = rtcp.take_blocks()
+    if not blocks:
+        return
+    worst = max(b.fraction_lost for b in blocks)
+    rate = governor.on_receiver_report(worst)
+    if worst:
+        print(f"[adaptive-rate]{label} loss={worst}/256 "
+              f"-> {rate:.1f} fps")

@@ -356,4 +356,29 @@ def test_multi_relay_per_stream_adaptive_rate(capsys):
     out = capsys.readouterr().out
     # the lossy stream (1) backed off; the clean stream (0) did not
     assert "[adaptive-rate] stream 1 loss=128/256" in out
-    assert "[adaptive-rate] stream 0" not in out
+
+
+def test_multi_relay_static_max_rate(capsys):
+    """--max-rate without --adaptive-rate applies a static per-stream
+    cap (parity with relay)."""
+    from opencv_opencl_tpu.apps import multi_relay
+
+    rc = multi_relay.run([
+        "--streams=2", "--width=64", "--height=32", "--fps=60",
+        "--max-frames=20", "--batch=2", "--op=histeq", "--max-rate=5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    import re
+
+    m = re.search(r"Shutdown: (\d+) frames across", out)
+    # 20 rounds submitted at 5 fps cap: far fewer than 40 frames emit
+    assert m and int(m.group(1)) < 20
+
+
+def test_multi_relay_rejects_nonpositive_max_rate(capsys):
+    from opencv_opencl_tpu.apps import multi_relay
+
+    rc = multi_relay.run(["--streams=1", "--max-rate=0",
+                          "--adaptive-rate"])
+    assert rc == 2

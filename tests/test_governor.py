@@ -100,3 +100,39 @@ def test_adaptive_rejects_bad_params():
         AdaptiveRateGovernor(60, backoff=1.5)
     with pytest.raises(ValueError):
         AdaptiveRateGovernor(60, recover=0.5)
+
+
+def test_feed_governor_single_backoff_per_drain():
+    """A burst of queued RRs applies the multiplicative backoff ONCE
+    (worst block wins), not once per block."""
+    from opencv_opencl_tpu.io.rtcp import ReportBlock
+    from opencv_opencl_tpu.runtime.governor import (
+        AdaptiveRateGovernor, feed_governor_from_rtcp)
+
+    class FakeRtcp:
+        def __init__(self, blocks):
+            self._blocks = blocks
+        def poll(self):
+            pass
+        def take_blocks(self):
+            b, self._blocks = self._blocks, []
+            return b
+
+    class FakeSink:
+        def __init__(self, blocks):
+            self.rtcp = FakeRtcp(blocks)
+
+    gov = AdaptiveRateGovernor(30.0, backoff=0.7)
+    blocks = [ReportBlock(1, 128, 0, 0, 0, 0, 0) for _ in range(4)]
+    feed_governor_from_rtcp(gov, FakeSink(blocks))
+    assert gov.rate == pytest.approx(30.0 * 0.7)  # once, not 0.7**4
+    assert gov.backoffs == 1
+
+
+def test_feed_governor_no_rtcp_is_noop():
+    from opencv_opencl_tpu.runtime.governor import (
+        AdaptiveRateGovernor, feed_governor_from_rtcp)
+
+    gov = AdaptiveRateGovernor(30.0)
+    feed_governor_from_rtcp(gov, object())  # no .rtcp attr
+    assert gov.rate == 30.0

@@ -382,3 +382,18 @@ def test_mux_priorities_shed_best_effort_first():
     be = st["per_stream"][0]["emitted"]
     assert prem >= be
     assert prem >= 2
+
+
+def test_priority_of_with_native_ring_rejected():
+    from opencv_opencl_tpu import native
+    from opencv_opencl_tpu.runtime.feeder import FrameFeeder
+
+    if not native.available():
+        import pytest as _pytest
+
+        _pytest.skip("native toolchain unavailable")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="python staging"):
+        FrameFeeder(lambda b: b, native_staging=(6, 8),
+                    priority_of=lambda item: 0)
