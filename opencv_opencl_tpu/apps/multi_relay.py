@@ -212,8 +212,10 @@ def run(argv: list[str]) -> int:
     print(f"\nShutdown: {st['emitted']} frames across {n} streams in "
           f"{wall:.2f}s ({st['emitted'] / wall if wall > 0 else 0:.1f} fps "
           f"aggregate); per-stream: "
-          + ", ".join(f"#{i}={p['emitted']}/{p['submitted']}"
-                      for i, p in enumerate(st["per_stream"])))
+          + ", ".join(
+              f"#{i}={p['emitted']}/{p['submitted']}"
+              + (f" (dropped {p['dropped']})" if p["dropped"] else "")
+              for i, p in enumerate(st["per_stream"])))
     return 0
 
 

@@ -66,6 +66,7 @@ class FrameFeeder:
         pad_batches: bool = True,
         native_staging: bool | tuple[int, ...] = False,
         priority_of: Callable | None = None,
+        on_drop_item: Callable | None = None,
     ) -> None:
         """``native_staging``: pass the frame shape (rows, width) to stage
         frames through the C++ preallocated ring (GIL-free memcpy + batch
@@ -92,10 +93,12 @@ class FrameFeeder:
             raise ValueError(
                 "QoS priorities require python staging: the native ring "
                 "evicts FIFO (drop native_staging or priority_of)")
-        qkw = dict(
-            max_size=queue_capacity,
-            on_drop=lambda item: self.counters.count("dropped_overflow"),
-        )
+        def _note_drop(item):
+            self.counters.count("dropped_overflow")
+            if on_drop_item is not None:
+                on_drop_item(item)
+
+        qkw = dict(max_size=queue_capacity, on_drop=_note_drop)
         if priority_of is not None:
             from opencv_opencl_tpu.runtime.queues import PriorityLeakyQueue
 

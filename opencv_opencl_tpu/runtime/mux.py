@@ -68,12 +68,20 @@ class StreamMux:
         self.on_output = on_output or (lambda s, k, f, m: None)
         self._submit_seq = [0] * n_streams
         self._emit_seq = [0] * n_streams
+        self._dropped = [0] * n_streams  # per-stream overflow evictions
         self.priorities = priorities
         if priorities is not None:
             feeder_kwargs["priority_of"] = (
                 lambda item: priorities[item[2]["_mux_stream"]])
+        feeder_kwargs.setdefault("on_drop_item", self._note_drop)
         self.feeder = FrameFeeder(
             process_batch, on_output=self._route, **feeder_kwargs)
+
+    def _note_drop(self, item) -> None:
+        try:
+            self._dropped[item[2]["_mux_stream"]] += 1
+        except (TypeError, KeyError, IndexError):
+            pass  # non-mux item (shouldn't happen): global counter has it
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -110,7 +118,9 @@ class StreamMux:
     def stats(self) -> dict:
         base = dict(self.feeder.stats)
         base["per_stream"] = [
-            {"submitted": self._submit_seq[s], "emitted": self._emit_seq[s]}
+            {"submitted": self._submit_seq[s],
+             "emitted": self._emit_seq[s],
+             "dropped": self._dropped[s]}
             for s in range(self.n_streams)
         ]
         return base

@@ -382,6 +382,9 @@ def test_mux_priorities_shed_best_effort_first():
     be = st["per_stream"][0]["emitted"]
     assert prem >= be
     assert prem >= 2
+    # per-stream drop accounting: best-effort shows the evictions
+    assert st["per_stream"][0]["dropped"] >= st["per_stream"][1]["dropped"]
+    assert st["per_stream"][0]["dropped"] >= 1
 
 
 def test_priority_of_with_native_ring_rejected():
