@@ -382,3 +382,41 @@ def test_multi_relay_rejects_nonpositive_max_rate(capsys):
     rc = multi_relay.run(["--streams=1", "--max-rate=0",
                           "--adaptive-rate"])
     assert rc == 2
+
+
+def test_multi_relay_all_serving_features_compose(capsys):
+    """--mesh + --priorities + --adaptive-rate together: the full
+    serving configuration runs end-to-end on the virtual mesh."""
+    import threading
+
+    from opencv_opencl_tpu.apps import multi_relay
+    from opencv_opencl_tpu.io import rtp
+
+    rxs = [rtp.RtpUdpReceiver(kind="jpeg", port=47900 + 2 * i,
+                              timeout=30.0) for i in range(2)]
+    stop = threading.Event()
+    def drain(i):
+        while not stop.is_set():
+            try:
+                rxs[i].recv_frame()
+            except (TimeoutError, OSError):
+                return
+    ts = [threading.Thread(target=drain, args=(i,), daemon=True)
+          for i in range(2)]
+    [t.start() for t in ts]
+    rc = multi_relay.run([
+        "--streams=2", "--width=128", "--height=64", "--fps=30",
+        "--max-frames=10", "--batch=2", "--op=clahe", "--mesh=2x2",
+        "--sink=rtp://127.0.0.1:47900", "--adaptive-rate",
+        "--priorities=1,2",
+    ])
+    stop.set()
+    [r.close() for r in rxs]
+    [t.join(timeout=5) for t in ts]
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Sharded over mesh" in out
+    import re
+
+    m = re.search(r"Shutdown: (\d+) frames across", out)
+    assert m and int(m.group(1)) > 0
