@@ -49,6 +49,9 @@ def run(argv: list[str]) -> int:
         },
     )
     n = opts.get("streams", 2)
+    if "max-rate" in opts and opts["max-rate"] <= 0:
+        print("--max-rate must be > 0", file=sys.stderr)
+        return 2
     width = opts.get("width", 1920)
     height = opts.get("height", 1080)
     fps = opts.get("fps", 30.0)
@@ -111,16 +114,14 @@ def run(argv: list[str]) -> int:
 
     governors = None
     adaptive = opts.get("adaptive-rate", False)
-    if "max-rate" in opts and opts["max-rate"] <= 0:
-        print("--max-rate must be > 0", file=sys.stderr)
-        return 2
     if adaptive:
         # per-stream congestion control: each stream's RTCP receiver
         # reports drive its own AIMD loop, so one congested viewer sheds
         # only its own frames — the other streams keep their full rate.
         # Default ceiling 10% above the pacing rate (slot-grid resonance
         # with an exactly-at-fps submit cadence would shed clean frames).
-        from opencv_opencl_tpu.runtime.governor import AdaptiveRateGovernor
+        from opencv_opencl_tpu.runtime.governor import (
+            AdaptiveRateGovernor, feed_governor_from_rtcp)
 
         rate_cap = opts.get("max-rate", (fps or 30.0) * 1.1)
         governors = [AdaptiveRateGovernor(rate_cap) for _ in range(n)]
@@ -175,9 +176,6 @@ def run(argv: list[str]) -> int:
             for s in range(n):
                 if governors is not None:
                     if adaptive:
-                        from opencv_opencl_tpu.runtime.governor import (
-                            feed_governor_from_rtcp)
-
                         feed_governor_from_rtcp(governors[s], sinks[s],
                                                 label=f" stream {s}")
                     if not governors[s].admit():

@@ -52,6 +52,9 @@ def run(argv: list[str]) -> int:
             "rtcp-schedule": str, "mesh": str,
         },
     )
+    if "max-rate" in opts and opts["max-rate"] <= 0:
+        print("--max-rate must be > 0", file=sys.stderr)
+        return 2
     if opts.get("io") == "gst":
         from opencv_opencl_tpu.io.gst_adapter import gi_available
 
@@ -296,16 +299,14 @@ def run(argv: list[str]) -> int:
     if opts.get("adaptive-rate"):
         # congestion-aware: RTCP receiver reports drive an AIMD rate loop
         # (ceiling = --max-rate or the configured fps)
-        from opencv_opencl_tpu.runtime.governor import AdaptiveRateGovernor
+        from opencv_opencl_tpu.runtime.governor import (
+            AdaptiveRateGovernor, feed_governor_from_rtcp)
 
         # default ceiling 10% above the pacing rate: an exactly-at-fps
         # submit cadence would otherwise resonate with the admit slot
         # grid and shed frames on a loss-free stream
-        rate_cap = opts.get("max-rate", (fps or 30.0) * 1.1)
-        if rate_cap <= 0:
-            print("--max-rate must be > 0", file=sys.stderr)
-            return 2
-        governor = AdaptiveRateGovernor(rate_cap)
+        governor = AdaptiveRateGovernor(
+            opts.get("max-rate", (fps or 30.0) * 1.1))
     else:
         governor = (RateGovernor(opts["max-rate"])
                     if "max-rate" in opts else None)
@@ -323,9 +324,6 @@ def run(argv: list[str]) -> int:
             feeder.submit(nv12, meta={"pts": n * frame_period})
             n += 1
             if opts.get("adaptive-rate"):
-                from opencv_opencl_tpu.runtime.governor import (
-                    feed_governor_from_rtcp)
-
                 feed_governor_from_rtcp(governor, sink)
             if max_frames is not None and n >= max_frames:
                 break

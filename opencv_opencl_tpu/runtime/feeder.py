@@ -93,6 +93,8 @@ class FrameFeeder:
             raise ValueError(
                 "QoS priorities require python staging: the native ring "
                 "evicts FIFO (drop native_staging or priority_of)")
+        self._on_drop_item = on_drop_item
+
         def _note_drop(item):
             self.counters.count("dropped_overflow")
             if on_drop_item is not None:
@@ -140,6 +142,10 @@ class FrameFeeder:
                 ok = False
             if not ok:
                 self.counters.count("dropped_overflow")
+                if self._on_drop_item is not None:
+                    # attribute the rejected frame (ring-internal oldest
+                    # evictions are FIFO and not attributable per-stream)
+                    self._on_drop_item((seq, frame, meta))
                 with self._meta_lock:
                     self._native_metas.pop(seq, None)
         else:

@@ -96,12 +96,13 @@ def feed_governor_from_rtcp(governor: AdaptiveRateGovernor, sink,
                             label: str = "") -> None:
     """Drain a sink's pending RTCP receiver reports into the governor.
 
-    One congestion decision per drain: a burst of queued RRs (a stalled
+    One BACKOFF decision per drain: a burst of queued RRs (a stalled
     main loop, a fast reporter) feeds only the WORST fraction_lost —
     applying the multiplicative backoff once per report would collapse
     the rate toward min_rate for what is a single congestion episode.
-    Shared by relay and multi_relay so the AIMD feeding logic cannot
-    drift between them.
+    Clean drains keep per-report recovery (one gentle step per clean
+    block), so post-congestion ramp-up speed is unchanged.  Shared by
+    relay and multi_relay so the AIMD feeding logic cannot drift.
     """
     rtcp = getattr(sink, "rtcp", None)
     if rtcp is None:
@@ -111,7 +112,10 @@ def feed_governor_from_rtcp(governor: AdaptiveRateGovernor, sink,
     if not blocks:
         return
     worst = max(b.fraction_lost for b in blocks)
-    rate = governor.on_receiver_report(worst)
-    if worst:
+    if worst / 256.0 > governor.loss_threshold:
+        rate = governor.on_receiver_report(worst)
         print(f"[adaptive-rate]{label} loss={worst}/256 "
               f"-> {rate:.1f} fps")
+    else:
+        for b in blocks:
+            governor.on_receiver_report(b.fraction_lost)

@@ -73,7 +73,14 @@ class StreamMux:
         if priorities is not None:
             feeder_kwargs["priority_of"] = (
                 lambda item: priorities[item[2]["_mux_stream"]])
-        feeder_kwargs.setdefault("on_drop_item", self._note_drop)
+        user_drop = feeder_kwargs.pop("on_drop_item", None)
+
+        def _drop(item):
+            self._note_drop(item)  # per-stream accounting stays truthful
+            if user_drop is not None:
+                user_drop(item)
+
+        feeder_kwargs["on_drop_item"] = _drop
         self.feeder = FrameFeeder(
             process_batch, on_output=self._route, **feeder_kwargs)
 
