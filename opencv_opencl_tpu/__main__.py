@@ -20,6 +20,7 @@ def main() -> None:
         ("sender", "webrtc/sender.cpp family (+ --audio, --test-source)"),
         ("rtp_receiver", "PC-side RTP player/recorder (extension)"),
         ("multi_relay", "N streams / one chip serving (extension)"),
+        ("h26x_stream", "replay recorded H.26x ES over RTP (extension)"),
     ]:
         print(f"  {name:<14} <- {ref}")
     print("\nPresets (relay --preset=<name>):")

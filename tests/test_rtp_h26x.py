@@ -432,3 +432,50 @@ class TestInterop:
         finally:
             sink.close()
             rx.close()
+
+
+class TestH26xStreamApp:
+    def test_au_splitter_heuristics(self):
+        from opencv_opencl_tpu.apps.h26x_stream import split_access_units
+
+        sps, pps = h264_nal(7, 10), h264_nal(8, 6)
+        idr, p1, p2 = h264_nal(5, 60, 1), h264_nal(1, 50, 2), h264_nal(1, 40, 3)
+        es = annexb(sps, pps, idr, p1, p2)
+        aus = split_access_units(es, "h264")
+        assert len(aus) == 3
+        assert aus[0] == annexb(sps, pps, idr)  # params ride their AU
+        assert aus[1] == annexb(p1)
+        assert aus[2] == annexb(p2)
+
+    def test_record_then_replay_roundtrip(self, tmp_path):
+        """rtp_receiver records an elementary stream; h26x_stream plays
+        it back byte-identically over the wire."""
+        import threading
+        import time
+
+        from opencv_opencl_tpu.apps import h26x_stream, rtp_receiver
+
+        aus = [annexb(h264_nal(7, 12), h264_nal(5, 1800, 1)),
+               annexb(h264_nal(1, 1500, 2)),
+               annexb(h264_nal(1, 1200, 3))]
+        es = tmp_path / "es.h264"
+        es.write_bytes(b"".join(aus))
+
+        out = tmp_path / "rx.h264"
+        result = []
+        t = threading.Thread(target=lambda: result.append(rtp_receiver.run(
+            ["--port=47950", "--kind=h264", "--max-frames=3",
+             "--timeout=15", f"--output={out}"])), daemon=True)
+        t.start()
+        time.sleep(0.3)
+        rc = h26x_stream.run([f"--input={es}", "--host=127.0.0.1",
+                              "--port=47950", "--fps=60"])
+        t.join(timeout=15)
+        assert rc == 0 and result == [0]
+        assert out.read_bytes() == b"".join(aus)
+
+    def test_missing_input_rejected(self, capsys):
+        from opencv_opencl_tpu.apps import h26x_stream
+
+        assert h26x_stream.run([]) == 2
+        assert h26x_stream.run(["--input=/nonexistent.h264"]) == 2
