@@ -13,10 +13,13 @@ native stand-in for the reference's file-fed emit pipelines
 (``filesrc ! h264parse ! rtph264pay ! udpsink``,
 ``OpenCVequalHist.cpp:308-332`` tuning) on hosts without GStreamer.
 
-Access-unit boundaries: an AUD NAL starts a new AU when present;
-otherwise each VCL NAL begins one, with preceding parameter sets
-(SPS/PPS/VPS/SEI) attached to the AU they precede — the standard
-heuristic for elementary streams without explicit AU markers.
+Access-unit boundaries follow the standard elementary-stream rules: a
+new AU starts at an AUD, or at a VCL NAL whose first-slice-of-picture
+flag is set (H.264 ``first_mb_in_slice == 0`` = leading ue(v) bit;
+H.265 ``first_slice_segment_in_pic_flag``), so multi-slice pictures
+stay one AU; prefix NALs (AUD/VPS/SPS/PPS/prefix SEI) attach to the AU
+they precede, suffix NALs (end-of-seq/stream, H.265 suffix SEI) to the
+AU they follow.
 """
 
 from __future__ import annotations
@@ -31,40 +34,64 @@ def split_access_units(data: bytes, codec: str) -> list[bytes]:
     """Annex-B byte stream -> access units (4-byte start codes kept)."""
     from opencv_opencl_tpu.io.rtp_h26x import _START4, split_annexb
 
-    nals = split_annexb(data)
-    aus: list[list[bytes]] = []
-    pending: list[bytes] = []  # non-VCL NALs awaiting their AU
+    def ntype(nal: bytes) -> int:
+        return (nal[0] & 0x1F) if codec == "h264" else ((nal[0] >> 1) & 0x3F)
 
     def is_vcl(nal: bytes) -> bool:
-        if codec == "h264":
-            return 1 <= (nal[0] & 0x1F) <= 5
-        return ((nal[0] >> 1) & 0x3F) < 32
+        return (1 <= ntype(nal) <= 5) if codec == "h264" else ntype(nal) < 32
 
     def is_aud(nal: bytes) -> bool:
-        if codec == "h264":
-            return (nal[0] & 0x1F) == 9
-        return ((nal[0] >> 1) & 0x3F) == 35
+        return ntype(nal) == (9 if codec == "h264" else 35)
 
-    for nal in nals:
+    def is_suffix(nal: bytes) -> bool:
+        # end-of-sequence / end-of-stream / filler; H.265 suffix SEI
+        if codec == "h264":
+            return ntype(nal) in (10, 11, 12)
+        return ntype(nal) in (36, 37, 38, 40)
+
+    def first_slice_of_picture(nal: bytes) -> bool:
+        # H.264: first_mb_in_slice is the leading ue(v) of the slice
+        # header — value 0 encodes as a leading 1-bit.  H.265:
+        # first_slice_segment_in_pic_flag is the first header bit after
+        # the 2-byte NAL header.
+        if codec == "h264":
+            return len(nal) > 1 and bool(nal[1] & 0x80)
+        return len(nal) > 2 and bool(nal[2] & 0x80)
+
+    aus: list[list[bytes]] = []
+    cur: list[bytes] = []       # the AU being assembled
+    pending: list[bytes] = []   # prefix NALs awaiting their picture
+
+    def flush() -> None:
+        nonlocal cur
+        if cur:
+            aus.append(cur)
+            cur = []
+
+    for nal in split_annexb(data):
         if is_aud(nal):
-            if aus and not pending and len(aus[-1]) == 0:
-                continue
-            aus.append([])
-            pending = aus[-1]
+            flush()
             pending.append(nal)
         elif is_vcl(nal):
-            if aus and aus[-1] and not is_vcl(aus[-1][-1]):
-                aus[-1].append(nal)  # attach to pending non-VCL group
+            if first_slice_of_picture(nal) or not cur:
+                flush()
+                cur = pending + [nal]
             else:
-                aus.append([nal])
+                cur += pending + [nal]  # continuation slice, same AU
             pending = []
+        elif is_suffix(nal):
+            (cur if cur else pending).append(nal)
         else:
-            # parameter set / SEI: starts a new AU group it precedes
-            if aus and aus[-1] and not is_vcl(aus[-1][-1]):
-                aus[-1].append(nal)
-            else:
-                aus.append([nal])
-    return [b"".join(_START4 + n for n in au) for au in aus if au]
+            pending.append(nal)  # VPS/SPS/PPS/prefix SEI: next AU's
+    flush()
+    if pending:
+        # trailing prefix NALs with no picture: keep them (tail of the
+        # last AU) rather than dropping bytes
+        if aus:
+            aus[-1].extend(pending)
+        else:
+            aus.append(pending)
+    return [b"".join(_START4 + n for n in au) for au in aus]
 
 
 def run(argv: list[str]) -> int:
@@ -79,8 +106,14 @@ def run(argv: list[str]) -> int:
               file=sys.stderr)
         return 2
     codec = opts.get("codec", "h264")
+    if codec not in ("h264", "h265"):
+        print(f"--codec={codec!r} invalid: h264|h265", file=sys.stderr)
+        return 2
     fps = opts.get("fps", 30.0)
     max_frames = opts.get("max-frames")
+    if max_frames is not None and max_frames < 1:
+        print("--max-frames must be >= 1", file=sys.stderr)
+        return 2
 
     from opencv_opencl_tpu.io.rtp_h26x import H26xRtpSink
 
@@ -94,10 +127,14 @@ def run(argv: list[str]) -> int:
         print(f"no access units found in {opts['input']}", file=sys.stderr)
         return 2
 
-    sink = H26xRtpSink(opts.get("host", "127.0.0.1"),
-                       opts.get("port", 5004), codec=codec, fps=fps,
-                       mtu=opts.get("mtu", 1200),
-                       rtcp_schedule=opts.get("rtcp-schedule", "tick"))
+    try:
+        sink = H26xRtpSink(opts.get("host", "127.0.0.1"),
+                           opts.get("port", 5004), codec=codec, fps=fps,
+                           mtu=opts.get("mtu", 1200),
+                           rtcp_schedule=opts.get("rtcp-schedule", "tick"))
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
     print(f"Streaming {len(aus)} {codec} access units "
           f"({len(data)} bytes) to "
           f"rtp://{opts.get('host', '127.0.0.1')}:{opts.get('port', 5004)} "
@@ -122,12 +159,15 @@ def run(argv: list[str]) -> int:
         pass
     except KeyboardInterrupt:
         print("\nInterrupted.")
-    wall = time.monotonic() - t0
-    print(f"Sent {sent} AUs, {sink.packets} packets, {sink.bytes} bytes "
-          f"in {wall:.2f}s"
-          + (f" (rtt {sink.rtt_ms:.1f} ms)" if sink.rtt_ms is not None
-             else ""))
-    sink.close()
+    finally:
+        # always send the RTCP BYE + release the sockets, even when a
+        # send error (unresolvable host, ...) aborts the stream
+        wall = time.monotonic() - t0
+        print(f"Sent {sent} AUs, {sink.packets} packets, "
+              f"{sink.bytes} bytes in {wall:.2f}s"
+              + (f" (rtt {sink.rtt_ms:.1f} ms)"
+                 if sink.rtt_ms is not None else ""))
+        sink.close()
     return 0
 
 

@@ -438,14 +438,47 @@ class TestH26xStreamApp:
     def test_au_splitter_heuristics(self):
         from opencv_opencl_tpu.apps.h26x_stream import split_access_units
 
+        def slice_nal(ntype, first, size, seed=0):
+            # slice header byte: first_mb_in_slice==0 encodes as a
+            # leading 1-bit (ue(v))
+            body = _rng(seed).integers(1, 255, size - 2,
+                                       dtype=np.uint8).tobytes()
+            return bytes([(3 << 5) | ntype,
+                          0x88 if first else 0x08]) + body
+
         sps, pps = h264_nal(7, 10), h264_nal(8, 6)
-        idr, p1, p2 = h264_nal(5, 60, 1), h264_nal(1, 50, 2), h264_nal(1, 40, 3)
-        es = annexb(sps, pps, idr, p1, p2)
+        idr = slice_nal(5, True, 60, 1)
+        p1a = slice_nal(1, True, 50, 2)   # picture 2, slice 1
+        p1b = slice_nal(1, False, 40, 3)  # picture 2, slice 2 (same AU)
+        p2 = slice_nal(1, True, 30, 4)
+        es = annexb(sps, pps, idr, p1a, p1b, p2)
         aus = split_access_units(es, "h264")
         assert len(aus) == 3
         assert aus[0] == annexb(sps, pps, idr)  # params ride their AU
-        assert aus[1] == annexb(p1)
+        assert aus[1] == annexb(p1a, p1b)       # multi-slice = ONE AU
         assert aus[2] == annexb(p2)
+
+    def test_au_splitter_aud_and_suffix(self):
+        from opencv_opencl_tpu.apps.h26x_stream import split_access_units
+
+        aud = bytes([9, 0x10])
+        sl = lambda seed: bytes([(3 << 5) | 1, 0x88]) + bytes(
+            _rng(seed).integers(1, 255, 20, dtype=np.uint8))
+        eos = bytes([10])  # end-of-sequence: suffix of the last AU
+        es = annexb(aud, sl(1), aud, sl(2), eos)
+        aus = split_access_units(es, "h264")
+        assert len(aus) == 2
+        assert aus[0] == annexb(aud, sl(1))
+        assert aus[1] == annexb(aud, sl(2), eos)
+
+    def test_stream_app_rejects_bad_args(self, tmp_path):
+        from opencv_opencl_tpu.apps import h26x_stream
+
+        es = tmp_path / "x.h264"
+        es.write_bytes(b"\x00\x00\x00\x01" + bytes([0x65, 0x88, 1, 2]))
+        assert h26x_stream.run([f"--input={es}", "--codec=avc"]) == 2
+        assert h26x_stream.run([f"--input={es}", "--mtu=5"]) == 2
+        assert h26x_stream.run([f"--input={es}", "--max-frames=0"]) == 2
 
     def test_record_then_replay_roundtrip(self, tmp_path):
         """rtp_receiver records an elementary stream; h26x_stream plays
