@@ -96,6 +96,19 @@ class TimingStats:
         a, _, _ = _stats(self.total_ms)
         return a
 
+    def percentile_total_ms(self, pct: float) -> float:
+        """Rolling-window total-frame-time percentile (nearest-rank).
+
+        The reference design is latency-first (leaky queues, drop rather
+        than stall — SURVEY §7 hard parts): tail latency, not just the
+        average, is the serving contract; p50/p95/p99 make it visible.
+        """
+        xs = sorted(self.total_ms)
+        if not xs:
+            return 0.0
+        k = min(len(xs) - 1, max(0, int(len(xs) * pct / 100.0)))
+        return xs[k]
+
     def window_report(self) -> str:
         """The rolling-window block (clahevideo print_timing_stats format)."""
         ca, cmin, cmax = _stats(self.compute_ms)
@@ -136,6 +149,10 @@ class TimingStats:
             f"({(at - ac - am) / at_safe * 100:.1f}%)\n"
             f"  Total frame time: {at:.3f} ms "
             f"({(1000.0 / at if at > 0 else 0.0):.1f} FPS)\n"
+            f"Latency (last {len(self.total_ms)} frames): "
+            f"p50={self.percentile_total_ms(50):.3f} ms, "
+            f"p95={self.percentile_total_ms(95):.3f} ms, "
+            f"p99={self.percentile_total_ms(99):.3f} ms\n"
             f"Performance efficiency: compute is {ac / at_safe * 100:.1f}% "
             f"of total processing time\n"
             f"===================================\n"

@@ -77,3 +77,26 @@ def test_timing_frame_context():
             pass
     assert t.frame_count == 1
     assert t.total_ms[0] >= 0
+
+
+class TestLatencyPercentiles:
+    def test_percentiles_nearest_rank(self):
+        from opencv_opencl_tpu.metrics.timing import TimingStats
+
+        ts = TimingStats(window=100, printer=lambda *a: None)
+        for i in range(1, 101):  # totals 1..100 ms
+            ts.record(0.0, 0.0, float(i))
+        assert ts.percentile_total_ms(50) == 51.0
+        assert ts.percentile_total_ms(95) == 96.0
+        assert ts.percentile_total_ms(99) == 100.0
+        assert ts.percentile_total_ms(0) == 1.0
+
+    def test_percentiles_empty_and_in_report(self):
+        from opencv_opencl_tpu.metrics.timing import TimingStats
+
+        out = []
+        ts = TimingStats(printer=out.append)
+        assert ts.percentile_total_ms(95) == 0.0
+        ts.record(1.0, 0.5, 2.0)
+        ts.final_report()
+        assert "p95=2.000 ms" in out[-1]
