@@ -59,3 +59,24 @@ def parse_kv_args(argv: list[str], keys: dict[str, type]) -> tuple[dict, list[st
 
 def get_arg(opts: dict, key: str, default):
     return opts.get(key, default)
+
+
+def install_sigterm_handler() -> None:
+    """Translate SIGTERM into KeyboardInterrupt so a systemd/k8s stop
+    request drains the pipeline exactly like Ctrl-C (mp4 finalize, RTCP
+    BYE, feeder drain) instead of killing it mid-frame.
+
+    No-op off the main thread (in-process test harnesses) and when a
+    non-default handler is already installed (embedding applications own
+    their signal policy).
+    """
+    import signal
+
+    def _raise(_signum, _frame):
+        raise KeyboardInterrupt
+
+    try:
+        if signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, _raise):
+            signal.signal(signal.SIGTERM, _raise)
+    except (ValueError, OSError):
+        pass  # not the main thread / restricted environment

@@ -18,10 +18,12 @@ from __future__ import annotations
 import sys
 
 from opencv_opencl_tpu.apps import clahe_video
-from opencv_opencl_tpu.apps._cli import parse_kv_args
+from opencv_opencl_tpu.apps._cli import (
+    install_sigterm_handler, parse_kv_args)
 
 
 def run(argv: list[str]) -> int:
+    install_sigterm_handler()
     opts, _ = parse_kv_args(
         argv,
         {"input": str, "output": str, "codec": str, "bitrate": int,

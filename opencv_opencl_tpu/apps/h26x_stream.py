@@ -27,7 +27,8 @@ from __future__ import annotations
 import sys
 import time
 
-from opencv_opencl_tpu.apps._cli import parse_kv_args
+from opencv_opencl_tpu.apps._cli import (
+    install_sigterm_handler, parse_kv_args)
 
 
 def split_access_units(data: bytes, codec: str) -> list[bytes]:
@@ -95,6 +96,7 @@ def split_access_units(data: bytes, codec: str) -> list[bytes]:
 
 
 def run(argv: list[str]) -> int:
+    install_sigterm_handler()
     opts, _ = parse_kv_args(
         argv,
         {"input": str, "host": str, "port": int, "codec": str,

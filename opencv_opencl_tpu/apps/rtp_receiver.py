@@ -21,10 +21,12 @@ from __future__ import annotations
 import sys
 import time
 
-from opencv_opencl_tpu.apps._cli import parse_kv_args
+from opencv_opencl_tpu.apps._cli import (
+    install_sigterm_handler, parse_kv_args)
 
 
 def run(argv: list[str]) -> int:
+    install_sigterm_handler()
     opts, _ = parse_kv_args(
         argv,
         {"port": int, "kind": str, "width": int, "height": int,

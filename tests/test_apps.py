@@ -427,3 +427,29 @@ def test_multi_relay_all_serving_features_compose(capsys):
 
     m = re.search(r"Shutdown: (\d+) frames across", out)
     assert m and int(m.group(1)) > 0
+
+
+def test_sigterm_translates_to_clean_shutdown():
+    """SIGTERM (systemd/k8s stop) takes the same drain path as Ctrl-C."""
+    import os
+    import signal
+
+    from opencv_opencl_tpu.apps._cli import install_sigterm_handler
+
+    prev = signal.getsignal(signal.SIGTERM)
+    try:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        install_sigterm_handler()
+        import pytest as _pytest
+
+        with _pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGTERM)
+            signal.sigtimedwait([], 0.2) if hasattr(signal, "sigtimedwait") \
+                else None
+        # custom handlers are respected (not displaced)
+        sentinel = lambda s, f: None
+        signal.signal(signal.SIGTERM, sentinel)
+        install_sigterm_handler()
+        assert signal.getsignal(signal.SIGTERM) is sentinel
+    finally:
+        signal.signal(signal.SIGTERM, prev)
