@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import sys
 
-__all__ = ["parse_kv_args", "get_arg"]
+__all__ = ["parse_kv_args", "get_arg", "install_sigterm_handler"]
 
 
 def parse_kv_args(argv: list[str], keys: dict[str, type]) -> tuple[dict, list[str]]:
@@ -66,8 +66,9 @@ def install_sigterm_handler() -> None:
     request drains the pipeline exactly like Ctrl-C (mp4 finalize, RTCP
     BYE, feeder drain) instead of killing it mid-frame.
 
-    No-op off the main thread (in-process test harnesses) and when a
-    non-default handler is already installed (embedding applications own
+    Installed process-globally at each app's entry; a no-op off the main
+    thread and when a non-default handler is already present (embedding
+    applications — including test harnesses that set their own — own
     their signal policy).
     """
     import signal
@@ -76,7 +77,7 @@ def install_sigterm_handler() -> None:
         raise KeyboardInterrupt
 
     try:
-        if signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, _raise):
+        if signal.getsignal(signal.SIGTERM) is signal.SIG_DFL:
             signal.signal(signal.SIGTERM, _raise)
     except (ValueError, OSError):
         pass  # not the main thread / restricted environment

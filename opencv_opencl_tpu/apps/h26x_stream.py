@@ -52,11 +52,14 @@ def split_access_units(data: bytes, codec: str) -> list[bytes]:
 
     def first_slice_of_picture(nal: bytes) -> bool:
         # H.264: first_mb_in_slice is the leading ue(v) of the slice
-        # header — value 0 encodes as a leading 1-bit.  H.265:
+        # header — value 0 encodes as a leading 1-bit.  Data partitions
+        # B/C (types 3/4) start with slice_id instead, so only types
+        # 1/2/5 are picture-start candidates.  H.265:
         # first_slice_segment_in_pic_flag is the first header bit after
         # the 2-byte NAL header.
         if codec == "h264":
-            return len(nal) > 1 and bool(nal[1] & 0x80)
+            return (ntype(nal) in (1, 2, 5)
+                    and len(nal) > 1 and bool(nal[1] & 0x80))
         return len(nal) > 2 and bool(nal[2] & 0x80)
 
     aus: list[list[bytes]] = []
@@ -112,6 +115,9 @@ def run(argv: list[str]) -> int:
         print(f"--codec={codec!r} invalid: h264|h265", file=sys.stderr)
         return 2
     fps = opts.get("fps", 30.0)
+    if fps <= 0:
+        print("--fps must be > 0", file=sys.stderr)
+        return 2
     max_frames = opts.get("max-frames")
     if max_frames is not None and max_frames < 1:
         print("--max-frames must be >= 1", file=sys.stderr)

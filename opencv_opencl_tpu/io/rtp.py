@@ -316,6 +316,14 @@ class RtpUdpSink:
                  fps: float = 30.0, quality: int = 85,
                  mtu: int = DEFAULT_MTU, buffer_size: int = 60_000_000,
                  rtcp: bool = True, rtcp_schedule: str = "tick"):
+        # validate kind (payloader construction) before binding sockets
+        if kind == "jpeg":
+            self.payloader = JpegRtpPayloader(quality=quality, mtu=mtu,
+                                              fps=fps)
+        elif kind == "raw":
+            self.payloader = RawNv12Payloader(mtu=mtu, fps=fps)
+        else:
+            raise ValueError(f"unknown rtp payload kind {kind!r}")
         self.addr = (host, port)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
@@ -329,13 +337,6 @@ class RtpUdpSink:
         # RRs there, not to the SR datagram's source address
         self.sock.bind(("0.0.0.0", 0))
         self.rtp_port = self.sock.getsockname()[1]
-        if kind == "jpeg":
-            self.payloader = JpegRtpPayloader(quality=quality, mtu=mtu,
-                                              fps=fps)
-        elif kind == "raw":
-            self.payloader = RawNv12Payloader(mtu=mtu, fps=fps)
-        else:
-            raise ValueError(f"unknown rtp payload kind {kind!r}")
         self.rtcp = None
         if rtcp:
             # Sender Reports on the conventional companion port; Receiver

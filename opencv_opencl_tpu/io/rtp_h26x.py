@@ -351,6 +351,14 @@ class H26xRtpSink:
                  fps: float = 30.0, mtu: int = DEFAULT_MTU,
                  buffer_size: int = 60_000_000, rtcp: bool = True,
                  rtcp_schedule: str = "tick"):
+        # validate (payloader construction raises on bad codec/mtu)
+        # BEFORE binding sockets, so a rejected config leaks no fd
+        if codec == "h264":
+            self.payloader = H264RtpPayloader(mtu=mtu, fps=fps)
+        elif codec == "h265":
+            self.payloader = H265RtpPayloader(mtu=mtu, fps=fps)
+        else:
+            raise ValueError(f"unknown codec {codec!r}")
         self.addr = (host, port)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
@@ -362,12 +370,6 @@ class H26xRtpSink:
         # RFC 3550 port convention: RTCP on RTP source port + 1
         self.sock.bind(("0.0.0.0", 0))
         self.rtp_port = self.sock.getsockname()[1]
-        if codec == "h264":
-            self.payloader = H264RtpPayloader(mtu=mtu, fps=fps)
-        elif codec == "h265":
-            self.payloader = H265RtpPayloader(mtu=mtu, fps=fps)
-        else:
-            raise ValueError(f"unknown codec {codec!r}")
         self.rtcp = None
         if rtcp:
             from opencv_opencl_tpu.io.rtcp import companion_peer

@@ -38,6 +38,15 @@ class Span:
         self.ms = (time.perf_counter() - self._t0) * 1e3
 
 
+def _nearest_rank(sorted_xs, pct: float) -> float:
+    if not sorted_xs:
+        return 0.0
+    import math
+
+    k = max(1, math.ceil(len(sorted_xs) * pct / 100.0))
+    return sorted_xs[min(k, len(sorted_xs)) - 1]
+
+
 def _stats(xs) -> tuple[float, float, float]:
     xs = list(xs)
     if not xs:
@@ -97,17 +106,14 @@ class TimingStats:
         return a
 
     def percentile_total_ms(self, pct: float) -> float:
-        """Rolling-window total-frame-time percentile (nearest-rank).
+        """Rolling-window total-frame-time percentile (nearest-rank:
+        the ceil(n*p/100)-th smallest value).
 
         The reference design is latency-first (leaky queues, drop rather
         than stall — SURVEY §7 hard parts): tail latency, not just the
         average, is the serving contract; p50/p95/p99 make it visible.
         """
-        xs = sorted(self.total_ms)
-        if not xs:
-            return 0.0
-        k = min(len(xs) - 1, max(0, int(len(xs) * pct / 100.0)))
-        return xs[k]
+        return _nearest_rank(sorted(self.total_ms), pct)
 
     def window_report(self) -> str:
         """The rolling-window block (clahevideo print_timing_stats format)."""
@@ -138,6 +144,7 @@ class TimingStats:
         am = self.sum_memory / n
         at = self.sum_total / n
         at_safe = at if at > 0 else 1e-9
+        win = sorted(self.total_ms)  # one sort for all three percentiles
         block = (
             f"\n=== FINAL PERFORMANCE ANALYSIS ===\n"
             f"Configuration: {self.label}\n"
@@ -150,9 +157,9 @@ class TimingStats:
             f"  Total frame time: {at:.3f} ms "
             f"({(1000.0 / at if at > 0 else 0.0):.1f} FPS)\n"
             f"Latency (last {len(self.total_ms)} frames): "
-            f"p50={self.percentile_total_ms(50):.3f} ms, "
-            f"p95={self.percentile_total_ms(95):.3f} ms, "
-            f"p99={self.percentile_total_ms(99):.3f} ms\n"
+            f"p50={_nearest_rank(win, 50):.3f} ms, "
+            f"p95={_nearest_rank(win, 95):.3f} ms, "
+            f"p99={_nearest_rank(win, 99):.3f} ms\n"
             f"Performance efficiency: compute is {ac / at_safe * 100:.1f}% "
             f"of total processing time\n"
             f"===================================\n"

@@ -86,10 +86,11 @@ class TestLatencyPercentiles:
         ts = TimingStats(window=100, printer=lambda *a: None)
         for i in range(1, 101):  # totals 1..100 ms
             ts.record(0.0, 0.0, float(i))
-        assert ts.percentile_total_ms(50) == 51.0
-        assert ts.percentile_total_ms(95) == 96.0
-        assert ts.percentile_total_ms(99) == 100.0
+        assert ts.percentile_total_ms(50) == 50.0
+        assert ts.percentile_total_ms(95) == 95.0
+        assert ts.percentile_total_ms(99) == 99.0
         assert ts.percentile_total_ms(0) == 1.0
+        assert ts.percentile_total_ms(100) == 100.0
 
     def test_percentiles_empty_and_in_report(self):
         from opencv_opencl_tpu.metrics.timing import TimingStats
