@@ -400,3 +400,47 @@ def test_priority_of_with_native_ring_rejected():
     with _pytest.raises(ValueError, match="python staging"):
         FrameFeeder(lambda b: b, native_staging=(6, 8),
                     priority_of=lambda item: 0)
+
+
+def test_priority_queue_concurrent_stress():
+    """Threaded put/get storm on PriorityLeakyQueue: items are conserved
+    (got + dropped == put), no exceptions, premium survives more often."""
+    import threading
+
+    from opencv_opencl_tpu.runtime.queues import Closed, PriorityLeakyQueue
+
+    dropped = []
+    q = PriorityLeakyQueue(max_size=8, on_drop=dropped.append,
+                           priority_of=lambda it: it[0])
+    got = []
+    def consumer():
+        while True:
+            try:
+                got.append(q.get(timeout=2.0))
+            except Closed:
+                return
+            except TimeoutError:
+                return
+    ct = threading.Thread(target=consumer)
+    ct.start()
+    N = 2000
+    def producer(prio, seed):
+        for i in range(N):
+            q.put((prio, seed, i))
+    ps = [threading.Thread(target=producer, args=(p, s))
+          for s, p in enumerate([0, 0, 5, 5])]
+    [t.start() for t in ps]
+    [t.join() for t in ps]
+    q.close()
+    ct.join(timeout=5)
+    total_put = 4 * N
+    assert len(got) + len(dropped) == total_put
+    # premium (prio 5) items should be dropped no more than best-effort
+    be_drops = sum(1 for it in dropped if it[0] == 0)
+    prem_drops = sum(1 for it in dropped if it[0] == 5)
+    assert be_drops >= prem_drops
+    # per-producer conservation
+    from collections import Counter
+
+    c = Counter((it[0], it[1]) for it in got + dropped)
+    assert all(v == N for v in c.values())
