@@ -26,6 +26,7 @@ from __future__ import annotations
 import random
 import socket
 import struct
+import threading
 import time
 from collections import deque
 
@@ -219,9 +220,11 @@ class ReceiverStats:
         self.received = 0
         self.expected_prior = 0
         self.received_prior = 0
-        # A.8 jitter state (in RTP clock units)
+        # A.8 jitter state (in RTP clock units; transit kept as an
+        # integer mod 2^32 so the 32-bit RTP timestamp wrap — ~13.2 h at
+        # 90 kHz — cancels in the difference instead of poisoning the EWMA)
         self.jitter = 0.0
-        self._last_transit: float | None = None
+        self._last_transit: int | None = None
         # SR bookkeeping for LSR/DLSR
         self.last_sr_middle32 = 0
         self.last_sr_arrival: float | None = None
@@ -265,12 +268,17 @@ class ReceiverStats:
         else:
             self._update_seq(seq)
         self.octets += payload_len
-        # A.8 interarrival jitter, in RTP clock units
+        # A.8 interarrival jitter, in RTP clock units.  RFC 3550 does this
+        # arithmetic on unsigned ints mod 2^32: the signed mod-2^32
+        # difference makes timestamp wraps cancel (a float transit would
+        # see one ~2^32 delta at each wrap and report garbage jitter for
+        # the next ~16 reports of a long-running session).
         t = time.monotonic() if arrival is None else arrival
-        transit = t * self.clock_rate - rtp_ts
+        transit = (int(t * self.clock_rate) - rtp_ts) & 0xFFFFFFFF
         if self._last_transit is not None:
-            d = abs(transit - self._last_transit)
-            self.jitter += (d - self.jitter) / 16.0
+            d = ((transit - self._last_transit + (1 << 31)) & 0xFFFFFFFF) - (
+                1 << 31)
+            self.jitter += (abs(d) - self.jitter) / 16.0
         self._last_transit = transit
 
     def note_sr(self, ntp: tuple[int, int],
@@ -458,11 +466,22 @@ class RtcpPeer:
         self.remote_sr: dict | None = None
         self.sr_sent = 0
         self.rr_sent = 0
+        # One peer may be driven from two threads (relay --adaptive-rate:
+        # the feeder output thread calls sink.write() -> maybe_send_sr()
+        # while the main loop calls poll()/take_blocks()).  The RLock
+        # guards every mutation of the member/sender tables, the _due
+        # scheduling state, and the fresh-block swap; RLock because
+        # maybe_send_* re-enter poll()/_due() internally.
+        self._lock = threading.RLock()
 
     # -- receiving ---------------------------------------------------------
 
     def poll(self) -> None:
-        """Drain incoming RTCP datagrams (non-blocking)."""
+        """Drain incoming RTCP datagrams (non-blocking, thread-safe)."""
+        with self._lock:
+            self._poll_locked()
+
+    def _poll_locked(self) -> None:
         while True:
             try:
                 data, addr = self.sock.recvfrom(4096)
@@ -502,10 +521,16 @@ class RtcpPeer:
                             self._update_rtt(blk)
 
     def take_blocks(self) -> list[ReportBlock]:
-        """Drain report blocks not yet consumed (each returned once)."""
-        out = self._fresh_blocks
-        self._fresh_blocks = []
-        return out
+        """Drain report blocks not yet consumed (each returned once).
+
+        Thread-safe: the list swap happens under the peer lock so a
+        concurrent poll() from the sink's write thread cannot append to
+        the list being handed out (a lost RR block is a missed AIMD
+        backoff on a congested link)."""
+        with self._lock:
+            out = self._fresh_blocks
+            self._fresh_blocks = []
+            return out
 
     def _update_rtt(self, blk: ReportBlock) -> None:
         if blk.lsr == 0:
@@ -616,29 +641,32 @@ class RtcpPeer:
 
     def maybe_send_sr(self, rtp_ts: int, packet_count: int,
                       octet_count: int) -> bool:
-        self._we_sent = True
-        self.senders.add(self.ssrc)
-        self.poll()
-        if not self._due():
-            return False
-        self._send(build_sender_report(self.ssrc, ntp_now(), rtp_ts,
-                                       packet_count, octet_count))
-        self.sr_sent += 1
-        return True
+        with self._lock:
+            self._we_sent = True
+            self.senders.add(self.ssrc)
+            self._poll_locked()
+            if not self._due():
+                return False
+            self._send(build_sender_report(self.ssrc, ntp_now(), rtp_ts,
+                                           packet_count, octet_count))
+            self.sr_sent += 1
+            return True
 
     def maybe_send_rr(self, force: bool = False) -> bool:
-        self.poll()
-        if not (force or self._due()):
-            return False
-        if not self.stats._initialized:
-            return False  # nothing received yet: nothing to report
-        self._send(build_receiver_report(self.ssrc,
-                                         [self.stats.report_block()]))
-        self.rr_sent += 1
-        return True
+        with self._lock:
+            self._poll_locked()
+            if not (force or self._due()):
+                return False
+            if not self.stats._initialized:
+                return False  # nothing received yet: nothing to report
+            self._send(build_receiver_report(self.ssrc,
+                                             [self.stats.report_block()]))
+            self.rr_sent += 1
+            return True
 
     def send_bye(self) -> None:
-        self._send(build_bye(self.ssrc))
+        with self._lock:
+            self._send(build_bye(self.ssrc))
 
     def close(self) -> None:
         self.sock.close()

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import socket
 import struct
+import time
 
 import numpy as np
 
@@ -61,28 +62,53 @@ class StreamLock:
 
     ``pt=None`` locks onto the first payload type seen (restricted to
     the dynamic range 96-127 when ``require_dynamic``), matching
-    standards senders whose SDP negotiated any dynamic PT."""
+    standards senders whose SDP negotiated any dynamic PT.
 
-    def __init__(self, pt: int | None = None, require_dynamic: bool = False):
+    The lock re-arms after ``relock_timeout`` seconds of silence: a
+    standards sender that restarts picks a fresh random SSRC per run
+    (RFC 3550 §8; gst rtph264pay does exactly this), and pinning the
+    dead SSRC forever would silently ignore the restarted stream for
+    the life of the receiver.  A foreign stream can only steal the lock
+    once the locked stream has actually gone quiet."""
+
+    def __init__(self, pt: int | None = None, require_dynamic: bool = False,
+                 relock_timeout: float | None = 5.0):
         self.pt = pt
+        self._pt_fixed = pt is not None
         self.ssrc: int | None = None
         self.require_dynamic = require_dynamic
+        self.relock_timeout = relock_timeout
+        self._last_accept: float | None = None
+        self.relocks = 0
 
-    def accept(self, pkt: bytes) -> bool:
+    def accept(self, pkt: bytes, now: float | None = None) -> bool:
         if pkt[0] >> 6 != RTP_VERSION:
             return False
         pt = pkt[1] & 0x7F
+        ssrc = struct.unpack("!I", pkt[8:12])[0]
+        t = time.monotonic() if now is None else now
+        mismatch = ((self.pt is not None and pt != self.pt)
+                    or (self.ssrc is not None and ssrc != self.ssrc))
+        if mismatch:
+            stale = (self.relock_timeout is not None
+                     and self._last_accept is not None
+                     and t - self._last_accept > self.relock_timeout)
+            pt_ok = pt == self.pt if self._pt_fixed else (
+                not (self.require_dynamic and pt < 96))
+            if not (stale and pt_ok):
+                return False
+            # silence timeout elapsed: re-lock onto the new stream
+            self.ssrc = None
+            if not self._pt_fixed:
+                self.pt = None
+            self.relocks += 1
         if self.pt is None:
             if self.require_dynamic and pt < 96:
                 return False
             self.pt = pt
-        elif pt != self.pt:
-            return False
-        ssrc = struct.unpack("!I", pkt[8:12])[0]
         if self.ssrc is None:
             self.ssrc = ssrc
-        elif ssrc != self.ssrc:
-            return False
+        self._last_accept = t
         return True
 
 

@@ -218,6 +218,7 @@ class H26xDepacketizer:
         self._broken = False
         self.aus_dropped = 0
         self.packets_bad = 0
+        self.packets_dup = 0
 
     def _reset_au(self) -> None:
         self._nals = []
@@ -234,16 +235,38 @@ class H26xDepacketizer:
         ts = struct.unpack("!I", pkt[4:8])[0]
         payload = pkt[12:]
 
+        if (self._expect_seq is not None
+                and ((seq - self._expect_seq) & 0xFFFF) == 0xFFFF):
+            # exact re-send of the previous packet (network duplicate):
+            # ignore it entirely — processing it would double its NAL and
+            # the old seq!=expected check would poison a perfectly good AU
+            self.packets_dup += 1
+            return None
+
+        ts_changed = False
         if self._cur_ts is None:
             self._cur_ts = ts
         elif ts != self._cur_ts:
             # new AU began before the previous one's marker: drop the old
+            ts_changed = True
             if self._nals or self._fu or self._broken:
                 self.aus_dropped += 1
             self._reset_au()
             self._cur_ts = ts
         if self._expect_seq is not None and seq != self._expect_seq:
-            self._broken = True  # a packet of this AU is missing
+            gap = (seq - self._expect_seq) & 0xFFFF
+            if ts_changed and gap == 1:
+                # A single missing packet straddling the AU boundary is
+                # the OLD AU's lost tail, not this one's head: a
+                # marker-setting sender (rtph264pay et al.) ends every AU
+                # with its marker packet, so had the missing packet
+                # belonged to the new AU the old AU's marker would have
+                # arrived and emitted it already.  Poisoning here would
+                # double the effective AU drop rate under tail loss.
+                # (Gaps >= 2 can hide both a tail and a head: poison.)
+                pass
+            else:
+                self._broken = True  # a packet of this AU is missing
         self._expect_seq = (seq + 1) & 0xFFFF
 
         try:

@@ -555,6 +555,12 @@ def tile_histograms_radix(ext: jax.Array, tiles_y: int, tiles_x: int,
     """
     from opencv_opencl_tpu.ops.pallas.lut_kernels import HIST_TILE_PX_LIMIT
 
+    if batch_rows not in (1, 2, 4):
+        # the radix-n kernel slices sublane groups of 8/batch_rows rows;
+        # any other value would fail deep inside Mosaic with an opaque
+        # shape error far from this call site
+        raise ValueError(
+            f"batch_rows must be one of (1, 2, 4), got {batch_rows}")
     if interpret is None:
         interpret = _interpret_default()
     thp = -(-tile_h // 8) * 8

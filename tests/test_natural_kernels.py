@@ -198,3 +198,14 @@ class TestRadixRowBatched:
         batched = np.asarray(natural.tile_histograms_radix(
             y, 4, 2, 24, 128, interpret=True, batch_rows=nb))
         assert np.array_equal(base, batched)
+
+
+def test_radix_hist_rejects_bad_batch_rows():
+    import numpy as np
+    import pytest
+
+    from opencv_opencl_tpu.ops.pallas import natural
+
+    y = np.zeros((16, 128), np.uint8)
+    with pytest.raises(ValueError, match=r"batch_rows"):
+        natural.tile_histograms_radix(y, 1, 1, 16, 128, batch_rows=3)

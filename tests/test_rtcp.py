@@ -575,3 +575,76 @@ class TestReviewFixes3:
             assert len(peer.members) == before  # NOT pruned at 5*Tmin
         finally:
             peer.close()
+
+
+def test_jitter_survives_rtp_timestamp_wrap():
+    """RFC 3550 A.8 arithmetic is mod 2^32: the 32-bit RTP timestamp
+    wrap (~13.2 h at 90 kHz) must cancel in the transit difference
+    instead of poisoning the jitter EWMA with a ~2^32 delta."""
+    st = ReceiverStats(clock_rate=90000)
+    base = (1 << 32) - 90000  # wraps on the third packet
+    for i in range(8):
+        ts = (base + i * 45000) & 0xFFFFFFFF
+        st.note(i, ts, arrival=i * 0.5)  # perfectly on time
+    assert st.jitter == 0.0
+    # and a genuinely late packet is still seen at its true size
+    st.note(8, (base + 8 * 45000) & 0xFFFFFFFF, arrival=4.0 + 0.010)
+    assert st.jitter == pytest.approx(900 / 16.0)
+
+
+def test_rtcp_peer_thread_safety_stress():
+    """RtcpPeer is driven from two threads in relay --adaptive-rate (the
+    feeder's write()->maybe_send_sr() vs the main loop's
+    poll()/take_blocks()); the internal lock must keep the member tables
+    and fresh-block swap consistent (no RuntimeError from dict mutation
+    during _timeout_members iteration, no lost blocks)."""
+    import threading
+
+    from opencv_opencl_tpu.io.rtcp import RtcpPeer, build_receiver_report
+
+    peer = RtcpPeer(0x1234, schedule="rfc3550", interval=0.001)
+    # a remote receiver that floods RRs about our stream
+    remote = RtcpPeer(0x9999, remote=("127.0.0.1", peer.port))
+    peer.remote = ("127.0.0.1", remote.port)
+    errors = []
+    stop = threading.Event()
+    got_blocks = []
+
+    def writer():
+        try:
+            i = 0
+            while not stop.is_set():
+                peer.maybe_send_sr(i * 3000, i, i * 100)
+                i += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def reader():
+        try:
+            while not stop.is_set():
+                peer.poll()
+                got_blocks.extend(peer.take_blocks())
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer),
+               threading.Thread(target=reader)]
+    [t.start() for t in threads]
+    deadline = time.monotonic() + 0.5
+    sent = 0
+    while time.monotonic() < deadline:
+        blk = ReportBlock(ssrc=0x1234, fraction_lost=50, cumulative_lost=1,
+                          ext_highest_seq=sent, jitter=2, lsr=0, dlsr=0)
+        remote.sock.sendto(build_receiver_report(0x9999, [blk]),
+                           ("127.0.0.1", peer.port))
+        sent += 1
+        time.sleep(0.001)
+    stop.set()
+    [t.join(timeout=5) for t in threads]
+    got_blocks.extend(peer.take_blocks())
+    assert not errors
+    # every RR block that reached the socket is seen exactly once
+    assert len(got_blocks) <= sent
+    assert all(b.ssrc == 0x1234 for b in got_blocks)
+    peer.close()
+    remote.close()

@@ -466,3 +466,40 @@ def test_empty_batch_histeq():
 
     out = histeq.equalize_hist_batch(jnp.zeros((0, 8, 128), jnp.uint8))
     assert out.shape == (0, 8, 128)
+
+
+def test_stream_lock_rearms_after_silence():
+    """A restarted standards sender picks a fresh SSRC (RFC 3550 §8);
+    the lock must re-arm after silence instead of pinning the dead one."""
+    from opencv_opencl_tpu.io.rtp import StreamLock, _rtp_header
+
+    lock = StreamLock(pt=None, require_dynamic=True, relock_timeout=5.0)
+    p1 = _rtp_header(96, 1, 1000, 0xAAAA0001, False) + b"x"
+    p2 = _rtp_header(96, 900, 5000, 0xBBBB0002, False) + b"x"
+    assert lock.accept(p1, now=0.0)
+    # a foreign SSRC while the stream is live stays rejected
+    assert not lock.accept(p2, now=1.0)
+    assert lock.ssrc == 0xAAAA0001
+    # ... but after the silence timeout the new stream takes the lock
+    assert lock.accept(p2, now=7.0)
+    assert lock.ssrc == 0xBBBB0002
+    assert lock.relocks == 1
+    # non-dynamic PT still refused even on re-arm
+    p3 = _rtp_header(26, 5, 1, 0xCCCC0003, False) + b"x"
+    assert not lock.accept(p3, now=20.0)
+    # a pinned PT never relocks onto a different PT
+    pinned = StreamLock(pt=96, relock_timeout=5.0)
+    assert pinned.accept(p1, now=0.0)
+    p4 = _rtp_header(97, 2, 1, 0xDDDD0004, False) + b"x"
+    assert not pinned.accept(p4, now=30.0)
+    assert pinned.pt == 96
+
+
+def test_stream_lock_relock_disabled():
+    from opencv_opencl_tpu.io.rtp import StreamLock, _rtp_header
+
+    lock = StreamLock(relock_timeout=None)
+    p1 = _rtp_header(96, 1, 0, 1, False) + b"x"
+    p2 = _rtp_header(96, 1, 0, 2, False) + b"x"
+    assert lock.accept(p1, now=0.0)
+    assert not lock.accept(p2, now=1e9)  # never re-arms

@@ -146,7 +146,7 @@ class TestH264:
         got2 = [depay.push(p) for p in pay.packetize(au2)]
         assert got2[-1] == au2
 
-    def test_lost_marker_drops_on_next_au(self):
+    def test_lost_marker_does_not_poison_next_au(self):
         pay = H264RtpPayloader(mtu=300)
         depay = H26xDepacketizer("h264")
         au1 = annexb(h264_nal(5, 600, 1))
@@ -154,15 +154,49 @@ class TestH264:
         pkts1 = pay.packetize(au1)
         for p in pkts1[:-1]:  # marker packet lost
             assert depay.push(p) is None
-        # AU2's packets arrive: AU1 dropped; AU2 is ALSO dropped because
-        # the seq gap is ambiguous (could have been AU2's first packet)
+        # AU2's packets arrive: AU1 is dropped, but the single-seq gap
+        # straddling the ts boundary is AU1's lost tail (a marker-setting
+        # sender would have emitted AU1 otherwise), so AU2 survives
         got = [depay.push(p) for p in pay.packetize(au2)]
+        assert got[-1] == au2
+        assert depay.aus_dropped == 1
+
+    def test_boundary_gap_of_two_poisons_next_au(self):
+        # marker of AU1 AND first packet of AU2 both lost: gap >= 2 at
+        # the ts boundary can hide a head loss, so AU2 must be dropped
+        pay = H264RtpPayloader(mtu=300)
+        depay = H26xDepacketizer("h264")
+        au1 = annexb(h264_nal(5, 600, 1))
+        au2 = annexb(h264_nal(1, 600, 2) + h264_nal(1, 100, 3))
+        pkts1 = pay.packetize(au1)
+        pkts2 = pay.packetize(au2)
+        for p in pkts1[:-1]:
+            assert depay.push(p) is None
+        got = [depay.push(p) for p in pkts2[1:]]  # AU2 head also lost
         assert all(g is None for g in got)
-        assert depay.aus_dropped >= 1
-        # the third AU is clean again
-        au3 = annexb(h264_nal(1, 600, 3))
+        assert depay.aus_dropped == 2
+        au3 = annexb(h264_nal(1, 600, 4))
         got3 = [depay.push(p) for p in pay.packetize(au3)]
         assert got3[-1] == au3
+
+    def test_duplicate_packet_ignored(self):
+        # an exact network duplicate must neither poison the AU nor
+        # double its NAL
+        pay = H264RtpPayloader(mtu=300)
+        depay = H26xDepacketizer("h264")
+        au = annexb(h264_nal(5, 600, 7))
+        pkts = pay.packetize(au)
+        results = []
+        for p in pkts:
+            results.append(depay.push(p))
+            assert depay.push(p) is None  # duplicate of every packet
+        assert results[-1] == au
+        assert depay.packets_dup == len(pkts)
+        assert depay.aus_dropped == 0
+        # and the stream continues cleanly
+        au2 = annexb(h264_nal(1, 600, 8))
+        got2 = [depay.push(p) for p in pay.packetize(au2)]
+        assert got2[-1] == au2
 
 
 class TestH265:

@@ -414,12 +414,13 @@ def test_priority_queue_concurrent_stress():
                            priority_of=lambda it: it[0])
     got = []
     def consumer():
+        # Exit ONLY on Closed (raised after drain): no timeout race under
+        # full-suite load.  close() comes after all producers join, so the
+        # consumer deterministically sees every surviving item.
         while True:
             try:
-                got.append(q.get(timeout=2.0))
+                got.append(q.get())
             except Closed:
-                return
-            except TimeoutError:
                 return
     ct = threading.Thread(target=consumer)
     ct.start()
@@ -432,7 +433,8 @@ def test_priority_queue_concurrent_stress():
     [t.start() for t in ps]
     [t.join() for t in ps]
     q.close()
-    ct.join(timeout=5)
+    ct.join()
+    assert not ct.is_alive()
     total_put = 4 * N
     assert len(got) + len(dropped) == total_put
     # premium (prio 5) items should be dropped no more than best-effort
