@@ -52,12 +52,14 @@ def run(argv: list[str]) -> int:
     audio = opts.get("audio", False)
     test_source = opts.get("test-source", False)
 
-    from opencv_opencl_tpu.io import gst, sdp
+    from opencv_opencl_tpu.io import gst, sdp, webrtc_controller
     from opencv_opencl_tpu.io.signaling import SignalingClient, SignalingServer
 
+    webrtc_name = "sendrecv"
     if test_source:
         # two-track VP8 + Opus test pipeline (vad.cpp)
         pipeline = gst.vad_test_pipeline()
+        webrtc_name = "webrtcbin"
         medias = [sdp.media_for_codec("vp8", "video", mid="video0"),
                   sdp.media_for_codec("opus", "audio", mid="audio1")]
     else:
@@ -91,33 +93,60 @@ def run(argv: list[str]) -> int:
         ws_url = server.url
         print(f"Started in-process signaling server at {ws_url}")
 
-    have_media = gst.gst_available() and not opts.get("signaling-only")
+    signaling_only = bool(opts.get("signaling-only"))
     state = {"viewers": 0, "offers": 0, "answers": 0}
+    media = {"session": None}  # set once the gi webrtcbin plane starts
 
     def on_ready():
         state["viewers"] += 1
+        session = media["session"]
+        if session is not None:
+            # the live webrtcbin already negotiated (or is negotiating):
+            # replay its actual local offer to the late viewer
+            print(f"Viewer joined (total {state['viewers']}) — "
+                  "re-publishing webrtcbin offer")
+            if session.resend_offer():
+                state["offers"] += 1
+            else:
+                print("(no local offer yet — negotiation in progress)")
+            return
         print(f"Viewer joined (total {state['viewers']}) — sending offer")
-        # with a real webrtcbin this fires on-negotiation-needed ->
-        # create-offer; control-plane mode generates the equivalent offer
-        # for the same media configuration
+        # control-plane mode generates the equivalent offer for the same
+        # media configuration (no webrtcbin to create one)
         client.send_offer(sdp.build_offer(medias))
         state["offers"] += 1
 
     def on_answer(sdp_text):
         sess = sdp.parse_sdp(sdp_text)
         kinds = "+".join(m.kind for m in sess.medias)
-        print(f"Received answer ({len(sess.medias)} m-line(s): {kinds}) — "
-              "set-remote-description")
+        session = media["session"]
+        if session is not None and session.handle_answer(sdp_text):
+            print(f"Received answer ({len(sess.medias)} m-line(s): {kinds}) "
+                  "— set-remote-description applied to webrtcbin")
+        else:
+            print(f"Received answer ({len(sess.medias)} m-line(s): {kinds}) "
+                  "— set-remote-description")
         state["answers"] += 1
 
     def on_ice(cand, mline):
-        print(f"Remote ICE candidate (mline={mline}): {cand[:60]}")
+        session = media["session"]
+        applied = (session is not None
+                   and session.handle_remote_ice(cand, mline))
+        suffix = " -> add-ice-candidate" if applied else ""
+        print(f"Remote ICE candidate (mline={mline}): {cand[:60]}{suffix}")
+
+    def on_connected():
+        print(f"Connected to signaling, joined room '{room}' as sender")
+        session = media["session"]
+        if session is not None and client.reconnect_count > 0:
+            # vad2connection.cpp:65-160: a recovered signaling session
+            # rebuilds the media pipeline and renegotiates from scratch
+            session.reset()
 
     client = SignalingClient(
         ws_url, room=room, client_type="sender",
         on_ready=on_ready, on_answer=on_answer, on_ice=on_ice,
-        on_connected=lambda: print(f"Connected to signaling, joined room "
-                                   f"'{room}' as sender"),
+        on_connected=on_connected,
         reconnect_delay_s=2.0,
     ).start()
 
@@ -129,10 +158,20 @@ def run(argv: list[str]) -> int:
         return 1
 
     shell = None
-    if have_media:
+    if signaling_only:
+        print("Signaling-only mode — control plane only")
+    elif webrtc_controller.gi_webrtc_available():
+        # the real thing: webrtcbin negotiation wired to the signaling
+        # client (sender.cpp:182-251,269-339)
+        media["session"] = webrtc_controller.build_gi_session(
+            pipeline, client=client, webrtc_name=webrtc_name).start()
+        print("Media pipeline PLAYING (webrtcbin negotiation wired)")
+    elif gst.gst_available():
         shell = gst.GstShell(pipeline)
         shell.start()
-        print("Media pipeline PLAYING")
+        print("Media pipeline launched via gst-launch (negotiation not "
+              "wired — control-plane offer only; install python-gi for "
+              "live webrtcbin negotiation)")
     else:
         print("Media plane unavailable (no GStreamer) — control plane only")
 
@@ -143,14 +182,23 @@ def run(argv: list[str]) -> int:
     except KeyboardInterrupt:
         print("\nInterrupted.")
     finally:
+        if media["session"] is not None:
+            media["session"].stop()
         if shell:
             shell.stop()
         client.stop()
         if server:
             server.stop()
-    print(f"Sender shut down: {state['viewers']} viewer(s), "
-          f"{state['offers']} offer(s), {state['answers']} answer(s), "
-          f"reconnects={client.reconnect_count}")
+    line = (f"Sender shut down: {state['viewers']} viewer(s), "
+            f"{state['offers']} offer(s), {state['answers']} answer(s), "
+            f"reconnects={client.reconnect_count}")
+    session = media["session"]
+    if session is not None:
+        line += (f"; webrtcbin: offers={session.offers_sent} "
+                 f"answers={session.answers_applied} "
+                 f"ice_out={session.ice_sent} ice_in={session.ice_applied} "
+                 f"resets={session.resets}")
+    print(line)
     return 0
 
 
