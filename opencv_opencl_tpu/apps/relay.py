@@ -6,6 +6,13 @@ Usage:
       [--op=histeq|clahe|none] [--chroma=gray|passthrough]
       [--clipLimit=2.0] [--tile=8] [--batch=4]
       [--source=test|<video file>] [--sink=null|<output file>]
+                   # sinks also accept rtp://host:port (JPEG/RTP),
+                   # rtp+raw://host:port (raw NV12 lines), and
+                   # rtp+h264://host:port / rtp+h265://host:port
+                   # (encoded RFC 6184/7798 — the full reference emit
+                   # chain, encoder chosen via --encoder)
+      [--encoder=auto|pcm|ffmpeg|gi]  # encoder backend for rtp+h26x
+                   # sinks (io.encoder; pcm = in-repo lossless I_PCM)
       [--duration=seconds] [--max-frames=N] [--status-interval=2]
       [--ref-frame]  # clahe: LUTs from the previous frame (latency
                      # hiding; fused single-pass kernel on TPU)
@@ -51,7 +58,7 @@ def run(argv: list[str]) -> int:
             "status-interval": float, "realtime": bool, "max-rate": float,
             "adaptive-rate": bool, "native": bool, "preset": str,
             "io": str, "ref-frame": bool, "sdp-file": str,
-            "rtcp-schedule": str, "mesh": str,
+            "rtcp-schedule": str, "mesh": str, "encoder": str,
         },
     )
     if "max-rate" in opts and opts["max-rate"] <= 0:
@@ -154,6 +161,30 @@ def run(argv: list[str]) -> int:
                     rtp_host, int(rtp_port), kind,
                     width=spec.width, height=spec.height))
             print(f"SDP written: {opts['sdp-file']}")
+    elif sink_path.startswith(("rtp+h264://", "rtp+h265://")):
+        # full reference emit chain: encode -> RFC 6184/7798 payload ->
+        # UDP (OpenCVequalHist.cpp:308-332), behind the pluggable
+        # encoder boundary (io.encoder: pcm | ffmpeg | gi | auto)
+        from opencv_opencl_tpu.io.encoder import EncodedRtpSink, make_encoder
+
+        es_codec = "h264" if sink_path.startswith("rtp+h264://") else "h265"
+        hostport = sink_path.split("://", 1)[1]
+        rtp_host, rtp_port = hostport.rsplit(":", 1)
+        schedule = opts.get("rtcp-schedule", "tick")
+        if schedule not in ("tick", "rfc3550"):
+            print(f"--rtcp-schedule={schedule!r} invalid: tick|rfc3550",
+                  file=sys.stderr)
+            return 2
+        try:
+            enc = make_encoder(opts.get("encoder", "auto"), spec.width,
+                               spec.height, fps=fps, codec=es_codec,
+                               bitrate_kbps=bitrate)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        print(f"Encoder: {type(enc).__name__} ({es_codec})")
+        sink = EncodedRtpSink(enc, rtp_host, int(rtp_port), fps=fps,
+                              rtcp_schedule=schedule)
     elif sink_path.endswith(".nv12") or sink_path.endswith(".raw"):
         sink = RawSink(sink_path)
     else:

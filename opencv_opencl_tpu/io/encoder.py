@@ -1,0 +1,218 @@
+"""Pluggable frame->H.26x encoder boundary for the relay emit path.
+
+The reference always encodes before transmit (``appsrc -> omxh264enc ->
+rtph264pay -> udpsink``, ``/root/reference/OpenCVequalHist.cpp:308-332``).
+Hosts differ in what encoder they offer, so the relay's
+``--sink=rtp+h264://`` goes through this seam:
+
+- ``pcm``    — the in-repo pure-Python lossless I_PCM encoder
+  (io.h264_pcm): always available, standards-compliant, big output.
+- ``ffmpeg`` — an external ``ffmpeg`` process fed raw NV12 on stdin,
+  Annex-B H.264/H.265 on stdout (x264-class compression when the host
+  ships ffmpeg).
+- ``gi``     — a GStreamer ``appsrc -> encoder -> h264parse -> appsink``
+  pipeline over python-gi (the reference's own encoder elements — OMX on
+  a board, x264enc elsewhere).
+- ``auto``   — first of gi, ffmpeg, pcm that works on this host.
+
+Every backend implements the same protocol::
+
+    enc.encode(nv12_frame) -> list[annexb AU bytes]   # 0..n completed AUs
+    enc.flush()            -> list[annexb AU bytes]   # drain at EOS
+    enc.close()
+
+Access units carry 4-byte start codes, ready for
+:class:`opencv_opencl_tpu.io.rtp_h26x.H26xRtpSink`.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import threading
+from typing import Any, Protocol
+
+import numpy as np
+
+__all__ = ["FrameEncoder", "FfmpegEncoder", "make_encoder",
+           "available_encoders"]
+
+
+class FrameEncoder(Protocol):
+    codec: str
+
+    def encode(self, nv12: np.ndarray) -> list[bytes]: ...
+
+    def flush(self) -> list[bytes]: ...
+
+    def close(self) -> None: ...
+
+
+class FfmpegEncoder:
+    """External ffmpeg process: NV12 frames in, Annex-B ES out.
+
+    The stdout reader runs on a thread (ffmpeg buffers arbitrarily);
+    ``encode`` returns whatever access units completed so far, ``flush``
+    closes stdin and drains the rest.  AU boundaries come from the same
+    first-slice heuristics as the ES replay app
+    (apps/h26x_stream.split_access_units).
+    """
+
+    def __init__(self, width: int, height: int, fps: float = 30.0,
+                 codec: str = "h264", bitrate_kbps: int = 2000,
+                 ffmpeg: str = "ffmpeg") -> None:
+        self.codec = codec
+        self.width = width
+        self.height = height
+        venc = "libx264" if codec == "h264" else "libx265"
+        fmt = "h264" if codec == "h264" else "hevc"
+        args = [
+            ffmpeg, "-hide_banner", "-loglevel", "error",
+            "-f", "rawvideo", "-pix_fmt", "nv12",
+            "-s", f"{width}x{height}", "-r", str(fps), "-i", "-",
+            "-c:v", venc, "-b:v", f"{bitrate_kbps}k",
+            "-tune", "zerolatency", "-f", fmt, "-",
+        ]
+        self._proc = subprocess.Popen(
+            args, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL)
+        self._buf = bytearray()
+        self._lock = threading.Lock()
+        self._reader = threading.Thread(target=self._read_loop,
+                                        daemon=True, name="ffmpeg-out")
+        self._reader.start()
+        self.frames = 0
+
+    def _read_loop(self) -> None:
+        while True:
+            chunk = self._proc.stdout.read(65536)
+            if not chunk:
+                return
+            with self._lock:
+                self._buf.extend(chunk)
+
+    def _take_complete_aus(self, final: bool) -> list[bytes]:
+        from opencv_opencl_tpu.apps.h26x_stream import split_access_units
+
+        with self._lock:
+            data = bytes(self._buf)
+        if not data:
+            return []
+        aus = split_access_units(data, self.codec)
+        if not aus:
+            return []
+        if not final:
+            # the last AU may still be growing: keep it buffered
+            keep = aus.pop()
+            consumed = len(data) - len(keep)
+        else:
+            consumed = len(data)
+        with self._lock:
+            del self._buf[:consumed]
+        return aus
+
+    def encode(self, nv12: np.ndarray) -> list[bytes]:
+        arr = np.asarray(nv12, np.uint8)
+        self._proc.stdin.write(arr.tobytes())
+        self.frames += 1
+        return self._take_complete_aus(final=False)
+
+    def flush(self) -> list[bytes]:
+        try:
+            self._proc.stdin.close()
+        except OSError:
+            pass
+        self._proc.wait(timeout=30)
+        self._reader.join(timeout=10)
+        return self._take_complete_aus(final=True)
+
+    def close(self) -> None:
+        if self._proc.poll() is None:
+            self._proc.kill()
+            self._proc.wait(timeout=10)
+
+
+def _gi_encoder(width: int, height: int, fps: float, codec: str,
+                bitrate_kbps: int):
+    """GStreamer appsrc->x264enc/omx->appsink encoder (gi hosts only)."""
+    from opencv_opencl_tpu.io.gst_encoder import GiPipelineEncoder
+
+    return GiPipelineEncoder(width, height, fps=fps, codec=codec,
+                             bitrate_kbps=bitrate_kbps)
+
+
+def available_encoders() -> list[str]:
+    """Backend names usable on this host, in auto-selection order."""
+    out = []
+    from opencv_opencl_tpu.io.gst_adapter import gi_available
+
+    if gi_available():
+        out.append("gi")
+    if shutil.which("ffmpeg"):
+        out.append("ffmpeg")
+    out.append("pcm")
+    return out
+
+
+class EncodedRtpSink:
+    """NV12-frame sink = pluggable encoder + H26x RTP payloader.
+
+    Gives the relay the reference's full emit chain (encode -> payload ->
+    UDP, ``OpenCVequalHist.cpp:308-332``) behind the io.videofile sink
+    shape: ``write(frame)`` encodes and ships every completed access
+    unit; ``close()`` flushes the encoder tail first.
+    """
+
+    def __init__(self, encoder: Any, host: str, port: int,
+                 fps: float = 30.0, mtu: int = 1200,
+                 rtcp_schedule: str = "tick") -> None:
+        from opencv_opencl_tpu.io.rtp_h26x import H26xRtpSink
+
+        self.encoder = encoder
+        self.rtp = H26xRtpSink(host, port, codec=encoder.codec, fps=fps,
+                               mtu=mtu, rtcp_schedule=rtcp_schedule)
+        self.aus_sent = 0
+
+    def write(self, nv12: np.ndarray) -> None:
+        for au in self.encoder.encode(nv12):
+            self.rtp.write(au)
+            self.aus_sent += 1
+
+    @property
+    def rtcp(self):
+        return self.rtp.rtcp
+
+    @property
+    def rtt_ms(self):
+        return self.rtp.rtt_ms
+
+    def close(self) -> None:
+        try:
+            for au in self.encoder.flush():
+                self.rtp.write(au)
+                self.aus_sent += 1
+        finally:
+            self.encoder.close()
+            self.rtp.close()
+
+
+def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
+                 codec: str = "h264", bitrate_kbps: int = 2000) -> Any:
+    """Build a FrameEncoder; ``backend`` is pcm|ffmpeg|gi|auto."""
+    if backend == "auto":
+        backend = available_encoders()[0]
+    if backend == "pcm":
+        if codec != "h264":
+            raise ValueError("the in-repo PCM encoder is h264-only")
+        from opencv_opencl_tpu.io.h264_pcm import PcmH264Encoder
+
+        return PcmH264Encoder(width, height)
+    if backend == "ffmpeg":
+        if not shutil.which("ffmpeg"):
+            raise ValueError("ffmpeg not on PATH (try --encoder=pcm)")
+        return FfmpegEncoder(width, height, fps=fps, codec=codec,
+                             bitrate_kbps=bitrate_kbps)
+    if backend == "gi":
+        return _gi_encoder(width, height, fps, codec, bitrate_kbps)
+    raise ValueError(f"unknown encoder backend {backend!r} "
+                     "(pcm|ffmpeg|gi|auto)")

@@ -1,0 +1,247 @@
+"""Pure-Python lossless H.264 encoder (I_PCM macroblocks).
+
+The reference's emit side always encodes before transmitting
+(``/root/reference/OpenCVequalHist.cpp:308-332``: appsrc -> omxh264enc ->
+rtph264pay -> udpsink).  This container has no H.264 *encoder* (no x264,
+no ffmpeg CLI, no OMX hardware) — but H.264 itself has a lossless,
+entropy-coding-free macroblock mode: **I_PCM** (ITU-T H.264 §7.3.5 /
+§8.3.5), where each 16x16 macroblock is a fixed 2-byte CAVLC prefix
+(``ue(25)`` + alignment) followed by the raw luma/chroma samples.  That
+makes a standards-compliant baseline-profile encoder expressible in
+~200 lines of numpy, bit-exact by construction, decodable by every
+H.264 decoder (libavcodec, omxh264dec, browsers), and fast: after the
+slice header every macroblock is byte-aligned, so the whole slice is a
+single vectorized assembly:
+
+    [4-byte slice head][MB0 samples][\\x0d\\x00 MB1 samples]...[0x80]
+
+Bitstream layout choices (all spec-conformant, chosen for simplicity):
+baseline profile (66), one IDR slice per frame (``idr_pic_id``
+alternates 0/1 as §7.4.3 requires for consecutive IDRs),
+``pic_order_cnt_type=2``, CAVLC, no VUI.  Emulation prevention
+(§7.4.1.1) is applied with a sequential-equivalent regex pass.
+
+This is the always-available backend of the relay's pluggable encoder
+boundary (io.encoder); external/gi encoders take over when a host
+provides them.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+__all__ = ["PcmH264Encoder", "encode_frame_pcm", "build_sps", "build_pps"]
+
+_START4 = b"\x00\x00\x00\x01"
+# 00 00 followed by a byte <= 03 needs an 03 escape; re.sub's
+# non-overlapping left-to-right scan with a lookahead reproduces the
+# spec's sequential zero-run algorithm exactly (the run counter resets
+# after each insertion, and the trigger byte is re-examined).
+_EMU_RE = re.compile(b"\x00\x00(?=[\x00-\x03])", re.DOTALL)
+
+
+def _escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention 0x03 bytes (§7.4.1.1)."""
+    return _EMU_RE.sub(b"\x00\x00\x03", rbsp)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def u(self, value: int, n: int) -> "_BitWriter":
+        for i in range(n - 1, -1, -1):
+            self._bits.append((value >> i) & 1)
+        return self
+
+    def ue(self, value: int) -> "_BitWriter":
+        # Exp-Golomb: leading zeros + binary(value+1)
+        code = value + 1
+        n = code.bit_length()
+        return self.u(code, 2 * n - 1)
+
+    def se(self, value: int) -> "_BitWriter":
+        return self.ue(2 * value - 1 if value > 0 else -2 * value)
+
+    def trailing(self) -> "_BitWriter":
+        """rbsp_trailing_bits: stop bit + zero alignment."""
+        self._bits.append(1)
+        while len(self._bits) % 8:
+            self._bits.append(0)
+        return self
+
+    def align_zero(self) -> "_BitWriter":
+        while len(self._bits) % 8:
+            self._bits.append(0)
+        return self
+
+    def bytes(self) -> bytes:
+        assert len(self._bits) % 8 == 0
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            b = 0
+            for bit in self._bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+# MaxFS (macroblocks per frame) per level, Table A-1 (subset)
+_LEVEL_BY_MBS = [(99, 10), (396, 11), (792, 21), (1620, 22), (3600, 31),
+                 (5120, 32), (8192, 40), (22080, 50), (36864, 51)]
+
+
+def _level_for(mbs: int) -> int:
+    for max_fs, level in _LEVEL_BY_MBS:
+        if mbs <= max_fs:
+            return level
+    return 52
+
+
+def build_sps(width: int, height: int) -> bytes:
+    """Sequence parameter set for a frame_mbs_only baseline stream."""
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    crop_r = (mb_w * 16 - width) // 2   # CropUnitX = 2 (4:2:0)
+    crop_b = (mb_h * 16 - height) // 2  # CropUnitY = 2 (frame_mbs_only)
+    w = _BitWriter()
+    w.u(0, 1).u(3, 2).u(7, 5)        # nal: forbidden=0, ref_idc=3, type=SPS
+    w.u(66, 8)                       # profile_idc: baseline
+    w.u(0b11000000, 8)               # constraint_set0+1, reserved zeros
+    w.u(_level_for(mb_w * mb_h), 8)  # level_idc
+    w.ue(0)                          # seq_parameter_set_id
+    w.ue(0)                          # log2_max_frame_num_minus4 -> u(4)
+    w.ue(2)                          # pic_order_cnt_type: 2 (no POC syntax)
+    w.ue(0)                          # max_num_ref_frames (all-IDR stream)
+    w.u(0, 1)                        # gaps_in_frame_num_value_allowed
+    w.ue(mb_w - 1)                   # pic_width_in_mbs_minus1
+    w.ue(mb_h - 1)                   # pic_height_in_map_units_minus1
+    w.u(1, 1)                        # frame_mbs_only_flag
+    w.u(1, 1)                        # direct_8x8_inference_flag
+    if crop_r or crop_b:
+        w.u(1, 1)                    # frame_cropping_flag
+        w.ue(0).ue(crop_r).ue(0).ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)                        # vui_parameters_present_flag
+    w.trailing()
+    return _escape(w.bytes())
+
+
+def build_pps() -> bytes:
+    """Picture parameter set: CAVLC, single slice group, defaults."""
+    w = _BitWriter()
+    w.u(0, 1).u(3, 2).u(8, 5)  # nal header: PPS
+    w.ue(0)                    # pic_parameter_set_id
+    w.ue(0)                    # seq_parameter_set_id
+    w.u(0, 1)                  # entropy_coding_mode_flag: CAVLC
+    w.u(0, 1)                  # bottom_field_pic_order_in_frame_present
+    w.ue(0)                    # num_slice_groups_minus1
+    w.ue(0).ue(0)              # num_ref_idx_l{0,1}_default_active_minus1
+    w.u(0, 1)                  # weighted_pred_flag
+    w.u(0, 2)                  # weighted_bipred_idc
+    w.se(0).se(0)              # pic_init_qp/qs_minus26
+    w.se(0)                    # chroma_qp_index_offset
+    w.u(0, 1)                  # deblocking_filter_control_present_flag
+    w.u(0, 1)                  # constrained_intra_pred_flag
+    w.u(0, 1)                  # redundant_pic_cnt_present_flag
+    w.trailing()
+    return _escape(w.bytes())
+
+
+def _slice_head(idr_pic_id: int) -> bytes:
+    """IDR slice header + MB0's mb_type/alignment — 4 bytes, byte-aligned
+    so every subsequent macroblock is the fixed 2-byte prefix."""
+    w = _BitWriter()
+    w.u(0, 1).u(3, 2).u(5, 5)  # nal header: IDR slice, ref_idc 3
+    w.ue(0)                    # first_mb_in_slice
+    w.ue(7)                    # slice_type: I (all slices of picture)
+    w.ue(0)                    # pic_parameter_set_id
+    w.u(0, 4)                  # frame_num (log2_max_frame_num = 4)
+    w.ue(idr_pic_id)           # idr_pic_id (alternates, §7.4.3)
+    w.u(0, 1)                  # no_output_of_prior_pics_flag
+    w.u(0, 1)                  # long_term_reference_flag
+    w.se(0)                    # slice_qp_delta
+    w.ue(25)                   # MB0 mb_type: I_PCM
+    w.align_zero()             # pcm_alignment_zero_bit(s)
+    return w.bytes()
+
+
+# every non-first macroblock: ue(25) then alignment = 0x0D 0x00
+_MB_PREFIX = bytes([0x0D, 0x00])
+
+
+def _mb_samples(nv12: np.ndarray, width: int, height: int) -> np.ndarray:
+    """(n_mbs, 384) uint8: 256 luma + 64 Cb + 64 Cr per macroblock, MB
+    raster order, edge-replicated to the 16-pixel grid."""
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    y = nv12[:height]
+    uv = nv12[height:].reshape(height // 2, width // 2, 2)
+    pad_y = (mb_h * 16 - height, mb_w * 16 - width)
+    yp = np.pad(y, ((0, pad_y[0]), (0, pad_y[1])), mode="edge")
+    pad_c = (mb_h * 8 - height // 2, mb_w * 8 - width // 2)
+    cbp = np.pad(uv[..., 0], ((0, pad_c[0]), (0, pad_c[1])), mode="edge")
+    crp = np.pad(uv[..., 1], ((0, pad_c[0]), (0, pad_c[1])), mode="edge")
+    n = mb_h * mb_w
+    ymb = yp.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(n, 256)
+    cbmb = cbp.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 64)
+    crmb = crp.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 64)
+    return np.concatenate([ymb, cbmb, crmb], axis=1)
+
+
+def encode_frame_pcm(nv12: np.ndarray, width: int, height: int,
+                     idr_pic_id: int = 0) -> bytes:
+    """One IDR slice NAL (no start code) holding the whole frame as
+    I_PCM macroblocks — losslessly."""
+    if width % 2 or height % 2:
+        raise ValueError("NV12 requires even dimensions")
+    samples = _mb_samples(np.ascontiguousarray(nv12), width, height)
+    n = samples.shape[0]
+    # [head 4B][MB0 384B] + (n-1) * [2B prefix][384B] + [0x80 stop]
+    body = np.empty((n - 1, 386), np.uint8) if n > 1 else None
+    parts = [_slice_head(idr_pic_id), samples[0].tobytes()]
+    if body is not None:
+        body[:, 0] = 0x0D
+        body[:, 1] = 0x00
+        body[:, 2:] = samples[1:]
+        parts.append(body.tobytes())
+    parts.append(b"\x80")  # rbsp_slice_trailing_bits
+    return _escape(b"".join(parts))
+
+
+class PcmH264Encoder:
+    """Frame-in/AU-out H.264 encoder, losslessly PCM-coding every frame.
+
+    Implements the io.encoder FrameEncoder protocol: ``encode`` returns
+    the completed Annex-B access units for one NV12 frame (always
+    exactly one here — SPS+PPS ride ahead of each IDR so any receiver
+    can join mid-stream, like ``rtph264pay config-interval=-1``).
+    """
+
+    codec = "h264"
+
+    def __init__(self, width: int, height: int) -> None:
+        self.width = width
+        self.height = height
+        self._sps = build_sps(width, height)
+        self._pps = build_pps()
+        self._idr_pic_id = 0
+        self.frames = 0
+
+    def encode(self, nv12: np.ndarray) -> list[bytes]:
+        rows = self.height * 3 // 2
+        arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
+        sl = encode_frame_pcm(arr, self.width, self.height,
+                              self._idr_pic_id)
+        self._idr_pic_id ^= 1  # consecutive IDRs must differ (§7.4.3)
+        self.frames += 1
+        return [_START4 + self._sps + _START4 + self._pps + _START4 + sl]
+
+    def flush(self) -> list[bytes]:
+        return []
+
+    def close(self) -> None:
+        pass

@@ -1,0 +1,275 @@
+"""Encoder boundary tests: the pure-Python I_PCM H.264 encoder, the
+pluggable backend selection, and the relay's encoded-RTP emit chain
+(<- reference ``OpenCVequalHist.cpp:308-332``: the emit side always
+encodes before transmit)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.io.h264_pcm import (
+    PcmH264Encoder, build_pps, build_sps, encode_frame_pcm, _slice_head)
+from opencv_opencl_tpu.io.rtp_h26x import split_annexb
+
+
+def rand_nv12(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+
+
+def unescape(data: bytes) -> bytes:
+    """Remove emulation-prevention bytes (inverse of §7.4.1.1)."""
+    return re.sub(b"\x00\x00\x03(?=[\x00-\x03])", b"\x00\x00", data,
+                  flags=re.DOTALL)
+
+
+def parse_pcm_slice(nal: bytes, width: int, height: int,
+                    idr_pic_id: int) -> np.ndarray:
+    """Mini I_PCM decoder: reconstruct the padded-MB NV12 from a slice
+    NAL (structure must match the encoder's fixed layout)."""
+    rbsp = unescape(nal)
+    head = _slice_head(idr_pic_id)
+    assert rbsp[: len(head)] == head
+    mb_w, mb_h = -(-width // 16), -(-height // 16)
+    n = mb_w * mb_h
+    body = rbsp[len(head):]
+    blocks = []
+    pos = 0
+    for i in range(n):
+        if i > 0:
+            assert body[pos : pos + 2] == b"\x0d\x00", f"MB {i} prefix"
+            pos += 2
+        blocks.append(np.frombuffer(body[pos : pos + 384], np.uint8))
+        pos += 384
+    assert body[pos:] == b"\x80"  # rbsp_slice_trailing_bits
+    mbs = np.stack(blocks)
+    y = (mbs[:, :256].reshape(mb_h, mb_w, 16, 16)
+         .transpose(0, 2, 1, 3).reshape(mb_h * 16, mb_w * 16))
+    cb = (mbs[:, 256:320].reshape(mb_h, mb_w, 8, 8)
+          .transpose(0, 2, 1, 3).reshape(mb_h * 8, mb_w * 8))
+    cr = (mbs[:, 320:].reshape(mb_h, mb_w, 8, 8)
+          .transpose(0, 2, 1, 3).reshape(mb_h * 8, mb_w * 8))
+    uv = np.stack([cb[: height // 2, : width // 2],
+                   cr[: height // 2, : width // 2]], axis=-1)
+    return np.concatenate(
+        [y[:height, :width], uv.reshape(height // 2, width)], axis=0)
+
+
+class TestPcmBitstream:
+    def test_au_structure(self):
+        enc = PcmH264Encoder(96, 64)
+        (au,) = enc.encode(rand_nv12(96, 64))
+        nals = split_annexb(au)
+        assert [n[0] & 0x1F for n in nals] == [7, 8, 5]  # SPS, PPS, IDR
+        assert all((n[0] >> 5) & 3 == 3 for n in nals)   # nal_ref_idc 3
+
+    def test_full_lossless_roundtrip_mini_parser(self):
+        w, h = 96, 64
+        f = rand_nv12(w, h, seed=3)
+        sl = encode_frame_pcm(f, w, h, idr_pic_id=0)
+        out = parse_pcm_slice(sl, w, h, 0)
+        assert np.array_equal(out, f)  # luma AND chroma, bit-exact
+
+    def test_lossless_through_real_decoder(self, tmp_path):
+        """libavcodec (cv2's FFMPEG) decodes the stream and the Y plane
+        is bit-exact — independent proof of standards compliance."""
+        import cv2
+
+        w, h = 96, 64
+        enc = PcmH264Encoder(w, h)
+        frames = [rand_nv12(w, h, seed=i) for i in range(3)]
+        es = b"".join(b"".join(enc.encode(f)) for f in frames)
+        p = tmp_path / "pcm.h264"
+        p.write_bytes(es)
+        cap = cv2.VideoCapture(str(p))
+        assert cap.isOpened()
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        for f in frames:
+            ok, raw = cap.read()
+            assert ok
+            assert np.array_equal(raw[:h, :w], f[:h])
+        cap.release()
+
+    def test_cropped_geometry_decodes_right_size(self, tmp_path):
+        """Non-multiple-of-16 frames use SPS cropping (36x28 -> 3x2 MBs
+        with crop offsets)."""
+        import cv2
+
+        w, h = 36, 28
+        enc = PcmH264Encoder(w, h)
+        f = rand_nv12(w, h, seed=7)
+        es = b"".join(enc.encode(f))
+        p = tmp_path / "crop.h264"
+        p.write_bytes(es)
+        cap = cv2.VideoCapture(str(p))
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        ok, raw = cap.read()
+        assert ok
+        assert raw.shape[1] == w and raw.shape[0] >= h
+        assert np.array_equal(raw[:h, :w], f[:h])
+        cap.release()
+
+    def test_emulation_prevention_on_zero_frames(self):
+        """An all-zero frame is the emulation worst case: every PCM byte
+        is 0x00.  The escaped stream must contain no start-code or
+        3-zero run inside a NAL, and must unescape losslessly."""
+        w, h = 32, 32
+        f = np.zeros((h * 3 // 2, w), np.uint8)
+        sl = encode_frame_pcm(f, w, h, 0)
+        assert b"\x00\x00\x00" not in sl
+        assert b"\x00\x00\x01" not in sl
+        assert b"\x00\x00\x02" not in sl
+        out = parse_pcm_slice(sl, w, h, 0)
+        assert np.array_equal(out, f)
+
+    def test_idr_pic_id_alternates(self):
+        enc = PcmH264Encoder(32, 32)
+        f = rand_nv12(32, 32)
+        au0 = enc.encode(f)[0]
+        au1 = enc.encode(f)[0]
+        au2 = enc.encode(f)[0]
+        assert au0 != au1  # differing idr_pic_id (spec 7.4.3)
+        assert au0 == au2
+
+    def test_odd_dimensions_rejected(self):
+        with pytest.raises(ValueError, match="even"):
+            encode_frame_pcm(np.zeros((49, 33), np.uint8), 33, 32)
+
+    def test_sps_pps_parse_basics(self):
+        sps = build_sps(1920, 1080)
+        assert sps[0] & 0x1F == 7
+        assert sps[1] == 66  # baseline profile
+        pps = build_pps()
+        assert pps[0] & 0x1F == 8
+
+
+class TestBackendSelection:
+    def test_auto_falls_back_to_pcm_here(self):
+        from opencv_opencl_tpu.io.encoder import (
+            available_encoders, make_encoder)
+
+        avail = available_encoders()
+        assert avail[-1] == "pcm"  # always present, last resort
+        enc = make_encoder("auto", 64, 48)
+        assert enc.codec == "h264"
+
+    def test_unknown_backend_rejected(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        with pytest.raises(ValueError, match="unknown encoder"):
+            make_encoder("nvenc", 64, 48)
+
+    def test_pcm_h265_rejected(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        with pytest.raises(ValueError, match="h264-only"):
+            make_encoder("pcm", 64, 48, codec="h265")
+
+
+class TestEncodedRtp:
+    def test_rtp_loopback_byte_identical_es(self):
+        """The VERDICT acceptance bar: encoded AUs ride RFC 6184 RTP and
+        the receiver reassembles a byte-identical elementary stream."""
+        from opencv_opencl_tpu.io.encoder import EncodedRtpSink, make_encoder
+        from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
+
+        rx = H26xRtpReceiver(codec="h264", timeout=10.0)
+        enc = make_encoder("pcm", 64, 48)
+        sink = EncodedRtpSink(enc, "127.0.0.1", rx.port, fps=30.0)
+        sent = []
+        frames = [rand_nv12(64, 48, seed=i) for i in range(4)]
+        # capture what goes out by re-encoding with an identical encoder
+        ref_enc = make_encoder("pcm", 64, 48)
+        for f in frames:
+            sink.write(f)
+            sent.extend(ref_enc.encode(f))
+        got = []
+        for _ in sent:
+            au = rx.recv_access_unit()
+            assert au is not None
+            got.append(au)
+        sink.close()
+        rx.close()
+        assert got == sent  # byte-identical ES through the wire
+
+    def test_relay_sink_rtp_h264_end_to_end(self, tmp_path):
+        """relay --sink=rtp+h264://: enhanced frames leave the process as
+        a decodable H.264 RTP stream (full reference emit chain)."""
+        import threading
+
+        import cv2
+
+        from opencv_opencl_tpu.apps import relay
+        from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
+
+        rx = H26xRtpReceiver(codec="h264", timeout=30.0)
+        aus = []
+
+        def collect():
+            for _ in range(3):
+                au = rx.recv_access_unit()
+                if au is not None:
+                    aus.append(au)
+
+        t = threading.Thread(target=collect)
+        t.start()
+        rc = relay.run([
+            "--source=test", "--width=96", "--height=64", "--max-frames=6",
+            f"--sink=rtp+h264://127.0.0.1:{rx.port}", "--batch=2",
+            "--op=histeq", "--encoder=pcm",
+        ])
+        t.join(timeout=60)
+        rx.close()
+        assert rc == 0
+        assert len(aus) == 3
+        es = tmp_path / "relay.h264"
+        es.write_bytes(b"".join(aus))
+        cap = cv2.VideoCapture(str(es))
+        assert cap.isOpened()
+        ok, frame = cap.read()
+        assert ok and frame.shape[:2] == (64, 96)
+        cap.release()
+
+    def test_rtp_receiver_app_records_h264(self, tmp_path):
+        """rtp_receiver --kind=h264 records the ES the relay ships."""
+        import threading
+
+        from opencv_opencl_tpu.apps import rtp_receiver
+        from opencv_opencl_tpu.io.encoder import EncodedRtpSink, make_encoder
+
+        out = tmp_path / "rx.h264"
+        import socket
+
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+
+        rc = {}
+
+        def run_rx():
+            rc["rc"] = rtp_receiver.run([
+                f"--port={port}", "--kind=h264", f"--output={out}",
+                "--max-frames=2", "--timeout=20",
+            ])
+
+        t = threading.Thread(target=run_rx)
+        t.start()
+        import time
+
+        time.sleep(0.5)
+        enc = make_encoder("pcm", 64, 48)
+        ref_enc = make_encoder("pcm", 64, 48)
+        sink = EncodedRtpSink(enc, "127.0.0.1", port)
+        expect = b""
+        for i in range(2):
+            f = rand_nv12(64, 48, seed=i)
+            sink.write(f)
+            expect += b"".join(ref_enc.encode(f))
+        t.join(timeout=30)
+        sink.close()
+        assert rc.get("rc") == 0
+        assert out.read_bytes() == expect
