@@ -68,19 +68,37 @@ def main() -> None:
 
     # compile + measure loop overhead at n=1, amortized rate at n=chain+1
     # (chain long enough that tunnel RPC jitter (~20 ms) stays <5% of the
-    # chained total); median of 3 so one jittered fetch cannot skew the
-    # recorded headline
+    # chained total)
     _ = int(chained(dev, 1))
-    _ = int(chained(dev, chain + 1))
-    samples = []
-    for _i in range(3):
+
+    def one_sample() -> float:
         t0 = time.perf_counter()
         _ = int(chained(dev, 1))
         t1 = time.perf_counter()
         _ = int(chained(dev, chain + 1))
         t2 = time.perf_counter()
-        samples.append(max(((t2 - t1) - (t1 - t0)) / chain, 1e-9))
-    per_step_s = sorted(samples)[1]
+        return max(((t2 - t1) - (t1 - t0)) / chain, 1e-9)
+
+    # Sustained warmup: the chip's clock state drifts ~±7% between a cold
+    # start and thermal steady state (round-2 spread was 683-778 fps run
+    # to run).  Keep running the chained workload until two consecutive
+    # timings agree within 2% (or 12 rounds), so the recorded headline is
+    # the steady-state rate any rerun reproduces, not a lucky cold-clock
+    # burst.
+    warm_prev = one_sample()
+    warmup_rounds = 1
+    for _i in range(11):
+        cur = one_sample()
+        warmup_rounds += 1
+        if abs(cur - warm_prev) / max(cur, warm_prev) < 0.02:
+            warm_prev = cur
+            break
+        warm_prev = cur
+
+    # median of 5 so a jittered fetch cannot skew the recorded headline
+    samples = sorted(one_sample() for _i in range(5))
+    per_step_s = samples[2]
+    spread_pct = (samples[-1] - samples[0]) / per_step_s * 100.0
     device_fps = batch / per_step_s
 
     # host loop (tunnel-bound here; PCIe-bound on production hosts)
@@ -107,6 +125,8 @@ def main() -> None:
                     # deterministic pipeline: mean == p50 (no on-device
                     # variance sources); the BASELINE p50 metric
                     "per_frame_ms": round(per_step_s / batch * 1e3, 3),
+                    "warmup_rounds_to_steady_state": warmup_rounds,
+                    "sample_spread_pct": round(spread_pct, 1),
                     "host_loop_fps_tunnel_bound": round(host_fps, 2),
                     "tunnel_note": "host<->TPU runs over a ~7 MB/s tunnel "
                                    "in this environment; host loop measures "

@@ -264,11 +264,21 @@ class SignalingServer:
     Senders and viewers join rooms; offer/ice from the sender fan out to
     viewers, answer/ice from a viewer route to the sender, and the sender
     gets a ``ready`` when a viewer joins.
+
+    Plain HTTP GETs on the same port serve the viewer pages
+    (``/viewer.html``, ``/stats.html``, ``/protocol.js``; ``/`` is the
+    viewer) so a browser needs no separate web server — point it at
+    ``http://host:port/`` and the page's default ws URL is already
+    right.  The reference assumed an external HTTP server for its
+    ``webrtc/*.html``; serving them in-process makes the control plane
+    self-contained.  Disable with ``serve_pages=False``.
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 serve_pages: bool = True) -> None:
         self.host = host
         self.port = port
+        self.serve_pages = serve_pages
         self.rooms: dict[str, dict] = {}
         self._peers: dict[str, object] = {}  # peer-id -> websocket
         self._loop: asyncio.AbstractEventLoop | None = None
@@ -303,10 +313,47 @@ class SignalingServer:
 
         self._loop = asyncio.get_running_loop()
         self._stop_event = asyncio.Event()
-        async with websockets.serve(self._handler, self.host, self.port) as server:
+        async with websockets.serve(
+            self._handler, self.host, self.port,
+            process_request=self._process_request if self.serve_pages
+            else None,
+        ) as server:
             self.port = server.sockets[0].getsockname()[1]
             self._started.set()
             await self._stop_event.wait()
+
+    _PAGES = {
+        "/": ("viewer.html", "text/html; charset=utf-8"),
+        "/viewer.html": ("viewer.html", "text/html; charset=utf-8"),
+        "/stats.html": ("stats.html", "text/html; charset=utf-8"),
+        "/protocol.js": ("protocol.js",
+                         "application/javascript; charset=utf-8"),
+        "/protocol_test.html": ("protocol_test.html",
+                                "text/html; charset=utf-8"),
+    }
+
+    def _process_request(self, connection, request):
+        """Serve the viewer pages to plain HTTP GETs; None lets the
+        WebSocket handshake proceed."""
+        if "websocket" in request.headers.get("Upgrade", "").lower():
+            return None
+        from http import HTTPStatus
+        from importlib import resources
+
+        from websockets.datastructures import Headers
+        from websockets.http11 import Response
+
+        path = request.path.split("?", 1)[0]
+        entry = self._PAGES.get(path)
+        if entry is None:
+            return Response(HTTPStatus.NOT_FOUND, "Not Found", Headers(
+                [("Content-Type", "text/plain")]), b"not found\n")
+        name, ctype = entry
+        body = (resources.files("opencv_opencl_tpu.io") / "viewers"
+                / name).read_bytes()
+        return Response(HTTPStatus.OK, "OK", Headers(
+            [("Content-Type", ctype),
+             ("Content-Length", str(len(body)))]), body)
 
     def _room(self, name: str) -> dict:
         return self.rooms.setdefault(name, {"sender": None, "viewers": set()})

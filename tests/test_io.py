@@ -258,8 +258,11 @@ def test_viewer_pages_protocol():
     base = os.path.join(os.path.dirname(io_pkg.__file__), "viewers")
     viewer = open(os.path.join(base, "viewer.html")).read()
     stats = open(os.path.join(base, "stats.html")).read()
+    # the join/answer/ice protocol lives in the shared module now
+    proto = open(os.path.join(base, "protocol.js")).read()
+    assert '"join"' in proto
     for page in (viewer, stats):
-        assert "type: 'join'" in page or '"join"' in page or "'join'" in page
+        assert '<script src="protocol.js">' in page
         assert "RTCPeerConnection" in page
         assert "stun.l.google.com:19302" in page
         assert "addIceCandidate" in page
