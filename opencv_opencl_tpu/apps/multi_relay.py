@@ -16,6 +16,10 @@ Usage:
       [--priorities=2,1,...]  # per-stream QoS classes (higher = more
                          # important): overload evicts the lowest class
                          # first, so premium streams survive congestion
+      [--native]         # GIL-free C++ staging ring; composes with
+                         # --priorities (fp_ring_push_prio evicts the
+                         # lowest class and reports whose frame it was,
+                         # keeping per-stream drop accounting truthful)
 
 The serving extension of ``relay``: one chip is ~10x faster than a 4K60
 stream needs (docs/RESULTS_R2.md), so production packs many streams per
@@ -48,6 +52,7 @@ def run(argv: list[str]) -> int:
             "duration": float, "source": str, "sink": str,
             "status-interval": float, "rtcp-schedule": str, "mesh": str,
             "adaptive-rate": bool, "max-rate": float, "priorities": str,
+            "native": bool,
         },
     )
     n = opts.get("streams", 2)
@@ -152,7 +157,9 @@ def run(argv: list[str]) -> int:
                     priorities=priorities,
                     batch_size=opts.get("batch", 4),
                     depth=opts.get("workers", 2),
-                    queue_capacity=max(8, 4 * n))
+                    queue_capacity=max(8, 4 * n),
+                    native_staging=((spec.buffer_rows, spec.width)
+                                    if opts.get("native") else False))
     src_path = opts.get("source", "test")
     sources = []
     for s in range(n):

@@ -59,6 +59,10 @@ def _load():
         lib.fp_ring_free.argtypes = [ctypes.c_void_p]
         lib.fp_ring_push.restype = ctypes.c_int
         lib.fp_ring_push.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
+        lib.fp_ring_push_prio.restype = ctypes.c_int
+        lib.fp_ring_push_prio.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_uint64, ctypes.c_int32, u64p,
+        ]
         lib.fp_ring_pop_batch.restype = ctypes.c_int64
         lib.fp_ring_pop_batch.argtypes = [
             ctypes.c_void_p, u8p, u64p, ctypes.c_size_t, ctypes.c_int64,
@@ -128,6 +132,26 @@ class NativeRing:
         if r < 0:
             raise RuntimeError("ring closed")
         return r == 0
+
+    def push_prio(self, frame: np.ndarray, seq: int,
+                  prio: int) -> tuple[str, int | None]:
+        """Priority-aware push (QoS serving keeps the GIL-free path).
+
+        Returns ``(status, evicted_seq)`` with status one of:
+        ``"ok"`` (queued, no drop), ``"evicted"`` (queued; the oldest
+        lowest-priority frame — seq returned — was dropped), or
+        ``"rejected"`` (this frame ranks below everything queued and was
+        dropped itself).  Raises when the ring is closed."""
+        frame = np.ascontiguousarray(frame)
+        assert frame.nbytes == self.frame_bytes
+        evicted = ctypes.c_uint64(0)
+        r = self._lib.fp_ring_push_prio(
+            self._h, _ptr(frame), seq, prio, ctypes.byref(evicted))
+        if r < 0:
+            raise RuntimeError("ring closed")
+        if r == 1:
+            return "evicted", int(evicted.value)
+        return ("rejected", None) if r == 2 else ("ok", None)
 
     def pop_batch(self, batch_out: np.ndarray, max_frames: int,
                   timeout_ms: int = 50):

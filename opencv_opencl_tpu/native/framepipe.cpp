@@ -33,11 +33,17 @@ extern "C" {
 
 // ---------------------------------------------------------------- ring ----
 
+struct FpRingEntry {
+    uint64_t seq;
+    size_t slot;
+    int32_t prio;  // QoS class; overflow evicts the oldest lowest-prio
+};
+
 struct FpRing {
     size_t frame_bytes;
     size_t capacity;
     std::vector<uint8_t> storage;          // capacity * frame_bytes
-    std::deque<std::pair<uint64_t, size_t>> queue;  // (seq, slot)
+    std::deque<FpRingEntry> queue;
     std::deque<size_t> free_slots;
     std::mutex mu;
     std::condition_variable cv;
@@ -57,20 +63,43 @@ FpRing* fp_ring_new(size_t capacity, size_t frame_bytes) {
 
 void fp_ring_free(FpRing* r) { delete r; }
 
-// Push one frame (memcpy into a slot). Returns 1 if an old frame was
-// dropped to make room (leaky semantics), 0 otherwise, -1 if closed.
-int fp_ring_push(FpRing* r, const uint8_t* data, uint64_t seq) {
+// Priority-aware push (the QoS serving hook: StreamMux premium streams
+// keep the GIL-free staging path).  On overflow the OLDEST entry among
+// those with the LOWEST priority is evicted — the PriorityLeakyQueue
+// policy, GIL-free; equal priorities degrade to plain drop-oldest.  The
+// evicted frame's seq is written to *evicted_seq_out so per-stream drop
+// accounting stays attributable (the round-2 FIFO ring could not say
+// WHOSE frame it evicted).
+// Returns: 0 = queued, no drop; 1 = queued, old frame evicted (seq in
+// *evicted_seq_out); 2 = incoming frame itself rejected (ranks below
+// everything queued — not copied); -1 = closed.
+int fp_ring_push_prio(FpRing* r, const uint8_t* data, uint64_t seq,
+                      int32_t prio, uint64_t* evicted_seq_out) {
     size_t slot;
-    int dropped = 0;
+    int rc = 0;
     {
         std::lock_guard<std::mutex> lk(r->mu);
         if (r->closed) return -1;
         if (r->free_slots.empty()) {
-            // drop the oldest queued frame, reuse its slot
-            slot = r->queue.front().second;
-            r->queue.pop_front();
+            // oldest entry of the lowest priority class (bounded scan:
+            // capacity is small by design, like PriorityLeakyQueue)
+            size_t idx = 0;
+            int32_t pmin = r->queue.front().prio;
+            for (size_t i = 1; i < r->queue.size(); ++i) {
+                if (r->queue[i].prio < pmin) {
+                    pmin = r->queue[i].prio;
+                    idx = i;
+                }
+            }
             r->dropped.fetch_add(1, std::memory_order_relaxed);
-            dropped = 1;
+            if (pmin <= prio) {
+                if (evicted_seq_out) *evicted_seq_out = r->queue[idx].seq;
+                slot = r->queue[idx].slot;
+                r->queue.erase(r->queue.begin() + idx);
+                rc = 1;
+            } else {
+                return 2;  // incoming ranks below the whole queue
+            }
         } else {
             slot = r->free_slots.front();
             r->free_slots.pop_front();
@@ -79,11 +108,19 @@ int fp_ring_push(FpRing* r, const uint8_t* data, uint64_t seq) {
     std::memcpy(&r->storage[slot * r->frame_bytes], data, r->frame_bytes);
     {
         std::lock_guard<std::mutex> lk(r->mu);
-        r->queue.emplace_back(seq, slot);
+        r->queue.push_back({seq, slot, prio});
         r->pushed.fetch_add(1, std::memory_order_relaxed);
     }
     r->cv.notify_one();
-    return dropped;
+    return rc;
+}
+
+// Push one frame (memcpy into a slot). Returns 1 if an old frame was
+// dropped to make room (leaky semantics), 0 otherwise, -1 if closed.
+int fp_ring_push(FpRing* r, const uint8_t* data, uint64_t seq) {
+    // uniform priority: pmin <= prio always, so rc 2 cannot occur and
+    // the eviction policy degrades to drop-oldest (original semantics)
+    return fp_ring_push_prio(r, data, seq, 0, nullptr);
 }
 
 // Pop up to max_frames frames into the contiguous batch buffer (batch
@@ -104,10 +141,10 @@ int64_t fp_ring_pop_batch(FpRing* r, uint8_t* batch_out, uint64_t* seqs_out,
         size_t n = std::min(max_frames, r->queue.size());
         slots.reserve(n);
         for (size_t i = 0; i < n; ++i) {
-            auto [seq, slot] = r->queue.front();
+            FpRingEntry e = r->queue.front();
             r->queue.pop_front();
-            seqs_out[i] = seq;
-            slots.push_back(slot);
+            seqs_out[i] = e.seq;
+            slots.push_back(e.slot);
         }
     }
     for (size_t i = 0; i < slots.size(); ++i) {

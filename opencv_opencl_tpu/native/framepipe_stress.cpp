@@ -87,5 +87,88 @@ int main() {
                 (unsigned long long)dropped);
     fp_reseq_free(rs);
     fp_ring_free(ring);
+
+    // ---- phase 2: priority-aware push (QoS serving path) under the same
+    // contention.  Producer pid has QoS class pid % 2; class_of(seq)
+    // recovers it from the seq encoding.  Invariants: conservation
+    // (consumed + evicted + rejected == pushed), every eviction is
+    // attributed to a real not-yet-consumed seq, and a premium (class 1)
+    // frame is never rejected outright (rc 2 needs every queued entry to
+    // outrank it, impossible with only classes {0,1}).
+    FpRing* pring = fp_ring_new(16, FRAME);
+    std::atomic<uint64_t> pr_consumed{0};
+    std::atomic<uint64_t> evicted[2] = {{0}, {0}};
+    std::atomic<uint64_t> rejected[2] = {{0}, {0}};
+    std::atomic<bool> pr_done{false};
+    auto class_of = [](uint64_t seq) { return int((seq / 1000000) % 2); };
+
+    auto pr_producer = [&](int pid) {
+        std::vector<uint8_t> frame(FRAME);
+        int32_t prio = pid % 2;
+        for (int i = 0; i < PER_PRODUCER; ++i) {
+            std::memset(frame.data(), (pid * 41 + i) & 0xff, FRAME);
+            uint64_t seq = (uint64_t)pid * 1000000 + i;
+            uint64_t ev = 0;
+            int rc = fp_ring_push_prio(pring, frame.data(), seq, prio, &ev);
+            if (rc == 1) evicted[class_of(ev)].fetch_add(1);
+            else if (rc == 2) rejected[prio].fetch_add(1);
+        }
+    };
+
+    std::thread pr_consumer([&] {
+        std::vector<uint8_t> batch(8 * FRAME);
+        std::vector<uint64_t> seqs(8);
+        std::set<uint64_t> seen;
+        while (true) {
+            int64_t n = fp_ring_pop_batch(pring, batch.data(), seqs.data(), 8,
+                                          10);
+            if (n < 0) break;
+            if (n == 0) {
+                if (pr_done.load()) fp_ring_close(pring);
+                continue;
+            }
+            for (int64_t i = 0; i < n; ++i) {
+                if (!seen.insert(seqs[i]).second) {
+                    std::fprintf(stderr, "PRIO DUPLICATE seq %llu\n",
+                                 (unsigned long long)seqs[i]);
+                    std::exit(4);
+                }
+                pr_consumed.fetch_add(1);
+            }
+        }
+    });
+
+    std::vector<std::thread> pr_producers;
+    for (int p = 0; p < PRODUCERS; ++p) pr_producers.emplace_back(pr_producer, p);
+    for (auto& t : pr_producers) t.join();
+    pr_done.store(true);
+    pr_consumer.join();
+
+    uint64_t ev_total = evicted[0].load() + evicted[1].load();
+    uint64_t rj_total = rejected[0].load() + rejected[1].load();
+    if (pr_consumed.load() + ev_total + rj_total != total) {
+        std::fprintf(stderr,
+                     "PRIO ACCOUNTING: %llu consumed + %llu evicted + %llu "
+                     "rejected != %llu\n",
+                     (unsigned long long)pr_consumed.load(),
+                     (unsigned long long)ev_total,
+                     (unsigned long long)rj_total, (unsigned long long)total);
+        return 5;
+    }
+    if (fp_ring_dropped(pring) != ev_total + rj_total) {
+        std::fprintf(stderr, "PRIO DROP COUNTER mismatch\n");
+        return 6;
+    }
+    if (rejected[1].load() != 0) {
+        std::fprintf(stderr, "PRIO: premium frame rejected outright\n");
+        return 7;
+    }
+    std::printf("prio stress OK: %llu consumed, evicted be=%llu prem=%llu, "
+                "rejected be=%llu\n",
+                (unsigned long long)pr_consumed.load(),
+                (unsigned long long)evicted[0].load(),
+                (unsigned long long)evicted[1].load(),
+                (unsigned long long)rejected[0].load());
+    fp_ring_free(pring);
     return 0;
 }

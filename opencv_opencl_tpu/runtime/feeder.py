@@ -89,10 +89,10 @@ class FrameFeeder:
                 self._native_shape = tuple(native_staging)
                 frame_bytes = int(np.prod(self._native_shape))
                 self._native = native.NativeRing(queue_capacity, frame_bytes)
-        if priority_of is not None and self._native is not None:
-            raise ValueError(
-                "QoS priorities require python staging: the native ring "
-                "evicts FIFO (drop native_staging or priority_of)")
+        # QoS + native staging compose: the C++ ring's priority-aware
+        # eviction (fp_ring_push_prio) reports WHICH seq it evicted, so
+        # per-stream drop accounting stays truthful on the GIL-free path
+        self._priority_of = priority_of
         self._on_drop_item = on_drop_item
 
         def _note_drop(item):
@@ -136,18 +136,30 @@ class FrameFeeder:
         if self._native is not None:
             with self._meta_lock:
                 self._native_metas[seq] = meta
+            flat = np.asarray(frame).reshape(-1)
+            prio = (int(self._priority_of((seq, frame, meta)))
+                    if self._priority_of is not None else 0)
             try:
-                ok = self._native.push(np.asarray(frame).reshape(-1), seq)
+                # uniform priority (no priority_of) degrades to the plain
+                # drop-oldest policy, but the ring still reports WHICH seq
+                # it evicted, keeping per-stream accounting truthful
+                status, evicted_seq = self._native.push_prio(flat, seq, prio)
             except RuntimeError:  # ring closed
-                ok = False
-            if not ok:
+                status, evicted_seq = "rejected", None
+            if status != "ok":
                 self.counters.count("dropped_overflow")
-                if self._on_drop_item is not None:
-                    # attribute the rejected frame (ring-internal oldest
-                    # evictions are FIFO and not attributable per-stream)
-                    self._on_drop_item((seq, frame, meta))
-                with self._meta_lock:
-                    self._native_metas.pop(seq, None)
+                if status == "rejected":
+                    # the incoming frame itself was dropped
+                    if self._on_drop_item is not None:
+                        self._on_drop_item((seq, frame, meta))
+                    with self._meta_lock:
+                        self._native_metas.pop(seq, None)
+                else:  # evicted: attribute the drop to the EVICTED frame's
+                    # stream, not the new one's
+                    with self._meta_lock:
+                        ev_meta = self._native_metas.pop(evicted_seq, None)
+                    if self._on_drop_item is not None:
+                        self._on_drop_item((evicted_seq, None, ev_meta))
         else:
             try:
                 self._inq.put((seq, np.asarray(frame), meta))

@@ -387,19 +387,95 @@ def test_mux_priorities_shed_best_effort_first():
     assert st["per_stream"][0]["dropped"] >= 1
 
 
-def test_priority_of_with_native_ring_rejected():
+def test_native_ring_priority_eviction():
+    """fp_ring_push_prio: overflow evicts the oldest lowest-priority
+    frame (attributed by seq); an incoming frame ranking below the whole
+    queue is rejected itself; uniform priorities degrade to drop-oldest."""
+    import numpy as np
+
     from opencv_opencl_tpu import native
-    from opencv_opencl_tpu.runtime.feeder import FrameFeeder
 
     if not native.available():
         import pytest as _pytest
 
         _pytest.skip("native toolchain unavailable")
-    import pytest as _pytest
+    ring = native.NativeRing(2, 8)
+    f = np.arange(8, dtype=np.uint8)
+    assert ring.push_prio(f, 10, 0) == ("ok", None)
+    assert ring.push_prio(f, 11, 5) == ("ok", None)
+    # full: premium push evicts the oldest LOW-priority frame (seq 10),
+    # not the oldest overall once priorities differ
+    assert ring.push_prio(f, 12, 5) == ("evicted", 10)
+    # full with only premium queued: a best-effort frame is rejected
+    assert ring.push_prio(f, 13, 0) == ("rejected", None)
+    assert ring.dropped == 2
+    # the queued survivors are the premium frames, in order
+    out = np.zeros((2, 8), np.uint8)
+    n, seqs = ring.pop_batch(out, 2)
+    assert n == 2 and list(seqs) == [11, 12]
+    # uniform priorities = plain drop-oldest with attribution
+    assert ring.push_prio(f, 20, 0) == ("ok", None)
+    assert ring.push_prio(f, 21, 0) == ("ok", None)
+    assert ring.push_prio(f, 22, 0) == ("evicted", 20)
+    ring.close()
 
-    with _pytest.raises(ValueError, match="python staging"):
-        FrameFeeder(lambda b: b, native_staging=(6, 8),
-                    priority_of=lambda item: 0)
+
+def test_mux_priorities_with_native_staging():
+    """--priorities composes with the GIL-free native ring: premium
+    survives and per-stream drop accounting stays truthful (the ring
+    reports WHICH seq it evicted)."""
+    import threading
+    import time as timemod
+
+    import numpy as np
+
+    from opencv_opencl_tpu import native
+    from opencv_opencl_tpu.runtime.mux import StreamMux
+
+    if not native.available():
+        import pytest as _pytest
+
+        _pytest.skip("native toolchain unavailable")
+
+    gate = threading.Event()
+
+    def slow_process(batch):
+        gate.wait(5.0)
+        return batch
+
+    out = []
+    mux = StreamMux(slow_process, 2,
+                    on_output=lambda s, k, f, m: out.append(s),
+                    priorities=[0, 5],  # stream 1 is premium
+                    batch_size=1, depth=1, queue_capacity=2,
+                    native_staging=(6, 8))
+    assert mux.feeder._native is not None  # really on the C++ ring
+    mux.start()
+    try:
+        f = np.zeros((6, 8), np.uint8)
+        for i in range(8):
+            mux.submit(i % 2, f)
+            timemod.sleep(0.01)
+        gate.set()
+        deadline = timemod.monotonic() + 5.0
+        while timemod.monotonic() < deadline and len(out) < 3:
+            timemod.sleep(0.05)
+    finally:
+        gate.set()
+        mux.stop(drain=True)
+    st = mux.stats
+    prem = st["per_stream"][1]["emitted"]
+    be = st["per_stream"][0]["emitted"]
+    assert prem >= be
+    assert prem >= 2
+    # truthful per-stream attribution: best-effort shows the evictions
+    assert st["per_stream"][0]["dropped"] >= st["per_stream"][1]["dropped"]
+    assert st["per_stream"][0]["dropped"] >= 1
+    # conservation per stream: submitted == emitted + dropped (+ any
+    # frames flushed at drain time, which appear in neither)
+    for s in (0, 1):
+        ps = st["per_stream"][s]
+        assert ps["emitted"] + ps["dropped"] <= ps["submitted"]
 
 
 def test_priority_queue_concurrent_stress():
