@@ -139,7 +139,7 @@ def build_streaming_clahe_fn(cfg: EnhancerConfig, spec: FrameSpec):
     free.  (A single-pass kernel fusing the histogram into the interp dot
     was built and REJECTED: the in-kernel (256,W)x(TX,W) side-contraction
     lowers ~4x slower than the separate radix kernel — kept as
-    ``natural.clahe_interp_and_hist_natural`` for the record.)
+    ``ops.pallas.experiments.clahe_interp_and_hist_natural`` for the record.)
     """
     from opencv_opencl_tpu.ops.pallas import natural
 

@@ -11,7 +11,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
     from opencv_opencl_tpu.ops import clahe as cops
-    from opencv_opencl_tpu.ops.pallas import natural
+    from opencv_opencl_tpu.ops.pallas import experiments, natural
     log("devices:", jax.devices())
     h, w = 2160, 3840
     plan = cops.make_clahe_plan(h, w, 2.0, (8, 8))
@@ -37,7 +37,7 @@ def main():
     # into the chain hash via xor to stay data-dependent)
     def fused_only(x):
         def one(f):
-            out, hs = natural.clahe_interp_and_hist_natural(f, luts, spec)
+            out, hs = experiments.clahe_interp_and_hist_natural(f, luts, spec)
             return out ^ (jnp.sum(hs) & 1).astype(jnp.uint8)
         return jax.vmap(one)(x)
     try:

@@ -13,7 +13,7 @@ def main():
     import cv2
     import jax.numpy as jnp
     from opencv_opencl_tpu.ops import clahe as cops
-    from opencv_opencl_tpu.ops.pallas import natural
+    from opencv_opencl_tpu.ops.pallas import experiments, natural
     log("devices:", jax.devices())
 
     def chained_ms(fn, x, chain=32, key=None):
@@ -37,7 +37,7 @@ def main():
     # parity of the full v3 + batched8 combination
     @jax.jit
     def full_new(yy):
-        hists = natural.tile_histograms_radix(yy, 8, 8, 270, 480, batched8=True)
+        hists = experiments.tile_histograms_radix_batched(yy, 8, 8, 270, 480, batch_rows=8)
         luts = cops._luts_from_hists(hists, plan)
         return natural.clahe_interpolate_natural(yy, luts, spec, variant=2)
     try:
@@ -62,7 +62,7 @@ def main():
     for b8 in (True, False):
         def fh(x, b8=b8):
             def one(fr):
-                hs = natural.tile_histograms_radix(fr, 8, 8, 270, 480, batched8=b8)
+                hs = experiments.tile_histograms_radix_batched(fr, 8, 8, 270, 480, batch_rows=8) if b8 else natural.tile_histograms_radix(fr, 8, 8, 270, 480, )
                 return fr ^ (jnp.sum(hs) & 1).astype(jnp.uint8)
             return jax.vmap(one)(x)
         try:
@@ -74,7 +74,7 @@ def main():
     for var, b8 in ((2, True),):
         def f2(x, var=var, b8=b8):
             def one(fr):
-                hs = natural.tile_histograms_radix(fr, 8, 8, 270, 480, batched8=b8)
+                hs = experiments.tile_histograms_radix_batched(fr, 8, 8, 270, 480, batch_rows=8) if b8 else natural.tile_histograms_radix(fr, 8, 8, 270, 480, )
                 l = cops._luts_from_hists(hs, plan)
                 return natural.clahe_interpolate_natural(fr, l, spec, variant=var)
             return jax.vmap(one)(x)

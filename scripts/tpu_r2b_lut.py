@@ -44,7 +44,7 @@ def main():
     import jax.numpy as jnp
 
     from opencv_opencl_tpu.ops import clahe as cops
-    from opencv_opencl_tpu.ops.pallas import natural
+    from opencv_opencl_tpu.ops.pallas import experiments, natural
 
     log("devices:", jax.devices())
 
@@ -130,8 +130,10 @@ def main():
     def mk_hist(nb):
         def stage(x):
             def one(f):
-                hs = natural.tile_histograms_radix(
-                    f, 8, 8, 270, 480, batch_rows=nb)
+                hs = (natural.tile_histograms_radix(f, 8, 8, 270, 480)
+                      if nb == 1 else
+                      experiments.tile_histograms_radix_batched(
+                          f, 8, 8, 270, 480, batch_rows=nb))
                 return f ^ (jnp.sum(hs) & 1).astype(jnp.uint8)
             return jax.vmap(one)(x)
         return stage

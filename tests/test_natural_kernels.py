@@ -13,7 +13,7 @@ import pytest
 
 from opencv_opencl_tpu.core import golden
 from opencv_opencl_tpu.ops import clahe as cops
-from opencv_opencl_tpu.ops.pallas import natural
+from opencv_opencl_tpu.ops.pallas import experiments, natural
 from tests.conftest import assert_clahe_close
 
 GEOMETRIES = [
@@ -108,8 +108,9 @@ class TestRadixHist:
 
 
 class TestFusedExperiment:
-    """clahe_interp_and_hist_natural — the rejected-on-hardware fused
-    streaming kernel stays exact and guarded (it is exported)."""
+    """experiments.clahe_interp_and_hist_natural — the rejected-on-
+    hardware fused streaming kernel stays exact and guarded (kept as a
+    tested record in ops/pallas/experiments.py)."""
 
     @pytest.mark.parametrize("h,w,grid", [(96, 128, (8, 8)),
                                           (64, 256, (4, 4)),
@@ -122,7 +123,7 @@ class TestFusedExperiment:
         spec = natural.make_natural_spec(h, w, 2.0, grid)
         out_ref = np.asarray(natural.clahe_interpolate_natural(
             y, luts, spec, interpret=True))
-        out, hists = natural.clahe_interp_and_hist_natural(
+        out, hists = experiments.clahe_interp_and_hist_natural(
             y, luts, spec, interpret=True)
         hr = np.asarray(natural.tile_histograms_radix(
             y, plan.tiles_y, plan.tiles_x, plan.tile_h, plan.tile_w,
@@ -138,7 +139,7 @@ class TestFusedExperiment:
             cops._tile_histograms(np.asarray(y), plan, "onehot"), plan)
         spec = natural.make_natural_spec(48, 128, 2.0, (8, 8))
         with pytest.raises(AssertionError):
-            natural.clahe_interp_and_hist_natural(y, luts, spec,
+            experiments.clahe_interp_and_hist_natural(y, luts, spec,
                                                   interpret=True)
 
 
@@ -195,7 +196,7 @@ class TestRadixRowBatched:
         y = rng.integers(0, 256, (96, 256), dtype=np.uint8)
         base = np.asarray(natural.tile_histograms_radix(
             y, 4, 2, 24, 128, interpret=True))
-        batched = np.asarray(natural.tile_histograms_radix(
+        batched = np.asarray(experiments.tile_histograms_radix_batched(
             y, 4, 2, 24, 128, interpret=True, batch_rows=nb))
         assert np.array_equal(base, batched)
 
@@ -204,8 +205,9 @@ def test_radix_hist_rejects_bad_batch_rows():
     import numpy as np
     import pytest
 
-    from opencv_opencl_tpu.ops.pallas import natural
+    from opencv_opencl_tpu.ops.pallas import experiments
 
     y = np.zeros((16, 128), np.uint8)
     with pytest.raises(ValueError, match=r"batch_rows"):
-        natural.tile_histograms_radix(y, 1, 1, 16, 128, batch_rows=3)
+        experiments.tile_histograms_radix_batched(y, 1, 1, 16, 128,
+                                                  batch_rows=3)
