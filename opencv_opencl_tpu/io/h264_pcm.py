@@ -38,12 +38,58 @@ _START4 = b"\x00\x00\x00\x01"
 # 00 00 followed by a byte <= 03 needs an 03 escape; re.sub's
 # non-overlapping left-to-right scan with a lookahead reproduces the
 # spec's sequential zero-run algorithm exactly (the run counter resets
-# after each insertion, and the trigger byte is re-examined).
+# after each insertion, and the trigger byte is re-examined).  Kept as
+# the small-input path and the test oracle for the vectorized version.
 _EMU_RE = re.compile(b"\x00\x00(?=[\x00-\x03])", re.DOTALL)
 
 
-def _escape(rbsp: bytes) -> bytes:
+def _escape_np(data: np.ndarray) -> bytes:
+    """Vectorized emulation prevention over zero runs.
+
+    The sequential algorithm only ever inserts inside or at the end of a
+    maximal run of zeros: a run of length L gets floor((L-1)/2) escapes
+    at its 3rd, 5th, ... zeros, and ends with 2 - (L % 2) pending zeros,
+    so its following byte triggers one more escape iff L is even and the
+    byte is 1..3 (a following 0 would extend the run).  This closed form
+    turns the regex scan — pathological on dark PCM frames, where every
+    byte is 0x00 — into a few numpy passes + one np.insert.
+    """
+    z = data == 0
+    if not z.any():
+        return data.tobytes()
+    zi = z.astype(np.int8)
+    starts = np.flatnonzero(np.diff(zi, prepend=0) == 1)
+    ends = np.flatnonzero(np.diff(zi, append=0) == -1) + 1  # exclusive
+    lens = ends - starts
+    pos_chunks = []
+    # in-run escapes: s+2, s+4, ..., count floor((L-1)/2) per run
+    k = (lens - 1) // 2
+    if np.any(k > 0):
+        ks = k[k > 0]
+        base = np.repeat(starts[k > 0] + 2, ks)
+        csum = np.concatenate([[0], np.cumsum(ks)])
+        within = np.arange(csum[-1]) - np.repeat(csum[:-1], ks)
+        pos_chunks.append(base + 2 * within)
+    # end-of-run trigger: L even and the following byte is 1..3
+    even = lens % 2 == 0
+    fb = ends[even]
+    fb = fb[fb < len(data)]
+    fb = fb[data[fb] <= 3]
+    if len(fb):
+        pos_chunks.append(fb)
+    if not pos_chunks:
+        return data.tobytes()
+    pos = np.concatenate(pos_chunks)
+    pos.sort()
+    return np.insert(data, pos, 3).tobytes()
+
+
+def _escape(rbsp: bytes | np.ndarray) -> bytes:
     """Insert emulation-prevention 0x03 bytes (§7.4.1.1)."""
+    if isinstance(rbsp, np.ndarray):
+        return _escape_np(rbsp)
+    if len(rbsp) > 4096:
+        return _escape_np(np.frombuffer(rbsp, np.uint8))
     return _EMU_RE.sub(b"\x00\x00\x03", rbsp)
 
 
@@ -173,23 +219,36 @@ def _slice_head(idr_pic_id: int) -> bytes:
 _MB_PREFIX = bytes([0x0D, 0x00])
 
 
-def _mb_samples(nv12: np.ndarray, width: int, height: int) -> np.ndarray:
-    """(n_mbs, 384) uint8: 256 luma + 64 Cb + 64 Cr per macroblock, MB
-    raster order, edge-replicated to the 16-pixel grid."""
+def _fill_mb_samples(nv12: np.ndarray, width: int, height: int,
+                     dest: np.ndarray) -> None:
+    """Write per-macroblock samples (256 luma + 64 Cb + 64 Cr, MB raster
+    order, edge-replicated to the 16-pixel grid) into ``dest`` of shape
+    (n_mbs, 384) — which may be a STRIDED view into the slice buffer, so
+    the frame's pixels are copied exactly once."""
     mb_w = -(-width // 16)
     mb_h = -(-height // 16)
     y = nv12[:height]
     uv = nv12[height:].reshape(height // 2, width // 2, 2)
     pad_y = (mb_h * 16 - height, mb_w * 16 - width)
-    yp = np.pad(y, ((0, pad_y[0]), (0, pad_y[1])), mode="edge")
+    if pad_y != (0, 0):  # np.pad copies even for zero widths: skip it
+        y = np.pad(y, ((0, pad_y[0]), (0, pad_y[1])), mode="edge")
+    cb, cr = uv[..., 0], uv[..., 1]
     pad_c = (mb_h * 8 - height // 2, mb_w * 8 - width // 2)
-    cbp = np.pad(uv[..., 0], ((0, pad_c[0]), (0, pad_c[1])), mode="edge")
-    crp = np.pad(uv[..., 1], ((0, pad_c[0]), (0, pad_c[1])), mode="edge")
+    if pad_c != (0, 0):
+        cb = np.pad(cb, ((0, pad_c[0]), (0, pad_c[1])), mode="edge")
+        cr = np.pad(cr, ((0, pad_c[0]), (0, pad_c[1])), mode="edge")
     n = mb_h * mb_w
-    ymb = yp.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(n, 256)
-    cbmb = cbp.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 64)
-    crmb = crp.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n, 64)
-    return np.concatenate([ymb, cbmb, crmb], axis=1)
+    # 4-D destination views over the strided dest: one strided copy from
+    # the transposed SOURCE views, no intermediate materialization
+    d4y = np.lib.stride_tricks.as_strided(
+        dest[:, :256], (mb_h, mb_w, 16, 16),
+        (mb_w * dest.strides[0], dest.strides[0], 16, 1))
+    d4y[:] = y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+    for off, plane in ((256, cb), (320, cr)):
+        d4 = np.lib.stride_tricks.as_strided(
+            dest[:, off : off + 64], (mb_h, mb_w, 8, 8),
+            (mb_w * dest.strides[0], dest.strides[0], 8, 1))
+        d4[:] = plane.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
 
 
 def encode_frame_pcm(nv12: np.ndarray, width: int, height: int,
@@ -198,18 +257,26 @@ def encode_frame_pcm(nv12: np.ndarray, width: int, height: int,
     I_PCM macroblocks — losslessly."""
     if width % 2 or height % 2:
         raise ValueError("NV12 requires even dimensions")
-    samples = _mb_samples(np.ascontiguousarray(nv12), width, height)
-    n = samples.shape[0]
-    # [head 4B][MB0 384B] + (n-1) * [2B prefix][384B] + [0x80 stop]
-    body = np.empty((n - 1, 386), np.uint8) if n > 1 else None
-    parts = [_slice_head(idr_pic_id), samples[0].tobytes()]
-    if body is not None:
-        body[:, 0] = 0x0D
-        body[:, 1] = 0x00
-        body[:, 2:] = samples[1:]
-        parts.append(body.tobytes())
-    parts.append(b"\x80")  # rbsp_slice_trailing_bits
-    return _escape(b"".join(parts))
+    nv12 = np.ascontiguousarray(nv12)
+    head = _slice_head(idr_pic_id)
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    n = mb_h * mb_w
+    # single buffer: [head][MB0 384B]([2B prefix][384B]) * (n-1)[0x80].
+    # The macroblock table is written as an (n, 386) view whose first
+    # row's 2-byte prefix slot overlaps the head's tail — the prefix
+    # bytes are filled first, then the head overwrites MB0's slot (its
+    # mb_type+alignment live inside the head).
+    off = len(head) - 2
+    total = off + n * 386 + 1
+    buf = np.empty(total, np.uint8)
+    mbs = buf[off : off + n * 386].reshape(n, 386)
+    mbs[:, 0] = 0x0D
+    mbs[:, 1] = 0x00
+    _fill_mb_samples(nv12, width, height, mbs[:, 2:])
+    buf[: len(head)] = np.frombuffer(head, np.uint8)
+    buf[-1] = 0x80  # rbsp_slice_trailing_bits
+    return _escape(buf)
 
 
 class PcmH264Encoder:

@@ -13,7 +13,10 @@ fetch (block_until_ready is async on axon), sustained warmup, median of
 from __future__ import annotations
 
 import json
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
