@@ -134,16 +134,18 @@ class _BitWriter:
         return bytes(out)
 
 
-# MaxFS (macroblocks per frame) per level, Table A-1 (subset)
+# MaxFS (macroblocks per frame) per level, Table A-1 (subset; 6.0-6.2
+# cover 8K, which this framework supports beyond the reference's 4K cap)
 _LEVEL_BY_MBS = [(99, 10), (396, 11), (792, 21), (1620, 22), (3600, 31),
-                 (5120, 32), (8192, 40), (22080, 50), (36864, 51)]
+                 (5120, 32), (8192, 40), (22080, 50), (36864, 51),
+                 (139264, 60)]
 
 
 def _level_for(mbs: int) -> int:
     for max_fs, level in _LEVEL_BY_MBS:
         if mbs <= max_fs:
             return level
-    return 52
+    return 62
 
 
 def build_sps(width: int, height: int) -> bytes:

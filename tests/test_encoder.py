@@ -273,3 +273,81 @@ class TestEncodedRtp:
         sink.close()
         assert rc.get("rc") == 0
         assert out.read_bytes() == expect
+
+
+class TestGiPipelineEncoder:
+    """The gi encoder's push/pull mapping against a fake Gst (the real
+    engine is absent in this container; the description and buffer flow
+    are what we can verify)."""
+
+    class _FakeEncSink:
+        def __init__(self):
+            self.queue = []
+            self.eos = False
+
+        def connect(self, *a):
+            pass
+
+        def emit(self, signal, *args):
+            if signal in ("try-pull-sample", "pull-sample"):
+                return self.queue.pop(0) if self.queue else None
+            raise KeyError(signal)
+
+        def get_property(self, name):
+            if name == "eos":
+                return self.eos
+            raise AttributeError(name)
+
+    def _fake_gst(self):
+        from tests.fake_gst import Buffer, FakeGst, MapFlags
+
+        class EncGst(FakeGst):
+            pass
+
+        EncGst.Buffer = Buffer  # class bodies can't see function locals
+        EncGst.MapFlags = MapFlags
+        return EncGst()
+
+    def test_pipeline_desc_and_flow(self):
+        import numpy as np
+
+        from opencv_opencl_tpu.io.gst_encoder import (
+            GiPipelineEncoder, encoder_pipeline_desc)
+        from tests.fake_gst import Buffer, Caps, Sample
+
+        desc = encoder_pipeline_desc(96, 64, 30.0, "h264", 2000,
+                                     use_omx=False)
+        assert "x264enc tune=zerolatency" in desc
+        assert "h264parse config-interval=-1" in desc
+        assert "appsrc name=enc_src" in desc and "appsink name=enc_sink" in desc
+        omx = encoder_pipeline_desc(96, 64, 30.0, "h264", 2000, use_omx=True)
+        assert "omxh264enc" in omx
+
+        gst = self._fake_gst()
+        enc = GiPipelineEncoder(96, 64, fps=30.0, gst=gst, use_omx=False)
+        pipe = gst.pipelines[0]
+        src = pipe.get_by_name("enc_src")
+        sink = pipe.get_by_name("enc_sink")
+        # swap the appsink for the encoder-behavior fake
+        fake_sink = self._FakeEncSink()
+        enc.sink = fake_sink
+        f = np.zeros((96, 96), np.uint8)  # 64*3//2 rows
+        # the "encoder" hasn't produced output yet
+        assert enc.encode(f) == []
+        assert len(src.pushed) == 1
+        assert src.pushed[0].pts == 0
+        # queue two encoded AUs; next encode drains both
+        fake_sink.queue = [Sample(Buffer(b"AU-1"), Caps()),
+                           Sample(Buffer(b"AU-2"), Caps())]
+        got = enc.encode(f)
+        assert got == [b"AU-1", b"AU-2"]
+        assert src.pushed[1].pts == src.pushed[0].pts + src.pushed[1].duration
+        # flush sends EOS and drains the tail
+        fake_sink.queue = [Sample(Buffer(b"AU-3"), Caps())]
+        fake_sink.eos = True
+        assert enc.flush() == [b"AU-3"]
+        assert src.eos_sent
+        enc.close()
+        from tests.fake_gst import State
+
+        assert pipe.state == State.NULL
