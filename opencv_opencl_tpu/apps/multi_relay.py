@@ -6,7 +6,10 @@ Usage:
       [--chroma=gray|passthrough] [--clipLimit=2.0] [--tile=8]
       [--batch=4] [--workers=2] [--max-frames=N] [--duration=s]
       [--source=test|<video file>]      # one source replicated per stream
-      [--sink=null|rtp://host:port]     # rtp: stream i goes to port+2*i
+      [--sink=null|rtp://host:port|rtp+h264://host:port]
+                         # rtp: stream i goes to port+2*i; rtp+h264/h265
+                         # runs the encoded emit chain per stream
+                         # (encoder backend via --encoder=auto|pcm|ffmpeg|gi)
       [--status-interval=2]
       [--mesh=auto|DxS]  # multi-chip serving: shard the stream batch
                          # over a (data, space) device mesh
@@ -52,7 +55,7 @@ def run(argv: list[str]) -> int:
             "duration": float, "source": str, "sink": str,
             "status-interval": float, "rtcp-schedule": str, "mesh": str,
             "adaptive-rate": bool, "max-rate": float, "priorities": str,
-            "native": bool,
+            "native": bool, "encoder": str,
         },
     )
     n = opts.get("streams", 2)
@@ -116,6 +119,30 @@ def run(argv: list[str]) -> int:
                 rtcp_schedule=opts.get("rtcp-schedule", "tick")))
         print(f"Sinks: rtp://{host}:{port}..{int(port) + 2 * (n - 1)} "
               f"(stride 2: RTCP companions)")
+    elif sink_spec.startswith(("rtp+h264://", "rtp+h265://")):
+        # encoded emit per stream (OpenCVequalHist.cpp:308-332 chain),
+        # one encoder + RTP session per stream, same 2-port stride
+        from opencv_opencl_tpu.io.encoder import EncodedRtpSink, make_encoder
+
+        es_codec = ("h264" if sink_spec.startswith("rtp+h264://")
+                    else "h265")
+        host, port = sink_spec.split("://", 1)[1].rsplit(":", 1)
+        try:
+            for s in range(n):
+                enc = make_encoder(
+                    opts.get("encoder", "auto"), spec.width, spec.height,
+                    fps=fps, codec=es_codec)
+                sinks.append(EncodedRtpSink(
+                    enc, host, int(port) + 2 * s, fps=fps,
+                    rtcp_schedule=opts.get("rtcp-schedule", "tick")))
+        except ValueError as e:
+            for snk in sinks:
+                snk.close()
+            print(str(e), file=sys.stderr)
+            return 2
+        print(f"Sinks: {es_codec} RTP {host}:{port}.."
+              f"{int(port) + 2 * (n - 1)} "
+              f"(encoder={type(sinks[0].encoder).__name__})")
     else:
         sinks = [NullSink() for _ in range(n)]
 

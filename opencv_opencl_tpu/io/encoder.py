@@ -92,7 +92,7 @@ class FfmpegEncoder:
                 self._buf.extend(chunk)
 
     def _take_complete_aus(self, final: bool) -> list[bytes]:
-        from opencv_opencl_tpu.apps.h26x_stream import split_access_units
+        from opencv_opencl_tpu.io.rtp_h26x import split_access_units
 
         with self._lock:
             data = bytes(self._buf)

@@ -30,6 +30,7 @@ import struct
 from opencv_opencl_tpu.io.rtp import StreamLock, _rtp_header
 
 __all__ = [
+    "split_access_units",
     "H264RtpPayloader",
     "H265RtpPayloader",
     "H26xDepacketizer",
@@ -358,6 +359,77 @@ class H26xDepacketizer:
                 self._fu = None
         else:
             self.packets_bad += 1
+
+
+def split_access_units(data: bytes, codec: str) -> list[bytes]:
+    """Annex-B byte stream -> access units (4-byte start codes kept).
+
+    The ES-replay app's AU splitter (AUD/first-slice heuristics per
+    H.264 §7.4.1.2.3 / H.265 §7.4.2.4.4), shared with the encoder
+    boundary (io.encoder.FfmpegEncoder AU framing).
+    """
+
+    def ntype(nal: bytes) -> int:
+        return (nal[0] & 0x1F) if codec == "h264" else ((nal[0] >> 1) & 0x3F)
+
+    def is_vcl(nal: bytes) -> bool:
+        return (1 <= ntype(nal) <= 5) if codec == "h264" else ntype(nal) < 32
+
+    def is_aud(nal: bytes) -> bool:
+        return ntype(nal) == (9 if codec == "h264" else 35)
+
+    def is_suffix(nal: bytes) -> bool:
+        # end-of-sequence / end-of-stream / filler; H.265 suffix SEI
+        if codec == "h264":
+            return ntype(nal) in (10, 11, 12)
+        return ntype(nal) in (36, 37, 38, 40)
+
+    def first_slice_of_picture(nal: bytes) -> bool:
+        # H.264: first_mb_in_slice is the leading ue(v) of the slice
+        # header — value 0 encodes as a leading 1-bit.  Data partitions
+        # B/C (types 3/4) start with slice_id instead, so only types
+        # 1/2/5 are picture-start candidates.  H.265:
+        # first_slice_segment_in_pic_flag is the first header bit after
+        # the 2-byte NAL header.
+        if codec == "h264":
+            return (ntype(nal) in (1, 2, 5)
+                    and len(nal) > 1 and bool(nal[1] & 0x80))
+        return len(nal) > 2 and bool(nal[2] & 0x80)
+
+    aus: list[list[bytes]] = []
+    cur: list[bytes] = []       # the AU being assembled
+    pending: list[bytes] = []   # prefix NALs awaiting their picture
+
+    def flush() -> None:
+        nonlocal cur
+        if cur:
+            aus.append(cur)
+            cur = []
+
+    for nal in split_annexb(data):
+        if is_aud(nal):
+            flush()
+            pending.append(nal)
+        elif is_vcl(nal):
+            if first_slice_of_picture(nal) or not cur:
+                flush()
+                cur = pending + [nal]
+            else:
+                cur += pending + [nal]  # continuation slice, same AU
+            pending = []
+        elif is_suffix(nal):
+            (cur if cur else pending).append(nal)
+        else:
+            pending.append(nal)  # VPS/SPS/PPS/prefix SEI: next AU's
+    flush()
+    if pending:
+        # trailing prefix NALs with no picture: keep them (tail of the
+        # last AU) rather than dropping bytes
+        if aus:
+            aus[-1].extend(pending)
+        else:
+            aus.append(pending)
+    return [b"".join(_START4 + n for n in au) for au in aus]
 
 
 class H26xRtpSink:

@@ -351,3 +351,40 @@ class TestGiPipelineEncoder:
         from tests.fake_gst import State
 
         assert pipe.state == State.NULL
+
+
+def test_multi_relay_rtp_h264_per_stream(tmp_path):
+    """multi_relay --sink=rtp+h264://: each stream gets its own encoder
+    + RTP session on the 2-port stride."""
+    import threading
+
+    from opencv_opencl_tpu.apps import multi_relay
+    from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
+
+    rx0 = H26xRtpReceiver(codec="h264", timeout=40.0)
+    # grab an adjacent even-stride pair: receiver 1 on rx0.port + 2
+    rx1 = H26xRtpReceiver(codec="h264", port=rx0.port + 2, timeout=40.0)
+    got = {0: [], 1: []}
+
+    def collect(i, rx):
+        for _ in range(2):
+            au = rx.recv_access_unit()
+            if au is not None:
+                got[i].append(au)
+
+    ts = [threading.Thread(target=collect, args=(i, rx))
+          for i, rx in ((0, rx0), (1, rx1))]
+    [t.start() for t in ts]
+    rc = multi_relay.run([
+        "--streams=2", "--width=96", "--height=64", "--op=histeq",
+        f"--sink=rtp+h264://127.0.0.1:{rx0.port}", "--encoder=pcm",
+        "--max-frames=6", "--batch=2",
+    ])
+    [t.join(timeout=60) for t in ts]
+    rx0.close()
+    rx1.close()
+    assert rc == 0
+    assert len(got[0]) == 2 and len(got[1]) == 2
+    # both streams carry valid SPS-led AUs
+    for aus in got.values():
+        assert aus[0][4] & 0x1F == 7  # starts with SPS after start code
