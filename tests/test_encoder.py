@@ -388,3 +388,49 @@ def test_multi_relay_rtp_h264_per_stream(tmp_path):
     # both streams carry valid SPS-led AUs
     for aus in got.values():
         assert aus[0][4] & 0x1F == 7  # starts with SPS after start code
+
+
+def test_relay_full_composition_ref_frame_native_encoded_adaptive(tmp_path):
+    """Everything at once: streaming ref-frame CLAHE + GIL-free native
+    staging + encoded H.264 RTP emit + RTCP-driven adaptive rate, one
+    relay run — the subsystems must compose, not just work alone."""
+    import threading
+
+    import cv2
+
+    from opencv_opencl_tpu import native
+    from opencv_opencl_tpu.apps import relay
+    from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+    rx = H26xRtpReceiver(codec="h264", timeout=40.0)
+    aus = []
+
+    def collect():
+        for _ in range(3):
+            au = rx.recv_access_unit()
+            if au is not None:
+                aus.append(au)
+
+    t = threading.Thread(target=collect)
+    t.start()
+    rc = relay.run([
+        "--source=test", "--width=96", "--height=64", "--max-frames=8",
+        f"--sink=rtp+h264://127.0.0.1:{rx.port}", "--batch=2",
+        "--op=clahe", "--ref-frame", "--native", "--encoder=pcm",
+        # adaptive-rate admits on a slot grid (videorate drop-only); a
+        # non-realtime burst source needs a high ceiling to pass frames
+        "--adaptive-rate", "--max-rate=100000",
+    ])
+    t.join(timeout=60)
+    rx.close()
+    assert rc == 0
+    assert len(aus) == 3
+    es = tmp_path / "compose.h264"
+    es.write_bytes(b"".join(aus))
+    cap = cv2.VideoCapture(str(es))
+    ok, frame = cap.read()
+    assert ok and frame.shape[:2] == (64, 96)
+    cap.release()
