@@ -294,3 +294,82 @@ class TestSenderAppIntegration:
         assert "webrtcbin negotiation wired" in out
         assert "set-remote-description applied to webrtcbin" in out
         assert "webrtcbin: offers=" in out
+
+
+class TestSequentialViewers:
+    def test_two_viewers_in_sequence(self, monkeypatch, capsys):
+        """The vad2connection '2 connections' scenario: viewer 1 joins,
+        negotiates, disconnects; viewer 2 joins later and gets the offer
+        re-published, and ITS answer lands on the element too."""
+        import threading
+
+        from opencv_opencl_tpu.apps import sender
+        from opencv_opencl_tpu.io import webrtc_controller
+        from opencv_opencl_tpu.io.signaling import SignalingClient
+
+        sessions = []
+
+        def fake_build(pipeline_desc, client=None, webrtc_name="sendrecv",
+                       on_log=print):
+            s = WebRtcSession(FakeWebRtcGst(), FakeWebRtcApi(),
+                              pipeline_desc, client=client,
+                              webrtc_name=webrtc_name, on_log=on_log)
+            sessions.append(s)
+            return s
+
+        monkeypatch.setattr(webrtc_controller, "gi_webrtc_available",
+                            lambda: True)
+        monkeypatch.setattr(webrtc_controller, "build_gi_session",
+                            fake_build)
+
+        rc = {}
+
+        def run_sender():
+            rc["rc"] = sender.run([
+                "--ws=ws://127.0.0.1:18092", "--room=seq",
+                "--serve-signaling", "--duration=7",
+            ])
+
+        t = threading.Thread(target=run_sender)
+        t.start()
+        time.sleep(1.0)
+
+        answers_sent = []
+
+        def make_viewer():
+            def on_offer(sdp_text, frm):
+                ans = sdp.build_answer(sdp.parse_sdp(sdp_text))
+                answers_sent.append(ans)
+                v.send_answer(ans)
+            v = SignalingClient("ws://127.0.0.1:18092", room="seq",
+                                client_type="viewer", on_offer=on_offer)
+            return v
+
+        # viewer 1: join, answer, leave
+        v1 = make_viewer()
+        v1.start()
+        assert v1.wait_connected(10)
+        deadline = time.monotonic() + 10
+        while len(answers_sent) < 1 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert len(answers_sent) == 1
+        v1.stop()
+        time.sleep(0.5)
+
+        # viewer 2: a fresh peer after v1 is gone
+        v2 = make_viewer()
+        v2.start()
+        assert v2.wait_connected(10)
+        deadline = time.monotonic() + 10
+        while len(answers_sent) < 2 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert len(answers_sent) == 2
+        t.join(timeout=20)
+        v2.stop()
+        assert rc["rc"] == 0
+        s = sessions[0]
+        # both viewers' answers were applied to the live element
+        assert s.answers_applied == 2
+        assert s.offers_sent >= 2  # initial negotiation + re-publish
+        out = capsys.readouterr().out
+        assert out.count("Viewer joined") == 2
