@@ -434,3 +434,52 @@ def test_relay_full_composition_ref_frame_native_encoded_adaptive(tmp_path):
     ok, frame = cap.read()
     assert ok and frame.shape[:2] == (64, 96)
     cap.release()
+
+
+def test_ffmpeg_encoder_with_stub_process(tmp_path):
+    """FfmpegEncoder's process plumbing (threaded stdout reader, AU
+    framing, flush/drain) against a stub 'ffmpeg' that PCM-encodes each
+    raw NV12 frame it reads — no real ffmpeg exists in this container."""
+    import stat
+    import sys
+    import textwrap
+
+    from opencv_opencl_tpu.io.encoder import FfmpegEncoder
+
+    w, h = 64, 48
+    stub = tmp_path / "ffmpeg"
+    stub.write_text(textwrap.dedent(f"""\
+        #!{sys.executable}
+        import sys
+        sys.path.insert(0, {str(tmp_path.parent.parent)!r})
+        sys.path.insert(0, "/root/repo")
+        from opencv_opencl_tpu.io.h264_pcm import PcmH264Encoder
+        import numpy as np
+        enc = PcmH264Encoder({w}, {h})
+        frame_bytes = {w * h * 3 // 2}
+        data = sys.stdin.buffer
+        out = sys.stdout.buffer
+        while True:
+            buf = data.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                break
+            arr = np.frombuffer(buf, np.uint8).reshape({h * 3 // 2}, {w})
+            for au in enc.encode(arr):
+                out.write(au)
+        out.flush()
+        """))
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+
+    enc = FfmpegEncoder(w, h, fps=30.0, ffmpeg=str(stub))
+    ref = PcmH264Encoder(w, h)
+    frames = [rand_nv12(w, h, seed=i) for i in range(3)]
+    got = []
+    expect = []
+    for f in frames:
+        got.extend(enc.encode(f))
+        expect.extend(ref.encode(f))
+    got.extend(enc.flush())
+    enc.close()
+    # the stub's byte stream comes back re-framed into the same AUs
+    assert got == expect
+    assert enc.frames == 3
