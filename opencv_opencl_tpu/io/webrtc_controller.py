@@ -254,11 +254,19 @@ class WebRtcSession:
     def _on_ice_candidate(self, element: Any, mline: int,
                           candidate: str, *args: Any) -> None:
         self.ice_sent += 1
-        if self.client is not None:
-            try:
+        if self.client is None:
+            return
+        try:
+            peer = getattr(self.client, "remote_peer_id", None)
+            if peer and hasattr(self.client, "send_ice_peer"):
+                # peer-id dialect session (vad.cpp:119-144): nested
+                # ice-candidate addressed to the answering peer
+                self.client.send_ice_peer(candidate, int(mline),
+                                          peer_id=peer)
+            else:
                 self.client.send_ice(candidate, int(mline))
-            except Exception:
-                self.errors += 1
+        except Exception:
+            self.errors += 1
 
     def _on_ice_state(self, element: Any, *args: Any) -> None:
         state = None

@@ -373,3 +373,31 @@ class TestSequentialViewers:
         assert s.offers_sent >= 2  # initial negotiation + re-publish
         out = capsys.readouterr().out
         assert out.count("Viewer joined") == 2
+
+
+def test_controller_ice_uses_peer_dialect_after_peer_answer():
+    """Once a peer-id answer arrived (client.remote_peer_id set), the
+    element's trickle ICE goes out as nested ice-candidate addressed to
+    that peer (vad.cpp:119-144), not the flat room form."""
+
+    class PeerStubClient(StubClient):
+        def __init__(self):
+            super().__init__()
+            self.remote_peer_id = None
+            self.peer_ice = []
+
+        def send_ice_peer(self, cand, mline, peer_id=None):
+            self.peer_ice.append((cand, mline, peer_id))
+
+    client = PeerStubClient()
+    gst, session = make_session(client)
+    session.start()
+    # room dialect first: flat ice
+    session.webrtc.trickle_ice(0, "candidate:a")
+    assert client.ice == [("candidate:a", 0)]
+    # a peer-id answer arrives (the signaling client records the peer)
+    client.remote_peer_id = "viewer-9"
+    session.webrtc.trickle_ice(1, "candidate:b")
+    assert client.peer_ice == [("candidate:b", 1, "viewer-9")]
+    assert client.ice == [("candidate:a", 0)]  # unchanged
+    session.stop()
