@@ -4,7 +4,8 @@
 Usage:
   python -m opencv_opencl_tpu.apps.clahe_video --input=video.mp4 \\
       [--output=out.mp4] [--resolution=1280x720] [--fps=30] [--loop] \\
-      [--udp=host:port] [--udp-kind=jpeg|raw] [--udp-only] \\
+      [--udp=host:port] [--udp-kind=jpeg|raw|h264|h265] [--udp-only] \\
+      [--encoder=auto|pcm|ffmpeg|gi]  # h264/h265 udp legs \\
       [--clipLimit=2.0] [--tile=8] [--codec=h264|h265] \\
       [--bitrate=25000] [--timing-window=200] [--detailed-timing] \\
       [--max-frames=N] [--op=clahe|histeq]
@@ -35,6 +36,7 @@ def run(argv: list[str]) -> int:
         {
             "input": str, "output": str, "loop": bool, "udp-only": bool,
             "udp": str, "udp-kind": str, "rtcp-schedule": str,
+            "encoder": str,
             "resolution": str, "fps": str, "clipLimit": float, "tile": int,
             "codec": str, "bitrate": int, "timing-window": int,
             "detailed-timing": bool, "max-frames": int, "op": str,
@@ -92,13 +94,27 @@ def run(argv: list[str]) -> int:
     descs = []
     if "udp" in opts:
         # the reference's RTP/UDP leg of the tee, natively
-        from opencv_opencl_tpu.io.rtp import RtpUdpSink
-
         udp_host, udp_port = opts["udp"].rsplit(":", 1)
-        sinks.append(RtpUdpSink(
-            udp_host, int(udp_port), kind=opts.get("udp-kind", "jpeg"),
-            fps=fps, rtcp_schedule=opts.get("rtcp-schedule", "tick")))
-        descs.append(f"rtp://{opts['udp']}")
+        kind = opts.get("udp-kind", "jpeg")
+        if kind in ("h264", "h265"):
+            # encoded leg (the reference always encoded before its tee,
+            # CLAHECompare.cpp:438-483): pluggable encoder boundary
+            from opencv_opencl_tpu.io.encoder import (
+                EncodedRtpSink, make_encoder)
+
+            enc = make_encoder(opts.get("encoder", "auto"), spec.width,
+                               spec.height, fps=fps, codec=kind)
+            sinks.append(EncodedRtpSink(
+                enc, udp_host, int(udp_port), fps=fps,
+                rtcp_schedule=opts.get("rtcp-schedule", "tick")))
+        else:
+            from opencv_opencl_tpu.io.rtp import RtpUdpSink
+
+            sinks.append(RtpUdpSink(
+                udp_host, int(udp_port), kind=kind, fps=fps,
+                rtcp_schedule=opts.get("rtcp-schedule", "tick")))
+        descs.append(f"rtp+{kind}://{opts['udp']}" if kind != "jpeg"
+                     else f"rtp://{opts['udp']}")
     if opts.get("output") and not opts.get("udp-only"):
         sinks.append(FileSink(opts["output"], spec))
         descs.append(opts["output"])

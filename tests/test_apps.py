@@ -180,7 +180,7 @@ def test_clahe_video_udp_tee(tmp_path, rng, capsys):
     rx.close()
     text = capsys.readouterr().out
     assert rc == 0
-    assert "rtp://127.0.0.1" in text
+    assert "rtp+raw://127.0.0.1" in text  # scheme matches relay's --sink
     assert "MP4 saved" in text
     assert os.path.exists(out)
     assert len(got) >= 1            # frames really crossed the wire
@@ -453,3 +453,56 @@ def test_sigterm_translates_to_clean_shutdown():
         assert signal.getsignal(signal.SIGTERM) is sentinel
     finally:
         signal.signal(signal.SIGTERM, prev)
+
+
+def test_clahe_video_encoded_udp_tee(tmp_path, rng, capsys):
+    """The reference's tee actually ENCODED before the RTP leg
+    (CLAHECompare.cpp:438-483: appsrc -> omx enc -> tee): --udp-kind=h264
+    runs the encoded leg through the pluggable encoder boundary while
+    the mp4 file sink records alongside."""
+    import threading
+
+    import cv2
+
+    from opencv_opencl_tpu.apps import clahe_video
+    from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
+
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    assert w.isOpened(), "cv2 VideoWriter unavailable"
+    for _ in range(8):
+        w.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    rx = H26xRtpReceiver(codec="h264", timeout=30.0)
+    aus = []
+
+    def drain():
+        for _ in range(3):
+            au = rx.recv_access_unit()
+            if au is not None:
+                aus.append(au)
+
+    t = threading.Thread(target=drain)
+    t.start()
+    out = str(tmp_path / "out.mp4")
+    rc = clahe_video.run([
+        f"--input={vid}", f"--output={out}",
+        f"--udp=127.0.0.1:{rx.port}", "--udp-kind=h264", "--encoder=pcm",
+        "--resolution=64x48", "--tile=4", "--max-frames=8",
+    ])
+    t.join(timeout=40)
+    rx.close()
+    text = capsys.readouterr().out
+    assert rc == 0
+    assert "rtp+h264://127.0.0.1" in text
+    assert "MP4 saved" in text
+    assert os.path.exists(out)
+    assert len(aus) == 3
+    # the RTP leg carries a decodable H.264 stream
+    es = tmp_path / "leg.h264"
+    es.write_bytes(b"".join(aus))
+    cap = cv2.VideoCapture(str(es))
+    ok, frame = cap.read()
+    assert ok and frame.shape[:2] == (48, 64)
+    cap.release()
