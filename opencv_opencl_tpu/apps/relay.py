@@ -185,6 +185,15 @@ def run(argv: list[str]) -> int:
         print(f"Encoder: {type(enc).__name__} ({es_codec})")
         sink = EncodedRtpSink(enc, rtp_host, int(rtp_port), fps=fps,
                               rtcp_schedule=schedule)
+        if "sdp-file" in opts:
+            # hand stock players (ffplay/VLC) the session description
+            from opencv_opencl_tpu.io.sdp import build_rtp_session_sdp
+
+            with open(opts["sdp-file"], "w") as f:
+                f.write(build_rtp_session_sdp(
+                    rtp_host, int(rtp_port), es_codec,
+                    width=spec.width, height=spec.height))
+            print(f"SDP written: {opts['sdp-file']}")
     elif sink_path.endswith(".nv12") or sink_path.endswith(".raw"):
         sink = RawSink(sink_path)
     else:

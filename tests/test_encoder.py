@@ -483,3 +483,23 @@ def test_ffmpeg_encoder_with_stub_process(tmp_path):
     # the stub's byte stream comes back re-framed into the same AUs
     assert got == expect
     assert enc.frames == 3
+
+
+def test_relay_h264_sink_writes_sdp(tmp_path):
+    """--sdp-file works for the encoded sink too: a stock player's
+    session description for the H.264 RTP stream."""
+    from opencv_opencl_tpu.apps import relay
+    from opencv_opencl_tpu.io.sdp import parse_sdp
+
+    sdp_path = tmp_path / "s.sdp"
+    rc = relay.run([
+        "--source=test", "--width=64", "--height=48", "--max-frames=2",
+        "--sink=rtp+h264://127.0.0.1:15704", "--encoder=pcm", "--batch=2",
+        f"--sdp-file={sdp_path}", "--op=histeq",
+    ])
+    assert rc == 0
+    text = sdp_path.read_text()
+    assert "H264/90000" in text
+    assert "packetization-mode=1" in text
+    sess = parse_sdp(text)
+    assert sess.medias[0].kind == "video"
