@@ -452,7 +452,7 @@ class RtpUdpReceiver:
                  kind: str = "jpeg", frame_shape: tuple[int, int] | None = None,
                  timeout: float = 5.0, buffer_size: int = 60_000_000,
                  rtcp: bool = True, rtcp_schedule: str = "tick",
-                 pt: int | None = None):
+                 pt: int | None = None, relock_timeout: float | None = 5.0):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
             # the reference's 60 MB socket buffers (udpsink buffer-size):
@@ -470,7 +470,8 @@ class RtpUdpReceiver:
         self.packets_bad = 0     # runt/foreign/mismatched datagrams ignored
         if pt is None:
             pt = PT_JPEG if kind == "jpeg" else PT_RAW
-        self._lock = StreamLock(pt=pt)
+        self._lock = StreamLock(pt=pt, relock_timeout=relock_timeout)
+        self._relocks_seen = 0
         self.rtcp = None
         if rtcp:
             # Receiver Reports (loss/jitter + LSR/DLSR for the sender's
@@ -496,6 +497,14 @@ class RtpUdpReceiver:
         """Feed RTCP receive stats (seq machine + jitter) and emit RRs."""
         if self.rtcp is None:
             return
+        if self._lock.relocks != self._relocks_seen:
+            # a restarted sender took the lock (fresh SSRC): report on
+            # the new stream, not the dead one's sequence space
+            self._relocks_seen = self._lock.relocks
+            from opencv_opencl_tpu.io.rtcp import ReceiverStats
+
+            self.rtcp.stats = ReceiverStats(
+                clock_rate=self.rtcp.stats.clock_rate)
         if self.rtcp.stats.ssrc is None:
             self.rtcp.stats.ssrc = self._lock.ssrc
         seq = struct.unpack("!H", pkt[2:4])[0]

@@ -227,6 +227,14 @@ class H26xDepacketizer:
         self._fu_first = None
         self._broken = False
 
+    def reset_stream(self) -> None:
+        """Forget the sequence/timestamp chain (a NEW stream took the
+        receiver's StreamLock after a silence relock: the old sender's
+        seq state would poison the new stream's first AU)."""
+        self._reset_au()
+        self._cur_ts = None
+        self._expect_seq = None
+
     def push(self, pkt: bytes) -> bytes | None:
         if len(pkt) < 13:
             self.packets_bad += 1
@@ -507,11 +515,13 @@ class H26xRtpReceiver:
     def __init__(self, host: str = "0.0.0.0", port: int = 0,
                  codec: str = "h264", timeout: float = 5.0,
                  buffer_size: int = 60_000_000, rtcp: bool = True,
-                 pt: int | None = None, rtcp_schedule: str = "tick"):
+                 pt: int | None = None, rtcp_schedule: str = "tick",
+                 relock_timeout: float | None = 5.0):
         # pt=None: lock onto the first dynamic payload type seen, so
         # external senders whose SDP negotiated PT != 96 interoperate;
         # pass pt= to pin a specific negotiated type
-        self._lock = StreamLock(pt=pt, require_dynamic=True)
+        self._lock = StreamLock(pt=pt, require_dynamic=True,
+                                 relock_timeout=relock_timeout)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         try:
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
@@ -522,6 +532,7 @@ class H26xRtpReceiver:
         self.sock.settimeout(timeout)
         self.port = self.sock.getsockname()[1]
         self.depay = H26xDepacketizer(codec)
+        self._relocks_seen = 0
         self.rtcp = None
         if rtcp:
             from opencv_opencl_tpu.io.rtcp import companion_peer
@@ -543,6 +554,16 @@ class H26xRtpReceiver:
             if not self._lock.accept(pkt):
                 self.depay.packets_bad += 1
                 continue
+            if self._lock.relocks != self._relocks_seen:
+                # a restarted sender took the lock: fresh seq/ts chain
+                # and fresh RTCP sequence machine for the new SSRC
+                self._relocks_seen = self._lock.relocks
+                self.depay.reset_stream()
+                if self.rtcp is not None:
+                    from opencv_opencl_tpu.io.rtcp import ReceiverStats
+
+                    self.rtcp.stats = ReceiverStats(
+                        clock_rate=self.rtcp.stats.clock_rate)
             if self.rtcp is not None:
                 if self.rtcp.stats.ssrc is None:
                     self.rtcp.stats.ssrc = self._lock.ssrc

@@ -546,3 +546,32 @@ class TestH26xStreamApp:
 
         assert h26x_stream.run([]) == 2
         assert h26x_stream.run(["--input=/nonexistent.h264"]) == 2
+
+
+def test_receiver_relocks_onto_restarted_sender():
+    """A restarted sender picks a fresh SSRC (gst rtph264pay behavior);
+    after the silence timeout the receiver must accept the new stream
+    instead of pinning the dead SSRC forever (integration coverage of
+    StreamLock's re-arm)."""
+    import time as _time
+
+    from opencv_opencl_tpu.io.rtp_h26x import (
+        H264RtpPayloader, H26xRtpReceiver, H26xRtpSink)
+
+    rx = H26xRtpReceiver(codec="h264", timeout=5.0, relock_timeout=0.3)
+    au1 = annexb(h264_nal(5, 600, 1))
+    au2 = annexb(h264_nal(1, 600, 2))
+    # sender session A
+    a = H26xRtpSink("127.0.0.1", rx.port, codec="h264")
+    a.payloader.ssrc = 0x11110001
+    a.write(au1)
+    assert rx.recv_access_unit() == au1
+    a.close()
+    _time.sleep(0.4)  # silence > relock_timeout
+    # "restarted" sender session B: fresh random SSRC
+    b = H26xRtpSink("127.0.0.1", rx.port, codec="h264")
+    b.payloader.ssrc = 0x22220002
+    b.write(au2)
+    assert rx.recv_access_unit() == au2  # re-locked, new stream accepted
+    b.close()
+    rx.close()
