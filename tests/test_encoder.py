@@ -503,3 +503,49 @@ def test_relay_h264_sink_writes_sdp(tmp_path):
     assert "packetization-mode=1" in text
     sess = parse_sdp(text)
     assert sess.medias[0].kind == "video"
+
+
+@pytest.mark.slow
+def test_pcm_encoder_property_fuzz():
+    """Random geometries x content classes: every stream reconstructs
+    bit-exactly through the mini parser AND the Y plane decodes
+    bit-exactly through libavcodec."""
+    import cv2
+
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        w = int(rng.integers(1, 40)) * 2
+        h = int(rng.integers(1, 30)) * 2
+        kind = trial % 4
+        if kind == 0:
+            f = rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+        elif kind == 1:
+            f = np.zeros((h * 3 // 2, w), np.uint8)  # escape worst case
+        elif kind == 2:
+            f = np.full((h * 3 // 2, w), 255, np.uint8)
+        else:  # small-byte soup: adversarial for emulation prevention
+            f = rng.choice(
+                np.array([0, 0, 1, 2, 3, 128], np.uint8),
+                size=(h * 3 // 2, w)).astype(np.uint8)
+        idr = trial % 2
+        sl = encode_frame_pcm(f, w, h, idr_pic_id=idr)
+        assert np.array_equal(parse_pcm_slice(sl, w, h, idr), f), (
+            trial, w, h, kind)
+    # one decoder pass over a mixed-content stream
+    w, h = 48, 32
+    enc = PcmH264Encoder(w, h)
+    frames = [np.zeros((h * 3 // 2, w), np.uint8),
+              rand_nv12(w, h, seed=5),
+              np.full((h * 3 // 2, w), 255, np.uint8)]
+    es = b"".join(b"".join(enc.encode(f)) for f in frames)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".h264") as tf:
+        tf.write(es)
+        tf.flush()
+        cap = cv2.VideoCapture(tf.name)
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        for f in frames:
+            ok, raw = cap.read()
+            assert ok and np.array_equal(raw[:h, :w], f[:h])
+        cap.release()
