@@ -91,8 +91,25 @@ class FfmpegEncoder:
             with self._lock:
                 self._buf.extend(chunk)
 
+    @staticmethod
+    def _tail_cut_offset(data: bytes, n_keep_nals: int) -> int:
+        """Byte offset in ``data`` where the last ``n_keep_nals`` NALs
+        begin (including their start code).  Needed because
+        split_access_units NORMALIZES start codes to 4 bytes, so
+        ``len(data) - len(kept_au)`` is wrong whenever the encoder
+        emitted 3-byte codes (x264's usual non-first-NAL form)."""
+        import re as _re
+
+        starts = [m.end() for m in _re.finditer(b"\x00\x00\x01", data)]
+        payload_off = starts[-n_keep_nals]
+        cut = payload_off - 3
+        if cut > 0 and data[cut - 1] == 0:
+            cut -= 1  # 4-byte start code
+        return cut
+
     def _take_complete_aus(self, final: bool) -> list[bytes]:
-        from opencv_opencl_tpu.io.rtp_h26x import split_access_units
+        from opencv_opencl_tpu.io.rtp_h26x import (
+            split_access_units, split_annexb)
 
         with self._lock:
             data = bytes(self._buf)
@@ -104,7 +121,7 @@ class FfmpegEncoder:
         if not final:
             # the last AU may still be growing: keep it buffered
             keep = aus.pop()
-            consumed = len(data) - len(keep)
+            consumed = self._tail_cut_offset(data, len(split_annexb(keep)))
         else:
             consumed = len(data)
         with self._lock:

@@ -549,3 +549,60 @@ def test_pcm_encoder_property_fuzz():
             ok, raw = cap.read()
             assert ok and np.array_equal(raw[:h, :w], f[:h])
         cap.release()
+
+
+def test_ffmpeg_encoder_three_byte_start_codes(tmp_path):
+    """x264 emits 3-byte start codes for non-first NALs; the AU-framing
+    byte accounting must not corrupt the stream (split_access_units
+    normalizes to 4-byte codes, so length arithmetic alone is wrong)."""
+    import stat
+    import sys
+    import textwrap
+
+    from opencv_opencl_tpu.io.encoder import FfmpegEncoder
+
+    w, h = 32, 32
+    # stub emits per frame: SPS(3-byte code) PPS(3-byte) IDR(4-byte)
+    stub = tmp_path / "ffmpeg"
+    stub.write_text(textwrap.dedent(f"""\
+        #!{sys.executable}
+        import sys
+        frame_bytes = {w * h * 3 // 2}
+        data = sys.stdin.buffer
+        out = sys.stdout.buffer
+        i = 0
+        while True:
+            buf = data.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                break
+            # NALs never end in 0x00 (rbsp trailing bits) and a
+            # picture-starting slice has its first header bit set
+            # (first_mb_in_slice=0 -> leading ue(v) '1' bit)
+            sps = bytes([0x67, 66, 0xC0, 10, (i & 0xFF) | 1])
+            pps = bytes([0x68, 0xCE, 0x38, 0x80])
+            idr = bytes([0x65, 0x88]) + bytes((j * 7 + i) % 255 + 1
+                                              for j in range(40))
+            out.write(b"\\x00\\x00\\x01" + sps)
+            out.write(b"\\x00\\x00\\x01" + pps)
+            out.write(b"\\x00\\x00\\x00\\x01" + idr)
+            out.flush()
+            i += 1
+        """))
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+
+    enc = FfmpegEncoder(w, h, ffmpeg=str(stub))
+    f = rand_nv12(w, h)
+    got = []
+    import time
+
+    for _ in range(3):
+        got.extend(enc.encode(f))
+        time.sleep(0.1)  # let the reader thread drain the stub
+    got.extend(enc.flush())
+    enc.close()
+    assert len(got) == 3
+    for i, au in enumerate(got):
+        nals = split_annexb(au)
+        assert [n[0] & 0x1F for n in nals] == [7, 8, 5], (i, au.hex())
+        assert nals[0][4] == (i | 1)  # per-frame SPS marker byte intact
+        assert len(nals[2]) == 42
