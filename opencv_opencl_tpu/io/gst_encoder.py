@@ -89,11 +89,10 @@ class GiPipelineEncoder:
         except Exception:
             return False
 
-    def _pull_available(self, final: bool = False) -> list[bytes]:
+    def _pull_available(self, timeout_ns: int = 0) -> list[bytes]:
         out: list[bytes] = []
         while True:
-            sample = self.sink.emit(
-                "try-pull-sample" if not final else "pull-sample", 0)
+            sample = self.sink.emit("try-pull-sample", timeout_ns)
             if sample is None:
                 return out
             buf = sample.get_buffer()
@@ -112,18 +111,25 @@ class GiPipelineEncoder:
         self.frames += 1
         return self._pull_available()
 
-    def flush(self) -> list[bytes]:
+    def flush(self, deadline_s: float = 10.0) -> list[bytes]:
+        import time
+
         self.src.emit("end-of-stream")
-        # drain until the encoder finishes (bounded by appsink EOS)
+        # drain with a real per-pull timeout until appsink reports EOS
+        # (a zero-timeout spin could race the encoder and drop its tail);
+        # the deadline bounds a wedged pipeline
         out = []
-        for _ in range(1000):
-            got = self._pull_available()
+        t_end = time.monotonic() + deadline_s
+        while time.monotonic() < t_end:
+            got = self._pull_available(timeout_ns=200_000_000)
             out.extend(got)
             try:
                 if self.sink.get_property("eos"):
                     break
             except Exception:
                 break
+            if not got:
+                time.sleep(0.01)
         return out
 
     def close(self) -> None:

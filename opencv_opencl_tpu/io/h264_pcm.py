@@ -298,6 +298,8 @@ class PcmH264Encoder:
     codec = "h264"
 
     def __init__(self, width: int, height: int) -> None:
+        if width % 2 or height % 2:
+            raise ValueError("NV12 requires even dimensions")
         self.width = width
         self.height = height
         self._sps = build_sps(width, height)
