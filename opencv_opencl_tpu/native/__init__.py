@@ -89,6 +89,11 @@ def _load():
             getattr(lib, name).argtypes = [u8p, u8p, u8p, ctypes.c_size_t,
                                            ctypes.c_size_t]
         lib.fp_uv_gray.argtypes = [u8p, ctypes.c_size_t]
+        lib.fp_send_packets.restype = ctypes.c_int64
+        lib.fp_send_packets.argtypes = [
+            ctypes.c_int, u8p, u64p, ctypes.c_uint64, ctypes.c_char_p,
+            ctypes.c_uint16,
+        ]
         lib.fp_rtp_send_raw.restype = ctypes.c_int64
         lib.fp_rtp_send_raw.argtypes = [
             ctypes.c_int, u8p, ctypes.c_uint64, ctypes.c_uint64,
@@ -244,6 +249,32 @@ def uv_gray(uv: np.ndarray) -> None:
     """In-place UV := 128 (the reference memset)."""
     lib = _load()
     lib.fp_uv_gray(_ptr(uv), uv.nbytes)
+
+
+def send_packets(fd: int, packets: list[bytes], host: str,
+                 port: int) -> int:
+    """Ship pre-built datagrams via C++ sendmmsg batches, GIL-free.
+
+    One ``b"".join`` + a few syscalls replaces the per-packet Python
+    ``sendto`` loop (~33 ms for a 10k-packet 4K access unit).  Returns
+    packets sent; raises OSError with ``packets_sent`` on failure, like
+    :func:`rtp_send_raw`."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    blob = b"".join(packets)
+    lens = np.array([len(p) for p in packets], dtype=np.uint64)
+    n = lib.fp_send_packets(
+        fd, ctypes.cast(ctypes.c_char_p(blob),
+                        ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(packets), host.encode(), port,
+    )
+    if n < 0:
+        err = OSError("fp_send_packets failed")
+        err.packets_sent = int(-n - 1)
+        raise err
+    return int(n)
 
 
 def rtp_send_raw(fd: int, frame: np.ndarray, mtu: int, seq0: int, ts: int,
