@@ -13,6 +13,9 @@ Usage:
                    # chain, encoder chosen via --encoder)
       [--encoder=auto|pcm|ffmpeg|gi]  # encoder backend for rtp+h26x
                    # sinks (io.encoder; pcm = in-repo lossless I_PCM)
+      [--hist-downsample=N]  # APPROXIMATE throughput mode: histograms
+                   # from every Nth row, counts rescaled (selective
+                   # downsampling, arXiv:1709.04583); default 1 = exact
       [--duration=seconds] [--max-frames=N] [--status-interval=2]
       [--ref-frame]  # clahe: LUTs from the previous frame (latency
                      # hiding; fused single-pass kernel on TPU)
@@ -59,6 +62,7 @@ def run(argv: list[str]) -> int:
             "adaptive-rate": bool, "native": bool, "preset": str,
             "io": str, "ref-frame": bool, "sdp-file": str,
             "rtcp-schedule": str, "mesh": str, "encoder": str,
+            "hist-downsample": int,
         },
     )
     if "max-rate" in opts and opts["max-rate"] <= 0:
@@ -199,11 +203,19 @@ def run(argv: list[str]) -> int:
     else:
         sink = FileSink(sink_path, spec)
 
-    cfg = EnhancerConfig(
-        op=op, clip_limit=opts.get("clipLimit", 2.0),
-        tile_grid=(opts.get("tile", 8),) * 2, chroma=chroma,
-        use_ref_frame=opts.get("ref-frame", False),
-    )
+    try:
+        cfg = EnhancerConfig(
+            op=op, clip_limit=opts.get("clipLimit", 2.0),
+            tile_grid=(opts.get("tile", 8),) * 2, chroma=chroma,
+            use_ref_frame=opts.get("ref-frame", False),
+            hist_downsample=opts.get("hist-downsample", 1),
+        )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    if cfg.hist_downsample > 1:
+        print(f"APPROXIMATE histogram mode: every "
+              f"{cfg.hist_downsample}th row (not bit-exact vs cv2)")
     if "mesh" in opts:
         # multi-chip: shard the batch over `data`, rows over `space` —
         # the scaling analogue of the reference's worker pool, one flag

@@ -54,10 +54,17 @@ class EnhancerConfig:
     hist_method: str = "onehot"
     use_ref_frame: bool = False  # histeq: batch-internal shift; clahe: use
     #                              StreamingEnhancer (hist carry + fusion)
+    # 1 = exact (bit-exact vs cv2, the default).  N > 1 builds histograms
+    # from every Nth row with counts rescaled — the opt-in APPROXIMATE
+    # throughput mode (selective downsampling, arXiv:1709.04583); mapping
+    # stays exact, only the LUT statistics are estimated.
+    hist_downsample: int = 1
 
     def __post_init__(self):
         if self.op not in ("histeq", "clahe", "none"):
             raise ValueError(f"unknown op {self.op!r}")
+        if self.hist_downsample < 1:
+            raise ValueError("hist_downsample must be >= 1")
 
 
 def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec,
@@ -84,8 +91,28 @@ def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec,
         else None
     )
 
+    ds = int(cfg.hist_downsample)
+    if cfg.op == "clahe" and ds > 1 and plan.tile_h % ds:
+        raise ValueError(
+            f"hist_downsample={ds} must divide the tile height "
+            f"({plan.tile_h} for {h}x{spec.width} grid {tile_grid})")
+
     def enhance_y(y):
         if cfg.op == "histeq":
+            if ds > 1 and not cfg.use_ref_frame:
+                # approximate fast-histogram mode: every ds-th row, counts
+                # rescaled; the LUT map itself stays exact
+                sub_rows = -(-h // ds)
+                total = sub_rows * spec.width * ds
+
+                def one(frame):
+                    hist = histeq_ops.hist256(frame[::ds], method) * ds
+                    lut = histeq_ops.equalize_lut(hist, total=total)
+                    return histeq_ops.apply_lut(frame, lut)
+
+                if 1 <= y.shape[0] <= 8:
+                    return jnp.stack([one(y[i]) for i in range(y.shape[0])])
+                return jax.vmap(one)(y)
             if cfg.use_ref_frame:
                 # LUT of frame i comes from frame i-1 (frame 0 maps itself):
                 # the streaming use of the accel.cpp two-input signature.
@@ -101,7 +128,8 @@ def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec,
                 return jax.vmap(one)(y, ref)
             return histeq_ops.equalize_hist_batch(y, method=method)
         if cfg.op == "clahe":
-            return clahe_ops.clahe_apply(y, plan, method=method)
+            return clahe_ops.clahe_apply(y, plan, method=method,
+                                         hist_rowstep=ds)
         return y
 
     def fn(nv12_batch):

@@ -142,15 +142,28 @@ def _extend(y: jax.Array, plan: ClahePlan) -> jax.Array:
     return ext
 
 
-def _tile_histograms(y: jax.Array, plan: ClahePlan, method: str) -> jax.Array:
-    """Per-tile 256-bin histograms, int32[(tilesY*tilesX), 256]."""
+def _tile_histograms(y: jax.Array, plan: ClahePlan, method: str,
+                     rowstep: int = 1) -> jax.Array:
+    """Per-tile 256-bin histograms, int32[(tilesY*tilesX), 256].
+
+    ``rowstep > 1`` samples every rowstep-th row per tile and scales the
+    counts back — the opt-in APPROXIMATE fast-histogram mode (selective
+    downsampling, arXiv:1709.04583); rowstep must divide tile_h so every
+    tile contributes the same row phase."""
     ext = _extend(y, plan)
+    tile_h = plan.tile_h
+    if rowstep > 1:
+        ext = ext[::rowstep]
+        tile_h = plan.tile_h // rowstep
     tiles = (
-        ext.reshape(plan.tiles_y, plan.tile_h, plan.tiles_x, plan.tile_w)
+        ext.reshape(plan.tiles_y, tile_h, plan.tiles_x, plan.tile_w)
         .transpose(0, 2, 1, 3)
-        .reshape(plan.num_tiles, plan.tile_area)
+        .reshape(plan.num_tiles, tile_h * plan.tile_w)
     )
-    return jax.vmap(lambda t: hist256(t, method))(tiles)
+    hists = jax.vmap(lambda t: hist256(t, method))(tiles)
+    if rowstep > 1:
+        hists = hists * rowstep  # counts approximate the full tile area
+    return hists
 
 
 def _clip_histograms(hists: jax.Array, clip: int) -> jax.Array:
@@ -238,14 +251,46 @@ def _interpolate_rows(
     return _blend(l11, l12, l21, l22, xa, xa1, ya, ya1)
 
 
+def _tile_hists_fast(y: jax.Array, plan: ClahePlan, method: str,
+                     rowstep: int) -> jax.Array:
+    """Radix-kernel tile histograms with VMEM fallback, honoring the
+    approximate ``rowstep`` subsampling (counts rescaled)."""
+    from opencv_opencl_tpu.ops.pallas import natural
+
+    ext = _extend(y, plan)
+    tile_h = plan.tile_h
+    if rowstep > 1:
+        ext = ext[::rowstep]
+        tile_h = plan.tile_h // rowstep
+    try:
+        hists = natural.tile_histograms_radix(
+            ext, plan.tiles_y, plan.tiles_x, tile_h, plan.tile_w)
+    except ValueError:  # tile exceeds VMEM budget: scan fallback
+        return _tile_histograms(y, plan, method, rowstep=rowstep)
+    if rowstep > 1:
+        hists = hists * rowstep
+    return hists
+
+
 def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
-                backend: str = "auto") -> jax.Array:
+                backend: str = "auto", hist_rowstep: int = 1) -> jax.Array:
     """CLAHE one frame (H, W) or a batch (N, H, W) against a prebuilt plan.
 
     backend: "pallas" (MXU one-hot interpolation — the fast TPU path),
     "xla" (gather-based), or "auto" (pallas when the geometry admits the
     uniform-cell kernel, else xla).
+
+    hist_rowstep: 1 = exact (the default; bit-exact vs cv2).  N > 1 is
+    the opt-in APPROXIMATE fast-histogram mode: per-tile histograms are
+    built from every Nth row and the counts rescaled (selective
+    downsampling, arXiv:1709.04583) — interpolation stays exact, only
+    the LUT statistics are estimated.  Requires tile_h % N == 0.
     """
+    if hist_rowstep != 1:
+        if hist_rowstep < 1 or plan.tile_h % hist_rowstep:
+            raise ValueError(
+                f"hist_rowstep={hist_rowstep} must divide tile_h "
+                f"({plan.tile_h})")
     if y.ndim == 3:
         if 1 <= y.shape[0] <= 8:
             # unrolled per-frame dispatches beat vmap-over-pallas for
@@ -254,9 +299,11 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
             # scripts/tpu_r3_batchmap.json); compile size bounds the
             # unroll at 8
             return jnp.stack(
-                [clahe_apply(y[i], plan, method, backend)
+                [clahe_apply(y[i], plan, method, backend, hist_rowstep)
                  for i in range(y.shape[0])])
-        return jax.vmap(lambda f: clahe_apply(f, plan, method, backend))(y)
+        return jax.vmap(
+            lambda f: clahe_apply(f, plan, method, backend, hist_rowstep)
+        )(y)
     # hardware-validated round 2 (scripts/tpu_r2_kernels.json): natural
     # kernel 0 LSB at 4K/1080p/1919x1079 and 2.2x the cell-grid pipeline
     # (1.76 vs 3.92 ms/frame at 4K) -> the TPU default
@@ -270,13 +317,7 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
             (plan.tiles_x, plan.tiles_y),
         )
         if nspec is not None:
-            try:
-                hists = natural.tile_histograms_radix(
-                    _extend(y, plan), plan.tiles_y, plan.tiles_x,
-                    plan.tile_h, plan.tile_w,
-                )
-            except ValueError:  # tile exceeds VMEM budget: scan fallback
-                hists = _tile_histograms(y, plan, method)
+            hists = _tile_hists_fast(y, plan, method, hist_rowstep)
             # fused LUT build: clip+redistribute+cumsum+scale+pack in ONE
             # pallas dispatch (bit-exact vs _luts_from_hists + take)
             lp = natural.build_lut_pack_pallas(
@@ -301,15 +342,7 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
         if spec is not None:
             # radix-16 pallas histogram (hardware: 3.2x the 256-row compare
             # kernel at 4K, which itself was ~7x the XLA scan)
-            from opencv_opencl_tpu.ops.pallas import natural
-
-            try:
-                hists = natural.tile_histograms_radix(
-                    _extend(y, plan), plan.tiles_y, plan.tiles_x,
-                    plan.tile_h, plan.tile_w,
-                )
-            except ValueError:  # tile exceeds VMEM budget: scan fallback
-                hists = _tile_histograms(y, plan, method)
+            hists = _tile_hists_fast(y, plan, method, hist_rowstep)
             luts = _luts_from_hists(hists, plan)
             return lut_kernels.clahe_interpolate_pallas(y, luts, spec)
         if backend == "pallas":
@@ -317,7 +350,7 @@ def clahe_apply(y: jax.Array, plan: ClahePlan, method: str = "onehot",
                 f"geometry {plan.height}x{plan.width} grid "
                 f"{plan.tiles_x}x{plan.tiles_y} has no pallas fast path"
             )
-    hists = _tile_histograms(y, plan, method)
+    hists = _tile_histograms(y, plan, method, rowstep=hist_rowstep)
     luts = _luts_from_hists(hists, plan)
     return _interpolate(y, luts, plan)
 
