@@ -36,7 +36,7 @@ def run(argv: list[str]) -> int:
         {
             "input": str, "output": str, "loop": bool, "udp-only": bool,
             "udp": str, "udp-kind": str, "rtcp-schedule": str,
-            "encoder": str,
+            "encoder": str, "hist-downsample": int,
             "resolution": str, "fps": str, "clipLimit": float, "tile": int,
             "codec": str, "bitrate": int, "timing-window": int,
             "detailed-timing": bool, "max-frames": int, "op": str,
@@ -125,13 +125,21 @@ def run(argv: list[str]) -> int:
 
     chroma = (ChromaPolicy.GRAY if opts.get("chroma", "").lower() == "gray"
               else ChromaPolicy.PASSTHROUGH)
-    enhancer = Enhancer(
-        EnhancerConfig(
-            op=op, clip_limit=clip_limit, tile_grid=(tile, tile),
-            chroma=chroma,
-        ),
-        spec,
-    )
+    try:
+        enhancer = Enhancer(
+            EnhancerConfig(
+                op=op, clip_limit=clip_limit, tile_grid=(tile, tile),
+                chroma=chroma,
+                hist_downsample=opts.get("hist-downsample", 1),
+            ),
+            spec,
+        )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    if opts.get("hist-downsample", 1) > 1:
+        print(f"APPROXIMATE histogram mode: every "
+              f"{opts['hist-downsample']}th row (not bit-exact vs cv2)")
     timing = TimingStats(
         window=window, detailed=False,
         label=f"clipLimit={clip_limit:.1f}, tileGrid={tile}x{tile}",

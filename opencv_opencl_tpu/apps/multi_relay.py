@@ -55,7 +55,7 @@ def run(argv: list[str]) -> int:
             "duration": float, "source": str, "sink": str,
             "status-interval": float, "rtcp-schedule": str, "mesh": str,
             "adaptive-rate": bool, "max-rate": float, "priorities": str,
-            "native": bool, "encoder": str,
+            "native": bool, "encoder": str, "hist-downsample": int,
         },
     )
     n = opts.get("streams", 2)
@@ -81,10 +81,18 @@ def run(argv: list[str]) -> int:
     spec = FrameSpec(width=width, height=height, fps=fps)
     chroma = (ChromaPolicy.GRAY if opts.get("chroma", "").lower() == "gray"
               else ChromaPolicy.PASSTHROUGH)
-    cfg = EnhancerConfig(
-        op=op, clip_limit=opts.get("clipLimit", 2.0),
-        tile_grid=(opts.get("tile", 8),) * 2, chroma=chroma,
-    )
+    try:
+        cfg = EnhancerConfig(
+            op=op, clip_limit=opts.get("clipLimit", 2.0),
+            tile_grid=(opts.get("tile", 8),) * 2, chroma=chroma,
+            hist_downsample=opts.get("hist-downsample", 1),
+        )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    if cfg.hist_downsample > 1:
+        print(f"APPROXIMATE histogram mode: every "
+              f"{cfg.hist_downsample}th row (not bit-exact vs cv2)")
     if "mesh" in opts:
         # multi-chip serving: the stream batch shards over the mesh's
         # data axis (whole frames per chip), rows over space — N streams
