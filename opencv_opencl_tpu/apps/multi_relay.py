@@ -19,6 +19,7 @@ Usage:
       [--priorities=2,1,...]  # per-stream QoS classes (higher = more
                          # important): overload evicts the lowest class
                          # first, so premium streams survive congestion
+      [--hist-downsample=N]  # APPROXIMATE fast-histogram mode (see relay)
       [--native]         # GIL-free C++ staging ring; composes with
                          # --priorities (fp_ring_push_prio evicts the
                          # lowest class and reports whose frame it was,
