@@ -92,6 +92,10 @@ def run(argv: list[str]) -> int:
         print(str(e), file=sys.stderr)
         return 2
     if cfg.hist_downsample > 1:
+        if "mesh" in opts:
+            print("--hist-downsample is not supported with --mesh "
+                  "(the sharded path is exact-only)", file=sys.stderr)
+            return 2
         print(f"APPROXIMATE histogram mode: every "
               f"{cfg.hist_downsample}th row (not bit-exact vs cv2)")
     if "mesh" in opts:

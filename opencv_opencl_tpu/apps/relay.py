@@ -214,6 +214,11 @@ def run(argv: list[str]) -> int:
         print(str(e), file=sys.stderr)
         return 2
     if cfg.hist_downsample > 1:
+        if "mesh" in opts or (cfg.use_ref_frame and op == "clahe"):
+            print("--hist-downsample is not supported with --mesh or the "
+                  "clahe --ref-frame streaming mode (exact-only paths)",
+                  file=sys.stderr)
+            return 2
         print(f"APPROXIMATE histogram mode: every "
               f"{cfg.hist_downsample}th row (not bit-exact vs cv2)")
     if "mesh" in opts:

@@ -169,6 +169,11 @@ def build_streaming_clahe_fn(cfg: EnhancerConfig, spec: FrameSpec):
     lowers ~4x slower than the separate radix kernel — kept as
     ``ops.pallas.experiments.clahe_interp_and_hist_natural`` for the record.)
     """
+
+    if getattr(cfg, "hist_downsample", 1) != 1:
+        raise ValueError(
+            "hist_downsample is not supported in the streaming "
+            "(ref-frame) mode: its hist carry is exact-only")
     from opencv_opencl_tpu.ops.pallas import natural
 
     h, w = spec.height, spec.width

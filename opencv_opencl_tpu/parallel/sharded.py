@@ -249,6 +249,12 @@ def build_sharded_pipeline(cfg: EnhancerConfig, height: int, width: int,
     nsp = mesh.shape[space_axis]
     total = height * width
 
+    if getattr(cfg, "hist_downsample", 1) != 1:
+        raise ValueError(
+            "hist_downsample is not supported on the sharded path "
+            "(the banded histogram stages are exact-only); drop --mesh "
+            "or use the exact mode")
+
     if cfg.op == "clahe":
         plan = clahe_ops.make_clahe_plan(
             height, width, float(cfg.clip_limit), tuple(cfg.tile_grid))

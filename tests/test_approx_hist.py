@@ -124,3 +124,28 @@ class TestEnhancerApprox:
         assert rc == 0
         out = capsys.readouterr().out
         assert "APPROXIMATE histogram mode" in out
+
+
+def test_unsupported_combinations_rejected(capsys):
+    """The sharded and streaming paths are exact-only: the approximate
+    flag must be refused, not silently ignored."""
+    from opencv_opencl_tpu.apps import relay
+
+    rc = relay.run(["--source=test", "--width=256", "--height=128",
+                    "--op=clahe", "--hist-downsample=2", "--mesh=2x2",
+                    "--batch=2", "--max-frames=2"])
+    assert rc == 2
+    rc = relay.run(["--source=test", "--width=256", "--height=128",
+                    "--op=clahe", "--hist-downsample=2", "--ref-frame",
+                    "--batch=2", "--max-frames=2"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert err.count("not supported") == 2
+
+    from opencv_opencl_tpu.models.enhancer import EnhancerConfig
+    from opencv_opencl_tpu.parallel.mesh import make_mesh
+    from opencv_opencl_tpu.parallel.sharded import build_sharded_pipeline
+
+    cfg = EnhancerConfig(op="clahe", hist_downsample=2)
+    with pytest.raises(ValueError, match="sharded"):
+        build_sharded_pipeline(cfg, 128, 256, make_mesh(2))
