@@ -98,15 +98,20 @@ def run(argv: list[str]) -> int:
         kind = opts.get("udp-kind", "jpeg")
         if kind in ("h264", "h265"):
             # encoded leg (the reference always encoded before its tee,
-            # CLAHECompare.cpp:438-483): pluggable encoder boundary
-            from opencv_opencl_tpu.io.encoder import (
-                EncodedRtpSink, make_encoder)
+            # CLAHECompare.cpp:438-483): pluggable encoder boundary.
+            # Same shared construction as relay/multi_relay — forwards
+            # --bitrate and fails with rc=2, not a traceback.
+            from opencv_opencl_tpu.io.encoder import encoded_rtp_sink_from_url
 
-            enc = make_encoder(opts.get("encoder", "auto"), spec.width,
-                               spec.height, fps=fps, codec=kind)
-            sinks.append(EncodedRtpSink(
-                enc, udp_host, int(udp_port), fps=fps,
-                rtcp_schedule=opts.get("rtcp-schedule", "tick")))
+            try:
+                sinks.append(encoded_rtp_sink_from_url(
+                    f"rtp+{kind}://{opts['udp']}", spec.width, spec.height,
+                    fps=fps, bitrate_kbps=opts.get("bitrate", 25000),
+                    backend=opts.get("encoder", "auto"),
+                    rtcp_schedule=opts.get("rtcp-schedule", "tick")))
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
         else:
             from opencv_opencl_tpu.io.rtp import RtpUdpSink
 

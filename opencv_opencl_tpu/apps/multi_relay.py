@@ -135,26 +135,21 @@ def run(argv: list[str]) -> int:
     elif sink_spec.startswith(("rtp+h264://", "rtp+h265://")):
         # encoded emit per stream (OpenCVequalHist.cpp:308-332 chain),
         # one encoder + RTP session per stream, same 2-port stride
-        from opencv_opencl_tpu.io.encoder import EncodedRtpSink, make_encoder
+        from opencv_opencl_tpu.io.encoder import encoded_rtp_sink_from_url
 
-        es_codec = ("h264" if sink_spec.startswith("rtp+h264://")
-                    else "h265")
-        host, port = sink_spec.split("://", 1)[1].rsplit(":", 1)
         try:
             for s in range(n):
-                enc = make_encoder(
-                    opts.get("encoder", "auto"), spec.width, spec.height,
-                    fps=fps, codec=es_codec)
-                sinks.append(EncodedRtpSink(
-                    enc, host, int(port) + 2 * s, fps=fps,
-                    rtcp_schedule=opts.get("rtcp-schedule", "tick")))
+                sinks.append(encoded_rtp_sink_from_url(
+                    sink_spec, spec.width, spec.height, fps=fps,
+                    backend=opts.get("encoder", "auto"),
+                    rtcp_schedule=opts.get("rtcp-schedule", "tick"),
+                    port_offset=2 * s))
         except ValueError as e:
             for snk in sinks:
                 snk.close()
             print(str(e), file=sys.stderr)
             return 2
-        print(f"Sinks: {es_codec} RTP {host}:{port}.."
-              f"{int(port) + 2 * (n - 1)} "
+        print(f"Sinks: encoded RTP {sink_spec} .. +{2 * (n - 1)} "
               f"(encoder={type(sinks[0].encoder).__name__})")
     else:
         sinks = [NullSink() for _ in range(n)]

@@ -169,26 +169,19 @@ def run(argv: list[str]) -> int:
         # full reference emit chain: encode -> RFC 6184/7798 payload ->
         # UDP (OpenCVequalHist.cpp:308-332), behind the pluggable
         # encoder boundary (io.encoder: pcm | ffmpeg | gi | auto)
-        from opencv_opencl_tpu.io.encoder import EncodedRtpSink, make_encoder
+        from opencv_opencl_tpu.io.encoder import encoded_rtp_sink_from_url
 
         es_codec = "h264" if sink_path.startswith("rtp+h264://") else "h265"
-        hostport = sink_path.split("://", 1)[1]
-        rtp_host, rtp_port = hostport.rsplit(":", 1)
-        schedule = opts.get("rtcp-schedule", "tick")
-        if schedule not in ("tick", "rfc3550"):
-            print(f"--rtcp-schedule={schedule!r} invalid: tick|rfc3550",
-                  file=sys.stderr)
-            return 2
         try:
-            enc = make_encoder(opts.get("encoder", "auto"), spec.width,
-                               spec.height, fps=fps, codec=es_codec,
-                               bitrate_kbps=bitrate)
+            sink = encoded_rtp_sink_from_url(
+                sink_path, spec.width, spec.height, fps=fps,
+                bitrate_kbps=bitrate, backend=opts.get("encoder", "auto"),
+                rtcp_schedule=opts.get("rtcp-schedule", "tick"))
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
-        print(f"Encoder: {type(enc).__name__} ({es_codec})")
-        sink = EncodedRtpSink(enc, rtp_host, int(rtp_port), fps=fps,
-                              rtcp_schedule=schedule)
+        rtp_host, rtp_port = sink.rtp.addr[0], sink.rtp.addr[1]
+        print(f"Encoder: {type(sink.encoder).__name__} ({es_codec})")
         if "sdp-file" in opts:
             # hand stock players (ffplay/VLC) the session description
             from opencv_opencl_tpu.io.sdp import build_rtp_session_sdp
@@ -214,10 +207,9 @@ def run(argv: list[str]) -> int:
         print(str(e), file=sys.stderr)
         return 2
     if cfg.hist_downsample > 1:
-        if "mesh" in opts or (cfg.use_ref_frame and op == "clahe"):
-            print("--hist-downsample is not supported with --mesh or the "
-                  "clahe --ref-frame streaming mode (exact-only paths)",
-                  file=sys.stderr)
+        if "mesh" in opts or cfg.use_ref_frame:
+            print("--hist-downsample is not supported with --mesh or "
+                  "--ref-frame (exact-only paths)", file=sys.stderr)
             return 2
         print(f"APPROXIMATE histogram mode: every "
               f"{cfg.hist_downsample}th row (not bit-exact vs cv2)")

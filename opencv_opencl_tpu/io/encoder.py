@@ -34,7 +34,8 @@ from typing import Any, Protocol
 
 import numpy as np
 
-__all__ = ["FrameEncoder", "FfmpegEncoder", "make_encoder",
+__all__ = ["FrameEncoder", "FfmpegEncoder", "EncodedRtpSink",
+           "encoded_rtp_sink_from_url", "make_encoder",
            "available_encoders"]
 
 
@@ -213,11 +214,57 @@ class EncodedRtpSink:
             self.rtp.close()
 
 
+def encoded_rtp_sink_from_url(url: str, width: int, height: int, *,
+                              fps: float = 30.0, bitrate_kbps: int = 2000,
+                              backend: str = "auto",
+                              rtcp_schedule: str = "tick",
+                              port_offset: int = 0) -> EncodedRtpSink:
+    """Parse ``rtp+h264://host:port`` / ``rtp+h265://...`` and build the
+    full encoded emit chain — the ONE construction every app shares
+    (relay, multi_relay, clahe_video), so validation and option
+    forwarding cannot drift between them.  Raises ValueError with a
+    user-facing message on a bad scheme/schedule/backend."""
+    if rtcp_schedule not in ("tick", "rfc3550"):
+        raise ValueError(
+            f"rtcp-schedule={rtcp_schedule!r} invalid: tick|rfc3550")
+    for scheme, codec in (("rtp+h264://", "h264"), ("rtp+h265://", "h265")):
+        if url.startswith(scheme):
+            break
+    else:
+        raise ValueError(f"not an encoded RTP url: {url!r}")
+    hostport = url.split("://", 1)[1]
+    try:
+        host, port_s = hostport.rsplit(":", 1)
+        port = int(port_s)
+    except ValueError:
+        raise ValueError(f"bad host:port in {url!r}")
+    enc = make_encoder(backend, width, height, fps=fps, codec=codec,
+                       bitrate_kbps=bitrate_kbps)
+    return EncodedRtpSink(enc, host, port + port_offset, fps=fps,
+                          rtcp_schedule=rtcp_schedule)
+
+
 def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                  codec: str = "h264", bitrate_kbps: int = 2000) -> Any:
-    """Build a FrameEncoder; ``backend`` is pcm|ffmpeg|gi|auto."""
+    """Build a FrameEncoder; ``backend`` is pcm|ffmpeg|gi|auto.
+
+    ``auto`` tries each available backend IN ORDER and falls through on
+    construction failure (e.g. python-gi present but the encoder element
+    missing — gst-plugins absent), so it really is "the first that
+    WORKS on this host", not the first that imports."""
     if backend == "auto":
-        backend = available_encoders()[0]
+        candidates = [b for b in available_encoders()
+                      if not (b == "pcm" and codec != "h264")]
+        errors = []
+        for cand in candidates:
+            try:
+                return make_encoder(cand, width, height, fps=fps,
+                                    codec=codec, bitrate_kbps=bitrate_kbps)
+            except Exception as e:  # element missing, process spawn, ...
+                errors.append(f"{cand}: {e}")
+        raise ValueError(
+            f"no working {codec} encoder on this host "
+            f"(tried {', '.join(errors) or 'nothing'})")
     if backend == "pcm":
         if codec != "h264":
             raise ValueError("the in-repo PCM encoder is h264-only")

@@ -69,7 +69,9 @@ class GiPipelineEncoder:
                 gst.init(None)
         self.gst = gst
         if use_omx is None:
-            use_omx = self._have_element("omxh264enc")
+            # probe the encoder element for THIS codec — a board with
+            # only omxh264enc must not emit omxh265enc pipelines
+            use_omx = self._have_element(f"omx{codec}enc")
         self.desc = encoder_pipeline_desc(width, height, fps, codec,
                                           bitrate_kbps, use_omx=use_omx)
         self.pipeline = gst.parse_launch(self.desc)

@@ -76,10 +76,19 @@ class WebRtcApi:
 
     def answer_from_text(self, sdp_text: str) -> Any:
         """Build an ANSWER session description from SDP text
-        (``sender.cpp:295-322``: sdp_message_parse_buffer + new)."""
+        (``sender.cpp:295-322``: sdp_message_parse_buffer + new).
+
+        GstSdp signals malformed input through SDPResult return codes,
+        not exceptions — check them, or handle_answer would apply an
+        EMPTY description to webrtcbin for garbage peer SDP."""
+        ok = self.gst_sdp.SDPResult.OK
         res, sdpmsg = self.gst_sdp.SDPMessage.new()
-        self.gst_sdp.sdp_message_parse_buffer(
+        if res != ok:
+            raise ValueError(f"SDPMessage.new failed: {res}")
+        res = self.gst_sdp.sdp_message_parse_buffer(
             sdp_text.encode(), sdpmsg)
+        if res != ok:
+            raise ValueError(f"unparseable SDP: {res}")
         return self.gst_webrtc.WebRTCSessionDescription.new(
             self.gst_webrtc.WebRTCSDPType.ANSWER, sdpmsg)
 

@@ -92,6 +92,12 @@ def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec,
     )
 
     ds = int(cfg.hist_downsample)
+    if ds > 1 and cfg.use_ref_frame:
+        # refuse rather than silently run exact: the ref-frame modes
+        # carry exact histograms between frames
+        raise ValueError(
+            "hist_downsample is not supported with use_ref_frame "
+            "(the ref-frame hist carry is exact-only)")
     if cfg.op == "clahe" and ds > 1 and plan.tile_h % ds:
         raise ValueError(
             f"hist_downsample={ds} must divide the tile height "
@@ -99,7 +105,7 @@ def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec,
 
     def enhance_y(y):
         if cfg.op == "histeq":
-            if ds > 1 and not cfg.use_ref_frame:
+            if ds > 1:
                 # approximate fast-histogram mode: every ds-th row, counts
                 # rescaled; the LUT map itself stays exact
                 sub_rows = -(-h // ds)

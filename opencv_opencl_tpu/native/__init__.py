@@ -130,7 +130,11 @@ class NativeRing:
         self._h = lib.fp_ring_new(capacity, frame_bytes)
 
     def push(self, frame: np.ndarray, seq: int) -> bool:
-        """Returns True if no drop occurred."""
+        """Returns True if no drop occurred.  False means A frame was
+        dropped — usually the oldest queued one, but on a ring shared
+        with higher-priority push_prio frames (or when every slot is
+        momentarily in flight) the INCOMING frame itself may be the one
+        dropped; use push_prio for attributable semantics."""
         frame = np.ascontiguousarray(frame)
         assert frame.nbytes == self.frame_bytes
         r = self._lib.fp_ring_push(self._h, _ptr(frame), seq)

@@ -81,6 +81,14 @@ int fp_ring_push_prio(FpRing* r, const uint8_t* data, uint64_t seq,
         std::lock_guard<std::mutex> lk(r->mu);
         if (r->closed) return -1;
         if (r->free_slots.empty()) {
+            if (r->queue.empty()) {
+                // every slot is in flight between producers' memcpy and
+                // re-queue (or inside pop_batch): nothing to evict.
+                // Reject the incoming frame — reading queue.front() here
+                // would be UB on an empty deque.
+                r->dropped.fetch_add(1, std::memory_order_relaxed);
+                return 2;
+            }
             // oldest entry of the lowest priority class (bounded scan:
             // capacity is small by design, like PriorityLeakyQueue)
             size_t idx = 0;
@@ -115,12 +123,14 @@ int fp_ring_push_prio(FpRing* r, const uint8_t* data, uint64_t seq,
     return rc;
 }
 
-// Push one frame (memcpy into a slot). Returns 1 if an old frame was
-// dropped to make room (leaky semantics), 0 otherwise, -1 if closed.
+// Push one frame (memcpy into a slot). Returns 0 when queued with no
+// drop, 1 when A frame was dropped (usually the oldest queued one; on a
+// ring mixed with higher-priority push_prio frames, or in the transient
+// where every slot is in flight, the dropped frame is the INCOMING one),
+// -1 if closed.
 int fp_ring_push(FpRing* r, const uint8_t* data, uint64_t seq) {
-    // uniform priority: pmin <= prio always, so rc 2 cannot occur and
-    // the eviction policy degrades to drop-oldest (original semantics)
-    return fp_ring_push_prio(r, data, seq, 0, nullptr);
+    int rc = fp_ring_push_prio(r, data, seq, 0, nullptr);
+    return rc == 2 ? 1 : rc;
 }
 
 // Pop up to max_frames frames into the contiguous batch buffer (batch

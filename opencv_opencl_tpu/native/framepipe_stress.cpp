@@ -170,5 +170,58 @@ int main() {
                 (unsigned long long)evicted[1].load(),
                 (unsigned long long)rejected[0].load());
     fp_ring_free(pring);
+
+    // ---- phase 3: capacity-2 ring with 4 producers — hammers the
+    // all-slots-in-flight transient where the queue is empty while
+    // free_slots is too (the eviction branch must reject, not read
+    // queue.front() on an empty deque; ASAN catches the old UB).
+    FpRing* tiny = fp_ring_new(2, FRAME);
+    std::atomic<uint64_t> t_consumed{0};
+    std::atomic<uint64_t> t_dropped_rc{0};
+    std::atomic<bool> t_done{false};
+    auto t_producer = [&](int pid) {
+        std::vector<uint8_t> frame(FRAME, uint8_t(pid));
+        for (int i = 0; i < PER_PRODUCER; ++i) {
+            uint64_t ev = 0;
+            int rc = fp_ring_push_prio(tiny, frame.data(),
+                                       (uint64_t)pid * 1000000 + i,
+                                       pid % 2, &ev);
+            if (rc == 1 || rc == 2) t_dropped_rc.fetch_add(1);
+        }
+    };
+    std::thread t_consumer([&] {
+        std::vector<uint8_t> batch(2 * FRAME);
+        std::vector<uint64_t> seqs(2);
+        while (true) {
+            int64_t got = fp_ring_pop_batch(tiny, batch.data(), seqs.data(),
+                                            2, 5);
+            if (got < 0) break;
+            if (got == 0) {
+                if (t_done.load()) fp_ring_close(tiny);
+                continue;
+            }
+            t_consumed.fetch_add(uint64_t(got));
+        }
+    });
+    std::vector<std::thread> t_producers;
+    for (int p = 0; p < PRODUCERS; ++p) t_producers.emplace_back(t_producer, p);
+    for (auto& t : t_producers) t.join();
+    t_done.store(true);
+    t_consumer.join();
+    if (t_consumed.load() + fp_ring_dropped(tiny) != total) {
+        std::fprintf(stderr, "TINY ACCOUNTING: %llu + %llu != %llu\n",
+                     (unsigned long long)t_consumed.load(),
+                     (unsigned long long)fp_ring_dropped(tiny),
+                     (unsigned long long)total);
+        return 8;
+    }
+    if (fp_ring_dropped(tiny) != t_dropped_rc.load()) {
+        std::fprintf(stderr, "TINY DROP RC mismatch\n");
+        return 9;
+    }
+    std::printf("tiny-ring stress OK: %llu consumed, %llu dropped\n",
+                (unsigned long long)t_consumed.load(),
+                (unsigned long long)fp_ring_dropped(tiny));
+    fp_ring_free(tiny);
     return 0;
 }

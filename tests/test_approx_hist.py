@@ -149,3 +149,18 @@ def test_unsupported_combinations_rejected(capsys):
     cfg = EnhancerConfig(op="clahe", hist_downsample=2)
     with pytest.raises(ValueError, match="sharded"):
         build_sharded_pipeline(cfg, 128, 256, make_mesh(2))
+
+
+def test_histeq_ref_frame_downsample_rejected():
+    """histeq + use_ref_frame + downsample must be refused, not run the
+    exact path under an APPROXIMATE banner (review finding)."""
+    from opencv_opencl_tpu.apps import relay
+
+    spec = FrameSpec(width=256, height=128, fps=30)
+    cfg = EnhancerConfig(op="histeq", use_ref_frame=True, hist_downsample=2)
+    with pytest.raises(ValueError, match="ref_frame"):
+        build_enhance_fn(cfg, spec)
+    rc = relay.run(["--source=test", "--width=256", "--height=128",
+                    "--op=histeq", "--ref-frame", "--hist-downsample=2",
+                    "--max-frames=2", "--batch=2"])
+    assert rc == 2
