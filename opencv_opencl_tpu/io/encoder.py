@@ -265,12 +265,21 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         raise ValueError(
             f"no working {codec} encoder on this host "
             f"(tried {', '.join(errors) or 'nothing'})")
-    if backend == "pcm":
+    if backend == "pcm" or backend.startswith("pcm:"):
         if codec != "h264":
             raise ValueError("the in-repo PCM encoder is h264-only")
         from opencv_opencl_tpu.io.h264_pcm import PcmH264Encoder
 
-        return PcmH264Encoder(width, height)
+        slices = 1
+        if backend.startswith("pcm:"):
+            # pcm:N = N slices per frame, assembled on a small thread
+            # pool (the reference's omxh264enc num-slices=8 analogue)
+            try:
+                slices = int(backend.split(":", 1)[1])
+            except ValueError:
+                raise ValueError(f"bad pcm slice count in {backend!r}")
+        return PcmH264Encoder(width, height, slices=slices,
+                              threads=min(slices, 4) if slices > 1 else 0)
     if backend == "ffmpeg":
         if not shutil.which("ffmpeg"):
             raise ValueError("ffmpeg not on PATH (try --encoder=pcm)")

@@ -204,12 +204,15 @@ def build_pps() -> bytes:
     return _escape(w.bytes())
 
 
-def _slice_head(idr_pic_id: int) -> bytes:
-    """IDR slice header + MB0's mb_type/alignment — 4 bytes, byte-aligned
-    so every subsequent macroblock is the fixed 2-byte prefix."""
+def _slice_head(idr_pic_id: int, first_mb: int = 0) -> bytes:
+    """IDR slice header + the slice's first MB's mb_type/alignment,
+    byte-aligned so every subsequent macroblock is the fixed 2-byte
+    prefix.  ``first_mb`` > 0 starts a non-first slice of the picture
+    (multi-slice frames: each slice is independently parallelizable and
+    RTP-friendlier than one giant NAL)."""
     w = _BitWriter()
     w.u(0, 1).u(3, 2).u(5, 5)  # nal header: IDR slice, ref_idc 3
-    w.ue(0)                    # first_mb_in_slice
+    w.ue(first_mb)             # first_mb_in_slice
     w.ue(7)                    # slice_type: I (all slices of picture)
     w.ue(0)                    # pic_parameter_set_id
     w.u(0, 4)                  # frame_num (log2_max_frame_num = 4)
@@ -286,6 +289,42 @@ def encode_frame_pcm(nv12: np.ndarray, width: int, height: int,
     return _escape(buf)
 
 
+def encode_frame_pcm_slices(nv12: np.ndarray, width: int, height: int,
+                            idr_pic_id: int = 0, slices: int = 2,
+                            pool=None) -> list[bytes]:
+    """The frame as ``slices`` IDR slice NALs (MB-row bands, no start
+    codes).  Each slice escapes independently, so a thread pool
+    parallelizes the per-slice work (the reference tuned
+    ``omxh264enc num-slices=8`` for the same reasons: parallel encode +
+    smaller NALs on the wire)."""
+    if width % 2 or height % 2:
+        raise ValueError("NV12 requires even dimensions")
+    nv12 = np.ascontiguousarray(nv12)
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    slices = max(1, min(int(slices), mb_h))
+    n = mb_h * mb_w
+    table = np.empty((n, 386), np.uint8)
+    table[:, 0] = 0x0D
+    table[:, 1] = 0x00
+    _fill_mb_samples(nv12, width, height, table[:, 2:])
+    bounds = [round(i * mb_h / slices) * mb_w for i in range(slices + 1)]
+
+    def one(i: int) -> bytes:
+        a, b = bounds[i], bounds[i + 1]
+        head = _slice_head(idr_pic_id, first_mb=a)
+        off = len(head) - 2
+        buf = np.empty(off + (b - a) * 386 + 1, np.uint8)
+        buf[off:-1] = table[a:b].reshape(-1)
+        buf[: len(head)] = np.frombuffer(head, np.uint8)
+        buf[-1] = 0x80
+        return _escape(buf)
+
+    if pool is not None and slices > 1:
+        return list(pool.map(one, range(slices)))
+    return [one(i) for i in range(slices)]
+
+
 class PcmH264Encoder:
     """Frame-in/AU-out H.264 encoder, losslessly PCM-coding every frame.
 
@@ -297,27 +336,46 @@ class PcmH264Encoder:
 
     codec = "h264"
 
-    def __init__(self, width: int, height: int) -> None:
+    def __init__(self, width: int, height: int, slices: int = 1,
+                 threads: int = 0) -> None:
+        """``slices`` > 1 splits every frame into that many IDR slices
+        (MB-row bands) — smaller NALs on the wire and, with
+        ``threads`` > 0, parallel per-slice assembly/escaping on a
+        thread pool (numpy copies release the GIL)."""
         if width % 2 or height % 2:
             raise ValueError("NV12 requires even dimensions")
         self.width = width
         self.height = height
+        self.slices = max(1, int(slices))
         self._sps = build_sps(width, height)
         self._pps = build_pps()
         self._idr_pic_id = 0
         self.frames = 0
+        self._pool = None
+        if threads > 0 and self.slices > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=threads,
+                                            thread_name_prefix="pcm-slice")
 
     def encode(self, nv12: np.ndarray) -> list[bytes]:
         rows = self.height * 3 // 2
         arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
-        sl = encode_frame_pcm(arr, self.width, self.height,
-                              self._idr_pic_id)
+        if self.slices > 1:
+            nals = encode_frame_pcm_slices(
+                arr, self.width, self.height, self._idr_pic_id,
+                slices=self.slices, pool=self._pool)
+        else:
+            nals = [encode_frame_pcm(arr, self.width, self.height,
+                                     self._idr_pic_id)]
         self._idr_pic_id ^= 1  # consecutive IDRs must differ (§7.4.3)
         self.frames += 1
-        return [_START4 + self._sps + _START4 + self._pps + _START4 + sl]
+        au = _START4 + self._sps + _START4 + self._pps
+        return [au + b"".join(_START4 + n for n in nals)]
 
     def flush(self) -> list[bytes]:
         return []
 
     def close(self) -> None:
-        pass
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)

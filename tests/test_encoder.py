@@ -606,3 +606,41 @@ def test_ffmpeg_encoder_three_byte_start_codes(tmp_path):
         assert [n[0] & 0x1F for n in nals] == [7, 8, 5], (i, au.hex())
         assert nals[0][4] == (i | 1)  # per-frame SPS marker byte intact
         assert len(nals[2]) == 42
+
+
+class TestMultiSlicePcm:
+    def test_multi_slice_decodes_bit_exact(self, tmp_path):
+        """slices=3 with a thread pool: NAL structure SPS PPS IDRx3 and
+        Y bit-exact through libavcodec (incl. cropped odd geometry)."""
+        import cv2
+
+        for w, h, sl in [(96, 64, 3), (36, 28, 2)]:
+            enc = PcmH264Encoder(w, h, slices=sl, threads=2)
+            frames = [rand_nv12(w, h, seed=i) for i in range(2)]
+            es = b"".join(b"".join(enc.encode(f)) for f in frames)
+            p = tmp_path / f"ms_{w}x{h}.h264"
+            p.write_bytes(es)
+            nals = split_annexb(b"".join(enc.encode(frames[0])))
+            assert [n[0] & 0x1F for n in nals] == [7, 8] + [5] * sl
+            enc.close()
+            cap = cv2.VideoCapture(str(p))
+            cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+            for f in frames:
+                ok, raw = cap.read()
+                assert ok and np.array_equal(raw[:h, :w], f[:h]), (w, h, sl)
+            cap.release()
+
+    def test_pcm_slice_backend_syntax(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        enc = make_encoder("pcm:4", 64, 48)
+        assert enc.slices == 4
+        enc.close()
+        with pytest.raises(ValueError, match="slice count"):
+            make_encoder("pcm:x", 64, 48)
+
+    def test_slices_clamped_to_mb_rows(self):
+        # 32 px = 2 MB rows: slices=8 clamps to 2
+        enc = PcmH264Encoder(32, 32, slices=8)
+        (au,) = enc.encode(rand_nv12(32, 32))
+        assert [n[0] & 0x1F for n in split_annexb(au)] == [7, 8, 5, 5]
