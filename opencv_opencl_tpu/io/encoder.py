@@ -246,7 +246,7 @@ def encoded_rtp_sink_from_url(url: str, width: int, height: int, *,
 
 def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                  codec: str = "h264", bitrate_kbps: int = 2000) -> Any:
-    """Build a FrameEncoder; ``backend`` is pcm|ffmpeg|gi|auto.
+    """Build a FrameEncoder; ``backend`` is pcm[:slices]|ffmpeg|gi|auto.
 
     ``auto`` tries each available backend IN ORDER and falls through on
     construction failure (e.g. python-gi present but the encoder element
@@ -272,14 +272,20 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
 
         slices = 1
         if backend.startswith("pcm:"):
-            # pcm:N = N slices per frame, assembled on a small thread
-            # pool (the reference's omxh264enc num-slices=8 analogue)
+            # pcm:N = N slices per frame, assembled on a thread pool
+            # (the reference's omxh264enc num-slices=8 analogue)
             try:
                 slices = int(backend.split(":", 1)[1])
             except ValueError:
                 raise ValueError(f"bad pcm slice count in {backend!r}")
+            if slices < 1:
+                raise ValueError(
+                    f"pcm slice count must be >= 1, got {slices}")
+        import os
+
+        threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
         return PcmH264Encoder(width, height, slices=slices,
-                              threads=min(slices, 4) if slices > 1 else 0)
+                              threads=threads)
     if backend == "ffmpeg":
         if not shutil.which("ffmpeg"):
             raise ValueError("ffmpeg not on PATH (try --encoder=pcm)")
@@ -288,4 +294,4 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
     if backend == "gi":
         return _gi_encoder(width, height, fps, codec, bitrate_kbps)
     raise ValueError(f"unknown encoder backend {backend!r} "
-                     "(pcm|ffmpeg|gi|auto)")
+                     "(pcm[:slices]|ffmpeg|gi|auto)")

@@ -230,99 +230,91 @@ _MB_PREFIX = bytes([0x0D, 0x00])
 
 
 def _fill_mb_samples(nv12: np.ndarray, width: int, height: int,
-                     dest: np.ndarray) -> None:
+                     dest: np.ndarray, mb_row0: int = 0,
+                     mb_rows: int | None = None) -> None:
     """Write per-macroblock samples (256 luma + 64 Cb + 64 Cr, MB raster
     order, edge-replicated to the 16-pixel grid) into ``dest`` of shape
-    (n_mbs, 384) — which may be a STRIDED view into the slice buffer, so
-    the frame's pixels are copied exactly once."""
+    (band_mbs, 384) — which may be a STRIDED view into the slice buffer,
+    so the band's pixels are copied exactly once.  ``mb_row0``/``mb_rows``
+    select an MB-row band (the multi-slice path fills each slice's
+    buffer directly, in parallel, with no intermediate full-frame table)."""
     mb_w = -(-width // 16)
-    mb_h = -(-height // 16)
-    y = nv12[:height]
+    mb_h_full = -(-height // 16)
+    if mb_rows is None:
+        mb_rows = mb_h_full
+    y = nv12[:height][mb_row0 * 16 : (mb_row0 + mb_rows) * 16]
     uv = nv12[height:].reshape(height // 2, width // 2, 2)
-    pad_y = (mb_h * 16 - height, mb_w * 16 - width)
+    pad_y = (mb_rows * 16 - y.shape[0], mb_w * 16 - width)
     if pad_y != (0, 0):  # np.pad copies even for zero widths: skip it
         y = np.pad(y, ((0, pad_y[0]), (0, pad_y[1])), mode="edge")
-    cb, cr = uv[..., 0], uv[..., 1]
-    pad_c = (mb_h * 8 - height // 2, mb_w * 8 - width // 2)
+    cb = uv[mb_row0 * 8 : (mb_row0 + mb_rows) * 8, :, 0]
+    cr = uv[mb_row0 * 8 : (mb_row0 + mb_rows) * 8, :, 1]
+    pad_c = (mb_rows * 8 - cb.shape[0], mb_w * 8 - width // 2)
     if pad_c != (0, 0):
         cb = np.pad(cb, ((0, pad_c[0]), (0, pad_c[1])), mode="edge")
         cr = np.pad(cr, ((0, pad_c[0]), (0, pad_c[1])), mode="edge")
-    n = mb_h * mb_w
     # 4-D destination views over the strided dest: one strided copy from
     # the transposed SOURCE views, no intermediate materialization
     d4y = np.lib.stride_tricks.as_strided(
-        dest[:, :256], (mb_h, mb_w, 16, 16),
+        dest[:, :256], (mb_rows, mb_w, 16, 16),
         (mb_w * dest.strides[0], dest.strides[0], 16, 1))
-    d4y[:] = y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+    d4y[:] = y.reshape(mb_rows, 16, mb_w, 16).transpose(0, 2, 1, 3)
     for off, plane in ((256, cb), (320, cr)):
         d4 = np.lib.stride_tricks.as_strided(
-            dest[:, off : off + 64], (mb_h, mb_w, 8, 8),
+            dest[:, off : off + 64], (mb_rows, mb_w, 8, 8),
             (mb_w * dest.strides[0], dest.strides[0], 8, 1))
-        d4[:] = plane.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
-
-
-def encode_frame_pcm(nv12: np.ndarray, width: int, height: int,
-                     idr_pic_id: int = 0) -> bytes:
-    """One IDR slice NAL (no start code) holding the whole frame as
-    I_PCM macroblocks — losslessly."""
-    if width % 2 or height % 2:
-        raise ValueError("NV12 requires even dimensions")
-    nv12 = np.ascontiguousarray(nv12)
-    head = _slice_head(idr_pic_id)
-    mb_w = -(-width // 16)
-    mb_h = -(-height // 16)
-    n = mb_h * mb_w
-    # single buffer: [head][MB0 384B]([2B prefix][384B]) * (n-1)[0x80].
-    # The macroblock table is written as an (n, 386) view whose first
-    # row's 2-byte prefix slot overlaps the head's tail — the prefix
-    # bytes are filled first, then the head overwrites MB0's slot (its
-    # mb_type+alignment live inside the head).
-    off = len(head) - 2
-    total = off + n * 386 + 1
-    buf = np.empty(total, np.uint8)
-    mbs = buf[off : off + n * 386].reshape(n, 386)
-    mbs[:, 0] = 0x0D
-    mbs[:, 1] = 0x00
-    _fill_mb_samples(nv12, width, height, mbs[:, 2:])
-    buf[: len(head)] = np.frombuffer(head, np.uint8)
-    buf[-1] = 0x80  # rbsp_slice_trailing_bits
-    return _escape(buf)
+        d4[:] = plane.reshape(mb_rows, 8, mb_w, 8).transpose(0, 2, 1, 3)
 
 
 def encode_frame_pcm_slices(nv12: np.ndarray, width: int, height: int,
                             idr_pic_id: int = 0, slices: int = 2,
                             pool=None) -> list[bytes]:
     """The frame as ``slices`` IDR slice NALs (MB-row bands, no start
-    codes).  Each slice escapes independently, so a thread pool
-    parallelizes the per-slice work (the reference tuned
-    ``omxh264enc num-slices=8`` for the same reasons: parallel encode +
-    smaller NALs on the wire)."""
+    codes).  Each slice's buffer is filled DIRECTLY from its band's
+    pixels and escaped independently, so a thread pool parallelizes the
+    whole per-slice pipeline — fill, prefix stamp, escape (numpy copies
+    release the GIL).  The reference tuned ``omxh264enc num-slices=8``
+    for the same reasons: parallel encode + smaller NALs on the wire.
+
+    Per-slice buffer layout: [head][MB_first 384B]([2B prefix][384B])*
+    [0x80], where the band table is a (band_mbs, 386) view whose first
+    row's 2-byte prefix slot overlaps the head's tail — prefixes are
+    stamped first, then the head overwrites the first MB's slot (its
+    mb_type+alignment live inside the head)."""
     if width % 2 or height % 2:
         raise ValueError("NV12 requires even dimensions")
     nv12 = np.ascontiguousarray(nv12)
     mb_w = -(-width // 16)
     mb_h = -(-height // 16)
     slices = max(1, min(int(slices), mb_h))
-    n = mb_h * mb_w
-    table = np.empty((n, 386), np.uint8)
-    table[:, 0] = 0x0D
-    table[:, 1] = 0x00
-    _fill_mb_samples(nv12, width, height, table[:, 2:])
-    bounds = [round(i * mb_h / slices) * mb_w for i in range(slices + 1)]
+    row_bounds = [round(i * mb_h / slices) for i in range(slices + 1)]
 
     def one(i: int) -> bytes:
-        a, b = bounds[i], bounds[i + 1]
-        head = _slice_head(idr_pic_id, first_mb=a)
+        r0, r1 = row_bounds[i], row_bounds[i + 1]
+        band = (r1 - r0) * mb_w
+        head = _slice_head(idr_pic_id, first_mb=r0 * mb_w)
         off = len(head) - 2
-        buf = np.empty(off + (b - a) * 386 + 1, np.uint8)
-        buf[off:-1] = table[a:b].reshape(-1)
+        buf = np.empty(off + band * 386 + 1, np.uint8)
+        mbs = buf[off : off + band * 386].reshape(band, 386)
+        mbs[:, 0] = 0x0D
+        mbs[:, 1] = 0x00
+        _fill_mb_samples(nv12, width, height, mbs[:, 2:],
+                         mb_row0=r0, mb_rows=r1 - r0)
         buf[: len(head)] = np.frombuffer(head, np.uint8)
-        buf[-1] = 0x80
+        buf[-1] = 0x80  # rbsp_slice_trailing_bits
         return _escape(buf)
 
     if pool is not None and slices > 1:
         return list(pool.map(one, range(slices)))
     return [one(i) for i in range(slices)]
+
+
+def encode_frame_pcm(nv12: np.ndarray, width: int, height: int,
+                     idr_pic_id: int = 0) -> bytes:
+    """One IDR slice NAL (no start code) holding the whole frame as
+    I_PCM macroblocks — losslessly (the slices=1 degenerate case)."""
+    return encode_frame_pcm_slices(nv12, width, height, idr_pic_id,
+                                   slices=1)[0]
 
 
 class PcmH264Encoder:

@@ -639,6 +639,49 @@ class TestMultiSlicePcm:
         with pytest.raises(ValueError, match="slice count"):
             make_encoder("pcm:x", 64, 48)
 
+    def test_multi_slice_full_chroma_roundtrip_mini_parser(self):
+        """Bit-exact luma AND chroma through the mini parser across
+        slice boundaries (the decoder test only checks Y)."""
+        from opencv_opencl_tpu.io.h264_pcm import encode_frame_pcm_slices
+
+        w, h = 96, 64  # 4 MB rows
+        f = rand_nv12(w, h, seed=11)
+        nals = encode_frame_pcm_slices(f, w, h, idr_pic_id=1, slices=3)
+        mb_w, mb_h = w // 16, h // 16
+        bounds = [round(i * mb_h / 3) for i in range(4)]
+        mbs_parts = []
+        for i, nal in enumerate(nals):
+            rbsp = unescape(nal)
+            head = _slice_head(1, first_mb=bounds[i] * mb_w)
+            assert rbsp[: len(head)] == head
+            band = (bounds[i + 1] - bounds[i]) * mb_w
+            body = rbsp[len(head):]
+            pos = 0
+            for k in range(band):
+                if k > 0:
+                    assert body[pos : pos + 2] == b"\x0d\x00"
+                    pos += 2
+                mbs_parts.append(
+                    np.frombuffer(body[pos : pos + 384], np.uint8))
+                pos += 384
+            assert body[pos:] == b"\x80"
+        mbs = np.stack(mbs_parts)
+        y = (mbs[:, :256].reshape(mb_h, mb_w, 16, 16)
+             .transpose(0, 2, 1, 3).reshape(h, w))
+        cb = (mbs[:, 256:320].reshape(mb_h, mb_w, 8, 8)
+              .transpose(0, 2, 1, 3).reshape(h // 2, w // 2))
+        cr = (mbs[:, 320:].reshape(mb_h, mb_w, 8, 8)
+              .transpose(0, 2, 1, 3).reshape(h // 2, w // 2))
+        uv = np.stack([cb, cr], axis=-1).reshape(h // 2, w)
+        assert np.array_equal(np.concatenate([y, uv], axis=0), f)
+
+    def test_pcm_zero_or_negative_slices_rejected(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        for bad in ("pcm:0", "pcm:-3"):
+            with pytest.raises(ValueError, match=">= 1"):
+                make_encoder(bad, 64, 48)
+
     def test_slices_clamped_to_mb_rows(self):
         # 32 px = 2 MB rows: slices=8 clamps to 2
         enc = PcmH264Encoder(32, 32, slices=8)
