@@ -513,12 +513,14 @@ def test_priority_queue_concurrent_stress():
     assert not ct.is_alive()
     total_put = 4 * N
     assert len(got) + len(dropped) == total_put
-    # premium (prio 5) items should be dropped no more than best-effort
-    be_drops = sum(1 for it in dropped if it[0] == 0)
-    prem_drops = sum(1 for it in dropped if it[0] == 5)
-    assert be_drops >= prem_drops
-    # per-producer conservation
+    # NOTE: "premium dropped <= best-effort dropped" is NOT an invariant
+    # under concurrency — when the consumer has drained every best-effort
+    # item, a full queue legitimately holds only premium frames and
+    # premium evicts premium.  The eviction POLICY is asserted by the
+    # deterministic single-threaded tests above; this stress test pins
+    # conservation and absence of duplication/corruption under contention.
     from collections import Counter
 
     c = Counter((it[0], it[1]) for it in got + dropped)
-    assert all(v == N for v in c.values())
+    assert all(v == N for v in c.values())  # per-producer conservation
+    assert q.dropped == len(dropped)        # drop counter consistent
