@@ -119,7 +119,11 @@ def run(argv: list[str]) -> int:
         print(f"Sharded over mesh {dict(mesh.shape)} "
               f"({len(mesh.devices.flat)} devices)")
     else:
-        enhancer = Enhancer(cfg, spec)
+        try:
+            enhancer = Enhancer(cfg, spec)
+        except ValueError as e:  # e.g. hist-downsample vs tile height
+            print(str(e), file=sys.stderr)
+            return 2
 
     sinks = []
     if sink_spec.startswith("rtp://"):

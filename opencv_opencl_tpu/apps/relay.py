@@ -243,7 +243,11 @@ def run(argv: list[str]) -> int:
 
         enhancer = StreamingEnhancer(cfg, spec)
     else:
-        enhancer = Enhancer(cfg, spec)
+        try:
+            enhancer = Enhancer(cfg, spec)
+        except ValueError as e:  # e.g. hist-downsample vs tile height
+            print(str(e), file=sys.stderr)
+            return 2
     counters = FrameRateCounters()
 
     def on_output(seq, frame, meta):

@@ -93,20 +93,27 @@ class FfmpegEncoder:
                 self._buf.extend(chunk)
 
     @staticmethod
-    def _tail_cut_offset(data: bytes, n_keep_nals: int) -> int:
-        """Byte offset in ``data`` where the last ``n_keep_nals`` NALs
-        begin (including their start code).  Needed because
-        split_access_units NORMALIZES start codes to 4 bytes, so
-        ``len(data) - len(kept_au)`` is wrong whenever the encoder
-        emitted 3-byte codes (x264's usual non-first-NAL form)."""
-        import re as _re
-
-        starts = [m.end() for m in _re.finditer(b"\x00\x00\x01", data)]
-        payload_off = starts[-n_keep_nals]
-        cut = payload_off - 3
-        if cut > 0 and data[cut - 1] == 0:
-            cut -= 1  # 4-byte start code
-        return cut
+    def _nal_cut_offsets(data: bytes) -> list[int]:
+        """Start offsets (INCLUDING the start code) of every non-empty
+        NAL in ``data``, mirroring ``split_annexb`` exactly — a bare
+        trailing start code or an empty NAL (adjacent codes) is not a
+        NAL there and must not be counted here, or the tail cut lands
+        one NAL too far and deletes the kept AU's first NAL from the
+        buffer.  Needed because split_access_units NORMALIZES start
+        codes to 4 bytes, so length arithmetic on the reassembled AU is
+        wrong whenever the encoder emitted 3-byte codes (x264's usual
+        non-first-NAL form)."""
+        offs = []
+        i = data.find(b"\x00\x00\x01")
+        while i != -1:
+            start = i + 3
+            j = data.find(b"\x00\x00\x01", start)
+            end = j if j != -1 else len(data)
+            nal_end = end - 1 if (j != -1 and data[end - 1] == 0) else end
+            if nal_end > start:  # non-empty, mirrors split_annexb
+                offs.append(i - 1 if (i > 0 and data[i - 1] == 0) else i)
+            i = j
+        return offs
 
     def _take_complete_aus(self, final: bool) -> list[bytes]:
         from opencv_opencl_tpu.io.rtp_h26x import (
@@ -122,7 +129,13 @@ class FfmpegEncoder:
         if not final:
             # the last AU may still be growing: keep it buffered
             keep = aus.pop()
-            consumed = self._tail_cut_offset(data, len(split_annexb(keep)))
+            n_keep = len(split_annexb(keep))
+            offs = self._nal_cut_offsets(data)
+            if n_keep > len(offs):
+                # inconsistent snapshot: consume nothing, emit nothing
+                # (emitting without consuming would duplicate AUs later)
+                return []
+            consumed = offs[-n_keep]
         else:
             consumed = len(data)
         with self._lock:
@@ -140,7 +153,16 @@ class FfmpegEncoder:
             self._proc.stdin.close()
         except OSError:
             pass
-        self._proc.wait(timeout=30)
+        try:
+            self._proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            # a wedged ffmpeg must not turn shutdown into a traceback:
+            # kill it and return whatever completed AUs we did get
+            self._proc.kill()
+            try:
+                self._proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
         self._reader.join(timeout=10)
         return self._take_complete_aus(final=True)
 

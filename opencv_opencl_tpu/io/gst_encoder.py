@@ -109,7 +109,12 @@ class GiPipelineEncoder:
         buf.pts = self._pts
         buf.duration = self._dur
         self._pts += self._dur
-        self.src.emit("push-buffer", buf)
+        ret = self.src.emit("push-buffer", buf)
+        ok = getattr(self.gst, "FlowReturn", None)
+        if ok is not None and ret is not None and ret != ok.OK:
+            # a failed/flushing pipeline must surface, not silently
+            # swallow every frame (the feeder counts this push_failure)
+            raise RuntimeError(f"gi encoder push-buffer failed: {ret}")
         self.frames += 1
         return self._pull_available()
 

@@ -687,3 +687,52 @@ class TestMultiSlicePcm:
         enc = PcmH264Encoder(32, 32, slices=8)
         (au,) = enc.encode(rand_nv12(32, 32))
         assert [n[0] & 0x1F for n in split_annexb(au)] == [7, 8, 5, 5]
+
+
+def test_tail_cut_with_trailing_bare_start_code():
+    """A buffered snapshot ending exactly with a bare start code must
+    not shift the tail cut (review repro: the kept AU's first NAL was
+    deleted from the buffer, corrupting the next emitted AU)."""
+    import threading
+
+    from opencv_opencl_tpu.io.encoder import FfmpegEncoder
+
+    enc = object.__new__(FfmpegEncoder)
+    enc.codec = "h264"
+    enc._lock = threading.Lock()
+    au1 = (b"\x00\x00\x00\x01" + bytes([0x67, 66, 0xC0, 10, 0x11])
+           + b"\x00\x00\x01" + bytes([0x68, 0xCE, 0x38, 0x80])
+           + b"\x00\x00\x00\x01" + bytes([0x65, 0x88]) + b"\x10" * 20)
+    au2_head = (b"\x00\x00\x00\x01" + bytes([0x67, 66, 0xC0, 10, 0x22])
+                + b"\x00\x00\x01" + bytes([0x68, 0xCE, 0x38, 0x80])
+                + b"\x00\x00\x00\x01" + bytes([0x65, 0x88]) + b"\x20" * 20)
+    # snapshot ends with a BARE 4-byte start code (next NAL not arrived)
+    enc._buf = bytearray(au1 + au2_head + b"\x00\x00\x00\x01")
+    got = enc._take_complete_aus(final=False)
+    assert len(got) == 1  # au1 complete; au2 still growing
+    # the kept tail must retain ALL of au2's NALs (SPS intact!)
+    from opencv_opencl_tpu.io.rtp_h26x import split_annexb
+
+    kept = bytes(enc._buf)
+    nals = split_annexb(kept)
+    assert [n[0] & 0x1F for n in nals] == [7, 8, 5]
+    assert nals[0][4] == 0x22  # au2's own SPS marker byte survived
+    # stream the rest: completing au2 emits it intact
+    enc._buf.extend(bytes([0x65, 0x88]) + b"\x30" * 20
+                    + b"\x00\x00\x00\x01" + bytes([0x67, 66, 0xC0, 10, 0x33]))
+    got2 = enc._take_complete_aus(final=False)
+    assert len(got2) >= 1
+    n2 = split_annexb(got2[0])
+    assert n2[0][4] == 0x22  # first emitted AU is au2 WITH its SPS
+
+
+def test_relay_reports_indivisible_downsample_cleanly(capsys):
+    """ValueError from the enhancer build path (hist-downsample vs tile
+    height) must exit rc=2 with the message, not a traceback."""
+    from opencv_opencl_tpu.apps import relay
+
+    rc = relay.run(["--source=test", "--width=256", "--height=120",
+                    "--op=clahe", "--hist-downsample=2",  # tile_h 15
+                    "--max-frames=2", "--batch=2"])
+    assert rc == 2
+    assert "must divide the tile height" in capsys.readouterr().err
