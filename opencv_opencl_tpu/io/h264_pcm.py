@@ -32,7 +32,8 @@ import re
 
 import numpy as np
 
-__all__ = ["PcmH264Encoder", "encode_frame_pcm", "build_sps", "build_pps"]
+__all__ = ["PcmH264Encoder", "encode_frame_pcm", "build_sps", "build_pps",
+           "encode_frame_pcm_slices", "encode_frame_pcm_slices_native"]
 
 _START4 = b"\x00\x00\x00\x01"
 # 00 00 followed by a byte <= 03 needs an 03 escape; re.sub's
@@ -317,6 +318,34 @@ def encode_frame_pcm(nv12: np.ndarray, width: int, height: int,
                                    slices=1)[0]
 
 
+def encode_frame_pcm_slices_native(nv12: np.ndarray, width: int,
+                                   height: int, idr_pic_id: int = 0,
+                                   slices: int = 1, threads: int = 0,
+                                   workspace: dict | None = None,
+                                   copy: bool = True) -> list:
+    """C++ fast path for :func:`encode_frame_pcm_slices` — identical
+    output bytes (diffed in tests/test_native_pcm.py), several times the
+    speed: the fused MB-fill + §7.4.1.1 escape pass runs GIL-free in
+    ``native.pcm_encode_slices`` while the slice heads (the actual
+    bitstream syntax) stay in the tested Python bit writer.
+    ``workspace``/``copy`` as in :func:`native.pcm_encode_slices`
+    (arena reuse; ``copy=False`` returns views valid until the next
+    call).  Raises RuntimeError when the native runtime is unavailable."""
+    from opencv_opencl_tpu import native
+
+    if width % 2 or height % 2:
+        raise ValueError("NV12 requires even dimensions")
+    mb_h = -(-height // 16)
+    slices = max(1, min(int(slices), mb_h))
+    row_bounds = [round(i * mb_h / slices) for i in range(slices + 1)]
+    mb_w = -(-width // 16)
+    heads = [_slice_head(idr_pic_id, first_mb=row_bounds[i] * mb_w)
+             for i in range(slices)]
+    return native.pcm_encode_slices(
+        np.asarray(nv12, np.uint8), width, height, heads, row_bounds,
+        threads=threads, workspace=workspace, copy=copy)
+
+
 class PcmH264Encoder:
     """Frame-in/AU-out H.264 encoder, losslessly PCM-coding every frame.
 
@@ -329,11 +358,15 @@ class PcmH264Encoder:
     codec = "h264"
 
     def __init__(self, width: int, height: int, slices: int = 1,
-                 threads: int = 0) -> None:
+                 threads: int = 0, native: str = "auto") -> None:
         """``slices`` > 1 splits every frame into that many IDR slices
         (MB-row bands) — smaller NALs on the wire and, with
-        ``threads`` > 0, parallel per-slice assembly/escaping on a
-        thread pool (numpy copies release the GIL)."""
+        ``threads`` > 0, parallel per-slice assembly/escaping (C++
+        std::threads on the native path; a Python thread pool on the
+        fallback — numpy copies release the GIL).  ``native`` is
+        ``"auto"`` (C++ fast path when the toolchain built it — ~10x),
+        ``"never"`` (pure Python — the oracle the native path is diffed
+        against), or ``"require"`` (raise if unavailable)."""
         if width % 2 or height % 2:
             raise ValueError("NV12 requires even dimensions")
         self.width = width
@@ -344,7 +377,20 @@ class PcmH264Encoder:
         self._idr_pic_id = 0
         self.frames = 0
         self._pool = None
-        if threads > 0 and self.slices > 1:
+        self._threads = max(0, int(threads))
+        from opencv_opencl_tpu import native as _native_mod
+
+        if native == "never":
+            self._native = False
+        elif native == "require":
+            if not _native_mod.available():
+                raise RuntimeError(
+                    f"native runtime unavailable: {_native_mod.build_error()}")
+            self._native = True
+        else:
+            self._native = _native_mod.available()
+        self._workspace: dict = {}
+        if not self._native and self._threads > 0 and self.slices > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(max_workers=threads,
@@ -353,17 +399,31 @@ class PcmH264Encoder:
     def encode(self, nv12: np.ndarray) -> list[bytes]:
         rows = self.height * 3 // 2
         arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
+        self._idr_pic_id ^= 1  # consecutive IDRs must differ (§7.4.3)
+        idr = self._idr_pic_id ^ 1  # this frame's id (pre-toggle value)
+        self.frames += 1
+        prelude = _START4 + self._sps + _START4 + self._pps
+        if self._native:
+            # whole-AU assembly in C++ (start codes included): ONE copy
+            from opencv_opencl_tpu import native
+
+            mb_h = -(-self.height // 16)
+            slices = min(self.slices, mb_h)
+            row_bounds = [round(i * mb_h / slices)
+                          for i in range(slices + 1)]
+            mb_w = -(-self.width // 16)
+            heads = [_slice_head(idr, first_mb=row_bounds[i] * mb_w)
+                     for i in range(slices)]
+            return [native.pcm_encode_au(
+                arr, self.width, self.height, prelude, heads, row_bounds,
+                threads=self._threads, workspace=self._workspace)]
         if self.slices > 1:
             nals = encode_frame_pcm_slices(
-                arr, self.width, self.height, self._idr_pic_id,
+                arr, self.width, self.height, idr,
                 slices=self.slices, pool=self._pool)
         else:
-            nals = [encode_frame_pcm(arr, self.width, self.height,
-                                     self._idr_pic_id)]
-        self._idr_pic_id ^= 1  # consecutive IDRs must differ (§7.4.3)
-        self.frames += 1
-        au = _START4 + self._sps + _START4 + self._pps
-        return [au + b"".join(_START4 + n for n in nals)]
+            nals = [encode_frame_pcm(arr, self.width, self.height, idr)]
+        return [prelude + b"".join(_START4 + n for n in nals)]
 
     def flush(self) -> list[bytes]:
         return []

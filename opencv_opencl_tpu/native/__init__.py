@@ -31,10 +31,15 @@ def _build() -> str | None:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
             return None
         cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
             _SRC, "-o", _SO, "-pthread",
         ]
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if res.returncode != 0:
+            # -march=native can be unavailable on exotic toolchains
+            cmd.remove("-march=native")
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=120)
         if res.returncode != 0:
             return res.stderr[:2000]
         return None
@@ -100,6 +105,17 @@ def _load():
             ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_uint8, ctypes.c_char_p,
             ctypes.c_uint16,
+        ]
+        lib.fp_pcm_encode.restype = ctypes.c_int64
+        lib.fp_pcm_encode.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, u64p, u64p,
+            ctypes.c_uint64, ctypes.c_int, u8p, ctypes.c_uint64, u64p,
+        ]
+        lib.fp_pcm_encode_au.restype = ctypes.c_int64
+        lib.fp_pcm_encode_au.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, ctypes.c_uint64,
+            u8p, u64p, u64p, ctypes.c_uint64, ctypes.c_int, u8p,
+            ctypes.c_uint64,
         ]
         _lib = lib
         return _lib
@@ -279,6 +295,103 @@ def send_packets(fd: int, packets: list[bytes], host: str,
         err.packets_sent = int(-n - 1)
         raise err
     return int(n)
+
+
+def pcm_encode_slices(nv12: np.ndarray, width: int, height: int,
+                      heads: list[bytes], row_bounds: list[int],
+                      threads: int = 0, workspace: dict | None = None,
+                      copy: bool = True) -> list:
+    """Native H.264 I_PCM slice assembly (fill + escape) in C++, GIL-free.
+
+    ``heads`` are the pre-built slice-header bytes (one per slice, from
+    ``io.h264_pcm._slice_head``) and ``row_bounds`` the MB-row band
+    boundaries — the bitstream layout stays owned by the tested Python
+    bit writer; C++ owns only the hot byte work.  Output is byte-identical
+    to ``io.h264_pcm.encode_frame_pcm_slices`` (diffed in
+    tests/test_native_pcm.py).
+
+    ``workspace`` (a dict the caller keeps across frames) reuses the
+    output arena — a fresh multi-MB ``np.empty`` per 4K frame costs real
+    milliseconds in page faults.  ``copy=False`` returns memoryviews INTO
+    that arena (valid until the next call with the same workspace): the
+    caller's ``b"".join`` is then the only copy on the way to the wire."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    nv12 = np.ascontiguousarray(nv12)
+    nslices = len(heads)
+    assert nslices >= 1 and len(row_bounds) == nslices + 1
+    mb_w = -(-width // 16)
+    head_lens = np.array([len(h) for h in heads], dtype=np.uint64)
+    bounds = np.asarray(row_bounds, dtype=np.uint64)
+    heads_blob = np.frombuffer(b"".join(heads), dtype=np.uint8)
+    bands = (bounds[1:].astype(np.int64) - bounds[:-1].astype(np.int64))
+    raws = head_lens.astype(np.int64) - 2 + bands * mb_w * 386 + 1
+    stride = int((int(raws.max()) + 1) // 2 * 3)
+    need = nslices * stride
+    if (workspace is not None and workspace.get("size", -1) >= need
+            and len(workspace["lens"]) >= nslices):
+        out = workspace["out"]
+        out_lens = workspace["lens"]
+    else:
+        out = np.empty(need, dtype=np.uint8)
+        out_lens = np.zeros(max(nslices, 64), dtype=np.uint64)
+        if workspace is not None:
+            workspace.update(out=out, lens=out_lens, size=need)
+    rc = lib.fp_pcm_encode(
+        _ptr(nv12), width, height, _ptr(heads_blob),
+        head_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        nslices, threads, _ptr(out), stride,
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != 0:
+        raise RuntimeError("fp_pcm_encode failed (bad args or overflow)")
+    mk = (lambda s: s.tobytes()) if copy else (lambda s: s.data)
+    return [mk(out[i * stride : i * stride + int(out_lens[i])])
+            for i in range(nslices)]
+
+
+def pcm_encode_au(nv12: np.ndarray, width: int, height: int,
+                  prelude: bytes, heads: list[bytes],
+                  row_bounds: list[int], threads: int = 0,
+                  workspace: dict | None = None) -> bytes:
+    """One COMPLETE Annex-B access unit ([SPS+PPS prelude][SC slice]...)
+    assembled in C++ — start codes included, so the only Python-side
+    copy is the final ``bytes()`` of the arena (the three-copy
+    ``sc + nal`` / join / prepend chain cost 5x the encode itself at
+    4K).  Arguments as :func:`pcm_encode_slices` plus ``prelude``, the
+    pre-escaped parameter-set block with start codes."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    nv12 = np.ascontiguousarray(nv12)
+    nslices = len(heads)
+    assert nslices >= 1 and len(row_bounds) == nslices + 1
+    mb_w = -(-width // 16)
+    head_lens = np.array([len(h) for h in heads], dtype=np.uint64)
+    bounds = np.asarray(row_bounds, dtype=np.uint64)
+    heads_blob = np.frombuffer(b"".join(heads), dtype=np.uint8)
+    prelude_a = np.frombuffer(prelude, dtype=np.uint8)
+    bands = (bounds[1:].astype(np.int64) - bounds[:-1].astype(np.int64))
+    raws = head_lens.astype(np.int64) - 2 + bands * mb_w * 386 + 1
+    need = len(prelude) + int(((raws + 1) // 2 * 3 + 4).sum())
+    if workspace is not None and workspace.get("au_size", -1) >= need:
+        out = workspace["au"]
+    else:
+        out = np.empty(need, dtype=np.uint8)
+        if workspace is not None:
+            workspace.update(au=out, au_size=need)
+    n = lib.fp_pcm_encode_au(
+        _ptr(nv12), width, height, _ptr(prelude_a), len(prelude),
+        _ptr(heads_blob),
+        head_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        nslices, threads, _ptr(out), out.nbytes,
+    )
+    if n < 0:
+        raise RuntimeError("fp_pcm_encode_au failed (bad args or overflow)")
+    return out[: int(n)].tobytes()
 
 
 def rtp_send_raw(fd: int, frame: np.ndarray, mtu: int, seq0: int, ts: int,

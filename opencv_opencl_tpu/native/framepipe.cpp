@@ -27,6 +27,7 @@
 #include <deque>
 #include <map>
 #include <mutex>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -420,5 +421,270 @@ extern "C" int64_t fp_rtp_send_raw(int fd, const uint8_t* frame,
     }
     if (n_in_batch && !flush()) return -sent - 1;
     return sent;
+}
+
+// ---------------------------------------------------------- h264 i_pcm ----
+// Native fast path for the in-repo lossless H.264 I_PCM encoder
+// (io/h264_pcm.py — the always-available backend of the relay's encoder
+// boundary, standing in for the reference's omxh264enc at
+// OpenCVequalHist.cpp:308-332).  The per-frame work is pure byte
+// assembly: macroblock sample fill (edge-replicated to the 16-px grid)
+// and the §7.4.1.1 emulation-prevention escape scan over ~1.5x the frame
+// size.  Python/numpy pays ~45 ms per 4K frame for this; here it is a
+// strided memcpy pass plus a memchr-accelerated sequential state machine,
+// GIL-free, and each slice band is independent so real multi-core hosts
+// parallelize with std::thread (this container has one core).
+//
+// Bitstream layout is produced by the PYTHON side (slice heads with
+// ue-coded first_mb_in_slice etc. are a few bytes and stay in the tested
+// _BitWriter); C++ gets the head bytes verbatim and owns only the hot
+// loop.  Output is REQUIRED to be byte-identical to the Python encoder —
+// tests/test_native_pcm.py diffs the two paths across geometries.
+
+namespace {
+
+// Streaming emulation prevention (ITU-T H.264 §7.4.1.1): insert 0x03
+// after any 00 00 pair followed by a byte <= 3.  State (the pending
+// zero count, always 0..2) carries across feed() chunks, so the band is
+// escaped in ONE pass while it is generated — no full-size unescaped
+// scratch, half the memory traffic of a fill-then-escape design.
+// memchr skips the (typical) long nonzero spans.
+struct EscState {
+    uint8_t* dst;
+    size_t o = 0;
+    int zeros = 0;
+
+    explicit EscState(uint8_t* d) : dst(d) {}
+
+    void feed(const uint8_t* src, size_t n) {
+        size_t i = 0;
+        while (i < n) {
+            uint8_t b = src[i];
+            if (zeros == 2 && b <= 3) {
+                dst[o++] = 3;
+                zeros = 0;
+            }
+            if (b != 0) {
+                const uint8_t* z = static_cast<const uint8_t*>(
+                    memchr(src + i, 0, n - i));
+                size_t end = z ? size_t(z - src) : n;
+                std::memcpy(dst + o, src + i, end - i);
+                o += end - i;
+                zeros = 0;
+                i = end;
+            } else {
+                dst[o++] = 0;
+                ++zeros;
+                ++i;
+            }
+        }
+    }
+};
+
+// Generate-and-escape one slice band: [head][MB ...] where every
+// macroblock is [0x0D 0x00 prefix][256 luma][64 Cb][64 Cr], the FIRST
+// MB's prefix/alignment living inside the head, and a trailing 0x80 —
+// the exact byte stream of h264_pcm.encode_frame_pcm_slices, escaped on
+// the fly.  Each MB is staged in an L1-resident 384-byte buffer
+// (interior MBs take fixed-size copy loops; frame-edge MBs go through
+// the clamped edge-replication path).
+void pcm_encode_band(const uint8_t* nv12, size_t width, size_t height,
+                     size_t mb_row0, size_t mb_rows, size_t mb_w,
+                     const uint8_t* head, size_t head_len, uint8_t* out,
+                     uint64_t* len_out) {
+    EscState st(out);
+    st.feed(head, head_len);
+    const size_t half_h = height / 2, half_w = width / 2;
+    static const uint8_t kPrefix[2] = {0x0D, 0x00};
+    uint8_t buf[384];
+    for (size_t r = 0; r < mb_rows; ++r) {
+        const size_t row16 = (mb_row0 + r) * 16;
+        const size_t row8 = (mb_row0 + r) * 8;
+        const bool rows_ok = row16 + 16 <= height;  // => row8+8 <= half_h
+        for (size_t c = 0; c < mb_w; ++c) {
+            const size_t col0 = c * 16;
+            if (rows_ok && col0 + 16 <= width) {
+                const uint8_t* s = nv12 + row16 * width + col0;
+                for (size_t y = 0; y < 16; ++y)
+                    std::memcpy(buf + y * 16, s + y * width, 16);
+                const uint8_t* u = nv12 + (height + row8) * width + col0;
+                for (size_t y = 0; y < 8; ++y) {
+                    const uint8_t* row = u + y * width;
+                    for (size_t x = 0; x < 8; ++x) {
+                        buf[256 + y * 8 + x] = row[2 * x];
+                        buf[320 + y * 8 + x] = row[2 * x + 1];
+                    }
+                }
+            } else {
+                // frame edge: replicate the last row/column to the grid
+                size_t avail = width - col0;  // col0 < width always
+                if (avail > 16) avail = 16;
+                for (size_t y = 0; y < 16; ++y) {
+                    size_t srow = row16 + y;
+                    if (srow >= height) srow = height - 1;
+                    const uint8_t* s = nv12 + srow * width + col0;
+                    std::memcpy(buf + y * 16, s, avail);
+                    for (size_t x = avail; x < 16; ++x)
+                        buf[y * 16 + x] = s[avail - 1];
+                }
+                for (size_t y = 0; y < 8; ++y) {
+                    size_t srow = row8 + y;
+                    if (srow >= half_h) srow = half_h - 1;
+                    const uint8_t* s = nv12 + (height + srow) * width;
+                    for (size_t x = 0; x < 8; ++x) {
+                        size_t cx = c * 8 + x;
+                        if (cx >= half_w) cx = half_w - 1;
+                        buf[256 + y * 8 + x] = s[2 * cx];
+                        buf[320 + y * 8 + x] = s[2 * cx + 1];
+                    }
+                }
+            }
+            if (r != 0 || c != 0) st.feed(kPrefix, 2);
+            st.feed(buf, 384);
+        }
+    }
+    const uint8_t tail = 0x80;  // rbsp_slice_trailing_bits
+    st.feed(&tail, 1);
+    *len_out = st.o;
+}
+
+}  // namespace
+
+// Encode one NV12 frame as `nslices` I_PCM IDR slice NALs (no start
+// codes).  heads_blob holds the nslices pre-built slice heads
+// back-to-back (lengths in head_lens); row_bounds has nslices+1 MB-row
+// boundaries.  Slice i is written at out + i*slice_stride, its length in
+// out_lens[i].  threads > 1 runs slice bands on std::threads (each band
+// is fully independent).  Returns 0, or -1 on bad args / a slice
+// exceeding slice_stride (caller sizes stride to the 1.5x escape bound).
+extern "C" int64_t fp_pcm_encode(const uint8_t* nv12, uint64_t width,
+                                 uint64_t height, const uint8_t* heads_blob,
+                                 const uint64_t* head_lens,
+                                 const uint64_t* row_bounds,
+                                 uint64_t nslices, int threads, uint8_t* out,
+                                 uint64_t slice_stride, uint64_t* out_lens) {
+    if (width == 0 || height == 0 || (width & 1) || (height & 1) ||
+        nslices == 0)
+        return -1;
+    const size_t mb_w = (width + 15) / 16;
+    std::vector<const uint8_t*> heads(nslices);
+    {
+        const uint8_t* p = heads_blob;
+        for (uint64_t i = 0; i < nslices; ++i) {
+            heads[i] = p;
+            p += head_lens[i];
+        }
+    }
+    std::atomic<int> failed{0};
+    auto one = [&](uint64_t i) {
+        size_t r0 = row_bounds[i], r1 = row_bounds[i + 1];
+        size_t band = (r1 - r0) * mb_w;
+        size_t head_len = head_lens[i];
+        size_t raw = head_len - 2 + band * 386 + 1;
+        if ((raw + 1) / 2 * 3 > slice_stride) {  // 1.5x escape worst case
+            failed.store(1, std::memory_order_relaxed);
+            return;
+        }
+        pcm_encode_band(nv12, width, height, r0, r1 - r0, mb_w, heads[i],
+                        head_len, out + i * slice_stride, &out_lens[i]);
+    };
+    if (threads > 1 && nslices > 1) {
+        std::vector<std::thread> pool;
+        std::atomic<uint64_t> next{0};
+        unsigned n_workers =
+            std::min<uint64_t>(nslices, uint64_t(threads));
+        for (unsigned w = 0; w < n_workers; ++w)
+            pool.emplace_back([&] {
+                for (uint64_t i = next.fetch_add(1); i < nslices;
+                     i = next.fetch_add(1))
+                    one(i);
+            });
+        for (auto& t : pool) t.join();
+    } else {
+        for (uint64_t i = 0; i < nslices; ++i) one(i);
+    }
+    return failed.load() ? -1 : 0;
+}
+
+// Assemble one COMPLETE Annex-B access unit into `out`:
+// [prelude][00 00 00 01][slice0][00 00 00 01][slice1]... where `prelude`
+// is the pre-escaped SPS+PPS block (start codes included) and each slice
+// is generated+escaped in place.  This exists because the Python-side
+// equivalent (`sc + nal` per slice, join, prepend prelude) costs three
+// extra full-size copies — ~15 ms per 4K frame, 5x the encode itself.
+// Single-threaded: slices are written back-to-back directly.  threads>1:
+// slices land at stride offsets in parallel, then one compaction pass
+// closes the gaps (still GIL-free; a real multi-core host wins overall).
+// Returns the AU's total byte length, or -1 on bad args / overflow.
+extern "C" int64_t fp_pcm_encode_au(
+    const uint8_t* nv12, uint64_t width, uint64_t height,
+    const uint8_t* prelude, uint64_t prelude_len, const uint8_t* heads_blob,
+    const uint64_t* head_lens, const uint64_t* row_bounds, uint64_t nslices,
+    int threads, uint8_t* out, uint64_t out_cap) {
+    if (width == 0 || height == 0 || (width & 1) || (height & 1) ||
+        nslices == 0)
+        return -1;
+    const size_t mb_w = (width + 15) / 16;
+    static const uint8_t kStart[4] = {0, 0, 0, 1};
+    std::vector<const uint8_t*> heads(nslices);
+    {
+        const uint8_t* p = heads_blob;
+        for (uint64_t i = 0; i < nslices; ++i) {
+            heads[i] = p;
+            p += head_lens[i];
+        }
+    }
+    // per-slice worst case (1.5x escape bound) sizes the layout
+    std::vector<size_t> cap(nslices);
+    size_t need = prelude_len;
+    for (uint64_t i = 0; i < nslices; ++i) {
+        size_t raw = head_lens[i] - 2 +
+                     (row_bounds[i + 1] - row_bounds[i]) * mb_w * 386 + 1;
+        cap[i] = 4 + (raw + 1) / 2 * 3;
+        need += cap[i];
+    }
+    if (need > out_cap) return -1;
+    std::memcpy(out, prelude, prelude_len);
+    if (threads > 1 && nslices > 1) {
+        std::vector<size_t> offs(nslices), lens(nslices);
+        size_t off = prelude_len;
+        for (uint64_t i = 0; i < nslices; ++i) {
+            offs[i] = off;
+            off += cap[i];
+        }
+        std::vector<std::thread> pool;
+        std::atomic<uint64_t> next{0};
+        unsigned n_workers = std::min<uint64_t>(nslices, uint64_t(threads));
+        for (unsigned w = 0; w < n_workers; ++w)
+            pool.emplace_back([&] {
+                for (uint64_t i = next.fetch_add(1); i < nslices;
+                     i = next.fetch_add(1)) {
+                    uint8_t* dst = out + offs[i];
+                    std::memcpy(dst, kStart, 4);
+                    uint64_t n = 0;
+                    pcm_encode_band(nv12, width, height, row_bounds[i],
+                                    row_bounds[i + 1] - row_bounds[i], mb_w,
+                                    heads[i], head_lens[i], dst + 4, &n);
+                    lens[i] = size_t(n) + 4;
+                }
+            });
+        for (auto& t : pool) t.join();
+        size_t o = prelude_len + lens[0];  // slice 0 is already in place
+        for (uint64_t i = 1; i < nslices; ++i) {
+            std::memmove(out + o, out + offs[i], lens[i]);
+            o += lens[i];
+        }
+        return int64_t(o);
+    }
+    size_t o = prelude_len;
+    for (uint64_t i = 0; i < nslices; ++i) {
+        std::memcpy(out + o, kStart, 4);
+        uint64_t n = 0;
+        pcm_encode_band(nv12, width, height, row_bounds[i],
+                        row_bounds[i + 1] - row_bounds[i], mb_w, heads[i],
+                        head_lens[i], out + o + 4, &n);
+        o += size_t(n) + 4;
+    }
+    return int64_t(o);
 }
 
