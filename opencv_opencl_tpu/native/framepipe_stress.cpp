@@ -223,5 +223,51 @@ int main() {
                 (unsigned long long)t_consumed.load(),
                 (unsigned long long)fp_ring_dropped(tiny));
     fp_ring_free(tiny);
+
+    // ---- phase 4: threaded I_PCM access-unit assembly — parallel slice
+    // bands write disjoint strided regions of one arena, then compact.
+    // TSAN checks the band workers really are disjoint; ASAN bounds the
+    // arena math (escape worst case); output must equal the sequential
+    // encode bit-for-bit, on zero-heavy content (max escape insertions).
+    {
+        const uint64_t W = 96, H = 64, S = 4;
+        const uint64_t mb_h = (H + 15) / 16, mb_w = (W + 15) / 16;
+        std::vector<uint8_t> nv12(W * H * 3 / 2);
+        for (size_t i = 0; i < nv12.size(); ++i)
+            nv12[i] = uint8_t((i * 7) % 5);  // lots of 0..3: escape-heavy
+        // fake but realistic heads: nonzero syntax bytes + prefix slot
+        std::vector<uint8_t> heads_blob;
+        std::vector<uint64_t> head_lens, bounds;
+        for (uint64_t i = 0; i <= S; ++i)
+            bounds.push_back(i * mb_h / S);
+        for (uint64_t i = 0; i < S; ++i) {
+            for (int k = 0; k < 6; ++k)
+                heads_blob.push_back(uint8_t(0x65 + i));
+            head_lens.push_back(6);
+        }
+        const uint8_t prelude[9] = {0, 0, 0, 1, 0x67, 0x42, 0, 0, 1};
+        uint64_t cap = 9;
+        for (uint64_t i = 0; i < S; ++i)
+            cap += 4 + (head_lens[i] - 2 +
+                        (bounds[i + 1] - bounds[i]) * mb_w * 386 + 1 + 1) /
+                           2 * 3;
+        std::vector<uint8_t> seq_out(cap), par_out(cap);
+        int64_t n_seq = fp_pcm_encode_au(nv12.data(), W, H, prelude, 9,
+                                         heads_blob.data(), head_lens.data(),
+                                         bounds.data(), S, 1, seq_out.data(),
+                                         cap);
+        int64_t n_par = fp_pcm_encode_au(nv12.data(), W, H, prelude, 9,
+                                         heads_blob.data(), head_lens.data(),
+                                         bounds.data(), S, 4, par_out.data(),
+                                         cap);
+        if (n_seq <= 0 || n_par != n_seq ||
+            std::memcmp(seq_out.data(), par_out.data(), size_t(n_seq)) != 0) {
+            std::fprintf(stderr, "PCM threaded/sequential mismatch: %lld vs %lld\n",
+                         (long long)n_seq, (long long)n_par);
+            return 10;
+        }
+        std::printf("pcm-au stress OK: %lld bytes, threaded == sequential\n",
+                    (long long)n_seq);
+    }
     return 0;
 }
