@@ -125,6 +125,12 @@ def available() -> bool:
     return _load() is not None
 
 
+def has_cavlc() -> bool:
+    """True when the built library exports the CAVLC intra encoder."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "fp_cavlc_encode")
+
+
 def build_error() -> str | None:
     _load()
     return _build_error
