@@ -11,7 +11,7 @@ Usage:
                    # rtp+h264://host:port / rtp+h265://host:port
                    # (encoded RFC 6184/7798 — the full reference emit
                    # chain, encoder chosen via --encoder)
-      [--encoder=auto|pcm[:slices]|ffmpeg|gi]  # encoder for rtp+h26x
+      [--encoder=auto|pcm[:slices]|cavlc[:qp=N]|ffmpeg|gi]  # encoder for rtp+h26x
                    # sinks (io.encoder; pcm = in-repo lossless I_PCM)
       [--hist-downsample=N]  # APPROXIMATE throughput mode: histograms
                    # from every Nth row, counts rescaled (selective
@@ -168,7 +168,7 @@ def run(argv: list[str]) -> int:
     elif sink_path.startswith(("rtp+h264://", "rtp+h265://")):
         # full reference emit chain: encode -> RFC 6184/7798 payload ->
         # UDP (OpenCVequalHist.cpp:308-332), behind the pluggable
-        # encoder boundary (io.encoder: pcm | ffmpeg | gi | auto)
+        # encoder boundary (io.encoder: pcm | cavlc | ffmpeg | gi | auto)
         from opencv_opencl_tpu.io.encoder import encoded_rtp_sink_from_url
 
         es_codec = "h264" if sink_path.startswith("rtp+h264://") else "h265"

@@ -5,8 +5,11 @@ rtph264pay -> udpsink``, ``/root/reference/OpenCVequalHist.cpp:308-332``).
 Hosts differ in what encoder they offer, so the relay's
 ``--sink=rtp+h264://`` goes through this seam:
 
-- ``pcm``    — the in-repo pure-Python lossless I_PCM encoder
-  (io.h264_pcm): always available, standards-compliant, big output.
+- ``pcm``    — the in-repo lossless I_PCM encoder (io.h264_pcm, C++
+  fast path): always available, standards-compliant, big output.
+- ``cavlc``  — the in-repo COMPRESSED intra encoder (io.h264_cavlc,
+  I_16x16 + CAVLC): always available AND honors ``--bitrate`` via
+  closed-loop QP adaptation; ``cavlc:qp=N`` fixes the quantizer.
 - ``ffmpeg`` — an external ``ffmpeg`` process fed raw NV12 on stdin,
   Annex-B H.264/H.265 on stdout (x264-class compression when the host
   ships ffmpeg).
@@ -268,7 +271,8 @@ def encoded_rtp_sink_from_url(url: str, width: int, height: int, *,
 
 def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                  codec: str = "h264", bitrate_kbps: int = 2000) -> Any:
-    """Build a FrameEncoder; ``backend`` is pcm[:slices]|ffmpeg|gi|auto.
+    """Build a FrameEncoder; ``backend`` is
+    pcm[:slices]|cavlc[:qp=N]|ffmpeg|gi|auto.
 
     ``auto`` tries each available backend IN ORDER and falls through on
     construction failure (e.g. python-gi present but the encoder element
@@ -308,6 +312,28 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
         return PcmH264Encoder(width, height, slices=slices,
                               threads=threads)
+    if backend == "cavlc" or backend.startswith("cavlc:"):
+        # the in-repo COMPRESSED encoder (io.h264_cavlc): the only
+        # always-available backend that honors --bitrate like the
+        # reference's omxh264enc target-bitrate.  `cavlc` = closed-loop
+        # rate control at bitrate_kbps; `cavlc:qp=N` = fixed quantizer.
+        if codec != "h264":
+            raise ValueError("the in-repo CAVLC encoder is h264-only")
+        from opencv_opencl_tpu.io.h264_cavlc import CavlcH264Encoder
+
+        if backend.startswith("cavlc:"):
+            opt = backend.split(":", 1)[1]
+            if not opt.startswith("qp="):
+                raise ValueError(f"bad cavlc option {opt!r} (qp=N)")
+            try:
+                qp = int(opt[3:])
+            except ValueError:
+                raise ValueError(f"bad cavlc qp in {backend!r}")
+            if not 0 <= qp <= 51:
+                raise ValueError(f"cavlc qp must be 0..51, got {qp}")
+            return CavlcH264Encoder(width, height, qp=qp)
+        return CavlcH264Encoder(width, height, qp=30,
+                                bitrate_kbps=bitrate_kbps, fps=fps)
     if backend == "ffmpeg":
         if not shutil.which("ffmpeg"):
             raise ValueError("ffmpeg not on PATH (try --encoder=pcm)")
@@ -316,4 +342,4 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
     if backend == "gi":
         return _gi_encoder(width, height, fps, codec, bitrate_kbps)
     raise ValueError(f"unknown encoder backend {backend!r} "
-                     "(pcm[:slices]|ffmpeg|gi|auto)")
+                     "(pcm[:slices]|cavlc[:qp=N]|ffmpeg|gi|auto)")

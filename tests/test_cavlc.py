@@ -272,6 +272,49 @@ class TestCavlcEncoder:
         with pytest.raises(ValueError):
             encode_frame_cavlc(smooth_nv12(36, 28), 36, 28, qp=30)
 
+    def test_make_encoder_cavlc_backends(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        enc = make_encoder("cavlc", 64, 48, bitrate_kbps=500, fps=30.0)
+        assert isinstance(enc, CavlcH264Encoder)
+        assert enc.bitrate_kbps == 500
+        enc2 = make_encoder("cavlc:qp=35", 64, 48)
+        assert enc2.qp == 35 and enc2.bitrate_kbps is None
+        with pytest.raises(ValueError):
+            make_encoder("cavlc:qp=52", 64, 48)
+        with pytest.raises(ValueError):
+            make_encoder("cavlc:35", 64, 48)
+        with pytest.raises(ValueError):
+            make_encoder("cavlc", 64, 48, codec="h265")
+
+    def test_cavlc_rtp_loopback_and_decode(self, tmp_path):
+        """The full reference emit chain with the compressed encoder:
+        enhanced-frame sink -> CAVLC encode -> RFC 6184 RTP -> receiver
+        reassembles an ES libavcodec decodes at the right size."""
+        from opencv_opencl_tpu.io.encoder import EncodedRtpSink, make_encoder
+        from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
+
+        rx = H26xRtpReceiver(codec="h264", timeout=10.0)
+        sink = EncodedRtpSink(make_encoder("cavlc:qp=26", 64, 48),
+                              "127.0.0.1", rx.port, fps=30.0)
+        frames = [smooth_nv12(64, 48, seed=i) for i in range(3)]
+        for f in frames:
+            sink.write(f)
+        aus = []
+        for _ in frames:
+            au = rx.recv_access_unit()
+            assert au is not None
+            aus.append(au)
+        sink.close()
+        rx.close()
+        decs = decode_y(b"".join(aus) + aus[-1], tmp_path,
+                        n_frames=len(frames))
+        for d, f in zip(decs, frames):
+            assert d.shape == (48, 64)
+            mse = float(np.mean(
+                (d.astype(np.int64) - f[:48].astype(np.int64)) ** 2))
+            assert mse < 30.0  # qp 26 on smooth content
+
     def test_compression_beats_pcm_by_far(self):
         """The whole point: CAVLC at visually-good QP is a fraction of
         the lossless PCM size (PCM cannot honor --bitrate at all)."""
