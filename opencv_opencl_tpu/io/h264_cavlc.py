@@ -101,11 +101,21 @@ def _v_mat(qp: int) -> np.ndarray:
     return np.array(v, dtype=np.int64)[_POS_CLASS]
 
 
+# Largest |level| codable by the level_prefix<=15 escape with
+# suffix_len 0 (the first-coefficient worst case): level_code 2|c|-1
+# must fit 30 + 12 bits of escape -> |c| <= 2063.  Quantized levels
+# beyond that only arise from pathological content at very low QP; a
+# real encoder clamps (the alternative — emitting a level the 12-bit
+# escape cannot represent — would silently corrupt the stream).
+_LEVEL_CLAMP = 2063
+
+
 def _quant4x4(w: np.ndarray, qp: int, skip_dc: bool) -> np.ndarray:
     """Forward quant of a transformed 4x4 (intra rounding f = 2^qbits/3)."""
     qbits = 15 + qp // 6
     f = (1 << qbits) // 3
     z = np.sign(w) * ((np.abs(w) * _mf_mat(qp) + f) >> qbits)
+    np.clip(z, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=z)
     if skip_dc:
         z[0, 0] = 0
     return z
@@ -534,6 +544,7 @@ class _MbEncoder:
         f2 = 2 * ((1 << qbits) // 3)
         zdc = np.sign(ydc) * ((np.abs(ydc) * _MF[qp % 6][0] + f2) >>
                               (qbits + 1))
+        np.clip(zdc, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=zdc)
         cbp_luma = any(np.any(acz[k]) for k in acz)
 
         # ---- chroma
@@ -559,6 +570,7 @@ class _MbEncoder:
             cf2 = 2 * ((1 << cqbits) // 3)
             czdc = np.sign(fdc) * ((np.abs(fdc) * _MF[qpc % 6][0] + cf2) >>
                                    (cqbits + 1))
+            np.clip(czdc, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=czdc)
             if np.any(czdc):
                 chroma_dc_nz = True
             if any(np.any(cacz[k]) for k in cacz):

@@ -166,6 +166,19 @@ class TestDecodeExact:
         (dec,) = decode_y(au_bytes(nal, w, h), tmp_path)
         assert np.array_equal(dec[:h, :w], f[:h])
 
+    def test_level_clamp_black_frame_qp0(self, tmp_path):
+        """All-black Y at QP 0: the first MB's DC level quantizes to
+        ~3277, beyond what the suffix-0 12-bit escape can code (2063).
+        Unclamped this silently corrupted the stream; with the encoder
+        clamp the stream stays conformant (decode == reconstruction)."""
+        w, h = 48, 32
+        f = np.zeros((h * 3 // 2, w), np.uint8)
+        f[h:] = 128
+        nal, (ry, _, _) = encode_frame_cavlc(f, w, h, qp=0,
+                                             return_recon=True)
+        (dec,) = decode_y(au_bytes(nal, w, h), tmp_path)
+        assert np.array_equal(dec[:h, :w], ry[:h, :w].astype(np.uint8))
+
     def test_chroma_exact_via_lossless_recode(self, tmp_path):
         """Chroma conformance: PCM-encode (lossless) the CAVLC
         reconstruction; both streams decode through the identical
