@@ -63,12 +63,7 @@ _MF = [(13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
 _V = [(10, 16, 13), (11, 18, 14), (13, 20, 16),
       (14, 23, 18), (16, 25, 20), (18, 29, 23)]
 
-_POS_CLASS = np.array([[0, 2, 1, 2],
-                       [2, 1, 2, 1],
-                       [0, 2, 1, 2],
-                       [2, 1, 2, 1]], dtype=np.int64)
-# NB: class at (i, j): 0 for both-even with i%4,j%4 in {0,2}... build
-# explicitly instead (the matrix above is wrong on purpose-check below).
+# class 0 at even-even positions, class 1 at odd-odd, class 2 elsewhere
 _POS_CLASS = np.full((4, 4), 2, dtype=np.int64)
 for _i in (0, 2):
     for _j in (0, 2):
@@ -736,7 +731,7 @@ class CavlcH264Encoder:
 
     def __init__(self, width: int, height: int, qp: int = 30,
                  bitrate_kbps: int | None = None, fps: float = 30.0,
-                 native: str = "never") -> None:
+                 native: str = "auto") -> None:
         if width % 2 or height % 2:
             raise ValueError("NV12 requires even dimensions")
         self.width = width

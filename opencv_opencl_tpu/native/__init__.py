@@ -117,6 +117,11 @@ def _load():
             u8p, u64p, u64p, ctypes.c_uint64, ctypes.c_int, u8p,
             ctypes.c_uint64,
         ]
+        lib.fp_cavlc_encode.restype = ctypes.c_int64
+        lib.fp_cavlc_encode.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int, u8p,
+            ctypes.c_uint64, u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
+        ]
         _lib = lib
         return _lib
 
@@ -397,6 +402,50 @@ def pcm_encode_au(nv12: np.ndarray, width: int, height: int,
     )
     if n < 0:
         raise RuntimeError("fp_pcm_encode_au failed (bad args or overflow)")
+    return out[: int(n)].tobytes()
+
+
+def cavlc_encode_frame(nv12: np.ndarray, width: int, height: int, qp: int,
+                       idr_pic_id: int,
+                       workspace: dict | None = None) -> bytes:
+    """Native compressed intra H.264 encode (io.h264_cavlc's production
+    path): one 16-aligned NV12 frame -> one escaped single-slice IDR NAL
+    (no start code), byte-identical to
+    ``io.h264_cavlc.encode_frame_cavlc`` (diffed in
+    tests/test_cavlc_native.py).  The slice head is built by the tested
+    Python bit writer and passed as packed BITS (the header is not
+    byte-aligned; MB data continues bit-packed after it); C++ owns the
+    transforms/quant/CAVLC/reconstruction hot loop.  ``workspace`` (a
+    dict kept across frames) reuses the RBSP scratch + output arenas."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    from opencv_opencl_tpu.io.h264_cavlc import _slice_head_cavlc
+    from opencv_opencl_tpu.io.h264_pcm import _BitWriter
+
+    w = _BitWriter()
+    _slice_head_cavlc(w, idr_pic_id, qp)
+    bits = w._bits
+    head = np.packbits(np.asarray(bits, dtype=np.uint8))
+    nv12 = np.ascontiguousarray(nv12)
+    mb = (width // 16) * (height // 16)
+    # worst-case RBSP: ~2200 B/MB (dense max-level CAVLC exceeds raw
+    # sample size by design; see the level-escape bound in the oracle)
+    rbsp_cap = 2200 * mb + len(head) + 64
+    out_cap = rbsp_cap // 2 * 3 + 16
+    if workspace is not None and workspace.get("cavlc_cap", -1) >= rbsp_cap:
+        scratch, out = workspace["cavlc_scratch"], workspace["cavlc_out"]
+    else:
+        scratch = np.empty(rbsp_cap, dtype=np.uint8)
+        out = np.empty(out_cap, dtype=np.uint8)
+        if workspace is not None:
+            workspace.update(cavlc_scratch=scratch, cavlc_out=out,
+                             cavlc_cap=rbsp_cap)
+    n = lib.fp_cavlc_encode(_ptr(nv12), width, height, qp, _ptr(head),
+                            len(bits), _ptr(scratch), scratch.nbytes,
+                            _ptr(out), out.nbytes)
+    if n < 0:
+        raise RuntimeError("fp_cavlc_encode failed (bad args or overflow)")
     return out[: int(n)].tobytes()
 
 

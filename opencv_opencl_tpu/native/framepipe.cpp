@@ -688,3 +688,802 @@ extern "C" int64_t fp_pcm_encode_au(
     return int64_t(o);
 }
 
+
+// --------------------------------------------------------- h264 cavlc ----
+// Native port of the compressed intra encoder (io/h264_cavlc.py — the
+// rate-controlled stand-in for the reference's omxh264enc,
+// OpenCVequalHist.cpp:308-332).  The Python module is the tested oracle
+// (decoder-conformance proven through libavcodec); this port must be
+// BYTE-IDENTICAL to it — tests/test_cavlc_native.py diffs the two
+// across QPs, geometries, and pathological content.  Arithmetic notes:
+// Python's // and >> floor like C++ arithmetic shifts on negatives
+// (gcc), and every product here fits int32 except where noted.
+
+namespace cavlc {
+
+// CAVLC code tables, generated from io/h264_cavlc.py (themselves
+// machine-checked prefix-free in tests/test_cavlc.py).
+static const uint8_t kCt0Len[17][4] = {
+    {1, 0, 0, 0},
+    {6, 2, 0, 0},
+    {8, 6, 3, 0},
+    {9, 8, 7, 5},
+    {10, 9, 8, 6},
+    {11, 10, 9, 7},
+    {13, 11, 10, 8},
+    {13, 13, 11, 9},
+    {13, 13, 13, 10},
+    {14, 14, 13, 11},
+    {14, 14, 14, 13},
+    {15, 15, 14, 14},
+    {15, 15, 15, 14},
+    {16, 15, 15, 15},
+    {16, 16, 16, 15},
+    {16, 16, 16, 16},
+    {16, 16, 16, 16},
+};
+static const uint16_t kCt0Val[17][4] = {
+    {1, 0, 0, 0},
+    {5, 1, 0, 0},
+    {7, 4, 1, 0},
+    {7, 6, 5, 3},
+    {7, 6, 5, 3},
+    {7, 6, 5, 4},
+    {15, 6, 5, 4},
+    {11, 14, 5, 4},
+    {8, 10, 13, 4},
+    {15, 14, 9, 4},
+    {11, 10, 13, 12},
+    {15, 14, 9, 12},
+    {11, 10, 13, 8},
+    {15, 1, 9, 12},
+    {11, 14, 13, 8},
+    {7, 10, 9, 12},
+    {4, 6, 5, 8},
+};
+static const uint8_t kCt2Len[17][4] = {
+    {2, 0, 0, 0},
+    {6, 2, 0, 0},
+    {6, 5, 3, 0},
+    {7, 6, 6, 4},
+    {8, 6, 6, 4},
+    {8, 7, 7, 5},
+    {9, 8, 8, 6},
+    {11, 9, 9, 6},
+    {11, 11, 11, 7},
+    {12, 11, 11, 9},
+    {12, 12, 12, 11},
+    {12, 12, 12, 11},
+    {13, 13, 13, 12},
+    {13, 13, 13, 13},
+    {13, 14, 13, 13},
+    {14, 14, 14, 13},
+    {14, 14, 14, 14},
+};
+static const uint16_t kCt2Val[17][4] = {
+    {3, 0, 0, 0},
+    {11, 2, 0, 0},
+    {7, 7, 3, 0},
+    {7, 10, 9, 5},
+    {7, 6, 5, 4},
+    {4, 6, 5, 6},
+    {7, 6, 5, 8},
+    {15, 6, 5, 4},
+    {11, 14, 13, 4},
+    {15, 10, 9, 4},
+    {11, 14, 13, 12},
+    {8, 10, 9, 8},
+    {15, 14, 13, 12},
+    {11, 10, 9, 12},
+    {7, 11, 6, 8},
+    {9, 8, 10, 1},
+    {7, 6, 5, 4},
+};
+static const uint8_t kCt4Len[17][4] = {
+    {4, 0, 0, 0},
+    {6, 4, 0, 0},
+    {6, 5, 4, 0},
+    {6, 5, 5, 4},
+    {7, 5, 5, 4},
+    {7, 5, 5, 4},
+    {7, 6, 6, 4},
+    {7, 6, 6, 4},
+    {8, 7, 7, 5},
+    {8, 8, 7, 6},
+    {9, 8, 8, 7},
+    {9, 9, 8, 8},
+    {9, 9, 9, 8},
+    {10, 9, 9, 9},
+    {10, 10, 10, 10},
+    {10, 10, 10, 10},
+    {10, 10, 10, 10},
+};
+static const uint16_t kCt4Val[17][4] = {
+    {15, 0, 0, 0},
+    {15, 14, 0, 0},
+    {11, 15, 13, 0},
+    {8, 12, 14, 12},
+    {15, 10, 11, 11},
+    {11, 8, 9, 10},
+    {9, 14, 13, 9},
+    {8, 10, 9, 8},
+    {15, 14, 13, 13},
+    {11, 14, 10, 12},
+    {15, 10, 13, 12},
+    {11, 14, 9, 12},
+    {8, 10, 13, 8},
+    {13, 7, 9, 12},
+    {9, 12, 11, 10},
+    {5, 8, 7, 6},
+    {1, 4, 3, 2},
+};
+static const uint8_t kCtDcLen[5][4] = {
+    {2, 0, 0, 0},
+    {6, 1, 0, 0},
+    {6, 6, 3, 0},
+    {6, 7, 7, 6},
+    {6, 8, 8, 7},
+};
+static const uint16_t kCtDcVal[5][4] = {
+    {1, 0, 0, 0},
+    {7, 1, 0, 0},
+    {4, 6, 1, 0},
+    {3, 3, 2, 5},
+    {2, 3, 2, 0},
+};
+static const uint8_t kTzLen[16][16] = {
+    {0},
+    {1, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 9},
+    {3, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 6, 6, 6, 6, 0},
+    {4, 3, 3, 3, 4, 4, 3, 3, 4, 5, 5, 6, 5, 6, 0, 0},
+    {5, 3, 4, 4, 3, 3, 3, 4, 3, 4, 5, 5, 5, 0, 0, 0},
+    {4, 4, 4, 3, 3, 3, 3, 3, 4, 5, 4, 5, 0, 0, 0, 0},
+    {6, 5, 3, 3, 3, 3, 3, 3, 4, 3, 6, 0, 0, 0, 0, 0},
+    {6, 5, 3, 3, 3, 2, 3, 4, 3, 6, 0, 0, 0, 0, 0, 0},
+    {6, 4, 5, 3, 2, 2, 3, 3, 6, 0, 0, 0, 0, 0, 0, 0},
+    {6, 6, 4, 2, 2, 3, 2, 5, 0, 0, 0, 0, 0, 0, 0, 0},
+    {5, 5, 3, 2, 2, 2, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {4, 4, 3, 3, 1, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {4, 4, 2, 1, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {3, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {2, 2, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+};
+static const uint16_t kTzVal[16][16] = {
+    {0},
+    {1, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 1},
+    {7, 6, 5, 4, 3, 5, 4, 3, 2, 3, 2, 3, 2, 1, 0, 0},
+    {5, 7, 6, 5, 4, 3, 4, 3, 2, 3, 2, 1, 1, 0, 0, 0},
+    {3, 7, 5, 4, 6, 5, 4, 3, 3, 2, 2, 1, 0, 0, 0, 0},
+    {5, 4, 3, 7, 6, 5, 4, 3, 2, 1, 1, 0, 0, 0, 0, 0},
+    {1, 1, 7, 6, 5, 4, 3, 2, 1, 1, 0, 0, 0, 0, 0, 0},
+    {1, 1, 5, 4, 3, 3, 2, 1, 1, 0, 0, 0, 0, 0, 0, 0},
+    {1, 1, 1, 3, 3, 2, 2, 1, 0, 0, 0, 0, 0, 0, 0, 0},
+    {1, 0, 1, 3, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0},
+    {1, 0, 1, 3, 2, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {0, 1, 1, 2, 1, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {0, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {0, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {0, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+};
+static const uint8_t kTzcLen[4][4] = {
+    {0},
+    {1, 2, 3, 3},
+    {1, 2, 2, 0},
+    {1, 1, 0, 0},
+};
+static const uint8_t kTzcVal[4][4] = {
+    {0},
+    {1, 1, 1, 0},
+    {1, 1, 0, 0},
+    {1, 0, 0, 0},
+};
+static const uint8_t kRbLen[8][15] = {
+    {0},
+    {1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {1, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {2, 2, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {2, 2, 2, 3, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {2, 2, 3, 3, 3, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {2, 3, 3, 3, 3, 3, 3, 0, 0, 0, 0, 0, 0, 0, 0},
+    {3, 3, 3, 3, 3, 3, 3, 4, 5, 6, 7, 8, 9, 10, 11},
+};
+static const uint8_t kRbVal[8][15] = {
+    {0},
+    {1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {3, 2, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {3, 2, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {3, 2, 3, 2, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
+    {3, 0, 1, 3, 2, 5, 4, 0, 0, 0, 0, 0, 0, 0, 0},
+    {7, 6, 5, 4, 3, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1},
+};
+
+// forward/quant constants (Richardson; oracle _MF/_V/_POS_CLASS)
+static const int kMF[6][3] = {{13107, 5243, 8066}, {11916, 4660, 7490},
+                              {10082, 4194, 6554}, {9362, 3647, 5825},
+                              {8192, 3355, 5243},  {7282, 2893, 4559}};
+static const int kV[6][3] = {{10, 16, 13}, {11, 18, 14}, {13, 20, 16},
+                             {14, 23, 18}, {16, 25, 20}, {18, 29, 23}};
+// coefficient-position class in a 4x4 (0: both-even, 1: both-odd, 2: rest)
+static const int kPosClass[16] = {0, 2, 0, 2, 2, 1, 2, 1,
+                                  0, 2, 0, 2, 2, 1, 2, 1};
+static const int kQpc[52] = {0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11,
+                             12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23,
+                             24, 25, 26, 27, 28, 29, 29, 30, 31, 32, 32, 33,
+                             34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38, 38,
+                             39, 39, 39, 39};
+static const int kZigzag[16] = {0, 1, 4, 8, 5, 2, 3, 6,
+                                9, 12, 13, 10, 7, 11, 14, 15};
+// 4x4-block coding order inside a MB (bx, by), spec 6.4.3
+static const int kBlockScan[16][2] = {
+    {0, 0}, {1, 0}, {0, 1}, {1, 1}, {2, 0}, {3, 0}, {2, 1}, {3, 1},
+    {0, 2}, {1, 2}, {0, 3}, {1, 3}, {2, 2}, {3, 2}, {2, 3}, {3, 3}};
+
+constexpr int kLevelClamp = 2063;  // oracle _LEVEL_CLAMP
+
+struct BitW {
+    uint8_t* buf;
+    size_t cap;
+    size_t nbytes = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    bool overflow = false;
+
+    BitW(uint8_t* b, size_t c) : buf(b), cap(c) {}
+
+    inline void u(uint32_t v, int n) {
+        acc = (acc << n) | (uint64_t(v) & ((n >= 32) ? 0xffffffffull
+                                                     : ((1ull << n) - 1)));
+        nbits += n;
+        while (nbits >= 8) {
+            if (nbytes >= cap) {
+                overflow = true;
+                nbits = 0;
+                return;
+            }
+            buf[nbytes++] = uint8_t(acc >> (nbits - 8));
+            nbits -= 8;
+        }
+    }
+
+    inline void ue(uint32_t value) {
+        uint32_t code = value + 1;
+        int n = 32 - __builtin_clz(code);
+        u(code, 2 * n - 1);
+    }
+
+    inline void se(int value) {
+        ue(value > 0 ? uint32_t(2 * value - 1) : uint32_t(-2 * value));
+    }
+
+    void trailing() {  // rbsp stop bit + zero alignment
+        u(1, 1);
+        if (nbits) u(0, 8 - nbits);
+    }
+};
+
+// CAVLC residual_block (oracle _write_residual_block): coeffs in scan
+// order low->high, n entries; nc = -1 for chroma DC.  Returns total_coeff.
+static int write_res(BitW& w, const int32_t* coeffs, int n, int nc) {
+    int idx[16], val[16], total = 0;
+    for (int i = 0; i < n; ++i)
+        if (coeffs[i] != 0) {
+            idx[total] = i;
+            val[total] = coeffs[i];
+            ++total;
+        }
+    int t1s = 0;
+    for (int k = total - 1; k >= 0 && t1s < 3; --k) {
+        if (val[k] == 1 || val[k] == -1)
+            ++t1s;
+        else
+            break;
+    }
+    if (nc == -1) {
+        w.u(kCtDcVal[total][t1s], kCtDcLen[total][t1s]);
+    } else if (nc < 2) {
+        w.u(kCt0Val[total][t1s], kCt0Len[total][t1s]);
+    } else if (nc < 4) {
+        w.u(kCt2Val[total][t1s], kCt2Len[total][t1s]);
+    } else if (nc < 8) {
+        w.u(kCt4Val[total][t1s], kCt4Len[total][t1s]);
+    } else {
+        w.u(total == 0 ? 0b000011u : uint32_t(((total - 1) << 2) | t1s), 6);
+    }
+    if (total == 0) return 0;
+    for (int k = total - 1; k >= total - t1s; --k)
+        w.u(val[k] < 0 ? 1u : 0u, 1);
+    int suffix_len = (total > 10 && t1s < 3) ? 1 : 0;
+    bool first = true;
+    for (int k = total - t1s - 1; k >= 0; --k) {
+        int c = val[k];
+        int level_code = c > 0 ? 2 * c - 2 : -2 * c - 1;
+        if (first && t1s < 3) level_code -= 2;
+        first = false;
+        if (suffix_len == 0) {
+            if (level_code < 14) {
+                w.u(1, level_code + 1);
+            } else if (level_code < 30) {
+                w.u(1, 15);
+                w.u(uint32_t(level_code - 14), 4);
+            } else {
+                w.u(1, 16);
+                w.u(uint32_t(level_code - 30), 12);
+            }
+        } else {
+            int prefix = level_code >> suffix_len;
+            if (prefix < 15) {
+                w.u(1, prefix + 1);
+                w.u(uint32_t(level_code) & ((1u << suffix_len) - 1),
+                    suffix_len);
+            } else {
+                w.u(1, 16);
+                w.u(uint32_t(level_code - (15 << suffix_len)), 12);
+            }
+        }
+        if (suffix_len == 0) suffix_len = 1;
+        int ac = c < 0 ? -c : c;
+        if (ac > (3 << (suffix_len - 1)) && suffix_len < 6) ++suffix_len;
+    }
+    int total_zeros = idx[total - 1] + 1 - total;
+    if (total < n) {
+        if (nc == -1)
+            w.u(kTzcVal[total][total_zeros], kTzcLen[total][total_zeros]);
+        else
+            w.u(kTzVal[total][total_zeros], kTzLen[total][total_zeros]);
+    }
+    int zl = total_zeros;
+    for (int k = total - 1; k >= 1; --k) {
+        if (zl == 0) break;
+        int run = idx[k] - idx[k - 1] - 1;
+        int zi = zl < 7 ? zl : 7;
+        w.u(kRbVal[zi][run], kRbLen[zi][run]);
+        zl -= run;
+    }
+    return total;
+}
+
+// forward 4x4 core transform t = CF . blk . CF^T (row-major 4x4)
+static inline void fwd4(const int32_t* b, int32_t* t) {
+    int32_t m[16];
+    for (int j = 0; j < 4; ++j) {  // left-multiply by CF (per column)
+        int32_t b0 = b[j], b1 = b[4 + j], b2 = b[8 + j], b3 = b[12 + j];
+        m[j] = b0 + b1 + b2 + b3;
+        m[4 + j] = 2 * b0 + b1 - b2 - 2 * b3;
+        m[8 + j] = b0 - b1 - b2 + b3;
+        m[12 + j] = b0 - 2 * b1 + 2 * b2 - b3;
+    }
+    for (int i = 0; i < 4; ++i) {  // then right-multiply by CF^T
+        int32_t a0 = m[i * 4], a1 = m[i * 4 + 1], a2 = m[i * 4 + 2],
+                a3 = m[i * 4 + 3];
+        t[i * 4] = a0 + a1 + a2 + a3;
+        t[i * 4 + 1] = 2 * a0 + a1 - a2 - 2 * a3;
+        t[i * 4 + 2] = a0 - a1 - a2 + a3;
+        t[i * 4 + 3] = a0 - 2 * a1 + 2 * a2 - a3;
+    }
+}
+
+// inverse 4x4 (oracle _inv4x4): rows then columns with >>1 taps
+static inline void inv4(const int32_t* d, int32_t* g) {
+    int32_t f[16];
+    for (int i = 0; i < 4; ++i) {
+        int32_t d0 = d[i * 4], d1 = d[i * 4 + 1], d2 = d[i * 4 + 2],
+                d3 = d[i * 4 + 3];
+        int32_t e0 = d0 + d2, e1 = d0 - d2;
+        int32_t e2 = (d1 >> 1) - d3, e3 = d1 + (d3 >> 1);
+        f[i * 4] = e0 + e3;
+        f[i * 4 + 1] = e1 + e2;
+        f[i * 4 + 2] = e1 - e2;
+        f[i * 4 + 3] = e0 - e3;
+    }
+    for (int j = 0; j < 4; ++j) {
+        int32_t d0 = f[j], d1 = f[4 + j], d2 = f[8 + j], d3 = f[12 + j];
+        int32_t e0 = d0 + d2, e1 = d0 - d2;
+        int32_t e2 = (d1 >> 1) - d3, e3 = d1 + (d3 >> 1);
+        g[j] = e0 + e3;
+        g[4 + j] = e1 + e2;
+        g[8 + j] = e1 - e2;
+        g[12 + j] = e0 - e3;
+    }
+}
+
+static inline int32_t qclamp(int32_t z) {
+    return z > kLevelClamp ? kLevelClamp
+                           : (z < -kLevelClamp ? -kLevelClamp : z);
+}
+
+// per-position forward quant (oracle _quant4x4), zeroing the DC slot
+static inline void quant_ac(const int32_t* t, const int* mf16, int f,
+                            int qbits, int32_t* z) {
+    for (int i = 0; i < 16; ++i) {
+        int32_t wv = t[i];
+        int32_t a = wv < 0 ? -wv : wv;
+        int32_t q = int32_t((int64_t(a) * mf16[i] + f) >> qbits);
+        z[i] = qclamp(wv < 0 ? -q : (wv > 0 ? q : 0));
+    }
+    z[0] = 0;
+}
+
+struct FrameCtx {
+    size_t w, h, mb_w, mb_h;
+    int qp, qpc;
+    int mfq[16], mfqc[16], vq[16], vqc[16];
+    int fq, fqc, qbits, qbitsc;
+    // reconstruction planes, +1 px top/left pad (uint8: always clipped)
+    std::vector<uint8_t> ry, rcb, rcr;
+    // total_coeff context planes, +1 pad
+    std::vector<int8_t> lnnz, cbnnz, crnnz;
+
+    FrameCtx(size_t W, size_t H, int QP)
+        : w(W), h(H), mb_w(W / 16), mb_h(H / 16), qp(QP), qpc(kQpc[QP]) {
+        for (int i = 0; i < 16; ++i) {
+            mfq[i] = kMF[qp % 6][kPosClass[i]];
+            mfqc[i] = kMF[qpc % 6][kPosClass[i]];
+            vq[i] = kV[qp % 6][kPosClass[i]];
+            vqc[i] = kV[qpc % 6][kPosClass[i]];
+        }
+        qbits = 15 + qp / 6;
+        qbitsc = 15 + qpc / 6;
+        fq = (1 << qbits) / 3;
+        fqc = (1 << qbitsc) / 3;
+        ry.assign((h + 1) * (w + 1), 0);
+        rcb.assign((h / 2 + 1) * (w / 2 + 1), 0);
+        rcr.assign((h / 2 + 1) * (w / 2 + 1), 0);
+        lnnz.assign((mb_h * 4 + 1) * (mb_w * 4 + 1), 0);
+        cbnnz.assign((mb_h * 2 + 1) * (mb_w * 2 + 1), 0);
+        crnnz.assign((mb_h * 2 + 1) * (mb_w * 2 + 1), 0);
+    }
+};
+
+static inline int nc_ctx(const int8_t* nnz, size_t stride, size_t by,
+                         size_t bx, bool top_ok, bool left_ok) {
+    if (left_ok && top_ok)
+        return (nnz[by * stride + bx - 1] + nnz[(by - 1) * stride + bx] +
+                1) >> 1;
+    if (left_ok) return nnz[by * stride + bx - 1];
+    if (top_ok) return nnz[(by - 1) * stride + bx];
+    return 0;
+}
+
+static void encode_mb(FrameCtx& cx, BitW& w, size_t mby, size_t mbx,
+                      const uint8_t* nv12) {
+    const size_t W = cx.w, H = cx.h;
+    const bool top_ok = mby > 0, left_ok = mbx > 0;
+    const size_t rstride = W + 1, cstride = W / 2 + 1;
+    const size_t y0 = mby * 16 + 1, x0 = mbx * 16 + 1;
+
+    // ---- luma DC-16x16 prediction (oracle _pred_dc16)
+    int pred;
+    if (top_ok && left_ok) {
+        int s = 0;
+        const uint8_t* t = &cx.ry[(y0 - 1) * rstride + x0];
+        for (int i = 0; i < 16; ++i) s += t[i];
+        for (int i = 0; i < 16; ++i) s += cx.ry[(y0 + i) * rstride + x0 - 1];
+        pred = (s + 16) >> 5;
+    } else if (top_ok) {
+        int s = 0;
+        const uint8_t* t = &cx.ry[(y0 - 1) * rstride + x0];
+        for (int i = 0; i < 16; ++i) s += t[i];
+        pred = (s + 8) >> 4;
+    } else if (left_ok) {
+        int s = 0;
+        for (int i = 0; i < 16; ++i) s += cx.ry[(y0 + i) * rstride + x0 - 1];
+        pred = (s + 8) >> 4;
+    } else {
+        pred = 128;
+    }
+
+    // ---- luma transforms + quant
+    int32_t resid[256];
+    for (int y = 0; y < 16; ++y) {
+        const uint8_t* s = nv12 + (mby * 16 + y) * W + mbx * 16;
+        for (int x = 0; x < 16; ++x) resid[y * 16 + x] = int(s[x]) - pred;
+    }
+    int32_t wdc[16];       // per-block t[0,0], laid out [by*4+bx]
+    int32_t acz[16][16];   // quantized AC blocks [by*4+bx][raster]
+    bool cbp_luma = false;
+    for (int by = 0; by < 4; ++by)
+        for (int bx = 0; bx < 4; ++bx) {
+            int32_t blk[16], t[16];
+            for (int r = 0; r < 4; ++r)
+                for (int c = 0; c < 4; ++c)
+                    blk[r * 4 + c] = resid[(by * 4 + r) * 16 + bx * 4 + c];
+            fwd4(blk, t);
+            wdc[by * 4 + bx] = t[0];
+            quant_ac(t, cx.mfq, cx.fq, cx.qbits, acz[by * 4 + bx]);
+            if (!cbp_luma)
+                for (int i = 1; i < 16; ++i)
+                    if (acz[by * 4 + bx][i]) {
+                        cbp_luma = true;
+                        break;
+                    }
+        }
+    // luma DC Hadamard (oracle: (H4 . wdc . H4) >> 1) + quant
+    int32_t ydc[16], zdc[16];
+    {
+        int32_t m[16];
+        for (int j = 0; j < 4; ++j) {
+            int32_t a = wdc[j], b = wdc[4 + j], c = wdc[8 + j],
+                    d = wdc[12 + j];
+            m[j] = a + b + c + d;
+            m[4 + j] = a + b - c - d;
+            m[8 + j] = a - b - c + d;
+            m[12 + j] = a - b + c - d;
+        }
+        for (int i = 0; i < 4; ++i) {
+            int32_t a = m[i * 4], b = m[i * 4 + 1], c = m[i * 4 + 2],
+                    d = m[i * 4 + 3];
+            ydc[i * 4] = (a + b + c + d) >> 1;
+            ydc[i * 4 + 1] = (a + b - c - d) >> 1;
+            ydc[i * 4 + 2] = (a - b - c + d) >> 1;
+            ydc[i * 4 + 3] = (a - b + c - d) >> 1;
+        }
+        int f2 = 2 * cx.fq;
+        for (int i = 0; i < 16; ++i) {
+            int32_t v = ydc[i], a = v < 0 ? -v : v;
+            int32_t q =
+                int32_t((int64_t(a) * kMF[cx.qp % 6][0] + f2) >>
+                        (cx.qbits + 1));
+            zdc[i] = qclamp(v < 0 ? -q : (v > 0 ? q : 0));
+        }
+    }
+
+    // ---- chroma (cb = comp 0, cr = comp 1)
+    int32_t cwdc[2][4], cacz[2][4][16], czdc[2][4];
+    int cpred[2][64];  // 8x8 prediction planes
+    bool chroma_dc_nz = false, chroma_ac_nz = false;
+    const size_t cy0 = mby * 8 + 1, cx0 = mbx * 8 + 1;
+    for (int comp = 0; comp < 2; ++comp) {
+        const std::vector<uint8_t>& rp = comp ? cx.rcr : cx.rcb;
+        // _pred_dc_chroma: per-4x4-quadrant DC
+        int tsum[2] = {0, 0}, lsum[2] = {0, 0};
+        if (top_ok) {
+            const uint8_t* t = &rp[(cy0 - 1) * cstride + cx0];
+            for (int i = 0; i < 4; ++i) tsum[0] += t[i];
+            for (int i = 4; i < 8; ++i) tsum[1] += t[i];
+        }
+        if (left_ok) {
+            for (int i = 0; i < 4; ++i)
+                lsum[0] += rp[(cy0 + i) * cstride + cx0 - 1];
+            for (int i = 4; i < 8; ++i)
+                lsum[1] += rp[(cy0 + i) * cstride + cx0 - 1];
+        }
+        auto fillq = [&](int qy, int qx, bool ut, bool ul) {
+            int v;
+            if (ut && ul)
+                v = (tsum[qx] + lsum[qy] + 4) >> 3;
+            else if (ut)
+                v = (tsum[qx] + 2) >> 2;
+            else if (ul)
+                v = (lsum[qy] + 2) >> 2;
+            else
+                v = 128;
+            for (int y = 0; y < 4; ++y)
+                for (int x = 0; x < 4; ++x)
+                    cpred[comp][(qy * 4 + y) * 8 + qx * 4 + x] = v;
+        };
+        fillq(0, 0, top_ok, left_ok);
+        if (top_ok) fillq(0, 1, true, false);
+        else fillq(0, 1, false, left_ok);
+        if (left_ok) fillq(1, 0, false, true);
+        else fillq(1, 0, top_ok, false);
+        fillq(1, 1, top_ok, left_ok);
+
+        int32_t cres[64];
+        const uint8_t* uvbase = nv12 + H * W;
+        for (int y = 0; y < 8; ++y) {
+            const uint8_t* s = uvbase + (mby * 8 + y) * W + mbx * 16;
+            for (int x = 0; x < 8; ++x)
+                cres[y * 8 + x] =
+                    int(s[2 * x + comp]) - cpred[comp][y * 8 + x];
+        }
+        for (int by = 0; by < 2; ++by)
+            for (int bx = 0; bx < 2; ++bx) {
+                int32_t blk[16], t[16];
+                for (int r = 0; r < 4; ++r)
+                    for (int c = 0; c < 4; ++c)
+                        blk[r * 4 + c] = cres[(by * 4 + r) * 8 + bx * 4 + c];
+                fwd4(blk, t);
+                cwdc[comp][by * 2 + bx] = t[0];
+                quant_ac(t, cx.mfqc, cx.fqc, cx.qbitsc,
+                         cacz[comp][by * 2 + bx]);
+                if (!chroma_ac_nz)
+                    for (int i = 1; i < 16; ++i)
+                        if (cacz[comp][by * 2 + bx][i]) {
+                            chroma_ac_nz = true;
+                            break;
+                        }
+            }
+        // 2x2 Hadamard: f = H2 . cwdc . H2
+        int32_t a = cwdc[comp][0], b = cwdc[comp][1], c = cwdc[comp][2],
+                d = cwdc[comp][3];
+        int32_t fdc[4] = {a + b + c + d, a - b + c - d, a + b - c - d,
+                          a - b - c + d};
+        int cf2 = 2 * cx.fqc;
+        for (int i = 0; i < 4; ++i) {
+            int32_t v = fdc[i], av = v < 0 ? -v : v;
+            int32_t q =
+                int32_t((int64_t(av) * kMF[cx.qpc % 6][0] + cf2) >>
+                        (cx.qbitsc + 1));
+            czdc[comp][i] = qclamp(v < 0 ? -q : (v > 0 ? q : 0));
+            if (czdc[comp][i]) chroma_dc_nz = true;
+        }
+    }
+    int cbp_chroma = chroma_ac_nz ? 2 : (chroma_dc_nz ? 1 : 0);
+
+    // ---- syntax (oracle order exactly)
+    w.ue(uint32_t(1 + 2 + 4 * cbp_chroma + 12 * (cbp_luma ? 1 : 0)));
+    w.ue(0);  // intra_chroma_pred_mode: DC
+    w.se(0);  // mb_qp_delta
+    const size_t lstride = cx.mb_w * 4 + 1;
+    const size_t nby0 = mby * 4 + 1, nbx0 = mbx * 4 + 1;
+    {
+        int nc = nc_ctx(cx.lnnz.data(), lstride, nby0, nbx0, top_ok,
+                        left_ok);
+        int32_t scan[16];
+        for (int i = 0; i < 16; ++i) scan[i] = zdc[kZigzag[i]];
+        write_res(w, scan, 16, nc);
+    }
+    if (cbp_luma) {
+        for (int s = 0; s < 16; ++s) {
+            int bx = kBlockScan[s][0], by = kBlockScan[s][1];
+            bool t_ok = by == 0 ? top_ok : true;
+            bool l_ok = bx == 0 ? left_ok : true;
+            int nc = nc_ctx(cx.lnnz.data(), lstride, nby0 + by, nbx0 + bx,
+                            t_ok, l_ok);
+            int32_t scan[15];
+            const int32_t* z = acz[by * 4 + bx];
+            for (int i = 1; i < 16; ++i) scan[i - 1] = z[kZigzag[i]];
+            int tc = write_res(w, scan, 15, nc);
+            cx.lnnz[(nby0 + by) * lstride + nbx0 + bx] = int8_t(tc);
+        }
+    } else {
+        for (int by = 0; by < 4; ++by)
+            for (int bx = 0; bx < 4; ++bx)
+                cx.lnnz[(nby0 + by) * lstride + nbx0 + bx] = 0;
+    }
+    if (cbp_chroma) {
+        for (int comp = 0; comp < 2; ++comp) {
+            int32_t lst[4] = {czdc[comp][0], czdc[comp][1], czdc[comp][2],
+                              czdc[comp][3]};
+            write_res(w, lst, 4, -1);
+        }
+    }
+    const size_t cnstride = cx.mb_w * 2 + 1;
+    const size_t cny0 = mby * 2 + 1, cnx0 = mbx * 2 + 1;
+    for (int comp = 0; comp < 2; ++comp) {
+        int8_t* cnnz = comp ? cx.crnnz.data() : cx.cbnnz.data();
+        if (cbp_chroma == 2) {
+            static const int order[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+            for (int s = 0; s < 4; ++s) {
+                int bx = order[s][0], by = order[s][1];
+                bool t_ok = by == 0 ? top_ok : true;
+                bool l_ok = bx == 0 ? left_ok : true;
+                int nc = nc_ctx(cnnz, cnstride, cny0 + by, cnx0 + bx, t_ok,
+                                l_ok);
+                int32_t scan[15];
+                const int32_t* z = cacz[comp][by * 2 + bx];
+                for (int i = 1; i < 16; ++i) scan[i - 1] = z[kZigzag[i]];
+                int tc = write_res(w, scan, 15, nc);
+                cnnz[(cny0 + by) * cnstride + cnx0 + bx] = int8_t(tc);
+            }
+        } else {
+            for (int by = 0; by < 2; ++by)
+                for (int bx = 0; bx < 2; ++bx)
+                    cnnz[(cny0 + by) * cnstride + cnx0 + bx] = 0;
+        }
+    }
+
+    // ---- reconstruction (must equal any conformant decoder)
+    int32_t dcd[16];
+    {
+        // inverse Hadamard of zdc, then _luma_dc_dequant
+        int32_t m[16], f4[16];
+        for (int j = 0; j < 4; ++j) {
+            int32_t a = zdc[j], b = zdc[4 + j], c = zdc[8 + j],
+                    d = zdc[12 + j];
+            m[j] = a + b + c + d;
+            m[4 + j] = a + b - c - d;
+            m[8 + j] = a - b - c + d;
+            m[12 + j] = a - b + c - d;
+        }
+        for (int i = 0; i < 4; ++i) {
+            int32_t a = m[i * 4], b = m[i * 4 + 1], c = m[i * 4 + 2],
+                    d = m[i * 4 + 3];
+            f4[i * 4] = a + b + c + d;
+            f4[i * 4 + 1] = a + b - c - d;
+            f4[i * 4 + 2] = a - b - c + d;
+            f4[i * 4 + 3] = a - b + c - d;
+        }
+        int ls = 16 * kV[cx.qp % 6][0], k = cx.qp / 6;
+        for (int i = 0; i < 16; ++i) {
+            int64_t fv = f4[i];
+            if (cx.qp >= 36)
+                dcd[i] = int32_t((fv * ls) << (k - 6));
+            else
+                dcd[i] = int32_t((fv * ls + (1 << (5 - k))) >> (6 - k));
+        }
+    }
+    for (int by = 0; by < 4; ++by)
+        for (int bx = 0; bx < 4; ++bx) {
+            int32_t d[16], r[16];
+            const int32_t* z = acz[by * 4 + bx];
+            for (int i = 0; i < 16; ++i)
+                d[i] = (z[i] * cx.vq[i]) << (cx.qp / 6);
+            d[0] = dcd[by * 4 + bx];
+            inv4(d, r);
+            uint8_t* dst = &cx.ry[(y0 + by * 4) * rstride + x0 + bx * 4];
+            for (int rr = 0; rr < 4; ++rr)
+                for (int cc = 0; cc < 4; ++cc) {
+                    int v = ((r[rr * 4 + cc] + 32) >> 6) + pred;
+                    dst[rr * rstride + cc] =
+                        uint8_t(v < 0 ? 0 : (v > 255 ? 255 : v));
+                }
+        }
+    for (int comp = 0; comp < 2; ++comp) {
+        std::vector<uint8_t>& rp = comp ? cx.rcr : cx.rcb;
+        // chroma DC: f = H2 . czdc . H2, then _chroma_dc_dequant
+        int32_t a = czdc[comp][0], b = czdc[comp][1], c = czdc[comp][2],
+                d0 = czdc[comp][3];
+        int32_t fdc[4] = {a + b + c + d0, a - b + c - d0, a + b - c - d0,
+                          a - b - c + d0};
+        int ls = 16 * kV[cx.qpc % 6][0];
+        int32_t cdcd[4];
+        for (int i = 0; i < 4; ++i)
+            cdcd[i] =
+                int32_t((int64_t(fdc[i]) * ls) << (cx.qpc / 6)) >> 5;
+        for (int by = 0; by < 2; ++by)
+            for (int bx = 0; bx < 2; ++bx) {
+                int32_t d[16], r[16];
+                const int32_t* z = cacz[comp][by * 2 + bx];
+                for (int i = 0; i < 16; ++i)
+                    d[i] = (z[i] * cx.vqc[i]) << (cx.qpc / 6);
+                d[0] = cdcd[by * 2 + bx];
+                inv4(d, r);
+                uint8_t* dst =
+                    &rp[(cy0 + by * 4) * cstride + cx0 + bx * 4];
+                for (int rr = 0; rr < 4; ++rr)
+                    for (int cc = 0; cc < 4; ++cc) {
+                        int v = ((r[rr * 4 + cc] + 32) >> 6) +
+                                cpred[comp][(by * 4 + rr) * 8 + bx * 4 + cc];
+                        dst[rr * cstride + cc] =
+                            uint8_t(v < 0 ? 0 : (v > 255 ? 255 : v));
+                    }
+            }
+    }
+}
+
+}  // namespace cavlc
+
+// Encode one 16-aligned NV12 frame as a single-slice CAVLC IDR NAL.
+// head_bits: the Python-built slice header, MSB-first packed, head_nbits
+// long (NOT byte aligned — MB data continues bit-packed after it).
+// RBSP goes into scratch, the §7.4.1.1-escaped NAL into out.  Returns
+// the escaped length, or -1 on bad args / scratch overflow.
+extern "C" int64_t fp_cavlc_encode(const uint8_t* nv12, uint64_t width,
+                                   uint64_t height, int qp,
+                                   const uint8_t* head_bits,
+                                   uint64_t head_nbits, uint8_t* scratch,
+                                   uint64_t scratch_cap, uint8_t* out,
+                                   uint64_t out_cap) {
+    if (width == 0 || height == 0 || (width % 16) || (height % 16) ||
+        qp < 0 || qp > 51)
+        return -1;
+    cavlc::FrameCtx cx(width, height, qp);
+    cavlc::BitW w(scratch, scratch_cap);
+    uint64_t nfull = head_nbits / 8, rem = head_nbits % 8;
+    for (uint64_t i = 0; i < nfull; ++i) w.u(head_bits[i], 8);
+    if (rem) w.u(head_bits[nfull] >> (8 - rem), int(rem));
+    for (size_t mby = 0; mby < cx.mb_h; ++mby)
+        for (size_t mbx = 0; mbx < cx.mb_w; ++mbx)
+            cavlc::encode_mb(cx, w, mby, mbx, nv12);
+    w.trailing();
+    if (w.overflow) return -1;
+    EscState esc(out);
+    // escape bound: 3 bytes out per 2 in, +1 for a trailing escape
+    if (w.nbytes / 2 * 3 + w.nbytes % 2 + 1 > out_cap) return -1;
+    esc.feed(scratch, w.nbytes);
+    return int64_t(esc.o);
+}
