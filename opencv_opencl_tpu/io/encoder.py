@@ -8,8 +8,10 @@ Hosts differ in what encoder they offer, so the relay's
 - ``pcm``    — the in-repo lossless I_PCM encoder (io.h264_pcm, C++
   fast path): always available, standards-compliant, big output.
 - ``cavlc``  — the in-repo COMPRESSED intra encoder (io.h264_cavlc,
-  I_16x16 + CAVLC): always available AND honors ``--bitrate`` via
-  closed-loop QP adaptation; ``cavlc:qp=N`` fixes the quantizer.
+  I_16x16 + CAVLC, C++ fast path): always available AND honors
+  ``--bitrate`` via closed-loop QP adaptation; ``cavlc:qp=N`` fixes the
+  quantizer, ``:slices=M`` splits frames into M independent slice bands
+  (threaded on multi-core hosts, like the reference's num-slices=8).
 - ``ffmpeg`` — an external ``ffmpeg`` process fed raw NV12 on stdin,
   Annex-B H.264/H.265 on stdout (x264-class compression when the host
   ships ffmpeg).
@@ -272,7 +274,7 @@ def encoded_rtp_sink_from_url(url: str, width: int, height: int, *,
 def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                  codec: str = "h264", bitrate_kbps: int = 2000) -> Any:
     """Build a FrameEncoder; ``backend`` is
-    pcm[:slices]|cavlc[:qp=N]|ffmpeg|gi|auto.
+    pcm[:slices]|cavlc[:qp=N][:slices=M]|ffmpeg|gi|auto.
 
     ``auto`` tries each available backend IN ORDER and falls through on
     construction failure (e.g. python-gi present but the encoder element
@@ -321,19 +323,36 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             raise ValueError("the in-repo CAVLC encoder is h264-only")
         from opencv_opencl_tpu.io.h264_cavlc import CavlcH264Encoder
 
-        if backend.startswith("cavlc:"):
-            opt = backend.split(":", 1)[1]
-            if not opt.startswith("qp="):
-                raise ValueError(f"bad cavlc option {opt!r} (qp=N)")
+        qp = None
+        slices = 1
+        for opt in backend.split(":")[1:]:
+            key, _, val = opt.partition("=")
+            if key not in ("qp", "slices") or not val:
+                raise ValueError(
+                    f"bad cavlc option {opt!r} (qp=N, slices=N)")
             try:
-                qp = int(opt[3:])
+                ival = int(val)
             except ValueError:
-                raise ValueError(f"bad cavlc qp in {backend!r}")
-            if not 0 <= qp <= 51:
-                raise ValueError(f"cavlc qp must be 0..51, got {qp}")
-            return CavlcH264Encoder(width, height, qp=qp)
+                raise ValueError(f"bad cavlc {key} in {backend!r}")
+            if key == "qp":
+                if not 0 <= ival <= 51:
+                    raise ValueError(f"cavlc qp must be 0..51, got {ival}")
+                qp = ival
+            else:
+                if ival < 1:
+                    raise ValueError(
+                        f"cavlc slices must be >= 1, got {ival}")
+                slices = ival
+        import os
+
+        threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
+        if qp is not None:
+            # fixed quantizer: no rate control
+            return CavlcH264Encoder(width, height, qp=qp, slices=slices,
+                                    threads=threads)
         return CavlcH264Encoder(width, height, qp=30,
-                                bitrate_kbps=bitrate_kbps, fps=fps)
+                                bitrate_kbps=bitrate_kbps, fps=fps,
+                                slices=slices, threads=threads)
     if backend == "ffmpeg":
         if not shutil.which("ffmpeg"):
             raise ValueError("ffmpeg not on PATH (try --encoder=pcm)")
@@ -342,4 +361,4 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
     if backend == "gi":
         return _gi_encoder(width, height, fps, codec, bitrate_kbps)
     raise ValueError(f"unknown encoder backend {backend!r} "
-                     "(pcm[:slices]|cavlc[:qp=N]|ffmpeg|gi|auto)")
+                     "(pcm[:slices]|cavlc[:qp=N][:slices=M]|ffmpeg|gi|auto)")

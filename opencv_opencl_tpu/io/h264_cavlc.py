@@ -41,7 +41,8 @@ from opencv_opencl_tpu.io.h264_pcm import (
     build_sps,
 )
 
-__all__ = ["CavlcH264Encoder", "encode_frame_cavlc", "build_pps_cavlc"]
+__all__ = ["CavlcH264Encoder", "encode_frame_cavlc",
+           "encode_frame_cavlc_slices", "build_pps_cavlc"]
 
 # ------------------------------------------------------------ transforms ----
 
@@ -687,6 +688,44 @@ def _slice_head_cavlc(w: _BitWriter, idr_pic_id: int, qp: int,
     w.ue(1)                    # disable_deblocking_filter_idc: OFF
 
 
+def encode_frame_cavlc_slices(nv12: np.ndarray, width: int, height: int,
+                              qp: int, idr_pic_id: int = 0,
+                              slices: int = 1,
+                              return_recon: bool = False):
+    """Encode one NV12 frame as ``slices`` independent CAVLC IDR slice
+    NALs (MB-row bands, like the reference's ``num-slices=8`` OMX tuning
+    and the PCM encoder's ``slices``).  H.264 slices share no contexts:
+    DC prediction and nC neighbor state treat the band's first MB row as
+    frame-top (``first_mb_row``), so each band is independently
+    decodable AND independently computable — the native port runs bands
+    on threads.  Reconstruction planes are shared (bands only ever read
+    their own rows)."""
+    if width % 16 or height % 16:
+        raise ValueError("CAVLC path requires 16-aligned padded frames")
+    y = nv12[:height].astype(np.int64)
+    uv = nv12[height:].reshape(height // 2, width // 2, 2)
+    cb = uv[:, :, 0].astype(np.int64)
+    cr = uv[:, :, 1].astype(np.int64)
+    st = _MbEncoder(width, height, qp)
+    slices = max(1, min(int(slices), st.mb_h))
+    bounds = [round(i * st.mb_h / slices) for i in range(slices + 1)]
+    nals = []
+    for i in range(slices):
+        w = _BitWriter()
+        _slice_head_cavlc(w, idr_pic_id, qp,
+                          first_mb=bounds[i] * st.mb_w)
+        for mby in range(bounds[i], bounds[i + 1]):
+            for mbx in range(st.mb_w):
+                st.encode_mb(w, mby, mbx, y, cb, cr,
+                             first_mb_row=bounds[i])
+        w.trailing()
+        nals.append(_escape(np.frombuffer(w.bytes(), dtype=np.uint8)))
+    if return_recon:
+        return nals, (st.ry[1:, 1:].copy(), st.rcb[1:, 1:].copy(),
+                      st.rcr[1:, 1:].copy())
+    return nals
+
+
 def encode_frame_cavlc(nv12: np.ndarray, width: int, height: int, qp: int,
                        idr_pic_id: int = 0,
                        return_recon: bool = False):
@@ -731,12 +770,21 @@ class CavlcH264Encoder:
 
     def __init__(self, width: int, height: int, qp: int = 30,
                  bitrate_kbps: int | None = None, fps: float = 30.0,
-                 native: str = "auto") -> None:
+                 native: str = "auto", slices: int = 1,
+                 threads: int = 0) -> None:
+        """``slices`` > 1 splits each frame into that many independent
+        IDR slices (MB-row bands — the reference's ``num-slices=8``
+        analogue): smaller NALs on the wire and, with ``threads`` > 0 on
+        the native path, parallel per-band encoding."""
         if width % 2 or height % 2:
             raise ValueError("NV12 requires even dimensions")
+        if slices < 1:
+            raise ValueError(f"slices must be >= 1, got {slices}")
         self.width = width
         self.height = height
         self.qp = int(qp)
+        self.slices = int(slices)
+        self._threads = max(0, int(threads))
         self.bitrate_kbps = bitrate_kbps
         self.fps = fps
         self._sps = build_sps(width, height)
@@ -781,12 +829,14 @@ class CavlcH264Encoder:
         if self._native:
             from opencv_opencl_tpu import native
 
-            nal = native.cavlc_encode_frame(
-                padded, w16, h16, self.qp, idr, workspace=self._workspace)
+            nals = native.cavlc_encode_slices(
+                padded, w16, h16, self.qp, idr, slices=self.slices,
+                threads=self._threads, workspace=self._workspace)
         else:
-            nal = encode_frame_cavlc(padded, w16, h16, self.qp, idr)
-        au = (_START4 + self._sps + _START4 + self._pps + _START4 +
-              (nal if isinstance(nal, bytes) else bytes(nal)))
+            nals = encode_frame_cavlc_slices(padded, w16, h16, self.qp,
+                                             idr, slices=self.slices)
+        au = (_START4 + self._sps + _START4 + self._pps +
+              b"".join(_START4 + bytes(n) for n in nals))
         if self.bitrate_kbps:
             target = self.bitrate_kbps * 1000 / 8 / self.fps
             used = len(au)

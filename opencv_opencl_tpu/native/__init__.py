@@ -122,6 +122,12 @@ def _load():
             u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int, u8p,
             ctypes.c_uint64, u8p, ctypes.c_uint64, u8p, ctypes.c_uint64,
         ]
+        lib.fp_cavlc_encode_slices.restype = ctypes.c_int64
+        lib.fp_cavlc_encode_slices.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int, u8p,
+            u64p, u64p, ctypes.c_uint64, ctypes.c_int, u8p,
+            ctypes.c_uint64, u8p, u64p,
+        ]
         _lib = lib
         return _lib
 
@@ -447,6 +453,64 @@ def cavlc_encode_frame(nv12: np.ndarray, width: int, height: int, qp: int,
     if n < 0:
         raise RuntimeError("fp_cavlc_encode failed (bad args or overflow)")
     return out[: int(n)].tobytes()
+
+
+def cavlc_encode_slices(nv12: np.ndarray, width: int, height: int,
+                        qp: int, idr_pic_id: int, slices: int = 1,
+                        threads: int = 0,
+                        workspace: dict | None = None) -> list[bytes]:
+    """Native multi-slice CAVLC encode: ``slices`` independent MB-row
+    bands, each an IDR slice NAL (no start codes), byte-identical per
+    slice to ``io.h264_cavlc.encode_frame_cavlc_slices``.  ``threads``
+    > 1 encodes bands in parallel (contexts reset per slice, so bands
+    share nothing but disjoint rows of the reconstruction planes)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    from opencv_opencl_tpu.io.h264_cavlc import _slice_head_cavlc
+    from opencv_opencl_tpu.io.h264_pcm import _BitWriter
+
+    nv12 = np.ascontiguousarray(nv12)
+    mb_w, mb_h = width // 16, height // 16
+    slices = max(1, min(int(slices), mb_h))
+    bounds = [round(i * mb_h / slices) for i in range(slices + 1)]
+    heads, nbits = [], []
+    for i in range(slices):
+        w = _BitWriter()
+        _slice_head_cavlc(w, idr_pic_id, qp, first_mb=bounds[i] * mb_w)
+        heads.append(np.packbits(np.asarray(w._bits, dtype=np.uint8)))
+        nbits.append(len(w._bits))
+    blob = np.concatenate(heads)
+    nbits_a = np.asarray(nbits, dtype=np.uint64)
+    bounds_a = np.asarray(bounds, dtype=np.uint64)
+    max_band = max(bounds[i + 1] - bounds[i] for i in range(slices))
+    rbsp_cap = 2200 * max_band * mb_w + 32 + 64
+    stride = (rbsp_cap // 2 * 3 + 16 + 63) // 64 * 64
+    need = slices * stride
+    if (workspace is not None
+            and workspace.get("cavlc_sl_cap", -1) >= need
+            and len(workspace["cavlc_sl_lens"]) >= slices):
+        scratch = workspace["cavlc_sl_scratch"]
+        out = workspace["cavlc_sl_out"]
+        lens = workspace["cavlc_sl_lens"]
+    else:
+        scratch = np.empty(need, dtype=np.uint8)
+        out = np.empty(need, dtype=np.uint8)
+        lens = np.zeros(max(slices, 64), dtype=np.uint64)
+        if workspace is not None:
+            workspace.update(cavlc_sl_scratch=scratch, cavlc_sl_out=out,
+                             cavlc_sl_lens=lens, cavlc_sl_cap=need)
+    rc = lib.fp_cavlc_encode_slices(
+        _ptr(nv12), width, height, qp, _ptr(blob),
+        nbits_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        bounds_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        slices, threads, _ptr(scratch), stride, _ptr(out),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    if rc != 0:
+        raise RuntimeError(
+            "fp_cavlc_encode_slices failed (bad args or overflow)")
+    return [out[i * stride : i * stride + int(lens[i])].tobytes()
+            for i in range(slices)]
 
 
 def rtp_send_raw(fd: int, frame: np.ndarray, mtu: int, seq0: int, ts: int,

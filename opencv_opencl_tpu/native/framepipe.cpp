@@ -1148,9 +1148,10 @@ static inline int nc_ctx(const int8_t* nnz, size_t stride, size_t by,
 }
 
 static void encode_mb(FrameCtx& cx, BitW& w, size_t mby, size_t mbx,
-                      const uint8_t* nv12) {
+                      const uint8_t* nv12, size_t first_mb_row) {
     const size_t W = cx.w, H = cx.h;
-    const bool top_ok = mby > 0, left_ok = mbx > 0;
+    // slices share no contexts: the band's first MB row is frame-top
+    const bool top_ok = mby > first_mb_row, left_ok = mbx > 0;
     const size_t rstride = W + 1, cstride = W / 2 + 1;
     const size_t y0 = mby * 16 + 1, x0 = mbx * 16 + 1;
 
@@ -1478,7 +1479,7 @@ extern "C" int64_t fp_cavlc_encode(const uint8_t* nv12, uint64_t width,
     if (rem) w.u(head_bits[nfull] >> (8 - rem), int(rem));
     for (size_t mby = 0; mby < cx.mb_h; ++mby)
         for (size_t mbx = 0; mbx < cx.mb_w; ++mbx)
-            cavlc::encode_mb(cx, w, mby, mbx, nv12);
+            cavlc::encode_mb(cx, w, mby, mbx, nv12, 0);
     w.trailing();
     if (w.overflow) return -1;
     EscState esc(out);
@@ -1486,4 +1487,70 @@ extern "C" int64_t fp_cavlc_encode(const uint8_t* nv12, uint64_t width,
     if (w.nbytes / 2 * 3 + w.nbytes % 2 + 1 > out_cap) return -1;
     esc.feed(scratch, w.nbytes);
     return int64_t(esc.o);
+}
+
+// Multi-slice CAVLC encode: `nslices` independent MB-row-band IDR slice
+// NALs (contexts reset per band, so bands run on std::threads — the
+// reference's omxh264enc num-slices=8 analogue).  head_bits_blob holds
+// the packed per-slice headers back to back, BYTE-padded per slice
+// (head i starts at byte offs sum(ceil(head_nbits[j]/8))), lengths in
+// BITS in head_nbits[].  Slice i's RBSP goes to scratch+i*stride, the
+// escaped NAL to out+i*stride, its length into out_lens[i].  The
+// reconstruction/nnz planes are shared — bands touch only their own
+// rows (verified under TSAN in framepipe_stress.cpp).  Returns 0, or
+// -1 on bad args / overflow.
+extern "C" int64_t fp_cavlc_encode_slices(
+    const uint8_t* nv12, uint64_t width, uint64_t height, int qp,
+    const uint8_t* head_bits_blob, const uint64_t* head_nbits,
+    const uint64_t* row_bounds, uint64_t nslices, int threads,
+    uint8_t* scratch, uint64_t stride, uint8_t* out, uint64_t* out_lens) {
+    if (width == 0 || height == 0 || (width % 16) || (height % 16) ||
+        qp < 0 || qp > 51 || nslices == 0)
+        return -1;
+    cavlc::FrameCtx cx(width, height, qp);
+    std::vector<const uint8_t*> heads(nslices);
+    {
+        const uint8_t* p = head_bits_blob;
+        for (uint64_t i = 0; i < nslices; ++i) {
+            heads[i] = p;
+            p += (head_nbits[i] + 7) / 8;
+        }
+    }
+    std::atomic<int> failed{0};
+    auto one = [&](uint64_t i) {
+        cavlc::BitW w(scratch + i * stride, stride / 3 * 2);
+        uint64_t nfull = head_nbits[i] / 8, rem = head_nbits[i] % 8;
+        for (uint64_t k = 0; k < nfull; ++k) w.u(heads[i][k], 8);
+        if (rem) w.u(heads[i][nfull] >> (8 - rem), int(rem));
+        for (size_t mby = row_bounds[i]; mby < row_bounds[i + 1]; ++mby)
+            for (size_t mbx = 0; mbx < cx.mb_w; ++mbx)
+                cavlc::encode_mb(cx, w, mby, mbx, nv12, row_bounds[i]);
+        w.trailing();
+        if (w.overflow) {
+            failed.store(1, std::memory_order_relaxed);
+            return;
+        }
+        EscState esc(out + i * stride);
+        if (w.nbytes / 2 * 3 + w.nbytes % 2 + 1 > stride) {
+            failed.store(1, std::memory_order_relaxed);
+            return;
+        }
+        esc.feed(scratch + i * stride, w.nbytes);
+        out_lens[i] = esc.o;
+    };
+    if (threads > 1 && nslices > 1) {
+        std::vector<std::thread> pool;
+        std::atomic<uint64_t> next{0};
+        unsigned n_workers = std::min<uint64_t>(nslices, uint64_t(threads));
+        for (unsigned w = 0; w < n_workers; ++w)
+            pool.emplace_back([&] {
+                for (uint64_t i = next.fetch_add(1); i < nslices;
+                     i = next.fetch_add(1))
+                    one(i);
+            });
+        for (auto& t : pool) t.join();
+    } else {
+        for (uint64_t i = 0; i < nslices; ++i) one(i);
+    }
+    return failed.load() ? -1 : 0;
 }

@@ -269,5 +269,56 @@ int main() {
         std::printf("pcm-au stress OK: %lld bytes, threaded == sequential\n",
                     (long long)n_seq);
     }
+
+    // ---- phase 5: threaded CAVLC slice bands — parallel workers share
+    // the reconstruction/nnz planes but touch only their own MB rows
+    // (contexts reset at band tops).  TSAN checks the claimed
+    // disjointness; output must equal the sequential encode exactly.
+    {
+        const uint64_t W = 96, H = 96, S = 3;
+        const uint64_t mb_h = H / 16, mb_w = W / 16;
+        std::vector<uint8_t> nv12(W * H * 3 / 2);
+        for (size_t i = 0; i < nv12.size(); ++i)
+            nv12[i] = uint8_t((i * 131 + (i >> 5) * 7) & 0xff);
+        // minimal plausible slice heads: a few syntax-looking bits each
+        std::vector<uint8_t> heads_blob;
+        std::vector<uint64_t> head_nbits, bounds;
+        for (uint64_t i = 0; i <= S; ++i)
+            bounds.push_back(i * mb_h / S);
+        for (uint64_t i = 0; i < S; ++i) {
+            heads_blob.push_back(0x65);
+            heads_blob.push_back(uint8_t(0x88 + i));
+            heads_blob.push_back(0x84);
+            head_nbits.push_back(22);  // deliberately not byte-aligned
+        }
+        const uint64_t stride = 2200 * mb_h * mb_w * 3 / 2 + 256;
+        std::vector<uint8_t> scr(S * stride), seq_o(S * stride),
+            par_o(S * stride);
+        std::vector<uint64_t> seq_l(S), par_l(S);
+        int64_t r1 = fp_cavlc_encode_slices(
+            nv12.data(), W, H, 6, heads_blob.data(), head_nbits.data(),
+            bounds.data(), S, 1, scr.data(), stride, seq_o.data(),
+            seq_l.data());
+        int64_t r2 = fp_cavlc_encode_slices(
+            nv12.data(), W, H, 6, heads_blob.data(), head_nbits.data(),
+            bounds.data(), S, 4, scr.data(), stride, par_o.data(),
+            par_l.data());
+        bool ok = r1 == 0 && r2 == 0;
+        uint64_t total = 0;
+        for (uint64_t i = 0; ok && i < S; ++i) {
+            ok = seq_l[i] == par_l[i] &&
+                 std::memcmp(seq_o.data() + i * stride,
+                             par_o.data() + i * stride,
+                             size_t(seq_l[i])) == 0;
+            total += seq_l[i];
+        }
+        if (!ok) {
+            std::fprintf(stderr, "CAVLC threaded/sequential mismatch\n");
+            return 11;
+        }
+        std::printf("cavlc stress OK: %llu bytes over %llu slices, "
+                    "threaded == sequential\n",
+                    (unsigned long long)total, (unsigned long long)S);
+    }
     return 0;
 }

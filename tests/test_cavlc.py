@@ -199,6 +199,38 @@ class TestDecodeExact:
         bgr_pcm = decode_bgr(pcm_es, tmp_path, "pcm")
         assert np.array_equal(bgr_cavlc, bgr_pcm)
 
+    @pytest.mark.parametrize("slices", [2, 3, 5])
+    def test_multi_slice_luma_bitexact(self, slices, tmp_path):
+        """Independent MB-row-band slices (reference num-slices analogue):
+        contexts reset at each band, the whole picture still decodes
+        bit-exactly to the encoder's reconstruction."""
+        from opencv_opencl_tpu.io.h264_cavlc import (
+            encode_frame_cavlc_slices)
+
+        w, h = 64, 96  # 6 MB rows
+        f = smooth_nv12(w, h, seed=slices)
+        nals, (ry, _, _) = encode_frame_cavlc_slices(
+            f, w, h, qp=26, slices=slices, return_recon=True)
+        assert len(nals) == slices
+        es = (_START4 + build_sps(w, h) + _START4 + build_pps_cavlc() +
+              b"".join(_START4 + bytes(n) for n in nals))
+        (dec,) = decode_y(es, tmp_path)
+        assert np.array_equal(dec[:h, :w], ry[:h, :w].astype(np.uint8))
+
+    def test_multi_slice_differs_from_single_at_boundaries_only(self):
+        """Band-top MBs lose their top predictor, so recon may differ
+        ONLY in boundary MB rows; interior rows must be identical."""
+        from opencv_opencl_tpu.io.h264_cavlc import (
+            encode_frame_cavlc_slices)
+
+        w, h = 48, 64  # 4 MB rows
+        f = smooth_nv12(w, h, seed=7)
+        _, (r1, _, _) = encode_frame_cavlc_slices(
+            f, w, h, qp=26, slices=1, return_recon=True)
+        _, (r2, _, _) = encode_frame_cavlc_slices(
+            f, w, h, qp=26, slices=2, return_recon=True)
+        assert np.array_equal(r1[:32], r2[:32])  # first band identical
+
     def test_quality_improves_with_lower_qp(self):
         w, h = 64, 48
         f = smooth_nv12(w, h, seed=5)
@@ -293,10 +325,16 @@ class TestCavlcEncoder:
         assert enc.bitrate_kbps == 500
         enc2 = make_encoder("cavlc:qp=35", 64, 48)
         assert enc2.qp == 35 and enc2.bitrate_kbps is None
+        enc3 = make_encoder("cavlc:qp=28:slices=4", 64, 96)
+        assert enc3.qp == 28 and enc3.slices == 4
+        enc4 = make_encoder("cavlc:slices=2", 64, 96, bitrate_kbps=300)
+        assert enc4.slices == 2 and enc4.bitrate_kbps == 300
         with pytest.raises(ValueError):
             make_encoder("cavlc:qp=52", 64, 48)
         with pytest.raises(ValueError):
             make_encoder("cavlc:35", 64, 48)
+        with pytest.raises(ValueError):
+            make_encoder("cavlc:slices=0", 64, 48)
         with pytest.raises(ValueError):
             make_encoder("cavlc", 64, 48, codec="h265")
 

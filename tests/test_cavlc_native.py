@@ -105,6 +105,39 @@ def test_encoder_class_native_matches_python():
             assert en.encode(f) == ep.encode(f)
 
 
+@pytest.mark.parametrize("slices,threads", [(2, 0), (3, 0), (4, 4),
+                                            (6, 3)])
+def test_multi_slice_parity(slices, threads):
+    """Native slices (sequential AND threaded) == oracle slices."""
+    from opencv_opencl_tpu.io.h264_cavlc import encode_frame_cavlc_slices
+
+    w, h = 64, 96
+    f = smooth_nv12(w, h, seed=slices * 10 + threads)
+    py = encode_frame_cavlc_slices(f, w, h, qp=22, idr_pic_id=1,
+                                   slices=slices)
+    cc = native.cavlc_encode_slices(f, w, h, 22, 1, slices=slices,
+                                    threads=threads)
+    assert [bytes(n) for n in py] == cc
+
+
+def test_multi_slice_threaded_equals_sequential():
+    w, h = 64, 96
+    f = rand_nv12(w, h, seed=5)
+    seq = native.cavlc_encode_slices(f, w, h, 8, 0, slices=6, threads=1)
+    par = native.cavlc_encode_slices(f, w, h, 8, 0, slices=6, threads=6)
+    assert seq == par
+
+
+def test_encoder_class_slices_native_matches_python():
+    for slices in (2, 4):
+        en = CavlcH264Encoder(64, 96, qp=24, slices=slices,
+                              native="require")
+        ep = CavlcH264Encoder(64, 96, qp=24, slices=slices,
+                              native="never")
+        f = smooth_nv12(64, 96, seed=slices)
+        assert en.encode(f) == ep.encode(f)
+
+
 def test_fuzz_parity_quick():
     rng = np.random.default_rng(99)
     for _ in range(10):
