@@ -840,11 +840,18 @@ class CavlcH264Encoder:
         if self.bitrate_kbps:
             target = self.bitrate_kbps * 1000 / 8 / self.fps
             used = len(au)
-            # AIMD in the QP domain: each QP step is ~12% bits (0.5 dB)
-            if used > 1.15 * target and self.qp < 51:
-                self.qp += 1
-            elif used < 0.80 * target and self.qp > 10:
-                self.qp -= 1
+            # proportional control in the QP domain: intra bits halve
+            # roughly every 6 QP, so the corrective step is
+            # ~6*log2(used/target).  Upward (cheaper) steps are allowed
+            # bigger than downward ones — overshoot risks bursts/drops
+            # (the reference's low-latency control-rate bias), while
+            # undershoot only costs quality for a frame or two.
+            if used > 1.15 * target or used < 0.85 * target:
+                import math
+
+                delta = round(6 * math.log2(used / target))
+                self.qp = min(51, max(10,
+                                      self.qp + min(6, max(-3, delta))))
         return [au]
 
     def flush(self) -> list[bytes]:

@@ -299,6 +299,18 @@ class TestCavlcEncoder:
         assert 0.5 * budget < tail < 1.5 * budget, (tail, budget)
         assert 10 <= enc.qp <= 51
 
+    def test_rate_control_converges_fast_from_bad_start(self):
+        """Proportional QP steps (~6*log2 of the bit-error ratio): a
+        14x-overshooting start must land near budget within ~5 frames,
+        not the ~16 a one-step AIMD would take."""
+        enc = CavlcH264Encoder(96, 64, qp=12, bitrate_kbps=100, fps=30)
+        budget = 100 * 1000 / 8 / 30
+        sizes = []
+        for i in range(8):
+            (au,) = enc.encode(smooth_nv12(96, 64, seed=i))
+            sizes.append(len(au))
+        assert any(s < 1.5 * budget for s in sizes[:6]), sizes
+
     def test_qp_clamps(self):
         enc = CavlcH264Encoder(32, 32, qp=51, bitrate_kbps=100000)
         for _ in range(3):
