@@ -12,6 +12,11 @@ Hosts differ in what encoder they offer, so the relay's
   ``--bitrate`` via closed-loop QP adaptation; ``cavlc:qp=N`` fixes the
   quantizer, ``:slices=M`` splits frames into M independent slice bands
   (threaded on multi-core hosts, like the reference's num-slices=8).
+- ``tpu``    — the CAVLC encoder with its arithmetic (prediction,
+  transforms, quantization) as ONE jitted TPU program
+  (ops/h264_levels.py); the host does entropy coding only.  Streams
+  byte-identical to ``cavlc:slices=<mb rows>``; honors ``--bitrate``,
+  ``tpu:qp=N`` fixes the quantizer.
 - ``ffmpeg`` — an external ``ffmpeg`` process fed raw NV12 on stdin,
   Annex-B H.264/H.265 on stdout (x264-class compression when the host
   ships ffmpeg).
@@ -353,6 +358,30 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         return CavlcH264Encoder(width, height, qp=30,
                                 bitrate_kbps=bitrate_kbps, fps=fps,
                                 slices=slices, threads=threads)
+    if backend == "tpu" or backend.startswith("tpu:"):
+        # the CAVLC encoder with its arithmetic on the TPU (one jitted
+        # prediction/transform/quant program, ops/h264_levels.py); the
+        # host does entropy coding only.  Streams are byte-identical to
+        # cavlc:slices=<mb rows>.
+        if codec != "h264":
+            raise ValueError("the TPU CAVLC encoder is h264-only")
+        from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
+
+        qp = None
+        for opt in backend.split(":")[1:]:
+            key, _, val = opt.partition("=")
+            if key != "qp" or not val:
+                raise ValueError(f"bad tpu option {opt!r} (qp=N)")
+            try:
+                qp = int(val)
+            except ValueError:
+                raise ValueError(f"bad tpu qp in {backend!r}")
+            if not 0 <= qp <= 51:
+                raise ValueError(f"tpu qp must be 0..51, got {qp}")
+        if qp is not None:
+            return TpuCavlcEncoder(width, height, qp=qp)
+        return TpuCavlcEncoder(width, height, qp=30,
+                               bitrate_kbps=bitrate_kbps, fps=fps)
     if backend == "ffmpeg":
         if not shutil.which("ffmpeg"):
             raise ValueError("ffmpeg not on PATH (try --encoder=pcm)")
@@ -360,5 +389,6 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                              bitrate_kbps=bitrate_kbps)
     if backend == "gi":
         return _gi_encoder(width, height, fps, codec, bitrate_kbps)
-    raise ValueError(f"unknown encoder backend {backend!r} "
-                     "(pcm[:slices]|cavlc[:qp=N][:slices=M]|ffmpeg|gi|auto)")
+    raise ValueError(
+        f"unknown encoder backend {backend!r} (pcm[:slices]|"
+        "cavlc[:qp=N][:slices=M]|tpu[:qp=N]|ffmpeg|gi|auto)")

@@ -41,8 +41,9 @@ from opencv_opencl_tpu.io.h264_pcm import (
     build_sps,
 )
 
-__all__ = ["CavlcH264Encoder", "encode_frame_cavlc",
-           "encode_frame_cavlc_slices", "build_pps_cavlc"]
+__all__ = ["CavlcH264Encoder", "TpuCavlcEncoder", "encode_frame_cavlc",
+           "encode_frame_cavlc_slices", "encode_frame_from_levels",
+           "build_pps_cavlc"]
 
 # ------------------------------------------------------------ transforms ----
 
@@ -726,6 +727,92 @@ def encode_frame_cavlc_slices(nv12: np.ndarray, width: int, height: int,
     return nals
 
 
+def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
+                             czdc: np.ndarray, cacz: np.ndarray,
+                             qp: int, idr_pic_id: int = 0) -> list[bytes]:
+    """Entropy-code precomputed quantized levels into one IDR slice NAL
+    **per MB row** (the slice granularity the TPU level computation in
+    ops/h264_levels.py assumes: top neighbor never available).
+
+    Layouts are LevelArrays' (ops/h264_levels.py): ``zdc`` (mb_h, mb_w,
+    16) luma DC raster; ``acz`` (mb_h, mb_w, 16, 16) per-block
+    [by*4+bx] raster coeffs with the DC slot zeroed; ``czdc`` (mb_h,
+    mb_w, 2, 4); ``cacz`` (mb_h, mb_w, 2, 4, 16).  Produces streams
+    byte-identical to ``encode_frame_cavlc_slices(..., slices=mb_h)``
+    (tests/test_h264_levels.py); the native fast path is
+    ``fp_cavlc_entropy_slices``.  This is the pure-Python fallback and
+    the oracle the native port is diffed against.
+    """
+    mb_h, mb_w = zdc.shape[:2]
+    nals = []
+    for mby in range(mb_h):
+        w = _BitWriter()
+        _slice_head_cavlc(w, idr_pic_id, qp, first_mb=mby * mb_w)
+        # per-slice nC context: rows of 4x4 blocks within this MB row
+        # (+1 left pad), reset every slice
+        lnnz = np.zeros((4, mb_w * 4 + 1), dtype=np.int64)
+        cbnnz = np.zeros((2, mb_w * 2 + 1), dtype=np.int64)
+        crnnz = np.zeros_like(cbnnz)
+        for mbx in range(mb_w):
+            left_ok = mbx > 0
+            a = acz[mby, mbx]
+            ca = cacz[mby, mbx]
+            cd = czdc[mby, mbx]
+            cbp_luma = bool(np.any(a))
+            cbp_chroma = 2 if np.any(ca) else (1 if np.any(cd) else 0)
+            w.ue(1 + 2 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
+            w.ue(0)  # intra_chroma_pred_mode: DC
+            w.se(0)  # mb_qp_delta
+            nbx0 = mbx * 4 + 1
+            nc = int(lnnz[0, nbx0 - 1]) if left_ok else 0
+            dcflat = zdc[mby, mbx]
+            _write_residual_block(
+                w, [int(dcflat[i]) for i in _ZIGZAG], nc)
+            if cbp_luma:
+                for bx, by in _BLOCK_SCAN:
+                    l_ok = left_ok if bx == 0 else True
+                    if by == 0:
+                        nc = int(lnnz[0, nbx0 + bx - 1]) if l_ok else 0
+                    else:
+                        na = int(lnnz[by, nbx0 + bx - 1]) if l_ok else None
+                        nb = int(lnnz[by - 1, nbx0 + bx])
+                        nc = (na + nb + 1) >> 1 if na is not None else nb
+                    flat = a[by * 4 + bx]
+                    tc = _write_residual_block(
+                        w, [int(flat[i]) for i in _ZIGZAG[1:]], nc)
+                    lnnz[by, nbx0 + bx] = tc
+            else:
+                lnnz[:, nbx0:nbx0 + 4] = 0
+            if cbp_chroma:
+                for comp in range(2):
+                    _write_residual_block(
+                        w, [int(v) for v in cd[comp]], -1)
+            cnx0 = mbx * 2 + 1
+            for comp in range(2):
+                cnnz = cbnnz if comp == 0 else crnnz
+                if cbp_chroma == 2:
+                    for bx, by in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                        l_ok = left_ok if bx == 0 else True
+                        if by == 0:
+                            nc = int(cnnz[0, cnx0 + bx - 1]) if l_ok else 0
+                        else:
+                            na = (int(cnnz[by, cnx0 + bx - 1])
+                                  if l_ok else None)
+                            nb = int(cnnz[by - 1, cnx0 + bx])
+                            nc = ((na + nb + 1) >> 1
+                                  if na is not None else nb)
+                        flat = ca[comp, by * 2 + bx]
+                        tc = _write_residual_block(
+                            w, [int(flat[i]) for i in _ZIGZAG[1:]], nc)
+                        cnnz[by, cnx0 + bx] = tc
+                else:
+                    cnnz[:, cnx0:cnx0 + 2] = 0
+        w.trailing()
+        nals.append(bytes(
+            _escape(np.frombuffer(w.bytes(), dtype=np.uint8))))
+    return nals
+
+
 def encode_frame_cavlc(nv12: np.ndarray, width: int, height: int, qp: int,
                        idr_pic_id: int = 0,
                        return_recon: bool = False):
@@ -819,6 +906,34 @@ class CavlcH264Encoder:
             [y, uvp.reshape(h16 // 2, w16)], axis=0)
         return np.ascontiguousarray(out), w16, h16
 
+    def _encode_nals(self, padded: np.ndarray, w16: int, h16: int,
+                     idr: int, qp: int) -> list[bytes]:
+        """Produce the slice NALs of one padded frame (the overridable
+        compute stage — TpuCavlcEncoder replaces it with the TPU level
+        computation)."""
+        if self._native:
+            from opencv_opencl_tpu import native
+
+            return native.cavlc_encode_slices(
+                padded, w16, h16, qp, idr, slices=self.slices,
+                threads=self._threads, workspace=self._workspace)
+        return encode_frame_cavlc_slices(padded, w16, h16, qp, idr,
+                                         slices=self.slices)
+
+    def _rate_control(self, used: int) -> None:
+        """Proportional control in the QP domain: intra bits halve
+        roughly every 6 QP, so the corrective step is
+        ~6*log2(used/target).  Upward (cheaper) steps are allowed
+        bigger than downward ones — overshoot risks bursts/drops
+        (the reference's low-latency control-rate bias), while
+        undershoot only costs quality for a frame or two."""
+        target = self.bitrate_kbps * 1000 / 8 / self.fps
+        if used > 1.15 * target or used < 0.85 * target:
+            import math
+
+            delta = round(6 * math.log2(used / target))
+            self.qp = min(51, max(10, self.qp + min(6, max(-3, delta))))
+
     def encode(self, nv12: np.ndarray) -> list[bytes]:
         rows = self.height * 3 // 2
         arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
@@ -826,32 +941,11 @@ class CavlcH264Encoder:
         idr = self._idr_pic_id
         self._idr_pic_id ^= 1
         self.frames += 1
-        if self._native:
-            from opencv_opencl_tpu import native
-
-            nals = native.cavlc_encode_slices(
-                padded, w16, h16, self.qp, idr, slices=self.slices,
-                threads=self._threads, workspace=self._workspace)
-        else:
-            nals = encode_frame_cavlc_slices(padded, w16, h16, self.qp,
-                                             idr, slices=self.slices)
+        nals = self._encode_nals(padded, w16, h16, idr, self.qp)
         au = (_START4 + self._sps + _START4 + self._pps +
               b"".join(_START4 + bytes(n) for n in nals))
         if self.bitrate_kbps:
-            target = self.bitrate_kbps * 1000 / 8 / self.fps
-            used = len(au)
-            # proportional control in the QP domain: intra bits halve
-            # roughly every 6 QP, so the corrective step is
-            # ~6*log2(used/target).  Upward (cheaper) steps are allowed
-            # bigger than downward ones — overshoot risks bursts/drops
-            # (the reference's low-latency control-rate bias), while
-            # undershoot only costs quality for a frame or two.
-            if used > 1.15 * target or used < 0.85 * target:
-                import math
-
-                delta = round(6 * math.log2(used / target))
-                self.qp = min(51, max(10,
-                                      self.qp + min(6, max(-3, delta))))
+            self._rate_control(len(au))
         return [au]
 
     def flush(self) -> list[bytes]:
@@ -859,3 +953,57 @@ class CavlcH264Encoder:
 
     def close(self) -> None:
         pass
+
+
+class TpuCavlcEncoder(CavlcH264Encoder):
+    """CAVLC intra encoder with the arithmetic on the TPU.
+
+    The compute stage (prediction, 4x4 transforms, DC Hadamards,
+    quantization, edge reconstruction) runs as one jitted program on the
+    accelerator (ops/h264_levels.py — a ``lax.scan`` over MB columns
+    vectorized over MB rows); the host does entropy coding only (native
+    ``fp_cavlc_entropy_rows`` or the Python fallback).  Streams are
+    byte-identical to ``CavlcH264Encoder(slices=mb_h)`` — one IDR slice
+    per MB row, the granularity that makes rows TPU-parallel (and the
+    logical limit of the reference's ``num-slices=8`` OMX tuning,
+    ``OpenCVequalHist.cpp:313``).
+
+    The relay's enhance stage already leaves frames on the device;
+    ``encode`` accepts host NV12 for protocol compatibility and ships
+    the planes back up, which on PCIe hosts is cheap (the levels coming
+    down are ~2x frame size, int16).
+    """
+
+    def __init__(self, width: int, height: int, qp: int = 30,
+                 bitrate_kbps: int | None = None, fps: float = 30.0,
+                 native: str = "auto", threads: int = 0) -> None:
+        h16 = -(-height // 16) * 16
+        if threads == 0:
+            import os
+
+            threads = os.cpu_count() or 1
+        super().__init__(width, height, qp=qp, bitrate_kbps=bitrate_kbps,
+                         fps=fps, native=native, slices=h16 // 16,
+                         threads=threads)
+        # jax import lives here, not module top — the pure-CPU encoder
+        # classes above must stay importable without it
+        from opencv_opencl_tpu.ops.h264_levels import encode_levels_jit
+
+        self._levels_fn = encode_levels_jit
+
+    def _encode_nals(self, padded: np.ndarray, w16: int, h16: int,
+                     idr: int, qp: int) -> list[bytes]:
+        import jax.numpy as jnp
+
+        y = jnp.asarray(padded[:h16])
+        uv = padded[h16:].reshape(h16 // 2, w16 // 2, 2)
+        lv = self._levels_fn(y, jnp.asarray(uv[:, :, 0]),
+                             jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
+        zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)
+        if self._native:
+            from opencv_opencl_tpu import native
+
+            return native.cavlc_entropy_rows(
+                zdc, acz, czdc, cacz, qp, idr, threads=self._threads,
+                workspace=self._workspace)
+        return encode_frame_from_levels(zdc, acz, czdc, cacz, qp, idr)

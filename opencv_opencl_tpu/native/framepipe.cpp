@@ -1554,3 +1554,183 @@ extern "C" int64_t fp_cavlc_encode_slices(
     }
     return failed.load() ? -1 : 0;
 }
+
+namespace cavlc {
+
+// Entropy-only MB encode from precomputed quantized levels (the TPU
+// path: ops/h264_levels.py computes LevelArrays on-device, this writes
+// the bitstream — the only CPU stage left).  Layouts are LevelArrays':
+// zdc 16 raster, acz 16 blocks x 16 raster coeffs (DC slot zero),
+// czdc 2 comps x 4, cacz 2 comps x 4 blocks x 16.  lnnz is the
+// per-slice (4, mb_w*4+1) luma total_coeff context (+1 left pad);
+// cbnnz/crnnz are (2, mb_w*2+1).  Must stay byte-identical to
+// io/h264_cavlc.py encode_frame_from_levels (the Python oracle).
+static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
+                       const int16_t* zdc, const int16_t* acz,
+                       const int16_t* czdc, const int16_t* cacz,
+                       int8_t* lnnz, int8_t* cbnnz, int8_t* crnnz) {
+    const bool left_ok = mbx > 0;
+    bool cbp_luma = false;
+    for (int i = 0; i < 256; ++i)
+        if (acz[i]) {
+            cbp_luma = true;
+            break;
+        }
+    bool cac = false, cdc = false;
+    for (int i = 0; i < 128; ++i)
+        if (cacz[i]) {
+            cac = true;
+            break;
+        }
+    for (int i = 0; i < 8; ++i)
+        if (czdc[i]) {
+            cdc = true;
+            break;
+        }
+    const int cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
+    w.ue(uint32_t(1 + 2 + 4 * cbp_chroma + 12 * (cbp_luma ? 1 : 0)));
+    w.ue(0);  // intra_chroma_pred_mode: DC
+    w.se(0);  // mb_qp_delta
+    const size_t lstr = mb_w * 4 + 1;
+    const size_t nbx0 = mbx * 4 + 1;
+    {
+        // luma DC: nC as for 4x4 block 0 (slice top row: no top nbr)
+        int nc = left_ok ? lnnz[nbx0 - 1] : 0;
+        int32_t scan[16];
+        for (int i = 0; i < 16; ++i) scan[i] = zdc[kZigzag[i]];
+        write_res(w, scan, 16, nc);
+    }
+    if (cbp_luma) {
+        for (int s = 0; s < 16; ++s) {
+            int bx = kBlockScan[s][0], by = kBlockScan[s][1];
+            bool l_ok = bx == 0 ? left_ok : true;
+            int nc;
+            if (by == 0)
+                nc = l_ok ? lnnz[nbx0 + bx - 1] : 0;
+            else if (l_ok)
+                nc = (lnnz[by * lstr + nbx0 + bx - 1] +
+                      lnnz[(by - 1) * lstr + nbx0 + bx] + 1) >> 1;
+            else
+                nc = lnnz[(by - 1) * lstr + nbx0 + bx];
+            const int16_t* z = acz + (by * 4 + bx) * 16;
+            int32_t scan[15];
+            for (int i = 1; i < 16; ++i) scan[i - 1] = z[kZigzag[i]];
+            int tc = write_res(w, scan, 15, nc);
+            lnnz[by * lstr + nbx0 + bx] = int8_t(tc);
+        }
+    } else {
+        for (int by = 0; by < 4; ++by)
+            for (int bx = 0; bx < 4; ++bx)
+                lnnz[by * lstr + nbx0 + bx] = 0;
+    }
+    if (cbp_chroma) {
+        for (int comp = 0; comp < 2; ++comp) {
+            int32_t lst[4] = {czdc[comp * 4], czdc[comp * 4 + 1],
+                              czdc[comp * 4 + 2], czdc[comp * 4 + 3]};
+            write_res(w, lst, 4, -1);
+        }
+    }
+    const size_t cstr = mb_w * 2 + 1;
+    const size_t cnx0 = mbx * 2 + 1;
+    for (int comp = 0; comp < 2; ++comp) {
+        int8_t* cn = comp ? crnnz : cbnnz;
+        if (cbp_chroma == 2) {
+            static const int order[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+            for (int s = 0; s < 4; ++s) {
+                int bx = order[s][0], by = order[s][1];
+                bool l_ok = bx == 0 ? left_ok : true;
+                int nc;
+                if (by == 0)
+                    nc = l_ok ? cn[cnx0 + bx - 1] : 0;
+                else if (l_ok)
+                    nc = (cn[by * cstr + cnx0 + bx - 1] +
+                          cn[(by - 1) * cstr + cnx0 + bx] + 1) >> 1;
+                else
+                    nc = cn[(by - 1) * cstr + cnx0 + bx];
+                const int16_t* z = cacz + (comp * 4 + by * 2 + bx) * 16;
+                int32_t scan[15];
+                for (int i = 1; i < 16; ++i) scan[i - 1] = z[kZigzag[i]];
+                int tc = write_res(w, scan, 15, nc);
+                cn[by * cstr + cnx0 + bx] = int8_t(tc);
+            }
+        } else {
+            for (int by = 0; by < 2; ++by)
+                for (int bx = 0; bx < 2; ++bx)
+                    cn[by * cstr + cnx0 + bx] = 0;
+        }
+    }
+}
+
+}  // namespace cavlc
+
+// Entropy-code precomputed quantized levels (LevelArrays layouts, one
+// IDR slice NAL per MB row — the TPU encode path's CPU stage).  Heads
+// as in fp_cavlc_encode_slices (packed bits, byte-padded per slice).
+// Slice i's RBSP goes to scratch+i*stride, the escaped NAL to
+// out+i*stride, its length into out_lens[i].  Returns 0, or -1 on bad
+// args / overflow.
+extern "C" int64_t fp_cavlc_entropy_rows(
+    const int16_t* zdc, const int16_t* acz, const int16_t* czdc,
+    const int16_t* cacz, uint64_t mb_h, uint64_t mb_w,
+    const uint8_t* head_bits_blob, const uint64_t* head_nbits,
+    int threads, uint8_t* scratch, uint64_t stride, uint8_t* out,
+    uint64_t* out_lens) {
+    if (mb_h == 0 || mb_w == 0) return -1;
+    std::vector<const uint8_t*> heads(mb_h);
+    {
+        const uint8_t* p = head_bits_blob;
+        for (uint64_t i = 0; i < mb_h; ++i) {
+            heads[i] = p;
+            p += (head_nbits[i] + 7) / 8;
+        }
+    }
+    std::atomic<int> failed{0};
+    const size_t lstr = mb_w * 4 + 1, cstr = mb_w * 2 + 1;
+    auto one = [&](uint64_t i, int8_t* lnnz, int8_t* cbnnz,
+                   int8_t* crnnz) {
+        cavlc::BitW w(scratch + i * stride, stride / 3 * 2);
+        uint64_t nfull = head_nbits[i] / 8, rem = head_nbits[i] % 8;
+        for (uint64_t k = 0; k < nfull; ++k) w.u(heads[i][k], 8);
+        if (rem) w.u(heads[i][nfull] >> (8 - rem), int(rem));
+        std::memset(lnnz, 0, 4 * lstr);
+        std::memset(cbnnz, 0, 2 * cstr);
+        std::memset(crnnz, 0, 2 * cstr);
+        for (uint64_t mbx = 0; mbx < mb_w; ++mbx) {
+            uint64_t mb = i * mb_w + mbx;
+            cavlc::entropy_mb(w, mbx, mb_w, zdc + mb * 16, acz + mb * 256,
+                              czdc + mb * 8, cacz + mb * 128, lnnz, cbnnz,
+                              crnnz);
+        }
+        w.trailing();
+        if (w.overflow) {
+            failed.store(1, std::memory_order_relaxed);
+            return;
+        }
+        EscState esc(out + i * stride);
+        if (w.nbytes / 2 * 3 + w.nbytes % 2 + 1 > stride) {
+            failed.store(1, std::memory_order_relaxed);
+            return;
+        }
+        esc.feed(scratch + i * stride, w.nbytes);
+        out_lens[i] = esc.o;
+    };
+    if (threads > 1 && mb_h > 1) {
+        std::vector<std::thread> pool;
+        std::atomic<uint64_t> next{0};
+        unsigned n_workers = std::min<uint64_t>(mb_h, uint64_t(threads));
+        for (unsigned t = 0; t < n_workers; ++t)
+            pool.emplace_back([&] {
+                std::vector<int8_t> ln(4 * lstr), cbn(2 * cstr),
+                    crn(2 * cstr);
+                for (uint64_t i = next.fetch_add(1); i < mb_h;
+                     i = next.fetch_add(1))
+                    one(i, ln.data(), cbn.data(), crn.data());
+            });
+        for (auto& t : pool) t.join();
+    } else {
+        std::vector<int8_t> ln(4 * lstr), cbn(2 * cstr), crn(2 * cstr);
+        for (uint64_t i = 0; i < mb_h; ++i)
+            one(i, ln.data(), cbn.data(), crn.data());
+    }
+    return failed.load() ? -1 : 0;
+}
