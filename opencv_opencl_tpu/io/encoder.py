@@ -16,7 +16,8 @@ Hosts differ in what encoder they offer, so the relay's
   transforms, quantization) as ONE jitted TPU program
   (ops/h264_levels.py); the host does entropy coding only.  Streams
   byte-identical to ``cavlc:slices=<mb rows>``; honors ``--bitrate``,
-  ``tpu:qp=N`` fixes the quantizer.
+  ``tpu:qp=N`` fixes the quantizer, ``tpu:overlap`` pipelines the
+  accelerator against host entropy coding (one frame of added latency).
 - ``ffmpeg`` — an external ``ffmpeg`` process fed raw NV12 on stdin,
   Annex-B H.264/H.265 on stdout (x264-class compression when the host
   ships ffmpeg).
@@ -368,10 +369,14 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         qp = None
+        overlap = False
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
+            if key == "overlap" and not val:
+                overlap = True
+                continue
             if key != "qp" or not val:
-                raise ValueError(f"bad tpu option {opt!r} (qp=N)")
+                raise ValueError(f"bad tpu option {opt!r} (qp=N|overlap)")
             try:
                 qp = int(val)
             except ValueError:
@@ -379,9 +384,10 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if not 0 <= qp <= 51:
                 raise ValueError(f"tpu qp must be 0..51, got {qp}")
         if qp is not None:
-            return TpuCavlcEncoder(width, height, qp=qp)
+            return TpuCavlcEncoder(width, height, qp=qp, overlap=overlap)
         return TpuCavlcEncoder(width, height, qp=30,
-                               bitrate_kbps=bitrate_kbps, fps=fps)
+                               bitrate_kbps=bitrate_kbps, fps=fps,
+                               overlap=overlap)
     if backend == "ffmpeg":
         if not shutil.which("ffmpeg"):
             raise ValueError("ffmpeg not on PATH (try --encoder=pcm)")
@@ -391,4 +397,4 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         return _gi_encoder(width, height, fps, codec, bitrate_kbps)
     raise ValueError(
         f"unknown encoder backend {backend!r} (pcm[:slices]|"
-        "cavlc[:qp=N][:slices=M]|tpu[:qp=N]|ffmpeg|gi|auto)")
+        "cavlc[:qp=N][:slices=M]|tpu[:qp=N][:overlap]|ffmpeg|gi|auto)")

@@ -972,11 +972,21 @@ class TpuCavlcEncoder(CavlcH264Encoder):
     ``encode`` accepts host NV12 for protocol compatibility and ships
     the planes back up, which on PCIe hosts is cheap (the levels coming
     down are ~2x frame size, int16).
+
+    ``overlap=True`` adds a depth-1 software pipeline: ``encode`` only
+    *dispatches* the level computation (JAX dispatch is async) and
+    returns the access unit of the PREVIOUS frame, so the accelerator
+    computes frame N while the host entropy-codes frame N-1 — the same
+    latency-for-throughput trade as the feeder's depth-N overlap.  The
+    stream gains exactly one frame of latency (``flush`` drains the
+    tail) and the closed-loop rate control reacts one frame later; the
+    emitted bytes per frame are unchanged.
     """
 
     def __init__(self, width: int, height: int, qp: int = 30,
                  bitrate_kbps: int | None = None, fps: float = 30.0,
-                 native: str = "auto", threads: int = 0) -> None:
+                 native: str = "auto", threads: int = 0,
+                 overlap: bool = False) -> None:
         h16 = -(-height // 16) * 16
         if threads == 0:
             import os
@@ -990,15 +1000,19 @@ class TpuCavlcEncoder(CavlcH264Encoder):
         from opencv_opencl_tpu.ops.h264_levels import encode_levels_jit
 
         self._levels_fn = encode_levels_jit
+        self._overlap = bool(overlap)
+        self._pending = None  # (LevelArrays on device, idr, qp)
 
-    def _encode_nals(self, padded: np.ndarray, w16: int, h16: int,
-                     idr: int, qp: int) -> list[bytes]:
+    def _dispatch_levels(self, padded: np.ndarray, w16: int, h16: int,
+                         qp: int):
         import jax.numpy as jnp
 
         y = jnp.asarray(padded[:h16])
         uv = padded[h16:].reshape(h16 // 2, w16 // 2, 2)
-        lv = self._levels_fn(y, jnp.asarray(uv[:, :, 0]),
-                             jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
+        return self._levels_fn(y, jnp.asarray(uv[:, :, 0]),
+                               jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
+
+    def _entropy_nals(self, lv, idr: int, qp: int) -> list[bytes]:
         zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)
         if self._native:
             from opencv_opencl_tpu import native
@@ -1007,3 +1021,37 @@ class TpuCavlcEncoder(CavlcH264Encoder):
                 zdc, acz, czdc, cacz, qp, idr, threads=self._threads,
                 workspace=self._workspace)
         return encode_frame_from_levels(zdc, acz, czdc, cacz, qp, idr)
+
+    def _encode_nals(self, padded: np.ndarray, w16: int, h16: int,
+                     idr: int, qp: int) -> list[bytes]:
+        return self._entropy_nals(
+            self._dispatch_levels(padded, w16, h16, qp), idr, qp)
+
+    def _assemble_au(self, lv, idr: int, qp: int) -> bytes:
+        nals = self._entropy_nals(lv, idr, qp)
+        au = (_START4 + self._sps + _START4 + self._pps +
+              b"".join(_START4 + bytes(n) for n in nals))
+        if self.bitrate_kbps:
+            self._rate_control(len(au))
+        return au
+
+    def encode(self, nv12: np.ndarray) -> list[bytes]:
+        if not self._overlap:
+            return super().encode(nv12)
+        rows = self.height * 3 // 2
+        arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
+        padded, w16, h16 = self._pad(arr)
+        idr = self._idr_pic_id
+        self._idr_pic_id ^= 1
+        self.frames += 1
+        prev, self._pending = self._pending, (
+            self._dispatch_levels(padded, w16, h16, self.qp), idr, self.qp)
+        if prev is None:
+            return []
+        return [self._assemble_au(*prev)]
+
+    def flush(self) -> list[bytes]:
+        prev, self._pending = self._pending, None
+        if prev is None:
+            return []
+        return [self._assemble_au(*prev)]

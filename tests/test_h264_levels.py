@@ -179,3 +179,29 @@ class TestTpuCavlcEncoder:
             make_encoder("tpu:qp=77", 64, 48)
         with pytest.raises(ValueError):
             make_encoder("tpu", 64, 48, codec="h265")
+
+    def test_overlap_stream_identical_with_one_frame_delay(self):
+        """tpu:overlap emits the same AUs shifted by one write: [] on
+        the first encode, flush drains the tail, bytes unchanged."""
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        w, h = 96, 64
+        frames = [smooth_nv12(w, h, seed=s) for s in range(4)]
+        sync = make_encoder("tpu:qp=26", w, h)
+        want = [au for f in frames for au in sync.encode(f)]
+        pipe = make_encoder("tpu:qp=26:overlap", w, h)
+        assert pipe.encode(frames[0]) == []
+        got = [au for f in frames[1:] for au in pipe.encode(f)]
+        got += pipe.flush()
+        assert got == want
+        assert pipe.flush() == []  # idempotent tail drain
+
+    def test_overlap_rate_control_lags_one_frame(self):
+        w, h = 64, 48
+        enc = TpuCavlcEncoder(w, h, bitrate_kbps=50, fps=30.0,
+                              overlap=True)
+        qp0 = enc.qp
+        enc.encode(rand_nv12(w, h, 0))
+        assert enc.qp == qp0          # nothing assembled yet
+        enc.encode(rand_nv12(w, h, 1))
+        assert enc.qp > qp0           # frame 0's AU blew the budget
