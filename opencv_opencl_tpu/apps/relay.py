@@ -13,6 +13,11 @@ Usage:
                    # chain, encoder chosen via --encoder)
       [--encoder=auto|pcm[:slices]|cavlc[:qp=N][:slices=M]|ffmpeg|gi]  # encoder for rtp+h26x
                    # sinks (io.encoder; pcm = in-repo lossless I_PCM)
+      [--fused-encode]  # with --sink=rtp+h264:// --encoder=tpu[...]:
+                   # enhance + H.264 level computation fuse into ONE
+                   # device program — frames never return to host as
+                   # pixels, only quantized levels come down
+                   # (models/fused_encode.py)
       [--hist-downsample=N]  # APPROXIMATE throughput mode: histograms
                    # from every Nth row, counts rescaled (selective
                    # downsampling, arXiv:1709.04583); default 1 = exact
@@ -62,7 +67,7 @@ def run(argv: list[str]) -> int:
             "adaptive-rate": bool, "native": bool, "preset": str,
             "io": str, "ref-frame": bool, "sdp-file": str,
             "rtcp-schedule": str, "mesh": str, "encoder": str,
-            "hist-downsample": int,
+            "hist-downsample": int, "fused-encode": bool,
         },
     )
     if "max-rate" in opts and opts["max-rate"] <= 0:
@@ -250,14 +255,48 @@ def run(argv: list[str]) -> int:
             return 2
     counters = FrameRateCounters()
 
+    process_fn = enhancer.process_batch
+    fused = bool(opts.get("fused-encode"))
+    if fused:
+        from opencv_opencl_tpu.io.encoder import EncodedRtpSink
+
+        if (gst_mode or "mesh" in opts or cfg.use_ref_frame
+                or not isinstance(sink, EncodedRtpSink)
+                or not hasattr(sink.encoder, "encode_from_packed")):
+            print("--fused-encode requires --sink=rtp+h264:// with "
+                  "--encoder=tpu[...] (and no --io=gst, --mesh or "
+                  "--ref-frame)", file=sys.stderr)
+            return 2
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_levels_fn)
+
+        fused_fn = build_enhance_levels_fn(cfg, spec)
+        enc = sink.encoder
+
+        def process_fn(nv12_batch):
+            # qp is read at dispatch time and rides in-band in the packed
+            # levels, so the retire-side entropy coder always writes the
+            # slice-header qp the levels were actually quantized with
+            return fused_fn(nv12_batch, jnp.int32(enc.qp))
+
+        print("Fused enhance+encode: frames stay in HBM as pixels; the "
+              "host receives quantized levels only")
+
     def on_output(seq, frame, meta):
+        if fused:
+            nbytes = sink.write_packed(frame)
+            counters.count("encoder_frames")
+            counters.count("encoder_bytes", nbytes)
+            return
         if sink is not None:
             sink.write(frame)
         counters.count("encoder_frames")
         counters.count("encoder_bytes", frame.nbytes)
 
     feeder = FrameFeeder(
-        enhancer.process_batch, batch_size=batch, depth=workers,
+        process_fn, batch_size=batch, depth=workers,
         on_output=on_output, counters=counters,
         native_staging=((spec.buffer_rows, spec.width)
                         if opts.get("native") else False),

@@ -229,6 +229,17 @@ class EncodedRtpSink:
             self.rtp.write(au)
             self.aus_sent += 1
 
+    def write_packed(self, packed: np.ndarray) -> int:
+        """Ship the access unit of one fused-program packed level tensor
+        (models/fused_encode.py; TPU encoder family only).  Returns the
+        AU bytes shipped, for the caller's byte counters."""
+        total = 0
+        for au in self.encoder.encode_from_packed(packed):
+            self.rtp.write(au)
+            self.aus_sent += 1
+            total += len(au)
+        return total
+
     @property
     def rtcp(self):
         return self.rtp.rtcp

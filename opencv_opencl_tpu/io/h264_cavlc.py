@@ -1055,3 +1055,17 @@ class TpuCavlcEncoder(CavlcH264Encoder):
         if prev is None:
             return []
         return [self._assemble_au(*prev)]
+
+    def encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
+        """Assemble one access unit from a fused device program's packed
+        level tensor (models/fused_encode.py): unpack, entropy-code,
+        wrap with SPS/PPS, run rate control.  The slice-header qp is
+        the in-band qp the levels were quantized with (rate control may
+        have moved ``self.qp`` since that batch was dispatched)."""
+        from opencv_opencl_tpu.ops.h264_levels import unpack_levels_host
+
+        lv, qp = unpack_levels_host(packed)
+        idr = self._idr_pic_id
+        self._idr_pic_id ^= 1
+        self.frames += 1
+        return [self._assemble_au(lv, idr, qp)]

@@ -32,7 +32,8 @@ from opencv_opencl_tpu.ops import clahe as clahe_ops
 from opencv_opencl_tpu.ops import histeq as histeq_ops
 
 __all__ = ["EnhancerConfig", "Enhancer", "build_enhance_fn",
-           "StreamingEnhancer", "build_streaming_clahe_fn", "initial_hists"]
+           "make_enhance_y", "StreamingEnhancer",
+           "build_streaming_clahe_fn", "initial_hists"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,19 +68,15 @@ class EnhancerConfig:
             raise ValueError("hist_downsample must be >= 1")
 
 
-def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec,
-                     donate: bool = True):
-    """Returns a jitted ``fn(nv12_batch: uint8[N, H*3/2, W]) -> same shape``.
+def make_enhance_y(cfg: EnhancerConfig, spec: FrameSpec):
+    """Build the per-config Y-plane batch enhancement closure.
 
-    The whole frame batch is processed in one XLA program: Y-plane slice,
-    enhancement, chroma policy and re-concatenation all fuse on device.
-
-    ``donate=True`` donates the input buffer to the output (the shapes and
-    dtype match, so XLA aliases them — no second HBM frame allocation, the
-    analogue of the reference's pre-allocated per-worker CL buffers,
-    ``OpenCLequalHist.cpp:175-192``).  Callers passing host arrays (the
-    FrameFeeder path) are unaffected; callers holding a device array must
-    not reuse it after the call.
+    Returns ``(enhance_y, plan)`` where ``enhance_y(y: uint8[N, H, W])
+    -> uint8[N, H, W]`` is traceable JAX code and ``plan`` is the CLAHE
+    plan (None for histeq/none).  Shared by :func:`build_enhance_fn`
+    and the fused enhance+encode program
+    (models/fused_encode.py) so both compile the identical enhancement
+    graph — the bit-exactness contract carries over by construction.
     """
     h = spec.height
     tile_grid = tuple(cfg.tile_grid)
@@ -137,6 +134,26 @@ def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec,
             return clahe_ops.clahe_apply(y, plan, method=method,
                                          hist_rowstep=ds)
         return y
+
+    return enhance_y, plan
+
+
+def build_enhance_fn(cfg: EnhancerConfig, spec: FrameSpec,
+                     donate: bool = True):
+    """Returns a jitted ``fn(nv12_batch: uint8[N, H*3/2, W]) -> same shape``.
+
+    The whole frame batch is processed in one XLA program: Y-plane slice,
+    enhancement, chroma policy and re-concatenation all fuse on device.
+
+    ``donate=True`` donates the input buffer to the output (the shapes and
+    dtype match, so XLA aliases them — no second HBM frame allocation, the
+    analogue of the reference's pre-allocated per-worker CL buffers,
+    ``OpenCLequalHist.cpp:175-192``).  Callers passing host arrays (the
+    FrameFeeder path) are unaffected; callers holding a device array must
+    not reuse it after the call.
+    """
+    h = spec.height
+    enhance_y, _ = make_enhance_y(cfg, spec)
 
     def fn(nv12_batch):
         y = nv12_batch[:, :h, :]

@@ -1,0 +1,84 @@
+"""Fused enhance + H.264 level computation: one device program.
+
+The relay's TPU-encoder path (``--sink=rtp+h264:// --encoder=tpu``)
+would otherwise round-trip every enhanced frame through the host: D2H
+of the enhanced NV12 out of the enhancement program, then H2D of the
+same bytes back into the level program — ~25 MB/frame of PCIe traffic
+at 4K, plus an extra dispatch.  Fusing the two into ONE jitted program
+keeps frames in HBM as *pixels* end-to-end; the only thing that ever
+comes down is the quantized levels the host entropy coder needs.
+
+This mirrors the reference's datapath, where the VCU hardware encoder
+consumes the enhanced frames on the device side of the appsrc boundary
+and only the compressed bitstream crosses back
+(``/root/reference/OpenCVequalHist.cpp:308-332``).
+
+Design notes:
+
+- the per-config enhancement graph is the SAME traceable closure the
+  plain relay compiles (``models.enhancer.make_enhance_y``), so the
+  fused stream is byte-identical to enhance-then-encode at equal qp
+  (asserted in tests/test_fused_encode.py);
+- level computation needs 16-aligned planes; padding replicates the
+  host oracle (``io.h264_cavlc.CavlcH264Encoder._pad``: edge-replicate
+  Y and the deinterleaved chroma) on device;
+- the batch axis costs nothing extra: one slice per MB row makes MB
+  rows independent, so N frames simply stack on the MB-row axis and a
+  single ``encode_levels`` scan covers the whole batch;
+- the output is the packed int16 level tensor (+ in-band qp,
+  ``ops.h264_levels.pack_levels``) shaped (N, mb_h, mb_w, 409) — a
+  plain array the FrameFeeder retires like a frame batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+from opencv_opencl_tpu.models.enhancer import EnhancerConfig, make_enhance_y
+from opencv_opencl_tpu.ops.h264_levels import encode_levels, pack_levels
+
+__all__ = ["build_enhance_levels_fn"]
+
+
+def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
+    """Returns a jitted ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32)
+    -> int16[N, mb_h, mb_w, 409]`` computing enhancement + quantized
+    CAVLC levels in one XLA program (qp is traced: one compile serves
+    the whole rate-control range)."""
+    if cfg.use_ref_frame:
+        raise ValueError(
+            "fused encode does not support the ref-frame streaming "
+            "modes (their histogram state lives outside the batch fn)")
+    h, w = spec.height, spec.width
+    h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
+    mbh, mbw = h16 // 16, w16 // 16
+    enhance_y, _ = make_enhance_y(cfg, spec)
+
+    def fn(nv12_batch, qp):
+        n = nv12_batch.shape[0]
+        y = enhance_y(nv12_batch[:, :h, :])
+        uv = nv12_batch[:, h:, :]
+        if cfg.chroma == ChromaPolicy.GRAY:
+            uv = jnp.full_like(uv, 128)
+        # oracle-identical padding: edge-replicate Y and the
+        # deinterleaved chroma planes (h264_cavlc._pad)
+        cbcr = uv.reshape(n, h // 2, w // 2, 2)
+        if h16 != h or w16 != w:
+            y = jnp.pad(y, ((0, 0), (0, h16 - h), (0, w16 - w)),
+                        mode="edge")
+            cbcr = jnp.pad(
+                cbcr, ((0, 0), (0, (h16 - h) // 2), (0, (w16 - w) // 2),
+                       (0, 0)), mode="edge")
+        # frames stack on the MB-row axis: rows are independent slices,
+        # so one scan over MB columns covers the whole batch
+        lv = encode_levels(
+            y.reshape(n * h16, w16),
+            cbcr[..., 0].reshape(n * (h16 // 2), w16 // 2),
+            cbcr[..., 1].reshape(n * (h16 // 2), w16 // 2),
+            qp)
+        packed = pack_levels(lv, qp)          # (n*mbh, mbw, 409)
+        return packed.reshape(n, mbh, mbw, -1)
+
+    return jax.jit(fn)

@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["LevelArrays", "encode_levels", "encode_levels_jit"]
+__all__ = ["LevelArrays", "encode_levels", "encode_levels_jit",
+           "PACKED_LANES", "pack_levels", "unpack_levels_host"]
 
 # Constants mirrored from io/h264_cavlc.py (the oracle).  _MF/_V per
 # qp%6 by coefficient-position class; position-class matrix; chroma QP
@@ -280,6 +281,44 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
 
 
 encode_levels_jit = jax.jit(encode_levels)
+
+# One packed int16 lane vector per macroblock: 16 luma DC + 256 luma AC
+# + 8 chroma DC + 128 chroma AC = 408 levels, plus the QP the levels
+# were quantized with in lane 408 (the slice header must encode the
+# SAME qp; carrying it in-band keeps a pipelined producer/consumer —
+# the FrameFeeder dispatch vs the retire-side entropy coder — coherent
+# when closed-loop rate control moves qp between the two moments).
+PACKED_LANES = 409
+
+
+def pack_levels(lv: LevelArrays, qp: jax.Array) -> jax.Array:
+    """Flatten LevelArrays (+ qp) into one (mb_h, mb_w, 409) int16 array
+    — a single D2H-friendly buffer the FrameFeeder can retire like a
+    frame (``np.asarray`` + per-frame indexing)."""
+    mbh, mbw = lv.zdc.shape[:2]
+    qp_lane = jnp.broadcast_to(qp.astype(jnp.int16), (mbh, mbw, 1))
+    return jnp.concatenate(
+        [lv.zdc.reshape(mbh, mbw, 16),
+         lv.acz.reshape(mbh, mbw, 256),
+         lv.czdc.reshape(mbh, mbw, 8),
+         lv.cacz.reshape(mbh, mbw, 128),
+         qp_lane], axis=-1)
+
+
+def unpack_levels_host(packed: np.ndarray) -> tuple[LevelArrays, int]:
+    """Host-side inverse of :func:`pack_levels`: (LevelArrays of numpy
+    views, qp).  The entropy bindings re-contiguify as needed."""
+    packed = np.asarray(packed)
+    mbh, mbw, lanes = packed.shape
+    if lanes != PACKED_LANES:
+        raise ValueError(f"packed levels have {lanes} lanes, "
+                         f"expected {PACKED_LANES}")
+    return LevelArrays(
+        packed[:, :, :16],
+        packed[:, :, 16:272].reshape(mbh, mbw, 16, 16),
+        packed[:, :, 272:280].reshape(mbh, mbw, 2, 4),
+        packed[:, :, 280:408].reshape(mbh, mbw, 2, 4, 16),
+    ), int(packed[0, 0, 408])
 
 
 def encode_levels_nv12(nv12: np.ndarray, width: int, height: int,

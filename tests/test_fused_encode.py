@@ -1,0 +1,152 @@
+"""Fused enhance + H.264 encode device program (models/fused_encode.py).
+
+Contract: the fused program's stream is BYTE-IDENTICAL to running the
+plain enhancement program and the TPU CAVLC encoder separately at the
+same qp — for every enhancement op, chroma policy, and non-16-aligned
+geometry.  (Reference analogue: the VCU consumes enhanced frames on the
+device side of appsrc, ``OpenCVequalHist.cpp:308-332``.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
+from opencv_opencl_tpu.models.enhancer import EnhancerConfig, build_enhance_fn
+from opencv_opencl_tpu.models.fused_encode import build_enhance_levels_fn
+from opencv_opencl_tpu.ops.h264_levels import (
+    PACKED_LANES, encode_levels_nv12, pack_levels, unpack_levels_host)
+
+
+def rand_nv12_batch(w, h, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, h * 3 // 2, w), np.uint8)
+
+
+def fused_aus(cfg, spec, frames, qp):
+    import jax.numpy as jnp
+
+    fn = build_enhance_levels_fn(cfg, spec)
+    packed = np.asarray(fn(frames, jnp.int32(qp)))
+    assert packed.dtype == np.int16
+    assert packed.shape == (len(frames), -(-spec.height // 16),
+                            -(-spec.width // 16), PACKED_LANES)
+    enc = TpuCavlcEncoder(spec.width, spec.height, qp=qp)
+    return [au for i in range(len(frames))
+            for au in enc.encode_from_packed(packed[i])]
+
+
+def unfused_aus(cfg, spec, frames, qp):
+    plain = build_enhance_fn(cfg, spec, donate=False)
+    enh = np.asarray(plain(frames))
+    enc = TpuCavlcEncoder(spec.width, spec.height, qp=qp)
+    return [au for f in enh for au in enc.encode(f)]
+
+
+class TestFusedVsUnfused:
+    @pytest.mark.parametrize("w,h,op,chroma", [
+        (96, 64, "clahe", ChromaPolicy.PASSTHROUGH),
+        (100, 56, "histeq", ChromaPolicy.GRAY),   # 16-pad both axes
+        (112, 72, "none", ChromaPolicy.PASSTHROUGH),
+    ])
+    def test_stream_byte_identical(self, w, h, op, chroma):
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op=op, chroma=chroma)
+        frames = rand_nv12_batch(w, h, 3, seed=hash((w, op)) & 0xFFFF)
+        qp = 28
+        assert fused_aus(cfg, spec, frames, qp) == \
+            unfused_aus(cfg, spec, frames, qp)
+
+    def test_ref_frame_mode_refused(self):
+        spec = FrameSpec(width=96, height=64, fps=30)
+        cfg = EnhancerConfig(op="clahe", use_ref_frame=True)
+        with pytest.raises(ValueError, match="ref-frame"):
+            build_enhance_levels_fn(cfg, spec)
+
+
+class TestPackedLayout:
+    def test_pack_unpack_roundtrip(self):
+        import jax.numpy as jnp
+
+        w, h, qp = 96, 64, 33
+        nv12 = rand_nv12_batch(w, h, 1, seed=3)[0]
+        lv = encode_levels_nv12(nv12, w, h, qp)
+        packed = np.asarray(pack_levels(lv, jnp.int32(qp)))
+        got, got_qp = unpack_levels_host(packed)
+        assert got_qp == qp
+        for a, b in zip(got, lv):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    def test_unpack_rejects_wrong_lanes(self):
+        with pytest.raises(ValueError, match="lanes"):
+            unpack_levels_host(np.zeros((2, 2, 17), np.int16))
+
+    def test_inband_qp_wins_over_mutated_encoder_qp(self):
+        """The slice header must carry the qp the levels were quantized
+        with, even if rate control moved encoder.qp between dispatch
+        and assembly (the pipelined-producer case)."""
+        import jax.numpy as jnp
+
+        w, h, qp = 96, 64, 30
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op="none", chroma=ChromaPolicy.PASSTHROUGH)
+        frames = rand_nv12_batch(w, h, 1, seed=9)
+        fn = build_enhance_levels_fn(cfg, spec)
+        packed = np.asarray(fn(frames, jnp.int32(qp)))
+        enc = TpuCavlcEncoder(w, h, qp=qp)
+        enc.qp = 44  # simulate a rate-control move while in flight
+        got = enc.encode_from_packed(packed[0])
+        ref = TpuCavlcEncoder(w, h, qp=qp)
+        assert got == ref.encode(frames[0])
+
+
+class TestFusedRelay:
+    def test_relay_fused_loopback(self):
+        """relay --fused-encode streams decodable AUs over RTP, byte-
+        identical to the unfused TPU-encoder relay on the same source."""
+        import threading
+        import time
+
+        from opencv_opencl_tpu.apps import relay
+        from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
+
+        def run_relay(port, extra):
+            rx = H26xRtpReceiver("127.0.0.1", port, codec="h264",
+                                 timeout=1.0)
+            got = []
+
+            def pump():
+                t0 = time.time()
+                while time.time() - t0 < 60 and len(got) < 6:
+                    try:
+                        au = rx.recv_access_unit()
+                    except Exception:
+                        continue
+                    if au:
+                        got.append(au)
+
+            t = threading.Thread(target=pump, daemon=True)
+            t.start()
+            rc = relay.run([
+                "--source=test", "--width=192", "--height=112",
+                "--fps=30", "--op=clahe", "--batch=2", "--max-frames=6",
+                f"--sink=rtp+h264://127.0.0.1:{port}",
+                "--encoder=tpu:qp=30", *extra])
+            t.join(timeout=30)
+            rx.close()
+            assert rc == 0
+            return got
+
+        fused = run_relay(56061, ["--fused-encode"])
+        plain = run_relay(56062, [])
+        assert len(fused) == 6
+        assert fused == plain
+
+    def test_relay_fused_requires_tpu_encoded_sink(self):
+        from opencv_opencl_tpu.apps import relay
+
+        rc = relay.run(["--source=test", "--max-frames=1",
+                        "--sink=null", "--fused-encode"])
+        assert rc == 2
