@@ -5,7 +5,7 @@ Usage:
   python -m opencv_opencl_tpu.apps.clahe_video --input=video.mp4 \\
       [--output=out.mp4] [--resolution=1280x720] [--fps=30] [--loop] \\
       [--udp=host:port] [--udp-kind=jpeg|raw|h264|h265] [--udp-only] \\
-      [--encoder=auto|pcm[:slices]|cavlc[:qp=N][:slices=M]|ffmpeg|gi]  # h264/h265 udp legs \\
+      [--encoder=auto|pcm[:slices]|cavlc[:qp=N][:slices=M][:gop=N]|ffmpeg|gi]  # h264/h265 udp legs \\
       [--clipLimit=2.0] [--tile=8] [--codec=h264|h265] \\
       [--bitrate=25000] [--timing-window=200] [--detailed-timing] \\
       [--max-frames=N] [--op=clahe|histeq]

@@ -291,7 +291,7 @@ def encoded_rtp_sink_from_url(url: str, width: int, height: int, *,
 def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                  codec: str = "h264", bitrate_kbps: int = 2000) -> Any:
     """Build a FrameEncoder; ``backend`` is
-    pcm[:slices]|cavlc[:qp=N][:slices=M]|ffmpeg|gi|auto.
+    pcm[:slices]|cavlc[:qp=N][:slices=M][:gop=N]|ffmpeg|gi|auto.
 
     ``auto`` tries each available backend IN ORDER and falls through on
     construction failure (e.g. python-gi present but the encoder element
@@ -342,11 +342,12 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
 
         qp = None
         slices = 1
+        gop = None
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
-            if key not in ("qp", "slices") or not val:
+            if key not in ("qp", "slices", "gop") or not val:
                 raise ValueError(
-                    f"bad cavlc option {opt!r} (qp=N, slices=N)")
+                    f"bad cavlc option {opt!r} (qp=N, slices=N, gop=N)")
             try:
                 ival = int(val)
             except ValueError:
@@ -355,6 +356,10 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 if not 0 <= ival <= 51:
                     raise ValueError(f"cavlc qp must be 0..51, got {ival}")
                 qp = ival
+            elif key == "gop":
+                if ival < 1:
+                    raise ValueError(f"cavlc gop must be >= 1, got {ival}")
+                gop = ival
             else:
                 if ival < 1:
                     raise ValueError(
@@ -362,6 +367,18 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 slices = ival
         import os
 
+        if gop is not None and gop > 1:
+            # low-delay-P GOP stream (the reference's gop-mode=low-delay-p
+            # periodicity-idr analogue): IDR every `gop` frames,
+            # zero-motion P pictures in between (io.h264_inter)
+            from opencv_opencl_tpu.io.h264_inter import GopCavlcEncoder
+
+            if qp is not None:
+                return GopCavlcEncoder(width, height, qp=qp, gop=gop,
+                                       slices=slices)
+            return GopCavlcEncoder(width, height, qp=30, gop=gop,
+                                   bitrate_kbps=bitrate_kbps, fps=fps,
+                                   slices=slices)
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
         if qp is not None:
             # fixed quantizer: no rate control
@@ -408,4 +425,4 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         return _gi_encoder(width, height, fps, codec, bitrate_kbps)
     raise ValueError(
         f"unknown encoder backend {backend!r} (pcm[:slices]|"
-        "cavlc[:qp=N][:slices=M]|tpu[:qp=N][:overlap]|ffmpeg|gi|auto)")
+        "cavlc[:qp=N][:slices=M][:gop=N]|tpu[:qp=N][:overlap]|ffmpeg|gi|auto)")

@@ -1,0 +1,636 @@
+"""P-slice (inter) extension of the CAVLC H.264 encoder: low-delay-P GOP.
+
+The reference configures its VCU for exactly this stream shape —
+``gop-mode=low-delay-p periodicity-idr=240``
+(``/root/reference/OpenCVequalHist.cpp:313-315``): one IDR every N
+frames, every other frame a P picture referencing the frame before it.
+The all-IDR intra encoder (io.h264_cavlc) cannot exploit temporal
+redundancy; this module adds the missing inter path with a
+**zero-motion** design:
+
+- every macroblock of a P slice is **P_Skip** (bitstream cost: one
+  count in ``mb_skip_run``), **P_L0_16x16** with ``mvd = (0,0)`` and a
+  coded residual against the co-located macroblock of the
+  reconstructed previous frame, or — when temporal prediction loses —
+  an **I_16x16** intra macroblock (``mb_type = 5 + intra type``; the
+  per-MB fallback that keeps P frames no worse than intra frames even
+  under global motion).  With every coded motion vector zero, the
+  P_Skip predicted MV (spec 8.4.1.1) is provably (0,0) for every MB —
+  neighbor A/B unavailable => 0; otherwise some zero-MV/ref-0 neighbor
+  triggers the early-out — so skip == "copy co-located";
+- the inter/intra mode decision is a pure function of the two
+  candidates' quantized levels (``_cost``: sum of 2|l| + (l != 0) over
+  every coded coefficient, intra biased by +8 for its dearer syntax) —
+  deliberately NOT exact-bit trial encoding, so the TPU level program
+  can reproduce byte-identical decisions without entropy coding in the
+  loop;
+- no motion search: the design target is the static/slowly-varying
+  regions of enhancement relays, where skip runs collapse the
+  per-frame cost to almost nothing; moving regions degrade to coded
+  zero-MV residuals or per-MB intra, whichever is cheaper;
+- the in-loop deblocking filter stays disabled, so decoder output ==
+  encoder reconstruction EXACTLY, frame after frame — conformance
+  tests decode whole GOPs through libavcodec and require bit-identical
+  planes (tests/test_h264_inter.py);
+- inter quantization uses the inter rounding offset (f = 2^qbits / 6;
+  intra uses /3), and inter luma residuals are plain 4x4 blocks (all
+  16 coefficients — no Intra_16x16 DC/AC split);
+- slices are MB-row bands like the intra path, but P bands have NO
+  left-to-right dependency at all (prediction reads the previous
+  picture, not spatial neighbors) — every band, indeed every MB, is
+  independently computable.  This is what makes the TPU formulation of
+  the P path (ops/h264_levels.encode_p_levels) a pure elementwise
+  program with no scan.
+
+Python here is the tested oracle, like io.h264_cavlc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from opencv_opencl_tpu.io.h264_cavlc import (
+    _BLOCK_SCAN,
+    _CF,
+    _H2,
+    _LEVEL_CLAMP,
+    _MF,
+    _QPC,
+    _ZIGZAG,
+    _chroma_dc_dequant,
+    _dequant4x4,
+    _inv4x4,
+    _mf_mat,
+    _write_residual_block,
+)
+from opencv_opencl_tpu.io.h264_pcm import _BitWriter, _escape, _level_for
+
+__all__ = ["build_sps_gop", "encode_frame_p_slices", "GopCavlcEncoder"]
+
+
+def build_sps_gop(width: int, height: int) -> bytes:
+    """SPS for a low-delay-P stream: like io.h264_pcm.build_sps but with
+    ``max_num_ref_frames=1`` (each P picture references the previous
+    picture; the sliding window evicts older ones automatically)."""
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    crop_r = (mb_w * 16 - width) // 2
+    crop_b = (mb_h * 16 - height) // 2
+    w = _BitWriter()
+    w.u(0, 1).u(3, 2).u(7, 5)        # nal: forbidden=0, ref_idc=3, SPS
+    w.u(66, 8)                       # profile_idc: baseline
+    w.u(0b11000000, 8)               # constraint_set0+1
+    w.u(_level_for(mb_w * mb_h), 8)  # level_idc
+    w.ue(0)                          # seq_parameter_set_id
+    w.ue(0)                          # log2_max_frame_num_minus4 -> u(4)
+    w.ue(2)                          # pic_order_cnt_type: 2 (low-delay)
+    w.ue(1)                          # max_num_ref_frames: 1
+    w.u(0, 1)                        # gaps_in_frame_num_value_allowed
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u(1, 1)                        # frame_mbs_only_flag
+    w.u(1, 1)                        # direct_8x8_inference_flag
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0).ue(crop_r).ue(0).ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)                        # vui_parameters_present_flag
+    w.trailing()
+    return _escape(w.bytes())
+
+
+# coded_block_pattern -> codeNum for Inter MBs (spec Table 9-4,
+# ChromaArrayType=1), as the inverse of the decoder-side mapping.
+_CBP_INTER_CODENUM = np.zeros(48, dtype=np.int64)
+_CBP_INTER_CODENUM[[0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11,
+                    13, 14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39,
+                    43, 45, 46, 17, 18, 20, 24, 19, 21, 26, 28, 23, 27,
+                    29, 30, 22, 25, 38, 41]] = np.arange(48)
+
+
+def _quant4x4_inter(w: np.ndarray, qp: int) -> np.ndarray:
+    """Forward quant with the inter rounding offset f = 2^qbits / 6."""
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 6
+    z = np.sign(w) * ((np.abs(w) * _mf_mat(qp) + f) >> qbits)
+    np.clip(z, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=z)
+    return z
+
+
+def _slice_head_p(w: _BitWriter, qp: int, frame_num: int,
+                  first_mb: int = 0) -> None:
+    """Non-IDR P slice header (deblocking off, 1 reference, POC type 2:
+    no POC syntax, sliding-window marking)."""
+    w.u(0, 1).u(2, 2).u(1, 5)  # nal: ref_idc=2, non-IDR slice
+    w.ue(first_mb)             # first_mb_in_slice
+    w.ue(5)                    # slice_type: P (all slices of picture)
+    w.ue(0)                    # pic_parameter_set_id
+    w.u(frame_num & 0xF, 4)    # frame_num (log2_max_frame_num = 4)
+    w.u(0, 1)                  # num_ref_idx_active_override_flag
+    w.u(0, 1)                  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)                  # adaptive_ref_pic_marking_mode_flag
+    w.se(qp - 26)              # slice_qp_delta
+    w.ue(1)                    # disable_deblocking_filter_idc: OFF
+
+
+def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
+                          height: int, qp: int, frame_num: int,
+                          slices: int = 1, return_recon: bool = False):
+    """Encode one 16-aligned NV12 frame as ``slices`` zero-motion P
+    slice NALs against ``recon`` = (ry, rcb, rcr), the reconstructed
+    previous picture (int arrays, unpadded HxW — exactly what
+    ``encode_frame_cavlc_slices(..., return_recon=True)`` and this
+    function return).  With ``return_recon``, also returns this frame's
+    reconstruction (what any conformant decoder must display)."""
+    if width % 16 or height % 16:
+        raise ValueError("P path requires 16-aligned padded frames")
+    mb_w, mb_h = width // 16, height // 16
+    qpc = _QPC[min(max(qp, 0), 51)]
+    y = nv12[:height].astype(np.int64)
+    uv = nv12[height:].reshape(height // 2, width // 2, 2)
+    src = {"y": y, "cb": uv[:, :, 0].astype(np.int64),
+           "cr": uv[:, :, 1].astype(np.int64)}
+    ry, rcb, rcr = (p.astype(np.int64) for p in recon)
+    ref = {"y": ry, "cb": rcb, "cr": rcr}
+    out = {"y": np.empty_like(ry), "cb": np.empty_like(rcb),
+           "cr": np.empty_like(rcr)}
+
+    slices = max(1, min(int(slices), mb_h))
+    bounds = [round(i * mb_h / slices) for i in range(slices + 1)]
+    nals = []
+    for si in range(slices):
+        w = _BitWriter()
+        _slice_head_p(w, qp, frame_num, first_mb=bounds[si] * mb_w)
+        # per-slice nC context rows (one MB row of 4x4 blocks + left pad;
+        # P slices still use spatial neighbors for nC, within the slice)
+        lnnz = np.zeros((mb_h * 4 + 1, mb_w * 4 + 1), dtype=np.int64)
+        cbnnz = np.zeros((mb_h * 2 + 1, mb_w * 2 + 1), dtype=np.int64)
+        crnnz = np.zeros_like(cbnnz)
+        skip_run = 0
+        for mby in range(bounds[si], bounds[si + 1]):
+            for mbx in range(mb_w):
+                skip_run = _encode_p_mb(
+                    w, mby, mbx, src, ref, out, qp, qpc, skip_run,
+                    lnnz, cbnnz, crnnz,
+                    top_ok=mby > bounds[si], left_ok=mbx > 0)
+        if skip_run:
+            w.ue(skip_run)  # trailing skipped MBs end the slice
+        w.trailing()
+        nals.append(bytes(
+            _escape(np.frombuffer(w.bytes(), dtype=np.uint8))))
+    if return_recon:
+        return nals, (out["y"], out["cb"], out["cr"])
+    return nals
+
+
+def _cost(*arrays) -> int:
+    """Deterministic CAVLC bit-cost proxy of quantized levels: sum of
+    2|l| + (l != 0) over every coefficient.  Monotone in both magnitude
+    and count (the two drivers of CAVLC length), integer-exact, and
+    reproducible by the TPU level program in int32 — the whole point:
+    the mode decision must be a pure function of the levels, never of
+    entropy-coded bits."""
+    c = 0
+    for a in arrays:
+        aa = np.abs(a)
+        c += int((2 * aa + (aa != 0)).sum())
+    return c
+
+
+_INTRA_BIAS = 8  # intra syntax overhead (mb_type 5+x, chroma mode) in
+#                  proxy units; inter pays ~3 bits (type + 2 mvd)
+
+
+def _intra_candidate(mby: int, mbx: int, src: dict, out: dict, qp: int,
+                     qpc: int, top_ok: bool, left_ok: bool) -> dict:
+    """I_16x16 DC candidate for one MB of a P slice, predicting from the
+    CURRENT picture's reconstruction (constrained_intra_pred_flag=0:
+    inter/skip neighbors are usable).  Same arithmetic as the I-slice
+    encoder (io.h264_cavlc._MbEncoder.encode_mb)."""
+    from opencv_opencl_tpu.io.h264_cavlc import (
+        _H4, _pred_dc_chroma, _quant4x4)
+
+    y0, x0 = mby * 16, mbx * 16
+    cy0, cx0 = mby * 8, mbx * 8
+    oy = out["y"]
+    if top_ok and left_ok:
+        s = int(oy[y0 - 1, x0:x0 + 16].sum()) + \
+            int(oy[y0:y0 + 16, x0 - 1].sum())
+        pred = (s + 16) >> 5
+    elif top_ok:
+        pred = (int(oy[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4
+    elif left_ok:
+        pred = (int(oy[y0:y0 + 16, x0 - 1].sum()) + 8) >> 4
+    else:
+        pred = 128
+    resid = src["y"][y0:y0 + 16, x0:x0 + 16] - pred
+    wdc = np.empty((4, 4), dtype=np.int64)
+    acz = {}
+    for by in range(4):
+        for bx in range(4):
+            blk = resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            t = _CF @ blk @ _CF.T
+            wdc[by, bx] = t[0, 0]
+            acz[(bx, by)] = _quant4x4(t, qp, skip_dc=True)
+    ydc = (_H4 @ wdc @ _H4) >> 1
+    qbits = 15 + qp // 6
+    f2 = 2 * ((1 << qbits) // 3)
+    zdc = np.sign(ydc) * ((np.abs(ydc) * _MF[qp % 6][0] + f2) >>
+                          (qbits + 1))
+    np.clip(zdc, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=zdc)
+    cbp_luma = any(np.any(acz[k]) for k in acz)
+
+    cdata = {}
+    chroma_dc_nz = chroma_ac_nz = False
+    for name in ("cb", "cr"):
+        cpred = _pred_dc_chroma(out[name], cy0, cx0, top_ok, left_ok)
+        cres = src[name][cy0:cy0 + 8, cx0:cx0 + 8] - cpred
+        cwdc = np.empty((2, 2), dtype=np.int64)
+        cacz = {}
+        for by in range(2):
+            for bx in range(2):
+                blk = cres[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                t = _CF @ blk @ _CF.T
+                cwdc[by, bx] = t[0, 0]
+                cacz[(bx, by)] = _quant4x4(t, qpc, skip_dc=True)
+        fdc = _H2 @ cwdc @ _H2
+        cqbits = 15 + qpc // 6
+        cf2 = 2 * ((1 << cqbits) // 3)
+        czdc = np.sign(fdc) * ((np.abs(fdc) * _MF[qpc % 6][0] + cf2) >>
+                               (cqbits + 1))
+        np.clip(czdc, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=czdc)
+        if np.any(czdc):
+            chroma_dc_nz = True
+        if any(np.any(cacz[k]) for k in cacz):
+            chroma_ac_nz = True
+        cdata[name] = (cpred, cacz, czdc)
+    cbp_chroma = 2 if chroma_ac_nz else (1 if chroma_dc_nz else 0)
+    cost = (_cost(zdc, *acz.values(),
+                  *(cdata[n][2] for n in ("cb", "cr")),
+                  *(b for n in ("cb", "cr")
+                    for b in cdata[n][1].values())) + _INTRA_BIAS)
+    return dict(pred=pred, acz=acz, zdc=zdc, cdata=cdata,
+                cbp_luma=cbp_luma, cbp_chroma=cbp_chroma, cost=cost)
+
+
+def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
+                 out: dict, qp: int, qpc: int, skip_run: int,
+                 lnnz: np.ndarray, cbnnz: np.ndarray, crnnz: np.ndarray,
+                 top_ok: bool, left_ok: bool) -> int:
+    """One P macroblock: P_Skip if the inter candidate quantizes to all
+    zero, else the cheaper of P_L0_16x16 (mvd=(0,0)) and I_16x16 by the
+    ``_cost`` proxy.  Returns the updated skip_run."""
+    y0, x0 = mby * 16, mbx * 16
+    cy0, cx0 = mby * 8, mbx * 8
+
+    # ---- inter candidate: residual vs co-located reference
+    pred_y = ref["y"][y0:y0 + 16, x0:x0 + 16]
+    res = src["y"][y0:y0 + 16, x0:x0 + 16] - pred_y
+    lz = {}
+    for by in range(4):
+        for bx in range(4):
+            blk = res[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            lz[(bx, by)] = _quant4x4_inter(_CF @ blk @ _CF.T, qp)
+    cbp_luma = 0
+    for q, (qx, qy) in enumerate(((0, 0), (2, 0), (0, 2), (2, 2))):
+        if any(np.any(lz[(qx + dx, qy + dy)])
+               for dx in (0, 1) for dy in (0, 1)):
+            cbp_luma |= 1 << q
+
+    cdata = {}
+    chroma_dc_nz = chroma_ac_nz = False
+    for name in ("cb", "cr"):
+        pred = ref[name][cy0:cy0 + 8, cx0:cx0 + 8]
+        cres = src[name][cy0:cy0 + 8, cx0:cx0 + 8] - pred
+        cwdc = np.empty((2, 2), dtype=np.int64)
+        cacz = {}
+        for by in range(2):
+            for bx in range(2):
+                blk = cres[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                t = _CF @ blk @ _CF.T
+                cwdc[by, bx] = t[0, 0]
+                z = _quant4x4_inter(t, qpc)
+                z[0, 0] = 0
+                cacz[(bx, by)] = z
+        fdc = _H2 @ cwdc @ _H2
+        cqbits = 15 + qpc // 6
+        cf2 = 2 * ((1 << cqbits) // 6)
+        czdc = np.sign(fdc) * ((np.abs(fdc) * _MF[qpc % 6][0] + cf2) >>
+                               (cqbits + 1))
+        np.clip(czdc, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=czdc)
+        if np.any(czdc):
+            chroma_dc_nz = True
+        if any(np.any(cacz[k]) for k in cacz):
+            chroma_ac_nz = True
+        cdata[name] = (pred, cacz, czdc)
+    cbp_chroma = 2 if chroma_ac_nz else (1 if chroma_dc_nz else 0)
+    cbp = cbp_luma | (cbp_chroma << 4)
+
+    nby0, nbx0 = mby * 4 + 1, mbx * 4 + 1
+    cny0, cnx0 = mby * 2 + 1, mbx * 2 + 1
+
+    if cbp == 0:
+        # P_Skip: recon = co-located reference; zero nC context
+        out["y"][y0:y0 + 16, x0:x0 + 16] = pred_y
+        for name in ("cb", "cr"):
+            out[name][cy0:cy0 + 8, cx0:cx0 + 8] = cdata[name][0]
+        lnnz[nby0:nby0 + 4, nbx0:nbx0 + 4] = 0
+        cbnnz[cny0:cny0 + 2, cnx0:cnx0 + 2] = 0
+        crnnz[cny0:cny0 + 2, cnx0:cnx0 + 2] = 0
+        return skip_run + 1
+
+    cost_inter = _cost(*lz.values(),
+                       *(cdata[n][2] for n in ("cb", "cr")),
+                       *(b for n in ("cb", "cr")
+                         for b in cdata[n][1].values()))
+    intra = _intra_candidate(mby, mbx, src, out, qp, qpc, top_ok,
+                             left_ok)
+    if intra["cost"] < cost_inter:
+        _write_intra_in_p(w, mby, mbx, out, qp, qpc, skip_run, intra,
+                          lnnz, cbnnz, crnnz, top_ok, left_ok)
+        return 0
+
+    # ---- coded inter MB: P_L0_16x16, mvd (0,0)
+    w.ue(skip_run)             # mb_skip_run before this MB
+    w.ue(0)                    # mb_type: P_L0_16x16
+    # ref_idx_l0 absent (one active reference), mvd_l0 = (0,0)
+    w.se(0).se(0)
+    w.ue(int(_CBP_INTER_CODENUM[cbp]))  # coded_block_pattern
+    w.se(0)                    # mb_qp_delta (cbp != 0)
+
+    # luma blocks of coded quadrants (all 16 coeffs, no DC split)
+    for bx, by in _BLOCK_SCAN:
+        q = (1 if bx >= 2 else 0) + (2 if by >= 2 else 0)
+        if not (cbp_luma >> q) & 1:
+            lnnz[nby0 + by, nbx0 + bx] = 0
+            continue
+        t_ok = top_ok if by == 0 else True
+        l_ok = left_ok if bx == 0 else True
+        if t_ok and l_ok:
+            nc = (int(lnnz[nby0 + by, nbx0 + bx - 1]) +
+                  int(lnnz[nby0 + by - 1, nbx0 + bx]) + 1) >> 1
+        elif l_ok:
+            nc = int(lnnz[nby0 + by, nbx0 + bx - 1])
+        elif t_ok:
+            nc = int(lnnz[nby0 + by - 1, nbx0 + bx])
+        else:
+            nc = 0
+        flat = lz[(bx, by)].reshape(16)
+        tc = _write_residual_block(
+            w, [int(flat[i]) for i in _ZIGZAG], nc)
+        lnnz[nby0 + by, nbx0 + bx] = tc
+    # chroma DC
+    if cbp_chroma:
+        for name in ("cb", "cr"):
+            czdc = cdata[name][2]
+            _write_residual_block(
+                w, [int(czdc[0, 0]), int(czdc[0, 1]),
+                    int(czdc[1, 0]), int(czdc[1, 1])], -1)
+    # chroma AC
+    _write_chroma_ac(w, mby, mbx, cdata, cbp_chroma, cbnnz, crnnz,
+                     top_ok, left_ok)
+
+    # ---- reconstruction: pred + dequantized residual, clipped
+    for by in range(4):
+        for bx in range(4):
+            q = (1 if bx >= 2 else 0) + (2 if by >= 2 else 0)
+            p = pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            if not (cbp_luma >> q) & 1:
+                out["y"][y0 + by * 4:y0 + by * 4 + 4,
+                         x0 + bx * 4:x0 + bx * 4 + 4] = p
+                continue
+            d = _dequant4x4(lz[(bx, by)], qp)
+            r = (_inv4x4(d) + 32) >> 6
+            out["y"][y0 + by * 4:y0 + by * 4 + 4,
+                     x0 + bx * 4:x0 + bx * 4 + 4] = np.clip(
+                r + p, 0, 255)
+    for name in ("cb", "cr"):
+        pred, cacz, czdc = cdata[name]
+        cdcd = _chroma_dc_dequant(_H2 @ czdc @ _H2, qpc)
+        for by in range(2):
+            for bx in range(2):
+                d = _dequant4x4(cacz[(bx, by)], qpc)
+                d[0, 0] = cdcd[by, bx]
+                r = (_inv4x4(d) + 32) >> 6
+                out[name][cy0 + by * 4:cy0 + by * 4 + 4,
+                          cx0 + bx * 4:cx0 + bx * 4 + 4] = np.clip(
+                    r + pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4],
+                    0, 255)
+    return 0
+
+
+def _write_chroma_ac(w: _BitWriter, mby: int, mbx: int, cdata: dict,
+                     cbp_chroma: int, cbnnz: np.ndarray,
+                     crnnz: np.ndarray, top_ok: bool,
+                     left_ok: bool) -> None:
+    """Chroma AC residual blocks + nC bookkeeping (shared by the inter
+    and intra-in-P paths; ``cdata[name][1]`` is the cacz dict)."""
+    cny0, cnx0 = mby * 2 + 1, mbx * 2 + 1
+    for name in ("cb", "cr"):
+        cnnz = cbnnz if name == "cb" else crnnz
+        cacz = cdata[name][1]
+        if cbp_chroma == 2:
+            for bx, by in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                t_ok = top_ok if by == 0 else True
+                l_ok = left_ok if bx == 0 else True
+                if t_ok and l_ok:
+                    nc = (int(cnnz[cny0 + by, cnx0 + bx - 1]) +
+                          int(cnnz[cny0 + by - 1, cnx0 + bx]) + 1) >> 1
+                elif l_ok:
+                    nc = int(cnnz[cny0 + by, cnx0 + bx - 1])
+                elif t_ok:
+                    nc = int(cnnz[cny0 + by - 1, cnx0 + bx])
+                else:
+                    nc = 0
+                flat = cacz[(bx, by)].reshape(16)
+                tc = _write_residual_block(
+                    w, [int(flat[i]) for i in _ZIGZAG[1:]], nc)
+                cnnz[cny0 + by, cnx0 + bx] = tc
+        else:
+            cnnz[cny0:cny0 + 2, cnx0:cnx0 + 2] = 0
+
+
+def _write_intra_in_p(w: _BitWriter, mby: int, mbx: int, out: dict,
+                      qp: int, qpc: int, skip_run: int, intra: dict,
+                      lnnz: np.ndarray, cbnnz: np.ndarray,
+                      crnnz: np.ndarray, top_ok: bool,
+                      left_ok: bool) -> None:
+    """Emit one I_16x16 macroblock inside a P slice (mb_type offset +5,
+    spec 7.4.5) and write its reconstruction."""
+    from opencv_opencl_tpu.io.h264_cavlc import (
+        _H4, _luma_dc_dequant)
+
+    y0, x0 = mby * 16, mbx * 16
+    cy0, cx0 = mby * 8, mbx * 8
+    acz, zdc, cdata = intra["acz"], intra["zdc"], intra["cdata"]
+    cbp_luma, cbp_chroma = intra["cbp_luma"], intra["cbp_chroma"]
+
+    w.ue(skip_run)
+    mb_type_i = 1 + 2 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+    w.ue(5 + mb_type_i)        # intra types follow the 5 P types
+    w.ue(0)                    # intra_chroma_pred_mode: DC
+    w.se(0)                    # mb_qp_delta (always present, I_16x16)
+
+    nby0, nbx0 = mby * 4 + 1, mbx * 4 + 1
+    if top_ok and left_ok:
+        nc = (int(lnnz[nby0, nbx0 - 1]) + int(lnnz[nby0 - 1, nbx0]) +
+              1) >> 1
+    elif left_ok:
+        nc = int(lnnz[nby0, nbx0 - 1])
+    elif top_ok:
+        nc = int(lnnz[nby0 - 1, nbx0])
+    else:
+        nc = 0
+    flat = zdc.reshape(16)
+    _write_residual_block(w, [int(flat[i]) for i in _ZIGZAG], nc)
+    if cbp_luma:
+        for bx, by in _BLOCK_SCAN:
+            t_ok = top_ok if by == 0 else True
+            l_ok = left_ok if bx == 0 else True
+            if t_ok and l_ok:
+                nc = (int(lnnz[nby0 + by, nbx0 + bx - 1]) +
+                      int(lnnz[nby0 + by - 1, nbx0 + bx]) + 1) >> 1
+            elif l_ok:
+                nc = int(lnnz[nby0 + by, nbx0 + bx - 1])
+            elif t_ok:
+                nc = int(lnnz[nby0 + by - 1, nbx0 + bx])
+            else:
+                nc = 0
+            flat = acz[(bx, by)].reshape(16)
+            tc = _write_residual_block(
+                w, [int(flat[i]) for i in _ZIGZAG[1:]], nc)
+            lnnz[nby0 + by, nbx0 + bx] = tc
+    else:
+        lnnz[nby0:nby0 + 4, nbx0:nbx0 + 4] = 0
+    if cbp_chroma:
+        for name in ("cb", "cr"):
+            czdc = cdata[name][2]
+            _write_residual_block(
+                w, [int(czdc[0, 0]), int(czdc[0, 1]),
+                    int(czdc[1, 0]), int(czdc[1, 1])], -1)
+    _write_chroma_ac(w, mby, mbx, cdata, cbp_chroma, cbnnz, crnnz,
+                     top_ok, left_ok)
+
+    # reconstruction (identical to the I-slice path)
+    pred = intra["pred"]
+    dcd = _luma_dc_dequant(_H4 @ zdc @ _H4, qp)
+    for by in range(4):
+        for bx in range(4):
+            d = _dequant4x4(acz[(bx, by)], qp)
+            d[0, 0] = dcd[by, bx]
+            r = (_inv4x4(d) + 32) >> 6
+            out["y"][y0 + by * 4:y0 + by * 4 + 4,
+                     x0 + bx * 4:x0 + bx * 4 + 4] = np.clip(
+                r + pred, 0, 255)
+    for name in ("cb", "cr"):
+        cpred, cacz, czdc = cdata[name]
+        cdcd = _chroma_dc_dequant(_H2 @ czdc @ _H2, qpc)
+        for by in range(2):
+            for bx in range(2):
+                d = _dequant4x4(cacz[(bx, by)], qpc)
+                d[0, 0] = cdcd[by, bx]
+                r = (_inv4x4(d) + 32) >> 6
+                out[name][cy0 + by * 4:cy0 + by * 4 + 4,
+                          cx0 + bx * 4:cx0 + bx * 4 + 4] = np.clip(
+                    r + cpred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4],
+                    0, 255)
+
+
+class GopCavlcEncoder:
+    """Low-delay-P GOP encoder (io.encoder protocol): IDR every ``gop``
+    frames, zero-motion P pictures in between — the stream shape of the
+    reference's ``gop-mode=low-delay-p periodicity-idr=240`` VCU tuning
+    (``OpenCVequalHist.cpp:313-315``).
+
+    SPS/PPS ride ahead of every IDR only (receivers join at GOP
+    boundaries).  Rate control works on a sliding full-GOP window of AU
+    sizes rather than per frame: a lone IDR over the per-frame budget is
+    *expected* in GOP coding, so the controller reacts to the windowed
+    mean (the first window passes uncontrolled while it fills).
+
+    This is the Python oracle path; the per-frame cost is the intra
+    oracle's for IDR frames plus the numpy P loop — the production
+    paths are the TPU level programs (``--encoder=tpu:gop=N``) and the
+    native entropy stage they feed.
+    """
+
+    codec = "h264"
+
+    def __init__(self, width: int, height: int, qp: int = 30,
+                 gop: int = 30, bitrate_kbps: int | None = None,
+                 fps: float = 30.0, slices: int = 1) -> None:
+        from opencv_opencl_tpu.io.h264_cavlc import (
+            CavlcH264Encoder, build_pps_cavlc)
+
+        if gop < 1:
+            raise ValueError(f"gop must be >= 1, got {gop}")
+        # reuse the intra encoder's padding + geometry checks
+        self._intra = CavlcH264Encoder(width, height, qp=qp,
+                                       native="never", slices=slices)
+        self.width, self.height = width, height
+        self.qp = int(qp)
+        self.gop = int(gop)
+        self.slices = int(slices)
+        self.bitrate_kbps = bitrate_kbps
+        self.fps = fps
+        self._sps = build_sps_gop(width, height)
+        self._pps = build_pps_cavlc()
+        self._idr_pic_id = 0
+        self._frame_num = 0
+        self._recon = None
+        self.frames = 0
+        self._au_window: list[int] = []
+
+    def encode(self, nv12: np.ndarray) -> list[bytes]:
+        from opencv_opencl_tpu.io.h264_cavlc import (
+            encode_frame_cavlc_slices)
+        from opencv_opencl_tpu.io.h264_pcm import _START4
+
+        rows = self.height * 3 // 2
+        arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
+        padded, w16, h16 = self._intra._pad(arr)
+        if self.frames % self.gop == 0:
+            nals, recon = encode_frame_cavlc_slices(
+                padded, w16, h16, self.qp, idr_pic_id=self._idr_pic_id,
+                slices=self.slices, return_recon=True)
+            self._idr_pic_id ^= 1
+            self._frame_num = 1
+            au = (_START4 + self._sps + _START4 + self._pps +
+                  b"".join(_START4 + bytes(n) for n in nals))
+        else:
+            nals, recon = encode_frame_p_slices(
+                padded, self._recon, w16, h16, self.qp,
+                frame_num=self._frame_num, slices=self.slices,
+                return_recon=True)
+            self._frame_num = (self._frame_num + 1) % 16
+            au = b"".join(_START4 + bytes(n) for n in nals)
+        self._recon = recon
+        self.frames += 1
+        if self.bitrate_kbps:
+            self._rate_control(len(au))
+        return [au]
+
+    def _rate_control(self, used: int) -> None:
+        """Windowed proportional control in the QP domain: adjust only
+        once a full GOP of AU sizes is visible, against the windowed
+        mean (intra bits halve roughly every 6 QP, same constant as the
+        per-frame intra controller)."""
+        self._au_window.append(used)
+        if len(self._au_window) > self.gop:
+            self._au_window.pop(0)
+        if len(self._au_window) < self.gop:
+            return
+        mean = sum(self._au_window) / len(self._au_window)
+        target = self.bitrate_kbps * 1000 / 8 / self.fps
+        if mean > 1.15 * target or mean < 0.85 * target:
+            import math
+
+            delta = round(6 * math.log2(mean / target))
+            self.qp = min(51, max(10, self.qp + min(6, max(-3, delta))))
+
+    def flush(self) -> list[bytes]:
+        return []
+
+    def close(self) -> None:
+        pass

@@ -1,0 +1,294 @@
+"""P-slice / low-delay-P GOP encoder (io/h264_inter.py).
+
+Conformance bar (same as the intra encoder): whole GOPs decode through
+libavcodec and every frame's luma is BIT-IDENTICAL to the encoder's
+reconstruction; chroma is proven via the lossless-PCM-recode trick
+(identical BGR through the same swscale path).  Stream shape mirrors
+the reference's ``gop-mode=low-delay-p periodicity-idr`` VCU tuning
+(``OpenCVequalHist.cpp:313-315``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.io.h264_cavlc import (
+    build_pps_cavlc, encode_frame_cavlc_slices)
+from opencv_opencl_tpu.io.h264_inter import (
+    GopCavlcEncoder, build_sps_gop, encode_frame_p_slices)
+from opencv_opencl_tpu.io.h264_pcm import _START4
+
+
+def moving_frames(w, h, n, seed=0, step=2):
+    """Smooth base + a square moving ``step`` px/frame + light noise."""
+    rng = np.random.default_rng(seed)
+    gx = np.linspace(0, 200, w)[None, :]
+    gy = np.linspace(0, 55, h)[:, None]
+    out = []
+    for i in range(n):
+        y = gx + gy
+        y0, x0 = 8 + step * i, 16 + step * i
+        y[y0:y0 + 16, x0:x0 + 16] += 40
+        uv = np.full((h // 2, w), 128.0)
+        uv[4:12, 20 + step * i:40 + step * i] += 25
+        f = np.concatenate([y, uv], 0) + rng.normal(0, 2, (h * 3 // 2, w))
+        out.append(np.clip(f, 0, 255).astype(np.uint8))
+    return out
+
+
+def decode_frames(es: bytes, tmp_path, n, flush_au: bytes,
+                  gray: bool = True):
+    import cv2
+
+    p = tmp_path / "gop.h264"
+    p.write_bytes(es + flush_au)  # libavcodec's one-frame delay
+    cap = cv2.VideoCapture(str(p))
+    assert cap.isOpened()
+    if gray:
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+    out = []
+    for i in range(n):
+        ok, f = cap.read()
+        assert ok, f"decoder produced only {i}/{n} frames"
+        out.append(f.copy())
+    cap.release()
+    return out
+
+
+def encode_gop(frames, w, h, qp, gop, slices=1):
+    enc = GopCavlcEncoder(w, h, qp=qp, gop=gop, slices=slices)
+    aus, recons = [], []
+    for f in frames:
+        aus.append(enc.encode(f)[0])
+        recons.append(tuple(p.copy() for p in enc._recon))
+    return aus, recons
+
+
+class TestPConformance:
+    @pytest.mark.parametrize("w,h,slices", [(96, 64, 1), (96, 64, 2),
+                                            (100, 56, 2)])
+    def test_gop_luma_bitexact(self, w, h, slices, tmp_path):
+        frames = moving_frames(w, h, 5, seed=hash((w, slices)) & 0xFF)
+        aus, recons = encode_gop(frames, w, h, qp=26, gop=5,
+                                 slices=slices)
+        dec = decode_frames(b"".join(aus), tmp_path, 5, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
+                f"frame {i} luma mismatch"
+
+    def test_midstream_idr_resets(self, tmp_path):
+        """gop=3 over 7 frames: IDRs at 0/3/6, every frame bit-exact."""
+        w, h = 96, 64
+        frames = moving_frames(w, h, 7, seed=11)
+        aus, recons = encode_gop(frames, w, h, qp=28, gop=3)
+        dec = decode_frames(b"".join(aus), tmp_path, 7, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w])
+
+    def test_chroma_exact_via_lossless_recode(self, tmp_path):
+        """Decode a 2-frame GOP in BGR; the P frame's BGR must equal the
+        BGR of a lossless PCM recode of its reconstruction — identical
+        swscale path proves chroma (and luma) conformance."""
+        from opencv_opencl_tpu.io.h264_pcm import PcmH264Encoder
+
+        w, h = 64, 48
+        frames = moving_frames(w, h, 2, seed=5)
+        # strong chroma so the P residual codes chroma too
+        frames[1][h:] = np.clip(
+            frames[1][h:].astype(np.int64) + 30, 0, 255).astype(np.uint8)
+        aus, recons = encode_gop(frames, w, h, qp=24, gop=10)
+        bgr = decode_frames(b"".join(aus), tmp_path, 2, aus[-1],
+                            gray=False)
+        ry, rcb, rcr = recons[1]
+        recon_uv = np.empty((h // 2, w), np.uint8)
+        recon_uv[:, 0::2] = rcb[:h // 2, :w // 2].astype(np.uint8)
+        recon_uv[:, 1::2] = rcr[:h // 2, :w // 2].astype(np.uint8)
+        recon = np.concatenate([ry[:h, :w].astype(np.uint8), recon_uv])
+        pcm_es = b"".join(PcmH264Encoder(w, h).encode(recon))
+        import cv2
+
+        p = tmp_path / "pcm.h264"
+        p.write_bytes(pcm_es + pcm_es)
+        cap = cv2.VideoCapture(str(p))
+        ok, bgr_pcm = cap.read()
+        cap.release()
+        assert ok
+        assert np.array_equal(bgr[1], bgr_pcm)
+
+
+class TestCompression:
+    def test_static_content_collapses_to_skip_runs(self):
+        w, h = 96, 64
+        base = np.random.default_rng(2).integers(
+            0, 256, (h * 3 // 2, w), np.uint8)
+        enc = GopCavlcEncoder(w, h, qp=28, gop=10)
+        aus = [enc.encode(base)[0] for _ in range(4)]
+        # frame 1 codes the quantization-drift correction; frames 2+
+        # reference a recon the source already matches -> pure skip
+        assert len(aus[2]) < 40 and len(aus[3]) < 40
+        assert len(aus[0]) > 100 * len(aus[3])
+
+    def test_p_cheaper_than_intra_on_motion(self):
+        from opencv_opencl_tpu.io.h264_cavlc import CavlcH264Encoder
+
+        w, h = 96, 64
+        frames = moving_frames(w, h, 4, seed=9)
+        gop_enc = GopCavlcEncoder(w, h, qp=28, gop=10)
+        p_sizes = [len(gop_enc.encode(f)[0]) for f in frames][1:]
+        intra = CavlcH264Encoder(w, h, qp=28)
+        i_sizes = [len(intra.encode(f)[0]) for f in frames][1:]
+        # zero-motion P on moving-but-mostly-static content: > 2x win
+        assert sum(p_sizes) * 2 < sum(i_sizes)
+
+    def test_global_motion_bounded_by_intra(self):
+        """Per-MB intra fallback: on content where temporal prediction
+        loses everywhere (fresh noise per frame), a P frame costs at
+        most ~intra + per-MB mode overhead — never the blown-up
+        zero-MV residual."""
+        from opencv_opencl_tpu.io.h264_cavlc import CavlcH264Encoder
+
+        w, h = 96, 64
+        rng = np.random.default_rng(17)
+        frames = [rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+                  for _ in range(4)]
+        gop_enc = GopCavlcEncoder(w, h, qp=30, gop=10)
+        g = [len(gop_enc.encode(f)[0]) for f in frames][1:]
+        intra = CavlcH264Encoder(w, h, qp=30)
+        i = [len(intra.encode(f)[0]) for f in frames][1:]
+        assert sum(g) <= 1.05 * sum(i)
+
+    def test_mixed_modes_in_one_frame(self, tmp_path):
+        """Half-static/half-replaced frame: skips + intra MBs coexist in
+        one P slice, decode stays bit-exact, and the AU is much smaller
+        than intra (the static half skips)."""
+        from opencv_opencl_tpu.io.h264_cavlc import CavlcH264Encoder
+
+        w, h = 96, 64
+        rng = np.random.default_rng(23)
+        f0 = rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+        f1 = f0.copy()
+        f1[:h // 2] = rng.integers(0, 256, (h // 2, w), np.uint8)
+        aus, recons = encode_gop([f0, f1], w, h, qp=30, gop=10)
+        dec = decode_frames(b"".join(aus), tmp_path, 2, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(d[:h, :w].astype(np.int64),
+                                  recons[i][0][:h, :w])
+        i_size = len(CavlcH264Encoder(w, h, qp=30).encode(f1)[0])
+        assert len(aus[1]) < 0.75 * i_size
+
+    def test_all_skip_frame_reproduces_reference_picture(self, tmp_path):
+        w, h = 96, 64
+        base = np.random.default_rng(4).integers(
+            0, 256, (h * 3 // 2, w), np.uint8)
+        aus, recons = encode_gop([base, base, base], w, h, qp=28, gop=10)
+        dec = decode_frames(b"".join(aus), tmp_path, 3, aus[-1])
+        assert np.array_equal(dec[1], dec[2])  # skip == copy
+
+
+class TestStreamStructure:
+    def test_idr_cadence_and_nal_types(self):
+        w, h = 64, 48
+        frames = moving_frames(w, h, 6, seed=1)
+        aus, _ = encode_gop(frames, w, h, qp=30, gop=3)
+        for i, au in enumerate(aus):
+            first_nal_type = au[4] & 0x1F
+            if i % 3 == 0:
+                assert first_nal_type == 7, f"AU {i} should start SPS"
+                assert b"\x00\x00\x00\x01" + bytes([au[4]]) in au
+            else:
+                assert first_nal_type == 1, f"AU {i} should be non-IDR"
+                assert (au[4] >> 5) != 0  # nal_ref_idc: reference pic
+
+    def test_sps_advertises_one_reference(self):
+        # ue(1) for max_num_ref_frames: distinguishable from the all-IDR
+        # SPS (byte-compare is enough: same geometry, one field differs)
+        from opencv_opencl_tpu.io.h264_pcm import build_sps
+
+        assert build_sps_gop(96, 64) != build_sps(96, 64)
+
+    def test_p_oracle_requires_aligned(self):
+        with pytest.raises(ValueError, match="16-aligned"):
+            encode_frame_p_slices(
+                np.zeros((150, 100), np.uint8),
+                (np.zeros((96, 96)),) * 3, 100, 96, 30, 1)
+
+
+class TestRateControl:
+    def test_windowed_control_ignores_lone_idr(self):
+        w, h = 96, 64
+        enc = GopCavlcEncoder(w, h, gop=4, bitrate_kbps=30, fps=30.0)
+        qp0 = enc.qp
+        base = np.random.default_rng(6).integers(
+            0, 256, (h * 3 // 2, w), np.uint8)
+        enc.encode(base)
+        assert enc.qp == qp0  # one oversized IDR: no reaction yet
+        for _ in range(3):
+            enc.encode(base)
+        # window full: the noisy IDR dominates the mean -> qp rises
+        assert enc.qp > qp0
+
+    def test_gop_validation(self):
+        with pytest.raises(ValueError, match="gop"):
+            GopCavlcEncoder(96, 64, gop=0)
+
+
+class TestEncoderBoundary:
+    def test_make_encoder_gop(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        enc = make_encoder("cavlc:qp=30:gop=5", 96, 64)
+        assert isinstance(enc, GopCavlcEncoder) and enc.gop == 5
+        enc2 = make_encoder("cavlc:gop=4", 96, 64, bitrate_kbps=500)
+        assert isinstance(enc2, GopCavlcEncoder)
+        assert enc2.bitrate_kbps == 500
+        # gop=1 stays the plain all-IDR intra encoder
+        from opencv_opencl_tpu.io.h264_cavlc import CavlcH264Encoder
+
+        enc3 = make_encoder("cavlc:qp=30:gop=1", 96, 64)
+        assert type(enc3) is CavlcH264Encoder
+        with pytest.raises(ValueError):
+            make_encoder("cavlc:gop=0", 96, 64)
+        with pytest.raises(ValueError):
+            make_encoder("cavlc:gop=", 96, 64)
+
+
+class TestRtpPath:
+    def test_gop_stream_survives_rtp_loopback(self, tmp_path):
+        """GOP AUs through H26xRtpSink/Receiver reassemble byte-
+        identically (P NALs are non-IDR type 1 — the payloader must not
+        care)."""
+        import threading
+
+        from opencv_opencl_tpu.io.rtp_h26x import (
+            H26xRtpReceiver, H26xRtpSink)
+
+        w, h = 96, 64
+        frames = moving_frames(w, h, 4, seed=13)
+        aus, _ = encode_gop(frames, w, h, qp=30, gop=4)
+        rx = H26xRtpReceiver("127.0.0.1", 0, codec="h264", timeout=1.0)
+        got = []
+
+        def pump():
+            import time
+
+            t0 = time.time()
+            while time.time() - t0 < 20 and len(got) < 4:
+                try:
+                    au = rx.recv_access_unit()
+                except Exception:
+                    continue
+                if au:
+                    got.append(au)
+
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        tx = H26xRtpSink("127.0.0.1", rx.port, codec="h264", fps=30.0)
+        for au in aus:
+            tx.write(au)
+        t.join(timeout=25)
+        tx.close()
+        rx.close()
+        assert got == aus
