@@ -17,7 +17,10 @@ Hosts differ in what encoder they offer, so the relay's
   (ops/h264_levels.py); the host does entropy coding only.  Streams
   byte-identical to ``cavlc:slices=<mb rows>``; honors ``--bitrate``,
   ``tpu:qp=N`` fixes the quantizer, ``tpu:overlap`` pipelines the
-  accelerator against host entropy coding (one frame of added latency).
+  accelerator against host entropy coding (one frame of added latency),
+  and ``tpu:gop=N`` switches to the low-delay-P GOP stream with the
+  reference picture RESIDENT IN HBM (io.h264_inter.TpuGopEncoder:
+  per-MB skip/inter/intra decisions on device, levels-only D2H).
 - ``ffmpeg`` — an external ``ffmpeg`` process fed raw NV12 on stdin,
   Annex-B H.264/H.265 on stdout (x264-class compression when the host
   ships ffmpeg).
@@ -397,20 +400,40 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         qp = None
+        gop = None
         overlap = False
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
             if key == "overlap" and not val:
                 overlap = True
                 continue
+            if key == "gop" and val:
+                try:
+                    gop = int(val)
+                except ValueError:
+                    raise ValueError(f"bad tpu gop in {backend!r}")
+                if gop < 1:
+                    raise ValueError(f"tpu gop must be >= 1, got {gop}")
+                continue
             if key != "qp" or not val:
-                raise ValueError(f"bad tpu option {opt!r} (qp=N|overlap)")
+                raise ValueError(
+                    f"bad tpu option {opt!r} (qp=N|gop=N|overlap)")
             try:
                 qp = int(val)
             except ValueError:
                 raise ValueError(f"bad tpu qp in {backend!r}")
             if not 0 <= qp <= 51:
                 raise ValueError(f"tpu qp must be 0..51, got {qp}")
+        if gop is not None and gop > 1:
+            # GOP stream with device-resident reconstruction
+            from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+
+            if qp is not None:
+                return TpuGopEncoder(width, height, qp=qp, gop=gop,
+                                     overlap=overlap)
+            return TpuGopEncoder(width, height, qp=30, gop=gop,
+                                 bitrate_kbps=bitrate_kbps, fps=fps,
+                                 overlap=overlap)
         if qp is not None:
             return TpuCavlcEncoder(width, height, qp=qp, overlap=overlap)
         return TpuCavlcEncoder(width, height, qp=30,
@@ -425,4 +448,4 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         return _gi_encoder(width, height, fps, codec, bitrate_kbps)
     raise ValueError(
         f"unknown encoder backend {backend!r} (pcm[:slices]|"
-        "cavlc[:qp=N][:slices=M][:gop=N]|tpu[:qp=N][:overlap]|ffmpeg|gi|auto)")
+        "cavlc[:qp=N][:slices=M][:gop=N]|tpu[:qp=N][:gop=N][:overlap]|ffmpeg|gi|auto)")

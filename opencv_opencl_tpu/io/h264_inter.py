@@ -63,9 +63,12 @@ from opencv_opencl_tpu.io.h264_cavlc import (
     _mf_mat,
     _write_residual_block,
 )
-from opencv_opencl_tpu.io.h264_pcm import _BitWriter, _escape, _level_for
+from opencv_opencl_tpu.io.h264_pcm import (
+    _START4, _BitWriter, _escape, _level_for)
 
-__all__ = ["build_sps_gop", "encode_frame_p_slices", "GopCavlcEncoder"]
+__all__ = ["build_sps_gop", "encode_frame_p_slices",
+           "encode_frame_p_from_levels", "GopCavlcEncoder",
+           "TpuGopEncoder"]
 
 
 def build_sps_gop(width: int, height: int) -> bytes:
@@ -612,25 +615,274 @@ class GopCavlcEncoder:
         return [au]
 
     def _rate_control(self, used: int) -> None:
-        """Windowed proportional control in the QP domain: adjust only
-        once a full GOP of AU sizes is visible, against the windowed
-        mean (intra bits halve roughly every 6 QP, same constant as the
-        per-frame intra controller)."""
-        self._au_window.append(used)
-        if len(self._au_window) > self.gop:
-            self._au_window.pop(0)
-        if len(self._au_window) < self.gop:
-            return
-        mean = sum(self._au_window) / len(self._au_window)
-        target = self.bitrate_kbps * 1000 / 8 / self.fps
-        if mean > 1.15 * target or mean < 0.85 * target:
-            import math
-
-            delta = round(6 * math.log2(mean / target))
-            self.qp = min(51, max(10, self.qp + min(6, max(-3, delta))))
+        _gop_rate_control(self, used)  # shared sliding-window control
 
     def flush(self) -> list[bytes]:
         return []
+
+    def close(self) -> None:
+        pass
+
+
+def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
+                               acz: np.ndarray, czdc: np.ndarray,
+                               cacz: np.ndarray, qp: int,
+                               frame_num: int) -> list[bytes]:
+    """Entropy-code one P frame from PLevelArrays-layout arrays
+    (ops/h264_levels.encode_p_levels) into one slice NAL per MB row —
+    the TPU program's slice granularity.  Byte-identical to
+    ``encode_frame_p_slices(..., slices=mb_h)``
+    (tests/test_h264_inter_tpu.py); this is the CPU stage of the TPU
+    GOP path."""
+    mb_h, mb_w = mode.shape[:2]
+    nals = []
+    for mby in range(mb_h):
+        w = _BitWriter()
+        _slice_head_p(w, qp, frame_num, first_mb=mby * mb_w)
+        lnnz = np.zeros((4, mb_w * 4 + 1), dtype=np.int64)
+        cbnnz = np.zeros((2, mb_w * 2 + 1), dtype=np.int64)
+        crnnz = np.zeros_like(cbnnz)
+        skip_run = 0
+        for mbx in range(mb_w):
+            m = int(mode[mby, mbx])
+            nbx0 = mbx * 4 + 1
+            cnx0 = mbx * 2 + 1
+            left_ok = mbx > 0
+            if m == 0:
+                skip_run += 1
+                lnnz[:, nbx0:nbx0 + 4] = 0
+                cbnnz[:, cnx0:cnx0 + 2] = 0
+                crnnz[:, cnx0:cnx0 + 2] = 0
+                continue
+            a = acz[mby, mbx]            # (16, 16) [by*4+bx][raster]
+            ca = cacz[mby, mbx]          # (2, 4, 16)
+            cd = czdc[mby, mbx]          # (2, 4)
+            cbp_chroma = 2 if np.any(ca) else (1 if np.any(cd) else 0)
+            w.ue(skip_run)
+            skip_run = 0
+            if m == 2:
+                # I_16x16 inside the P slice (mb_type offset +5)
+                cbp_luma = bool(np.any(a))
+                w.ue(5 + 1 + 2 + 4 * cbp_chroma +
+                     12 * (1 if cbp_luma else 0))
+                w.ue(0)          # intra_chroma_pred_mode: DC
+                w.se(0)          # mb_qp_delta
+                nc = int(lnnz[0, nbx0 - 1]) if left_ok else 0
+                dcflat = zdc[mby, mbx]
+                _write_residual_block(
+                    w, [int(dcflat[i]) for i in _ZIGZAG], nc)
+                if cbp_luma:
+                    for bx, by in _BLOCK_SCAN:
+                        l_ok = left_ok if bx == 0 else True
+                        if by == 0:
+                            nc = (int(lnnz[0, nbx0 + bx - 1])
+                                  if l_ok else 0)
+                        else:
+                            na = (int(lnnz[by, nbx0 + bx - 1])
+                                  if l_ok else None)
+                            nb = int(lnnz[by - 1, nbx0 + bx])
+                            nc = ((na + nb + 1) >> 1
+                                  if na is not None else nb)
+                        flat = a[by * 4 + bx]
+                        tc = _write_residual_block(
+                            w, [int(flat[i]) for i in _ZIGZAG[1:]], nc)
+                        lnnz[by, nbx0 + bx] = tc
+                else:
+                    lnnz[:, nbx0:nbx0 + 4] = 0
+            else:
+                # P_L0_16x16, mvd (0,0); full 4x4 residual blocks
+                cbp_luma_bits = 0
+                for by in range(4):
+                    for bx in range(4):
+                        if np.any(a[by * 4 + bx]):
+                            q = (1 if bx >= 2 else 0) + \
+                                (2 if by >= 2 else 0)
+                            cbp_luma_bits |= 1 << q
+                cbp = cbp_luma_bits | (cbp_chroma << 4)
+                w.ue(0)
+                w.se(0).se(0)
+                w.ue(int(_CBP_INTER_CODENUM[cbp]))
+                w.se(0)
+                for bx, by in _BLOCK_SCAN:
+                    q = (1 if bx >= 2 else 0) + (2 if by >= 2 else 0)
+                    if not (cbp_luma_bits >> q) & 1:
+                        lnnz[by, nbx0 + bx] = 0
+                        continue
+                    l_ok = left_ok if bx == 0 else True
+                    if by == 0:
+                        nc = int(lnnz[0, nbx0 + bx - 1]) if l_ok else 0
+                    else:
+                        na = (int(lnnz[by, nbx0 + bx - 1])
+                              if l_ok else None)
+                        nb = int(lnnz[by - 1, nbx0 + bx])
+                        nc = (na + nb + 1) >> 1 if na is not None else nb
+                    flat = a[by * 4 + bx]
+                    tc = _write_residual_block(
+                        w, [int(flat[i]) for i in _ZIGZAG], nc)
+                    lnnz[by, nbx0 + bx] = tc
+            if cbp_chroma:
+                for comp in range(2):
+                    _write_residual_block(
+                        w, [int(v) for v in cd[comp]], -1)
+            for comp in range(2):
+                cnnz = cbnnz if comp == 0 else crnnz
+                if cbp_chroma == 2:
+                    for bx, by in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                        l_ok = left_ok if bx == 0 else True
+                        if by == 0:
+                            nc = (int(cnnz[0, cnx0 + bx - 1])
+                                  if l_ok else 0)
+                        else:
+                            na = (int(cnnz[by, cnx0 + bx - 1])
+                                  if l_ok else None)
+                            nb = int(cnnz[by - 1, cnx0 + bx])
+                            nc = ((na + nb + 1) >> 1
+                                  if na is not None else nb)
+                        flat = ca[comp, by * 2 + bx]
+                        tc = _write_residual_block(
+                            w, [int(flat[i]) for i in _ZIGZAG[1:]], nc)
+                        cnnz[by, cnx0 + bx] = tc
+                else:
+                    cnnz[:, cnx0:cnx0 + 2] = 0
+        if skip_run:
+            w.ue(skip_run)
+        w.trailing()
+        nals.append(bytes(
+            _escape(np.frombuffer(w.bytes(), dtype=np.uint8))))
+    return nals
+
+
+def _gop_rate_control(enc, used: int) -> None:
+    """Sliding full-GOP-window proportional QP control shared by the
+    GOP encoders: a lone IDR over the per-frame budget is EXPECTED, so
+    react only to the windowed mean (first window passes uncontrolled
+    while it fills)."""
+    enc._au_window.append(used)
+    if len(enc._au_window) > enc.gop:
+        enc._au_window.pop(0)
+    if len(enc._au_window) < enc.gop:
+        return
+    mean = sum(enc._au_window) / len(enc._au_window)
+    target = enc.bitrate_kbps * 1000 / 8 / enc.fps
+    if mean > 1.15 * target or mean < 0.85 * target:
+        import math
+
+        delta = round(6 * math.log2(mean / target))
+        enc.qp = min(51, max(10, enc.qp + min(6, max(-3, delta))))
+
+
+class TpuGopEncoder:
+    """Low-delay-P GOP encoder with ALL pixel arithmetic on the TPU and
+    the reference picture RESIDENT IN HBM (io.encoder protocol;
+    ``--encoder=tpu:gop=N``).
+
+    Per frame, exactly one device program runs — the intra level+recon
+    scan at GOP starts (ops/h264_levels.encode_levels full_recon), the
+    P program (encode_p_levels: per-MB skip/inter/intra decision,
+    elementwise inter path) otherwise — and only the quantized levels
+    ever come down to the host; the reconstruction chain that P frames
+    predict from never leaves the device (the old reference buffers are
+    donated to XLA each step).  The host does entropy coding only.
+    Byte-identical to ``GopCavlcEncoder(slices=mb_h)``
+    (tests/test_h264_inter_tpu.py) and decoder-conformance proven
+    through libavcodec.
+
+    ``overlap=True`` adds the depth-1 dispatch/entropy pipeline of
+    TpuCavlcEncoder (one frame of latency, bytes unchanged) — safe here
+    because the recon chain is a device-side dependency: dispatching
+    frame N only needs frame N-1's *dispatch*, not its entropy.
+    """
+
+    codec = "h264"
+
+    def __init__(self, width: int, height: int, qp: int = 30,
+                 gop: int = 30, bitrate_kbps: int | None = None,
+                 fps: float = 30.0, native: str = "auto",
+                 threads: int = 0, overlap: bool = False) -> None:
+        from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
+
+        if gop < 1:
+            raise ValueError(f"gop must be >= 1, got {gop}")
+        # the intra machinery (padding, native/python entropy, SPS/PPS
+        # plumbing) comes from the TPU intra encoder; we swap the SPS
+        # for the 1-reference GOP variant and drive our own GOP loop
+        self._intra = TpuCavlcEncoder(width, height, qp=qp,
+                                      native=native, threads=threads)
+        self._intra._sps = build_sps_gop(width, height)
+        self.width, self.height = width, height
+        self.qp = int(qp)
+        self.gop = int(gop)
+        self.bitrate_kbps = bitrate_kbps
+        self.fps = fps
+        self.frames = 0
+        self._frame_num = 0
+        self._recon = None
+        self._au_window: list[int] = []
+        self._overlap = bool(overlap)
+        self._pending = None
+
+        from opencv_opencl_tpu.ops.h264_levels import (
+            encode_levels_recon_jit, encode_p_levels_jit)
+
+        self._i_fn = encode_levels_recon_jit
+        self._p_fn = encode_p_levels_jit
+
+    def _dispatch(self, nv12: np.ndarray):
+        """Run the (async) device program for one frame; returns the
+        pending tuple (levels-on-device, kind, number, qp)."""
+        import jax.numpy as jnp
+
+        rows = self.height * 3 // 2
+        arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
+        padded, w16, h16 = self._intra._pad(arr)
+        y = jnp.asarray(padded[:h16])
+        uv = padded[h16:].reshape(h16 // 2, w16 // 2, 2)
+        cb, cr = jnp.asarray(uv[:, :, 0]), jnp.asarray(uv[:, :, 1])
+        qp = self.qp
+        if self.frames % self.gop == 0:
+            lv, ry, rcb, rcr = self._i_fn(y, cb, cr, jnp.int32(qp))
+            self._recon = (ry, rcb, rcr)
+            num = self._intra._idr_pic_id
+            self._intra._idr_pic_id ^= 1
+            self._frame_num = 1
+            pending = (lv, "i", num, qp)
+        else:
+            plv = self._p_fn(y, cb, cr, *self._recon, jnp.int32(qp))
+            self._recon = (plv.recon_y, plv.recon_cb, plv.recon_cr)
+            pending = (plv[:5], "p", self._frame_num, qp)
+            self._frame_num = (self._frame_num + 1) % 16
+        self.frames += 1
+        return pending
+
+    def _assemble(self, lv, kind: str, num: int, qp: int) -> bytes:
+        if kind == "i":
+            nals = self._intra._entropy_nals(lv, num, qp)
+            au = (_START4 + self._intra._sps + _START4 +
+                  self._intra._pps +
+                  b"".join(_START4 + bytes(n) for n in nals))
+        else:
+            mode, zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)
+            nals = encode_frame_p_from_levels(mode, zdc, acz, czdc,
+                                              cacz, qp, num)
+            au = b"".join(_START4 + bytes(n) for n in nals)
+        if self.bitrate_kbps:
+            _gop_rate_control(self, len(au))
+        return au
+
+    def encode(self, nv12: np.ndarray) -> list[bytes]:
+        pending = self._dispatch(nv12)
+        if not self._overlap:
+            return [self._assemble(*pending)]
+        prev, self._pending = self._pending, pending
+        if prev is None:
+            return []
+        return [self._assemble(*prev)]
+
+    def flush(self) -> list[bytes]:
+        prev, self._pending = self._pending, None
+        if prev is None:
+            return []
+        return [self._assemble(*prev)]
 
     def close(self) -> None:
         pass

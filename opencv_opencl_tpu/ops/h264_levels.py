@@ -44,6 +44,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["LevelArrays", "encode_levels", "encode_levels_jit",
+           "encode_levels_recon_jit", "PLevelArrays", "encode_p_levels",
+           "encode_p_levels_jit", "INTRA_BIAS",
            "PACKED_LANES", "pack_levels", "unpack_levels_host"]
 
 # Constants mirrored from io/h264_cavlc.py (the oracle).  _MF/_V per
@@ -138,6 +140,14 @@ def _inv4_2d(d: jax.Array) -> jax.Array:
     return pass1(pass1(d, -1), -2)
 
 
+def _inv_blocks(d: jax.Array) -> jax.Array:
+    """Inverse-transform every 4x4 block of a (mb_h, by, r, bx, c)
+    tensor: _inv4_2d works on the trailing (r, c) axes, so swap bx<->r
+    around it.  Output is the rounded residual ((x + 32) >> 6)."""
+    r = (_inv4_2d(d.transpose(0, 1, 3, 2, 4)) + 32) >> 6
+    return r.transpose(0, 1, 3, 2, 4)
+
+
 def _luma_dc_dequant(f: jax.Array, qp: jax.Array) -> jax.Array:
     """Spec 8.5.10 (oracle _luma_dc_dequant), branchless on traced qp.
     |f| <= 2063*16 = 33k, ls <= 288 -> f*ls <= 9.6M, << 2 max: int32."""
@@ -155,12 +165,19 @@ def _chroma_dc_dequant(f: jax.Array, qpc: jax.Array) -> jax.Array:
 
 
 def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
-                  qp: jax.Array) -> LevelArrays:
+                  qp: jax.Array, full_recon: bool = False):
     """Compute the quantized CAVLC levels of one 16-aligned frame with
     one-slice-per-MB-row semantics (top neighbor never available).
 
     y: (H, W) uint8 with H, W % 16 == 0; cb, cr: (H/2, W/2) uint8;
     qp: scalar int32 in [0, 51] (traced — one compile serves all QPs).
+
+    With ``full_recon`` (static), also returns the full reconstructed
+    planes ``(LevelArrays, ry, rcb, rcr)`` — the reference picture the
+    GOP encoder's P frames predict from (it stays on device).  The
+    default edge-only path is untouched: it reconstructs just the
+    right column each scan step (cheaper; the hardware-timed intra
+    configuration).
     """
     H, W = y.shape
     if H % 16 or W % 16:
@@ -224,6 +241,16 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         col = r[:, :, :, 3] + pred[:, :, 7:8].reshape(mb_h, 2, 4)
         return jnp.clip(col, 0, 255).reshape(mb_h, 8)
 
+    def chroma_full(czdc: jax.Array, acz: jax.Array, pred: jax.Array,
+                    ) -> jax.Array:
+        """Full 8x8 recon (mb_h, 8, 8) of one chroma comp."""
+        cdcd = _chroma_dc_dequant(_h2_2d(czdc), qpc)
+        d = (acz * v_c[None, None, :, None, :]) << (qpc // 6)
+        d = d.at[:, :, 0, :, 0].set(cdcd)      # DC of each (by, bx)
+        r = _inv_blocks(d)                     # (mb_h, by, r, bx, c)
+        full = jnp.clip(r + pred.reshape(mb_h, 2, 4, 2, 4), 0, 255)
+        return full.reshape(mb_h, 8, 8)
+
     def step(carry, xs):
         y_edge, cb_edge, cr_edge = carry      # recon right cols (int32)
         ysrc, cbsrc, crsrc, mbx = xs
@@ -247,15 +274,29 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         czdc_cb, acz_cb, pred_cb, _ = chroma_mb(cbsrc, cb_edge, left_ok)
         czdc_cr, acz_cr, pred_cr, _ = chroma_mb(crsrc, cr_edge, left_ok)
 
-        # ---- reconstruct ONLY the right edge for the next column
         dcd = _luma_dc_dequant(_h1d(_h1d(zdc, 1), 2), qp)
-        d = (acz[:, :, :, 3, :] * v_y) << (qp // 6)     # bx=3 blocks
-        d = d.at[:, :, 0, 0].set(dcd[:, :, 3])
-        r = (_inv4_2d(d) + 32) >> 6                     # (mb_h, 4, 4, 4)
-        ycol = jnp.clip(r[:, :, :, 3] + pred[:, None, None], 0, 255)
-        y_edge = ycol.reshape(mb_h, 16)
-        cb_edge = chroma_edge(czdc_cb, acz_cb, pred_cb)
-        cr_edge = chroma_edge(czdc_cr, acz_cr, pred_cr)
+        if full_recon:
+            # ---- full reconstruction (GOP mode: the next frame's
+            # reference); the right edges fall out of it for free
+            d = (acz * v_y[None, None, :, None, :]) << (qp // 6)
+            d = d.at[:, :, 0, :, 0].set(dcd)
+            ry_mb = jnp.clip(
+                _inv_blocks(d) + pred[:, None, None, None, None],
+                0, 255).reshape(mb_h, 16, 16)
+            rcb_mb = chroma_full(czdc_cb, acz_cb, pred_cb)
+            rcr_mb = chroma_full(czdc_cr, acz_cr, pred_cr)
+            y_edge = ry_mb[:, :, 15]
+            cb_edge = rcb_mb[:, :, 7]
+            cr_edge = rcr_mb[:, :, 7]
+        else:
+            # ---- reconstruct ONLY the right edge for the next column
+            d = (acz[:, :, :, 3, :] * v_y) << (qp // 6)  # bx=3 blocks
+            d = d.at[:, :, 0, 0].set(dcd[:, :, 3])
+            r = (_inv4_2d(d) + 32) >> 6                  # (mb_h,4,4,4)
+            ycol = jnp.clip(r[:, :, :, 3] + pred[:, None, None], 0, 255)
+            y_edge = ycol.reshape(mb_h, 16)
+            cb_edge = chroma_edge(czdc_cb, acz_cb, pred_cb)
+            cr_edge = chroma_edge(czdc_cr, acz_cr, pred_cr)
 
         out = (zdc.reshape(mb_h, 16).astype(jnp.int16),
                acz.transpose(0, 1, 3, 2, 4)       # -> [by, bx, r, c]
@@ -266,21 +307,280 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                    [acz_cb.transpose(0, 1, 3, 2, 4),
                     acz_cr.transpose(0, 1, 3, 2, 4)], axis=1)
                .reshape(mb_h, 2, 4, 16).astype(jnp.int16))
+        if full_recon:
+            out = out + (ry_mb.astype(jnp.uint8),
+                         rcb_mb.astype(jnp.uint8),
+                         rcr_mb.astype(jnp.uint8))
         return (y_edge, cb_edge, cr_edge), out
 
     init = (jnp.zeros((mb_h, 16), jnp.int32),
             jnp.zeros((mb_h, 8), jnp.int32),
             jnp.zeros((mb_h, 8), jnp.int32))
     xs = (ycols, cbcols, crcols, jnp.arange(mb_w, dtype=jnp.int32))
-    _, (zdc, acz, czdc, cacz) = jax.lax.scan(step, init, xs)
+    _, outs = jax.lax.scan(step, init, xs)
     # scan stacks on axis 0 = mb_w; entropy wants (mb_h, mb_w, ...)
-    return LevelArrays(zdc.transpose(1, 0, 2),
-                       acz.transpose(1, 0, 2, 3),
-                       czdc.transpose(1, 0, 2, 3),
-                       cacz.transpose(1, 0, 2, 3, 4))
+    lv = LevelArrays(outs[0].transpose(1, 0, 2),
+                     outs[1].transpose(1, 0, 2, 3),
+                     outs[2].transpose(1, 0, 2, 3),
+                     outs[3].transpose(1, 0, 2, 3, 4))
+    if not full_recon:
+        return lv
+    ry, rcb, rcr = outs[4], outs[5], outs[6]   # (mb_w, mb_h, n, n)
+    return (lv,
+            ry.transpose(1, 2, 0, 3).reshape(H, W),
+            rcb.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
+            rcr.transpose(1, 2, 0, 3).reshape(H // 2, W // 2))
 
 
 encode_levels_jit = jax.jit(encode_levels)
+encode_levels_recon_jit = jax.jit(
+    lambda y, cb, cr, qp: encode_levels(y, cb, cr, qp, full_recon=True))
+
+INTRA_BIAS = 8  # intra syntax overhead in cost-proxy units (oracle
+#                 io.h264_inter._INTRA_BIAS — the two MUST stay equal)
+
+
+class PLevelArrays(NamedTuple):
+    """Per-MB chosen-mode levels of one P frame (raster layouts like
+    LevelArrays) plus the mode plane and the full reconstruction.
+
+    mode: (mb_h, mb_w) int16 — 0 P_Skip, 1 P_L0_16x16, 2 I_16x16.
+    zdc:  (mb_h, mb_w, 16)      intra luma DC (zeros for inter/skip)
+    acz:  (mb_h, mb_w, 16, 16)  intra: AC with DC slot zeroed;
+                                inter: FULL 4x4 levels; skip: zeros
+    czdc: (mb_h, mb_w, 2, 4)
+    cacz: (mb_h, mb_w, 2, 4, 16)
+    recon_y/cb/cr: full reconstructed planes (uint8) — the next
+        frame's reference; stays on device in the GOP encoder.
+    """
+
+    mode: jax.Array
+    zdc: jax.Array
+    acz: jax.Array
+    czdc: jax.Array
+    cacz: jax.Array
+    recon_y: jax.Array
+    recon_cb: jax.Array
+    recon_cr: jax.Array
+
+
+def _cost_of(*arrays):
+    """CAVLC bit-cost proxy: sum of 2|l| + (l != 0) over every
+    coefficient, reduced over all but the leading MB-row axis — MUST
+    match the oracle's io.h264_inter._cost exactly (the mode decision
+    is part of the byte-exactness contract)."""
+    total = 0
+    for a in arrays:
+        aa = jnp.abs(a)
+        total = total + jnp.sum(2 * aa + (aa != 0).astype(jnp.int32),
+                                axis=tuple(range(1, a.ndim)))
+    return total
+
+
+def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
+                    ry: jax.Array, rcb: jax.Array, rcr: jax.Array,
+                    qp: jax.Array) -> PLevelArrays:
+    """Levels + mode decisions + reconstruction of one zero-motion P
+    frame with one slice per MB row (oracle:
+    io.h264_inter.encode_frame_p_slices at slices=mb_h; byte-identity
+    proven in tests/test_h264_inter_tpu.py).
+
+    y: (H, W) uint8 16-aligned source; cb/cr: (H/2, W/2) uint8;
+    ry/rcb/rcr: reconstructed previous picture (uint8, same shapes —
+    what this function or encode_levels(full_recon=True) returned);
+    qp: traced scalar int32.
+
+    Structure: the inter candidate is PURE elementwise work (prediction
+    reads the previous picture, not spatial neighbors); only the intra
+    candidate's left-edge prediction forces the scan over MB columns.
+    All int32 VPU arithmetic, like the intra program.
+    """
+    H, W = y.shape
+    if H % 16 or W % 16:
+        raise ValueError("encode_p_levels requires 16-aligned frames")
+    mb_h, mb_w = H // 16, W // 16
+    qp = jnp.asarray(qp, jnp.int32)
+    qpc = jnp.asarray(_QPC_TAB)[jnp.clip(qp, 0, 51)]
+
+    mf_y = jnp.asarray(_MF_TAB)[qp % 6][jnp.asarray(_POS_CLASS)]
+    mf_c = jnp.asarray(_MF_TAB)[qpc % 6][jnp.asarray(_POS_CLASS)]
+    v_y = jnp.asarray(_V_TAB)[qp % 6][jnp.asarray(_POS_CLASS)]
+    v_c = jnp.asarray(_V_TAB)[qpc % 6][jnp.asarray(_POS_CLASS)]
+    qbits = 15 + qp // 6
+    qbits_c = 15 + qpc // 6
+    f_y_i = (1 << qbits) // 3           # intra rounding offset
+    f_c_i = (1 << qbits_c) // 3
+    f_y_p = (1 << qbits) // 6           # inter rounding offset
+    f_c_p = (1 << qbits_c) // 6
+    mf0_y = jnp.asarray(_MF_TAB)[qp % 6][0]
+    mf0_c = jnp.asarray(_MF_TAB)[qpc % 6][0]
+
+    def cols(a, n):
+        return (a.reshape(mb_h, n, mb_w, n).transpose(2, 0, 1, 3)
+                .astype(jnp.int32))
+
+    ycols, cbcols, crcols = cols(y, 16), cols(cb, 8), cols(cr, 8)
+    rycols, rcbcols, rcrcols = cols(ry, 16), cols(rcb, 8), cols(rcr, 8)
+
+    def chroma_intra(srcmb, edge, left_ok):
+        v0 = (jnp.sum(edge[:, 0:4], axis=1) + 2) >> 2
+        v1 = (jnp.sum(edge[:, 4:8], axis=1) + 2) >> 2
+        v0 = jnp.where(left_ok, v0, 128)
+        v1 = jnp.where(left_ok, v1, 128)
+        pred = jnp.concatenate(
+            [jnp.broadcast_to(v0[:, None, None], (mb_h, 4, 8)),
+             jnp.broadcast_to(v1[:, None, None], (mb_h, 4, 8))], axis=1)
+        res = srcmb - pred
+        t = _cf1d(_cf1d(res.reshape(mb_h, 2, 4, 2, 4), 2), 4)
+        cwdc = t[:, :, 0, :, 0]
+        acz = _quant(t, mf_c, f_c_i, qbits_c)
+        acz = acz.at[:, :, 0, :, 0].set(0)
+        fdc = _h2_2d(cwdc)
+        zq = (jnp.abs(fdc) * mf0_c + 2 * f_c_i) >> (qbits_c + 1)
+        czdc = jnp.clip(jnp.sign(fdc) * zq, -_LEVEL_CLAMP, _LEVEL_CLAMP)
+        return czdc, acz, pred
+
+    def chroma_inter(srcmb, refmb):
+        res = srcmb - refmb
+        t = _cf1d(_cf1d(res.reshape(mb_h, 2, 4, 2, 4), 2), 4)
+        cwdc = t[:, :, 0, :, 0]
+        acz = _quant(t, mf_c, f_c_p, qbits_c)
+        acz = acz.at[:, :, 0, :, 0].set(0)
+        fdc = _h2_2d(cwdc)
+        zq = (jnp.abs(fdc) * mf0_c + 2 * f_c_p) >> (qbits_c + 1)
+        czdc = jnp.clip(jnp.sign(fdc) * zq, -_LEVEL_CLAMP, _LEVEL_CLAMP)
+        return czdc, acz
+
+    def chroma_recon(czdc, acz, pred):
+        cdcd = _chroma_dc_dequant(_h2_2d(czdc), qpc)
+        d = (acz * v_c[None, None, :, None, :]) << (qpc // 6)
+        d = d.at[:, :, 0, :, 0].set(cdcd)
+        full = jnp.clip(_inv_blocks(d) + pred.reshape(mb_h, 2, 4, 2, 4),
+                        0, 255)
+        return full.reshape(mb_h, 8, 8)
+
+    def step(carry, xs):
+        y_edge, cb_edge, cr_edge = carry
+        ysrc, cbsrc, crsrc, yref, cbref, crref, mbx = xs
+        left_ok = mbx > 0
+
+        # ---------- intra candidate (identical math to encode_levels)
+        ipred = jnp.where(left_ok,
+                          (jnp.sum(y_edge, axis=1) + 8) >> 4, 128)
+        t_i = _cf1d(_cf1d((ysrc - ipred[:, None, None])
+                          .reshape(mb_h, 4, 4, 4, 4), 2), 4)
+        wdc = t_i[:, :, 0, :, 0]
+        acz_i = _quant(t_i, mf_y, f_y_i, qbits)
+        acz_i = acz_i.at[:, :, 0, :, 0].set(0)
+        ydc = _h1d(_h1d(wdc, 1), 2) >> 1
+        zq = (jnp.abs(ydc) * mf0_y + 2 * f_y_i) >> (qbits + 1)
+        zdc_i = jnp.clip(jnp.sign(ydc) * zq, -_LEVEL_CLAMP, _LEVEL_CLAMP)
+        czdc_cb_i, cacz_cb_i, pred_cb_i = chroma_intra(
+            cbsrc, cb_edge, left_ok)
+        czdc_cr_i, cacz_cr_i, pred_cr_i = chroma_intra(
+            crsrc, cr_edge, left_ok)
+
+        # ---------- inter candidate (pure elementwise vs reference)
+        t_p = _cf1d(_cf1d((ysrc - yref).reshape(mb_h, 4, 4, 4, 4),
+                          2), 4)
+        lz = _quant(t_p, mf_y, f_y_p, qbits)    # full blocks, DC incl.
+        czdc_cb_p, cacz_cb_p = chroma_inter(cbsrc, cbref)
+        czdc_cr_p, cacz_cr_p = chroma_inter(crsrc, crref)
+
+        # ---------- decision (oracle order: skip first, then cost)
+        cost_p = _cost_of(lz, czdc_cb_p, czdc_cr_p, cacz_cb_p, cacz_cr_p)
+        cost_i = _cost_of(zdc_i, acz_i, czdc_cb_i, czdc_cr_i,
+                          cacz_cb_i, cacz_cr_i) + INTRA_BIAS
+        skip = cost_p == 0
+        use_intra = jnp.logical_and(~skip, cost_i < cost_p)
+        mode = jnp.where(skip, 0, jnp.where(use_intra, 2, 1)
+                         ).astype(jnp.int16)
+
+        # ---------- reconstructions of both candidates
+        dcd = _luma_dc_dequant(_h1d(_h1d(zdc_i, 1), 2), qp)
+        d_i = (acz_i * v_y[None, None, :, None, :]) << (qp // 6)
+        d_i = d_i.at[:, :, 0, :, 0].set(dcd)
+        recon_y_i = jnp.clip(
+            _inv_blocks(d_i) + ipred[:, None, None, None, None], 0, 255)
+        d_p = (lz * v_y[None, None, :, None, :]) << (qp // 6)
+        recon_y_p = jnp.clip(
+            _inv_blocks(d_p) + yref.reshape(mb_h, 4, 4, 4, 4), 0, 255)
+
+        m4 = mode.astype(jnp.int32)[:, None, None, None, None]
+        recon_y_mb = jnp.where(
+            m4 == 2, recon_y_i,
+            jnp.where(m4 == 1, recon_y_p,
+                      yref.reshape(mb_h, 4, 4, 4, 4))
+        ).reshape(mb_h, 16, 16)       # (by, r, bx, c) merges to 16x16
+
+        recon_cb_i = chroma_recon(czdc_cb_i, cacz_cb_i, pred_cb_i)
+        recon_cr_i = chroma_recon(czdc_cr_i, cacz_cr_i, pred_cr_i)
+        recon_cb_p = chroma_recon(czdc_cb_p, cacz_cb_p,
+                                  cbref.reshape(mb_h, 8, 8))
+        recon_cr_p = chroma_recon(czdc_cr_p, cacz_cr_p,
+                                  crref.reshape(mb_h, 8, 8))
+        m3 = mode.astype(jnp.int32)[:, None, None]
+        recon_cb = jnp.where(m3 == 2, recon_cb_i,
+                             jnp.where(m3 == 1, recon_cb_p,
+                                       cbref.reshape(mb_h, 8, 8)))
+        recon_cr = jnp.where(m3 == 2, recon_cr_i,
+                             jnp.where(m3 == 1, recon_cr_p,
+                                       crref.reshape(mb_h, 8, 8)))
+
+        # ---------- chosen-mode level outputs
+        m2 = mode.astype(jnp.int32)
+        acz_sel = jnp.where(m4 == 2, acz_i, jnp.where(m4 == 1, lz, 0))
+        czdc_cb = jnp.where((m2 == 2)[:, None, None], czdc_cb_i,
+                            jnp.where((m2 == 1)[:, None, None],
+                                      czdc_cb_p, 0))
+        czdc_cr = jnp.where((m2 == 2)[:, None, None], czdc_cr_i,
+                            jnp.where((m2 == 1)[:, None, None],
+                                      czdc_cr_p, 0))
+        cacz_cb = jnp.where(m4 == 2, cacz_cb_i,
+                            jnp.where(m4 == 1, cacz_cb_p, 0))
+        cacz_cr = jnp.where(m4 == 2, cacz_cr_i,
+                            jnp.where(m4 == 1, cacz_cr_p, 0))
+        zdc_flat = jnp.where((m2 == 2)[:, None],
+                             zdc_i.reshape(mb_h, 16), 0)
+
+        out = (mode,
+               zdc_flat.astype(jnp.int16),
+               acz_sel.transpose(0, 1, 3, 2, 4)
+               .reshape(mb_h, 16, 16).astype(jnp.int16),
+               jnp.stack([czdc_cb, czdc_cr], axis=1)
+               .reshape(mb_h, 2, 4).astype(jnp.int16),
+               jnp.stack([cacz_cb.transpose(0, 1, 3, 2, 4),
+                          cacz_cr.transpose(0, 1, 3, 2, 4)], axis=1)
+               .reshape(mb_h, 2, 4, 16).astype(jnp.int16),
+               recon_y_mb.astype(jnp.uint8),
+               recon_cb.astype(jnp.uint8),
+               recon_cr.astype(jnp.uint8))
+        return (recon_y_mb[:, :, 15].astype(jnp.int32),
+                recon_cb[:, :, 7].astype(jnp.int32),
+                recon_cr[:, :, 7].astype(jnp.int32)), out
+
+    init = (jnp.zeros((mb_h, 16), jnp.int32),
+            jnp.zeros((mb_h, 8), jnp.int32),
+            jnp.zeros((mb_h, 8), jnp.int32))
+    xs = (ycols, cbcols, crcols, rycols, rcbcols, rcrcols,
+          jnp.arange(mb_w, dtype=jnp.int32))
+    _, (mode, zdc, acz, czdc, cacz, ryo, rcbo, rcro) = jax.lax.scan(
+        step, init, xs)
+    return PLevelArrays(
+        mode.transpose(1, 0),
+        zdc.transpose(1, 0, 2),
+        acz.transpose(1, 0, 2, 3),
+        czdc.transpose(1, 0, 2, 3),
+        cacz.transpose(1, 0, 2, 3, 4),
+        ryo.transpose(1, 2, 0, 3).reshape(H, W),
+        rcbo.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
+        rcro.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
+    )
+
+
+# old reference planes are dead once the new recon exists: donate them
+encode_p_levels_jit = jax.jit(encode_p_levels, donate_argnums=(3, 4, 5))
+
 
 # One packed int16 lane vector per macroblock: 16 luma DC + 256 luma AC
 # + 8 chroma DC + 128 chroma AC = 408 levels, plus the QP the levels

@@ -1,0 +1,147 @@
+"""TPU GOP path (ops/h264_levels.encode_p_levels + TpuGopEncoder).
+
+Contract chain: the TPU P program (per-MB skip/inter/intra decision,
+device-resident reconstruction) must be BYTE-IDENTICAL to
+``GopCavlcEncoder(slices=mb_h)`` — the per-MB-row oracle — which is
+decoder-conformance proven in tests/test_h264_inter.py.  On CPU the jit
+runs on the virtual backend; the arithmetic is integer-only, so the
+platform cannot change the bytes (hardware re-validation:
+scripts/tpu_r3_pframe.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.io.h264_inter import GopCavlcEncoder, TpuGopEncoder
+
+
+def gop_frames(w, h, n, seed=0):
+    """Mixed content: static background + moving insert + one scene
+    cut, so skip, inter and intra MBs all occur."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+    out = []
+    for i in range(n):
+        f = base.copy()
+        if i >= 1:
+            f[5:25, 8 + 4 * i:40 + 4 * i] = rng.integers(
+                0, 256, (20, 32), np.uint8)
+        if i == n - 2:  # scene cut: intra MBs win
+            f[:h // 2] = rng.integers(0, 256, (h // 2, w), np.uint8)
+        out.append(f)
+    return out
+
+
+class TestTpuGopParity:
+    @pytest.mark.parametrize("w,h,qp", [(96, 64, 28), (100, 56, 35)])
+    def test_stream_byte_identical_to_oracle(self, w, h, qp):
+        mb_h = -(-h // 16)
+        frames = gop_frames(w, h, 6, seed=qp)
+        tpu = TpuGopEncoder(w, h, qp=qp, gop=3)
+        oracle = GopCavlcEncoder(w, h, qp=qp, gop=3, slices=mb_h)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
+
+    def test_overlap_shifts_by_one_frame_bytes_unchanged(self):
+        w, h = 96, 64
+        frames = gop_frames(w, h, 5, seed=3)
+        sync = TpuGopEncoder(w, h, qp=30, gop=3)
+        want = [au for f in frames for au in sync.encode(f)]
+        pipe = TpuGopEncoder(w, h, qp=30, gop=3, overlap=True)
+        assert pipe.encode(frames[0]) == []
+        got = [au for f in frames[1:] for au in pipe.encode(f)]
+        got += pipe.flush()
+        assert got == want
+        assert pipe.flush() == []
+
+    def test_recon_stays_on_device(self):
+        """The reference picture must never round-trip to host: the
+        stored recon planes are device arrays."""
+        import jax
+
+        w, h = 96, 64
+        enc = TpuGopEncoder(w, h, qp=30, gop=4)
+        for f in gop_frames(w, h, 2, seed=1):
+            enc.encode(f)
+        assert all(isinstance(p, jax.Array) for p in enc._recon)
+
+    def test_conformance_through_libavcodec(self, tmp_path):
+        import cv2
+
+        w, h = 96, 64
+        frames = gop_frames(w, h, 5, seed=7)
+        enc = TpuGopEncoder(w, h, qp=26, gop=5)
+        aus, recons = [], []
+        for f in frames:
+            aus.extend(enc.encode(f))
+            recons.append(np.asarray(enc._recon[0]))
+        p = tmp_path / "tpu_gop.h264"
+        p.write_bytes(b"".join(aus) + aus[-1])
+        cap = cv2.VideoCapture(str(p))
+        assert cap.isOpened()
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        for i in range(5):
+            ok, d = cap.read()
+            assert ok, i
+            assert np.array_equal(d[:h, :w], recons[i][:h, :w]), i
+        cap.release()
+
+    def test_gop_validation(self):
+        with pytest.raises(ValueError, match="gop"):
+            TpuGopEncoder(96, 64, gop=0)
+
+
+class TestEncoderBoundaryTpuGop:
+    def test_make_encoder_tpu_gop(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+        from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
+
+        enc = make_encoder("tpu:qp=30:gop=5", 96, 64)
+        assert isinstance(enc, TpuGopEncoder) and enc.gop == 5
+        enc2 = make_encoder("tpu:gop=4:overlap", 96, 64,
+                            bitrate_kbps=300)
+        assert isinstance(enc2, TpuGopEncoder) and enc2._overlap
+        assert enc2.bitrate_kbps == 300
+        # gop=1 stays the all-IDR TPU encoder
+        enc3 = make_encoder("tpu:qp=30:gop=1", 96, 64)
+        assert type(enc3) is TpuCavlcEncoder
+        with pytest.raises(ValueError):
+            make_encoder("tpu:gop=0", 96, 64)
+        with pytest.raises(ValueError):
+            make_encoder("tpu:gop=x", 96, 64)
+
+    def test_rate_control_windowed(self):
+        w, h = 96, 64
+        enc = TpuGopEncoder(w, h, gop=3, bitrate_kbps=30, fps=30.0)
+        qp0 = enc.qp
+        frames = gop_frames(w, h, 3, seed=2)
+        enc.encode(frames[0])
+        assert enc.qp == qp0            # window not full yet
+        enc.encode(frames[1])
+        enc.encode(frames[2])
+        assert enc.qp > qp0             # noisy IDR blows the mean
+
+
+class TestFullReconVariant:
+    def test_intra_full_recon_matches_oracle(self):
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_cavlc import (
+            encode_frame_cavlc_slices)
+        from opencv_opencl_tpu.ops.h264_levels import (
+            encode_levels_recon_jit)
+
+        w, h, qp = 96, 64, 24
+        f = gop_frames(w, h, 1, seed=9)[0]
+        _, want = encode_frame_cavlc_slices(f, w, h, qp, slices=h // 16,
+                                            return_recon=True)
+        uv = f[h:].reshape(h // 2, w // 2, 2)
+        lv, ry, rcb, rcr = encode_levels_recon_jit(
+            jnp.asarray(f[:h]), jnp.asarray(uv[:, :, 0]),
+            jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
+        assert np.array_equal(np.asarray(ry, np.int64), want[0])
+        assert np.array_equal(np.asarray(rcb, np.int64), want[1])
+        assert np.array_equal(np.asarray(rcr, np.int64), want[2])
