@@ -257,6 +257,8 @@ def run(argv: list[str]) -> int:
 
     process_fn = enhancer.process_batch
     fused = bool(opts.get("fused-encode"))
+    fused_gop = False
+    fused_reset = None
     if fused:
         from opencv_opencl_tpu.io.encoder import EncodedRtpSink
 
@@ -269,20 +271,44 @@ def run(argv: list[str]) -> int:
             return 2
         import jax.numpy as jnp
 
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
         from opencv_opencl_tpu.models.fused_encode import (
-            build_enhance_levels_fn)
+            build_enhance_gop_fn, build_enhance_levels_fn)
 
-        fused_fn = build_enhance_levels_fn(cfg, spec)
         enc = sink.encoder
+        fused_gop = isinstance(enc, TpuGopEncoder)
+        if fused_gop:
+            # GOP: the device programs chain recon/frame-index state
+            # across batches; padding would advance it on fake frames
+            fused_fn = build_enhance_gop_fn(cfg, spec, enc.gop)
+            fstate = {"recon": enc.initial_recon(), "idx": 0}
 
-        def process_fn(nv12_batch):
-            # qp is read at dispatch time and rides in-band in the packed
-            # levels, so the retire-side entropy coder always writes the
-            # slice-header qp the levels were actually quantized with
-            return fused_fn(nv12_batch, jnp.int32(enc.qp))
+            def process_fn(nv12_batch):
+                packed, ry, rcb, rcr = fused_fn(
+                    nv12_batch, jnp.int32(enc.qp), fstate["idx"],
+                    *fstate["recon"])
+                fstate["recon"] = (ry, rcb, rcr)
+                fstate["idx"] += int(nv12_batch.shape[0])
+                return packed
+
+            def fused_reset():
+                # warmup ran dummy frames through the stateful chain
+                fstate["recon"] = enc.initial_recon()
+                fstate["idx"] = 0
+        else:
+            fused_fn = build_enhance_levels_fn(cfg, spec)
+
+            def process_fn(nv12_batch):
+                # qp is read at dispatch time and rides in-band in the
+                # packed levels, so the retire-side entropy coder always
+                # writes the slice-header qp the levels were actually
+                # quantized with
+                return fused_fn(nv12_batch, jnp.int32(enc.qp))
 
         print("Fused enhance+encode: frames stay in HBM as pixels; the "
-              "host receives quantized levels only")
+              "host receives quantized levels only"
+              + (f" (GOP {enc.gop}, recon resident in HBM)"
+                 if fused_gop else ""))
 
     def on_output(seq, frame, meta):
         if fused:
@@ -298,6 +324,7 @@ def run(argv: list[str]) -> int:
     feeder = FrameFeeder(
         process_fn, batch_size=batch, depth=workers,
         on_output=on_output, counters=counters,
+        pad_batches=not fused_gop,  # GOP chain must not see fake frames
         native_staging=((spec.buffer_rows, spec.width)
                         if opts.get("native") else False),
     )
@@ -313,6 +340,9 @@ def run(argv: list[str]) -> int:
         # warmup ran zero frames through the stateful streaming enhancer —
         # restore the documented identity-like initial histogram state
         enhancer.reset()
+    if fused_reset is not None:
+        # same for the fused-GOP device state (recon + frame index)
+        fused_reset()
     staging = "native C++ ring" if feeder._native is not None else "python queue"
     print(f"NV12 {op} relay pipeline started "
           f"({spec.width}x{spec.height}@{fps:g}, codec={codec}, "

@@ -886,3 +886,55 @@ class TpuGopEncoder:
 
     def close(self) -> None:
         pass
+
+
+# fused-GOP interface of TpuGopEncoder (relay --fused-encode): the
+# device side lives in models/fused_encode.build_enhance_gop_fn; the
+# encoder only assembles AUs from the packed levels coming down.
+
+def _tpu_gop_initial_recon(self):
+    """Zero device recon planes to seed the fused-GOP dispatch chain
+    (frame 0 is an IDR, so the P branch never reads them)."""
+    import jax.numpy as jnp
+
+    w16 = -(-self.width // 16) * 16
+    h16 = -(-self.height // 16) * 16
+    return (jnp.zeros((h16, w16), jnp.uint8),
+            jnp.zeros((h16 // 2, w16 // 2), jnp.uint8),
+            jnp.zeros((h16 // 2, w16 // 2), jnp.uint8))
+
+
+def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
+    """Assemble one access unit from a fused GOP program's packed level
+    tensor (GOP_PACKED_LANES = 409 + the mode lane: -1 marks an IDR
+    frame).  Must be called in stream order — frame_num / idr_pic_id
+    advance per call, mirroring the device-side idx chain."""
+    from opencv_opencl_tpu.ops.h264_levels import unpack_levels_host
+
+    packed = np.asarray(packed)
+    if packed.shape[-1] != 410:
+        raise ValueError(
+            f"fused GOP packed levels have {packed.shape[-1]} lanes, "
+            "expected 410")
+    lv, qp = unpack_levels_host(packed[:, :, :409])
+    mode = packed[:, :, 409]
+    self.frames += 1
+    if mode[0, 0] == -1:  # IDR frame marker
+        num = self._intra._idr_pic_id
+        self._intra._idr_pic_id ^= 1
+        self._frame_num = 1
+        nals = self._intra._entropy_nals(lv, num, qp)
+        au = (_START4 + self._intra._sps + _START4 + self._intra._pps +
+              b"".join(_START4 + bytes(n) for n in nals))
+    else:
+        nals = encode_frame_p_from_levels(mode, lv.zdc, lv.acz, lv.czdc,
+                                          lv.cacz, qp, self._frame_num)
+        self._frame_num = (self._frame_num + 1) % 16
+        au = b"".join(_START4 + bytes(n) for n in nals)
+    if self.bitrate_kbps:
+        _gop_rate_control(self, len(au))
+    return [au]
+
+
+TpuGopEncoder.initial_recon = _tpu_gop_initial_recon
+TpuGopEncoder.encode_from_packed = _tpu_gop_encode_from_packed

@@ -37,9 +37,16 @@ import jax.numpy as jnp
 
 from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
 from opencv_opencl_tpu.models.enhancer import EnhancerConfig, make_enhance_y
-from opencv_opencl_tpu.ops.h264_levels import encode_levels, pack_levels
+from opencv_opencl_tpu.ops.h264_levels import (
+    LevelArrays, encode_levels, encode_p_levels, pack_levels)
 
-__all__ = ["build_enhance_levels_fn"]
+__all__ = ["build_enhance_levels_fn", "build_enhance_gop_fn",
+           "GOP_PACKED_LANES"]
+
+# GOP packing = the intra packing (408 levels + qp) + a mode lane:
+# per-MB 0/1/2 (P_Skip / P_L0_16x16 / I_16x16) on P frames, -1 on IDR
+# frames (the frame-type marker the host entropy stage dispatches on).
+GOP_PACKED_LANES = 410
 
 
 def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
@@ -82,3 +89,85 @@ def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
         return packed.reshape(n, mbh, mbw, -1)
 
     return jax.jit(fn)
+
+
+def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int):
+    """Fused enhance + low-delay-P GOP encode: returns a jitted
+    ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32, idx0: int32,
+    ry, rcb, rcr) -> (int16[N, mb_h, mb_w, 410], ry', rcb', rcr')``.
+
+    The whole video encoder front half runs as ONE device program per
+    batch: enhancement, then per frame either the intra level+recon
+    scan (at GOP starts: ``(idx0 + i) % gop == 0``) or the P program
+    (per-MB skip/inter/intra decisions) under ``lax.cond``, chained by
+    a ``lax.scan`` over the batch because each P frame predicts from
+    the previous frame's reconstruction — which therefore NEVER leaves
+    HBM (the old recon buffers are donated).  The host receives only
+    packed levels (+ in-band qp and mode lanes) and entropy-codes.
+
+    Stream-order caveat: the recon/idx chain advances once per frame
+    fed through this function, so the caller must NOT pad batches with
+    repeated frames (relay --fused-encode sets pad_batches=False for
+    GOP encoders).
+    """
+    if cfg.use_ref_frame:
+        raise ValueError(
+            "fused encode does not support the ref-frame streaming "
+            "modes (their histogram state lives outside the batch fn)")
+    if gop < 2:
+        raise ValueError("fused GOP needs gop >= 2 (gop=1 is the "
+                         "all-IDR fused path: build_enhance_levels_fn)")
+    h, w = spec.height, spec.width
+    h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
+    mbh, mbw = h16 // 16, w16 // 16
+    enhance_y, _ = make_enhance_y(cfg, spec)
+
+    def pack_gop(lv: LevelArrays, qp, mode):
+        base = pack_levels(lv, qp)                  # (mbh, mbw, 409)
+        return jnp.concatenate(
+            [base, mode.astype(jnp.int16)[:, :, None]], axis=-1)
+
+    def fn(nv12_batch, qp, idx0, ry, rcb, rcr):
+        n = nv12_batch.shape[0]
+        y = enhance_y(nv12_batch[:, :h, :])
+        uv = nv12_batch[:, h:, :]
+        if cfg.chroma == ChromaPolicy.GRAY:
+            uv = jnp.full_like(uv, 128)
+        cbcr = uv.reshape(n, h // 2, w // 2, 2)
+        if h16 != h or w16 != w:
+            y = jnp.pad(y, ((0, 0), (0, h16 - h), (0, w16 - w)),
+                        mode="edge")
+            cbcr = jnp.pad(
+                cbcr, ((0, 0), (0, (h16 - h) // 2), (0, (w16 - w) // 2),
+                       (0, 0)), mode="edge")
+
+        def per_frame(carry, xs):
+            ry, rcb, rcr, idx = carry
+            yf, cbf, crf = xs
+
+            def do_i(args):
+                yf, cbf, crf, ry, rcb, rcr = args
+                lv, ry2, rcb2, rcr2 = encode_levels(yf, cbf, crf, qp,
+                                                    full_recon=True)
+                mode = jnp.full((mbh, mbw), -1, jnp.int16)
+                return pack_gop(lv, qp, mode), ry2, rcb2, rcr2
+
+            def do_p(args):
+                yf, cbf, crf, ry, rcb, rcr = args
+                plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp)
+                lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
+                return (pack_gop(lv, qp, plv.mode),
+                        plv.recon_y, plv.recon_cb, plv.recon_cr)
+
+            packed, ry2, rcb2, rcr2 = jax.lax.cond(
+                idx % gop == 0, do_i, do_p,
+                (yf, cbf, crf, ry, rcb, rcr))
+            return (ry2, rcb2, rcr2, idx + 1), packed
+
+        (ry2, rcb2, rcr2, _), packed = jax.lax.scan(
+            per_frame,
+            (ry, rcb, rcr, jnp.asarray(idx0, jnp.int32)),
+            (y, cbcr[..., 0], cbcr[..., 1]))
+        return packed, ry2, rcb2, rcr2
+
+    return jax.jit(fn, donate_argnums=(3, 4, 5))

@@ -1,7 +1,7 @@
 """Hardware validation of the fused enhance+encode program
 (models/fused_encode.py): chained device timing at 1080p/4K (batch 4,
 CLAHE 2.0 8x8) + byte-identity of the assembled AU against the pure-CPU
-CAVLC oracle on a padded geometry (1919x1079).
+CAVLC oracle on a padded geometry (1918x1078).
 
     python scripts/tpu_r3_fused.py
 
@@ -112,7 +112,7 @@ def parity(width: int, height: int) -> dict:
 def main() -> None:
     out = {"what": "fused enhance(CLAHE 2.0 8x8)+encode device ms/frame "
                    "(chained, qp=30, batch=4) + AU parity vs CPU oracle",
-           "parity": parity(1919, 1079),
+           "parity": parity(1918, 1078),
            "geometries": [measure(1920, 1080), measure(3840, 2160)]}
     if not out["parity"]["byte_identical"]:
         raise SystemExit("PARITY FAILURE")

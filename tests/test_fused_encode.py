@@ -102,6 +102,98 @@ class TestPackedLayout:
         assert got == ref.encode(frames[0])
 
 
+class TestFusedGop:
+    def test_fused_gop_matches_unfused_tpu_gop(self):
+        """The fused enhance+GOP program chain, fed in uneven batches,
+        streams byte-identical to enhance-then-TpuGopEncoder."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+        from opencv_opencl_tpu.models.fused_encode import (
+            GOP_PACKED_LANES, build_enhance_gop_fn)
+
+        w, h, qp, gop = 96, 64, 30, 3
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op="clahe", chroma=ChromaPolicy.PASSTHROUGH)
+        frames = rand_nv12_batch(w, h, 8, seed=21)
+        # make consecutive frames similar so inter/skip modes appear
+        for i in range(1, 8):
+            frames[i] = frames[i - 1].copy()
+            frames[i][5:25, 8 + 4 * i:40 + 4 * i] ^= 0x5A
+
+        # unfused: enhancement program -> host -> TPU GOP encoder
+        plain = build_enhance_fn(cfg, spec, donate=False)
+        enh = np.asarray(plain(frames))
+        ref_enc = TpuGopEncoder(w, h, qp=qp, gop=gop)
+        want = [au for f in enh for au in ref_enc.encode(f)]
+
+        # fused: batches of 3 + 3 + 2 through the stateful chain
+        fn = build_enhance_gop_fn(cfg, spec, gop)
+        enc = TpuGopEncoder(w, h, qp=qp, gop=gop)
+        recon = enc.initial_recon()
+        idx, got = 0, []
+        for lo, hi in ((0, 3), (3, 6), (6, 8)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(qp), idx,
+                                *recon)
+            packed = np.asarray(packed)
+            assert packed.shape[-1] == GOP_PACKED_LANES
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(packed[i]))
+        assert got == want
+
+    def test_fused_gop_rejects_gop_one(self):
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        spec = FrameSpec(width=96, height=64, fps=30)
+        with pytest.raises(ValueError, match="gop"):
+            build_enhance_gop_fn(EnhancerConfig(op="none"), spec, 1)
+
+    def test_relay_fused_gop_loopback(self):
+        """relay --fused-encode with a GOP encoder: right IDR cadence
+        on the wire, stream equal to the non-fused GOP relay."""
+        import threading
+        import time
+
+        from opencv_opencl_tpu.apps import relay
+        from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
+
+        def run_relay(port, extra):
+            rx = H26xRtpReceiver("127.0.0.1", port, codec="h264",
+                                 timeout=1.0)
+            got = []
+
+            def pump():
+                t0 = time.time()
+                while time.time() - t0 < 60 and len(got) < 6:
+                    try:
+                        au = rx.recv_access_unit()
+                    except Exception:
+                        continue
+                    if au:
+                        got.append(au)
+
+            t = threading.Thread(target=pump, daemon=True)
+            t.start()
+            rc = relay.run([
+                "--source=test", "--width=160", "--height=96",
+                "--fps=30", "--op=histeq", "--batch=2", "--max-frames=6",
+                f"--sink=rtp+h264://127.0.0.1:{port}",
+                "--encoder=tpu:qp=30:gop=3", *extra])
+            t.join(timeout=30)
+            rx.close()
+            assert rc == 0
+            return got
+
+        fused = run_relay(56065, ["--fused-encode"])
+        plain = run_relay(56066, [])
+        assert len(fused) == 6
+        assert fused == plain
+        for i, au in enumerate(fused):
+            assert ((au[4] & 0x1F) == 7) == (i % 3 == 0)
+
+
 class TestFusedRelay:
     def test_relay_fused_loopback(self):
         """relay --fused-encode streams decodable AUs over RTP, byte-
