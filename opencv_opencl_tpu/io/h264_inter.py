@@ -854,6 +854,21 @@ class TpuGopEncoder:
         self.frames += 1
         return pending
 
+    def _p_entropy_nals(self, mode, zdc, acz, czdc, cacz, qp: int,
+                        num: int) -> list[bytes]:
+        """P-frame entropy stage: native C++ rows when available (same
+        production path as the intra rows), Python oracle otherwise."""
+        if self._intra._native:
+            from opencv_opencl_tpu import native
+
+            if hasattr(native._load(), "fp_cavlc_entropy_rows_p"):
+                return native.cavlc_entropy_rows_p(
+                    mode, zdc, acz, czdc, cacz, qp, num,
+                    threads=self._intra._threads,
+                    workspace=self._intra._workspace)
+        return encode_frame_p_from_levels(mode, zdc, acz, czdc, cacz,
+                                          qp, num)
+
     def _assemble(self, lv, kind: str, num: int, qp: int) -> bytes:
         if kind == "i":
             nals = self._intra._entropy_nals(lv, num, qp)
@@ -862,8 +877,8 @@ class TpuGopEncoder:
                   b"".join(_START4 + bytes(n) for n in nals))
         else:
             mode, zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)
-            nals = encode_frame_p_from_levels(mode, zdc, acz, czdc,
-                                              cacz, qp, num)
+            nals = self._p_entropy_nals(mode, zdc, acz, czdc, cacz,
+                                        qp, num)
             au = b"".join(_START4 + bytes(n) for n in nals)
         if self.bitrate_kbps:
             _gop_rate_control(self, len(au))
@@ -927,8 +942,8 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
         au = (_START4 + self._intra._sps + _START4 + self._intra._pps +
               b"".join(_START4 + bytes(n) for n in nals))
     else:
-        nals = encode_frame_p_from_levels(mode, lv.zdc, lv.acz, lv.czdc,
-                                          lv.cacz, qp, self._frame_num)
+        nals = self._p_entropy_nals(mode, lv.zdc, lv.acz, lv.czdc,
+                                    lv.cacz, qp, self._frame_num)
         self._frame_num = (self._frame_num + 1) % 16
         au = b"".join(_START4 + bytes(n) for n in nals)
     if self.bitrate_kbps:

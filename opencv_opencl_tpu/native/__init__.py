@@ -134,6 +134,12 @@ def _load():
             i16p, i16p, i16p, i16p, ctypes.c_uint64, ctypes.c_uint64,
             u8p, u64p, ctypes.c_int, u8p, ctypes.c_uint64, u8p, u64p,
         ]
+        lib.fp_cavlc_entropy_rows_p.restype = ctypes.c_int64
+        lib.fp_cavlc_entropy_rows_p.argtypes = [
+            i16p, i16p, i16p, i16p, i16p, ctypes.c_uint64,
+            ctypes.c_uint64, u8p, u64p, ctypes.c_int, u8p,
+            ctypes.c_uint64, u8p, u64p,
+        ]
         _lib = lib
         return _lib
 
@@ -574,6 +580,67 @@ def cavlc_entropy_rows(zdc: np.ndarray, acz: np.ndarray,
     if rc != 0:
         raise RuntimeError(
             "fp_cavlc_entropy_rows failed (bad args or overflow)")
+    return [out[i * stride : i * stride + int(lens[i])].tobytes()
+            for i in range(mb_h)]
+
+
+def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
+                         acz: np.ndarray, czdc: np.ndarray,
+                         cacz: np.ndarray, qp: int, frame_num: int,
+                         threads: int = 0,
+                         workspace: dict | None = None) -> list[bytes]:
+    """Native entropy coding of one P frame's chosen-mode levels
+    (ops/h264_levels.py PLevelArrays) into one P slice NAL per MB row —
+    the CPU stage of the TPU GOP path.  Byte-identical to
+    ``io.h264_inter.encode_frame_p_from_levels`` (the Python oracle,
+    diffed in tests/test_h264_inter_tpu.py)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native runtime unavailable: {_build_error}")
+    from opencv_opencl_tpu.io.h264_inter import _slice_head_p
+    from opencv_opencl_tpu.io.h264_pcm import _BitWriter
+
+    mode = np.ascontiguousarray(mode, dtype=np.int16)
+    zdc = np.ascontiguousarray(zdc, dtype=np.int16)
+    acz = np.ascontiguousarray(acz, dtype=np.int16)
+    czdc = np.ascontiguousarray(czdc, dtype=np.int16)
+    cacz = np.ascontiguousarray(cacz, dtype=np.int16)
+    mb_h, mb_w = mode.shape[:2]
+    heads, nbits = [], []
+    for i in range(mb_h):
+        w = _BitWriter()
+        _slice_head_p(w, qp, frame_num, first_mb=i * mb_w)
+        heads.append(np.packbits(np.asarray(w._bits, dtype=np.uint8)))
+        nbits.append(len(w._bits))
+    blob = np.concatenate(heads)
+    nbits_a = np.asarray(nbits, dtype=np.uint64)
+    rbsp_cap = 2200 * mb_w + 32 + 64
+    stride = (rbsp_cap // 2 * 3 + 16 + 63) // 64 * 64
+    need = mb_h * stride
+    if (workspace is not None
+            and workspace.get("cavlc_er_cap", -1) >= need
+            and len(workspace["cavlc_er_lens"]) >= mb_h):
+        scratch = workspace["cavlc_er_scratch"]
+        out = workspace["cavlc_er_out"]
+        lens = workspace["cavlc_er_lens"]
+    else:
+        scratch = np.empty(need, dtype=np.uint8)
+        out = np.empty(need, dtype=np.uint8)
+        lens = np.zeros(max(mb_h, 64), dtype=np.uint64)
+        if workspace is not None:
+            workspace.update(cavlc_er_scratch=scratch, cavlc_er_out=out,
+                             cavlc_er_lens=lens, cavlc_er_cap=need)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    rc = lib.fp_cavlc_entropy_rows_p(
+        mode.ctypes.data_as(i16p), zdc.ctypes.data_as(i16p),
+        acz.ctypes.data_as(i16p), czdc.ctypes.data_as(i16p),
+        cacz.ctypes.data_as(i16p), mb_h, mb_w, _ptr(blob),
+        nbits_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        threads, _ptr(scratch), stride, _ptr(out),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    if rc != 0:
+        raise RuntimeError(
+            "fp_cavlc_entropy_rows_p failed (bad args or overflow)")
     return [out[i * stride : i * stride + int(lens[i])].tobytes()
             for i in range(mb_h)]
 

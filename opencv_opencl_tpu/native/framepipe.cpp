@@ -921,6 +921,13 @@ static const int kBlockScan[16][2] = {
     {0, 0}, {1, 0}, {0, 1}, {1, 1}, {2, 0}, {3, 0}, {2, 1}, {3, 1},
     {0, 2}, {1, 2}, {0, 3}, {1, 3}, {2, 2}, {3, 2}, {2, 3}, {3, 3}};
 
+// coded_block_pattern -> codeNum for Inter MBs (spec Table 9-4,
+// ChromaArrayType=1; oracle io/h264_inter.py _CBP_INTER_CODENUM)
+static const uint8_t kCbpInterCode[48] = {
+    0,  2,  3,  7,  4,  8,  17, 13, 5,  18, 9,  14, 10, 15, 16, 11,
+    1,  32, 33, 36, 34, 37, 44, 40, 35, 45, 38, 41, 39, 42, 43, 19,
+    6,  24, 25, 20, 26, 21, 46, 28, 27, 47, 22, 29, 23, 30, 31, 12};
+
 constexpr int kLevelClamp = 2063;  // oracle _LEVEL_CLAMP
 
 struct BitW {
@@ -1412,7 +1419,7 @@ static void encode_mb(FrameCtx& cx, BitW& w, size_t mby, size_t mbx,
             int32_t d[16], r[16];
             const int32_t* z = acz[by * 4 + bx];
             for (int i = 0; i < 16; ++i)
-                d[i] = (z[i] * cx.vq[i]) << (cx.qp / 6);
+                d[i] = z[i] * cx.vq[i] * (1 << (cx.qp / 6));
             d[0] = dcd[by * 4 + bx];
             inv4(d, r);
             uint8_t* dst = &cx.ry[(y0 + by * 4) * rstride + x0 + bx * 4];
@@ -1434,13 +1441,13 @@ static void encode_mb(FrameCtx& cx, BitW& w, size_t mby, size_t mbx,
         int32_t cdcd[4];
         for (int i = 0; i < 4; ++i)
             cdcd[i] =
-                int32_t((int64_t(fdc[i]) * ls) << (cx.qpc / 6)) >> 5;
+                int32_t(int64_t(fdc[i]) * ls * (1 << (cx.qpc / 6))) >> 5;
         for (int by = 0; by < 2; ++by)
             for (int bx = 0; bx < 2; ++bx) {
                 int32_t d[16], r[16];
                 const int32_t* z = cacz[comp][by * 2 + bx];
                 for (int i = 0; i < 16; ++i)
-                    d[i] = (z[i] * cx.vqc[i]) << (cx.qpc / 6);
+                    d[i] = z[i] * cx.vqc[i] * (1 << (cx.qpc / 6));
                 d[0] = cdcd[by * 2 + bx];
                 inv4(d, r);
                 uint8_t* dst =
@@ -1565,64 +1572,12 @@ namespace cavlc {
 // per-slice (4, mb_w*4+1) luma total_coeff context (+1 left pad);
 // cbnnz/crnnz are (2, mb_w*2+1).  Must stay byte-identical to
 // io/h264_cavlc.py encode_frame_from_levels (the Python oracle).
-static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
-                       const int16_t* zdc, const int16_t* acz,
-                       const int16_t* czdc, const int16_t* cacz,
-                       int8_t* lnnz, int8_t* cbnnz, int8_t* crnnz) {
-    const bool left_ok = mbx > 0;
-    bool cbp_luma = false;
-    for (int i = 0; i < 256; ++i)
-        if (acz[i]) {
-            cbp_luma = true;
-            break;
-        }
-    bool cac = false, cdc = false;
-    for (int i = 0; i < 128; ++i)
-        if (cacz[i]) {
-            cac = true;
-            break;
-        }
-    for (int i = 0; i < 8; ++i)
-        if (czdc[i]) {
-            cdc = true;
-            break;
-        }
-    const int cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
-    w.ue(uint32_t(1 + 2 + 4 * cbp_chroma + 12 * (cbp_luma ? 1 : 0)));
-    w.ue(0);  // intra_chroma_pred_mode: DC
-    w.se(0);  // mb_qp_delta
-    const size_t lstr = mb_w * 4 + 1;
-    const size_t nbx0 = mbx * 4 + 1;
-    {
-        // luma DC: nC as for 4x4 block 0 (slice top row: no top nbr)
-        int nc = left_ok ? lnnz[nbx0 - 1] : 0;
-        int32_t scan[16];
-        for (int i = 0; i < 16; ++i) scan[i] = zdc[kZigzag[i]];
-        write_res(w, scan, 16, nc);
-    }
-    if (cbp_luma) {
-        for (int s = 0; s < 16; ++s) {
-            int bx = kBlockScan[s][0], by = kBlockScan[s][1];
-            bool l_ok = bx == 0 ? left_ok : true;
-            int nc;
-            if (by == 0)
-                nc = l_ok ? lnnz[nbx0 + bx - 1] : 0;
-            else if (l_ok)
-                nc = (lnnz[by * lstr + nbx0 + bx - 1] +
-                      lnnz[(by - 1) * lstr + nbx0 + bx] + 1) >> 1;
-            else
-                nc = lnnz[(by - 1) * lstr + nbx0 + bx];
-            const int16_t* z = acz + (by * 4 + bx) * 16;
-            int32_t scan[15];
-            for (int i = 1; i < 16; ++i) scan[i - 1] = z[kZigzag[i]];
-            int tc = write_res(w, scan, 15, nc);
-            lnnz[by * lstr + nbx0 + bx] = int8_t(tc);
-        }
-    } else {
-        for (int by = 0; by < 4; ++by)
-            for (int bx = 0; bx < 4; ++bx)
-                lnnz[by * lstr + nbx0 + bx] = 0;
-    }
+// chroma DC + AC residuals and their nC bookkeeping — shared by the
+// intra and inter MB writers (identical syntax past the header part)
+static void entropy_chroma(BitW& w, size_t mbx, size_t mb_w,
+                           const int16_t* czdc, const int16_t* cacz,
+                           int cbp_chroma, int8_t* cbnnz, int8_t* crnnz,
+                           bool left_ok) {
     if (cbp_chroma) {
         for (int comp = 0; comp < 2; ++comp) {
             int32_t lst[4] = {czdc[comp * 4], czdc[comp * 4 + 1],
@@ -1659,6 +1614,133 @@ static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
                     cn[by * cstr + cnx0 + bx] = 0;
         }
     }
+}
+
+static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
+                       const int16_t* zdc, const int16_t* acz,
+                       const int16_t* czdc, const int16_t* cacz,
+                       int8_t* lnnz, int8_t* cbnnz, int8_t* crnnz,
+                       int type_offset = 0) {
+    const bool left_ok = mbx > 0;
+    bool cbp_luma = false;
+    for (int i = 0; i < 256; ++i)
+        if (acz[i]) {
+            cbp_luma = true;
+            break;
+        }
+    bool cac = false, cdc = false;
+    for (int i = 0; i < 128; ++i)
+        if (cacz[i]) {
+            cac = true;
+            break;
+        }
+    for (int i = 0; i < 8; ++i)
+        if (czdc[i]) {
+            cdc = true;
+            break;
+        }
+    const int cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
+    w.ue(uint32_t(type_offset + 1 + 2 + 4 * cbp_chroma +
+                  12 * (cbp_luma ? 1 : 0)));
+    w.ue(0);  // intra_chroma_pred_mode: DC
+    w.se(0);  // mb_qp_delta
+    const size_t lstr = mb_w * 4 + 1;
+    const size_t nbx0 = mbx * 4 + 1;
+    {
+        // luma DC: nC as for 4x4 block 0 (slice top row: no top nbr)
+        int nc = left_ok ? lnnz[nbx0 - 1] : 0;
+        int32_t scan[16];
+        for (int i = 0; i < 16; ++i) scan[i] = zdc[kZigzag[i]];
+        write_res(w, scan, 16, nc);
+    }
+    if (cbp_luma) {
+        for (int s = 0; s < 16; ++s) {
+            int bx = kBlockScan[s][0], by = kBlockScan[s][1];
+            bool l_ok = bx == 0 ? left_ok : true;
+            int nc;
+            if (by == 0)
+                nc = l_ok ? lnnz[nbx0 + bx - 1] : 0;
+            else if (l_ok)
+                nc = (lnnz[by * lstr + nbx0 + bx - 1] +
+                      lnnz[(by - 1) * lstr + nbx0 + bx] + 1) >> 1;
+            else
+                nc = lnnz[(by - 1) * lstr + nbx0 + bx];
+            const int16_t* z = acz + (by * 4 + bx) * 16;
+            int32_t scan[15];
+            for (int i = 1; i < 16; ++i) scan[i - 1] = z[kZigzag[i]];
+            int tc = write_res(w, scan, 15, nc);
+            lnnz[by * lstr + nbx0 + bx] = int8_t(tc);
+        }
+    } else {
+        for (int by = 0; by < 4; ++by)
+            for (int bx = 0; bx < 4; ++bx)
+                lnnz[by * lstr + nbx0 + bx] = 0;
+    }
+    entropy_chroma(w, mbx, mb_w, czdc, cacz, cbp_chroma, cbnnz, crnnz,
+                   left_ok);
+}
+
+// Inter (P_L0_16x16, mvd 0,0) MB from precomputed levels: acz holds
+// FULL 4x4 blocks (DC included); CBP luma is one bit per 8x8 quadrant.
+// Mirrors io/h264_inter.py encode_frame_p_from_levels.
+static void entropy_p_mb(BitW& w, size_t mbx, size_t mb_w,
+                         const int16_t* acz, const int16_t* czdc,
+                         const int16_t* cacz, int8_t* lnnz,
+                         int8_t* cbnnz, int8_t* crnnz) {
+    const bool left_ok = mbx > 0;
+    int cbp_luma = 0;
+    for (int b = 0; b < 16; ++b) {
+        const int16_t* z = acz + b * 16;
+        for (int i = 0; i < 16; ++i)
+            if (z[i]) {
+                int bx = b % 4, by = b / 4;
+                cbp_luma |= 1 << ((bx >= 2 ? 1 : 0) + (by >= 2 ? 2 : 0));
+                break;
+            }
+    }
+    bool cac = false, cdc = false;
+    for (int i = 0; i < 128; ++i)
+        if (cacz[i]) {
+            cac = true;
+            break;
+        }
+    for (int i = 0; i < 8; ++i)
+        if (czdc[i]) {
+            cdc = true;
+            break;
+        }
+    const int cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
+    w.ue(0);   // mb_type: P_L0_16x16
+    w.se(0);   // mvd_l0 x (ref_idx absent: one active reference)
+    w.se(0);   // mvd_l0 y
+    w.ue(kCbpInterCode[cbp_luma | (cbp_chroma << 4)]);
+    w.se(0);   // mb_qp_delta (cbp != 0 guaranteed by the caller)
+    const size_t lstr = mb_w * 4 + 1;
+    const size_t nbx0 = mbx * 4 + 1;
+    for (int s = 0; s < 16; ++s) {
+        int bx = kBlockScan[s][0], by = kBlockScan[s][1];
+        int q = (bx >= 2 ? 1 : 0) + (by >= 2 ? 2 : 0);
+        if (!((cbp_luma >> q) & 1)) {
+            lnnz[by * lstr + nbx0 + bx] = 0;
+            continue;
+        }
+        bool l_ok = bx == 0 ? left_ok : true;
+        int nc;
+        if (by == 0)
+            nc = l_ok ? lnnz[nbx0 + bx - 1] : 0;
+        else if (l_ok)
+            nc = (lnnz[by * lstr + nbx0 + bx - 1] +
+                  lnnz[(by - 1) * lstr + nbx0 + bx] + 1) >> 1;
+        else
+            nc = lnnz[(by - 1) * lstr + nbx0 + bx];
+        const int16_t* z = acz + (by * 4 + bx) * 16;
+        int32_t scan[16];
+        for (int i = 0; i < 16; ++i) scan[i] = z[kZigzag[i]];
+        int tc = write_res(w, scan, 16, nc);
+        lnnz[by * lstr + nbx0 + bx] = int8_t(tc);
+    }
+    entropy_chroma(w, mbx, mb_w, czdc, cacz, cbp_chroma, cbnnz, crnnz,
+                   left_ok);
 }
 
 }  // namespace cavlc
@@ -1701,6 +1783,102 @@ extern "C" int64_t fp_cavlc_entropy_rows(
                               czdc + mb * 8, cacz + mb * 128, lnnz, cbnnz,
                               crnnz);
         }
+        w.trailing();
+        if (w.overflow) {
+            failed.store(1, std::memory_order_relaxed);
+            return;
+        }
+        EscState esc(out + i * stride);
+        if (w.nbytes / 2 * 3 + w.nbytes % 2 + 1 > stride) {
+            failed.store(1, std::memory_order_relaxed);
+            return;
+        }
+        esc.feed(scratch + i * stride, w.nbytes);
+        out_lens[i] = esc.o;
+    };
+    if (threads > 1 && mb_h > 1) {
+        std::vector<std::thread> pool;
+        std::atomic<uint64_t> next{0};
+        unsigned n_workers = std::min<uint64_t>(mb_h, uint64_t(threads));
+        for (unsigned t = 0; t < n_workers; ++t)
+            pool.emplace_back([&] {
+                std::vector<int8_t> ln(4 * lstr), cbn(2 * cstr),
+                    crn(2 * cstr);
+                for (uint64_t i = next.fetch_add(1); i < mb_h;
+                     i = next.fetch_add(1))
+                    one(i, ln.data(), cbn.data(), crn.data());
+            });
+        for (auto& t : pool) t.join();
+    } else {
+        std::vector<int8_t> ln(4 * lstr), cbn(2 * cstr), crn(2 * cstr);
+        for (uint64_t i = 0; i < mb_h; ++i)
+            one(i, ln.data(), cbn.data(), crn.data());
+    }
+    return failed.load() ? -1 : 0;
+}
+
+// P-frame variant: entropy-code precomputed chosen-mode levels
+// (PLevelArrays layouts + per-MB mode plane: 0 P_Skip / 1 P_L0_16x16 /
+// 2 I_16x16) into one P slice NAL per MB row, with mb_skip_run
+// accounting.  Byte-identical to io/h264_inter.py
+// encode_frame_p_from_levels (the Python oracle).  Same scratch/out
+// discipline as fp_cavlc_entropy_rows.
+extern "C" int64_t fp_cavlc_entropy_rows_p(
+    const int16_t* mode, const int16_t* zdc, const int16_t* acz,
+    const int16_t* czdc, const int16_t* cacz, uint64_t mb_h,
+    uint64_t mb_w, const uint8_t* head_bits_blob,
+    const uint64_t* head_nbits, int threads, uint8_t* scratch,
+    uint64_t stride, uint8_t* out, uint64_t* out_lens) {
+    if (mb_h == 0 || mb_w == 0) return -1;
+    std::vector<const uint8_t*> heads(mb_h);
+    {
+        const uint8_t* p = head_bits_blob;
+        for (uint64_t i = 0; i < mb_h; ++i) {
+            heads[i] = p;
+            p += (head_nbits[i] + 7) / 8;
+        }
+    }
+    std::atomic<int> failed{0};
+    const size_t lstr = mb_w * 4 + 1, cstr = mb_w * 2 + 1;
+    auto one = [&](uint64_t i, int8_t* lnnz, int8_t* cbnnz,
+                   int8_t* crnnz) {
+        cavlc::BitW w(scratch + i * stride, stride / 3 * 2);
+        uint64_t nfull = head_nbits[i] / 8, rem = head_nbits[i] % 8;
+        for (uint64_t k = 0; k < nfull; ++k) w.u(heads[i][k], 8);
+        if (rem) w.u(heads[i][nfull] >> (8 - rem), int(rem));
+        std::memset(lnnz, 0, 4 * lstr);
+        std::memset(cbnnz, 0, 2 * cstr);
+        std::memset(crnnz, 0, 2 * cstr);
+        uint32_t skip_run = 0;
+        for (uint64_t mbx = 0; mbx < mb_w; ++mbx) {
+            uint64_t mb = i * mb_w + mbx;
+            int m = mode[mb];
+            const size_t nbx0 = mbx * 4 + 1, cnx0 = mbx * 2 + 1;
+            if (m == 0) {
+                ++skip_run;
+                for (int by = 0; by < 4; ++by)
+                    for (int bx = 0; bx < 4; ++bx)
+                        lnnz[by * lstr + nbx0 + bx] = 0;
+                for (int by = 0; by < 2; ++by)
+                    for (int bx = 0; bx < 2; ++bx) {
+                        cbnnz[by * cstr + cnx0 + bx] = 0;
+                        crnnz[by * cstr + cnx0 + bx] = 0;
+                    }
+                continue;
+            }
+            w.ue(skip_run);
+            skip_run = 0;
+            if (m == 2)
+                cavlc::entropy_mb(w, mbx, mb_w, zdc + mb * 16,
+                                  acz + mb * 256, czdc + mb * 8,
+                                  cacz + mb * 128, lnnz, cbnnz, crnnz,
+                                  /*type_offset=*/5);
+            else
+                cavlc::entropy_p_mb(w, mbx, mb_w, acz + mb * 256,
+                                    czdc + mb * 8, cacz + mb * 128,
+                                    lnnz, cbnnz, crnnz);
+        }
+        if (skip_run) w.ue(skip_run);
         w.trailing();
         if (w.overflow) {
             failed.store(1, std::memory_order_relaxed);

@@ -320,5 +320,70 @@ int main() {
                     "threaded == sequential\n",
                     (unsigned long long)total, (unsigned long long)S);
     }
+
+    // ---- phase 6: threaded P-frame entropy rows (skip/inter/intra mix)
+    // — one worker per MB row, rows fully independent; threaded output
+    // must equal sequential byte-for-byte.
+    {
+        const uint64_t mb_h = 8, mb_w = 6, n = mb_h * mb_w;
+        std::vector<int16_t> mode(n), zdc(n * 16, 0), acz(n * 256, 0),
+            czdc(n * 8, 0), cacz(n * 128, 0);
+        for (uint64_t mb = 0; mb < n; ++mb) {
+            int m = int(mb % 3);  // cycle skip / inter / intra
+            mode[mb] = int16_t(m);
+            if (m == 1) {  // inter: full 4x4 blocks incl. DC
+                for (int i = 0; i < 256; i += 7)
+                    acz[mb * 256 + i] = int16_t((i % 5) - 2);
+                czdc[mb * 8 + 1] = 3;
+                cacz[mb * 128 + 18] = -1;
+            } else if (m == 2) {  // intra: zdc + AC (DC slots zero)
+                for (int b = 0; b < 16; ++b)
+                    acz[mb * 256 + b * 16 + 1 + (b % 9)] =
+                        int16_t((b % 3) - 1);
+                zdc[mb * 16 + 2] = -4;
+                czdc[mb * 8 + 5] = 1;
+            }
+        }
+        std::vector<uint8_t> heads_blob;
+        std::vector<uint64_t> head_nbits;
+        for (uint64_t i = 0; i < mb_h; ++i) {
+            heads_blob.push_back(0x41);
+            heads_blob.push_back(uint8_t(0x9a + i));
+            heads_blob.push_back(0x20);
+            head_nbits.push_back(21);
+        }
+        const uint64_t stride = (2200 * mb_w + 96) / 2 * 3 + 64;
+        std::vector<uint8_t> scr(mb_h * stride), seq_o(mb_h * stride),
+            par_o(mb_h * stride);
+        std::vector<uint64_t> seq_l(mb_h), par_l(mb_h);
+        int64_t r1 = fp_cavlc_entropy_rows_p(
+            mode.data(), zdc.data(), acz.data(), czdc.data(),
+            cacz.data(), mb_h, mb_w, heads_blob.data(),
+            head_nbits.data(), 1, scr.data(), stride, seq_o.data(),
+            seq_l.data());
+        int64_t r2 = fp_cavlc_entropy_rows_p(
+            mode.data(), zdc.data(), acz.data(), czdc.data(),
+            cacz.data(), mb_h, mb_w, heads_blob.data(),
+            head_nbits.data(), 4, scr.data(), stride, par_o.data(),
+            par_l.data());
+        bool ok = r1 == 0 && r2 == 0;
+        uint64_t total = 0;
+        for (uint64_t i = 0; ok && i < mb_h; ++i) {
+            ok = seq_l[i] == par_l[i] &&
+                 std::memcmp(seq_o.data() + i * stride,
+                             par_o.data() + i * stride,
+                             size_t(seq_l[i])) == 0;
+            total += seq_l[i];
+        }
+        if (!ok) {
+            std::fprintf(stderr,
+                         "P entropy threaded/sequential mismatch\n");
+            return 12;
+        }
+        std::printf("p-entropy stress OK: %llu bytes over %llu rows, "
+                    "threaded == sequential\n",
+                    (unsigned long long)total,
+                    (unsigned long long)mb_h);
+    }
     return 0;
 }

@@ -125,6 +125,84 @@ class TestEncoderBoundaryTpuGop:
         assert enc.qp > qp0             # noisy IDR blows the mean
 
 
+class TestNativePEntropy:
+    """fp_cavlc_entropy_rows_p (C++ production path) vs the Python
+    oracle, with all three MB modes present."""
+
+    def _levels_with_all_modes(self):
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.ops.h264_levels import (
+            encode_levels_recon_jit, encode_p_levels_jit)
+
+        w, h, qp = 160, 96, 28
+        rng = np.random.default_rng(31)
+        f0 = rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+        f1 = f0.copy()
+        f1[5:25, 20:80] ^= 0x11                      # inter-ish motion
+        # scene cut to SMOOTH content: intra DC prediction beats the
+        # inter residual against the old noise there
+        f1[40:96] = (np.linspace(40, 200, w)[None, :] +
+                     np.zeros((56, 1))).astype(np.uint8)
+        uv0 = f0[h:].reshape(h // 2, w // 2, 2)
+        uv1 = f1[h:].reshape(h // 2, w // 2, 2)
+        _, ry, rcb, rcr = encode_levels_recon_jit(
+            jnp.asarray(f0[:h]), jnp.asarray(uv0[:, :, 0]),
+            jnp.asarray(uv0[:, :, 1]), jnp.int32(qp))
+        plv = encode_p_levels_jit(
+            jnp.asarray(f1[:h]), jnp.asarray(uv1[:, :, 0]),
+            jnp.asarray(uv1[:, :, 1]), ry, rcb, rcr, jnp.int32(qp))
+        mode, zdc, acz, czdc, cacz = (np.asarray(a) for a in plv[:5])
+        assert {0, 1, 2} <= set(np.unique(mode).tolist()), \
+            "fixture must exercise skip, inter AND intra MBs"
+        return mode, zdc, acz, czdc, cacz, qp
+
+    def test_native_matches_oracle(self):
+        from opencv_opencl_tpu import native
+        from opencv_opencl_tpu.io.h264_inter import (
+            encode_frame_p_from_levels)
+
+        if not (native.available()
+                and hasattr(native._load(), "fp_cavlc_entropy_rows_p")):
+            pytest.skip("native runtime unavailable")
+        mode, zdc, acz, czdc, cacz, qp = self._levels_with_all_modes()
+        want = [bytes(n) for n in encode_frame_p_from_levels(
+            mode, zdc, acz, czdc, cacz, qp, 3)]
+        got = native.cavlc_entropy_rows_p(mode, zdc, acz, czdc, cacz,
+                                          qp, 3)
+        assert got == want
+        ws = {}
+        got_t = native.cavlc_entropy_rows_p(mode, zdc, acz, czdc, cacz,
+                                            qp, 3, threads=4,
+                                            workspace=ws)
+        assert got_t == want
+        # workspace reuse must not corrupt a second frame
+        got2 = native.cavlc_entropy_rows_p(mode, zdc, acz, czdc, cacz,
+                                           qp, 4, threads=2,
+                                           workspace=ws)
+        want2 = [bytes(n) for n in encode_frame_p_from_levels(
+            mode, zdc, acz, czdc, cacz, qp, 4)]
+        assert got2 == want2
+
+    def test_tpu_gop_encoder_uses_native(self):
+        """The production path through TpuGopEncoder (native entropy)
+        still streams byte-identical to the Python GOP oracle."""
+        from opencv_opencl_tpu import native
+
+        if not (native.available()
+                and hasattr(native._load(), "fp_cavlc_entropy_rows_p")):
+            pytest.skip("native runtime unavailable")
+        w, h = 96, 64
+        frames = gop_frames(w, h, 5, seed=33)
+        tpu = TpuGopEncoder(w, h, qp=30, gop=3, native="require"
+                            if native.has_cavlc() else "auto")
+        oracle = GopCavlcEncoder(w, h, qp=30, gop=3, slices=h // 16)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
+        assert tpu._intra._native  # the native path actually ran
+
+
 class TestFullReconVariant:
     def test_intra_full_recon_matches_oracle(self):
         import jax.numpy as jnp
