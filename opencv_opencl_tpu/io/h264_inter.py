@@ -68,7 +68,8 @@ from opencv_opencl_tpu.io.h264_pcm import (
 
 __all__ = ["build_sps_gop", "encode_frame_p_slices",
            "encode_frame_p_from_levels", "GopCavlcEncoder",
-           "TpuGopEncoder"]
+           "TpuGopEncoder", "search_candidates", "motion_search",
+           "mc_planes"]
 
 
 def build_sps_gop(width: int, height: int) -> bytes:
@@ -139,13 +140,24 @@ def _slice_head_p(w: _BitWriter, qp: int, frame_num: int,
 
 def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                           height: int, qp: int, frame_num: int,
-                          slices: int = 1, return_recon: bool = False):
-    """Encode one 16-aligned NV12 frame as ``slices`` zero-motion P
-    slice NALs against ``recon`` = (ry, rcb, rcr), the reconstructed
-    previous picture (int arrays, unpadded HxW — exactly what
+                          slices: int = 1, return_recon: bool = False,
+                          search: int = 0):
+    """Encode one 16-aligned NV12 frame as ``slices`` P slice NALs
+    against ``recon`` = (ry, rcb, rcr), the reconstructed previous
+    picture (int arrays, unpadded HxW — exactly what
     ``encode_frame_cavlc_slices(..., return_recon=True)`` and this
     function return).  With ``return_recon``, also returns this frame's
-    reconstruction (what any conformant decoder must display)."""
+    reconstruction (what any conformant decoder must display).
+
+    ``search=0`` is the zero-motion design of the module docstring;
+    ``search=R`` (positive even) adds an exhaustive even-full-pel SAD
+    search (:func:`motion_search`) and codes P_L0_16x16 MBs with real
+    ``mvd``.  P_Skip stays restricted to mv == (0, 0): the skip MV
+    predictor (spec 8.4.1.1) is (0, 0) whenever the top neighbor is
+    unavailable OR some zero-MV neighbor triggers the early-out, and
+    keeping skip zero-motion means the coded MV field equals the
+    searched field — the property that lets the TPU program pick modes
+    with no raster dependency."""
     if width % 16 or height % 16:
         raise ValueError("P path requires 16-aligned padded frames")
     mb_w, mb_h = width // 16, height // 16
@@ -156,6 +168,12 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
            "cr": uv[:, :, 1].astype(np.int64)}
     ry, rcb, rcr = (p.astype(np.int64) for p in recon)
     ref = {"y": ry, "cb": rcb, "cr": rcr}
+    if search:
+        mv = motion_search(y, ry, search)
+        pred = mc_planes(ref, mv)
+    else:
+        mv = np.zeros((mb_h, mb_w, 2), dtype=np.int64)
+        pred = ref
     out = {"y": np.empty_like(ry), "cb": np.empty_like(rcb),
            "cr": np.empty_like(rcr)}
 
@@ -171,12 +189,20 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
         cbnnz = np.zeros((mb_h * 2 + 1, mb_w * 2 + 1), dtype=np.int64)
         crnnz = np.zeros_like(cbnnz)
         skip_run = 0
+        # MV-prediction state for this slice: the final coded MV field
+        # (mvp_skip for skips, (0,0) rows for intra) plus the inter
+        # mask — what spec 8.4.1.3's neighbor derivation reads.
+        mv_coded = np.zeros((mb_h, mb_w, 2), dtype=np.int64)
+        inter_mask = np.zeros((mb_h, mb_w), dtype=bool)
         for mby in range(bounds[si], bounds[si + 1]):
             for mbx in range(mb_w):
                 skip_run = _encode_p_mb(
-                    w, mby, mbx, src, ref, out, qp, qpc, skip_run,
+                    w, mby, mbx, src, pred, out, qp, qpc, skip_run,
                     lnnz, cbnnz, crnnz,
-                    top_ok=mby > bounds[si], left_ok=mbx > 0)
+                    top_ok=mby > bounds[si], left_ok=mbx > 0,
+                    mv2=(int(mv[mby, mbx, 0]), int(mv[mby, mbx, 1])),
+                    mv_coded=mv_coded, inter_mask=inter_mask,
+                    slice_top=bounds[si])
         if skip_run:
             w.ue(skip_run)  # trailing skipped MBs end the slice
         w.trailing()
@@ -185,6 +211,86 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
     if return_recon:
         return nals, (out["y"], out["cb"], out["cr"])
     return nals
+
+
+def search_candidates(search: int) -> list[tuple[int, int]]:
+    """Deterministic candidate order of the even-full-pel motion search:
+    every even (dy, dx) in [-search, search]^2, sorted by
+    (|dy| + |dx|, dy, dx) so (0, 0) is index 0 and smaller motion wins
+    SAD ties.  ``search`` must be a positive even integer.
+
+    Even full-pel only: the luma MV is a multiple of 2 pixels, so the
+    chroma displacement mv/2 is a whole chroma sample — chroma MC stays
+    a pure block copy (no eighth-pel bilinear), and every prediction
+    sample is an exact integer read.  The order is part of the
+    TPU/oracle byte-exactness contract: both sides MUST pick the same
+    MV for the same SAD field.
+    """
+    if search < 2 or search % 2:
+        raise ValueError(f"search must be a positive even int, "
+                         f"got {search}")
+    cands = [(dy, dx) for dy in range(-search, search + 1, 2)
+             for dx in range(-search, search + 1, 2)]
+    cands.sort(key=lambda d: (abs(d[0]) + abs(d[1]), d[0], d[1]))
+    return cands
+
+
+def motion_search(y: np.ndarray, ry: np.ndarray,
+                  search: int) -> np.ndarray:
+    """Exhaustive per-MB SAD search over :func:`search_candidates`
+    against the reconstructed previous picture; returns the MV field
+    ``(mb_h, mb_w, 2)`` int64 as (dy, dx) in (even) luma pixels.
+
+    Out-of-picture candidates are evaluated against edge-replicated
+    samples — exactly the decoder's reference clipping
+    (spec 8.4.2.2.1: xInt = Clip3(0, w-1, ...)), so MVs may point
+    outside the frame and stay conformant.  Selection is the argmin of
+    ``sad * 1024 + candidate_index`` (SAD <= 16*16*255 < 2^16, so the
+    packing is exact in int32 — the same packing the TPU program uses).
+    """
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    pad = np.pad(ry, search, mode="edge")
+    cur = y.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
+    cands = search_candidates(search)
+    best = None
+    best_key = None
+    for idx, (dy, dx) in enumerate(cands):
+        ref = pad[search + dy:search + dy + H,
+                  search + dx:search + dx + W]
+        sad = np.abs(
+            cur - ref.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
+        ).sum(axis=(1, 3), dtype=np.int64)
+        key = sad * 1024 + idx
+        if best is None:
+            best, best_key = np.full((mb_h, mb_w), idx), key
+        else:
+            take = key < best_key
+            best = np.where(take, idx, best)
+            best_key = np.where(take, key, best_key)
+    carr = np.asarray(cands, dtype=np.int64)
+    return carr[best]
+
+
+def mc_planes(ref: dict, mv: np.ndarray) -> dict:
+    """Motion-compensated prediction planes for a per-MB MV field:
+    pred[i, j] = ref[clip(i + dy), clip(j + dx)] with per-sample
+    clipping to the picture (spec 8.4.2.2.1) — chroma displaced by
+    mv / 2 (exact: MVs are even).  A zero field returns the co-located
+    planes byte-for-byte."""
+    H, W = ref["y"].shape
+    dyg = np.repeat(np.repeat(mv[:, :, 0], 16, 0), 16, 1)
+    dxg = np.repeat(np.repeat(mv[:, :, 1], 16, 0), 16, 1)
+    rows = np.clip(np.arange(H)[:, None] + dyg, 0, H - 1)
+    cols = np.clip(np.arange(W)[None, :] + dxg, 0, W - 1)
+    out = {"y": ref["y"][rows, cols]}
+    cdyg = np.repeat(np.repeat(mv[:, :, 0] // 2, 8, 0), 8, 1)
+    cdxg = np.repeat(np.repeat(mv[:, :, 1] // 2, 8, 0), 8, 1)
+    crows = np.clip(np.arange(H // 2)[:, None] + cdyg, 0, H // 2 - 1)
+    ccols = np.clip(np.arange(W // 2)[None, :] + cdxg, 0, W // 2 - 1)
+    for name in ("cb", "cr"):
+        out[name] = ref[name][crows, ccols]
+    return out
 
 
 def _cost(*arrays) -> int:
@@ -277,13 +383,75 @@ def _intra_candidate(mby: int, mbx: int, src: dict, out: dict, qp: int,
                 cbp_luma=cbp_luma, cbp_chroma=cbp_chroma, cost=cost)
 
 
+def _mvp_16x16(mby: int, mbx: int, mv_coded: np.ndarray,
+               inter_mask: np.ndarray, slice_top: int,
+               mb_w: int) -> tuple[int, int]:
+    """MV predictor for a P_L0_16x16 macroblock (spec 8.4.1.3):
+    neighbors A = left, B = top, C = top-right with the top-left D
+    substituted when C is unavailable.  An intra neighbor is an
+    *available macroblock* whose motion data is unusable (candidate
+    (0, 0), not same-reference).  Returns (mvp_y, mvp_x) in full-pel
+    units (median commutes with the x4 quarter-pel scaling).
+
+    With one slice per MB row, B/C/D are never available and this
+    collapses to: mvA when the left MB is inter, else (0, 0) — the
+    shortcut the TPU entropy stage (encode_frame_p_from_levels, native
+    rows) relies on."""
+
+    def fetch(y: int, x: int, avail: bool):
+        if not avail:
+            return False, False, (0, 0)
+        inter = bool(inter_mask[y, x])
+        mvn = ((int(mv_coded[y, x, 0]), int(mv_coded[y, x, 1]))
+               if inter else (0, 0))
+        return True, inter, mvn
+
+    a_av, a_ref, mva = fetch(mby, mbx - 1, mbx > 0)
+    b_av, b_ref, mvb = fetch(mby - 1, mbx, mby > slice_top)
+    c_av, c_ref, mvc = fetch(mby - 1, mbx + 1,
+                             mby > slice_top and mbx + 1 < mb_w)
+    if not c_av:
+        c_av, c_ref, mvc = fetch(mby - 1, mbx - 1,
+                                 mby > slice_top and mbx > 0)
+    match = int(a_ref) + int(b_ref) + int(c_ref)
+    if match == 1:
+        return mva if a_ref else (mvb if b_ref else mvc)
+    if match == 0 and not b_av and not c_av and a_av:
+        return mva
+    ys = sorted((mva[0], mvb[0], mvc[0]))
+    xs = sorted((mva[1], mvb[1], mvc[1]))
+    return ys[1], xs[1]
+
+
+def _mvp_skip(mby: int, mbx: int, mv_coded: np.ndarray,
+              inter_mask: np.ndarray, slice_top: int,
+              mb_w: int) -> tuple[int, int]:
+    """P_Skip MV predictor (spec 8.4.1.1): (0, 0) when A or B is
+    unavailable or either is a zero-MV ref-0 neighbor, else the
+    8.4.1.3 median.  One slice per MB row => B always unavailable =>
+    always (0, 0) (the zero-motion module invariant)."""
+    if mbx == 0 or mby == slice_top:
+        return 0, 0
+    for (ny, nx) in ((mby, mbx - 1), (mby - 1, mbx)):
+        if inter_mask[ny, nx] and not mv_coded[ny, nx].any():
+            return 0, 0
+    return _mvp_16x16(mby, mbx, mv_coded, inter_mask, slice_top, mb_w)
+
+
 def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
                  out: dict, qp: int, qpc: int, skip_run: int,
                  lnnz: np.ndarray, cbnnz: np.ndarray, crnnz: np.ndarray,
-                 top_ok: bool, left_ok: bool) -> int:
+                 top_ok: bool, left_ok: bool,
+                 mv2: tuple[int, int] = (0, 0),
+                 mv_coded: np.ndarray | None = None,
+                 inter_mask: np.ndarray | None = None,
+                 slice_top: int = 0) -> int:
     """One P macroblock: P_Skip if the inter candidate quantizes to all
-    zero, else the cheaper of P_L0_16x16 (mvd=(0,0)) and I_16x16 by the
-    ``_cost`` proxy.  Returns the updated skip_run."""
+    zero (and the searched MV matches the skip predictor), else the
+    cheaper of P_L0_16x16 (mvd = 4*(mv - mvp)) and I_16x16 by the
+    ``_cost`` proxy.  ``ref`` is the motion-compensated prediction
+    plane set (the raw previous picture when search is off).  Returns
+    the updated skip_run."""
     y0, x0 = mby * 16, mbx * 16
     cy0, cx0 = mby * 8, mbx * 8
 
@@ -333,14 +501,20 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
     nby0, nbx0 = mby * 4 + 1, mbx * 4 + 1
     cny0, cnx0 = mby * 2 + 1, mbx * 2 + 1
 
-    if cbp == 0:
-        # P_Skip: recon = co-located reference; zero nC context
+    mb_w = inter_mask.shape[1] if inter_mask is not None else 0
+    if cbp == 0 and (inter_mask is None or mv2 == _mvp_skip(
+            mby, mbx, mv_coded, inter_mask, slice_top, mb_w)):
+        # P_Skip: recon = the MC prediction (decoder MC at mvp_skip ==
+        # our searched MV by the guard above); zero nC context
         out["y"][y0:y0 + 16, x0:x0 + 16] = pred_y
         for name in ("cb", "cr"):
             out[name][cy0:cy0 + 8, cx0:cx0 + 8] = cdata[name][0]
         lnnz[nby0:nby0 + 4, nbx0:nbx0 + 4] = 0
         cbnnz[cny0:cny0 + 2, cnx0:cnx0 + 2] = 0
         crnnz[cny0:cny0 + 2, cnx0:cnx0 + 2] = 0
+        if inter_mask is not None:
+            inter_mask[mby, mbx] = True
+            mv_coded[mby, mbx] = mv2
         return skip_run + 1
 
     cost_inter = _cost(*lz.values(),
@@ -354,11 +528,30 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
                           lnnz, cbnnz, crnnz, top_ok, left_ok)
         return 0
 
-    # ---- coded inter MB: P_L0_16x16, mvd (0,0)
+    # ---- coded inter MB: P_L0_16x16
     w.ue(skip_run)             # mb_skip_run before this MB
     w.ue(0)                    # mb_type: P_L0_16x16
-    # ref_idx_l0 absent (one active reference), mvd_l0 = (0,0)
-    w.se(0).se(0)
+    # ref_idx_l0 absent (one active reference); mvd in quarter-pel,
+    # horizontal component first (spec 7.3.5.1 compIdx order)
+    if inter_mask is not None:
+        mvp = _mvp_16x16(mby, mbx, mv_coded, inter_mask, slice_top,
+                         mb_w)
+        w.se(4 * (mv2[1] - mvp[1])).se(4 * (mv2[0] - mvp[0]))
+        inter_mask[mby, mbx] = True
+        mv_coded[mby, mbx] = mv2
+    else:
+        w.se(0).se(0)
+    if cbp == 0:
+        # searched MV != skip predictor but the residual quantized to
+        # zero: a 5-field MB (type + mvd + cbp), no residual syntax
+        w.ue(int(_CBP_INTER_CODENUM[0]))
+        out["y"][y0:y0 + 16, x0:x0 + 16] = pred_y
+        for name in ("cb", "cr"):
+            out[name][cy0:cy0 + 8, cx0:cx0 + 8] = cdata[name][0]
+        lnnz[nby0:nby0 + 4, nbx0:nbx0 + 4] = 0
+        cbnnz[cny0:cny0 + 2, cnx0:cnx0 + 2] = 0
+        crnnz[cny0:cny0 + 2, cnx0:cnx0 + 2] = 0
+        return 0
     w.ue(int(_CBP_INTER_CODENUM[cbp]))  # coded_block_pattern
     w.se(0)                    # mb_qp_delta (cbp != 0)
 
@@ -562,12 +755,16 @@ class GopCavlcEncoder:
 
     def __init__(self, width: int, height: int, qp: int = 30,
                  gop: int = 30, bitrate_kbps: int | None = None,
-                 fps: float = 30.0, slices: int = 1) -> None:
+                 fps: float = 30.0, slices: int = 1,
+                 search: int = 0) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import (
             CavlcH264Encoder, build_pps_cavlc)
 
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
+        if search:
+            search_candidates(search)  # validates: positive even
+        self.search = int(search)
         # reuse the intra encoder's padding + geometry checks
         self._intra = CavlcH264Encoder(width, height, qp=qp,
                                        native="never", slices=slices)
@@ -605,7 +802,7 @@ class GopCavlcEncoder:
             nals, recon = encode_frame_p_slices(
                 padded, self._recon, w16, h16, self.qp,
                 frame_num=self._frame_num, slices=self.slices,
-                return_recon=True)
+                return_recon=True, search=self.search)
             self._frame_num = (self._frame_num + 1) % 16
             au = b"".join(_START4 + bytes(n) for n in nals)
         self._recon = recon

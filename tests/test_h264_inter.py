@@ -292,3 +292,114 @@ class TestRtpPath:
         tx.close()
         rx.close()
         assert got == aus
+
+
+def panning_frames(w, h, n, step=4, seed=0):
+    """A fixed random scene translated ``step`` px right + ``step`` px
+    down per frame (np.roll: content wraps, edges become unpredictable
+    — exercising the MC edge clamp).  ``step`` must be even so the
+    chroma plane shifts a whole sample."""
+    rng = np.random.default_rng(seed)
+    base_y = rng.integers(0, 256, (h, w), np.uint8)
+    # piecewise-smooth scene: blur the noise so residuals quantize away
+    base_y = (base_y.astype(np.int64).reshape(h // 8, 8, w // 8, 8)
+              .mean(axis=(1, 3)).astype(np.uint8)
+              .repeat(8, 0).repeat(8, 1))
+    base_uv = rng.integers(96, 160, (h // 2, w), np.uint8)
+    base_uv = (base_uv.astype(np.int64).reshape(h // 8, 4, w // 8, 8)
+               .mean(axis=(1, 3)).astype(np.uint8)
+               .repeat(4, 0).repeat(8, 1))
+    out = []
+    for i in range(n):
+        y = np.roll(np.roll(base_y, i * step, 0), i * step, 1)
+        uv = np.roll(np.roll(base_uv, i * step // 2, 0), i * step, 1)
+        out.append(np.concatenate([y, uv], 0))
+    return out
+
+
+class TestMotionSearch:
+    @pytest.mark.parametrize("w,h,slices,step", [(96, 64, 1, 4),
+                                                 (96, 64, 4, 4),
+                                                 (112, 80, 2, 6),
+                                                 (96, 64, 1, -4)])
+    def test_search_gop_luma_bitexact(self, w, h, slices, step,
+                                      tmp_path):
+        """Panning GOP with search=8 decodes bit-identically through
+        libavcodec — proving mvd coding, the 8.4.1.3 median predictor,
+        the skip-vs-mvp guard, and the out-of-picture MC clamp at every
+        slice geometry."""
+        frames = panning_frames(w, h, 5, step=step, seed=3)
+        enc = GopCavlcEncoder(w, h, qp=28, gop=5, slices=slices,
+                              search=8)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(tuple(p.copy() for p in enc._recon))
+        dec = decode_frames(b"".join(aus), tmp_path, 5, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
+                f"frame {i} luma mismatch"
+
+    def test_search_chroma_exact_via_lossless_recode(self, tmp_path):
+        from opencv_opencl_tpu.io.h264_pcm import PcmH264Encoder
+
+        w, h = 64, 48
+        frames = panning_frames(w, h, 2, step=4, seed=7)
+        enc = GopCavlcEncoder(w, h, qp=24, gop=10, search=8)
+        aus = [enc.encode(f)[0] for f in frames]
+        recons = tuple(p.copy() for p in enc._recon)
+        bgr = decode_frames(b"".join(aus), tmp_path, 2, aus[-1],
+                            gray=False)
+        ry, rcb, rcr = recons
+        recon_uv = np.empty((h // 2, w), np.uint8)
+        recon_uv[:, 0::2] = rcb[:h // 2, :w // 2].astype(np.uint8)
+        recon_uv[:, 1::2] = rcr[:h // 2, :w // 2].astype(np.uint8)
+        recon = np.concatenate([ry[:h, :w].astype(np.uint8), recon_uv])
+        pcm_es = b"".join(PcmH264Encoder(w, h).encode(recon))
+        import cv2
+
+        p = tmp_path / "pcm.h264"
+        p.write_bytes(pcm_es + pcm_es)
+        cap = cv2.VideoCapture(str(p))
+        ok, bgr_pcm = cap.read()
+        cap.release()
+        assert ok
+        assert np.array_equal(bgr[1], bgr_pcm)
+
+    def test_search_beats_zero_motion_on_pan(self):
+        """On global translation the searched P frames are far smaller
+        than zero-motion P frames (which degrade to intra fallback)."""
+        w, h = 96, 64
+        frames = panning_frames(w, h, 4, step=4, seed=1)
+        zm = GopCavlcEncoder(w, h, qp=28, gop=10)
+        ms = GopCavlcEncoder(w, h, qp=28, gop=10, search=8)
+        z_sizes = [len(zm.encode(f)[0]) for f in frames][1:]
+        m_sizes = [len(ms.encode(f)[0]) for f in frames][1:]
+        assert sum(m_sizes) * 3 < sum(z_sizes), (m_sizes, z_sizes)
+
+    def test_search_static_stream_identical_to_zero_motion(self):
+        """Static content: (0, 0) is candidate 0 and wins every SAD
+        tie, so the searched stream is byte-identical to search=0."""
+        w, h = 96, 64
+        base = np.random.default_rng(2).integers(
+            0, 256, (h * 3 // 2, w), np.uint8)
+        a = GopCavlcEncoder(w, h, qp=28, gop=10)
+        b = GopCavlcEncoder(w, h, qp=28, gop=10, search=8)
+        for _ in range(3):
+            assert a.encode(base) == b.encode(base)
+
+    def test_search_validation(self):
+        with pytest.raises(ValueError):
+            GopCavlcEncoder(96, 64, search=3)
+        with pytest.raises(ValueError):
+            GopCavlcEncoder(96, 64, search=-2)
+
+    def test_candidate_order_prefers_small_motion(self):
+        from opencv_opencl_tpu.io.h264_inter import search_candidates
+
+        c = search_candidates(4)
+        assert c[0] == (0, 0)
+        assert len(c) == 25 and len(set(c)) == 25
+        costs = [abs(dy) + abs(dx) for dy, dx in c]
+        assert costs == sorted(costs)
