@@ -18,8 +18,9 @@ Hosts differ in what encoder they offer, so the relay's
   byte-identical to ``cavlc:slices=<mb rows>``; honors ``--bitrate``,
   ``tpu:qp=N`` fixes the quantizer, ``tpu:overlap`` pipelines the
   accelerator against host entropy coding (one frame of added latency),
-  and ``tpu:gop=N`` switches to the low-delay-P GOP stream with the
-  reference picture RESIDENT IN HBM (io.h264_inter.TpuGopEncoder:
+  ``tpu:gop=N`` switches to the low-delay-P GOP stream with the
+  reference picture RESIDENT IN HBM, and ``:search=R`` adds the
+  device-side even-full-pel motion search (io.h264_inter.TpuGopEncoder:
   per-MB skip/inter/intra decisions on device, levels-only D2H).
 - ``ffmpeg`` — an external ``ffmpeg`` process fed raw NV12 on stdin,
   Annex-B H.264/H.265 on stdout (x264-class compression when the host
@@ -346,11 +347,13 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         qp = None
         slices = 1
         gop = None
+        search = 0
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
-            if key not in ("qp", "slices", "gop") or not val:
+            if key not in ("qp", "slices", "gop", "search") or not val:
                 raise ValueError(
-                    f"bad cavlc option {opt!r} (qp=N, slices=N, gop=N)")
+                    f"bad cavlc option {opt!r} "
+                    "(qp=N, slices=N, gop=N, search=N)")
             try:
                 ival = int(val)
             except ValueError:
@@ -363,6 +366,8 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 if ival < 1:
                     raise ValueError(f"cavlc gop must be >= 1, got {ival}")
                 gop = ival
+            elif key == "search":
+                search = ival  # validated by the encoder (even, 2..30)
             else:
                 if ival < 1:
                     raise ValueError(
@@ -378,10 +383,13 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
 
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gop=gop,
-                                       slices=slices)
+                                       slices=slices, search=search)
             return GopCavlcEncoder(width, height, qp=30, gop=gop,
                                    bitrate_kbps=bitrate_kbps, fps=fps,
-                                   slices=slices)
+                                   slices=slices, search=search)
+        if search:
+            raise ValueError("cavlc search=N requires gop=N > 1 "
+                             "(motion search is a P-frame feature)")
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
         if qp is not None:
             # fixed quantizer: no rate control
@@ -402,6 +410,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         qp = None
         gop = None
         overlap = False
+        search = 0
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
             if key == "overlap" and not val:
@@ -415,9 +424,16 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 if gop < 1:
                     raise ValueError(f"tpu gop must be >= 1, got {gop}")
                 continue
+            if key == "search" and val:
+                try:
+                    search = int(val)
+                except ValueError:
+                    raise ValueError(f"bad tpu search in {backend!r}")
+                continue
             if key != "qp" or not val:
                 raise ValueError(
-                    f"bad tpu option {opt!r} (qp=N|gop=N|overlap)")
+                    f"bad tpu option {opt!r} (qp=N|gop=N|search=N|"
+                    "overlap)")
             try:
                 qp = int(val)
             except ValueError:
@@ -430,10 +446,13 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
 
             if qp is not None:
                 return TpuGopEncoder(width, height, qp=qp, gop=gop,
-                                     overlap=overlap)
+                                     overlap=overlap, search=search)
             return TpuGopEncoder(width, height, qp=30, gop=gop,
                                  bitrate_kbps=bitrate_kbps, fps=fps,
-                                 overlap=overlap)
+                                 overlap=overlap, search=search)
+        if search:
+            raise ValueError("tpu search=N requires gop=N > 1 "
+                             "(motion search is a P-frame feature)")
         if qp is not None:
             return TpuCavlcEncoder(width, height, qp=qp, overlap=overlap)
         return TpuCavlcEncoder(width, height, qp=30,

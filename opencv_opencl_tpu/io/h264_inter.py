@@ -226,8 +226,10 @@ def search_candidates(search: int) -> list[tuple[int, int]]:
     TPU/oracle byte-exactness contract: both sides MUST pick the same
     MV for the same SAD field.
     """
-    if search < 2 or search % 2:
-        raise ValueError(f"search must be a positive even int, "
+    if search < 2 or search % 2 or search > 30:
+        # <= 30 keeps the candidate count under 1024, the tie-break
+        # packing radix of the shared sad*1024+index selection key
+        raise ValueError(f"search must be an even int in [2, 30], "
                          f"got {search}")
     cands = [(dy, dx) for dy in range(-search, search + 1, 2)
              for dx in range(-search, search + 1, 2)]
@@ -824,13 +826,22 @@ class GopCavlcEncoder:
 def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                                acz: np.ndarray, czdc: np.ndarray,
                                cacz: np.ndarray, qp: int,
-                               frame_num: int) -> list[bytes]:
+                               frame_num: int,
+                               mv: np.ndarray | None = None
+                               ) -> list[bytes]:
     """Entropy-code one P frame from PLevelArrays-layout arrays
     (ops/h264_levels.encode_p_levels) into one slice NAL per MB row —
     the TPU program's slice granularity.  Byte-identical to
     ``encode_frame_p_slices(..., slices=mb_h)``
     (tests/test_h264_inter_tpu.py); this is the CPU stage of the TPU
-    GOP path."""
+    GOP path.
+
+    ``mv`` is the (mb_h, mb_w, 2) (dy, dx) field from the device
+    motion search (None == all-zero).  With one slice per MB row the
+    8.4.1.3 predictor collapses to the left-only rule: mvp = the left
+    MB's MV when it is inter (P_Skip MBs carry (0, 0) — skip is
+    restricted to the zero predictor), (0, 0) after an intra MB or at
+    the row start."""
     mb_h, mb_w = mode.shape[:2]
     nals = []
     for mby in range(mb_h):
@@ -840,6 +851,7 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
         cbnnz = np.zeros((2, mb_w * 2 + 1), dtype=np.int64)
         crnnz = np.zeros_like(cbnnz)
         skip_run = 0
+        left_mv = None  # (dy, dx) of the left MB when inter, else None
         for mbx in range(mb_w):
             m = int(mode[mby, mbx])
             nbx0 = mbx * 4 + 1
@@ -847,6 +859,7 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
             left_ok = mbx > 0
             if m == 0:
                 skip_run += 1
+                left_mv = (0, 0)
                 lnnz[:, nbx0:nbx0 + 4] = 0
                 cbnnz[:, cnx0:cnx0 + 2] = 0
                 crnnz[:, cnx0:cnx0 + 2] = 0
@@ -858,6 +871,7 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
             w.ue(skip_run)
             skip_run = 0
             if m == 2:
+                left_mv = None
                 # I_16x16 inside the P slice (mb_type offset +5)
                 cbp_luma = bool(np.any(a))
                 w.ue(5 + 1 + 2 + 4 * cbp_chroma +
@@ -887,7 +901,7 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                 else:
                     lnnz[:, nbx0:nbx0 + 4] = 0
             else:
-                # P_L0_16x16, mvd (0,0); full 4x4 residual blocks
+                # P_L0_16x16; full 4x4 residual blocks
                 cbp_luma_bits = 0
                 for by in range(4):
                     for bx in range(4):
@@ -897,9 +911,14 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                             cbp_luma_bits |= 1 << q
                 cbp = cbp_luma_bits | (cbp_chroma << 4)
                 w.ue(0)
-                w.se(0).se(0)
+                dy, dx = ((int(mv[mby, mbx, 0]), int(mv[mby, mbx, 1]))
+                          if mv is not None else (0, 0))
+                mvp = left_mv if left_mv is not None else (0, 0)
+                w.se(4 * (dx - mvp[1])).se(4 * (dy - mvp[0]))
+                left_mv = (dy, dx)
                 w.ue(int(_CBP_INTER_CODENUM[cbp]))
-                w.se(0)
+                if cbp:
+                    w.se(0)    # mb_qp_delta (only when cbp != 0)
                 for bx, by in _BLOCK_SCAN:
                     q = (1 if bx >= 2 else 0) + (2 if by >= 2 else 0)
                     if not (cbp_luma_bits >> q) & 1:
@@ -995,11 +1014,15 @@ class TpuGopEncoder:
     def __init__(self, width: int, height: int, qp: int = 30,
                  gop: int = 30, bitrate_kbps: int | None = None,
                  fps: float = 30.0, native: str = "auto",
-                 threads: int = 0, overlap: bool = False) -> None:
+                 threads: int = 0, overlap: bool = False,
+                 search: int = 0) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
+        if search:
+            search_candidates(search)  # validates: even in [2, 30]
+        self.search = int(search)
         # the intra machinery (padding, native/python entropy, SPS/PPS
         # plumbing) comes from the TPU intra encoder; we swap the SPS
         # for the 1-reference GOP variant and drive our own GOP loop
@@ -1042,20 +1065,23 @@ class TpuGopEncoder:
             num = self._intra._idr_pic_id
             self._intra._idr_pic_id ^= 1
             self._frame_num = 1
-            pending = (lv, "i", num, qp)
+            pending = (lv, "i", num, qp, None)
         else:
-            plv = self._p_fn(y, cb, cr, *self._recon, jnp.int32(qp))
+            plv = self._p_fn(y, cb, cr, *self._recon, jnp.int32(qp),
+                             self.search)
             self._recon = (plv.recon_y, plv.recon_cb, plv.recon_cr)
-            pending = (plv[:5], "p", self._frame_num, qp)
+            pending = (plv[:5], "p", self._frame_num, qp, plv.mv)
             self._frame_num = (self._frame_num + 1) % 16
         self.frames += 1
         return pending
 
     def _p_entropy_nals(self, mode, zdc, acz, czdc, cacz, qp: int,
-                        num: int) -> list[bytes]:
+                        num: int, mv=None) -> list[bytes]:
         """P-frame entropy stage: native C++ rows when available (same
-        production path as the intra rows), Python oracle otherwise."""
-        if self._intra._native:
+        production path as the intra rows), Python oracle otherwise.
+        Motion streams fall back to the oracle until the native rows
+        learn mvd coding."""
+        if self._intra._native and (mv is None or not mv.any()):
             from opencv_opencl_tpu import native
 
             if hasattr(native._load(), "fp_cavlc_entropy_rows_p"):
@@ -1064,9 +1090,10 @@ class TpuGopEncoder:
                     threads=self._intra._threads,
                     workspace=self._intra._workspace)
         return encode_frame_p_from_levels(mode, zdc, acz, czdc, cacz,
-                                          qp, num)
+                                          qp, num, mv=mv)
 
-    def _assemble(self, lv, kind: str, num: int, qp: int) -> bytes:
+    def _assemble(self, lv, kind: str, num: int, qp: int,
+                  mv=None) -> bytes:
         if kind == "i":
             nals = self._intra._entropy_nals(lv, num, qp)
             au = (_START4 + self._intra._sps + _START4 +
@@ -1074,8 +1101,9 @@ class TpuGopEncoder:
                   b"".join(_START4 + bytes(n) for n in nals))
         else:
             mode, zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)
-            nals = self._p_entropy_nals(mode, zdc, acz, czdc, cacz,
-                                        qp, num)
+            nals = self._p_entropy_nals(
+                mode, zdc, acz, czdc, cacz, qp, num,
+                mv=None if mv is None else np.asarray(mv))
             au = b"".join(_START4 + bytes(n) for n in nals)
         if self.bitrate_kbps:
             _gop_rate_control(self, len(au))

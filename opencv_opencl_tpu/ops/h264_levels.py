@@ -352,6 +352,9 @@ class PLevelArrays(NamedTuple):
     cacz: (mb_h, mb_w, 2, 4, 16)
     recon_y/cb/cr: full reconstructed planes (uint8) — the next
         frame's reference; stays on device in the GOP encoder.
+    mv:   (mb_h, mb_w, 2) int16 (dy, dx) even full-pel luma MVs from
+        the device motion search (None when encoded with search=0 —
+        the zero-motion configuration has no MV field to ship).
     """
 
     mode: jax.Array
@@ -362,6 +365,70 @@ class PLevelArrays(NamedTuple):
     recon_y: jax.Array
     recon_cb: jax.Array
     recon_cr: jax.Array
+    mv: jax.Array | None = None
+
+
+def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
+                     rcr: jax.Array, search: int):
+    """Device-side exhaustive even-full-pel motion search + motion
+    compensation in ONE pass over the candidate set: per candidate,
+    the SAD field and a running best-key/best-pred update — when the
+    loop ends the prediction planes ARE the MC output at the winning
+    MV, with no gather and no second sweep.
+
+    Byte-exactness contract with the oracle (io.h264_inter
+    .motion_search): identical candidate order
+    (io.h264_inter.search_candidates), identical edge-replicated
+    padding (= spec 8.4.2.2.1 reference clipping), identical
+    ``sad * 1024 + index`` packing (SAD <= 65280 < 2^16 so the packing
+    is exact in int32; candidate count <= 1024 enforced by
+    search_candidates' search <= 30 bound).
+
+    Returns (mv (mb_h, mb_w, 2) int32 as (dy, dx), pred_y, pred_cb,
+    pred_cr int32 planes).
+    """
+    from opencv_opencl_tpu.io.h264_inter import search_candidates
+
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    cands = np.asarray(search_candidates(search), np.int32)
+    n = len(cands)
+    cs = search // 2
+    pad_y = jnp.pad(ry.astype(jnp.int32), search, mode="edge")
+    pad_cb = jnp.pad(rcb.astype(jnp.int32), cs, mode="edge")
+    pad_cr = jnp.pad(rcr.astype(jnp.int32), cs, mode="edge")
+    cur = y.astype(jnp.int32).reshape(mb_h, 16, mb_w, 16)
+    cand_arr = jnp.asarray(cands)
+
+    def body(i, state):
+        best_key, py, pcb, pcr = state
+        dy, dx = cand_arr[i, 0], cand_arr[i, 1]
+        ref = jax.lax.dynamic_slice(
+            pad_y, (search + dy, search + dx), (H, W))
+        sad = jnp.sum(
+            jnp.abs(cur - ref.reshape(mb_h, 16, mb_w, 16)),
+            axis=(1, 3))
+        key = sad * 1024 + i
+        take = key < best_key                       # (mb_h, mb_w)
+        ty = jnp.repeat(jnp.repeat(take, 16, 0), 16, 1)
+        tc = jnp.repeat(jnp.repeat(take, 8, 0), 8, 1)
+        refcb = jax.lax.dynamic_slice(
+            pad_cb, (cs + dy // 2, cs + dx // 2), (H // 2, W // 2))
+        refcr = jax.lax.dynamic_slice(
+            pad_cr, (cs + dy // 2, cs + dx // 2), (H // 2, W // 2))
+        return (jnp.minimum(best_key, key),
+                jnp.where(ty, ref, py),
+                jnp.where(tc, refcb, pcb),
+                jnp.where(tc, refcr, pcr))
+
+    init = (jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max, jnp.int32),
+            jnp.zeros((H, W), jnp.int32),
+            jnp.zeros((H // 2, W // 2), jnp.int32),
+            jnp.zeros((H // 2, W // 2), jnp.int32))
+    best_key, pred_y, pred_cb, pred_cr = jax.lax.fori_loop(
+        0, n, body, init)
+    mv = cand_arr[best_key % 1024]                  # (mb_h, mb_w, 2)
+    return mv, pred_y, pred_cb, pred_cr
 
 
 def _cost_of(*arrays):
@@ -379,20 +446,25 @@ def _cost_of(*arrays):
 
 def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                     ry: jax.Array, rcb: jax.Array, rcr: jax.Array,
-                    qp: jax.Array) -> PLevelArrays:
-    """Levels + mode decisions + reconstruction of one zero-motion P
-    frame with one slice per MB row (oracle:
-    io.h264_inter.encode_frame_p_slices at slices=mb_h; byte-identity
-    proven in tests/test_h264_inter_tpu.py).
+                    qp: jax.Array, search: int = 0) -> PLevelArrays:
+    """Levels + mode decisions + reconstruction of one P frame with one
+    slice per MB row (oracle: io.h264_inter.encode_frame_p_slices at
+    slices=mb_h; byte-identity proven in tests/test_h264_inter_tpu.py).
 
     y: (H, W) uint8 16-aligned source; cb/cr: (H/2, W/2) uint8;
     ry/rcb/rcr: reconstructed previous picture (uint8, same shapes —
     what this function or encode_levels(full_recon=True) returned);
-    qp: traced scalar int32.
+    qp: traced scalar int32; search: static even full-pel motion
+    search radius (0 = zero-motion; see :func:`motion_search_mc`).
 
     Structure: the inter candidate is PURE elementwise work (prediction
-    reads the previous picture, not spatial neighbors); only the intra
-    candidate's left-edge prediction forces the scan over MB columns.
+    reads the previous picture — with search, the MC planes — never
+    spatial neighbors); only the intra candidate's left-edge prediction
+    forces the scan over MB columns.  The mode decision stays
+    raster-free with motion because P_Skip is restricted to
+    mv == (0, 0) (== the skip MV predictor when the top neighbor is in
+    another slice), so the coded MV field always equals the searched
+    field and mvd becomes a pure host entropy-stage function.
     All int32 VPU arithmetic, like the intra program.
     """
     H, W = y.shape
@@ -401,6 +473,15 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     mb_h, mb_w = H // 16, W // 16
     qp = jnp.asarray(qp, jnp.int32)
     qpc = jnp.asarray(_QPC_TAB)[jnp.clip(qp, 0, 51)]
+
+    if search:
+        mv, pred_y, pred_cb, pred_cr = motion_search_mc(
+            y, ry, rcb, rcr, search)
+        mv_zero = (mv[:, :, 0] == 0) & (mv[:, :, 1] == 0)
+    else:
+        mv = None
+        pred_y, pred_cb, pred_cr = ry, rcb, rcr
+        mv_zero = jnp.ones((mb_h, mb_w), bool)
 
     mf_y = jnp.asarray(_MF_TAB)[qp % 6][jnp.asarray(_POS_CLASS)]
     mf_c = jnp.asarray(_MF_TAB)[qpc % 6][jnp.asarray(_POS_CLASS)]
@@ -420,7 +501,9 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                 .astype(jnp.int32))
 
     ycols, cbcols, crcols = cols(y, 16), cols(cb, 8), cols(cr, 8)
-    rycols, rcbcols, rcrcols = cols(ry, 16), cols(rcb, 8), cols(rcr, 8)
+    rycols, rcbcols, rcrcols = (cols(pred_y, 16), cols(pred_cb, 8),
+                                cols(pred_cr, 8))
+    mvzcols = mv_zero.transpose(1, 0)          # (mb_w, mb_h)
 
     def chroma_intra(srcmb, edge, left_ok):
         v0 = (jnp.sum(edge[:, 0:4], axis=1) + 2) >> 2
@@ -461,7 +544,7 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
 
     def step(carry, xs):
         y_edge, cb_edge, cr_edge = carry
-        ysrc, cbsrc, crsrc, yref, cbref, crref, mbx = xs
+        ysrc, cbsrc, crsrc, yref, cbref, crref, mvz, mbx = xs
         left_ok = mbx > 0
 
         # ---------- intra candidate (identical math to encode_levels)
@@ -487,11 +570,14 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         czdc_cb_p, cacz_cb_p = chroma_inter(cbsrc, cbref)
         czdc_cr_p, cacz_cr_p = chroma_inter(crsrc, crref)
 
-        # ---------- decision (oracle order: skip first, then cost)
+        # ---------- decision (oracle order: skip first, then cost);
+        # skip additionally requires mv == (0,0) — the skip MV
+        # predictor with one slice per MB row (spec 8.4.1.1, B in
+        # another slice); mvz is constant-True at search=0
         cost_p = _cost_of(lz, czdc_cb_p, czdc_cr_p, cacz_cb_p, cacz_cr_p)
         cost_i = _cost_of(zdc_i, acz_i, czdc_cb_i, czdc_cr_i,
                           cacz_cb_i, cacz_cr_i) + INTRA_BIAS
-        skip = cost_p == 0
+        skip = jnp.logical_and(cost_p == 0, mvz)
         use_intra = jnp.logical_and(~skip, cost_i < cost_p)
         mode = jnp.where(skip, 0, jnp.where(use_intra, 2, 1)
                          ).astype(jnp.int16)
@@ -562,7 +648,7 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     init = (jnp.zeros((mb_h, 16), jnp.int32),
             jnp.zeros((mb_h, 8), jnp.int32),
             jnp.zeros((mb_h, 8), jnp.int32))
-    xs = (ycols, cbcols, crcols, rycols, rcbcols, rcrcols,
+    xs = (ycols, cbcols, crcols, rycols, rcbcols, rcrcols, mvzcols,
           jnp.arange(mb_w, dtype=jnp.int32))
     _, (mode, zdc, acz, czdc, cacz, ryo, rcbo, rcro) = jax.lax.scan(
         step, init, xs)
@@ -575,11 +661,14 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         ryo.transpose(1, 2, 0, 3).reshape(H, W),
         rcbo.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
         rcro.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
+        None if mv is None else mv.astype(jnp.int16),
     )
 
 
-# old reference planes are dead once the new recon exists: donate them
-encode_p_levels_jit = jax.jit(encode_p_levels, donate_argnums=(3, 4, 5))
+# old reference planes are dead once the new recon exists: donate them;
+# the search radius is a static compile-time configuration
+encode_p_levels_jit = jax.jit(encode_p_levels, donate_argnums=(3, 4, 5),
+                              static_argnums=(7,))
 
 
 # One packed int16 lane vector per macroblock: 16 luma DC + 256 luma AC

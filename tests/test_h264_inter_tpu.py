@@ -223,3 +223,116 @@ class TestFullReconVariant:
         assert np.array_equal(np.asarray(ry, np.int64), want[0])
         assert np.array_equal(np.asarray(rcb, np.int64), want[1])
         assert np.array_equal(np.asarray(rcr, np.int64), want[2])
+
+
+class TestTpuMotionSearch:
+    """Device motion search (ops/h264_levels.motion_search_mc): the
+    TPU GOP stream with search=R must be byte-identical to the oracle
+    GopCavlcEncoder(slices=mb_h, search=R) — covering the shared SAD
+    candidate order/packing, the MC planes, the mv==0 skip guard, and
+    the left-only mvd rule in the entropy stage."""
+
+    def panning(self, w, h, n, step=4, seed=0):
+        rng = np.random.default_rng(seed)
+        base_y = (rng.integers(0, 256, (h, w), np.uint8)
+                  .astype(np.int64).reshape(h // 4, 4, w // 4, 4)
+                  .mean(axis=(1, 3)).astype(np.uint8)
+                  .repeat(4, 0).repeat(4, 1))
+        base_uv = rng.integers(96, 160, (h // 2, w), np.uint8)
+        out = []
+        for i in range(n):
+            y = np.roll(np.roll(base_y, i * step, 0), i * step, 1)
+            uv = np.roll(np.roll(base_uv, i * step // 2, 0),
+                         i * step, 1)
+            out.append(np.concatenate([y, uv], 0))
+        return out
+
+    @pytest.mark.parametrize("w,h,step", [(96, 64, 4), (100, 56, -4)])
+    def test_stream_byte_identical_to_oracle(self, w, h, step):
+        mb_h = -(-h // 16)
+        frames = self.panning(w, h, 5, step=step, seed=w)
+        tpu = TpuGopEncoder(w, h, qp=28, gop=5, search=8)
+        oracle = GopCavlcEncoder(w, h, qp=28, gop=5, slices=mb_h,
+                                 search=8)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
+
+    def test_mixed_content_byte_identical(self):
+        """skip + coded-inter + intra MBs with a non-trivial MV field
+        in one stream (insert moves, background static, scene cut)."""
+        w, h = 96, 64
+        frames = gop_frames(w, h, 6, seed=9)
+        tpu = TpuGopEncoder(w, h, qp=30, gop=6, search=4)
+        oracle = GopCavlcEncoder(w, h, qp=30, gop=6, slices=4,
+                                 search=4)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
+
+    def test_search_conformance_through_libavcodec(self, tmp_path):
+        import cv2
+
+        w, h = 96, 64
+        frames = self.panning(w, h, 5, step=4, seed=2)
+        enc = TpuGopEncoder(w, h, qp=26, gop=5, search=8)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(np.asarray(enc._recon[0]).copy())
+        p = tmp_path / "ms.h264"
+        p.write_bytes(b"".join(aus) + aus[-1])
+        cap = cv2.VideoCapture(str(p))
+        assert cap.isOpened()
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        for i in range(5):
+            ok, d = cap.read()
+            assert ok
+            assert np.array_equal(d[:h, :w], recons[i][:h, :w]), \
+                f"frame {i}"
+        cap.release()
+
+    def test_search_compresses_pan_vs_zero_motion(self):
+        w, h = 96, 64
+        frames = self.panning(w, h, 4, step=4, seed=5)
+        zm = TpuGopEncoder(w, h, qp=28, gop=10)
+        ms = TpuGopEncoder(w, h, qp=28, gop=10, search=8)
+        z = [len(zm.encode(f)[0]) for f in frames][1:]
+        m = [len(ms.encode(f)[0]) for f in frames][1:]
+        assert sum(m) * 3 < sum(z), (m, z)
+
+    def test_search_zero_field_matches_plain(self):
+        """Static content through the search program produces the same
+        bytes as the zero-motion program (all MVs (0,0) by tie-break,
+        native entropy still eligible)."""
+        w, h = 96, 64
+        base = np.random.default_rng(3).integers(
+            0, 256, (h * 3 // 2, w), np.uint8)
+        a = TpuGopEncoder(w, h, qp=28, gop=10)
+        b = TpuGopEncoder(w, h, qp=28, gop=10, search=8)
+        for _ in range(3):
+            assert a.encode(base) == b.encode(base)
+
+
+class TestSearchEncoderBoundary:
+    def test_make_encoder_search(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        e = make_encoder("tpu:gop=4:search=8", 96, 64)
+        assert isinstance(e, TpuGopEncoder) and e.search == 8
+        e = make_encoder("cavlc:gop=4:search=6:slices=2", 96, 64)
+        assert isinstance(e, GopCavlcEncoder) and e.search == 6
+
+    def test_make_encoder_search_rejections(self):
+        import pytest as _pytest
+
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        for bad in ("tpu:search=8", "cavlc:search=8",
+                    "tpu:gop=4:search=3", "cavlc:gop=4:search=32",
+                    "tpu:gop=4:search=x"):
+            with _pytest.raises(ValueError):
+                make_encoder(bad, 96, 64)
+        # search=0 is "disabled", not an error
+        e = make_encoder("tpu:gop=4:search=0", 96, 64)
+        assert e.search == 0
