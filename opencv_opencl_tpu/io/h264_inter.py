@@ -1078,17 +1078,16 @@ class TpuGopEncoder:
     def _p_entropy_nals(self, mode, zdc, acz, czdc, cacz, qp: int,
                         num: int, mv=None) -> list[bytes]:
         """P-frame entropy stage: native C++ rows when available (same
-        production path as the intra rows), Python oracle otherwise.
-        Motion streams fall back to the oracle until the native rows
-        learn mvd coding."""
-        if self._intra._native and (mv is None or not mv.any()):
+        production path as the intra rows, mvd included), Python oracle
+        otherwise."""
+        if self._intra._native:
             from opencv_opencl_tpu import native
 
             if hasattr(native._load(), "fp_cavlc_entropy_rows_p"):
                 return native.cavlc_entropy_rows_p(
                     mode, zdc, acz, czdc, cacz, qp, num,
                     threads=self._intra._threads,
-                    workspace=self._intra._workspace)
+                    workspace=self._intra._workspace, mv=mv)
         return encode_frame_p_from_levels(mode, zdc, acz, czdc, cacz,
                                           qp, num, mv=mv)
 

@@ -136,7 +136,7 @@ def _load():
         ]
         lib.fp_cavlc_entropy_rows_p.restype = ctypes.c_int64
         lib.fp_cavlc_entropy_rows_p.argtypes = [
-            i16p, i16p, i16p, i16p, i16p, ctypes.c_uint64,
+            i16p, i16p, i16p, i16p, i16p, i16p, ctypes.c_uint64,
             ctypes.c_uint64, u8p, u64p, ctypes.c_int, u8p,
             ctypes.c_uint64, u8p, u64p,
         ]
@@ -588,12 +588,14 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
                          acz: np.ndarray, czdc: np.ndarray,
                          cacz: np.ndarray, qp: int, frame_num: int,
                          threads: int = 0,
-                         workspace: dict | None = None) -> list[bytes]:
+                         workspace: dict | None = None,
+                         mv: np.ndarray | None = None) -> list[bytes]:
     """Native entropy coding of one P frame's chosen-mode levels
     (ops/h264_levels.py PLevelArrays) into one P slice NAL per MB row —
-    the CPU stage of the TPU GOP path.  Byte-identical to
-    ``io.h264_inter.encode_frame_p_from_levels`` (the Python oracle,
-    diffed in tests/test_h264_inter_tpu.py)."""
+    the CPU stage of the TPU GOP path.  ``mv`` is the (mb_h, mb_w, 2)
+    (dy, dx) field from the device motion search (None = zero motion).
+    Byte-identical to ``io.h264_inter.encode_frame_p_from_levels`` (the
+    Python oracle, diffed in tests/test_h264_inter_tpu.py)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native runtime unavailable: {_build_error}")
@@ -605,6 +607,8 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
     acz = np.ascontiguousarray(acz, dtype=np.int16)
     czdc = np.ascontiguousarray(czdc, dtype=np.int16)
     cacz = np.ascontiguousarray(cacz, dtype=np.int16)
+    if mv is not None:
+        mv = np.ascontiguousarray(mv, dtype=np.int16)
     mb_h, mb_w = mode.shape[:2]
     heads, nbits = [], []
     for i in range(mb_h):
@@ -634,7 +638,9 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
     rc = lib.fp_cavlc_entropy_rows_p(
         mode.ctypes.data_as(i16p), zdc.ctypes.data_as(i16p),
         acz.ctypes.data_as(i16p), czdc.ctypes.data_as(i16p),
-        cacz.ctypes.data_as(i16p), mb_h, mb_w, _ptr(blob),
+        cacz.ctypes.data_as(i16p),
+        mv.ctypes.data_as(i16p) if mv is not None else None,
+        mb_h, mb_w, _ptr(blob),
         nbits_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         threads, _ptr(scratch), stride, _ptr(out),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))

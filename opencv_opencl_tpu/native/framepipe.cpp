@@ -1680,13 +1680,18 @@ static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
                    left_ok);
 }
 
-// Inter (P_L0_16x16, mvd 0,0) MB from precomputed levels: acz holds
-// FULL 4x4 blocks (DC included); CBP luma is one bit per 8x8 quadrant.
-// Mirrors io/h264_inter.py encode_frame_p_from_levels.
+// Inter (P_L0_16x16) MB from precomputed levels: acz holds FULL 4x4
+// blocks (DC included); CBP luma is one bit per 8x8 quadrant.  mvd_x /
+// mvd_y are quarter-pel motion vector differences (0 in the
+// zero-motion configuration).  A cbp==0 MB (possible when the device
+// search picked a non-predictor MV whose residual quantized away) has
+// no mb_qp_delta and no residual syntax.  Mirrors io/h264_inter.py
+// encode_frame_p_from_levels.
 static void entropy_p_mb(BitW& w, size_t mbx, size_t mb_w,
                          const int16_t* acz, const int16_t* czdc,
                          const int16_t* cacz, int8_t* lnnz,
-                         int8_t* cbnnz, int8_t* crnnz) {
+                         int8_t* cbnnz, int8_t* crnnz,
+                         int32_t mvd_x, int32_t mvd_y) {
     const bool left_ok = mbx > 0;
     int cbp_luma = 0;
     for (int b = 0; b < 16; ++b) {
@@ -1710,13 +1715,27 @@ static void entropy_p_mb(BitW& w, size_t mbx, size_t mb_w,
             break;
         }
     const int cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
-    w.ue(0);   // mb_type: P_L0_16x16
-    w.se(0);   // mvd_l0 x (ref_idx absent: one active reference)
-    w.se(0);   // mvd_l0 y
-    w.ue(kCbpInterCode[cbp_luma | (cbp_chroma << 4)]);
-    w.se(0);   // mb_qp_delta (cbp != 0 guaranteed by the caller)
+    const int cbp = cbp_luma | (cbp_chroma << 4);
+    w.ue(0);       // mb_type: P_L0_16x16
+    w.se(mvd_x);   // mvd_l0 x (ref_idx absent: one active reference)
+    w.se(mvd_y);   // mvd_l0 y
+    w.ue(kCbpInterCode[cbp]);
     const size_t lstr = mb_w * 4 + 1;
     const size_t nbx0 = mbx * 4 + 1;
+    const size_t cstr = mb_w * 2 + 1;
+    const size_t cnx0 = mbx * 2 + 1;
+    if (!cbp) {
+        for (int by = 0; by < 4; ++by)
+            for (int bx = 0; bx < 4; ++bx)
+                lnnz[by * lstr + nbx0 + bx] = 0;
+        for (int by = 0; by < 2; ++by)
+            for (int bx = 0; bx < 2; ++bx) {
+                cbnnz[by * cstr + cnx0 + bx] = 0;
+                crnnz[by * cstr + cnx0 + bx] = 0;
+            }
+        return;
+    }
+    w.se(0);   // mb_qp_delta (cbp != 0)
     for (int s = 0; s < 16; ++s) {
         int bx = kBlockScan[s][0], by = kBlockScan[s][1];
         int q = (bx >= 2 ? 1 : 0) + (by >= 2 ? 2 : 0);
@@ -1820,13 +1839,17 @@ extern "C" int64_t fp_cavlc_entropy_rows(
 // P-frame variant: entropy-code precomputed chosen-mode levels
 // (PLevelArrays layouts + per-MB mode plane: 0 P_Skip / 1 P_L0_16x16 /
 // 2 I_16x16) into one P slice NAL per MB row, with mb_skip_run
-// accounting.  Byte-identical to io/h264_inter.py
+// accounting.  ``mv`` is the (mb_h*mb_w, 2) (dy, dx) even-full-pel MV
+// field from the device motion search, or null for zero motion; the
+// MV predictor is the one-row-slice left-only rule (mvp = the left
+// MB's MV when it is inter — P_Skip rows carry (0,0) — reset per row
+// and after intra MBs).  Byte-identical to io/h264_inter.py
 // encode_frame_p_from_levels (the Python oracle).  Same scratch/out
 // discipline as fp_cavlc_entropy_rows.
 extern "C" int64_t fp_cavlc_entropy_rows_p(
     const int16_t* mode, const int16_t* zdc, const int16_t* acz,
-    const int16_t* czdc, const int16_t* cacz, uint64_t mb_h,
-    uint64_t mb_w, const uint8_t* head_bits_blob,
+    const int16_t* czdc, const int16_t* cacz, const int16_t* mv,
+    uint64_t mb_h, uint64_t mb_w, const uint8_t* head_bits_blob,
     const uint64_t* head_nbits, int threads, uint8_t* scratch,
     uint64_t stride, uint8_t* out, uint64_t* out_lens) {
     if (mb_h == 0 || mb_w == 0) return -1;
@@ -1850,12 +1873,16 @@ extern "C" int64_t fp_cavlc_entropy_rows_p(
         std::memset(cbnnz, 0, 2 * cstr);
         std::memset(crnnz, 0, 2 * cstr);
         uint32_t skip_run = 0;
+        bool left_inter = false;     // left MB inter (incl. skip)?
+        int32_t lmy = 0, lmx = 0;    // its MV (full-pel)
         for (uint64_t mbx = 0; mbx < mb_w; ++mbx) {
             uint64_t mb = i * mb_w + mbx;
             int m = mode[mb];
             const size_t nbx0 = mbx * 4 + 1, cnx0 = mbx * 2 + 1;
             if (m == 0) {
                 ++skip_run;
+                left_inter = true;   // P_Skip: mv == mvp_skip == (0,0)
+                lmy = lmx = 0;
                 for (int by = 0; by < 4; ++by)
                     for (int bx = 0; bx < 4; ++bx)
                         lnnz[by * lstr + nbx0 + bx] = 0;
@@ -1868,15 +1895,25 @@ extern "C" int64_t fp_cavlc_entropy_rows_p(
             }
             w.ue(skip_run);
             skip_run = 0;
-            if (m == 2)
+            if (m == 2) {
+                left_inter = false;
                 cavlc::entropy_mb(w, mbx, mb_w, zdc + mb * 16,
                                   acz + mb * 256, czdc + mb * 8,
                                   cacz + mb * 128, lnnz, cbnnz, crnnz,
                                   /*type_offset=*/5);
-            else
+            } else {
+                const int32_t dy = mv ? mv[mb * 2] : 0;
+                const int32_t dx = mv ? mv[mb * 2 + 1] : 0;
+                const int32_t py = left_inter ? lmy : 0;
+                const int32_t px = left_inter ? lmx : 0;
                 cavlc::entropy_p_mb(w, mbx, mb_w, acz + mb * 256,
                                     czdc + mb * 8, cacz + mb * 128,
-                                    lnnz, cbnnz, crnnz);
+                                    lnnz, cbnnz, crnnz,
+                                    4 * (dx - px), 4 * (dy - py));
+                left_inter = true;
+                lmy = dy;
+                lmx = dx;
+            }
         }
         if (skip_run) w.ue(skip_run);
         w.trailing();

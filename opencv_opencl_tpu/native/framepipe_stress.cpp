@@ -352,21 +352,47 @@ int main() {
             heads_blob.push_back(0x20);
             head_nbits.push_back(21);
         }
+        // per-MB MVs: non-zero on inter MBs, exercising the left-MV
+        // predictor chain and mvd coding under threading
+        std::vector<int16_t> mv(n * 2, 0);
+        for (uint64_t mb = 0; mb < n; ++mb)
+            if (mb % 3 == 1) {
+                mv[mb * 2] = int16_t(2 * int(mb % 5) - 4);
+                mv[mb * 2 + 1] = int16_t(4 - 2 * int(mb % 4));
+            }
         const uint64_t stride = (2200 * mb_w + 96) / 2 * 3 + 64;
         std::vector<uint8_t> scr(mb_h * stride), seq_o(mb_h * stride),
             par_o(mb_h * stride);
         std::vector<uint64_t> seq_l(mb_h), par_l(mb_h);
         int64_t r1 = fp_cavlc_entropy_rows_p(
             mode.data(), zdc.data(), acz.data(), czdc.data(),
-            cacz.data(), mb_h, mb_w, heads_blob.data(),
+            cacz.data(), mv.data(), mb_h, mb_w, heads_blob.data(),
             head_nbits.data(), 1, scr.data(), stride, seq_o.data(),
             seq_l.data());
         int64_t r2 = fp_cavlc_entropy_rows_p(
             mode.data(), zdc.data(), acz.data(), czdc.data(),
-            cacz.data(), mb_h, mb_w, heads_blob.data(),
+            cacz.data(), mv.data(), mb_h, mb_w, heads_blob.data(),
             head_nbits.data(), 4, scr.data(), stride, par_o.data(),
             par_l.data());
-        bool ok = r1 == 0 && r2 == 0;
+        // null mv = zero motion must also hold under threading
+        std::vector<uint8_t> z_o(mb_h * stride), z2_o(mb_h * stride);
+        std::vector<uint64_t> z_l(mb_h), z2_l(mb_h);
+        int64_t r3 = fp_cavlc_entropy_rows_p(
+            mode.data(), zdc.data(), acz.data(), czdc.data(),
+            cacz.data(), nullptr, mb_h, mb_w, heads_blob.data(),
+            head_nbits.data(), 1, scr.data(), stride, z_o.data(),
+            z_l.data());
+        int64_t r4 = fp_cavlc_entropy_rows_p(
+            mode.data(), zdc.data(), acz.data(), czdc.data(),
+            cacz.data(), nullptr, mb_h, mb_w, heads_blob.data(),
+            head_nbits.data(), 3, scr.data(), stride, z2_o.data(),
+            z2_l.data());
+        bool ok = r1 == 0 && r2 == 0 && r3 == 0 && r4 == 0;
+        for (uint64_t i = 0; ok && i < mb_h; ++i)
+            ok = z_l[i] == z2_l[i] &&
+                 std::memcmp(z_o.data() + i * stride,
+                             z2_o.data() + i * stride,
+                             size_t(z_l[i])) == 0;
         uint64_t total = 0;
         for (uint64_t i = 0; ok && i < mb_h; ++i) {
             ok = seq_l[i] == par_l[i] &&

@@ -336,3 +336,71 @@ class TestSearchEncoderBoundary:
         # search=0 is "disabled", not an error
         e = make_encoder("tpu:gop=4:search=0", 96, 64)
         assert e.search == 0
+
+
+class TestNativePEntropyMvd:
+    def test_native_mvd_matches_oracle(self):
+        """Native rows with a motion MV field must equal the Python
+        oracle — skip runs, coded mvd with the left-only predictor,
+        intra predictor resets, and cbp==0 inter MBs all present."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu import native
+        from opencv_opencl_tpu.io.h264_inter import (
+            encode_frame_p_from_levels)
+        from opencv_opencl_tpu.ops.h264_levels import (
+            encode_levels_recon_jit, encode_p_levels_jit)
+
+        if not (native.available()
+                and hasattr(native._load(), "fp_cavlc_entropy_rows_p")):
+            pytest.skip("native runtime unavailable")
+        w, h, qp = 160, 96, 28
+        rng = np.random.default_rng(41)
+        base_y = (rng.integers(0, 256, (h, w), np.uint8)
+                  .astype(np.int64).reshape(h // 4, 4, w // 4, 4)
+                  .mean(axis=(1, 3)).astype(np.uint8)
+                  .repeat(4, 0).repeat(4, 1))
+        base_uv = rng.integers(96, 160, (h // 2, w), np.uint8)
+        f0 = np.concatenate([base_y, base_uv], 0)
+        y1 = np.roll(base_y, 4, 1)
+        y1[40:96] = (np.linspace(40, 200, w)[None, :] +
+                     np.zeros((56, 1))).astype(np.uint8)  # intra region
+        f1 = np.concatenate(
+            [y1, np.roll(base_uv, 4, 1)], 0)
+        uv0 = f0[h:].reshape(h // 2, w // 2, 2)
+        uv1 = f1[h:].reshape(h // 2, w // 2, 2)
+        _, ry, rcb, rcr = encode_levels_recon_jit(
+            jnp.asarray(f0[:h]), jnp.asarray(uv0[:, :, 0]),
+            jnp.asarray(uv0[:, :, 1]), jnp.int32(qp))
+        plv = encode_p_levels_jit(
+            jnp.asarray(f1[:h]), jnp.asarray(uv1[:, :, 0]),
+            jnp.asarray(uv1[:, :, 1]), ry, rcb, rcr, jnp.int32(qp), 8)
+        mode, zdc, acz, czdc, cacz = (np.asarray(a) for a in plv[:5])
+        mv = np.asarray(plv.mv)
+        assert mv.any(), "fixture must produce non-zero MVs"
+        assert (mode == 1).any() and (mode == 2).any()
+        want = [bytes(n) for n in encode_frame_p_from_levels(
+            mode, zdc, acz, czdc, cacz, qp, 3, mv=mv)]
+        got = native.cavlc_entropy_rows_p(mode, zdc, acz, czdc, cacz,
+                                          qp, 3, mv=mv)
+        assert got == want
+        ws = {}
+        got_t = native.cavlc_entropy_rows_p(mode, zdc, acz, czdc, cacz,
+                                            qp, 3, threads=4,
+                                            workspace=ws, mv=mv)
+        assert got_t == want
+
+    def test_tpu_gop_search_encoder_uses_native(self):
+        """TpuGopEncoder with search produces identical bytes with
+        native entropy forced on and off."""
+        from opencv_opencl_tpu import native
+
+        if not (native.available()
+                and hasattr(native._load(), "fp_cavlc_entropy_rows_p")):
+            pytest.skip("native runtime unavailable")
+        w, h = 96, 64
+        frames = TestTpuMotionSearch().panning(w, h, 4, step=4, seed=8)
+        a = TpuGopEncoder(w, h, qp=28, gop=4, search=8, native="always")
+        b = TpuGopEncoder(w, h, qp=28, gop=4, search=8, native="never")
+        for f in frames:
+            assert a.encode(f) == b.encode(f)
