@@ -280,7 +280,8 @@ def run(argv: list[str]) -> int:
         if fused_gop:
             # GOP: the device programs chain recon/frame-index state
             # across batches; padding would advance it on fake frames
-            fused_fn = build_enhance_gop_fn(cfg, spec, enc.gop)
+            fused_fn = build_enhance_gop_fn(cfg, spec, enc.gop,
+                                            search=enc.search)
             fstate = {"recon": enc.initial_recon(), "idx": 0}
 
             def process_fn(nv12_batch):

@@ -1146,17 +1146,20 @@ def _tpu_gop_initial_recon(self):
 def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
     """Assemble one access unit from a fused GOP program's packed level
     tensor (GOP_PACKED_LANES = 409 + the mode lane: -1 marks an IDR
-    frame).  Must be called in stream order — frame_num / idr_pic_id
-    advance per call, mirroring the device-side idx chain."""
+    frame; GOP_PACKED_LANES_MV adds the two per-MB motion-vector lanes
+    of the search configuration).  Must be called in stream order —
+    frame_num / idr_pic_id advance per call, mirroring the device-side
+    idx chain."""
     from opencv_opencl_tpu.ops.h264_levels import unpack_levels_host
 
     packed = np.asarray(packed)
-    if packed.shape[-1] != 410:
+    if packed.shape[-1] not in (410, 412):
         raise ValueError(
             f"fused GOP packed levels have {packed.shape[-1]} lanes, "
-            "expected 410")
+            "expected 410 (zero motion) or 412 (motion search)")
     lv, qp = unpack_levels_host(packed[:, :, :409])
     mode = packed[:, :, 409]
+    mv = packed[:, :, 410:412] if packed.shape[-1] == 412 else None
     self.frames += 1
     if mode[0, 0] == -1:  # IDR frame marker
         num = self._intra._idr_pic_id
@@ -1167,7 +1170,8 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
               b"".join(_START4 + bytes(n) for n in nals))
     else:
         nals = self._p_entropy_nals(mode, lv.zdc, lv.acz, lv.czdc,
-                                    lv.cacz, qp, self._frame_num)
+                                    lv.cacz, qp, self._frame_num,
+                                    mv=mv)
         self._frame_num = (self._frame_num + 1) % 16
         au = b"".join(_START4 + bytes(n) for n in nals)
     if self.bitrate_kbps:

@@ -41,12 +41,15 @@ from opencv_opencl_tpu.ops.h264_levels import (
     LevelArrays, encode_levels, encode_p_levels, pack_levels)
 
 __all__ = ["build_enhance_levels_fn", "build_enhance_gop_fn",
-           "GOP_PACKED_LANES"]
+           "GOP_PACKED_LANES", "GOP_PACKED_LANES_MV"]
 
 # GOP packing = the intra packing (408 levels + qp) + a mode lane:
 # per-MB 0/1/2 (P_Skip / P_L0_16x16 / I_16x16) on P frames, -1 on IDR
 # frames (the frame-type marker the host entropy stage dispatches on).
+# With motion search, two more lanes carry the per-MB (dy, dx) MV
+# field (412 total); the host side dispatches on the lane count.
 GOP_PACKED_LANES = 410
+GOP_PACKED_LANES_MV = 412
 
 
 def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
@@ -91,10 +94,13 @@ def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
     return jax.jit(fn)
 
 
-def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int):
+def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
+                         search: int = 0):
     """Fused enhance + low-delay-P GOP encode: returns a jitted
     ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32, idx0: int32,
-    ry, rcb, rcr) -> (int16[N, mb_h, mb_w, 410], ry', rcb', rcr')``.
+    ry, rcb, rcr) -> (int16[N, mb_h, mb_w, 410|412], ry', rcb',
+    rcr')`` — 412 lanes when ``search`` > 0 (two per-MB MV lanes from
+    the device motion search ride down with the levels).
 
     The whole video encoder front half runs as ONE device program per
     batch: enhancement, then per frame either the intra level+recon
@@ -122,10 +128,13 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int):
     mbh, mbw = h16 // 16, w16 // 16
     enhance_y, _ = make_enhance_y(cfg, spec)
 
-    def pack_gop(lv: LevelArrays, qp, mode):
+    def pack_gop(lv: LevelArrays, qp, mode, mv=None):
         base = pack_levels(lv, qp)                  # (mbh, mbw, 409)
-        return jnp.concatenate(
-            [base, mode.astype(jnp.int16)[:, :, None]], axis=-1)
+        parts = [base, mode.astype(jnp.int16)[:, :, None]]
+        if search:
+            parts.append(jnp.zeros((mbh, mbw, 2), jnp.int16)
+                         if mv is None else mv.astype(jnp.int16))
+        return jnp.concatenate(parts, axis=-1)
 
     def fn(nv12_batch, qp, idx0, ry, rcb, rcr):
         n = nv12_batch.shape[0]
@@ -154,9 +163,10 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int):
 
             def do_p(args):
                 yf, cbf, crf, ry, rcb, rcr = args
-                plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp)
+                plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp,
+                                      search)
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
-                return (pack_gop(lv, qp, plv.mode),
+                return (pack_gop(lv, qp, plv.mode, plv.mv),
                         plv.recon_y, plv.recon_cb, plv.recon_cr)
 
             packed, ry2, rcb2, rcr2 = jax.lax.cond(

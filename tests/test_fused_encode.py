@@ -242,3 +242,54 @@ class TestFusedRelay:
         rc = relay.run(["--source=test", "--max-frames=1",
                         "--sink=null", "--fused-encode"])
         assert rc == 2
+
+
+class TestFusedGopSearch:
+    def test_fused_gop_search_matches_unfused(self):
+        """Fused enhance + GOP with device motion search (412-lane
+        packing) streams byte-identical to enhance-then-
+        TpuGopEncoder(search=R), across uneven batch splits."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+        from opencv_opencl_tpu.models.fused_encode import (
+            GOP_PACKED_LANES_MV, build_enhance_gop_fn)
+
+        w, h, qp, gop = 96, 64, 30, 3
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op="clahe", chroma=ChromaPolicy.PASSTHROUGH)
+        rng = np.random.default_rng(33)
+        base = rand_nv12_batch(w, h, 1, seed=33)[0]
+        # panning luma so the search finds non-zero MVs post-enhance
+        frames = np.stack([
+            np.concatenate([np.roll(base[:h], 4 * i, 1),
+                            np.roll(base[h:], 4 * i, 1)], 0)
+            for i in range(7)])
+
+        plain = build_enhance_fn(cfg, spec, donate=False)
+        enh = np.asarray(plain(frames))
+        ref_enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=8)
+        want = [au for f in enh for au in ref_enc.encode(f)]
+
+        fn = build_enhance_gop_fn(cfg, spec, gop, search=8)
+        enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=8)
+        recon = enc.initial_recon()
+        idx, got = 0, []
+        for lo, hi in ((0, 2), (2, 5), (5, 7)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(qp), idx,
+                                *recon)
+            packed = np.asarray(packed)
+            assert packed.shape[-1] == GOP_PACKED_LANES_MV
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(packed[i]))
+        assert got == want
+        # the MV lanes must actually carry motion on panning content
+        assert packed[:, :, :, 410:412].any()
+
+    def test_from_packed_rejects_bad_lane_count(self):
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+
+        enc = TpuGopEncoder(96, 64, qp=30, gop=3)
+        with pytest.raises(ValueError, match="lanes"):
+            enc.encode_from_packed(np.zeros((4, 6, 411), np.int16))
