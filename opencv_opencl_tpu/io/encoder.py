@@ -20,7 +20,7 @@ Hosts differ in what encoder they offer, so the relay's
   accelerator against host entropy coding (one frame of added latency),
   ``tpu:gop=N`` switches to the low-delay-P GOP stream with the
   reference picture RESIDENT IN HBM, and ``:search=R`` adds the
-  device-side even-full-pel motion search (io.h264_inter.TpuGopEncoder:
+  device-side full-pel motion search (io.h264_inter.TpuGopEncoder:
   per-MB skip/inter/intra decisions on device, levels-only D2H).
 - ``ffmpeg`` — an external ``ffmpeg`` process fed raw NV12 on stdin,
   Annex-B H.264/H.265 on stdout (x264-class compression when the host

@@ -24,10 +24,13 @@ redundancy; this module adds the missing inter path with a
   deliberately NOT exact-bit trial encoding, so the TPU level program
   can reproduce byte-identical decisions without entropy coding in the
   loop;
-- no motion search: the design target is the static/slowly-varying
-  regions of enhancement relays, where skip runs collapse the
-  per-frame cost to almost nothing; moving regions degrade to coded
-  zero-MV residuals or per-MB intra, whichever is cheaper;
+- ``search=0`` (default) does no motion search: the design target is
+  the static/slowly-varying regions of enhancement relays, where skip
+  runs collapse the per-frame cost to almost nothing; moving regions
+  degrade to coded zero-MV residuals or per-MB intra, whichever is
+  cheaper.  ``search=R`` adds the exhaustive full-pel SAD search
+  (:func:`motion_search`, device twin
+  ops/h264_levels.motion_search_mc) with real mvd coding;
 - the in-loop deblocking filter stays disabled, so decoder output ==
   encoder reconstruction EXACTLY, frame after frame — conformance
   tests decode whole GOPs through libavcodec and require bit-identical
@@ -150,8 +153,8 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
     reconstruction (what any conformant decoder must display).
 
     ``search=0`` is the zero-motion design of the module docstring;
-    ``search=R`` (positive even) adds an exhaustive even-full-pel SAD
-    search (:func:`motion_search`) and codes P_L0_16x16 MBs with real
+    ``search=R`` (1..15) adds an exhaustive full-pel SAD search
+    (:func:`motion_search`) and codes P_L0_16x16 MBs with real
     ``mvd``.  P_Skip stays restricted to mv == (0, 0): the skip MV
     predictor (spec 8.4.1.1) is (0, 0) whenever the top neighbor is
     unavailable OR some zero-MV neighbor triggers the early-out, and
@@ -214,25 +217,25 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
 
 
 def search_candidates(search: int) -> list[tuple[int, int]]:
-    """Deterministic candidate order of the even-full-pel motion search:
-    every even (dy, dx) in [-search, search]^2, sorted by
+    """Deterministic candidate order of the full-pel motion search:
+    every (dy, dx) in [-search, search]^2, sorted by
     (|dy| + |dx|, dy, dx) so (0, 0) is index 0 and smaller motion wins
-    SAD ties.  ``search`` must be a positive even integer.
+    SAD ties.  ``search`` must be in [1, 15] ((2*15+1)^2 = 961 keeps
+    the candidate count under 1024, the tie-break packing radix of the
+    shared ``sad * 1024 + index`` selection key).
 
-    Even full-pel only: the luma MV is a multiple of 2 pixels, so the
-    chroma displacement mv/2 is a whole chroma sample — chroma MC stays
-    a pure block copy (no eighth-pel bilinear), and every prediction
-    sample is an exact integer read.  The order is part of the
-    TPU/oracle byte-exactness contract: both sides MUST pick the same
-    MV for the same SAD field.
+    Full-pel luma MVs keep luma MC a pure block copy; chroma moves by
+    mv/2 chroma samples, so odd MVs land on half-sample positions —
+    handled by the spec's 1/8-pel bilinear (8.4.2.2.2) with fractions
+    in {0, 4}, still exact integer arithmetic (:func:`mc_planes`).
+    The order is part of the TPU/oracle byte-exactness contract: both
+    sides MUST pick the same MV for the same SAD field.
     """
-    if search < 2 or search % 2 or search > 30:
-        # <= 30 keeps the candidate count under 1024, the tie-break
-        # packing radix of the shared sad*1024+index selection key
-        raise ValueError(f"search must be an even int in [2, 30], "
+    if not 1 <= search <= 15:
+        raise ValueError(f"search must be an int in [1, 15], "
                          f"got {search}")
-    cands = [(dy, dx) for dy in range(-search, search + 1, 2)
-             for dx in range(-search, search + 1, 2)]
+    cands = [(dy, dx) for dy in range(-search, search + 1)
+             for dx in range(-search, search + 1)]
     cands.sort(key=lambda d: (abs(d[0]) + abs(d[1]), d[0], d[1]))
     return cands
 
@@ -241,7 +244,7 @@ def motion_search(y: np.ndarray, ry: np.ndarray,
                   search: int) -> np.ndarray:
     """Exhaustive per-MB SAD search over :func:`search_candidates`
     against the reconstructed previous picture; returns the MV field
-    ``(mb_h, mb_w, 2)`` int64 as (dy, dx) in (even) luma pixels.
+    ``(mb_h, mb_w, 2)`` int64 as (dy, dx) in whole luma pixels.
 
     Out-of-picture candidates are evaluated against edge-replicated
     samples — exactly the decoder's reference clipping
@@ -275,23 +278,38 @@ def motion_search(y: np.ndarray, ry: np.ndarray,
 
 
 def mc_planes(ref: dict, mv: np.ndarray) -> dict:
-    """Motion-compensated prediction planes for a per-MB MV field:
-    pred[i, j] = ref[clip(i + dy), clip(j + dx)] with per-sample
-    clipping to the picture (spec 8.4.2.2.1) — chroma displaced by
-    mv / 2 (exact: MVs are even).  A zero field returns the co-located
-    planes byte-for-byte."""
+    """Motion-compensated prediction planes for a per-MB full-pel MV
+    field: luma pred[i, j] = ref[clip(i + dy), clip(j + dx)] with
+    per-sample clipping to the picture (spec 8.4.2.2.1).  Chroma moves
+    by mv/2: integer part floor(mv/2) (arithmetic shift — spec
+    ``mvCLX >> 3`` with mvCLX = 4*mv), fraction 4*(mv & 1) eighth
+    samples, interpolated with the spec 8.4.2.2.2 bilinear
+    ``((8-xF)(8-yF)A + xF(8-yF)B + (8-xF)yF C + xF yF D + 32) >> 6``
+    — exact integer arithmetic; at even MVs it reduces to the block
+    copy.  A zero field returns the co-located planes byte-for-byte."""
     H, W = ref["y"].shape
     dyg = np.repeat(np.repeat(mv[:, :, 0], 16, 0), 16, 1)
     dxg = np.repeat(np.repeat(mv[:, :, 1], 16, 0), 16, 1)
     rows = np.clip(np.arange(H)[:, None] + dyg, 0, H - 1)
     cols = np.clip(np.arange(W)[None, :] + dxg, 0, W - 1)
     out = {"y": ref["y"][rows, cols]}
-    cdyg = np.repeat(np.repeat(mv[:, :, 0] // 2, 8, 0), 8, 1)
-    cdxg = np.repeat(np.repeat(mv[:, :, 1] // 2, 8, 0), 8, 1)
-    crows = np.clip(np.arange(H // 2)[:, None] + cdyg, 0, H // 2 - 1)
-    ccols = np.clip(np.arange(W // 2)[None, :] + cdxg, 0, W // 2 - 1)
+    cdyg = np.repeat(np.repeat(mv[:, :, 0] >> 1, 8, 0), 8, 1)
+    cdxg = np.repeat(np.repeat(mv[:, :, 1] >> 1, 8, 0), 8, 1)
+    fyg = np.repeat(np.repeat((mv[:, :, 0] & 1) * 4, 8, 0), 8, 1)
+    fxg = np.repeat(np.repeat((mv[:, :, 1] & 1) * 4, 8, 0), 8, 1)
+    ch, cw = H // 2, W // 2
+    r0 = np.clip(np.arange(ch)[:, None] + cdyg, 0, ch - 1)
+    r1 = np.clip(np.arange(ch)[:, None] + cdyg + 1, 0, ch - 1)
+    c0 = np.clip(np.arange(cw)[None, :] + cdxg, 0, cw - 1)
+    c1 = np.clip(np.arange(cw)[None, :] + cdxg + 1, 0, cw - 1)
+    wa = (8 - fxg) * (8 - fyg)
+    wb = fxg * (8 - fyg)
+    wc = (8 - fxg) * fyg
+    wd = fxg * fyg
     for name in ("cb", "cr"):
-        out[name] = ref[name][crows, ccols]
+        p = ref[name]
+        out[name] = (wa * p[r0, c0] + wb * p[r0, c1] +
+                     wc * p[r1, c0] + wd * p[r1, c1] + 32) >> 6
     return out
 
 
@@ -765,7 +783,7 @@ class GopCavlcEncoder:
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
         if search:
-            search_candidates(search)  # validates: positive even
+            search_candidates(search)  # validates: int in [1, 15]
         self.search = int(search)
         # reuse the intra encoder's padding + geometry checks
         self._intra = CavlcH264Encoder(width, height, qp=qp,
@@ -1021,7 +1039,7 @@ class TpuGopEncoder:
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
         if search:
-            search_candidates(search)  # validates: even in [2, 30]
+            search_candidates(search)  # validates: int in [1, 15]
         self.search = int(search)
         # the intra machinery (padding, native/python entropy, SPS/PPS
         # plumbing) comes from the TPU intra encoder; we swap the SPS

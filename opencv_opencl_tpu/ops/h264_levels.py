@@ -352,7 +352,7 @@ class PLevelArrays(NamedTuple):
     cacz: (mb_h, mb_w, 2, 4, 16)
     recon_y/cb/cr: full reconstructed planes (uint8) — the next
         frame's reference; stays on device in the GOP encoder.
-    mv:   (mb_h, mb_w, 2) int16 (dy, dx) even full-pel luma MVs from
+    mv:   (mb_h, mb_w, 2) int16 (dy, dx) full-pel luma MVs from
         the device motion search (None when encoded with search=0 —
         the zero-motion configuration has no MV field to ship).
     """
@@ -370,11 +370,18 @@ class PLevelArrays(NamedTuple):
 
 def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
                      rcr: jax.Array, search: int):
-    """Device-side exhaustive even-full-pel motion search + motion
+    """Device-side exhaustive full-pel motion search + motion
     compensation in ONE pass over the candidate set: per candidate,
     the SAD field and a running best-key/best-pred update — when the
     loop ends the prediction planes ARE the MC output at the winning
     MV, with no gather and no second sweep.
+
+    Chroma moves by mv/2: integer part floor(mv/2) (``dy >> 1``),
+    fraction 4*(mv & 1) eighth samples, interpolated with the spec
+    8.4.2.2.2 bilinear — four static views of one dynamic slice,
+    blended with weights that are plain traced int32s (at even MVs the
+    weights collapse to the block copy; identical to the oracle
+    io.h264_inter.mc_planes sample for sample).
 
     Byte-exactness contract with the oracle (io.h264_inter
     .motion_search): identical candidate order
@@ -382,7 +389,7 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     padding (= spec 8.4.2.2.1 reference clipping), identical
     ``sad * 1024 + index`` packing (SAD <= 65280 < 2^16 so the packing
     is exact in int32; candidate count <= 1024 enforced by
-    search_candidates' search <= 30 bound).
+    search_candidates' search <= 15 bound).
 
     Returns (mv (mb_h, mb_w, 2) int32 as (dy, dx), pred_y, pred_cb,
     pred_cr int32 planes).
@@ -393,12 +400,29 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     mb_h, mb_w = H // 16, W // 16
     cands = np.asarray(search_candidates(search), np.int32)
     n = len(cands)
-    cs = search // 2
+    # chroma int offset spans [-(search+1)//2, search//2], plus one
+    # for the bilinear's +1 neighbor
+    cs = search // 2 + 1
     pad_y = jnp.pad(ry.astype(jnp.int32), search, mode="edge")
     pad_cb = jnp.pad(rcb.astype(jnp.int32), cs, mode="edge")
     pad_cr = jnp.pad(rcr.astype(jnp.int32), cs, mode="edge")
     cur = y.astype(jnp.int32).reshape(mb_h, 16, mb_w, 16)
     cand_arr = jnp.asarray(cands)
+    ch, cw = H // 2, W // 2
+
+    def chroma_pred(pad_c, dy, dx):
+        # one (ch+1, cw+1) dynamic slice at the integer offset, four
+        # static views, spec bilinear with traced {0, 4} fractions
+        base = jax.lax.dynamic_slice(
+            pad_c, (cs + (dy >> 1), cs + (dx >> 1)), (ch + 1, cw + 1))
+        fy = (dy & 1) * 4
+        fx = (dx & 1) * 4
+        wa = (8 - fx) * (8 - fy)
+        wb = fx * (8 - fy)
+        wc = (8 - fx) * fy
+        wd = fx * fy
+        return (wa * base[:ch, :cw] + wb * base[:ch, 1:] +
+                wc * base[1:, :cw] + wd * base[1:, 1:] + 32) >> 6
 
     def body(i, state):
         best_key, py, pcb, pcr = state
@@ -412,14 +436,10 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
         take = key < best_key                       # (mb_h, mb_w)
         ty = jnp.repeat(jnp.repeat(take, 16, 0), 16, 1)
         tc = jnp.repeat(jnp.repeat(take, 8, 0), 8, 1)
-        refcb = jax.lax.dynamic_slice(
-            pad_cb, (cs + dy // 2, cs + dx // 2), (H // 2, W // 2))
-        refcr = jax.lax.dynamic_slice(
-            pad_cr, (cs + dy // 2, cs + dx // 2), (H // 2, W // 2))
         return (jnp.minimum(best_key, key),
                 jnp.where(ty, ref, py),
-                jnp.where(tc, refcb, pcb),
-                jnp.where(tc, refcr, pcr))
+                jnp.where(tc, chroma_pred(pad_cb, dy, dx), pcb),
+                jnp.where(tc, chroma_pred(pad_cr, dy, dx), pcr))
 
     init = (jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max, jnp.int32),
             jnp.zeros((H, W), jnp.int32),
@@ -454,7 +474,7 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     y: (H, W) uint8 16-aligned source; cb/cr: (H/2, W/2) uint8;
     ry/rcb/rcr: reconstructed previous picture (uint8, same shapes —
     what this function or encode_levels(full_recon=True) returned);
-    qp: traced scalar int32; search: static even full-pel motion
+    qp: traced scalar int32; search: static full-pel motion
     search radius (0 = zero-motion; see :func:`motion_search_mc`).
 
     Structure: the inter candidate is PURE elementwise work (prediction

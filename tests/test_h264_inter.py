@@ -391,15 +391,36 @@ class TestMotionSearch:
 
     def test_search_validation(self):
         with pytest.raises(ValueError):
-            GopCavlcEncoder(96, 64, search=3)
+            GopCavlcEncoder(96, 64, search=16)
         with pytest.raises(ValueError):
             GopCavlcEncoder(96, 64, search=-2)
+        GopCavlcEncoder(96, 64, search=3)   # odd full-pel is valid
 
     def test_candidate_order_prefers_small_motion(self):
         from opencv_opencl_tpu.io.h264_inter import search_candidates
 
         c = search_candidates(4)
         assert c[0] == (0, 0)
-        assert len(c) == 25 and len(set(c)) == 25
+        assert len(c) == 81 and len(set(c)) == 81
         costs = [abs(dy) + abs(dx) for dy, dx in c]
         assert costs == sorted(costs)
+
+    def test_odd_pan_conformance_and_compression(self, tmp_path):
+        """Odd full-pel MVs: chroma lands on half-sample positions
+        (spec 8.4.2.2.2 bilinear) — the stream must stay bit-exact
+        through libavcodec and still beat zero motion."""
+        w, h = 96, 64
+        frames = panning_frames(w, h, 5, step=3, seed=21)
+        enc = GopCavlcEncoder(w, h, qp=28, gop=5, search=5)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(tuple(p.copy() for p in enc._recon))
+        dec = decode_frames(b"".join(aus), tmp_path, 5, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
+                f"frame {i} luma mismatch"
+        zm = GopCavlcEncoder(w, h, qp=28, gop=5)
+        z = [len(zm.encode(f)[0]) for f in frames][1:]
+        assert sum(len(a) for a in aus[1:]) * 2 < sum(z)

@@ -329,8 +329,8 @@ class TestSearchEncoderBoundary:
         from opencv_opencl_tpu.io.encoder import make_encoder
 
         for bad in ("tpu:search=8", "cavlc:search=8",
-                    "tpu:gop=4:search=3", "cavlc:gop=4:search=32",
-                    "tpu:gop=4:search=x"):
+                    "tpu:gop=4:search=16", "cavlc:gop=4:search=32",
+                    "tpu:gop=4:search=x", "tpu:gop=4:search=-2"):
             with _pytest.raises(ValueError):
                 make_encoder(bad, 96, 64)
         # search=0 is "disabled", not an error
@@ -404,3 +404,45 @@ class TestNativePEntropyMvd:
         b = TpuGopEncoder(w, h, qp=28, gop=4, search=8, native="never")
         for f in frames:
             assert a.encode(f) == b.encode(f)
+
+
+class TestTpuOddPelMotion:
+    def test_odd_pan_stream_byte_identical_to_oracle(self):
+        """Odd full-pel MVs drive the device chroma bilinear; stream
+        must equal the oracle (which is lavc-conformance proven)."""
+        w, h = 96, 64
+        frames = TestTpuMotionSearch().panning(w, h, 5, step=3, seed=6)
+        tpu = TpuGopEncoder(w, h, qp=28, gop=5, search=5)
+        oracle = GopCavlcEncoder(w, h, qp=28, gop=5, slices=h // 16,
+                                 search=5)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
+
+    def test_device_mc_matches_oracle_planes(self):
+        """motion_search_mc vs the numpy twin on random content: same
+        MVs, same luma copy, same chroma bilinear, sample for sample."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import (
+            mc_planes, motion_search)
+        from opencv_opencl_tpu.ops.h264_levels import motion_search_mc
+
+        rng = np.random.default_rng(12)
+        H, W = 64, 96
+        y = rng.integers(0, 256, (H, W), np.uint8)
+        ry = np.roll(y, (3, -5), (0, 1))
+        rcb = rng.integers(0, 256, (H // 2, W // 2), np.uint8)
+        rcr = rng.integers(0, 256, (H // 2, W // 2), np.uint8)
+        mv_o = motion_search(y.astype(np.int64), ry.astype(np.int64), 7)
+        pred_o = mc_planes(
+            {"y": ry.astype(np.int64), "cb": rcb.astype(np.int64),
+             "cr": rcr.astype(np.int64)}, mv_o)
+        mv_d, py, pcb, pcr = motion_search_mc(
+            jnp.asarray(y), jnp.asarray(ry), jnp.asarray(rcb),
+            jnp.asarray(rcr), 7)
+        assert np.array_equal(np.asarray(mv_d), mv_o)
+        assert np.abs(mv_o).max() >= 3 and (mv_o % 2 == 1).any()
+        assert np.array_equal(np.asarray(py), pred_o["y"])
+        assert np.array_equal(np.asarray(pcb), pred_o["cb"])
+        assert np.array_equal(np.asarray(pcr), pred_o["cr"])
