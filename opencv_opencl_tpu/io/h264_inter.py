@@ -244,7 +244,9 @@ def motion_search(y: np.ndarray, ry: np.ndarray,
                   search: int) -> np.ndarray:
     """Exhaustive per-MB SAD search over :func:`search_candidates`
     against the reconstructed previous picture; returns the MV field
-    ``(mb_h, mb_w, 2)`` int64 as (dy, dx) in whole luma pixels.
+    ``(mb_h, mb_w, 2)`` int64 as (dy, dx) in QUARTER-pel units (the
+    H.264 wire unit — full-pel candidates scale by 4; the half-pel
+    refinement adds +-2 steps).
 
     Out-of-picture candidates are evaluated against edge-replicated
     samples — exactly the decoder's reference clipping
@@ -274,29 +276,31 @@ def motion_search(y: np.ndarray, ry: np.ndarray,
             best = np.where(take, idx, best)
             best_key = np.where(take, key, best_key)
     carr = np.asarray(cands, dtype=np.int64)
-    return carr[best]
+    return carr[best] * 4
 
 
 def mc_planes(ref: dict, mv: np.ndarray) -> dict:
-    """Motion-compensated prediction planes for a per-MB full-pel MV
-    field: luma pred[i, j] = ref[clip(i + dy), clip(j + dx)] with
-    per-sample clipping to the picture (spec 8.4.2.2.1).  Chroma moves
-    by mv/2: integer part floor(mv/2) (arithmetic shift — spec
-    ``mvCLX >> 3`` with mvCLX = 4*mv), fraction 4*(mv & 1) eighth
-    samples, interpolated with the spec 8.4.2.2.2 bilinear
+    """Motion-compensated prediction planes for a per-MB QUARTER-pel
+    MV field (full-pel luma positions only — mv % 4 == 0 on both
+    axes): luma pred[i, j] = ref[clip(i + dy/4), clip(j + dx/4)] with
+    per-sample clipping to the picture (spec 8.4.2.2.1).  Chroma uses
+    mvC = mvL in eighth-chroma-sample units: integer part ``mv >> 3``
+    (arithmetic shift = spec floor), fraction ``mv & 7``, interpolated
+    with the spec 8.4.2.2.2 bilinear
     ``((8-xF)(8-yF)A + xF(8-yF)B + (8-xF)yF C + xF yF D + 32) >> 6``
-    — exact integer arithmetic; at even MVs it reduces to the block
-    copy.  A zero field returns the co-located planes byte-for-byte."""
+    — exact integer arithmetic; at zero fractions it reduces to the
+    block copy.  A zero field returns the co-located planes
+    byte-for-byte."""
     H, W = ref["y"].shape
-    dyg = np.repeat(np.repeat(mv[:, :, 0], 16, 0), 16, 1)
-    dxg = np.repeat(np.repeat(mv[:, :, 1], 16, 0), 16, 1)
+    dyg = np.repeat(np.repeat(mv[:, :, 0] >> 2, 16, 0), 16, 1)
+    dxg = np.repeat(np.repeat(mv[:, :, 1] >> 2, 16, 0), 16, 1)
     rows = np.clip(np.arange(H)[:, None] + dyg, 0, H - 1)
     cols = np.clip(np.arange(W)[None, :] + dxg, 0, W - 1)
     out = {"y": ref["y"][rows, cols]}
-    cdyg = np.repeat(np.repeat(mv[:, :, 0] >> 1, 8, 0), 8, 1)
-    cdxg = np.repeat(np.repeat(mv[:, :, 1] >> 1, 8, 0), 8, 1)
-    fyg = np.repeat(np.repeat((mv[:, :, 0] & 1) * 4, 8, 0), 8, 1)
-    fxg = np.repeat(np.repeat((mv[:, :, 1] & 1) * 4, 8, 0), 8, 1)
+    cdyg = np.repeat(np.repeat(mv[:, :, 0] >> 3, 8, 0), 8, 1)
+    cdxg = np.repeat(np.repeat(mv[:, :, 1] >> 3, 8, 0), 8, 1)
+    fyg = np.repeat(np.repeat(mv[:, :, 0] & 7, 8, 0), 8, 1)
+    fxg = np.repeat(np.repeat(mv[:, :, 1] & 7, 8, 0), 8, 1)
     ch, cw = H // 2, W // 2
     r0 = np.clip(np.arange(ch)[:, None] + cdyg, 0, ch - 1)
     r1 = np.clip(np.arange(ch)[:, None] + cdyg + 1, 0, ch - 1)
@@ -410,8 +414,8 @@ def _mvp_16x16(mby: int, mbx: int, mv_coded: np.ndarray,
     neighbors A = left, B = top, C = top-right with the top-left D
     substituted when C is unavailable.  An intra neighbor is an
     *available macroblock* whose motion data is unusable (candidate
-    (0, 0), not same-reference).  Returns (mvp_y, mvp_x) in full-pel
-    units (median commutes with the x4 quarter-pel scaling).
+    (0, 0), not same-reference).  Returns (mvp_y, mvp_x) in the same
+    (quarter-pel) units as ``mv_coded``.
 
     With one slice per MB row, B/C/D are never available and this
     collapses to: mvA when the left MB is inter, else (0, 0) — the
@@ -556,7 +560,7 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
     if inter_mask is not None:
         mvp = _mvp_16x16(mby, mbx, mv_coded, inter_mask, slice_top,
                          mb_w)
-        w.se(4 * (mv2[1] - mvp[1])).se(4 * (mv2[0] - mvp[0]))
+        w.se(mv2[1] - mvp[1]).se(mv2[0] - mvp[0])
         inter_mask[mby, mbx] = True
         mv_coded[mby, mbx] = mv2
     else:
@@ -854,8 +858,9 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
     (tests/test_h264_inter_tpu.py); this is the CPU stage of the TPU
     GOP path.
 
-    ``mv`` is the (mb_h, mb_w, 2) (dy, dx) field from the device
-    motion search (None == all-zero).  With one slice per MB row the
+    ``mv`` is the (mb_h, mb_w, 2) (dy, dx) QUARTER-pel field from the
+    device motion search (None == all-zero).  With one slice per MB
+    row the
     8.4.1.3 predictor collapses to the left-only rule: mvp = the left
     MB's MV when it is inter (P_Skip MBs carry (0, 0) — skip is
     restricted to the zero predictor), (0, 0) after an intra MB or at
@@ -932,7 +937,7 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                 dy, dx = ((int(mv[mby, mbx, 0]), int(mv[mby, mbx, 1]))
                           if mv is not None else (0, 0))
                 mvp = left_mv if left_mv is not None else (0, 0)
-                w.se(4 * (dx - mvp[1])).se(4 * (dy - mvp[0]))
+                w.se(dx - mvp[1]).se(dy - mvp[0])
                 left_mv = (dy, dx)
                 w.ue(int(_CBP_INTER_CODENUM[cbp]))
                 if cbp:

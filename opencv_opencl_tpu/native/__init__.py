@@ -593,7 +593,8 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
     """Native entropy coding of one P frame's chosen-mode levels
     (ops/h264_levels.py PLevelArrays) into one P slice NAL per MB row —
     the CPU stage of the TPU GOP path.  ``mv`` is the (mb_h, mb_w, 2)
-    (dy, dx) field from the device motion search (None = zero motion).
+    (dy, dx) QUARTER-pel field from the device motion search (None =
+    zero motion).
     Byte-identical to ``io.h264_inter.encode_frame_p_from_levels`` (the
     Python oracle, diffed in tests/test_h264_inter_tpu.py)."""
     lib = _load()

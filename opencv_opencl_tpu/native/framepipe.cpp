@@ -1839,11 +1839,12 @@ extern "C" int64_t fp_cavlc_entropy_rows(
 // P-frame variant: entropy-code precomputed chosen-mode levels
 // (PLevelArrays layouts + per-MB mode plane: 0 P_Skip / 1 P_L0_16x16 /
 // 2 I_16x16) into one P slice NAL per MB row, with mb_skip_run
-// accounting.  ``mv`` is the (mb_h*mb_w, 2) (dy, dx) even-full-pel MV
+// accounting.  ``mv`` is the (mb_h*mb_w, 2) (dy, dx) QUARTER-pel MV
 // field from the device motion search, or null for zero motion; the
 // MV predictor is the one-row-slice left-only rule (mvp = the left
 // MB's MV when it is inter — P_Skip rows carry (0,0) — reset per row
-// and after intra MBs).  Byte-identical to io/h264_inter.py
+// and after intra MBs); mvd = mv - mvp directly (the field is already
+// in the quarter-pel wire unit).  Byte-identical to io/h264_inter.py
 // encode_frame_p_from_levels (the Python oracle).  Same scratch/out
 // discipline as fp_cavlc_entropy_rows.
 extern "C" int64_t fp_cavlc_entropy_rows_p(
@@ -1909,7 +1910,7 @@ extern "C" int64_t fp_cavlc_entropy_rows_p(
                 cavlc::entropy_p_mb(w, mbx, mb_w, acz + mb * 256,
                                     czdc + mb * 8, cacz + mb * 128,
                                     lnnz, cbnnz, crnnz,
-                                    4 * (dx - px), 4 * (dy - py));
+                                    dx - px, dy - py);
                 left_inter = true;
                 lmy = dy;
                 lmx = dx;

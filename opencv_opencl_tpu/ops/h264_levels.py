@@ -352,7 +352,7 @@ class PLevelArrays(NamedTuple):
     cacz: (mb_h, mb_w, 2, 4, 16)
     recon_y/cb/cr: full reconstructed planes (uint8) — the next
         frame's reference; stays on device in the GOP encoder.
-    mv:   (mb_h, mb_w, 2) int16 (dy, dx) full-pel luma MVs from
+    mv:   (mb_h, mb_w, 2) int16 (dy, dx) QUARTER-pel luma MVs from
         the device motion search (None when encoded with search=0 —
         the zero-motion configuration has no MV field to ship).
     """
@@ -391,8 +391,8 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     is exact in int32; candidate count <= 1024 enforced by
     search_candidates' search <= 15 bound).
 
-    Returns (mv (mb_h, mb_w, 2) int32 as (dy, dx), pred_y, pred_cb,
-    pred_cr int32 planes).
+    Returns (mv (mb_h, mb_w, 2) int32 as (dy, dx) in QUARTER-pel
+    units, pred_y, pred_cb, pred_cr int32 planes).
     """
     from opencv_opencl_tpu.io.h264_inter import search_candidates
 
@@ -447,7 +447,7 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
             jnp.zeros((H // 2, W // 2), jnp.int32))
     best_key, pred_y, pred_cb, pred_cr = jax.lax.fori_loop(
         0, n, body, init)
-    mv = cand_arr[best_key % 1024]                  # (mb_h, mb_w, 2)
+    mv = cand_arr[best_key % 1024] * 4    # full-pel -> quarter-pel
     return mv, pred_y, pred_cb, pred_cr
 
 

@@ -442,7 +442,8 @@ class TestTpuOddPelMotion:
             jnp.asarray(y), jnp.asarray(ry), jnp.asarray(rcb),
             jnp.asarray(rcr), 7)
         assert np.array_equal(np.asarray(mv_d), mv_o)
-        assert np.abs(mv_o).max() >= 3 and (mv_o % 2 == 1).any()
+        # quarter-pel field: odd FULL-PEL components are mv/4 odd
+        assert np.abs(mv_o).max() >= 12 and ((mv_o // 4) % 2 != 0).any()
         assert np.array_equal(np.asarray(py), pred_o["y"])
         assert np.array_equal(np.asarray(pcb), pred_o["cb"])
         assert np.array_equal(np.asarray(pcr), pred_o["cr"])
