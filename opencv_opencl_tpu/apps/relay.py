@@ -281,7 +281,8 @@ def run(argv: list[str]) -> int:
             # GOP: the device programs chain recon/frame-index state
             # across batches; padding would advance it on fake frames
             fused_fn = build_enhance_gop_fn(cfg, spec, enc.gop,
-                                            search=enc.search)
+                                            search=enc.search,
+                                            halfpel=enc.halfpel)
             fstate = {"recon": enc.initial_recon(), "idx": 0}
 
             def process_fn(nv12_batch):

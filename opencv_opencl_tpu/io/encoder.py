@@ -348,12 +348,16 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         slices = 1
         gop = None
         search = 0
+        halfpel = False
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
+            if key == "halfpel" and not val:
+                halfpel = True
+                continue
             if key not in ("qp", "slices", "gop", "search") or not val:
                 raise ValueError(
                     f"bad cavlc option {opt!r} "
-                    "(qp=N, slices=N, gop=N, search=N)")
+                    "(qp=N, slices=N, gop=N, search=N, halfpel)")
             try:
                 ival = int(val)
             except ValueError:
@@ -383,12 +387,14 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
 
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gop=gop,
-                                       slices=slices, search=search)
+                                       slices=slices, search=search,
+                                       halfpel=halfpel)
             return GopCavlcEncoder(width, height, qp=30, gop=gop,
                                    bitrate_kbps=bitrate_kbps, fps=fps,
-                                   slices=slices, search=search)
-        if search:
-            raise ValueError("cavlc search=N requires gop=N > 1 "
+                                   slices=slices, search=search,
+                                   halfpel=halfpel)
+        if search or halfpel:
+            raise ValueError("cavlc search=N/halfpel require gop=N > 1 "
                              "(motion search is a P-frame feature)")
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
         if qp is not None:
@@ -411,10 +417,14 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         gop = None
         overlap = False
         search = 0
+        halfpel = False
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
             if key == "overlap" and not val:
                 overlap = True
+                continue
+            if key == "halfpel" and not val:
+                halfpel = True
                 continue
             if key == "gop" and val:
                 try:
@@ -433,7 +443,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key != "qp" or not val:
                 raise ValueError(
                     f"bad tpu option {opt!r} (qp=N|gop=N|search=N|"
-                    "overlap)")
+                    "halfpel|overlap)")
             try:
                 qp = int(val)
             except ValueError:
@@ -446,12 +456,14 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
 
             if qp is not None:
                 return TpuGopEncoder(width, height, qp=qp, gop=gop,
-                                     overlap=overlap, search=search)
+                                     overlap=overlap, search=search,
+                                     halfpel=halfpel)
             return TpuGopEncoder(width, height, qp=30, gop=gop,
                                  bitrate_kbps=bitrate_kbps, fps=fps,
-                                 overlap=overlap, search=search)
-        if search:
-            raise ValueError("tpu search=N requires gop=N > 1 "
+                                 overlap=overlap, search=search,
+                                 halfpel=halfpel)
+        if search or halfpel:
+            raise ValueError("tpu search=N/halfpel require gop=N > 1 "
                              "(motion search is a P-frame feature)")
         if qp is not None:
             return TpuCavlcEncoder(width, height, qp=qp, overlap=overlap)

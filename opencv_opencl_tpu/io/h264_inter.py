@@ -71,7 +71,8 @@ from opencv_opencl_tpu.io.h264_pcm import (
 
 __all__ = ["build_sps_gop", "encode_frame_p_slices",
            "encode_frame_p_from_levels", "GopCavlcEncoder",
-           "TpuGopEncoder", "search_candidates", "motion_search",
+           "TpuGopEncoder", "search_candidates",
+           "search_candidates_qpel", "halfpel_planes", "motion_search",
            "mc_planes"]
 
 
@@ -144,7 +145,7 @@ def _slice_head_p(w: _BitWriter, qp: int, frame_num: int,
 def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                           height: int, qp: int, frame_num: int,
                           slices: int = 1, return_recon: bool = False,
-                          search: int = 0):
+                          search: int = 0, halfpel: bool = False):
     """Encode one 16-aligned NV12 frame as ``slices`` P slice NALs
     against ``recon`` = (ry, rcb, rcr), the reconstructed previous
     picture (int arrays, unpadded HxW — exactly what
@@ -171,7 +172,13 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
            "cr": uv[:, :, 1].astype(np.int64)}
     ry, rcb, rcr = (p.astype(np.int64) for p in recon)
     ref = {"y": ry, "cb": rcb, "cr": rcr}
-    if search:
+    if search and halfpel:
+        margin = search + 1
+        planes = halfpel_planes(ry, margin)
+        mv = motion_search(y, ry, search, halfpel=True, planes=planes,
+                           margin=margin)
+        pred = mc_planes(ref, mv, planes=planes, margin=margin)
+    elif search:
         mv = motion_search(y, ry, search)
         pred = mc_planes(ref, mv)
     else:
@@ -240,35 +247,100 @@ def search_candidates(search: int) -> list[tuple[int, int]]:
     return cands
 
 
-def motion_search(y: np.ndarray, ry: np.ndarray,
-                  search: int) -> np.ndarray:
-    """Exhaustive per-MB SAD search over :func:`search_candidates`
+def search_candidates_qpel(search: int,
+                           halfpel: bool = False
+                           ) -> list[tuple[int, int]]:
+    """The motion search candidate set in QUARTER-pel wire units, in
+    the shared deterministic order (sorted by (|qy| + |qx|, qy, qx),
+    (0, 0) first).  ``halfpel=False``: the full-pel grid of
+    :func:`search_candidates` scaled by 4 (same relative order — the
+    sort key is scale-invariant).  ``halfpel=True``: the half-pel
+    lattice {(2a, 2b): |a|, |b| <= 2*search} — an EXHAUSTIVE half-pel
+    search over the same +-search-pixel window ((4*search+1)^2 <= 3721
+    candidates, inside the 4096 tie-break packing radix)."""
+    if not halfpel:
+        return [(4 * dy, 4 * dx) for dy, dx in search_candidates(search)]
+    if not 1 <= search <= 15:
+        raise ValueError(f"search must be an int in [1, 15], "
+                         f"got {search}")
+    r = 2 * search
+    cands = [(2 * a, 2 * b) for a in range(-r, r + 1)
+             for b in range(-r, r + 1)]
+    cands.sort(key=lambda d: (abs(d[0]) + abs(d[1]), d[0], d[1]))
+    return cands
+
+
+def halfpel_planes(ry: np.ndarray, margin: int) -> list[np.ndarray]:
+    """The four half-sample luma planes [G, b, h, j] of spec 8.4.2.2.1
+    over an edge-extended reference, each shaped
+    ``(H + 2*margin, W + 2*margin)``:
+
+      G[m, n] = ref[clip(m - margin), clip(n - margin)]  (integer)
+      b = 6-tap horizontal half right of G:  Clip1((b1 + 16) >> 5)
+      h = 6-tap vertical half below G:       Clip1((h1 + 16) >> 5)
+      j = 6-tap horizontal of the UNNORMALIZED vertical intermediates:
+          Clip1((j1 + 512) >> 10)
+
+    Every tap reads the edge-replicated extension — identical to the
+    decoder clamping each sample coordinate (8.4.2.2.1), so planes are
+    valid arbitrarily far outside the picture up to ``margin``."""
+    t = (1, -5, 20, 20, -5, 1)
+    ext = np.pad(ry, margin + 3, mode="edge").astype(np.int64)
+    eh, ew = ext.shape
+    H, W = ry.shape
+    oh, ow = H + 2 * margin, W + 2 * margin
+    g = ext[3:3 + oh, 3:3 + ow]
+    b1 = sum(c * ext[3:3 + oh, k + 1:k + 1 + ow]
+             for k, c in enumerate(t))
+    b = np.clip((b1 + 16) >> 5, 0, 255)
+    # unnormalized vertical halves on ALL ext columns (j's input)
+    h1f = sum(c * ext[k:eh - 5 + k, :] for k, c in enumerate(t))
+    h = np.clip((h1f[1:1 + oh, 3:3 + ow] + 16) >> 5, 0, 255)
+    j1 = sum(c * h1f[1:1 + oh, k + 1:k + 1 + ow]
+             for k, c in enumerate(t))
+    j = np.clip((j1 + 512) >> 10, 0, 255)
+    return [g, b, h, j]
+
+
+def motion_search(y: np.ndarray, ry: np.ndarray, search: int,
+                  halfpel: bool = False,
+                  planes: list[np.ndarray] | None = None,
+                  margin: int = 0) -> np.ndarray:
+    """Exhaustive per-MB SAD search over :func:`search_candidates_qpel`
     against the reconstructed previous picture; returns the MV field
-    ``(mb_h, mb_w, 2)`` int64 as (dy, dx) in QUARTER-pel units (the
-    H.264 wire unit — full-pel candidates scale by 4; the half-pel
-    refinement adds +-2 steps).
+    ``(mb_h, mb_w, 2)`` int64 as (dy, dx) in QUARTER-pel units.  With
+    ``halfpel`` the candidates cover the half-pel lattice and SADs are
+    computed against the interpolated planes (pass ``planes``/
+    ``margin`` from :func:`halfpel_planes` to share them with MC).
 
     Out-of-picture candidates are evaluated against edge-replicated
     samples — exactly the decoder's reference clipping
     (spec 8.4.2.2.1: xInt = Clip3(0, w-1, ...)), so MVs may point
     outside the frame and stay conformant.  Selection is the argmin of
-    ``sad * 1024 + candidate_index`` (SAD <= 16*16*255 < 2^16, so the
+    ``sad * 4096 + candidate_index`` (SAD <= 16*16*255 < 2^16, so the
     packing is exact in int32 — the same packing the TPU program uses).
     """
     H, W = y.shape
     mb_h, mb_w = H // 16, W // 16
-    pad = np.pad(ry, search, mode="edge")
+    if halfpel:
+        if planes is None:
+            margin = search + 1
+            planes = halfpel_planes(ry, margin)
+    else:
+        margin = search
+        planes = [np.pad(ry, search, mode="edge")]
     cur = y.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
-    cands = search_candidates(search)
+    cands = search_candidates_qpel(search, halfpel)
     best = None
     best_key = None
-    for idx, (dy, dx) in enumerate(cands):
-        ref = pad[search + dy:search + dy + H,
-                  search + dx:search + dx + W]
+    for idx, (qy, qx) in enumerate(cands):
+        p = planes[(qy & 3) // 2 * 2 + (qx & 3) // 2]
+        iy, ix = margin + (qy >> 2), margin + (qx >> 2)
+        ref = p[iy:iy + H, ix:ix + W]
         sad = np.abs(
             cur - ref.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
         ).sum(axis=(1, 3), dtype=np.int64)
-        key = sad * 1024 + idx
+        key = sad * 4096 + idx
         if best is None:
             best, best_key = np.full((mb_h, mb_w), idx), key
         else:
@@ -276,14 +348,19 @@ def motion_search(y: np.ndarray, ry: np.ndarray,
             best = np.where(take, idx, best)
             best_key = np.where(take, key, best_key)
     carr = np.asarray(cands, dtype=np.int64)
-    return carr[best] * 4
+    return carr[best]
 
 
-def mc_planes(ref: dict, mv: np.ndarray) -> dict:
+def mc_planes(ref: dict, mv: np.ndarray,
+              planes: list[np.ndarray] | None = None,
+              margin: int = 0) -> dict:
     """Motion-compensated prediction planes for a per-MB QUARTER-pel
-    MV field (full-pel luma positions only — mv % 4 == 0 on both
-    axes): luma pred[i, j] = ref[clip(i + dy/4), clip(j + dx/4)] with
-    per-sample clipping to the picture (spec 8.4.2.2.1).  Chroma uses
+    MV field.  Luma: a block copy at full-pel positions (``planes``
+    None — requires mv % 4 == 0), or a per-MB select from the
+    :func:`halfpel_planes` stack [G, b, h, j] at half-pel positions
+    (plane index from the MV fractions, integer offset ``mv >> 2``).
+    Per-sample clipping to the picture (spec 8.4.2.2.1) — the planes
+    carry it via their edge-extended construction.  Chroma uses
     mvC = mvL in eighth-chroma-sample units: integer part ``mv >> 3``
     (arithmetic shift = spec floor), fraction ``mv & 7``, interpolated
     with the spec 8.4.2.2.2 bilinear
@@ -294,9 +371,17 @@ def mc_planes(ref: dict, mv: np.ndarray) -> dict:
     H, W = ref["y"].shape
     dyg = np.repeat(np.repeat(mv[:, :, 0] >> 2, 16, 0), 16, 1)
     dxg = np.repeat(np.repeat(mv[:, :, 1] >> 2, 16, 0), 16, 1)
-    rows = np.clip(np.arange(H)[:, None] + dyg, 0, H - 1)
-    cols = np.clip(np.arange(W)[None, :] + dxg, 0, W - 1)
-    out = {"y": ref["y"][rows, cols]}
+    if planes is None:
+        rows = np.clip(np.arange(H)[:, None] + dyg, 0, H - 1)
+        cols = np.clip(np.arange(W)[None, :] + dxg, 0, W - 1)
+        out = {"y": ref["y"][rows, cols]}
+    else:
+        pidx = ((mv[:, :, 0] & 3) // 2 * 2 + (mv[:, :, 1] & 3) // 2)
+        pg = np.repeat(np.repeat(pidx, 16, 0), 16, 1)
+        rows = margin + np.arange(H)[:, None] + dyg
+        cols = margin + np.arange(W)[None, :] + dxg
+        stack = np.stack(planes)
+        out = {"y": stack[pg, rows, cols]}
     cdyg = np.repeat(np.repeat(mv[:, :, 0] >> 3, 8, 0), 8, 1)
     cdxg = np.repeat(np.repeat(mv[:, :, 1] >> 3, 8, 0), 8, 1)
     fyg = np.repeat(np.repeat(mv[:, :, 0] & 7, 8, 0), 8, 1)
@@ -780,7 +865,7 @@ class GopCavlcEncoder:
     def __init__(self, width: int, height: int, qp: int = 30,
                  gop: int = 30, bitrate_kbps: int | None = None,
                  fps: float = 30.0, slices: int = 1,
-                 search: int = 0) -> None:
+                 search: int = 0, halfpel: bool = False) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import (
             CavlcH264Encoder, build_pps_cavlc)
 
@@ -788,7 +873,10 @@ class GopCavlcEncoder:
             raise ValueError(f"gop must be >= 1, got {gop}")
         if search:
             search_candidates(search)  # validates: int in [1, 15]
+        if halfpel and not search:
+            raise ValueError("halfpel requires search=R > 0")
         self.search = int(search)
+        self.halfpel = bool(halfpel)
         # reuse the intra encoder's padding + geometry checks
         self._intra = CavlcH264Encoder(width, height, qp=qp,
                                        native="never", slices=slices)
@@ -826,7 +914,8 @@ class GopCavlcEncoder:
             nals, recon = encode_frame_p_slices(
                 padded, self._recon, w16, h16, self.qp,
                 frame_num=self._frame_num, slices=self.slices,
-                return_recon=True, search=self.search)
+                return_recon=True, search=self.search,
+                halfpel=self.halfpel)
             self._frame_num = (self._frame_num + 1) % 16
             au = b"".join(_START4 + bytes(n) for n in nals)
         self._recon = recon
@@ -1038,14 +1127,17 @@ class TpuGopEncoder:
                  gop: int = 30, bitrate_kbps: int | None = None,
                  fps: float = 30.0, native: str = "auto",
                  threads: int = 0, overlap: bool = False,
-                 search: int = 0) -> None:
+                 search: int = 0, halfpel: bool = False) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
         if search:
             search_candidates(search)  # validates: int in [1, 15]
+        if halfpel and not search:
+            raise ValueError("halfpel requires search=R > 0")
         self.search = int(search)
+        self.halfpel = bool(halfpel)
         # the intra machinery (padding, native/python entropy, SPS/PPS
         # plumbing) comes from the TPU intra encoder; we swap the SPS
         # for the 1-reference GOP variant and drive our own GOP loop
@@ -1091,7 +1183,7 @@ class TpuGopEncoder:
             pending = (lv, "i", num, qp, None)
         else:
             plv = self._p_fn(y, cb, cr, *self._recon, jnp.int32(qp),
-                             self.search)
+                             self.search, self.halfpel)
             self._recon = (plv.recon_y, plv.recon_cb, plv.recon_cr)
             pending = (plv[:5], "p", self._frame_num, qp, plv.mv)
             self._frame_num = (self._frame_num + 1) % 16

@@ -368,55 +368,98 @@ class PLevelArrays(NamedTuple):
     mv: jax.Array | None = None
 
 
-def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
-                     rcr: jax.Array, search: int):
-    """Device-side exhaustive full-pel motion search + motion
-    compensation in ONE pass over the candidate set: per candidate,
-    the SAD field and a running best-key/best-pred update — when the
-    loop ends the prediction planes ARE the MC output at the winning
-    MV, with no gather and no second sweep.
+def halfpel_planes_jax(ry: jax.Array, margin: int) -> jax.Array:
+    """Device twin of io.h264_inter.halfpel_planes: the stacked
+    [G, b, h, j] half-sample luma planes (4, H+2m, W+2m) int32 over
+    the edge-extended reference (every 6-tap reads the replicated
+    extension == the decoder clamping each sample coordinate)."""
+    t = (1, -5, 20, 20, -5, 1)
+    ext = jnp.pad(ry.astype(jnp.int32), margin + 3, mode="edge")
+    eh, ew = ext.shape
+    H, W = ry.shape
+    oh, ow = H + 2 * margin, W + 2 * margin
+    g = ext[3:3 + oh, 3:3 + ow]
+    b1 = sum(c * ext[3:3 + oh, k + 1:k + 1 + ow]
+             for k, c in enumerate(t))
+    b = jnp.clip((b1 + 16) >> 5, 0, 255)
+    h1f = sum(c * ext[k:eh - 5 + k, :] for k, c in enumerate(t))
+    h = jnp.clip((h1f[1:1 + oh, 3:3 + ow] + 16) >> 5, 0, 255)
+    j1 = sum(c * h1f[1:1 + oh, k + 1:k + 1 + ow]
+             for k, c in enumerate(t))
+    j = jnp.clip((j1 + 512) >> 10, 0, 255)
+    return jnp.stack([g, b, h, j])
 
-    Chroma moves by mv/2: integer part floor(mv/2) (``dy >> 1``),
-    fraction 4*(mv & 1) eighth samples, interpolated with the spec
-    8.4.2.2.2 bilinear — four static views of one dynamic slice,
-    blended with weights that are plain traced int32s (at even MVs the
-    weights collapse to the block copy; identical to the oracle
-    io.h264_inter.mc_planes sample for sample).
+
+def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
+                     rcr: jax.Array, search: int,
+                     halfpel: bool = False):
+    """Device-side exhaustive motion search + motion compensation in
+    ONE pass over the candidate set: per candidate, the SAD field and
+    a running best-key/best-pred update — when the loop ends the
+    prediction planes ARE the MC output at the winning MV, with no
+    gather and no second sweep.
+
+    ``halfpel=False`` searches the full-pel grid (block copies of the
+    edge-padded reference).  ``halfpel=True`` searches the EXHAUSTIVE
+    half-pel lattice over the same window: the four spec 8.4.2.2.1
+    half-sample planes [G, b, h, j] (:func:`halfpel_planes_jax`) are
+    stacked and each candidate is one uniform dynamic-slice of the
+    stack — the per-candidate plane index is just the leading slice
+    coordinate, so the loop body is IDENTICAL in shape to the full-pel
+    one (this flat formulation is what keeps every shift uniform; a
+    best-first refinement pass would need per-MB shifts = gathers).
+
+    Chroma uses mvC = mvL in eighth-chroma-sample units: integer part
+    ``q >> 3``, fraction ``q & 7`` (∈ {0,2,4,6} at half-pel),
+    interpolated with the spec 8.4.2.2.2 bilinear — four static views
+    of one dynamic slice, blended with traced int32 weights (which
+    collapse to the block copy at zero fractions; identical to the
+    oracle io.h264_inter.mc_planes sample for sample).
 
     Byte-exactness contract with the oracle (io.h264_inter
     .motion_search): identical candidate order
-    (io.h264_inter.search_candidates), identical edge-replicated
+    (io.h264_inter.search_candidates_qpel), identical edge-replicated
     padding (= spec 8.4.2.2.1 reference clipping), identical
-    ``sad * 1024 + index`` packing (SAD <= 65280 < 2^16 so the packing
-    is exact in int32; candidate count <= 1024 enforced by
+    ``sad * 4096 + index`` packing (SAD <= 65280 < 2^16 so the packing
+    is exact in int32; candidate count <= 3721 enforced by
     search_candidates' search <= 15 bound).
 
     Returns (mv (mb_h, mb_w, 2) int32 as (dy, dx) in QUARTER-pel
     units, pred_y, pred_cb, pred_cr int32 planes).
     """
-    from opencv_opencl_tpu.io.h264_inter import search_candidates
+    from opencv_opencl_tpu.io.h264_inter import search_candidates_qpel
 
     H, W = y.shape
     mb_h, mb_w = H // 16, W // 16
-    cands = np.asarray(search_candidates(search), np.int32)
+    cands = np.asarray(search_candidates_qpel(search, halfpel),
+                       np.int32)
     n = len(cands)
-    # chroma int offset spans [-(search+1)//2, search//2], plus one
-    # for the bilinear's +1 neighbor
+    # plane index per candidate: (fy/2)*2 + fx/2 over the [G,b,h,j]
+    # stack (always 0 on the full-pel grid)
+    pidx = ((cands[:, 0] & 3) // 2 * 2 + (cands[:, 1] & 3) // 2
+            ).astype(np.int32)
+    if halfpel:
+        margin = search + 1
+        pstack = halfpel_planes_jax(ry, margin)
+    else:
+        margin = search
+        pstack = jnp.pad(ry.astype(jnp.int32), search,
+                         mode="edge")[None]
+    # chroma int offset spans +-ceil(search/2), plus one for the
+    # bilinear's +1 neighbor
     cs = search // 2 + 1
-    pad_y = jnp.pad(ry.astype(jnp.int32), search, mode="edge")
     pad_cb = jnp.pad(rcb.astype(jnp.int32), cs, mode="edge")
     pad_cr = jnp.pad(rcr.astype(jnp.int32), cs, mode="edge")
     cur = y.astype(jnp.int32).reshape(mb_h, 16, mb_w, 16)
     cand_arr = jnp.asarray(cands)
+    pidx_arr = jnp.asarray(pidx)
     ch, cw = H // 2, W // 2
 
-    def chroma_pred(pad_c, dy, dx):
-        # one (ch+1, cw+1) dynamic slice at the integer offset, four
-        # static views, spec bilinear with traced {0, 4} fractions
+    def chroma_pred(pad_c, qy, qx):
         base = jax.lax.dynamic_slice(
-            pad_c, (cs + (dy >> 1), cs + (dx >> 1)), (ch + 1, cw + 1))
-        fy = (dy & 1) * 4
-        fx = (dx & 1) * 4
+            pad_c, (cs + (qy >> 3), cs + (qx >> 3)), (ch + 1, cw + 1))
+        fy = qy & 7
+        fx = qx & 7
         wa = (8 - fx) * (8 - fy)
         wb = fx * (8 - fy)
         wc = (8 - fx) * fy
@@ -426,20 +469,21 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
 
     def body(i, state):
         best_key, py, pcb, pcr = state
-        dy, dx = cand_arr[i, 0], cand_arr[i, 1]
+        qy, qx = cand_arr[i, 0], cand_arr[i, 1]
         ref = jax.lax.dynamic_slice(
-            pad_y, (search + dy, search + dx), (H, W))
+            pstack, (pidx_arr[i], margin + (qy >> 2),
+                     margin + (qx >> 2)), (1, H, W))[0]
         sad = jnp.sum(
             jnp.abs(cur - ref.reshape(mb_h, 16, mb_w, 16)),
             axis=(1, 3))
-        key = sad * 1024 + i
+        key = sad * 4096 + i
         take = key < best_key                       # (mb_h, mb_w)
         ty = jnp.repeat(jnp.repeat(take, 16, 0), 16, 1)
         tc = jnp.repeat(jnp.repeat(take, 8, 0), 8, 1)
         return (jnp.minimum(best_key, key),
                 jnp.where(ty, ref, py),
-                jnp.where(tc, chroma_pred(pad_cb, dy, dx), pcb),
-                jnp.where(tc, chroma_pred(pad_cr, dy, dx), pcr))
+                jnp.where(tc, chroma_pred(pad_cb, qy, qx), pcb),
+                jnp.where(tc, chroma_pred(pad_cr, qy, qx), pcr))
 
     init = (jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max, jnp.int32),
             jnp.zeros((H, W), jnp.int32),
@@ -447,7 +491,7 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
             jnp.zeros((H // 2, W // 2), jnp.int32))
     best_key, pred_y, pred_cb, pred_cr = jax.lax.fori_loop(
         0, n, body, init)
-    mv = cand_arr[best_key % 1024] * 4    # full-pel -> quarter-pel
+    mv = cand_arr[best_key % 4096]                  # (mb_h, mb_w, 2)
     return mv, pred_y, pred_cb, pred_cr
 
 
@@ -466,7 +510,8 @@ def _cost_of(*arrays):
 
 def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                     ry: jax.Array, rcb: jax.Array, rcr: jax.Array,
-                    qp: jax.Array, search: int = 0) -> PLevelArrays:
+                    qp: jax.Array, search: int = 0,
+                    halfpel: bool = False) -> PLevelArrays:
     """Levels + mode decisions + reconstruction of one P frame with one
     slice per MB row (oracle: io.h264_inter.encode_frame_p_slices at
     slices=mb_h; byte-identity proven in tests/test_h264_inter_tpu.py).
@@ -474,8 +519,10 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     y: (H, W) uint8 16-aligned source; cb/cr: (H/2, W/2) uint8;
     ry/rcb/rcr: reconstructed previous picture (uint8, same shapes —
     what this function or encode_levels(full_recon=True) returned);
-    qp: traced scalar int32; search: static full-pel motion
-    search radius (0 = zero-motion; see :func:`motion_search_mc`).
+    qp: traced scalar int32; search: static motion search radius in
+    pixels (0 = zero-motion); halfpel: static — search the exhaustive
+    half-pel lattice instead of the full-pel grid (see
+    :func:`motion_search_mc`).
 
     Structure: the inter candidate is PURE elementwise work (prediction
     reads the previous picture — with search, the MC planes — never
@@ -496,7 +543,7 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
 
     if search:
         mv, pred_y, pred_cb, pred_cr = motion_search_mc(
-            y, ry, rcb, rcr, search)
+            y, ry, rcb, rcr, search, halfpel)
         mv_zero = (mv[:, :, 0] == 0) & (mv[:, :, 1] == 0)
     else:
         mv = None
@@ -686,9 +733,9 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
 
 
 # old reference planes are dead once the new recon exists: donate them;
-# the search radius is a static compile-time configuration
+# the search radius and sub-pel mode are static compile-time config
 encode_p_levels_jit = jax.jit(encode_p_levels, donate_argnums=(3, 4, 5),
-                              static_argnums=(7,))
+                              static_argnums=(7, 8))
 
 
 # One packed int16 lane vector per macroblock: 16 luma DC + 256 luma AC

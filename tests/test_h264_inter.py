@@ -424,3 +424,87 @@ class TestMotionSearch:
         zm = GopCavlcEncoder(w, h, qp=28, gop=5)
         z = [len(zm.encode(f)[0]) for f in frames][1:]
         assert sum(len(a) for a in aus[1:]) * 2 < sum(z)
+
+
+def subpel_panning_frames(w, h, n, seed=0):
+    """A smooth band-limited scene translated by exactly HALF a pixel
+    per frame (sinusoid mixture sampled at (m + i/2, n + i/2)) —
+    content where the 6-tap half-sample interpolation predicts far
+    better than any full-pel copy."""
+    rng = np.random.default_rng(seed)
+    ph = rng.uniform(0, 6.28, 4)
+    out = []
+    for i in range(n):
+        m = np.arange(h)[:, None] + i * 0.5
+        v = np.arange(w)[None, :] + i * 0.5
+        y = (128 + 50 * np.sin(2 * np.pi * m / 17.3 + ph[0]) *
+             np.cos(2 * np.pi * v / 23.7 + ph[1])
+             + 40 * np.sin(2 * np.pi * (m + v) / 31.9 + ph[2])
+             + 25 * np.cos(2 * np.pi * (2 * m - v) / 27.1 + ph[3]))
+        uv = np.full((h // 2, w), 128, np.uint8)
+        out.append(np.concatenate(
+            [np.clip(y, 0, 255).astype(np.uint8), uv], 0))
+    return out
+
+
+class TestHalfPel:
+    def test_halfpel_conformance_through_libavcodec(self, tmp_path):
+        """Half-pel MVs exercise the 6-tap Wiener planes (b/h/j) in
+        the prediction loop; whole-GOP decode must stay bit-exact —
+        the decisive check that our 8.4.2.2.1 interpolation equals
+        libavcodec's."""
+        w, h = 96, 64
+        frames = subpel_panning_frames(w, h, 5, seed=3)
+        enc = GopCavlcEncoder(w, h, qp=26, gop=5, search=4,
+                              halfpel=True)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(tuple(p.copy() for p in enc._recon))
+        dec = decode_frames(b"".join(aus), tmp_path, 5, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
+                f"frame {i} luma mismatch"
+
+    def test_halfpel_mvs_actually_chosen(self):
+        from opencv_opencl_tpu.io.h264_inter import (
+            halfpel_planes, motion_search)
+
+        w, h = 96, 64
+        frames = subpel_panning_frames(w, h, 2, seed=5)
+        y0 = frames[0][:h].astype(np.int64)
+        y1 = frames[1][:h].astype(np.int64)
+        mv = motion_search(y1, y0, 4, halfpel=True)
+        assert (mv % 4 == 2).any(), "no half-pel component selected"
+
+    def test_halfpel_beats_fullpel_on_subpel_motion(self):
+        w, h = 96, 64
+        frames = subpel_panning_frames(w, h, 4, seed=1)
+        fp = GopCavlcEncoder(w, h, qp=28, gop=10, search=4)
+        hp = GopCavlcEncoder(w, h, qp=28, gop=10, search=4,
+                             halfpel=True)
+        f_sizes = [len(fp.encode(f)[0]) for f in frames][1:]
+        h_sizes = [len(hp.encode(f)[0]) for f in frames][1:]
+        assert sum(h_sizes) < 0.8 * sum(f_sizes), (h_sizes, f_sizes)
+
+    def test_halfpel_candidates_order(self):
+        from opencv_opencl_tpu.io.h264_inter import (
+            search_candidates_qpel)
+
+        c = search_candidates_qpel(2, halfpel=True)
+        assert c[0] == (0, 0)
+        assert len(c) == 81 and len(set(c)) == 81  # (4*2+1)^2
+        assert all(qy % 2 == 0 and qx % 2 == 0 for qy, qx in c)
+        costs = [abs(a) + abs(b) for a, b in c]
+        assert costs == sorted(costs)
+        # full-pel set in quarter-pel units keeps its relative order
+        f = search_candidates_qpel(4)
+        assert f[0] == (0, 0) and len(f) == 81
+        assert all(qy % 4 == 0 and qx % 4 == 0 for qy, qx in f)
+
+    def test_halfpel_validation(self):
+        import pytest as _p
+
+        with _p.raises(ValueError, match="halfpel"):
+            GopCavlcEncoder(96, 64, halfpel=True)

@@ -447,3 +447,95 @@ class TestTpuOddPelMotion:
         assert np.array_equal(np.asarray(py), pred_o["y"])
         assert np.array_equal(np.asarray(pcb), pred_o["cb"])
         assert np.array_equal(np.asarray(pcr), pred_o["cr"])
+
+
+class TestTpuHalfPel:
+    def subpel(self, w, h, n, seed=0):
+        rng = np.random.default_rng(seed)
+        ph = rng.uniform(0, 6.28, 4)
+        out = []
+        for i in range(n):
+            m = np.arange(h)[:, None] + i * 0.5
+            v = np.arange(w)[None, :] + i * 0.5
+            y = (128 + 50 * np.sin(2 * np.pi * m / 17.3 + ph[0]) *
+                 np.cos(2 * np.pi * v / 23.7 + ph[1])
+                 + 40 * np.sin(2 * np.pi * (m + v) / 31.9 + ph[2]))
+            uv = np.full((h // 2, w), 128, np.uint8)
+            out.append(np.concatenate(
+                [np.clip(y, 0, 255).astype(np.uint8), uv], 0))
+        return out
+
+    def test_device_planes_match_oracle(self):
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import halfpel_planes
+        from opencv_opencl_tpu.ops.h264_levels import halfpel_planes_jax
+
+        rng = np.random.default_rng(4)
+        ry = rng.integers(0, 256, (48, 64), np.uint8)
+        want = halfpel_planes(ry.astype(np.int64), 5)
+        got = np.asarray(halfpel_planes_jax(jnp.asarray(ry), 5))
+        for i, name in enumerate("Gbhj"):
+            assert np.array_equal(got[i], want[i]), f"plane {name}"
+
+    def test_halfpel_stream_byte_identical_to_oracle(self):
+        w, h = 96, 64
+        frames = self.subpel(w, h, 5, seed=2)
+        tpu = TpuGopEncoder(w, h, qp=28, gop=5, search=4, halfpel=True)
+        oracle = GopCavlcEncoder(w, h, qp=28, gop=5, slices=h // 16,
+                                 search=4, halfpel=True)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
+
+    def test_halfpel_conformance_through_libavcodec(self, tmp_path):
+        import cv2
+
+        w, h = 96, 64
+        frames = self.subpel(w, h, 5, seed=9)
+        enc = TpuGopEncoder(w, h, qp=26, gop=5, search=4, halfpel=True)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(np.asarray(enc._recon[0]).copy())
+        p = tmp_path / "hp.h264"
+        p.write_bytes(b"".join(aus) + aus[-1])
+        cap = cv2.VideoCapture(str(p))
+        assert cap.isOpened()
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        for i in range(5):
+            ok, d = cap.read()
+            assert ok
+            assert np.array_equal(d[:h, :w], recons[i][:h, :w]), i
+        cap.release()
+
+    def test_fused_halfpel_matches_unfused(self):
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+        from opencv_opencl_tpu.models.enhancer import EnhancerConfig
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        w, h, qp, gop = 96, 64, 30, 3
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op="none",
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        frames = np.stack(self.subpel(w, h, 6, seed=11))
+        ref_enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=4,
+                                halfpel=True)
+        want = [au for f in frames for au in ref_enc.encode(f)]
+        fn = build_enhance_gop_fn(cfg, spec, gop, search=4,
+                                  halfpel=True)
+        enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=4,
+                            halfpel=True)
+        recon = enc.initial_recon()
+        idx, got = 0, []
+        for lo, hi in ((0, 4), (4, 6)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(qp), idx,
+                                *recon)
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(
+                    np.asarray(packed)[i]))
+        assert got == want
