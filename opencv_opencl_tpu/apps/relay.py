@@ -11,7 +11,7 @@ Usage:
                    # rtp+h264://host:port / rtp+h265://host:port
                    # (encoded RFC 6184/7798 — the full reference emit
                    # chain, encoder chosen via --encoder)
-      [--encoder=auto|pcm[:slices]|cavlc[:qp=N][:slices=M][:gop=N][:search=R]|ffmpeg|gi]  # encoder for rtp+h26x
+      [--encoder=auto|pcm[:slices]|cavlc[:qp=N][:slices=M][:gop=N][:search=R][:halfpel|:quarterpel]|ffmpeg|gi]  # encoder for rtp+h26x
                    # sinks (io.encoder; pcm = in-repo lossless I_PCM)
       [--fused-encode]  # with --sink=rtp+h264:// --encoder=tpu[...]:
                    # enhance + H.264 level computation fuse into ONE
@@ -282,7 +282,7 @@ def run(argv: list[str]) -> int:
             # across batches; padding would advance it on fake frames
             fused_fn = build_enhance_gop_fn(cfg, spec, enc.gop,
                                             search=enc.search,
-                                            halfpel=enc.halfpel)
+                                            subpel=enc.subpel)
             fstate = {"recon": enc.initial_recon(), "idx": 0}
 
             def process_fn(nv12_batch):

@@ -349,15 +349,20 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         gop = None
         search = 0
         halfpel = False
+        quarterpel = False
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
             if key == "halfpel" and not val:
                 halfpel = True
                 continue
+            if key == "quarterpel" and not val:
+                quarterpel = True
+                continue
             if key not in ("qp", "slices", "gop", "search") or not val:
                 raise ValueError(
                     f"bad cavlc option {opt!r} "
-                    "(qp=N, slices=N, gop=N, search=N, halfpel)")
+                    "(qp=N, slices=N, gop=N, search=N, halfpel, "
+                    "quarterpel)")
             try:
                 ival = int(val)
             except ValueError:
@@ -388,12 +393,14 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gop=gop,
                                        slices=slices, search=search,
-                                       halfpel=halfpel)
+                                       halfpel=halfpel,
+                                       quarterpel=quarterpel)
             return GopCavlcEncoder(width, height, qp=30, gop=gop,
                                    bitrate_kbps=bitrate_kbps, fps=fps,
                                    slices=slices, search=search,
-                                   halfpel=halfpel)
-        if search or halfpel:
+                                   halfpel=halfpel,
+                                   quarterpel=quarterpel)
+        if search or halfpel or quarterpel:
             raise ValueError("cavlc search=N/halfpel require gop=N > 1 "
                              "(motion search is a P-frame feature)")
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
@@ -418,6 +425,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         overlap = False
         search = 0
         halfpel = False
+        quarterpel = False
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
             if key == "overlap" and not val:
@@ -425,6 +433,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 continue
             if key == "halfpel" and not val:
                 halfpel = True
+                continue
+            if key == "quarterpel" and not val:
+                quarterpel = True
                 continue
             if key == "gop" and val:
                 try:
@@ -443,7 +454,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key != "qp" or not val:
                 raise ValueError(
                     f"bad tpu option {opt!r} (qp=N|gop=N|search=N|"
-                    "halfpel|overlap)")
+                    "halfpel|quarterpel|overlap)")
             try:
                 qp = int(val)
             except ValueError:
@@ -457,12 +468,14 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if qp is not None:
                 return TpuGopEncoder(width, height, qp=qp, gop=gop,
                                      overlap=overlap, search=search,
-                                     halfpel=halfpel)
+                                     halfpel=halfpel,
+                                     quarterpel=quarterpel)
             return TpuGopEncoder(width, height, qp=30, gop=gop,
                                  bitrate_kbps=bitrate_kbps, fps=fps,
                                  overlap=overlap, search=search,
-                                 halfpel=halfpel)
-        if search or halfpel:
+                                 halfpel=halfpel,
+                                 quarterpel=quarterpel)
+        if search or halfpel or quarterpel:
             raise ValueError("tpu search=N/halfpel require gop=N > 1 "
                              "(motion search is a P-frame feature)")
         if qp is not None:

@@ -72,8 +72,9 @@ from opencv_opencl_tpu.io.h264_pcm import (
 __all__ = ["build_sps_gop", "encode_frame_p_slices",
            "encode_frame_p_from_levels", "GopCavlcEncoder",
            "TpuGopEncoder", "search_candidates",
-           "search_candidates_qpel", "halfpel_planes", "motion_search",
-           "mc_planes"]
+           "search_candidates_qpel", "halfpel_planes",
+           "quarterpel_planes", "motion_search", "mc_planes",
+           "SEARCH_KEY_RADIX"]
 
 
 def build_sps_gop(width: int, height: int) -> bytes:
@@ -145,7 +146,7 @@ def _slice_head_p(w: _BitWriter, qp: int, frame_num: int,
 def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                           height: int, qp: int, frame_num: int,
                           slices: int = 1, return_recon: bool = False,
-                          search: int = 0, halfpel: bool = False):
+                          search: int = 0, subpel: int = 0):
     """Encode one 16-aligned NV12 frame as ``slices`` P slice NALs
     against ``recon`` = (ry, rcb, rcr), the reconstructed previous
     picture (int arrays, unpadded HxW — exactly what
@@ -172,10 +173,11 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
            "cr": uv[:, :, 1].astype(np.int64)}
     ry, rcb, rcr = (p.astype(np.int64) for p in recon)
     ref = {"y": ry, "cb": rcb, "cr": rcr}
-    if search and halfpel:
+    if search and subpel:
         margin = search + 1
-        planes = halfpel_planes(ry, margin)
-        mv = motion_search(y, ry, search, halfpel=True, planes=planes,
+        planes = (quarterpel_planes(ry, margin) if subpel == 2
+                  else halfpel_planes(ry, margin))
+        mv = motion_search(y, ry, search, subpel=subpel, planes=planes,
                            margin=margin)
         pred = mc_planes(ref, mv, planes=planes, margin=margin)
     elif search:
@@ -227,9 +229,8 @@ def search_candidates(search: int) -> list[tuple[int, int]]:
     """Deterministic candidate order of the full-pel motion search:
     every (dy, dx) in [-search, search]^2, sorted by
     (|dy| + |dx|, dy, dx) so (0, 0) is index 0 and smaller motion wins
-    SAD ties.  ``search`` must be in [1, 15] ((2*15+1)^2 = 961 keeps
-    the candidate count under 1024, the tie-break packing radix of the
-    shared ``sad * 1024 + index`` selection key).
+    SAD ties.  ``search`` must be in [1, 15] (sub-pel lattices bound
+    the count against SEARCH_KEY_RADIX — see search_candidates_qpel).
 
     Full-pel luma MVs keep luma MC a pure block copy; chroma moves by
     mv/2 chroma samples, so odd MVs land on half-sample positions —
@@ -247,27 +248,67 @@ def search_candidates(search: int) -> list[tuple[int, int]]:
     return cands
 
 
+# the tie-break packing radix of the shared selection key
+# sad * RADIX + candidate_index: must exceed the largest candidate
+# count ((8*11+1)^2 = 7921 at quarter-pel R=11) while keeping
+# sad * RADIX + idx < 2^31 exact in int32 (65280 * 8192 ~= 5.3e8 OK)
+SEARCH_KEY_RADIX = 8192
+
+
 def search_candidates_qpel(search: int,
-                           halfpel: bool = False
-                           ) -> list[tuple[int, int]]:
+                           subpel: int = 0) -> list[tuple[int, int]]:
     """The motion search candidate set in QUARTER-pel wire units, in
     the shared deterministic order (sorted by (|qy| + |qx|, qy, qx),
-    (0, 0) first).  ``halfpel=False``: the full-pel grid of
+    (0, 0) first).  ``subpel=0``: the full-pel grid of
     :func:`search_candidates` scaled by 4 (same relative order — the
-    sort key is scale-invariant).  ``halfpel=True``: the half-pel
-    lattice {(2a, 2b): |a|, |b| <= 2*search} — an EXHAUSTIVE half-pel
-    search over the same +-search-pixel window ((4*search+1)^2 <= 3721
-    candidates, inside the 4096 tie-break packing radix)."""
-    if not halfpel:
+    sort key is scale-invariant).  ``subpel=1``: the half-pel lattice
+    {(2a, 2b): |a|, |b| <= 2*search}.  ``subpel=2``: the full
+    quarter-pel lattice {(a, b): |a|, |b| <= 4*search} (R <= 11 keeps
+    (8R+1)^2 inside the SEARCH_KEY_RADIX tie-break packing)."""
+    if subpel == 0:
         return [(4 * dy, 4 * dx) for dy, dx in search_candidates(search)]
     if not 1 <= search <= 15:
         raise ValueError(f"search must be an int in [1, 15], "
                          f"got {search}")
-    r = 2 * search
-    cands = [(2 * a, 2 * b) for a in range(-r, r + 1)
-             for b in range(-r, r + 1)]
+    if subpel == 2:
+        if search > 11:
+            raise ValueError("quarter-pel search radius must be <= 11 "
+                             f"(candidate-count bound), got {search}")
+        r = 4 * search
+        cands = [(a, b) for a in range(-r, r + 1)
+                 for b in range(-r, r + 1)]
+    else:
+        r = 2 * search
+        cands = [(2 * a, 2 * b) for a in range(-r, r + 1)
+                 for b in range(-r, r + 1)]
     cands.sort(key=lambda d: (abs(d[0]) + abs(d[1]), d[0], d[1]))
     return cands
+
+
+def _base_planes(ry: np.ndarray, margin: int,
+                 extra: int = 0) -> list[np.ndarray]:
+    """[G, b, h, j] of spec 8.4.2.2.1 over an edge-extended reference,
+    each ``(H + 2*margin + extra, W + 2*margin + extra)`` — ``extra``
+    rows/cols on the high side feed the quarter planes' +1 shifted
+    views."""
+    t = (1, -5, 20, 20, -5, 1)
+    ext = np.pad(ry, margin + 3 + extra, mode="edge").astype(np.int64)
+    eh, ew = ext.shape
+    H, W = ry.shape
+    oh = H + 2 * margin + extra
+    ow = W + 2 * margin + extra
+    o = 3 + extra
+    g = ext[o:o + oh, o:o + ow]
+    b1 = sum(c * ext[o:o + oh, o - 2 + k:o - 2 + k + ow]
+             for k, c in enumerate(t))
+    b = np.clip((b1 + 16) >> 5, 0, 255)
+    # unnormalized vertical halves on ALL ext columns (j's input)
+    h1f = sum(c * ext[k:eh - 5 + k, :] for k, c in enumerate(t))
+    h = np.clip((h1f[o - 2:o - 2 + oh, o:o + ow] + 16) >> 5, 0, 255)
+    j1 = sum(c * h1f[o - 2:o - 2 + oh, o - 2 + k:o - 2 + k + ow]
+             for k, c in enumerate(t))
+    j = np.clip((j1 + 512) >> 10, 0, 255)
+    return [g, b, h, j]
 
 
 def halfpel_planes(ry: np.ndarray, margin: int) -> list[np.ndarray]:
@@ -284,63 +325,81 @@ def halfpel_planes(ry: np.ndarray, margin: int) -> list[np.ndarray]:
     Every tap reads the edge-replicated extension — identical to the
     decoder clamping each sample coordinate (8.4.2.2.1), so planes are
     valid arbitrarily far outside the picture up to ``margin``."""
-    t = (1, -5, 20, 20, -5, 1)
-    ext = np.pad(ry, margin + 3, mode="edge").astype(np.int64)
-    eh, ew = ext.shape
-    H, W = ry.shape
-    oh, ow = H + 2 * margin, W + 2 * margin
-    g = ext[3:3 + oh, 3:3 + ow]
-    b1 = sum(c * ext[3:3 + oh, k + 1:k + 1 + ow]
-             for k, c in enumerate(t))
-    b = np.clip((b1 + 16) >> 5, 0, 255)
-    # unnormalized vertical halves on ALL ext columns (j's input)
-    h1f = sum(c * ext[k:eh - 5 + k, :] for k, c in enumerate(t))
-    h = np.clip((h1f[1:1 + oh, 3:3 + ow] + 16) >> 5, 0, 255)
-    j1 = sum(c * h1f[1:1 + oh, k + 1:k + 1 + ow]
-             for k, c in enumerate(t))
-    j = np.clip((j1 + 512) >> 10, 0, 255)
-    return [g, b, h, j]
+    return _base_planes(ry, margin)
+
+
+def quarterpel_planes(ry: np.ndarray, margin: int) -> list[np.ndarray]:
+    """All 16 sub-sample luma planes of spec 8.4.2.2.1 in (fy, fx)
+    raster order [G a b c / d e f g / h i j k / n p q r], each
+    ``(H + 2*margin, W + 2*margin)``.  The 12 quarter positions are
+    the spec's rounding averages of half-sample neighbors, e.g.
+    a = (G + b + 1) >> 1, r = (m + s + 1) >> 1 with m = h one column
+    right and s = b one row down."""
+    g2, b2, h2, j2 = _base_planes(ry, margin, extra=1)
+    G, B = g2[:-1, :-1], b2[:-1, :-1]
+    Hh, J = h2[:-1, :-1], j2[:-1, :-1]
+    Gr, Gd = g2[:-1, 1:], g2[1:, :-1]
+    m_, s_ = h2[:-1, 1:], b2[1:, :-1]
+    return [
+        G, (G + B + 1) >> 1, B, (Gr + B + 1) >> 1,
+        (G + Hh + 1) >> 1, (B + Hh + 1) >> 1, (B + J + 1) >> 1,
+        (B + m_ + 1) >> 1,
+        Hh, (Hh + J + 1) >> 1, J, (J + m_ + 1) >> 1,
+        (Gd + Hh + 1) >> 1, (Hh + s_ + 1) >> 1, (J + s_ + 1) >> 1,
+        (m_ + s_ + 1) >> 1,
+    ]
+
+
+def _plane_index(fy, fx, nplanes: int):
+    """Plane index of fraction (fy, fx) in a base stack of 1 (G only),
+    4 ([G, b, h, j]) or 16 (full (fy, fx) raster) planes."""
+    if nplanes == 16:
+        return fy * 4 + fx
+    if nplanes == 4:
+        return fy // 2 * 2 + fx // 2
+    return fy * 0
 
 
 def motion_search(y: np.ndarray, ry: np.ndarray, search: int,
-                  halfpel: bool = False,
+                  subpel: int = 0,
                   planes: list[np.ndarray] | None = None,
                   margin: int = 0) -> np.ndarray:
     """Exhaustive per-MB SAD search over :func:`search_candidates_qpel`
     against the reconstructed previous picture; returns the MV field
     ``(mb_h, mb_w, 2)`` int64 as (dy, dx) in QUARTER-pel units.  With
-    ``halfpel`` the candidates cover the half-pel lattice and SADs are
-    computed against the interpolated planes (pass ``planes``/
-    ``margin`` from :func:`halfpel_planes` to share them with MC).
+    ``subpel`` 1 (half) or 2 (quarter) the candidates cover the sub-pel
+    lattice and SADs are computed against the interpolated planes (pass
+    ``planes``/``margin`` from :func:`halfpel_planes` /
+    :func:`quarterpel_planes` to share them with MC).
 
     Out-of-picture candidates are evaluated against edge-replicated
     samples — exactly the decoder's reference clipping
     (spec 8.4.2.2.1: xInt = Clip3(0, w-1, ...)), so MVs may point
     outside the frame and stay conformant.  Selection is the argmin of
-    ``sad * 4096 + candidate_index`` (SAD <= 16*16*255 < 2^16, so the
-    packing is exact in int32 — the same packing the TPU program uses).
-    """
+    ``sad * SEARCH_KEY_RADIX + candidate_index`` (SAD <= 16*16*255 <
+    2^16, so the packing is exact in int32 — the same packing the TPU
+    program uses)."""
     H, W = y.shape
     mb_h, mb_w = H // 16, W // 16
-    if halfpel:
-        if planes is None:
-            margin = search + 1
-            planes = halfpel_planes(ry, margin)
-    else:
+    if subpel and planes is None:
+        margin = search + 1
+        planes = (quarterpel_planes(ry, margin) if subpel == 2
+                  else halfpel_planes(ry, margin))
+    elif not subpel:
         margin = search
         planes = [np.pad(ry, search, mode="edge")]
     cur = y.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
-    cands = search_candidates_qpel(search, halfpel)
+    cands = search_candidates_qpel(search, subpel)
     best = None
     best_key = None
     for idx, (qy, qx) in enumerate(cands):
-        p = planes[(qy & 3) // 2 * 2 + (qx & 3) // 2]
+        p = planes[_plane_index(qy & 3, qx & 3, len(planes))]
         iy, ix = margin + (qy >> 2), margin + (qx >> 2)
         ref = p[iy:iy + H, ix:ix + W]
         sad = np.abs(
             cur - ref.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
         ).sum(axis=(1, 3), dtype=np.int64)
-        key = sad * 4096 + idx
+        key = sad * SEARCH_KEY_RADIX + idx
         if best is None:
             best, best_key = np.full((mb_h, mb_w), idx), key
         else:
@@ -376,7 +435,8 @@ def mc_planes(ref: dict, mv: np.ndarray,
         cols = np.clip(np.arange(W)[None, :] + dxg, 0, W - 1)
         out = {"y": ref["y"][rows, cols]}
     else:
-        pidx = ((mv[:, :, 0] & 3) // 2 * 2 + (mv[:, :, 1] & 3) // 2)
+        pidx = _plane_index(mv[:, :, 0] & 3, mv[:, :, 1] & 3,
+                            len(planes))
         pg = np.repeat(np.repeat(pidx, 16, 0), 16, 1)
         rows = margin + np.arange(H)[:, None] + dyg
         cols = margin + np.arange(W)[None, :] + dxg
@@ -865,18 +925,19 @@ class GopCavlcEncoder:
     def __init__(self, width: int, height: int, qp: int = 30,
                  gop: int = 30, bitrate_kbps: int | None = None,
                  fps: float = 30.0, slices: int = 1,
-                 search: int = 0, halfpel: bool = False) -> None:
+                 search: int = 0, halfpel: bool = False,
+                 quarterpel: bool = False) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import (
             CavlcH264Encoder, build_pps_cavlc)
 
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
-        if search:
-            search_candidates(search)  # validates: int in [1, 15]
-        if halfpel and not search:
-            raise ValueError("halfpel requires search=R > 0")
         self.search = int(search)
-        self.halfpel = bool(halfpel)
+        self.subpel = 2 if quarterpel else (1 if halfpel else 0)
+        if (halfpel or quarterpel) and not search:
+            raise ValueError("halfpel/quarterpel require search=R > 0")
+        if search:
+            search_candidates_qpel(search, self.subpel)  # validates
         # reuse the intra encoder's padding + geometry checks
         self._intra = CavlcH264Encoder(width, height, qp=qp,
                                        native="never", slices=slices)
@@ -915,7 +976,7 @@ class GopCavlcEncoder:
                 padded, self._recon, w16, h16, self.qp,
                 frame_num=self._frame_num, slices=self.slices,
                 return_recon=True, search=self.search,
-                halfpel=self.halfpel)
+                subpel=self.subpel)
             self._frame_num = (self._frame_num + 1) % 16
             au = b"".join(_START4 + bytes(n) for n in nals)
         self._recon = recon
@@ -1127,17 +1188,18 @@ class TpuGopEncoder:
                  gop: int = 30, bitrate_kbps: int | None = None,
                  fps: float = 30.0, native: str = "auto",
                  threads: int = 0, overlap: bool = False,
-                 search: int = 0, halfpel: bool = False) -> None:
+                 search: int = 0, halfpel: bool = False,
+                 quarterpel: bool = False) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
-        if search:
-            search_candidates(search)  # validates: int in [1, 15]
-        if halfpel and not search:
-            raise ValueError("halfpel requires search=R > 0")
         self.search = int(search)
-        self.halfpel = bool(halfpel)
+        self.subpel = 2 if quarterpel else (1 if halfpel else 0)
+        if (halfpel or quarterpel) and not search:
+            raise ValueError("halfpel/quarterpel require search=R > 0")
+        if search:
+            search_candidates_qpel(search, self.subpel)  # validates
         # the intra machinery (padding, native/python entropy, SPS/PPS
         # plumbing) comes from the TPU intra encoder; we swap the SPS
         # for the 1-reference GOP variant and drive our own GOP loop
@@ -1183,7 +1245,7 @@ class TpuGopEncoder:
             pending = (lv, "i", num, qp, None)
         else:
             plv = self._p_fn(y, cb, cr, *self._recon, jnp.int32(qp),
-                             self.search, self.halfpel)
+                             self.search, self.subpel)
             self._recon = (plv.recon_y, plv.recon_cb, plv.recon_cr)
             pending = (plv[:5], "p", self._frame_num, qp, plv.mv)
             self._frame_num = (self._frame_num + 1) % 16

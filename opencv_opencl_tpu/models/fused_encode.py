@@ -95,7 +95,7 @@ def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
 
 
 def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
-                         search: int = 0, halfpel: bool = False):
+                         search: int = 0, subpel: int = 0):
     """Fused enhance + low-delay-P GOP encode: returns a jitted
     ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32, idx0: int32,
     ry, rcb, rcr) -> (int16[N, mb_h, mb_w, 410|412], ry', rcb',
@@ -164,7 +164,7 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
             def do_p(args):
                 yf, cbf, crf, ry, rcb, rcr = args
                 plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp,
-                                      search, halfpel)
+                                      search, subpel)
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
                 return (pack_gop(lv, qp, plv.mode, plv.mv),
                         plv.recon_y, plv.recon_cb, plv.recon_cr)

@@ -368,41 +368,71 @@ class PLevelArrays(NamedTuple):
     mv: jax.Array | None = None
 
 
-def halfpel_planes_jax(ry: jax.Array, margin: int) -> jax.Array:
-    """Device twin of io.h264_inter.halfpel_planes: the stacked
-    [G, b, h, j] half-sample luma planes (4, H+2m, W+2m) int32 over
-    the edge-extended reference (every 6-tap reads the replicated
+def _base_planes_jax(ry: jax.Array, margin: int,
+                     extra: int = 0) -> list[jax.Array]:
+    """Device twin of io.h264_inter._base_planes: [G, b, h, j] of
+    spec 8.4.2.2.1 over the edge-extended reference, each
+    (H+2m+extra, W+2m+extra) int32 (every 6-tap reads the replicated
     extension == the decoder clamping each sample coordinate)."""
     t = (1, -5, 20, 20, -5, 1)
-    ext = jnp.pad(ry.astype(jnp.int32), margin + 3, mode="edge")
+    ext = jnp.pad(ry.astype(jnp.int32), margin + 3 + extra,
+                  mode="edge")
     eh, ew = ext.shape
     H, W = ry.shape
-    oh, ow = H + 2 * margin, W + 2 * margin
-    g = ext[3:3 + oh, 3:3 + ow]
-    b1 = sum(c * ext[3:3 + oh, k + 1:k + 1 + ow]
+    oh = H + 2 * margin + extra
+    ow = W + 2 * margin + extra
+    o = 3 + extra
+    g = ext[o:o + oh, o:o + ow]
+    b1 = sum(c * ext[o:o + oh, o - 2 + k:o - 2 + k + ow]
              for k, c in enumerate(t))
     b = jnp.clip((b1 + 16) >> 5, 0, 255)
     h1f = sum(c * ext[k:eh - 5 + k, :] for k, c in enumerate(t))
-    h = jnp.clip((h1f[1:1 + oh, 3:3 + ow] + 16) >> 5, 0, 255)
-    j1 = sum(c * h1f[1:1 + oh, k + 1:k + 1 + ow]
+    h = jnp.clip((h1f[o - 2:o - 2 + oh, o:o + ow] + 16) >> 5, 0, 255)
+    j1 = sum(c * h1f[o - 2:o - 2 + oh, o - 2 + k:o - 2 + k + ow]
              for k, c in enumerate(t))
     j = jnp.clip((j1 + 512) >> 10, 0, 255)
-    return jnp.stack([g, b, h, j])
+    return [g, b, h, j]
+
+
+def halfpel_planes_jax(ry: jax.Array, margin: int) -> jax.Array:
+    """The stacked [G, b, h, j] half-sample planes (4, H+2m, W+2m)."""
+    return jnp.stack(_base_planes_jax(ry, margin))
+
+
+def quarterpel_planes_jax(ry: jax.Array, margin: int) -> jax.Array:
+    """Device twin of io.h264_inter.quarterpel_planes: all 16
+    sub-sample planes in (fy, fx) raster order, stacked
+    (16, H+2m, W+2m) — the 12 quarter positions are rounding averages
+    of half-sample neighbors (spec 8.4.2.2.1)."""
+    g2, b2, h2, j2 = _base_planes_jax(ry, margin, extra=1)
+    G, B = g2[:-1, :-1], b2[:-1, :-1]
+    Hh, J = h2[:-1, :-1], j2[:-1, :-1]
+    Gr, Gd = g2[:-1, 1:], g2[1:, :-1]
+    m_, s_ = h2[:-1, 1:], b2[1:, :-1]
+    return jnp.stack([
+        G, (G + B + 1) >> 1, B, (Gr + B + 1) >> 1,
+        (G + Hh + 1) >> 1, (B + Hh + 1) >> 1, (B + J + 1) >> 1,
+        (B + m_ + 1) >> 1,
+        Hh, (Hh + J + 1) >> 1, J, (J + m_ + 1) >> 1,
+        (Gd + Hh + 1) >> 1, (Hh + s_ + 1) >> 1, (J + s_ + 1) >> 1,
+        (m_ + s_ + 1) >> 1,
+    ])
 
 
 def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
                      rcr: jax.Array, search: int,
-                     halfpel: bool = False):
+                     subpel: int = 0):
     """Device-side exhaustive motion search + motion compensation in
     ONE pass over the candidate set: per candidate, the SAD field and
     a running best-key/best-pred update — when the loop ends the
     prediction planes ARE the MC output at the winning MV, with no
     gather and no second sweep.
 
-    ``halfpel=False`` searches the full-pel grid (block copies of the
-    edge-padded reference).  ``halfpel=True`` searches the EXHAUSTIVE
-    half-pel lattice over the same window: the four spec 8.4.2.2.1
-    half-sample planes [G, b, h, j] (:func:`halfpel_planes_jax`) are
+    ``subpel=0`` searches the full-pel grid (block copies of the
+    edge-padded reference); ``subpel=1`` the EXHAUSTIVE half-pel
+    lattice over the same window; ``subpel=2`` the full quarter-pel
+    lattice: the spec 8.4.2.2.1 sub-sample planes (4 or 16,
+    :func:`halfpel_planes_jax` / :func:`quarterpel_planes_jax`) are
     stacked and each candidate is one uniform dynamic-slice of the
     stack — the per-candidate plane index is just the leading slice
     coordinate, so the loop body is IDENTICAL in shape to the full-pel
@@ -420,31 +450,34 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     .motion_search): identical candidate order
     (io.h264_inter.search_candidates_qpel), identical edge-replicated
     padding (= spec 8.4.2.2.1 reference clipping), identical
-    ``sad * 4096 + index`` packing (SAD <= 65280 < 2^16 so the packing
-    is exact in int32; candidate count <= 3721 enforced by
-    search_candidates' search <= 15 bound).
+    ``sad * SEARCH_KEY_RADIX + index`` packing (SAD <= 65280 < 2^16 so
+    the packing is exact in int32; candidate counts bounded by the
+    radius validation in search_candidates_qpel).
 
     Returns (mv (mb_h, mb_w, 2) int32 as (dy, dx) in QUARTER-pel
     units, pred_y, pred_cb, pred_cr int32 planes).
     """
-    from opencv_opencl_tpu.io.h264_inter import search_candidates_qpel
+    from opencv_opencl_tpu.io.h264_inter import (
+        SEARCH_KEY_RADIX, _plane_index, search_candidates_qpel)
 
     H, W = y.shape
     mb_h, mb_w = H // 16, W // 16
-    cands = np.asarray(search_candidates_qpel(search, halfpel),
+    cands = np.asarray(search_candidates_qpel(search, subpel),
                        np.int32)
     n = len(cands)
-    # plane index per candidate: (fy/2)*2 + fx/2 over the [G,b,h,j]
-    # stack (always 0 on the full-pel grid)
-    pidx = ((cands[:, 0] & 3) // 2 * 2 + (cands[:, 1] & 3) // 2
-            ).astype(np.int32)
-    if halfpel:
+    if subpel == 2:
+        margin = search + 1
+        pstack = quarterpel_planes_jax(ry, margin)
+    elif subpel == 1:
         margin = search + 1
         pstack = halfpel_planes_jax(ry, margin)
     else:
         margin = search
         pstack = jnp.pad(ry.astype(jnp.int32), search,
                          mode="edge")[None]
+    # plane index per candidate over the stack (0 on the full-pel grid)
+    pidx = np.asarray(_plane_index(cands[:, 0] & 3, cands[:, 1] & 3,
+                                   int(pstack.shape[0])), np.int32)
     # chroma int offset spans +-ceil(search/2), plus one for the
     # bilinear's +1 neighbor
     cs = search // 2 + 1
@@ -476,7 +509,7 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
         sad = jnp.sum(
             jnp.abs(cur - ref.reshape(mb_h, 16, mb_w, 16)),
             axis=(1, 3))
-        key = sad * 4096 + i
+        key = sad * SEARCH_KEY_RADIX + i
         take = key < best_key                       # (mb_h, mb_w)
         ty = jnp.repeat(jnp.repeat(take, 16, 0), 16, 1)
         tc = jnp.repeat(jnp.repeat(take, 8, 0), 8, 1)
@@ -491,7 +524,7 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
             jnp.zeros((H // 2, W // 2), jnp.int32))
     best_key, pred_y, pred_cb, pred_cr = jax.lax.fori_loop(
         0, n, body, init)
-    mv = cand_arr[best_key % 4096]                  # (mb_h, mb_w, 2)
+    mv = cand_arr[best_key % SEARCH_KEY_RADIX]      # (mb_h, mb_w, 2)
     return mv, pred_y, pred_cb, pred_cr
 
 
@@ -511,7 +544,7 @@ def _cost_of(*arrays):
 def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                     ry: jax.Array, rcb: jax.Array, rcr: jax.Array,
                     qp: jax.Array, search: int = 0,
-                    halfpel: bool = False) -> PLevelArrays:
+                    subpel: int = 0) -> PLevelArrays:
     """Levels + mode decisions + reconstruction of one P frame with one
     slice per MB row (oracle: io.h264_inter.encode_frame_p_slices at
     slices=mb_h; byte-identity proven in tests/test_h264_inter_tpu.py).
@@ -520,9 +553,9 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     ry/rcb/rcr: reconstructed previous picture (uint8, same shapes —
     what this function or encode_levels(full_recon=True) returned);
     qp: traced scalar int32; search: static motion search radius in
-    pixels (0 = zero-motion); halfpel: static — search the exhaustive
-    half-pel lattice instead of the full-pel grid (see
-    :func:`motion_search_mc`).
+    pixels (0 = zero-motion); subpel: static — 0 full-pel grid,
+    1 exhaustive half-pel lattice, 2 exhaustive quarter-pel lattice
+    (see :func:`motion_search_mc`).
 
     Structure: the inter candidate is PURE elementwise work (prediction
     reads the previous picture — with search, the MC planes — never
@@ -543,7 +576,7 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
 
     if search:
         mv, pred_y, pred_cb, pred_cr = motion_search_mc(
-            y, ry, rcb, rcr, search, halfpel)
+            y, ry, rcb, rcr, search, subpel)
         mv_zero = (mv[:, :, 0] == 0) & (mv[:, :, 1] == 0)
     else:
         mv = None

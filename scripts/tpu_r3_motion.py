@@ -1,7 +1,8 @@
 """Hardware validation of the device motion search: chained timing of
-encode_p_levels(search=8) at 1080p/4K (vs the search=0 cost) + on-
-hardware byte-identity of a TpuGopEncoder(search=8) panning stream vs
-the CPU oracle, with compression accounting.
+encode_p_levels at 1080p/4K across the search ladder (search=0 /
+full-pel 8 / half-pel 8 / quarter-pel 4) + on-hardware byte-identity
+of a TpuGopEncoder(search=8) panning stream vs the CPU oracle, with
+compression accounting.
 
     python scripts/tpu_r3_motion.py
 
@@ -25,7 +26,8 @@ QP = 30
 SEARCH = 8
 
 
-def measure(width: int, height: int, search: int) -> dict:
+def measure(width: int, height: int, search: int,
+            subpel: int = 0) -> dict:
     h16 = -(-height // 16) * 16
     rng = np.random.default_rng(0)
     y = jax.device_put(rng.integers(0, 256, (h16, width), np.uint8))
@@ -42,7 +44,7 @@ def measure(width: int, height: int, search: int) -> dict:
     def chained(y, n):
         def body(i, y):
             plv = encode_p_levels(y, cb, cr, ry, rcb, rcr,
-                                  jnp.int32(QP), search)
+                                  jnp.int32(QP), search, subpel)
             bump = (jnp.sum(plv.mode.astype(jnp.int32)) & 1
                     ).astype(jnp.uint8)
             return y + bump
@@ -53,8 +55,8 @@ def measure(width: int, height: int, search: int) -> dict:
     t0 = time.perf_counter()
     _ = int(chained(y, 1))
     compile_s = time.perf_counter() - t0
-    print(f"{width}x{height} search={search}: compiled in "
-          f"{compile_s:.1f}s", flush=True)
+    print(f"{width}x{height} search={search} subpel={subpel}: "
+          f"compiled in {compile_s:.1f}s", flush=True)
 
     def one_sample() -> float:
         t0 = time.perf_counter()
@@ -74,10 +76,12 @@ def measure(width: int, height: int, search: int) -> dict:
     samples = sorted(one_sample() for _ in range(5))
     ms = samples[2] * 1e3
     spread = (samples[-1] - samples[0]) / samples[2] * 100.0
-    print(f"{width}x{height} search={search}: {ms:.3f} ms/frame "
-          f"({1e3 / ms:.1f} fps, spread {spread:.1f}%)", flush=True)
+    print(f"{width}x{height} search={search} subpel={subpel}: "
+          f"{ms:.3f} ms/frame ({1e3 / ms:.1f} fps, "
+          f"spread {spread:.1f}%)", flush=True)
     return {"width": width, "height": height, "qp": QP,
-            "search": search, "ms_per_frame": round(ms, 4),
+            "search": search, "subpel": subpel,
+            "ms_per_frame": round(ms, 4),
             "fps": round(1e3 / ms, 1), "spread_pct": round(spread, 1),
             "chain": CHAIN, "compile_s": round(compile_s, 1)}
 
@@ -119,14 +123,15 @@ def parity() -> dict:
 
 
 def main() -> None:
-    out = {"what": "encode_p_levels(search=8) device ms/frame (chained, "
-                   "qp=30) vs search=0 + hardware byte-identity vs CPU "
-                   "oracle on panning content",
+    out = {"what": "encode_p_levels device ms/frame (chained, qp=30) "
+                   "across the search ladder + hardware byte-identity "
+                   "vs CPU oracle on panning content",
            "parity": parity(),
            "geometries": [measure(1920, 1080, SEARCH),
-                          measure(1920, 1080, 0),
+                          measure(1920, 1080, SEARCH, subpel=1),
+                          measure(1920, 1080, 4, subpel=2),
                           measure(3840, 2160, SEARCH),
-                          measure(3840, 2160, 0)]}
+                          measure(3840, 2160, 4, subpel=2)]}
     if not out["parity"]["byte_identical"]:
         raise SystemExit("PARITY FAILURE")
     with open("scripts/tpu_r3_motion.json", "w") as f:

@@ -475,7 +475,7 @@ class TestHalfPel:
         frames = subpel_panning_frames(w, h, 2, seed=5)
         y0 = frames[0][:h].astype(np.int64)
         y1 = frames[1][:h].astype(np.int64)
-        mv = motion_search(y1, y0, 4, halfpel=True)
+        mv = motion_search(y1, y0, 4, subpel=1)
         assert (mv % 4 == 2).any(), "no half-pel component selected"
 
     def test_halfpel_beats_fullpel_on_subpel_motion(self):
@@ -492,7 +492,7 @@ class TestHalfPel:
         from opencv_opencl_tpu.io.h264_inter import (
             search_candidates_qpel)
 
-        c = search_candidates_qpel(2, halfpel=True)
+        c = search_candidates_qpel(2, subpel=1)
         assert c[0] == (0, 0)
         assert len(c) == 81 and len(set(c)) == 81  # (4*2+1)^2
         assert all(qy % 2 == 0 and qx % 2 == 0 for qy, qx in c)
@@ -508,3 +508,69 @@ class TestHalfPel:
 
         with _p.raises(ValueError, match="halfpel"):
             GopCavlcEncoder(96, 64, halfpel=True)
+
+
+def quarterpel_panning_frames(w, h, n, seed=0):
+    """A smooth band-limited scene translated exactly a QUARTER pixel
+    per frame."""
+    rng = np.random.default_rng(seed)
+    ph = rng.uniform(0, 6.28, 4)
+    out = []
+    for i in range(n):
+        m = np.arange(h)[:, None] + i * 0.25
+        v = np.arange(w)[None, :] + i * 0.25
+        y = (128 + 50 * np.sin(2 * np.pi * m / 17.3 + ph[0]) *
+             np.cos(2 * np.pi * v / 23.7 + ph[1])
+             + 40 * np.sin(2 * np.pi * (m + v) / 31.9 + ph[2])
+             + 25 * np.cos(2 * np.pi * (2 * m - v) / 27.1 + ph[3]))
+        uv = np.full((h // 2, w), 128, np.uint8)
+        out.append(np.concatenate(
+            [np.clip(y, 0, 255).astype(np.uint8), uv], 0))
+    return out
+
+
+class TestQuarterPel:
+    def test_quarterpel_conformance_through_libavcodec(self, tmp_path):
+        """Quarter-pel MVs exercise the averaged sub-sample planes
+        (a..r) in the prediction loop; whole-GOP decode must stay
+        bit-exact against libavcodec."""
+        w, h = 96, 64
+        frames = quarterpel_panning_frames(w, h, 5, seed=3)
+        enc = GopCavlcEncoder(w, h, qp=26, gop=5, search=3,
+                              quarterpel=True)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(tuple(p.copy() for p in enc._recon))
+        dec = decode_frames(b"".join(aus), tmp_path, 5, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
+                f"frame {i} luma mismatch"
+
+    def test_quarterpel_mvs_actually_chosen(self):
+        from opencv_opencl_tpu.io.h264_inter import motion_search
+
+        w, h = 96, 64
+        frames = quarterpel_panning_frames(w, h, 2, seed=5)
+        mv = motion_search(frames[1][:h].astype(np.int64),
+                           frames[0][:h].astype(np.int64), 3, subpel=2)
+        assert (mv % 2 == 1).any(), "no quarter-pel component selected"
+
+    def test_quarterpel_beats_halfpel_on_quarter_motion(self):
+        w, h = 96, 64
+        frames = quarterpel_panning_frames(w, h, 4, seed=1)
+        hp = GopCavlcEncoder(w, h, qp=28, gop=10, search=3,
+                             halfpel=True)
+        qp_ = GopCavlcEncoder(w, h, qp=28, gop=10, search=3,
+                              quarterpel=True)
+        h_sizes = [len(hp.encode(f)[0]) for f in frames][1:]
+        q_sizes = [len(qp_.encode(f)[0]) for f in frames][1:]
+        assert sum(q_sizes) < 0.85 * sum(h_sizes), (q_sizes, h_sizes)
+
+    def test_quarterpel_radius_bound(self):
+        import pytest as _p
+
+        with _p.raises(ValueError, match="11"):
+            GopCavlcEncoder(96, 64, gop=3, search=12, quarterpel=True)
+        GopCavlcEncoder(96, 64, gop=3, search=12, halfpel=True)  # ok

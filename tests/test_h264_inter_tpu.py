@@ -526,7 +526,7 @@ class TestTpuHalfPel:
                                 halfpel=True)
         want = [au for f in frames for au in ref_enc.encode(f)]
         fn = build_enhance_gop_fn(cfg, spec, gop, search=4,
-                                  halfpel=True)
+                                  subpel=1)
         enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=4,
                             halfpel=True)
         recon = enc.initial_recon()
@@ -539,3 +539,80 @@ class TestTpuHalfPel:
                 got.extend(enc.encode_from_packed(
                     np.asarray(packed)[i]))
         assert got == want
+
+
+class TestTpuQuarterPel:
+    def qsub(self, w, h, n, seed=0):
+        rng = np.random.default_rng(seed)
+        ph = rng.uniform(0, 6.28, 4)
+        out = []
+        for i in range(n):
+            m = np.arange(h)[:, None] + i * 0.25
+            v = np.arange(w)[None, :] + i * 0.25
+            y = (128 + 50 * np.sin(2 * np.pi * m / 17.3 + ph[0]) *
+                 np.cos(2 * np.pi * v / 23.7 + ph[1])
+                 + 40 * np.sin(2 * np.pi * (m + v) / 31.9 + ph[2]))
+            uv = np.full((h // 2, w), 128, np.uint8)
+            out.append(np.concatenate(
+                [np.clip(y, 0, 255).astype(np.uint8), uv], 0))
+        return out
+
+    def test_device_quarter_planes_match_oracle(self):
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import quarterpel_planes
+        from opencv_opencl_tpu.ops.h264_levels import (
+            quarterpel_planes_jax)
+
+        rng = np.random.default_rng(14)
+        ry = rng.integers(0, 256, (48, 64), np.uint8)
+        want = quarterpel_planes(ry.astype(np.int64), 4)
+        got = np.asarray(quarterpel_planes_jax(jnp.asarray(ry), 4))
+        assert got.shape[0] == 16
+        for i in range(16):
+            assert np.array_equal(got[i], want[i]), f"plane {i}"
+
+    def test_quarterpel_stream_byte_identical_to_oracle(self):
+        w, h = 96, 64
+        frames = self.qsub(w, h, 5, seed=2)
+        tpu = TpuGopEncoder(w, h, qp=28, gop=5, search=3,
+                            quarterpel=True)
+        oracle = GopCavlcEncoder(w, h, qp=28, gop=5, slices=h // 16,
+                                 search=3, quarterpel=True)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
+
+    def test_quarterpel_conformance_through_libavcodec(self, tmp_path):
+        import cv2
+
+        w, h = 96, 64
+        frames = self.qsub(w, h, 5, seed=9)
+        enc = TpuGopEncoder(w, h, qp=26, gop=5, search=3,
+                            quarterpel=True)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(np.asarray(enc._recon[0]).copy())
+        p = tmp_path / "qp.h264"
+        p.write_bytes(b"".join(aus) + aus[-1])
+        cap = cv2.VideoCapture(str(p))
+        assert cap.isOpened()
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        for i in range(5):
+            ok, d = cap.read()
+            assert ok
+            assert np.array_equal(d[:h, :w], recons[i][:h, :w]), i
+        cap.release()
+
+    def test_make_encoder_quarterpel(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        e = make_encoder("tpu:gop=4:search=3:quarterpel", 96, 64)
+        assert isinstance(e, TpuGopEncoder) and e.subpel == 2
+        e2 = make_encoder("cavlc:gop=4:search=3:halfpel", 96, 64)
+        assert isinstance(e2, GopCavlcEncoder) and e2.subpel == 1
+        with pytest.raises(ValueError):
+            make_encoder("tpu:gop=4:quarterpel", 96, 64)
+        with pytest.raises(ValueError):
+            make_encoder("tpu:gop=4:search=12:quarterpel", 96, 64)
