@@ -391,7 +391,11 @@ def _base_planes_jax(ry: jax.Array, margin: int,
     j1 = sum(c * h1f[o - 2:o - 2 + oh, o - 2 + k:o - 2 + k + ow]
              for k, c in enumerate(t))
     j = jnp.clip((j1 + 512) >> 10, 0, 255)
-    return [g, b, h, j]
+    # uint8 storage: every plane is a clipped pixel value — the search
+    # loop re-reads these once per candidate, so narrow storage cuts
+    # its HBM traffic 4x vs int32 with identical integer values
+    return [g.astype(jnp.uint8), b.astype(jnp.uint8),
+            h.astype(jnp.uint8), j.astype(jnp.uint8)]
 
 
 def halfpel_planes_jax(ry: jax.Array, margin: int) -> jax.Array:
@@ -404,7 +408,8 @@ def quarterpel_planes_jax(ry: jax.Array, margin: int) -> jax.Array:
     sub-sample planes in (fy, fx) raster order, stacked
     (16, H+2m, W+2m) — the 12 quarter positions are rounding averages
     of half-sample neighbors (spec 8.4.2.2.1)."""
-    g2, b2, h2, j2 = _base_planes_jax(ry, margin, extra=1)
+    g2, b2, h2, j2 = (p.astype(jnp.int32)
+                      for p in _base_planes_jax(ry, margin, extra=1))
     G, B = g2[:-1, :-1], b2[:-1, :-1]
     Hh, J = h2[:-1, :-1], j2[:-1, :-1]
     Gr, Gd = g2[:-1, 1:], g2[1:, :-1]
@@ -416,7 +421,7 @@ def quarterpel_planes_jax(ry: jax.Array, margin: int) -> jax.Array:
         Hh, (Hh + J + 1) >> 1, J, (J + m_ + 1) >> 1,
         (Gd + Hh + 1) >> 1, (Hh + s_ + 1) >> 1, (J + s_ + 1) >> 1,
         (m_ + s_ + 1) >> 1,
-    ])
+    ]).astype(jnp.uint8)
 
 
 def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
@@ -473,32 +478,33 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
         pstack = halfpel_planes_jax(ry, margin)
     else:
         margin = search
-        pstack = jnp.pad(ry.astype(jnp.int32), search,
-                         mode="edge")[None]
+        pstack = jnp.pad(ry, search, mode="edge")[None]
     # plane index per candidate over the stack (0 on the full-pel grid)
     pidx = np.asarray(_plane_index(cands[:, 0] & 3, cands[:, 1] & 3,
                                    int(pstack.shape[0])), np.int32)
     # chroma int offset spans +-ceil(search/2), plus one for the
     # bilinear's +1 neighbor
     cs = search // 2 + 1
-    pad_cb = jnp.pad(rcb.astype(jnp.int32), cs, mode="edge")
-    pad_cr = jnp.pad(rcr.astype(jnp.int32), cs, mode="edge")
-    cur = y.astype(jnp.int32).reshape(mb_h, 16, mb_w, 16)
+    pad_cb = jnp.pad(rcb, cs, mode="edge")
+    pad_cr = jnp.pad(rcr, cs, mode="edge")
+    cur = y.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
     cand_arr = jnp.asarray(cands)
     pidx_arr = jnp.asarray(pidx)
     ch, cw = H // 2, W // 2
 
     def chroma_pred(pad_c, qy, qx):
         base = jax.lax.dynamic_slice(
-            pad_c, (cs + (qy >> 3), cs + (qx >> 3)), (ch + 1, cw + 1))
+            pad_c, (cs + (qy >> 3), cs + (qx >> 3)),
+            (ch + 1, cw + 1)).astype(jnp.int32)
         fy = qy & 7
         fx = qx & 7
         wa = (8 - fx) * (8 - fy)
         wb = fx * (8 - fy)
         wc = (8 - fx) * fy
         wd = fx * fy
-        return (wa * base[:ch, :cw] + wb * base[:ch, 1:] +
-                wc * base[1:, :cw] + wd * base[1:, 1:] + 32) >> 6
+        return (((wa * base[:ch, :cw] + wb * base[:ch, 1:] +
+                  wc * base[1:, :cw] + wd * base[1:, 1:] + 32) >> 6)
+                .astype(jnp.uint8))
 
     def body(i, state):
         best_key, py, pcb, pcr = state
@@ -506,8 +512,11 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
         ref = jax.lax.dynamic_slice(
             pstack, (pidx_arr[i], margin + (qy >> 2),
                      margin + (qx >> 2)), (1, H, W))[0]
+        # |diff| <= 255 fits int16; accumulate the 256-sample block
+        # sums in int32 (max 65280)
         sad = jnp.sum(
-            jnp.abs(cur - ref.reshape(mb_h, 16, mb_w, 16)),
+            jnp.abs(cur - ref.astype(jnp.int16)
+                    .reshape(mb_h, 16, mb_w, 16)).astype(jnp.int32),
             axis=(1, 3))
         key = sad * SEARCH_KEY_RADIX + i
         take = key < best_key                       # (mb_h, mb_w)
@@ -519,9 +528,9 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
                 jnp.where(tc, chroma_pred(pad_cr, qy, qx), pcr))
 
     init = (jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max, jnp.int32),
-            jnp.zeros((H, W), jnp.int32),
-            jnp.zeros((H // 2, W // 2), jnp.int32),
-            jnp.zeros((H // 2, W // 2), jnp.int32))
+            jnp.zeros((H, W), jnp.uint8),
+            jnp.zeros((H // 2, W // 2), jnp.uint8),
+            jnp.zeros((H // 2, W // 2), jnp.uint8))
     best_key, pred_y, pred_cb, pred_cr = jax.lax.fori_loop(
         0, n, body, init)
     mv = cand_arr[best_key % SEARCH_KEY_RADIX]      # (mb_h, mb_w, 2)
