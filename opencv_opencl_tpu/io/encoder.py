@@ -376,7 +376,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     raise ValueError(f"cavlc gop must be >= 1, got {ival}")
                 gop = ival
             elif key == "search":
-                search = ival  # validated by the encoder (even, 2..30)
+                search = ival  # validated by the encoder: int in [1, 15]
             else:
                 if ival < 1:
                     raise ValueError(
@@ -401,8 +401,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                                    halfpel=halfpel,
                                    quarterpel=quarterpel)
         if search or halfpel or quarterpel:
-            raise ValueError("cavlc search=N/halfpel require gop=N > 1 "
-                             "(motion search is a P-frame feature)")
+            raise ValueError(
+                "cavlc search=N/halfpel/quarterpel need a gop=N option "
+                "(motion search is a P-frame feature)")
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
         if qp is not None:
             # fixed quantizer: no rate control
@@ -476,8 +477,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                                  halfpel=halfpel,
                                  quarterpel=quarterpel)
         if search or halfpel or quarterpel:
-            raise ValueError("tpu search=N/halfpel require gop=N > 1 "
-                             "(motion search is a P-frame feature)")
+            raise ValueError(
+                "tpu search=N/halfpel/quarterpel need a gop=N option "
+                "(motion search is a P-frame feature)")
         if qp is not None:
             return TpuCavlcEncoder(width, height, qp=qp, overlap=overlap)
         return TpuCavlcEncoder(width, height, qp=30,

@@ -286,7 +286,7 @@ def search_candidates_qpel(search: int,
 
 
 def _base_planes(ry: np.ndarray, margin: int,
-                 extra: int = 0) -> list[np.ndarray]:
+                 extra: int = 0) -> list[np.ndarray]:  # int64 internal
     """[G, b, h, j] of spec 8.4.2.2.1 over an edge-extended reference,
     each ``(H + 2*margin + extra, W + 2*margin + extra)`` — ``extra``
     rows/cols on the high side feed the quarter planes' +1 shifted
@@ -308,10 +308,14 @@ def _base_planes(ry: np.ndarray, margin: int,
     j1 = sum(c * h1f[o - 2:o - 2 + oh, o - 2 + k:o - 2 + k + ow]
              for k, c in enumerate(t))
     j = np.clip((j1 + 512) >> 10, 0, 255)
-    return [g, b, h, j]
+    # uint8 storage: clipped pixel values — sub-pel MC at 1080p would
+    # otherwise hold hundreds of MB of int64 planes (the device twin
+    # stores uint8 for the same reason)
+    return [g.astype(np.uint8), b.astype(np.uint8),
+            h.astype(np.uint8), j.astype(np.uint8)]
 
 
-def halfpel_planes(ry: np.ndarray, margin: int) -> list[np.ndarray]:
+def halfpel_planes(ry: np.ndarray, margin: int) -> np.ndarray:
     """The four half-sample luma planes [G, b, h, j] of spec 8.4.2.2.1
     over an edge-extended reference, each shaped
     ``(H + 2*margin, W + 2*margin)``:
@@ -324,30 +328,33 @@ def halfpel_planes(ry: np.ndarray, margin: int) -> list[np.ndarray]:
 
     Every tap reads the edge-replicated extension — identical to the
     decoder clamping each sample coordinate (8.4.2.2.1), so planes are
-    valid arbitrarily far outside the picture up to ``margin``."""
-    return _base_planes(ry, margin)
+    valid arbitrarily far outside the picture up to ``margin``.
+    Returned pre-stacked (4, oh, ow) uint8."""
+    return np.stack(_base_planes(ry, margin))
 
 
-def quarterpel_planes(ry: np.ndarray, margin: int) -> list[np.ndarray]:
+def quarterpel_planes(ry: np.ndarray, margin: int) -> np.ndarray:
     """All 16 sub-sample luma planes of spec 8.4.2.2.1 in (fy, fx)
     raster order [G a b c / d e f g / h i j k / n p q r], each
     ``(H + 2*margin, W + 2*margin)``.  The 12 quarter positions are
     the spec's rounding averages of half-sample neighbors, e.g.
     a = (G + b + 1) >> 1, r = (m + s + 1) >> 1 with m = h one column
-    right and s = b one row down."""
-    g2, b2, h2, j2 = _base_planes(ry, margin, extra=1)
+    right and s = b one row down.  Returned pre-stacked
+    (16, oh, ow) uint8 (averages computed in int16 — G + B <= 510)."""
+    g2, b2, h2, j2 = (q.astype(np.int16)
+                      for q in _base_planes(ry, margin, extra=1))
     G, B = g2[:-1, :-1], b2[:-1, :-1]
     Hh, J = h2[:-1, :-1], j2[:-1, :-1]
     Gr, Gd = g2[:-1, 1:], g2[1:, :-1]
     m_, s_ = h2[:-1, 1:], b2[1:, :-1]
-    return [
+    return np.stack([
         G, (G + B + 1) >> 1, B, (Gr + B + 1) >> 1,
         (G + Hh + 1) >> 1, (B + Hh + 1) >> 1, (B + J + 1) >> 1,
         (B + m_ + 1) >> 1,
         Hh, (Hh + J + 1) >> 1, J, (J + m_ + 1) >> 1,
         (Gd + Hh + 1) >> 1, (Hh + s_ + 1) >> 1, (J + s_ + 1) >> 1,
         (m_ + s_ + 1) >> 1,
-    ]
+    ]).astype(np.uint8)
 
 
 def _plane_index(fy, fx, nplanes: int):
@@ -362,7 +369,7 @@ def _plane_index(fy, fx, nplanes: int):
 
 def motion_search(y: np.ndarray, ry: np.ndarray, search: int,
                   subpel: int = 0,
-                  planes: list[np.ndarray] | None = None,
+                  planes: np.ndarray | None = None,
                   margin: int = 0) -> np.ndarray:
     """Exhaustive per-MB SAD search over :func:`search_candidates_qpel`
     against the reconstructed previous picture; returns the MV field
@@ -387,7 +394,8 @@ def motion_search(y: np.ndarray, ry: np.ndarray, search: int,
                   else halfpel_planes(ry, margin))
     elif not subpel:
         margin = search
-        planes = [np.pad(ry, search, mode="edge")]
+        planes = np.pad(ry, search, mode="edge"
+                        ).astype(np.uint8)[None]
     cur = y.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
     cands = search_candidates_qpel(search, subpel)
     best = None
@@ -411,7 +419,7 @@ def motion_search(y: np.ndarray, ry: np.ndarray, search: int,
 
 
 def mc_planes(ref: dict, mv: np.ndarray,
-              planes: list[np.ndarray] | None = None,
+              planes: np.ndarray | None = None,
               margin: int = 0) -> dict:
     """Motion-compensated prediction planes for a per-MB QUARTER-pel
     MV field.  Luma: a block copy at full-pel positions (``planes``
@@ -440,8 +448,8 @@ def mc_planes(ref: dict, mv: np.ndarray,
         pg = np.repeat(np.repeat(pidx, 16, 0), 16, 1)
         rows = margin + np.arange(H)[:, None] + dyg
         cols = margin + np.arange(W)[None, :] + dxg
-        stack = np.stack(planes)
-        out = {"y": stack[pg, rows, cols]}
+        stack = np.asarray(planes)
+        out = {"y": stack[pg, rows, cols].astype(np.int64)}
     cdyg = np.repeat(np.repeat(mv[:, :, 0] >> 3, 8, 0), 8, 1)
     cdxg = np.repeat(np.repeat(mv[:, :, 1] >> 3, 8, 0), 8, 1)
     fyg = np.repeat(np.repeat(mv[:, :, 0] & 7, 8, 0), 8, 1)

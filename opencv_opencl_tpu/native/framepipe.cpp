@@ -1875,7 +1875,7 @@ extern "C" int64_t fp_cavlc_entropy_rows_p(
         std::memset(crnnz, 0, 2 * cstr);
         uint32_t skip_run = 0;
         bool left_inter = false;     // left MB inter (incl. skip)?
-        int32_t lmy = 0, lmx = 0;    // its MV (full-pel)
+        int32_t lmy = 0, lmx = 0;    // its MV (quarter-pel)
         for (uint64_t mbx = 0; mbx < mb_w; ++mbx) {
             uint64_t mb = i * mb_w + mbx;
             int m = mode[mb];

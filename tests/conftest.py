@@ -66,3 +66,25 @@ def hun_y():
     base = np.linspace(0, 255, 1919, dtype=np.float32)[None, :]
     y = np.clip(base + r.normal(0, 20, (1079, 1919)), 0, 255).astype(np.uint8)
     return y
+
+
+def sinusoid_pan_frames(w, h, n, step=0.5, seed=0, terms=4):
+    """NV12 frames of a smooth band-limited scene (sinusoid mixture)
+    translated exactly ``step`` pixels per frame — the shared fixture
+    content for sub-pel motion tests (step 0.5 = half-pel motion,
+    0.25 = quarter-pel)."""
+    rng_ = np.random.default_rng(seed)
+    ph = rng_.uniform(0, 6.28, 4)
+    out = []
+    for i in range(n):
+        m = np.arange(h)[:, None] + i * step
+        v = np.arange(w)[None, :] + i * step
+        y = (128 + 50 * np.sin(2 * np.pi * m / 17.3 + ph[0]) *
+             np.cos(2 * np.pi * v / 23.7 + ph[1])
+             + 40 * np.sin(2 * np.pi * (m + v) / 31.9 + ph[2]))
+        if terms >= 4:
+            y = y + 25 * np.cos(2 * np.pi * (2 * m - v) / 27.1 + ph[3])
+        uv = np.full((h // 2, w), 128, np.uint8)
+        out.append(np.concatenate(
+            [np.clip(y, 0, 255).astype(np.uint8), uv], 0))
+    return out

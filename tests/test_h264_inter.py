@@ -427,24 +427,10 @@ class TestMotionSearch:
 
 
 def subpel_panning_frames(w, h, n, seed=0):
-    """A smooth band-limited scene translated by exactly HALF a pixel
-    per frame (sinusoid mixture sampled at (m + i/2, n + i/2)) —
-    content where the 6-tap half-sample interpolation predicts far
-    better than any full-pel copy."""
-    rng = np.random.default_rng(seed)
-    ph = rng.uniform(0, 6.28, 4)
-    out = []
-    for i in range(n):
-        m = np.arange(h)[:, None] + i * 0.5
-        v = np.arange(w)[None, :] + i * 0.5
-        y = (128 + 50 * np.sin(2 * np.pi * m / 17.3 + ph[0]) *
-             np.cos(2 * np.pi * v / 23.7 + ph[1])
-             + 40 * np.sin(2 * np.pi * (m + v) / 31.9 + ph[2])
-             + 25 * np.cos(2 * np.pi * (2 * m - v) / 27.1 + ph[3]))
-        uv = np.full((h // 2, w), 128, np.uint8)
-        out.append(np.concatenate(
-            [np.clip(y, 0, 255).astype(np.uint8), uv], 0))
-    return out
+    """Half-pel panning (conftest.sinusoid_pan_frames at step 0.5)."""
+    from tests.conftest import sinusoid_pan_frames
+
+    return sinusoid_pan_frames(w, h, n, step=0.5, seed=seed)
 
 
 class TestHalfPel:
@@ -511,22 +497,10 @@ class TestHalfPel:
 
 
 def quarterpel_panning_frames(w, h, n, seed=0):
-    """A smooth band-limited scene translated exactly a QUARTER pixel
-    per frame."""
-    rng = np.random.default_rng(seed)
-    ph = rng.uniform(0, 6.28, 4)
-    out = []
-    for i in range(n):
-        m = np.arange(h)[:, None] + i * 0.25
-        v = np.arange(w)[None, :] + i * 0.25
-        y = (128 + 50 * np.sin(2 * np.pi * m / 17.3 + ph[0]) *
-             np.cos(2 * np.pi * v / 23.7 + ph[1])
-             + 40 * np.sin(2 * np.pi * (m + v) / 31.9 + ph[2])
-             + 25 * np.cos(2 * np.pi * (2 * m - v) / 27.1 + ph[3]))
-        uv = np.full((h // 2, w), 128, np.uint8)
-        out.append(np.concatenate(
-            [np.clip(y, 0, 255).astype(np.uint8), uv], 0))
-    return out
+    """Quarter-pel panning (conftest.sinusoid_pan_frames, step 0.25)."""
+    from tests.conftest import sinusoid_pan_frames
+
+    return sinusoid_pan_frames(w, h, n, step=0.25, seed=seed)
 
 
 class TestQuarterPel:

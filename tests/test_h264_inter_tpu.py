@@ -451,19 +451,10 @@ class TestTpuOddPelMotion:
 
 class TestTpuHalfPel:
     def subpel(self, w, h, n, seed=0):
-        rng = np.random.default_rng(seed)
-        ph = rng.uniform(0, 6.28, 4)
-        out = []
-        for i in range(n):
-            m = np.arange(h)[:, None] + i * 0.5
-            v = np.arange(w)[None, :] + i * 0.5
-            y = (128 + 50 * np.sin(2 * np.pi * m / 17.3 + ph[0]) *
-                 np.cos(2 * np.pi * v / 23.7 + ph[1])
-                 + 40 * np.sin(2 * np.pi * (m + v) / 31.9 + ph[2]))
-            uv = np.full((h // 2, w), 128, np.uint8)
-            out.append(np.concatenate(
-                [np.clip(y, 0, 255).astype(np.uint8), uv], 0))
-        return out
+        from tests.conftest import sinusoid_pan_frames
+
+        return sinusoid_pan_frames(w, h, n, step=0.5, seed=seed,
+                                   terms=3)
 
     def test_device_planes_match_oracle(self):
         import jax.numpy as jnp
@@ -543,19 +534,10 @@ class TestTpuHalfPel:
 
 class TestTpuQuarterPel:
     def qsub(self, w, h, n, seed=0):
-        rng = np.random.default_rng(seed)
-        ph = rng.uniform(0, 6.28, 4)
-        out = []
-        for i in range(n):
-            m = np.arange(h)[:, None] + i * 0.25
-            v = np.arange(w)[None, :] + i * 0.25
-            y = (128 + 50 * np.sin(2 * np.pi * m / 17.3 + ph[0]) *
-                 np.cos(2 * np.pi * v / 23.7 + ph[1])
-                 + 40 * np.sin(2 * np.pi * (m + v) / 31.9 + ph[2]))
-            uv = np.full((h // 2, w), 128, np.uint8)
-            out.append(np.concatenate(
-                [np.clip(y, 0, 255).astype(np.uint8), uv], 0))
-        return out
+        from tests.conftest import sinusoid_pan_frames
+
+        return sinusoid_pan_frames(w, h, n, step=0.25, seed=seed,
+                                   terms=3)
 
     def test_device_quarter_planes_match_oracle(self):
         import jax.numpy as jnp
