@@ -277,6 +277,11 @@ def run(argv: list[str]) -> int:
 
         enc = sink.encoder
         fused_gop = isinstance(enc, TpuGopEncoder)
+        if fused_gop and enc.refs > 1:
+            print("--fused-encode does not support refs > 1 yet "
+                  "(use the unfused tpu:gop=N:refs=2 encoder)",
+                  file=sys.stderr)
+            return 2
         if fused_gop:
             # GOP: the device programs chain recon/frame-index state
             # across batches; padding would advance it on fake frames

@@ -348,6 +348,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         slices = 1
         gop = None
         search = 0
+        refs = 1
         halfpel = False
         quarterpel = False
         for opt in backend.split(":")[1:]:
@@ -358,11 +359,12 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key == "quarterpel" and not val:
                 quarterpel = True
                 continue
-            if key not in ("qp", "slices", "gop", "search") or not val:
+            if (key not in ("qp", "slices", "gop", "search", "refs")
+                    or not val):
                 raise ValueError(
                     f"bad cavlc option {opt!r} "
-                    "(qp=N, slices=N, gop=N, search=N, halfpel, "
-                    "quarterpel)")
+                    "(qp=N, slices=N, gop=N, search=N, refs=N, "
+                    "halfpel, quarterpel)")
             try:
                 ival = int(val)
             except ValueError:
@@ -377,6 +379,8 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 gop = ival
             elif key == "search":
                 search = ival  # validated by the encoder: int in [1, 15]
+            elif key == "refs":
+                refs = ival    # validated by the encoder: [1, 4]
             else:
                 if ival < 1:
                     raise ValueError(
@@ -394,13 +398,14 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 return GopCavlcEncoder(width, height, qp=qp, gop=gop,
                                        slices=slices, search=search,
                                        halfpel=halfpel,
-                                       quarterpel=quarterpel)
+                                       quarterpel=quarterpel,
+                                       refs=refs)
             return GopCavlcEncoder(width, height, qp=30, gop=gop,
                                    bitrate_kbps=bitrate_kbps, fps=fps,
                                    slices=slices, search=search,
                                    halfpel=halfpel,
-                                   quarterpel=quarterpel)
-        if search or halfpel or quarterpel:
+                                   quarterpel=quarterpel, refs=refs)
+        if search or halfpel or quarterpel or refs > 1:
             raise ValueError(
                 "cavlc search=N/halfpel/quarterpel need a gop=N option "
                 "(motion search is a P-frame feature)")
@@ -425,6 +430,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         gop = None
         overlap = False
         search = 0
+        refs = 1
         halfpel = False
         quarterpel = False
         for opt in backend.split(":")[1:]:
@@ -452,10 +458,16 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 except ValueError:
                     raise ValueError(f"bad tpu search in {backend!r}")
                 continue
+            if key == "refs" and val:
+                try:
+                    refs = int(val)
+                except ValueError:
+                    raise ValueError(f"bad tpu refs in {backend!r}")
+                continue
             if key != "qp" or not val:
                 raise ValueError(
                     f"bad tpu option {opt!r} (qp=N|gop=N|search=N|"
-                    "halfpel|quarterpel|overlap)")
+                    "refs=N|halfpel|quarterpel|overlap)")
             try:
                 qp = int(val)
             except ValueError:
@@ -470,13 +482,13 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 return TpuGopEncoder(width, height, qp=qp, gop=gop,
                                      overlap=overlap, search=search,
                                      halfpel=halfpel,
-                                     quarterpel=quarterpel)
+                                     quarterpel=quarterpel, refs=refs)
             return TpuGopEncoder(width, height, qp=30, gop=gop,
                                  bitrate_kbps=bitrate_kbps, fps=fps,
                                  overlap=overlap, search=search,
                                  halfpel=halfpel,
-                                 quarterpel=quarterpel)
-        if search or halfpel or quarterpel:
+                                 quarterpel=quarterpel, refs=refs)
+        if search or halfpel or quarterpel or refs > 1:
             raise ValueError(
                 "tpu search=N/halfpel/quarterpel need a gop=N option "
                 "(motion search is a P-frame feature)")

@@ -77,10 +77,11 @@ __all__ = ["build_sps_gop", "encode_frame_p_slices",
            "SEARCH_KEY_RADIX"]
 
 
-def build_sps_gop(width: int, height: int) -> bytes:
+def build_sps_gop(width: int, height: int, refs: int = 1) -> bytes:
     """SPS for a low-delay-P stream: like io.h264_pcm.build_sps but with
-    ``max_num_ref_frames=1`` (each P picture references the previous
-    picture; the sliding window evicts older ones automatically)."""
+    ``max_num_ref_frames=refs`` (P pictures reference the previous
+    ``refs`` pictures; the sliding window evicts older ones
+    automatically)."""
     mb_w = -(-width // 16)
     mb_h = -(-height // 16)
     crop_r = (mb_w * 16 - width) // 2
@@ -93,7 +94,7 @@ def build_sps_gop(width: int, height: int) -> bytes:
     w.ue(0)                          # seq_parameter_set_id
     w.ue(0)                          # log2_max_frame_num_minus4 -> u(4)
     w.ue(2)                          # pic_order_cnt_type: 2 (low-delay)
-    w.ue(1)                          # max_num_ref_frames: 1
+    w.ue(refs)                       # max_num_ref_frames
     w.u(0, 1)                        # gaps_in_frame_num_value_allowed
     w.ue(mb_w - 1)
     w.ue(mb_h - 1)
@@ -128,15 +129,21 @@ def _quant4x4_inter(w: np.ndarray, qp: int) -> np.ndarray:
 
 
 def _slice_head_p(w: _BitWriter, qp: int, frame_num: int,
-                  first_mb: int = 0) -> None:
-    """Non-IDR P slice header (deblocking off, 1 reference, POC type 2:
-    no POC syntax, sliding-window marking)."""
+                  first_mb: int = 0, active_refs: int = 1) -> None:
+    """Non-IDR P slice header (deblocking off, POC type 2: no POC
+    syntax, sliding-window marking).  ``active_refs`` > 1 overrides
+    the PPS's single active reference (multi-ref streams: the list is
+    the default descending-PicNum order [prev, prev-1, ...])."""
     w.u(0, 1).u(2, 2).u(1, 5)  # nal: ref_idc=2, non-IDR slice
     w.ue(first_mb)             # first_mb_in_slice
     w.ue(5)                    # slice_type: P (all slices of picture)
     w.ue(0)                    # pic_parameter_set_id
     w.u(frame_num & 0xF, 4)    # frame_num (log2_max_frame_num = 4)
-    w.u(0, 1)                  # num_ref_idx_active_override_flag
+    if active_refs > 1:
+        w.u(1, 1)              # num_ref_idx_active_override_flag
+        w.ue(active_refs - 1)  # num_ref_idx_l0_active_minus1
+    else:
+        w.u(0, 1)              # num_ref_idx_active_override_flag
     w.u(0, 1)                  # ref_pic_list_modification_flag_l0
     w.u(0, 1)                  # adaptive_ref_pic_marking_mode_flag
     w.se(qp - 26)              # slice_qp_delta
@@ -171,9 +178,34 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
     uv = nv12[height:].reshape(height // 2, width // 2, 2)
     src = {"y": y, "cb": uv[:, :, 0].astype(np.int64),
            "cr": uv[:, :, 1].astype(np.int64)}
-    ry, rcb, rcr = (p.astype(np.int64) for p in recon)
-    ref = {"y": ry, "cb": rcb, "cr": rcr}
-    if search and subpel:
+    recon_list = recon if isinstance(recon, list) else [recon]
+    refs = [{"y": r[0].astype(np.int64), "cb": r[1].astype(np.int64),
+             "cr": r[2].astype(np.int64)} for r in recon_list]
+    active_refs = len(refs)
+    ref = refs[0]
+    ry, rcb, rcr = ref["y"], ref["cb"], ref["cr"]
+    refsel = np.zeros((mb_h, mb_w), dtype=np.int64)
+    if active_refs > 1:
+        # multi-reference P: the MV predictor stays the left-only rule
+        # only at one slice per MB row (8.4.1.3's B/C-unavailable case
+        # uses the RAW left MV regardless of its refIdx; the general
+        # median would need ref-matching candidates)
+        if not search:
+            raise ValueError("multi-ref P frames require search=R > 0")
+        if max(1, min(int(slices), mb_h)) != mb_h:
+            raise NotImplementedError(
+                "multi-ref P frames require one slice per MB row")
+        margin = search + 1
+        builders = {2: quarterpel_planes, 1: halfpel_planes}
+        build = builders.get(subpel)
+        if build is None:
+            def build(p, m):
+                return np.pad(p, m, mode="edge").astype(np.uint8)[None]
+        planes_list = [build(r["y"], margin) for r in refs]
+        mv, refsel = motion_search_multi(y, planes_list, search,
+                                         subpel, margin)
+        pred = mc_planes_multi(refs, mv, refsel, planes_list, margin)
+    elif search and subpel:
         margin = search + 1
         planes = (quarterpel_planes(ry, margin) if subpel == 2
                   else halfpel_planes(ry, margin))
@@ -194,7 +226,8 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
     nals = []
     for si in range(slices):
         w = _BitWriter()
-        _slice_head_p(w, qp, frame_num, first_mb=bounds[si] * mb_w)
+        _slice_head_p(w, qp, frame_num, first_mb=bounds[si] * mb_w,
+                      active_refs=active_refs)
         # per-slice nC context rows (one MB row of 4x4 blocks + left pad;
         # P slices still use spatial neighbors for nC, within the slice)
         lnnz = np.zeros((mb_h * 4 + 1, mb_w * 4 + 1), dtype=np.int64)
@@ -214,7 +247,9 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                     top_ok=mby > bounds[si], left_ok=mbx > 0,
                     mv2=(int(mv[mby, mbx, 0]), int(mv[mby, mbx, 1])),
                     mv_coded=mv_coded, inter_mask=inter_mask,
-                    slice_top=bounds[si])
+                    slice_top=bounds[si],
+                    ref2=int(refsel[mby, mbx]),
+                    active_refs=active_refs)
         if skip_run:
             w.ue(skip_run)  # trailing skipped MBs end the slice
         w.trailing()
@@ -470,6 +505,85 @@ def mc_planes(ref: dict, mv: np.ndarray,
     return out
 
 
+def motion_search_multi(y: np.ndarray, planes_list: list[np.ndarray],
+                        search: int, subpel: int,
+                        margin: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive search over MULTIPLE reference pictures: per MB the
+    best (ref, mv) with the shared ``sad * SEARCH_KEY_RADIX + index``
+    key, references compared in list order with STRICT less-than — at
+    equal (sad, index) the earlier (more recent, cheaper-to-code)
+    reference wins.  ``planes_list[r]`` is reference r's stacked
+    sub-pel plane set (:func:`halfpel_planes` / mono full-pel pad).
+    Returns (mv (mb_h, mb_w, 2) quarter-pel, ref (mb_h, mb_w))."""
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    cur = y.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
+    cands = search_candidates_qpel(search, subpel)
+    best_key = None
+    best_idx = np.zeros((mb_h, mb_w), np.int64)
+    best_ref = np.zeros((mb_h, mb_w), np.int64)
+    for r, planes in enumerate(planes_list):
+        for idx, (qy, qx) in enumerate(cands):
+            p = planes[_plane_index(qy & 3, qx & 3, len(planes))]
+            iy, ix = margin + (qy >> 2), margin + (qx >> 2)
+            ref = p[iy:iy + H, ix:ix + W]
+            sad = np.abs(
+                cur - ref.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
+            ).sum(axis=(1, 3), dtype=np.int64)
+            key = sad * SEARCH_KEY_RADIX + idx
+            if best_key is None:
+                best_key = key
+                best_idx[:] = idx
+            else:
+                take = key < best_key
+                best_key = np.where(take, key, best_key)
+                best_idx = np.where(take, idx, best_idx)
+                best_ref = np.where(take, r, best_ref)
+    carr = np.asarray(cands, dtype=np.int64)
+    return carr[best_idx], best_ref
+
+
+def mc_planes_multi(refs: list[dict], mv: np.ndarray, ref: np.ndarray,
+                    planes_list: list[np.ndarray],
+                    margin: int) -> dict:
+    """Motion compensation with a per-MB reference index: luma from the
+    concatenated plane stacks (plane id = ref * P + sub-position),
+    chroma via the general bilinear on per-sample gathers from the
+    stacked reference chroma planes."""
+    H, W = refs[0]["y"].shape
+    P = len(planes_list[0])
+    big = np.concatenate(planes_list)
+    pidx = (ref * P
+            + _plane_index(mv[:, :, 0] & 3, mv[:, :, 1] & 3, P))
+    pg = np.repeat(np.repeat(pidx, 16, 0), 16, 1)
+    dyg = np.repeat(np.repeat(mv[:, :, 0] >> 2, 16, 0), 16, 1)
+    dxg = np.repeat(np.repeat(mv[:, :, 1] >> 2, 16, 0), 16, 1)
+    rows = margin + np.arange(H)[:, None] + dyg
+    cols = margin + np.arange(W)[None, :] + dxg
+    out = {"y": big[pg, rows, cols].astype(np.int64)}
+
+    ch, cw = H // 2, W // 2
+    rg = np.repeat(np.repeat(ref, 8, 0), 8, 1)
+    cdyg = np.repeat(np.repeat(mv[:, :, 0] >> 3, 8, 0), 8, 1)
+    cdxg = np.repeat(np.repeat(mv[:, :, 1] >> 3, 8, 0), 8, 1)
+    fyg = np.repeat(np.repeat(mv[:, :, 0] & 7, 8, 0), 8, 1)
+    fxg = np.repeat(np.repeat(mv[:, :, 1] & 7, 8, 0), 8, 1)
+    r0 = np.clip(np.arange(ch)[:, None] + cdyg, 0, ch - 1)
+    r1 = np.clip(np.arange(ch)[:, None] + cdyg + 1, 0, ch - 1)
+    c0 = np.clip(np.arange(cw)[None, :] + cdxg, 0, cw - 1)
+    c1 = np.clip(np.arange(cw)[None, :] + cdxg + 1, 0, cw - 1)
+    wa = (8 - fxg) * (8 - fyg)
+    wb = fxg * (8 - fyg)
+    wc = (8 - fxg) * fyg
+    wd = fxg * fyg
+    for name in ("cb", "cr"):
+        cstack = np.stack([rf[name] for rf in refs])
+        out[name] = (wa * cstack[rg, r0, c0] + wb * cstack[rg, r0, c1] +
+                     wc * cstack[rg, r1, c0] + wd * cstack[rg, r1, c1]
+                     + 32) >> 6
+    return out
+
+
 def _cost(*arrays) -> int:
     """Deterministic CAVLC bit-cost proxy of quantized levels: sum of
     2|l| + (l != 0) over every coefficient.  Monotone in both magnitude
@@ -622,11 +736,13 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
                  mv2: tuple[int, int] = (0, 0),
                  mv_coded: np.ndarray | None = None,
                  inter_mask: np.ndarray | None = None,
-                 slice_top: int = 0) -> int:
+                 slice_top: int = 0, ref2: int = 0,
+                 active_refs: int = 1) -> int:
     """One P macroblock: P_Skip if the inter candidate quantizes to all
-    zero (and the searched MV matches the skip predictor), else the
-    cheaper of P_L0_16x16 (mvd = 4*(mv - mvp)) and I_16x16 by the
-    ``_cost`` proxy.  ``ref`` is the motion-compensated prediction
+    zero (and the searched MV matches the skip predictor with
+    reference 0), else the cheaper of P_L0_16x16 (te(v) ref_idx when
+    more than one reference is active, mvd = mv - mvp) and I_16x16 by
+    the ``_cost`` proxy.  ``ref`` is the motion-compensated prediction
     plane set (the raw previous picture when search is off).  Returns
     the updated skip_run."""
     y0, x0 = mby * 16, mbx * 16
@@ -679,7 +795,7 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
     cny0, cnx0 = mby * 2 + 1, mbx * 2 + 1
 
     mb_w = inter_mask.shape[1] if inter_mask is not None else 0
-    if cbp == 0 and (inter_mask is None or mv2 == _mvp_skip(
+    if cbp == 0 and ref2 == 0 and (inter_mask is None or mv2 == _mvp_skip(
             mby, mbx, mv_coded, inter_mask, slice_top, mb_w)):
         # P_Skip: recon = the MC prediction (decoder MC at mvp_skip ==
         # our searched MV by the guard above); zero nC context
@@ -708,8 +824,15 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
     # ---- coded inter MB: P_L0_16x16
     w.ue(skip_run)             # mb_skip_run before this MB
     w.ue(0)                    # mb_type: P_L0_16x16
-    # ref_idx_l0 absent (one active reference); mvd in quarter-pel,
-    # horizontal component first (spec 7.3.5.1 compIdx order)
+    if active_refs > 1:
+        # ref_idx_l0 as te(v): with 2 active refs, one INVERTED bit
+        # (spec 9.1.1: the coded bit is !codeNum); >2 would be ue(v)
+        if active_refs == 2:
+            w.u(1 - ref2, 1)
+        else:
+            w.ue(ref2)
+    # mvd in quarter-pel, horizontal component first (spec 7.3.5.1
+    # compIdx order)
     if inter_mask is not None:
         mvp = _mvp_16x16(mby, mbx, mv_coded, inter_mask, slice_top,
                          mb_w)
@@ -934,7 +1057,7 @@ class GopCavlcEncoder:
                  gop: int = 30, bitrate_kbps: int | None = None,
                  fps: float = 30.0, slices: int = 1,
                  search: int = 0, halfpel: bool = False,
-                 quarterpel: bool = False) -> None:
+                 quarterpel: bool = False, refs: int = 1) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import (
             CavlcH264Encoder, build_pps_cavlc)
 
@@ -946,6 +1069,16 @@ class GopCavlcEncoder:
             raise ValueError("halfpel/quarterpel require search=R > 0")
         if search:
             search_candidates_qpel(search, self.subpel)  # validates
+        if not 1 <= refs <= 4:
+            raise ValueError(f"refs must be in [1, 4], got {refs}")
+        if refs > 1:
+            if not search:
+                raise ValueError("refs > 1 requires search=R > 0")
+            mb_h = -(-height // 16)
+            if max(1, min(int(slices), mb_h)) != mb_h:
+                raise ValueError("refs > 1 requires one slice per MB "
+                                 f"row (slices={mb_h} here)")
+        self.refs = int(refs)
         # reuse the intra encoder's padding + geometry checks
         self._intra = CavlcH264Encoder(width, height, qp=qp,
                                        native="never", slices=slices)
@@ -955,7 +1088,7 @@ class GopCavlcEncoder:
         self.slices = int(slices)
         self.bitrate_kbps = bitrate_kbps
         self.fps = fps
-        self._sps = build_sps_gop(width, height)
+        self._sps = build_sps_gop(width, height, refs=self.refs)
         self._pps = build_pps_cavlc()
         self._idr_pic_id = 0
         self._frame_num = 0
@@ -977,17 +1110,22 @@ class GopCavlcEncoder:
                 slices=self.slices, return_recon=True)
             self._idr_pic_id ^= 1
             self._frame_num = 1
+            self._ref_list = []  # IDR flushes the DPB
             au = (_START4 + self._sps + _START4 + self._pps +
                   b"".join(_START4 + bytes(n) for n in nals))
         else:
+            refarg = (self._ref_list[:self.refs] if self.refs > 1
+                      else self._recon)
             nals, recon = encode_frame_p_slices(
-                padded, self._recon, w16, h16, self.qp,
+                padded, refarg, w16, h16, self.qp,
                 frame_num=self._frame_num, slices=self.slices,
                 return_recon=True, search=self.search,
                 subpel=self.subpel)
             self._frame_num = (self._frame_num + 1) % 16
             au = b"".join(_START4 + bytes(n) for n in nals)
         self._recon = recon
+        self._ref_list = ([recon] + getattr(self, "_ref_list", [])
+                          )[:self.refs]
         self.frames += 1
         if self.bitrate_kbps:
             self._rate_control(len(au))
@@ -1007,8 +1145,9 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                                acz: np.ndarray, czdc: np.ndarray,
                                cacz: np.ndarray, qp: int,
                                frame_num: int,
-                               mv: np.ndarray | None = None
-                               ) -> list[bytes]:
+                               mv: np.ndarray | None = None,
+                               ref: np.ndarray | None = None,
+                               active_refs: int = 1) -> list[bytes]:
     """Entropy-code one P frame from PLevelArrays-layout arrays
     (ops/h264_levels.encode_p_levels) into one slice NAL per MB row —
     the TPU program's slice granularity.  Byte-identical to
@@ -1027,7 +1166,8 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
     nals = []
     for mby in range(mb_h):
         w = _BitWriter()
-        _slice_head_p(w, qp, frame_num, first_mb=mby * mb_w)
+        _slice_head_p(w, qp, frame_num, first_mb=mby * mb_w,
+                      active_refs=active_refs)
         lnnz = np.zeros((4, mb_w * 4 + 1), dtype=np.int64)
         cbnnz = np.zeros((2, mb_w * 2 + 1), dtype=np.int64)
         crnnz = np.zeros_like(cbnnz)
@@ -1092,6 +1232,12 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                             cbp_luma_bits |= 1 << q
                 cbp = cbp_luma_bits | (cbp_chroma << 4)
                 w.ue(0)
+                if active_refs > 1:
+                    r2 = int(ref[mby, mbx]) if ref is not None else 0
+                    if active_refs == 2:
+                        w.u(1 - r2, 1)   # te(v): single inverted bit
+                    else:
+                        w.ue(r2)
                 dy, dx = ((int(mv[mby, mbx, 0]), int(mv[mby, mbx, 1]))
                           if mv is not None else (0, 0))
                 mvp = left_mv if left_mv is not None else (0, 0)
@@ -1197,7 +1343,7 @@ class TpuGopEncoder:
                  fps: float = 30.0, native: str = "auto",
                  threads: int = 0, overlap: bool = False,
                  search: int = 0, halfpel: bool = False,
-                 quarterpel: bool = False) -> None:
+                 quarterpel: bool = False, refs: int = 1) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         if gop < 1:
@@ -1208,12 +1354,18 @@ class TpuGopEncoder:
             raise ValueError("halfpel/quarterpel require search=R > 0")
         if search:
             search_candidates_qpel(search, self.subpel)  # validates
+        if not 1 <= refs <= 2:
+            raise ValueError(
+                f"TPU GOP refs must be 1 or 2, got {refs}")
+        if refs > 1 and not search:
+            raise ValueError("refs > 1 requires search=R > 0")
+        self.refs = int(refs)
         # the intra machinery (padding, native/python entropy, SPS/PPS
         # plumbing) comes from the TPU intra encoder; we swap the SPS
         # for the 1-reference GOP variant and drive our own GOP loop
         self._intra = TpuCavlcEncoder(width, height, qp=qp,
                                       native=native, threads=threads)
-        self._intra._sps = build_sps_gop(width, height)
+        self._intra._sps = build_sps_gop(width, height, refs=self.refs)
         self.width, self.height = width, height
         self.qp = int(qp)
         self.gop = int(gop)
@@ -1227,10 +1379,20 @@ class TpuGopEncoder:
         self._pending = None
 
         from opencv_opencl_tpu.ops.h264_levels import (
-            encode_levels_recon_jit, encode_p_levels_jit)
+            encode_levels_recon_jit, encode_p_levels2_jit,
+            encode_p_levels_jit)
+        from opencv_opencl_tpu.ops.h264_levels import (
+            encode_p_levels as _ep)
 
         self._i_fn = encode_levels_recon_jit
         self._p_fn = encode_p_levels_jit
+        self._p2_fn = encode_p_levels2_jit
+        if self.refs > 1:
+            import jax as _jax
+
+            # first P after an IDR has one reference which must NOT be
+            # donated (it becomes the next frame's second reference)
+            self._p1_keep_fn = _jax.jit(_ep, static_argnums=(7, 8))
 
     def _dispatch(self, nv12: np.ndarray):
         """Run the (async) device program for one frame; returns the
@@ -1247,25 +1409,45 @@ class TpuGopEncoder:
         if self.frames % self.gop == 0:
             lv, ry, rcb, rcr = self._i_fn(y, cb, cr, jnp.int32(qp))
             self._recon = (ry, rcb, rcr)
+            self._ref_list = [self._recon]
             num = self._intra._idr_pic_id
             self._intra._idr_pic_id ^= 1
             self._frame_num = 1
-            pending = (lv, "i", num, qp, None)
+            pending = (lv, "i", num, qp, None, None, 1)
         else:
-            plv = self._p_fn(y, cb, cr, *self._recon, jnp.int32(qp),
-                             self.search, self.subpel)
+            if self.refs > 1 and len(self._ref_list) >= 2:
+                plv = self._p2_fn(y, cb, cr, *self._ref_list[0],
+                                  jnp.int32(qp), self.search,
+                                  self.subpel, *self._ref_list[1])
+                active = 2
+            elif self.refs > 1:
+                plv = self._p1_keep_fn(y, cb, cr, *self._ref_list[0],
+                                       jnp.int32(qp), self.search,
+                                       self.subpel)
+                active = 1
+            else:
+                plv = self._p_fn(y, cb, cr, *self._recon,
+                                 jnp.int32(qp), self.search,
+                                 self.subpel)
+                active = 1
             self._recon = (plv.recon_y, plv.recon_cb, plv.recon_cr)
-            pending = (plv[:5], "p", self._frame_num, qp, plv.mv)
+            self._ref_list = ([self._recon]
+                              + getattr(self, "_ref_list", [])
+                              )[:self.refs]
+            pending = (plv[:5], "p", self._frame_num, qp, plv.mv,
+                       plv.ref, active)
             self._frame_num = (self._frame_num + 1) % 16
         self.frames += 1
         return pending
 
     def _p_entropy_nals(self, mode, zdc, acz, czdc, cacz, qp: int,
-                        num: int, mv=None) -> list[bytes]:
+                        num: int, mv=None, ref=None,
+                        active_refs: int = 1) -> list[bytes]:
         """P-frame entropy stage: native C++ rows when available (same
         production path as the intra rows, mvd included), Python oracle
-        otherwise."""
-        if self._intra._native:
+        otherwise.  Multi-reference frames fall back to the oracle
+        until the native rows learn te(v) ref_idx coding."""
+        if self._intra._native and active_refs <= 1:
             from opencv_opencl_tpu import native
 
             if hasattr(native._load(), "fp_cavlc_entropy_rows_p"):
@@ -1274,10 +1456,11 @@ class TpuGopEncoder:
                     threads=self._intra._threads,
                     workspace=self._intra._workspace, mv=mv)
         return encode_frame_p_from_levels(mode, zdc, acz, czdc, cacz,
-                                          qp, num, mv=mv)
+                                          qp, num, mv=mv, ref=ref,
+                                          active_refs=active_refs)
 
     def _assemble(self, lv, kind: str, num: int, qp: int,
-                  mv=None) -> bytes:
+                  mv=None, ref=None, active_refs: int = 1) -> bytes:
         if kind == "i":
             nals = self._intra._entropy_nals(lv, num, qp)
             au = (_START4 + self._intra._sps + _START4 +
@@ -1287,7 +1470,9 @@ class TpuGopEncoder:
             mode, zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)
             nals = self._p_entropy_nals(
                 mode, zdc, acz, czdc, cacz, qp, num,
-                mv=None if mv is None else np.asarray(mv))
+                mv=None if mv is None else np.asarray(mv),
+                ref=None if ref is None else np.asarray(ref),
+                active_refs=active_refs)
             au = b"".join(_START4 + bytes(n) for n in nals)
         if self.bitrate_kbps:
             _gop_rate_control(self, len(au))

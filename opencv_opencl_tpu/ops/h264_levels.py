@@ -45,7 +45,7 @@ import numpy as np
 
 __all__ = ["LevelArrays", "encode_levels", "encode_levels_jit",
            "encode_levels_recon_jit", "PLevelArrays", "encode_p_levels",
-           "encode_p_levels_jit", "INTRA_BIAS",
+           "encode_p_levels_jit", "encode_p_levels2_jit", "INTRA_BIAS",
            "PACKED_LANES", "pack_levels", "unpack_levels_host"]
 
 # Constants mirrored from io/h264_cavlc.py (the oracle).  _MF/_V per
@@ -355,6 +355,8 @@ class PLevelArrays(NamedTuple):
     mv:   (mb_h, mb_w, 2) int16 (dy, dx) QUARTER-pel luma MVs from
         the device motion search (None when encoded with search=0 —
         the zero-motion configuration has no MV field to ship).
+    ref:  (mb_h, mb_w) int16 per-MB reference index (None unless the
+        multi-reference configuration ran).
     """
 
     mode: jax.Array
@@ -366,6 +368,7 @@ class PLevelArrays(NamedTuple):
     recon_cb: jax.Array
     recon_cr: jax.Array
     mv: jax.Array | None = None
+    ref: jax.Array | None = None
 
 
 def _base_planes_jax(ry: jax.Array, margin: int,
@@ -550,10 +553,104 @@ def _cost_of(*arrays):
     return total
 
 
+def motion_search_mc_multi(y: jax.Array, refs: list[tuple],
+                           search: int, subpel: int):
+    """Multi-reference device search+MC: references are searched in
+    list order as a FLAT candidate sequence (ref-major, matching the
+    oracle io.h264_inter.motion_search_multi: i = r * n + idx, strict
+    less-than — at equal (sad, idx) the earlier/more recent reference
+    wins), over per-reference sub-pel plane stacks concatenated on the
+    leading axis (plane id = r * P + sub-position, so each candidate
+    stays one uniform dynamic-slice).  Chroma stacks the padded
+    reference planes the same way.
+
+    Returns (mv quarter-pel, ref field, pred_y, pred_cb, pred_cr).
+    """
+    from opencv_opencl_tpu.io.h264_inter import (
+        SEARCH_KEY_RADIX, _plane_index, search_candidates_qpel)
+
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    cands = np.asarray(search_candidates_qpel(search, subpel),
+                       np.int32)
+    n = len(cands)
+    nrefs = len(refs)
+    if subpel == 2:
+        margin = search + 1
+        stacks = [quarterpel_planes_jax(r[0], margin) for r in refs]
+    elif subpel == 1:
+        margin = search + 1
+        stacks = [halfpel_planes_jax(r[0], margin) for r in refs]
+    else:
+        margin = search
+        stacks = [jnp.pad(r[0], search, mode="edge")[None]
+                  for r in refs]
+    P = int(stacks[0].shape[0])
+    pstack = jnp.concatenate(stacks)
+    cs = search // 2 + 1
+    pad_cb = jnp.stack([jnp.pad(r[1], cs, mode="edge") for r in refs])
+    pad_cr = jnp.stack([jnp.pad(r[2], cs, mode="edge") for r in refs])
+    cur = y.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
+    cand_arr = jnp.asarray(cands)
+    base_pidx = np.asarray(
+        _plane_index(cands[:, 0] & 3, cands[:, 1] & 3, P), np.int32)
+    pidx_arr = jnp.asarray(base_pidx)
+    ch, cw = H // 2, W // 2
+
+    def chroma_pred(pad_c, r, qy, qx):
+        base = jax.lax.dynamic_slice(
+            pad_c, (r, cs + (qy >> 3), cs + (qx >> 3)),
+            (1, ch + 1, cw + 1))[0].astype(jnp.int32)
+        fy = qy & 7
+        fx = qx & 7
+        wa = (8 - fx) * (8 - fy)
+        wb = fx * (8 - fy)
+        wc = (8 - fx) * fy
+        wd = fx * fy
+        return (((wa * base[:ch, :cw] + wb * base[:ch, 1:] +
+                  wc * base[1:, :cw] + wd * base[1:, 1:] + 32) >> 6)
+                .astype(jnp.uint8))
+
+    def body(i, state):
+        best_key, best_ref, py, pcb, pcr = state
+        r = i // n
+        idx = i % n
+        qy, qx = cand_arr[idx, 0], cand_arr[idx, 1]
+        ref = jax.lax.dynamic_slice(
+            pstack, (r * P + pidx_arr[idx], margin + (qy >> 2),
+                     margin + (qx >> 2)), (1, H, W))[0]
+        sad = jnp.sum(
+            jnp.abs(cur - ref.astype(jnp.int16)
+                    .reshape(mb_h, 16, mb_w, 16)).astype(jnp.int32),
+            axis=(1, 3))
+        key = sad * SEARCH_KEY_RADIX + idx
+        take = key < best_key
+        ty = jnp.repeat(jnp.repeat(take, 16, 0), 16, 1)
+        tc = jnp.repeat(jnp.repeat(take, 8, 0), 8, 1)
+        return (jnp.minimum(best_key, key),
+                jnp.where(take, r, best_ref),
+                jnp.where(ty, ref, py),
+                jnp.where(tc, chroma_pred(pad_cb, r, qy, qx), pcb),
+                jnp.where(tc, chroma_pred(pad_cr, r, qy, qx), pcr))
+
+    init = (jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max, jnp.int32),
+            jnp.zeros((mb_h, mb_w), jnp.int32),
+            jnp.zeros((H, W), jnp.uint8),
+            jnp.zeros((H // 2, W // 2), jnp.uint8),
+            jnp.zeros((H // 2, W // 2), jnp.uint8))
+    best_key, best_ref, pred_y, pred_cb, pred_cr = jax.lax.fori_loop(
+        0, nrefs * n, body, init)
+    mv = cand_arr[best_key % SEARCH_KEY_RADIX]
+    return mv, best_ref, pred_y, pred_cb, pred_cr
+
+
 def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                     ry: jax.Array, rcb: jax.Array, rcr: jax.Array,
                     qp: jax.Array, search: int = 0,
-                    subpel: int = 0) -> PLevelArrays:
+                    subpel: int = 0,
+                    ry2: jax.Array | None = None,
+                    rcb2: jax.Array | None = None,
+                    rcr2: jax.Array | None = None) -> PLevelArrays:
     """Levels + mode decisions + reconstruction of one P frame with one
     slice per MB row (oracle: io.h264_inter.encode_frame_p_slices at
     slices=mb_h; byte-identity proven in tests/test_h264_inter_tpu.py).
@@ -583,7 +680,14 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     qp = jnp.asarray(qp, jnp.int32)
     qpc = jnp.asarray(_QPC_TAB)[jnp.clip(qp, 0, 51)]
 
-    if search:
+    refsel = None
+    if search and ry2 is not None:
+        # two-reference search: P_Skip additionally requires ref 0
+        mv, refsel, pred_y, pred_cb, pred_cr = motion_search_mc_multi(
+            y, [(ry, rcb, rcr), (ry2, rcb2, rcr2)], search, subpel)
+        mv_zero = ((mv[:, :, 0] == 0) & (mv[:, :, 1] == 0)
+                   & (refsel == 0))
+    elif search:
         mv, pred_y, pred_cb, pred_cr = motion_search_mc(
             y, ry, rcb, rcr, search, subpel)
         mv_zero = (mv[:, :, 0] == 0) & (mv[:, :, 1] == 0)
@@ -771,6 +875,7 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         rcbo.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
         rcro.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
         None if mv is None else mv.astype(jnp.int16),
+        None if refsel is None else refsel.astype(jnp.int16),
     )
 
 
@@ -778,6 +883,11 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
 # the search radius and sub-pel mode are static compile-time config
 encode_p_levels_jit = jax.jit(encode_p_levels, donate_argnums=(3, 4, 5),
                               static_argnums=(7, 8))
+# two-reference chain: ref 0 (previous picture) becomes the NEXT
+# frame's ref 1 so it must survive; only ref 1 (the oldest) dies
+encode_p_levels2_jit = jax.jit(encode_p_levels,
+                               donate_argnums=(9, 10, 11),
+                               static_argnums=(7, 8))
 
 
 # One packed int16 lane vector per macroblock: 16 luma DC + 256 luma AC

@@ -598,3 +598,82 @@ class TestTpuQuarterPel:
             make_encoder("tpu:gop=4:quarterpel", 96, 64)
         with pytest.raises(ValueError):
             make_encoder("tpu:gop=4:search=12:quarterpel", 96, 64)
+
+
+class TestTpuMultiRef:
+    def flicker(self, w, h, n, seed=0):
+        rng = np.random.default_rng(seed)
+        scenes = [rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+                  for _ in range(2)]
+        out = []
+        for i in range(n):
+            f = scenes[i % 2].copy()
+            f[8:16, 8:24] = rng.integers(0, 256, (8, 16), np.uint8)
+            out.append(f)
+        return out
+
+    def test_multiref_stream_byte_identical_to_oracle(self):
+        w, h = 96, 64
+        frames = self.flicker(w, h, 6, seed=3)
+        tpu = TpuGopEncoder(w, h, qp=28, gop=6, search=4, refs=2)
+        oracle = GopCavlcEncoder(w, h, qp=28, gop=6, slices=h // 16,
+                                 search=4, refs=2)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
+
+    def test_multiref_subpel_byte_identical(self):
+        w, h = 96, 64
+        frames = self.flicker(w, h, 5, seed=8)
+        tpu = TpuGopEncoder(w, h, qp=28, gop=5, search=3, refs=2,
+                            quarterpel=True)
+        oracle = GopCavlcEncoder(w, h, qp=28, gop=5, slices=h // 16,
+                                 search=3, refs=2, quarterpel=True)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
+
+    def test_multiref_conformance_through_libavcodec(self, tmp_path):
+        import cv2
+
+        w, h = 96, 64
+        frames = self.flicker(w, h, 6, seed=5)
+        enc = TpuGopEncoder(w, h, qp=26, gop=6, search=4, refs=2)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(np.asarray(enc._recon[0]).copy())
+        p = tmp_path / "mr.h264"
+        p.write_bytes(b"".join(aus) + aus[-1])
+        cap = cv2.VideoCapture(str(p))
+        assert cap.isOpened()
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        for i in range(6):
+            ok, d = cap.read()
+            assert ok
+            assert np.array_equal(d[:h, :w], recons[i][:h, :w]), i
+        cap.release()
+
+    def test_multiref_compresses_flicker(self):
+        w, h = 96, 64
+        frames = self.flicker(w, h, 6, seed=7)
+        one = TpuGopEncoder(w, h, qp=28, gop=6, search=4)
+        two = TpuGopEncoder(w, h, qp=28, gop=6, search=4, refs=2)
+        s1 = [len(one.encode(f)[0]) for f in frames]
+        s2 = [len(two.encode(f)[0]) for f in frames]
+        assert sum(s2[2:]) * 2 < sum(s1[2:]), (s2, s1)
+
+    def test_make_encoder_refs(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        e = make_encoder("tpu:gop=4:search=4:refs=2", 96, 64)
+        assert isinstance(e, TpuGopEncoder) and e.refs == 2
+        e2 = make_encoder("cavlc:gop=4:search=4:refs=2:slices=4",
+                          96, 64)
+        assert isinstance(e2, GopCavlcEncoder) and e2.refs == 2
+        with pytest.raises(ValueError):
+            make_encoder("tpu:gop=4:refs=2", 96, 64)  # needs search
+        with pytest.raises(ValueError):
+            make_encoder("tpu:gop=4:search=4:refs=3", 96, 64)
+        with pytest.raises(ValueError):
+            make_encoder("tpu:refs=2", 96, 64)  # needs gop
