@@ -1444,17 +1444,17 @@ class TpuGopEncoder:
                         num: int, mv=None, ref=None,
                         active_refs: int = 1) -> list[bytes]:
         """P-frame entropy stage: native C++ rows when available (same
-        production path as the intra rows, mvd included), Python oracle
-        otherwise.  Multi-reference frames fall back to the oracle
-        until the native rows learn te(v) ref_idx coding."""
-        if self._intra._native and active_refs <= 1:
+        production path as the intra rows — mvd and te(v) ref_idx
+        included), Python oracle otherwise."""
+        if self._intra._native:
             from opencv_opencl_tpu import native
 
             if hasattr(native._load(), "fp_cavlc_entropy_rows_p"):
                 return native.cavlc_entropy_rows_p(
                     mode, zdc, acz, czdc, cacz, qp, num,
                     threads=self._intra._threads,
-                    workspace=self._intra._workspace, mv=mv)
+                    workspace=self._intra._workspace, mv=mv,
+                    ref=ref, active_refs=active_refs)
         return encode_frame_p_from_levels(mode, zdc, acz, czdc, cacz,
                                           qp, num, mv=mv, ref=ref,
                                           active_refs=active_refs)

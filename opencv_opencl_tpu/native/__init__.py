@@ -136,9 +136,9 @@ def _load():
         ]
         lib.fp_cavlc_entropy_rows_p.restype = ctypes.c_int64
         lib.fp_cavlc_entropy_rows_p.argtypes = [
-            i16p, i16p, i16p, i16p, i16p, i16p, ctypes.c_uint64,
-            ctypes.c_uint64, u8p, u64p, ctypes.c_int, u8p,
-            ctypes.c_uint64, u8p, u64p,
+            i16p, i16p, i16p, i16p, i16p, i16p, i16p, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_uint64, u8p, u64p, ctypes.c_int,
+            u8p, ctypes.c_uint64, u8p, u64p,
         ]
         _lib = lib
         return _lib
@@ -589,12 +589,15 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
                          cacz: np.ndarray, qp: int, frame_num: int,
                          threads: int = 0,
                          workspace: dict | None = None,
-                         mv: np.ndarray | None = None) -> list[bytes]:
+                         mv: np.ndarray | None = None,
+                         ref: np.ndarray | None = None,
+                         active_refs: int = 1) -> list[bytes]:
     """Native entropy coding of one P frame's chosen-mode levels
     (ops/h264_levels.py PLevelArrays) into one P slice NAL per MB row —
     the CPU stage of the TPU GOP path.  ``mv`` is the (mb_h, mb_w, 2)
     (dy, dx) QUARTER-pel field from the device motion search (None =
-    zero motion).
+    zero motion); ``ref``/``active_refs`` the multi-reference
+    configuration (te(v)-coded ref_idx_l0 when active_refs > 1).
     Byte-identical to ``io.h264_inter.encode_frame_p_from_levels`` (the
     Python oracle, diffed in tests/test_h264_inter_tpu.py)."""
     lib = _load()
@@ -610,11 +613,14 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
     cacz = np.ascontiguousarray(cacz, dtype=np.int16)
     if mv is not None:
         mv = np.ascontiguousarray(mv, dtype=np.int16)
+    if ref is not None:
+        ref = np.ascontiguousarray(ref, dtype=np.int16)
     mb_h, mb_w = mode.shape[:2]
     heads, nbits = [], []
     for i in range(mb_h):
         w = _BitWriter()
-        _slice_head_p(w, qp, frame_num, first_mb=i * mb_w)
+        _slice_head_p(w, qp, frame_num, first_mb=i * mb_w,
+                      active_refs=active_refs)
         heads.append(np.packbits(np.asarray(w._bits, dtype=np.uint8)))
         nbits.append(len(w._bits))
     blob = np.concatenate(heads)
@@ -641,7 +647,8 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
         acz.ctypes.data_as(i16p), czdc.ctypes.data_as(i16p),
         cacz.ctypes.data_as(i16p),
         mv.ctypes.data_as(i16p) if mv is not None else None,
-        mb_h, mb_w, _ptr(blob),
+        ref.ctypes.data_as(i16p) if ref is not None else None,
+        active_refs, mb_h, mb_w, _ptr(blob),
         nbits_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         threads, _ptr(scratch), stride, _ptr(out),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))

@@ -1691,7 +1691,8 @@ static void entropy_p_mb(BitW& w, size_t mbx, size_t mb_w,
                          const int16_t* acz, const int16_t* czdc,
                          const int16_t* cacz, int8_t* lnnz,
                          int8_t* cbnnz, int8_t* crnnz,
-                         int32_t mvd_x, int32_t mvd_y) {
+                         int32_t mvd_x, int32_t mvd_y,
+                         int32_t ref_idx, int active_refs) {
     const bool left_ok = mbx > 0;
     int cbp_luma = 0;
     for (int b = 0; b < 16; ++b) {
@@ -1717,7 +1718,11 @@ static void entropy_p_mb(BitW& w, size_t mbx, size_t mb_w,
     const int cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
     const int cbp = cbp_luma | (cbp_chroma << 4);
     w.ue(0);       // mb_type: P_L0_16x16
-    w.se(mvd_x);   // mvd_l0 x (ref_idx absent: one active reference)
+    if (active_refs == 2)
+        w.u(uint32_t(1 - ref_idx), 1);  // te(v): single INVERTED bit
+    else if (active_refs > 2)
+        w.ue(uint32_t(ref_idx));
+    w.se(mvd_x);   // mvd_l0 x
     w.se(mvd_y);   // mvd_l0 y
     w.ue(kCbpInterCode[cbp]);
     const size_t lstr = mb_w * 4 + 1;
@@ -1844,12 +1849,15 @@ extern "C" int64_t fp_cavlc_entropy_rows(
 // MV predictor is the one-row-slice left-only rule (mvp = the left
 // MB's MV when it is inter — P_Skip rows carry (0,0) — reset per row
 // and after intra MBs); mvd = mv - mvp directly (the field is already
-// in the quarter-pel wire unit).  Byte-identical to io/h264_inter.py
+// in the quarter-pel wire unit).  ``ref`` (nullable) + active_refs
+// carry the multi-reference configuration: te(v)-coded ref_idx_l0 per
+// inter MB when active_refs > 1.  Byte-identical to io/h264_inter.py
 // encode_frame_p_from_levels (the Python oracle).  Same scratch/out
 // discipline as fp_cavlc_entropy_rows.
 extern "C" int64_t fp_cavlc_entropy_rows_p(
     const int16_t* mode, const int16_t* zdc, const int16_t* acz,
     const int16_t* czdc, const int16_t* cacz, const int16_t* mv,
+    const int16_t* ref, int active_refs,
     uint64_t mb_h, uint64_t mb_w, const uint8_t* head_bits_blob,
     const uint64_t* head_nbits, int threads, uint8_t* scratch,
     uint64_t stride, uint8_t* out, uint64_t* out_lens) {
@@ -1910,7 +1918,9 @@ extern "C" int64_t fp_cavlc_entropy_rows_p(
                 cavlc::entropy_p_mb(w, mbx, mb_w, acz + mb * 256,
                                     czdc + mb * 8, cacz + mb * 128,
                                     lnnz, cbnnz, crnnz,
-                                    dx - px, dy - py);
+                                    dx - px, dy - py,
+                                    ref ? int32_t(ref[mb]) : 0,
+                                    active_refs);
                 left_inter = true;
                 lmy = dy;
                 lmx = dx;

@@ -364,29 +364,33 @@ int main() {
         std::vector<uint8_t> scr(mb_h * stride), seq_o(mb_h * stride),
             par_o(mb_h * stride);
         std::vector<uint64_t> seq_l(mb_h), par_l(mb_h);
+        // ref field: every third inter MB uses reference 1
+        std::vector<int16_t> reff(n, 0);
+        for (uint64_t mb = 0; mb < n; ++mb)
+            if (mb % 3 == 1 && mb % 2 == 0) reff[mb] = 1;
         int64_t r1 = fp_cavlc_entropy_rows_p(
             mode.data(), zdc.data(), acz.data(), czdc.data(),
-            cacz.data(), mv.data(), mb_h, mb_w, heads_blob.data(),
-            head_nbits.data(), 1, scr.data(), stride, seq_o.data(),
-            seq_l.data());
+            cacz.data(), mv.data(), reff.data(), 2, mb_h, mb_w,
+            heads_blob.data(), head_nbits.data(), 1, scr.data(),
+            stride, seq_o.data(), seq_l.data());
         int64_t r2 = fp_cavlc_entropy_rows_p(
             mode.data(), zdc.data(), acz.data(), czdc.data(),
-            cacz.data(), mv.data(), mb_h, mb_w, heads_blob.data(),
-            head_nbits.data(), 4, scr.data(), stride, par_o.data(),
-            par_l.data());
+            cacz.data(), mv.data(), reff.data(), 2, mb_h, mb_w,
+            heads_blob.data(), head_nbits.data(), 4, scr.data(),
+            stride, par_o.data(), par_l.data());
         // null mv = zero motion must also hold under threading
         std::vector<uint8_t> z_o(mb_h * stride), z2_o(mb_h * stride);
         std::vector<uint64_t> z_l(mb_h), z2_l(mb_h);
         int64_t r3 = fp_cavlc_entropy_rows_p(
             mode.data(), zdc.data(), acz.data(), czdc.data(),
-            cacz.data(), nullptr, mb_h, mb_w, heads_blob.data(),
-            head_nbits.data(), 1, scr.data(), stride, z_o.data(),
-            z_l.data());
+            cacz.data(), nullptr, nullptr, 1, mb_h, mb_w,
+            heads_blob.data(), head_nbits.data(), 1, scr.data(),
+            stride, z_o.data(), z_l.data());
         int64_t r4 = fp_cavlc_entropy_rows_p(
             mode.data(), zdc.data(), acz.data(), czdc.data(),
-            cacz.data(), nullptr, mb_h, mb_w, heads_blob.data(),
-            head_nbits.data(), 3, scr.data(), stride, z2_o.data(),
-            z2_l.data());
+            cacz.data(), nullptr, nullptr, 1, mb_h, mb_w,
+            heads_blob.data(), head_nbits.data(), 3, scr.data(),
+            stride, z2_o.data(), z2_l.data());
         bool ok = r1 == 0 && r2 == 0 && r3 == 0 && r4 == 0;
         for (uint64_t i = 0; ok && i < mb_h; ++i)
             ok = z_l[i] == z2_l[i] &&

@@ -677,3 +677,23 @@ class TestTpuMultiRef:
             make_encoder("tpu:gop=4:search=4:refs=3", 96, 64)
         with pytest.raises(ValueError):
             make_encoder("tpu:refs=2", 96, 64)  # needs gop
+
+
+class TestNativeMultiRefEntropy:
+    def test_native_ref_coding_matches_oracle(self):
+        """Native rows with a multi-ref field (te(v) ref_idx) equal the
+        Python oracle, and the TpuGopEncoder produces identical bytes
+        with native entropy forced on and off."""
+        from opencv_opencl_tpu import native
+
+        if not (native.available()
+                and hasattr(native._load(), "fp_cavlc_entropy_rows_p")):
+            pytest.skip("native runtime unavailable")
+        w, h = 96, 64
+        frames = TestTpuMultiRef().flicker(w, h, 5, seed=4)
+        a = TpuGopEncoder(w, h, qp=28, gop=5, search=4, refs=2,
+                          native="always")
+        b = TpuGopEncoder(w, h, qp=28, gop=5, search=4, refs=2,
+                          native="never")
+        for f in frames:
+            assert a.encode(f) == b.encode(f)
