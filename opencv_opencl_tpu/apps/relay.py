@@ -277,24 +277,20 @@ def run(argv: list[str]) -> int:
 
         enc = sink.encoder
         fused_gop = isinstance(enc, TpuGopEncoder)
-        if fused_gop and enc.refs > 1:
-            print("--fused-encode does not support refs > 1 yet "
-                  "(use the unfused tpu:gop=N:refs=2 encoder)",
-                  file=sys.stderr)
-            return 2
         if fused_gop:
             # GOP: the device programs chain recon/frame-index state
             # across batches; padding would advance it on fake frames
             fused_fn = build_enhance_gop_fn(cfg, spec, enc.gop,
                                             search=enc.search,
-                                            subpel=enc.subpel)
+                                            subpel=enc.subpel,
+                                            refs=enc.refs)
             fstate = {"recon": enc.initial_recon(), "idx": 0}
 
             def process_fn(nv12_batch):
-                packed, ry, rcb, rcr = fused_fn(
+                packed, *rec = fused_fn(
                     nv12_batch, jnp.int32(enc.qp), fstate["idx"],
                     *fstate["recon"])
-                fstate["recon"] = (ry, rcb, rcr)
+                fstate["recon"] = tuple(rec)
                 fstate["idx"] += int(nv12_batch.shape[0])
                 return packed
 

@@ -1503,14 +1503,20 @@ class TpuGopEncoder:
 
 def _tpu_gop_initial_recon(self):
     """Zero device recon planes to seed the fused-GOP dispatch chain
-    (frame 0 is an IDR, so the P branch never reads them)."""
+    (frame 0 is an IDR, so the P branches never read them) — 3 planes,
+    or 6 in the two-reference configuration."""
     import jax.numpy as jnp
 
     w16 = -(-self.width // 16) * 16
     h16 = -(-self.height // 16) * 16
-    return (jnp.zeros((h16, w16), jnp.uint8),
-            jnp.zeros((h16 // 2, w16 // 2), jnp.uint8),
-            jnp.zeros((h16 // 2, w16 // 2), jnp.uint8))
+    one = (jnp.zeros((h16, w16), jnp.uint8),
+           jnp.zeros((h16 // 2, w16 // 2), jnp.uint8),
+           jnp.zeros((h16 // 2, w16 // 2), jnp.uint8))
+    if self.refs > 1:
+        return one + (jnp.zeros((h16, w16), jnp.uint8),
+                      jnp.zeros((h16 // 2, w16 // 2), jnp.uint8),
+                      jnp.zeros((h16 // 2, w16 // 2), jnp.uint8))
+    return one
 
 
 def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
@@ -1523,25 +1529,35 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
     from opencv_opencl_tpu.ops.h264_levels import unpack_levels_host
 
     packed = np.asarray(packed)
-    if packed.shape[-1] not in (410, 412):
+    if packed.shape[-1] not in (410, 412, 413):
         raise ValueError(
             f"fused GOP packed levels have {packed.shape[-1]} lanes, "
-            "expected 410 (zero motion) or 412 (motion search)")
+            "expected 410 (zero motion), 412 (motion search) or 413 "
+            "(two references)")
     lv, qp = unpack_levels_host(packed[:, :, :409])
     mode = packed[:, :, 409]
-    mv = packed[:, :, 410:412] if packed.shape[-1] == 412 else None
+    mv = packed[:, :, 410:412] if packed.shape[-1] >= 412 else None
+    ref = packed[:, :, 412] if packed.shape[-1] == 413 else None
     self.frames += 1
     if mode[0, 0] == -1:  # IDR frame marker
         num = self._intra._idr_pic_id
         self._intra._idr_pic_id ^= 1
         self._frame_num = 1
+        self._since_idr = 0
         nals = self._intra._entropy_nals(lv, num, qp)
         au = (_START4 + self._intra._sps + _START4 + self._intra._pps +
               b"".join(_START4 + bytes(n) for n in nals))
     else:
+        # active references mirror the device idx chain: one for the
+        # first P after each IDR, then the configured count (tracked
+        # separately from frame_num, which wraps mod 16)
+        self._since_idr = getattr(self, "_since_idr", 0) + 1
+        active = min(self._since_idr, self.refs)
         nals = self._p_entropy_nals(mode, lv.zdc, lv.acz, lv.czdc,
                                     lv.cacz, qp, self._frame_num,
-                                    mv=mv)
+                                    mv=mv,
+                                    ref=None if ref is None else ref,
+                                    active_refs=active)
         self._frame_num = (self._frame_num + 1) % 16
         au = b"".join(_START4 + bytes(n) for n in nals)
     if self.bitrate_kbps:

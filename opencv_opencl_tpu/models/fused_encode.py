@@ -41,15 +41,18 @@ from opencv_opencl_tpu.ops.h264_levels import (
     LevelArrays, encode_levels, encode_p_levels, pack_levels)
 
 __all__ = ["build_enhance_levels_fn", "build_enhance_gop_fn",
-           "GOP_PACKED_LANES", "GOP_PACKED_LANES_MV"]
+           "GOP_PACKED_LANES", "GOP_PACKED_LANES_MV",
+           "GOP_PACKED_LANES_MREF"]
 
 # GOP packing = the intra packing (408 levels + qp) + a mode lane:
 # per-MB 0/1/2 (P_Skip / P_L0_16x16 / I_16x16) on P frames, -1 on IDR
 # frames (the frame-type marker the host entropy stage dispatches on).
 # With motion search, two more lanes carry the per-MB (dy, dx) MV
-# field (412 total); the host side dispatches on the lane count.
+# field (412 total); two references add the per-MB ref lane (413).
+# The host side dispatches on the lane count.
 GOP_PACKED_LANES = 410
 GOP_PACKED_LANES_MV = 412
+GOP_PACKED_LANES_MREF = 413
 
 
 def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
@@ -95,12 +98,17 @@ def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
 
 
 def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
-                         search: int = 0, subpel: int = 0):
+                         search: int = 0, subpel: int = 0,
+                         refs: int = 1):
     """Fused enhance + low-delay-P GOP encode: returns a jitted
     ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32, idx0: int32,
-    ry, rcb, rcr) -> (int16[N, mb_h, mb_w, 410|412], ry', rcb',
-    rcr')`` — 412 lanes when ``search`` > 0 (two per-MB MV lanes from
-    the device motion search ride down with the levels).
+    *recon) -> (int16[N, mb_h, mb_w, L], *recon')`` — recon is 3
+    planes (ry, rcb, rcr), or 6 with ``refs=2`` (both reference
+    pictures persist ACROSS batches in HBM; the frame right after
+    each IDR runs a single-reference branch).  L = 412 lanes when
+    ``search`` > 0 (two per-MB MV lanes from the device motion search
+    ride down with the levels), 413 with refs=2 (the per-MB reference
+    lane).
 
     The whole video encoder front half runs as ONE device program per
     batch: enhancement, then per frame either the intra level+recon
@@ -123,20 +131,29 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
     if gop < 2:
         raise ValueError("fused GOP needs gop >= 2 (gop=1 is the "
                          "all-IDR fused path: build_enhance_levels_fn)")
+    if refs not in (1, 2):
+        raise ValueError(f"fused GOP refs must be 1 or 2, got {refs}")
+    if refs > 1 and not search:
+        raise ValueError("fused refs=2 requires search=R > 0")
     h, w = spec.height, spec.width
     h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
     mbh, mbw = h16 // 16, w16 // 16
     enhance_y, _ = make_enhance_y(cfg, spec)
 
-    def pack_gop(lv: LevelArrays, qp, mode, mv=None):
+    def pack_gop(lv: LevelArrays, qp, mode, mv=None, ref=None):
         base = pack_levels(lv, qp)                  # (mbh, mbw, 409)
         parts = [base, mode.astype(jnp.int16)[:, :, None]]
         if search:
             parts.append(jnp.zeros((mbh, mbw, 2), jnp.int16)
                          if mv is None else mv.astype(jnp.int16))
+        if refs > 1:
+            parts.append(jnp.zeros((mbh, mbw, 1), jnp.int16)
+                         if ref is None
+                         else ref.astype(jnp.int16)[:, :, None])
         return jnp.concatenate(parts, axis=-1)
 
-    def fn(nv12_batch, qp, idx0, ry, rcb, rcr):
+    def fn(nv12_batch, qp, idx0, ry, rcb, rcr,
+           oy=None, ocb=None, ocr=None):
         n = nv12_batch.shape[0]
         y = enhance_y(nv12_batch[:, :h, :])
         uv = nv12_batch[:, h:, :]
@@ -151,33 +168,62 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                        (0, 0)), mode="edge")
 
         def per_frame(carry, xs):
-            ry, rcb, rcr, idx = carry
+            ry, rcb, rcr, oy, ocb, ocr, idx = carry
             yf, cbf, crf = xs
 
             def do_i(args):
-                yf, cbf, crf, ry, rcb, rcr = args
+                yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr = args
                 lv, ry2, rcb2, rcr2 = encode_levels(yf, cbf, crf, qp,
                                                     full_recon=True)
                 mode = jnp.full((mbh, mbw), -1, jnp.int16)
-                return pack_gop(lv, qp, mode), ry2, rcb2, rcr2
+                # IDR flushes the DPB: the second slot is a dummy
+                # (the next frame's single-reference branch never
+                # reads it)
+                return (pack_gop(lv, qp, mode),
+                        ry2, rcb2, rcr2, ry2, rcb2, rcr2)
 
-            def do_p(args):
-                yf, cbf, crf, ry, rcb, rcr = args
+            def do_p1(args):
+                yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr = args
                 plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp,
                                       search, subpel)
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
                 return (pack_gop(lv, qp, plv.mode, plv.mv),
-                        plv.recon_y, plv.recon_cb, plv.recon_cr)
+                        plv.recon_y, plv.recon_cb, plv.recon_cr,
+                        ry, rcb, rcr)
 
-            packed, ry2, rcb2, rcr2 = jax.lax.cond(
-                idx % gop == 0, do_i, do_p,
-                (yf, cbf, crf, ry, rcb, rcr))
-            return (ry2, rcb2, rcr2, idx + 1), packed
+            def do_p2(args):
+                yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr = args
+                plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp,
+                                      search, subpel, oy, ocb, ocr)
+                lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
+                return (pack_gop(lv, qp, plv.mode, plv.mv, plv.ref),
+                        plv.recon_y, plv.recon_cb, plv.recon_cr,
+                        ry, rcb, rcr)
 
-        (ry2, rcb2, rcr2, _), packed = jax.lax.scan(
-            per_frame,
-            (ry, rcb, rcr, jnp.asarray(idx0, jnp.int32)),
-            (y, cbcr[..., 0], cbcr[..., 1]))
+            args = (yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr)
+            if refs > 1:
+                branch = jnp.where(
+                    idx % gop == 0, 0,
+                    jnp.where(idx % gop == 1, 1, 2))
+                out = jax.lax.switch(branch, (do_i, do_p1, do_p2),
+                                     args)
+            else:
+                out = jax.lax.cond(idx % gop == 0, do_i, do_p1, args)
+            packed, ry2, rcb2, rcr2, oy2, ocb2, ocr2 = out
+            return (ry2, rcb2, rcr2, oy2, ocb2, ocr2, idx + 1), packed
+
+        if refs > 1:
+            init = (ry, rcb, rcr, oy, ocb, ocr,
+                    jnp.asarray(idx0, jnp.int32))
+        else:
+            init = (ry, rcb, rcr, ry, rcb, rcr,
+                    jnp.asarray(idx0, jnp.int32))
+        (ry2, rcb2, rcr2, oy2, ocb2, ocr2, _), packed = jax.lax.scan(
+            per_frame, init, (y, cbcr[..., 0], cbcr[..., 1]))
+        if refs > 1:
+            return packed, ry2, rcb2, rcr2, oy2, ocb2, ocr2
         return packed, ry2, rcb2, rcr2
 
+    if refs > 1:
+        return jax.jit(fn, donate_argnums=(3, 4, 5, 6, 7, 8))
     return jax.jit(fn, donate_argnums=(3, 4, 5))

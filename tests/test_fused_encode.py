@@ -293,3 +293,61 @@ class TestFusedGopSearch:
         enc = TpuGopEncoder(96, 64, qp=30, gop=3)
         with pytest.raises(ValueError, match="lanes"):
             enc.encode_from_packed(np.zeros((4, 6, 411), np.int16))
+
+
+class TestFusedGopMultiRef:
+    def test_fused_refs2_matches_unfused(self):
+        """Fused enhance + GOP with TWO references (413-lane packing):
+        byte-identical to enhance-then-TpuGopEncoder(refs=2) across
+        uneven batch splits — both reference pictures must persist
+        across batch boundaries in the device state."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+        from opencv_opencl_tpu.models.fused_encode import (
+            GOP_PACKED_LANES_MREF, build_enhance_gop_fn)
+
+        w, h, qp, gop = 96, 64, 30, 4
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op="none", chroma=ChromaPolicy.PASSTHROUGH)
+        rng = np.random.default_rng(51)
+        scenes = [rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+                  for _ in range(2)]
+        frames = []
+        for i in range(8):
+            f = scenes[i % 2].copy()
+            f[8:16, 8:24] = rng.integers(0, 256, (8, 16), np.uint8)
+            frames.append(f)
+        frames = np.stack(frames)
+
+        ref_enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=4, refs=2)
+        want = [au for f in frames for au in ref_enc.encode(f)]
+
+        fn = build_enhance_gop_fn(cfg, spec, gop, search=4, refs=2)
+        enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=4, refs=2)
+        recon = enc.initial_recon()
+        assert len(recon) == 6
+        idx, got = 0, []
+        # the split at 3 places a do_p2 frame (idx 3) right after a
+        # batch boundary: its second reference crosses the boundary
+        for lo, hi in ((0, 3), (3, 6), (6, 8)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(qp), idx,
+                                *recon)
+            packed = np.asarray(packed)
+            assert packed.shape[-1] == GOP_PACKED_LANES_MREF
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(packed[i]))
+        assert got == want
+        assert packed[:, :, :, 412].any(), "ref 1 never chosen"
+
+    def test_fused_refs_validation(self):
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        spec = FrameSpec(width=96, height=64, fps=30)
+        cfg = EnhancerConfig(op="none")
+        with pytest.raises(ValueError, match="refs"):
+            build_enhance_gop_fn(cfg, spec, 4, search=4, refs=3)
+        with pytest.raises(ValueError, match="search"):
+            build_enhance_gop_fn(cfg, spec, 4, refs=2)
