@@ -27,7 +27,7 @@ SEARCH = 8
 
 
 def measure(width: int, height: int, search: int,
-            subpel: int = 0) -> dict:
+            subpel: int = 0, refs: int = 1) -> dict:
     h16 = -(-height // 16) * 16
     rng = np.random.default_rng(0)
     y = jax.device_put(rng.integers(0, 256, (h16, width), np.uint8))
@@ -39,12 +39,19 @@ def measure(width: int, height: int, search: int,
         rng.integers(0, 256, (h16, width), np.int16) // 8 * 8,
         0, 255).astype(np.uint8))
     rcb, rcr = cb, cr
+    ry2 = jax.device_put(np.roll(np.asarray(ry), 3, 1)) if refs > 1 \
+        else None
 
     @jax.jit
     def chained(y, n):
         def body(i, y):
-            plv = encode_p_levels(y, cb, cr, ry, rcb, rcr,
-                                  jnp.int32(QP), search, subpel)
+            if refs > 1:
+                plv = encode_p_levels(y, cb, cr, ry, rcb, rcr,
+                                      jnp.int32(QP), search, subpel,
+                                      ry2, cb, cr)
+            else:
+                plv = encode_p_levels(y, cb, cr, ry, rcb, rcr,
+                                      jnp.int32(QP), search, subpel)
             bump = (jnp.sum(plv.mode.astype(jnp.int32)) & 1
                     ).astype(jnp.uint8)
             return y + bump
@@ -55,8 +62,8 @@ def measure(width: int, height: int, search: int,
     t0 = time.perf_counter()
     _ = int(chained(y, 1))
     compile_s = time.perf_counter() - t0
-    print(f"{width}x{height} search={search} subpel={subpel}: "
-          f"compiled in {compile_s:.1f}s", flush=True)
+    print(f"{width}x{height} search={search} subpel={subpel} "
+          f"refs={refs}: compiled in {compile_s:.1f}s", flush=True)
 
     def one_sample() -> float:
         t0 = time.perf_counter()
@@ -76,11 +83,11 @@ def measure(width: int, height: int, search: int,
     samples = sorted(one_sample() for _ in range(5))
     ms = samples[2] * 1e3
     spread = (samples[-1] - samples[0]) / samples[2] * 100.0
-    print(f"{width}x{height} search={search} subpel={subpel}: "
-          f"{ms:.3f} ms/frame ({1e3 / ms:.1f} fps, "
+    print(f"{width}x{height} search={search} subpel={subpel} "
+          f"refs={refs}: {ms:.3f} ms/frame ({1e3 / ms:.1f} fps, "
           f"spread {spread:.1f}%)", flush=True)
     return {"width": width, "height": height, "qp": QP,
-            "search": search, "subpel": subpel,
+            "search": search, "subpel": subpel, "refs": refs,
             "ms_per_frame": round(ms, 4),
             "fps": round(1e3 / ms, 1), "spread_pct": round(spread, 1),
             "chain": CHAIN, "compile_s": round(compile_s, 1)}
@@ -130,6 +137,7 @@ def main() -> None:
            "geometries": [measure(1920, 1080, SEARCH),
                           measure(1920, 1080, SEARCH, subpel=1),
                           measure(1920, 1080, 4, subpel=2),
+                          measure(1920, 1080, SEARCH, refs=2),
                           measure(3840, 2160, SEARCH),
                           measure(3840, 2160, 4, subpel=2)]}
     if not out["parity"]["byte_identical"]:
