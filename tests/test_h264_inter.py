@@ -622,3 +622,40 @@ class TestMultiRef:
             GopCavlcEncoder(96, 64, gop=3, refs=2, slices=4)
         with pytest.raises(ValueError, match="slice"):
             GopCavlcEncoder(96, 64, gop=3, search=4, refs=2)
+
+
+class TestLongGop:
+    def test_frame_num_wrap_conformance(self, tmp_path):
+        """gop=20 > max_frame_num=16: frame_num wraps mod 16 inside
+        one GOP (the reference runs periodicity-idr=240) — the decoder
+        must track PicNum across the wrap and every frame stay
+        bit-exact."""
+        w, h = 64, 48
+        frames = moving_frames(w, h, 21, seed=31, step=1)
+        enc = GopCavlcEncoder(w, h, qp=30, gop=20)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(tuple(p.copy() for p in enc._recon))
+        dec = decode_frames(b"".join(aus), tmp_path, 21, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
+                f"frame {i} luma mismatch (wrap at 16)"
+
+    def test_frame_num_wrap_with_motion_and_refs(self, tmp_path):
+        """Same wrap with search + 2 references: PicNum-based list
+        order must survive the wrap."""
+        w, h = 64, 48
+        frames = moving_frames(w, h, 20, seed=33, step=1)
+        enc = GopCavlcEncoder(w, h, qp=30, gop=19, slices=h // 16,
+                              search=4, refs=2)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(tuple(p.copy() for p in enc._recon))
+        dec = decode_frames(b"".join(aus), tmp_path, 20, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
+                f"frame {i} luma mismatch"
