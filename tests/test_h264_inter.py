@@ -659,3 +659,47 @@ class TestLongGop:
             assert np.array_equal(
                 d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
                 f"frame {i} luma mismatch"
+
+
+class TestFuzzMotionConformance:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_random_config_decodes_bitexact(self, seed, tmp_path):
+        """Property fuzz: random geometry / qp / search config / GOP on
+        mixed random+panning content — whole stream decodes bit-exact
+        through libavcodec."""
+        rng = np.random.default_rng(100 + seed)
+        w = int(rng.integers(3, 8)) * 16
+        h = int(rng.integers(3, 7)) * 16
+        qp = int(rng.integers(18, 42))
+        gop = int(rng.integers(2, 7))
+        subpel = int(rng.integers(0, 3))
+        search = int(rng.integers(1, 6)) if subpel != 2 \
+            else int(rng.integers(1, 4))
+        refs = int(rng.integers(1, 3))
+        n = int(rng.integers(4, 8))
+        enc = GopCavlcEncoder(w, h, qp=qp, gop=gop, slices=h // 16,
+                              search=search, halfpel=subpel == 1,
+                              quarterpel=subpel == 2, refs=refs)
+        # content: pan + noise bursts + a scene cut
+        base = rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+        frames = []
+        for i in range(n):
+            f = np.concatenate(
+                [np.roll(base[:h], (i * int(rng.integers(-3, 4)),
+                                    i * int(rng.integers(-3, 4))),
+                         (0, 1)),
+                 base[h:]], 0)
+            if i == n // 2:
+                f[: h // 2] = rng.integers(0, 256, (h // 2, w),
+                                           np.uint8)
+            frames.append(f)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(tuple(p.copy() for p in enc._recon))
+        dec = decode_frames(b"".join(aus), tmp_path, n, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
+                (f"frame {i}: {w}x{h} qp={qp} gop={gop} "
+                 f"search={search} subpel={subpel} refs={refs}")

@@ -697,3 +697,36 @@ class TestNativeMultiRefEntropy:
                           native="never")
         for f in frames:
             assert a.encode(f) == b.encode(f)
+
+
+
+class TestFuzzTpuParity:
+    @pytest.mark.parametrize("seed", [10, 11, 12])
+    def test_random_config_byte_identical(self, seed):
+        """Property fuzz: random config — TPU stream == CPU oracle."""
+        rng = np.random.default_rng(seed)
+        w = int(rng.integers(3, 7)) * 16
+        h = int(rng.integers(3, 6)) * 16
+        qp = int(rng.integers(20, 40))
+        gop = int(rng.integers(2, 6))
+        subpel = int(rng.integers(0, 3))
+        search = int(rng.integers(1, 5)) if subpel != 2 else 2
+        refs = int(rng.integers(1, 3))
+        n = int(rng.integers(4, 7))
+        kw = dict(qp=qp, gop=gop, search=search,
+                  halfpel=subpel == 1, quarterpel=subpel == 2,
+                  refs=refs)
+        tpu = TpuGopEncoder(w, h, **kw)
+        oracle = GopCavlcEncoder(w, h, slices=h // 16, **kw)
+        base = rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+        frames = []
+        for i in range(n):
+            f = np.concatenate(
+                [np.roll(base[:h], (2 * i, -i), (0, 1)), base[h:]], 0)
+            if i == n - 2:
+                f[h // 2:h] = rng.integers(0, 256, (h - h // 2, w),
+                                           np.uint8)
+            frames.append(f)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want, (w, h, qp, gop, search, subpel, refs)
