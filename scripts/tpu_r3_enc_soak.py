@@ -1,0 +1,97 @@
+"""Sustained-throughput soak of the full TPU GOP encoder on hardware:
+300 frames of 1080p panning content through TpuGopEncoder
+(gop=30, search=8, native entropy), measuring steady-state fps of the
+COMPLETE encoder (device dispatch + host entropy, overlap mode), with
+stream-level evidence (AU sizes, skip collapse) and a byte-identity
+spot check vs the CPU oracle on the first 40 frames.
+
+    python scripts/tpu_r3_enc_soak.py
+
+Writes scripts/tpu_r3_enc_soak.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+W, H = 1920, 1080
+GOP = 30
+SEARCH = 8
+QP = 30
+FRAMES = 300
+
+
+def make_frames(n):
+    rng = np.random.default_rng(0)
+    base_y = (rng.integers(0, 256, (H, W), np.uint8)
+              .astype(np.int64).reshape(H // 8, 8, W // 8, 8)
+              .mean(axis=(1, 3)).astype(np.uint8)
+              .repeat(8, 0).repeat(8, 1))
+    base_uv = rng.integers(96, 160, (H // 2, W), np.uint8)
+    for i in range(n):
+        y = np.roll(base_y, (2 * i) % 64, 1)
+        uv = np.roll(base_uv, i % 32, 1)
+        yield np.concatenate([y, uv], 0)
+
+
+def main() -> None:
+    from opencv_opencl_tpu.io.h264_inter import (
+        GopCavlcEncoder, TpuGopEncoder)
+
+    # byte-identity spot check first (12 frames: one IDR + 11 P;
+    # the exhaustive numpy oracle is slow at 1080p, keep it short)
+    tpu = TpuGopEncoder(W, H, qp=QP, gop=GOP, search=SEARCH)
+    oracle = GopCavlcEncoder(W, H, qp=QP, gop=GOP, slices=H // 16,
+                             search=SEARCH)
+    ok = True
+    for i, f in enumerate(make_frames(12)):
+        if tpu.encode(f) != oracle.encode(f):
+            ok = False
+            print(f"MISMATCH at frame {i}", flush=True)
+            break
+    print(f"12-frame byte-identity vs oracle: {ok}", flush=True)
+
+    # sustained soak, overlap mode (dispatch/entropy pipelined)
+    enc = TpuGopEncoder(W, H, qp=QP, gop=GOP, search=SEARCH,
+                        overlap=True)
+    sizes = []
+    frames = list(make_frames(FRAMES))
+    # warm the compiles
+    for f in frames[:3]:
+        for au in enc.encode(f):
+            sizes.append(len(au))
+    t0 = time.perf_counter()
+    done0 = len(sizes)
+    for f in frames[3:]:
+        for au in enc.encode(f):
+            sizes.append(len(au))
+    for au in enc.flush():
+        sizes.append(len(au))
+    dt = time.perf_counter() - t0
+    n = len(sizes) - done0
+    fps = n / dt
+    idr = sizes[:: GOP]
+    p_sizes = [s for i, s in enumerate(sizes) if i % GOP]
+    out = {"what": "TpuGopEncoder 1080p soak (gop=30, search=8, "
+                   "overlap, native entropy): sustained fps of the "
+                   "complete encoder incl. host entropy",
+           "frames": len(sizes), "byte_identity_12": bool(ok),
+           "fps": round(fps, 1), "ms_per_frame": round(1e3 / fps, 3),
+           "idr_bytes_mean": int(np.mean(idr)),
+           "p_bytes_mean": int(np.mean(p_sizes)),
+           "p_bytes_p95": int(np.percentile(p_sizes, 95)),
+           "total_kbits_per_s_at_30fps": round(
+               sum(sizes) * 8 * 30 / len(sizes) / 1e3, 1)}
+    if not ok:
+        raise SystemExit("PARITY FAILURE")
+    with open("scripts/tpu_r3_enc_soak.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
