@@ -90,7 +90,9 @@ def build_sps_gop(width: int, height: int, refs: int = 1) -> bytes:
     w.u(0, 1).u(3, 2).u(7, 5)        # nal: forbidden=0, ref_idc=3, SPS
     w.u(66, 8)                       # profile_idc: baseline
     w.u(0b11000000, 8)               # constraint_set0+1
-    w.u(_level_for(mb_w * mb_h), 8)  # level_idc
+    # level must fit the DPB too: refs reference pictures + the
+    # current one (A.3.1 MaxDpbMbs bound)
+    w.u(_level_for(mb_w * mb_h, dpb_frames=refs + 1), 8)  # level_idc
     w.ue(0)                          # seq_parameter_set_id
     w.ue(0)                          # log2_max_frame_num_minus4 -> u(4)
     w.ue(2)                          # pic_order_cnt_type: 2 (low-delay)
@@ -1555,8 +1557,7 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
         active = min(self._since_idr, self.refs)
         nals = self._p_entropy_nals(mode, lv.zdc, lv.acz, lv.czdc,
                                     lv.cacz, qp, self._frame_num,
-                                    mv=mv,
-                                    ref=None if ref is None else ref,
+                                    mv=mv, ref=ref,
                                     active_refs=active)
         self._frame_num = (self._frame_num + 1) % 16
         au = b"".join(_START4 + bytes(n) for n in nals)

@@ -140,16 +140,23 @@ class _BitWriter:
         return bytes(out)
 
 
-# MaxFS (macroblocks per frame) per level, Table A-1 (subset; 6.0-6.2
-# cover 8K, which this framework supports beyond the reference's 4K cap)
-_LEVEL_BY_MBS = [(99, 10), (396, 11), (792, 21), (1620, 22), (3600, 31),
-                 (5120, 32), (8192, 40), (22080, 50), (36864, 51),
-                 (139264, 60)]
+# (MaxFS macroblocks per frame, MaxDpbMbs) per level, Table A-1
+# (subset; 6.0-6.2 cover 8K, which this framework supports beyond the
+# reference's 4K cap)
+_LEVEL_BY_MBS = [(99, 396, 10), (396, 900, 11), (792, 4752, 21),
+                 (1620, 8100, 22), (3600, 18000, 31),
+                 (5120, 20480, 32), (8192, 32768, 40),
+                 (22080, 110400, 50), (36864, 184320, 51),
+                 (139264, 696320, 60)]
 
 
-def _level_for(mbs: int) -> int:
-    for max_fs, level in _LEVEL_BY_MBS:
-        if mbs <= max_fs:
+def _level_for(mbs: int, dpb_frames: int = 1) -> int:
+    """Smallest level whose MaxFS fits the frame AND whose MaxDpbMbs
+    fits ``dpb_frames`` decoded pictures (A.3.1: max_num_ref_frames <=
+    MaxDpbMbs / frame MBs) — multi-reference streams must bump the
+    level when the DPB, not the frame, is the binding constraint."""
+    for max_fs, max_dpb, level in _LEVEL_BY_MBS:
+        if mbs <= max_fs and dpb_frames * mbs <= max_dpb:
             return level
     return 62
 

@@ -168,28 +168,37 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                        (0, 0)), mode="edge")
 
         def per_frame(carry, xs):
-            ry, rcb, rcr, oy, ocb, ocr, idx = carry
+            # refs=1 carries one recon set; refs=2 carries both (the
+            # dead-state cost of a uniform 6-plane carry is real:
+            # ~1.5 frames of copies per scan step)
+            if refs > 1:
+                ry, rcb, rcr, oy, ocb, ocr, idx = carry
+            else:
+                ry, rcb, rcr, idx = carry
+                oy = ocb = ocr = None
             yf, cbf, crf = xs
 
             def do_i(args):
-                yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr = args
+                yf, cbf, crf, ry, rcb, rcr, *old = args
                 lv, ry2, rcb2, rcr2 = encode_levels(yf, cbf, crf, qp,
                                                     full_recon=True)
                 mode = jnp.full((mbh, mbw), -1, jnp.int16)
                 # IDR flushes the DPB: the second slot is a dummy
                 # (the next frame's single-reference branch never
                 # reads it)
+                extra = (ry2, rcb2, rcr2) if refs > 1 else ()
                 return (pack_gop(lv, qp, mode),
-                        ry2, rcb2, rcr2, ry2, rcb2, rcr2)
+                        ry2, rcb2, rcr2) + extra
 
             def do_p1(args):
-                yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr = args
+                yf, cbf, crf, ry, rcb, rcr, *old = args
                 plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp,
                                       search, subpel)
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
+                extra = (ry, rcb, rcr) if refs > 1 else ()
                 return (pack_gop(lv, qp, plv.mode, plv.mv),
-                        plv.recon_y, plv.recon_cb, plv.recon_cr,
-                        ry, rcb, rcr)
+                        plv.recon_y, plv.recon_cb,
+                        plv.recon_cr) + extra
 
             def do_p2(args):
                 yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr = args
@@ -200,29 +209,27 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                         plv.recon_y, plv.recon_cb, plv.recon_cr,
                         ry, rcb, rcr)
 
-            args = (yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr)
             if refs > 1:
+                args = (yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr)
                 branch = jnp.where(
                     idx % gop == 0, 0,
                     jnp.where(idx % gop == 1, 1, 2))
-                out = jax.lax.switch(branch, (do_i, do_p1, do_p2),
-                                     args)
+                packed, *recs = jax.lax.switch(
+                    branch, (do_i, do_p1, do_p2), args)
             else:
-                out = jax.lax.cond(idx % gop == 0, do_i, do_p1, args)
-            packed, ry2, rcb2, rcr2, oy2, ocb2, ocr2 = out
-            return (ry2, rcb2, rcr2, oy2, ocb2, ocr2, idx + 1), packed
+                args = (yf, cbf, crf, ry, rcb, rcr)
+                packed, *recs = jax.lax.cond(
+                    idx % gop == 0, do_i, do_p1, args)
+            return tuple(recs) + (idx + 1,), packed
 
         if refs > 1:
             init = (ry, rcb, rcr, oy, ocb, ocr,
                     jnp.asarray(idx0, jnp.int32))
         else:
-            init = (ry, rcb, rcr, ry, rcb, rcr,
-                    jnp.asarray(idx0, jnp.int32))
-        (ry2, rcb2, rcr2, oy2, ocb2, ocr2, _), packed = jax.lax.scan(
+            init = (ry, rcb, rcr, jnp.asarray(idx0, jnp.int32))
+        (*recs, _), packed = jax.lax.scan(
             per_frame, init, (y, cbcr[..., 0], cbcr[..., 1]))
-        if refs > 1:
-            return packed, ry2, rcb2, rcr2, oy2, ocb2, ocr2
-        return packed, ry2, rcb2, rcr2
+        return (packed, *recs)
 
     if refs > 1:
         return jax.jit(fn, donate_argnums=(3, 4, 5, 6, 7, 8))

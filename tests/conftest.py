@@ -88,3 +88,18 @@ def sinusoid_pan_frames(w, h, n, step=0.5, seed=0, terms=4):
         out.append(np.concatenate(
             [np.clip(y, 0, 255).astype(np.uint8), uv], 0))
     return out
+
+
+def flicker_frames(w, h, n, seed=0):
+    """Two alternating random scenes + a small fresh-noise insert per
+    frame: the two-frames-back reference predicts far better than the
+    previous frame (shared multi-reference test content)."""
+    rng_ = np.random.default_rng(seed)
+    scenes = [rng_.integers(0, 256, (h * 3 // 2, w), np.uint8)
+              for _ in range(2)]
+    out = []
+    for i in range(n):
+        f = scenes[i % 2].copy()
+        f[8:16, 8:24] = rng_.integers(0, 256, (8, 16), np.uint8)
+        out.append(f)
+    return out

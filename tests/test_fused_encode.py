@@ -310,15 +310,9 @@ class TestFusedGopMultiRef:
         w, h, qp, gop = 96, 64, 30, 4
         spec = FrameSpec(width=w, height=h, fps=30)
         cfg = EnhancerConfig(op="none", chroma=ChromaPolicy.PASSTHROUGH)
-        rng = np.random.default_rng(51)
-        scenes = [rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
-                  for _ in range(2)]
-        frames = []
-        for i in range(8):
-            f = scenes[i % 2].copy()
-            f[8:16, 8:24] = rng.integers(0, 256, (8, 16), np.uint8)
-            frames.append(f)
-        frames = np.stack(frames)
+        from tests.conftest import flicker_frames
+
+        frames = np.stack(flicker_frames(w, h, 8, seed=51))
 
         ref_enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=4, refs=2)
         want = [au for f in frames for au in ref_enc.encode(f)]

@@ -552,17 +552,9 @@ class TestQuarterPel:
 
 class TestMultiRef:
     def flicker(self, w, h, n, seed=0):
-        """Two alternating scenes + drift: the two-frames-back
-        reference predicts far better than the previous frame."""
-        rng = np.random.default_rng(seed)
-        scenes = [rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
-                  for _ in range(2)]
-        out = []
-        for i in range(n):
-            f = scenes[i % 2].copy()
-            f[8:16, 8:24] = rng.integers(0, 256, (8, 16), np.uint8)
-            out.append(f)
-        return out
+        from tests.conftest import flicker_frames
+
+        return flicker_frames(w, h, n, seed=seed)
 
     def test_multiref_conformance_through_libavcodec(self, tmp_path):
         """2-reference GOP decodes bit-identically — proving the SPS
@@ -598,8 +590,6 @@ class TestMultiRef:
         assert sum(s2[2:]) * 2 < sum(s1[2:]), (s2, s1)
 
     def test_multiref_with_subpel_conformance(self, tmp_path):
-        from tests.conftest import sinusoid_pan_frames
-
         w, h = 96, 64
         frames = self.flicker(w, h, 5, seed=5)
         enc = GopCavlcEncoder(w, h, qp=26, gop=5, slices=h // 16,
@@ -613,6 +603,25 @@ class TestMultiRef:
             assert np.array_equal(
                 d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
                 f"frame {i}"
+
+    @pytest.mark.parametrize("refs", [3, 4])
+    def test_many_refs_conformance(self, refs, tmp_path):
+        """refs=3/4: ue(v) ref_idx coding (not the 2-ref te(v) bit)
+        and 3-4 entry DPB ordering — bit-exact through libavcodec,
+        across a frame_num wrap (gop=19 > 16)."""
+        w, h = 64, 48
+        frames = self.flicker(w, h, 20, seed=40 + refs)
+        enc = GopCavlcEncoder(w, h, qp=30, gop=19, slices=h // 16,
+                              search=3, refs=refs)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(tuple(p.copy() for p in enc._recon))
+        dec = decode_frames(b"".join(aus), tmp_path, 20, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
+                f"frame {i} (refs={refs})"
 
     def test_multiref_validation(self):
         with pytest.raises(ValueError, match="refs"):

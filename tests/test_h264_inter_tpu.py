@@ -602,15 +602,9 @@ class TestTpuQuarterPel:
 
 class TestTpuMultiRef:
     def flicker(self, w, h, n, seed=0):
-        rng = np.random.default_rng(seed)
-        scenes = [rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
-                  for _ in range(2)]
-        out = []
-        for i in range(n):
-            f = scenes[i % 2].copy()
-            f[8:16, 8:24] = rng.integers(0, 256, (8, 16), np.uint8)
-            out.append(f)
-        return out
+        from tests.conftest import flicker_frames
+
+        return flicker_frames(w, h, n, seed=seed)
 
     def test_multiref_stream_byte_identical_to_oracle(self):
         w, h = 96, 64
