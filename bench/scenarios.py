@@ -152,6 +152,49 @@ def main() -> None:
              f"{agg:.0f} fps aggregate = {int(agg // 30)} streams@30")
         )
 
+        # 7. fused enhance + H.264 GOP encode device step (1080p P
+        # frame with full-pel search=8): the device side of the
+        # complete encoder — enhancement, motion search+MC, transforms,
+        # quantization, reconstruction — as one program
+        # (models/fused_encode.py; host entropy excluded)
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+        from opencv_opencl_tpu.ops.h264_levels import (
+            encode_levels_recon_jit)
+
+        spec7 = FrameSpec(width=1920, height=1080, fps=30)
+        gop_fn = build_enhance_gop_fn(
+            EnhancerConfig(op="clahe", clip_limit=2.0, tile_grid=(8, 8),
+                           chroma=ChromaPolicy.PASSTHROUGH),
+            spec7, gop=30, search=8)
+        rng7 = np.random.default_rng(7)
+        f0 = rng7.integers(0, 256, (spec7.buffer_rows, 1920), np.uint8)
+        uv0 = f0[1080:].reshape(544, 960, 2)
+        _, ry0, rcb0, rcr0 = encode_levels_recon_jit(
+            jnp.asarray(np.pad(f0[:1080], ((0, 8), (0, 0)),
+                               mode="edge")),
+            jnp.asarray(np.pad(uv0[:, :, 0], ((0, 4), (0, 0)),
+                               mode="edge")),
+            jnp.asarray(np.pad(uv0[:, :, 1], ((0, 4), (0, 0)),
+                               mode="edge")),
+            jnp.int32(30))
+
+        def enc_step(nv12b):
+            # idx0=1: always the P branch (search + MC + residual
+            # path); donation is ignored inside the outer chain jit
+            packed, *_ = gop_fn(nv12b, jnp.int32(30), jnp.int32(1),
+                                ry0, rcb0, rcr0)
+            bump = (jnp.sum(packed.astype(jnp.int32)) & 1
+                    ).astype(jnp.uint8)
+            return nv12b + bump
+
+        nv7 = jnp.asarray(rng7.integers(
+            0, 256, (1, spec7.buffer_rows, 1920), np.uint8))
+        ms7 = _chain_time(enc_step, nv7, n=24)
+        results.append(
+            ("7. fused CLAHE+encode 1080p", f"{ms7:.2f} ms/frame",
+             f"{1000 / ms7:.0f} fps device side (search=8)"))
+
     print(f"\n{'scenario':<28} {'latency':<16} note")
     for name, lat, note in results:
         print(f"{name:<28} {lat:<16} {note}")
