@@ -604,29 +604,10 @@ _INTRA_BIAS = 8  # intra syntax overhead (mb_type 5+x, chroma mode) in
 #                  proxy units; inter pays ~3 bits (type + 2 mvd)
 
 
-def _intra_candidate(mby: int, mbx: int, src: dict, out: dict, qp: int,
-                     qpc: int, top_ok: bool, left_ok: bool) -> dict:
-    """I_16x16 DC candidate for one MB of a P slice, predicting from the
-    CURRENT picture's reconstruction (constrained_intra_pred_flag=0:
-    inter/skip neighbors are usable).  Same arithmetic as the I-slice
-    encoder (io.h264_cavlc._MbEncoder.encode_mb)."""
-    from opencv_opencl_tpu.io.h264_cavlc import (
-        _H4, _pred_dc_chroma, _quant4x4)
+def _intra_luma_levels(resid: np.ndarray, qp: int):
+    """Quantized I_16x16 luma levels (DC split + AC) of one residual."""
+    from opencv_opencl_tpu.io.h264_cavlc import _H4, _quant4x4
 
-    y0, x0 = mby * 16, mbx * 16
-    cy0, cx0 = mby * 8, mbx * 8
-    oy = out["y"]
-    if top_ok and left_ok:
-        s = int(oy[y0 - 1, x0:x0 + 16].sum()) + \
-            int(oy[y0:y0 + 16, x0 - 1].sum())
-        pred = (s + 16) >> 5
-    elif top_ok:
-        pred = (int(oy[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4
-    elif left_ok:
-        pred = (int(oy[y0:y0 + 16, x0 - 1].sum()) + 8) >> 4
-    else:
-        pred = 128
-    resid = src["y"][y0:y0 + 16, x0:x0 + 16] - pred
     wdc = np.empty((4, 4), dtype=np.int64)
     acz = {}
     for by in range(4):
@@ -641,6 +622,44 @@ def _intra_candidate(mby: int, mbx: int, src: dict, out: dict, qp: int,
     zdc = np.sign(ydc) * ((np.abs(ydc) * _MF[qp % 6][0] + f2) >>
                           (qbits + 1))
     np.clip(zdc, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=zdc)
+    return zdc, acz
+
+
+def _intra_candidate(mby: int, mbx: int, src: dict, out: dict, qp: int,
+                     qpc: int, top_ok: bool, left_ok: bool) -> dict:
+    """Best I_16x16 luma candidate (DC, or HORIZONTAL when the left
+    recon column exists and its quantized levels cost less by the
+    shared proxy) for one MB of a P slice, predicting from the CURRENT
+    picture's reconstruction (constrained_intra_pred_flag=0: inter/
+    skip neighbors are usable).  Same arithmetic as the I-slice
+    encoder (io.h264_cavlc._MbEncoder.encode_mb); chroma prediction
+    stays DC."""
+    from opencv_opencl_tpu.io.h264_cavlc import (
+        _pred_dc_chroma, _quant4x4)
+
+    y0, x0 = mby * 16, mbx * 16
+    cy0, cx0 = mby * 8, mbx * 8
+    oy = out["y"]
+    if top_ok and left_ok:
+        s = int(oy[y0 - 1, x0:x0 + 16].sum()) + \
+            int(oy[y0:y0 + 16, x0 - 1].sum())
+        pred = (s + 16) >> 5
+    elif top_ok:
+        pred = (int(oy[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4
+    elif left_ok:
+        pred = (int(oy[y0:y0 + 16, x0 - 1].sum()) + 8) >> 4
+    else:
+        pred = 128
+    srcmb = src["y"][y0:y0 + 16, x0:x0 + 16]
+    zdc, acz = _intra_luma_levels(srcmb - pred, qp)
+    predmode = 2                      # Intra_16x16_DC
+    if left_ok:
+        # HORIZONTAL: each row replicates its left recon pixel
+        pred_h = oy[y0:y0 + 16, x0 - 1:x0]        # (16, 1) broadcast
+        zdc_h, acz_h = _intra_luma_levels(srcmb - pred_h, qp)
+        if (_cost(zdc_h, *acz_h.values())
+                < _cost(zdc, *acz.values())):
+            pred, zdc, acz, predmode = pred_h, zdc_h, acz_h, 1
     cbp_luma = any(np.any(acz[k]) for k in acz)
 
     cdata = {}
@@ -673,7 +692,8 @@ def _intra_candidate(mby: int, mbx: int, src: dict, out: dict, qp: int,
                   *(b for n in ("cb", "cr")
                     for b in cdata[n][1].values())) + _INTRA_BIAS)
     return dict(pred=pred, acz=acz, zdc=zdc, cdata=cdata,
-                cbp_luma=cbp_luma, cbp_chroma=cbp_chroma, cost=cost)
+                cbp_luma=cbp_luma, cbp_chroma=cbp_chroma, cost=cost,
+                predmode=predmode)
 
 
 def _mvp_16x16(mby: int, mbx: int, mv_coded: np.ndarray,
@@ -965,7 +985,8 @@ def _write_intra_in_p(w: _BitWriter, mby: int, mbx: int, out: dict,
     cbp_luma, cbp_chroma = intra["cbp_luma"], intra["cbp_chroma"]
 
     w.ue(skip_run)
-    mb_type_i = 1 + 2 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+    mb_type_i = (1 + intra["predmode"] + 4 * cbp_chroma
+                 + 12 * (1 if cbp_luma else 0))
     w.ue(5 + mb_type_i)        # intra types follow the 5 P types
     w.ue(0)                    # intra_chroma_pred_mode: DC
     w.se(0)                    # mb_qp_delta (always present, I_16x16)
@@ -1010,7 +1031,8 @@ def _write_intra_in_p(w: _BitWriter, mby: int, mbx: int, out: dict,
     _write_chroma_ac(w, mby, mbx, cdata, cbp_chroma, cbnnz, crnnz,
                      top_ok, left_ok)
 
-    # reconstruction (identical to the I-slice path)
+    # reconstruction (identical to the I-slice path); pred is a scalar
+    # (DC) or a (16, 1) column (HORIZONTAL) — slice the block's rows
     pred = intra["pred"]
     dcd = _luma_dc_dequant(_H4 @ zdc @ _H4, qp)
     for by in range(4):
@@ -1018,9 +1040,11 @@ def _write_intra_in_p(w: _BitWriter, mby: int, mbx: int, out: dict,
             d = _dequant4x4(acz[(bx, by)], qp)
             d[0, 0] = dcd[by, bx]
             r = (_inv4x4(d) + 32) >> 6
+            p_blk = (pred if np.isscalar(pred)
+                     else pred[by * 4:by * 4 + 4])
             out["y"][y0 + by * 4:y0 + by * 4 + 4,
                      x0 + bx * 4:x0 + bx * 4 + 4] = np.clip(
-                r + pred, 0, 255)
+                r + p_blk, 0, 255)
     for name in ("cb", "cr"):
         cpred, cacz, czdc = cdata[name]
         cdcd = _chroma_dc_dequant(_H2 @ czdc @ _H2, qpc)
@@ -1193,11 +1217,12 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
             cbp_chroma = 2 if np.any(ca) else (1 if np.any(cd) else 0)
             w.ue(skip_run)
             skip_run = 0
-            if m == 2:
+            if m in (2, 3):
                 left_mv = None
-                # I_16x16 inside the P slice (mb_type offset +5)
+                # I_16x16 inside the P slice (mb_type offset +5);
+                # mode 3 = HORIZONTAL prediction, 2 = DC
                 cbp_luma = bool(np.any(a))
-                w.ue(5 + 1 + 2 + 4 * cbp_chroma +
+                w.ue(5 + 1 + (1 if m == 3 else 2) + 4 * cbp_chroma +
                      12 * (1 if cbp_luma else 0))
                 w.ue(0)          # intra_chroma_pred_mode: DC
                 w.se(0)          # mb_qp_delta

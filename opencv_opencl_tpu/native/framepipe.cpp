@@ -1620,7 +1620,7 @@ static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
                        const int16_t* zdc, const int16_t* acz,
                        const int16_t* czdc, const int16_t* cacz,
                        int8_t* lnnz, int8_t* cbnnz, int8_t* crnnz,
-                       int type_offset = 0) {
+                       int type_offset = 0, int predmode = 2) {
     const bool left_ok = mbx > 0;
     bool cbp_luma = false;
     for (int i = 0; i < 256; ++i)
@@ -1640,7 +1640,7 @@ static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
             break;
         }
     const int cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
-    w.ue(uint32_t(type_offset + 1 + 2 + 4 * cbp_chroma +
+    w.ue(uint32_t(type_offset + 1 + predmode + 4 * cbp_chroma +
                   12 * (cbp_luma ? 1 : 0)));
     w.ue(0);  // intra_chroma_pred_mode: DC
     w.se(0);  // mb_qp_delta
@@ -1904,12 +1904,14 @@ extern "C" int64_t fp_cavlc_entropy_rows_p(
             }
             w.ue(skip_run);
             skip_run = 0;
-            if (m == 2) {
+            if (m == 2 || m == 3) {
+                // 2 = Intra_16x16 DC, 3 = Intra_16x16 HORIZONTAL
                 left_inter = false;
                 cavlc::entropy_mb(w, mbx, mb_w, zdc + mb * 16,
                                   acz + mb * 256, czdc + mb * 8,
                                   cacz + mb * 128, lnnz, cbnnz, crnnz,
-                                  /*type_offset=*/5);
+                                  /*type_offset=*/5,
+                                  /*predmode=*/m == 3 ? 1 : 2);
             } else {
                 const int32_t dy = mv ? mv[mb * 2] : 0;
                 const int32_t dx = mv ? mv[mb * 2 + 1] : 0;

@@ -760,17 +760,38 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         ysrc, cbsrc, crsrc, yref, cbref, crref, mvz, mbx = xs
         left_ok = mbx > 0
 
-        # ---------- intra candidate (identical math to encode_levels)
-        ipred = jnp.where(left_ok,
-                          (jnp.sum(y_edge, axis=1) + 8) >> 4, 128)
-        t_i = _cf1d(_cf1d((ysrc - ipred[:, None, None])
-                          .reshape(mb_h, 4, 4, 4, 4), 2), 4)
-        wdc = t_i[:, :, 0, :, 0]
-        acz_i = _quant(t_i, mf_y, f_y_i, qbits)
-        acz_i = acz_i.at[:, :, 0, :, 0].set(0)
-        ydc = _h1d(_h1d(wdc, 1), 2) >> 1
-        zq = (jnp.abs(ydc) * mf0_y + 2 * f_y_i) >> (qbits + 1)
-        zdc_i = jnp.clip(jnp.sign(ydc) * zq, -_LEVEL_CLAMP, _LEVEL_CLAMP)
+        # ---------- intra candidates (identical math to encode_levels)
+        # DC, plus HORIZONTAL when the left recon column exists — the
+        # cheaper of the two by the shared luma level-cost proxy wins
+        # (chroma prediction stays DC for both, so chroma terms cancel)
+        def intra_luma(pred_full):
+            t_i = _cf1d(_cf1d((ysrc - pred_full)
+                              .reshape(mb_h, 4, 4, 4, 4), 2), 4)
+            wdc = t_i[:, :, 0, :, 0]
+            acz = _quant(t_i, mf_y, f_y_i, qbits)
+            acz = acz.at[:, :, 0, :, 0].set(0)
+            ydc = _h1d(_h1d(wdc, 1), 2) >> 1
+            zq = (jnp.abs(ydc) * mf0_y + 2 * f_y_i) >> (qbits + 1)
+            zdc = jnp.clip(jnp.sign(ydc) * zq, -_LEVEL_CLAMP,
+                           _LEVEL_CLAMP)
+            return zdc, acz
+
+        ipred_dc = jnp.where(left_ok,
+                             (jnp.sum(y_edge, axis=1) + 8) >> 4, 128)
+        pred_dc_full = jnp.broadcast_to(ipred_dc[:, None, None],
+                                        (mb_h, 16, 16))
+        zdc_d, acz_d = intra_luma(pred_dc_full)
+        pred_h_full = jnp.broadcast_to(y_edge[:, :, None],
+                                       (mb_h, 16, 16))
+        zdc_h, acz_h = intra_luma(pred_h_full)
+        cost_d = _cost_of(zdc_d, acz_d)
+        cost_h = _cost_of(zdc_h, acz_h)
+        use_h = jnp.logical_and(left_ok, cost_h < cost_d)
+        uh4 = use_h[:, None, None, None, None]
+        zdc_i = jnp.where(use_h[:, None, None], zdc_h, zdc_d)
+        acz_i = jnp.where(uh4, acz_h, acz_d)
+        ipred_full = jnp.where(use_h[:, None, None], pred_h_full,
+                               pred_dc_full)
         czdc_cb_i, cacz_cb_i, pred_cb_i = chroma_intra(
             cbsrc, cb_edge, left_ok)
         czdc_cr_i, cacz_cr_i, pred_cr_i = chroma_intra(
@@ -792,22 +813,25 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                           cacz_cb_i, cacz_cr_i) + INTRA_BIAS
         skip = jnp.logical_and(cost_p == 0, mvz)
         use_intra = jnp.logical_and(~skip, cost_i < cost_p)
-        mode = jnp.where(skip, 0, jnp.where(use_intra, 2, 1)
+        # intra mode value: 2 = I_16x16 DC, 3 = I_16x16 HORIZONTAL
+        mode = jnp.where(skip, 0,
+                         jnp.where(use_intra,
+                                   jnp.where(use_h, 3, 2), 1)
                          ).astype(jnp.int16)
 
         # ---------- reconstructions of both candidates
         dcd = _luma_dc_dequant(_h1d(_h1d(zdc_i, 1), 2), qp)
         d_i = (acz_i * v_y[None, None, :, None, :]) << (qp // 6)
         d_i = d_i.at[:, :, 0, :, 0].set(dcd)
-        recon_y_i = jnp.clip(
-            _inv_blocks(d_i) + ipred[:, None, None, None, None], 0, 255)
+        ipred_blk = ipred_full.reshape(mb_h, 4, 4, 4, 4)
+        recon_y_i = jnp.clip(_inv_blocks(d_i) + ipred_blk, 0, 255)
         d_p = (lz * v_y[None, None, :, None, :]) << (qp // 6)
         recon_y_p = jnp.clip(
             _inv_blocks(d_p) + yref.reshape(mb_h, 4, 4, 4, 4), 0, 255)
 
         m4 = mode.astype(jnp.int32)[:, None, None, None, None]
         recon_y_mb = jnp.where(
-            m4 == 2, recon_y_i,
+            m4 >= 2, recon_y_i,
             jnp.where(m4 == 1, recon_y_p,
                       yref.reshape(mb_h, 4, 4, 4, 4))
         ).reshape(mb_h, 16, 16)       # (by, r, bx, c) merges to 16x16
@@ -819,27 +843,27 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         recon_cr_p = chroma_recon(czdc_cr_p, cacz_cr_p,
                                   crref.reshape(mb_h, 8, 8))
         m3 = mode.astype(jnp.int32)[:, None, None]
-        recon_cb = jnp.where(m3 == 2, recon_cb_i,
+        recon_cb = jnp.where(m3 >= 2, recon_cb_i,
                              jnp.where(m3 == 1, recon_cb_p,
                                        cbref.reshape(mb_h, 8, 8)))
-        recon_cr = jnp.where(m3 == 2, recon_cr_i,
+        recon_cr = jnp.where(m3 >= 2, recon_cr_i,
                              jnp.where(m3 == 1, recon_cr_p,
                                        crref.reshape(mb_h, 8, 8)))
 
         # ---------- chosen-mode level outputs
         m2 = mode.astype(jnp.int32)
-        acz_sel = jnp.where(m4 == 2, acz_i, jnp.where(m4 == 1, lz, 0))
-        czdc_cb = jnp.where((m2 == 2)[:, None, None], czdc_cb_i,
+        acz_sel = jnp.where(m4 >= 2, acz_i, jnp.where(m4 == 1, lz, 0))
+        czdc_cb = jnp.where((m2 >= 2)[:, None, None], czdc_cb_i,
                             jnp.where((m2 == 1)[:, None, None],
                                       czdc_cb_p, 0))
-        czdc_cr = jnp.where((m2 == 2)[:, None, None], czdc_cr_i,
+        czdc_cr = jnp.where((m2 >= 2)[:, None, None], czdc_cr_i,
                             jnp.where((m2 == 1)[:, None, None],
                                       czdc_cr_p, 0))
-        cacz_cb = jnp.where(m4 == 2, cacz_cb_i,
+        cacz_cb = jnp.where(m4 >= 2, cacz_cb_i,
                             jnp.where(m4 == 1, cacz_cb_p, 0))
-        cacz_cr = jnp.where(m4 == 2, cacz_cr_i,
+        cacz_cr = jnp.where(m4 >= 2, cacz_cr_i,
                             jnp.where(m4 == 1, cacz_cr_p, 0))
-        zdc_flat = jnp.where((m2 == 2)[:, None],
+        zdc_flat = jnp.where((m2 >= 2)[:, None],
                              zdc_i.reshape(mb_h, 16), 0)
 
         out = (mode,
