@@ -170,7 +170,7 @@ def main() -> None:
         rng7 = np.random.default_rng(7)
         f0 = rng7.integers(0, 256, (spec7.buffer_rows, 1920), np.uint8)
         uv0 = f0[1080:].reshape(544, 960, 2)
-        _, ry0, rcb0, rcr0 = encode_levels_recon_jit(
+        _, ry0, rcb0, rcr0, _ = encode_levels_recon_jit(
             jnp.asarray(np.pad(f0[:1080], ((0, 8), (0, 0)),
                                mode="edge")),
             jnp.asarray(np.pad(uv0[:, :, 0], ((0, 4), (0, 0)),

@@ -523,25 +523,43 @@ class _MbEncoder:
         left_ok = mbx > 0
         y0, x0 = mby * 16 + 1, mbx * 16 + 1  # +1: recon pad offset
 
-        # ---- luma: DC 16x16 prediction, transform, quant
+        # ---- luma: DC and (when the left column exists) HORIZONTAL
+        # 16x16 candidates; the cheaper by the level-cost proxy wins
+        def luma_levels(pred_):
+            resid = src_y[mby * 16:mby * 16 + 16,
+                          mbx * 16:mbx * 16 + 16].astype(np.int64) \
+                - pred_
+            wdc = np.empty((4, 4), dtype=np.int64)
+            acz_ = {}
+            for by in range(4):
+                for bx in range(4):
+                    blk = resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                    t = _CF @ blk @ _CF.T
+                    wdc[by, bx] = t[0, 0]
+                    acz_[(bx, by)] = _quant4x4(t, qp, skip_dc=True)
+            # luma DC Hadamard + quant (JM forward convention)
+            ydc = (_H4 @ wdc @ _H4) >> 1
+            qbits = 15 + qp // 6
+            f2 = 2 * ((1 << qbits) // 3)
+            zdc_ = np.sign(ydc) * ((np.abs(ydc) * _MF[qp % 6][0] + f2)
+                                   >> (qbits + 1))
+            np.clip(zdc_, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=zdc_)
+            return zdc_, acz_
+
+        def lcost(zdc_, acz_):
+            c = int((2 * np.abs(zdc_) + (zdc_ != 0)).sum())
+            for a_ in acz_.values():
+                c += int((2 * np.abs(a_) + (a_ != 0)).sum())
+            return c
+
         pred = _pred_dc16(self.ry, y0, x0, top_ok, left_ok)
-        resid = src_y[mby * 16:mby * 16 + 16,
-                      mbx * 16:mbx * 16 + 16].astype(np.int64) - pred
-        wdc = np.empty((4, 4), dtype=np.int64)
-        acz = {}
-        for by in range(4):
-            for bx in range(4):
-                blk = resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
-                t = _CF @ blk @ _CF.T
-                wdc[by, bx] = t[0, 0]
-                acz[(bx, by)] = _quant4x4(t, qp, skip_dc=True)
-        # luma DC Hadamard + quant (JM forward convention)
-        ydc = (_H4 @ wdc @ _H4) >> 1
-        qbits = 15 + qp // 6
-        f2 = 2 * ((1 << qbits) // 3)
-        zdc = np.sign(ydc) * ((np.abs(ydc) * _MF[qp % 6][0] + f2) >>
-                              (qbits + 1))
-        np.clip(zdc, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=zdc)
+        zdc, acz = luma_levels(pred)
+        predmode = 2                    # Intra_16x16_DC
+        if left_ok:
+            pred_h = self.ry[y0:y0 + 16, x0 - 1:x0]   # (16, 1) column
+            zdc_h, acz_h = luma_levels(pred_h)
+            if lcost(zdc_h, acz_h) < lcost(zdc, acz):
+                pred, zdc, acz, predmode = pred_h, zdc_h, acz_h, 1
         cbp_luma = any(np.any(acz[k]) for k in acz)
 
         # ---- chroma
@@ -575,9 +593,10 @@ class _MbEncoder:
             cdata[name] = (cpred, cwdc, cacz, czdc)
         cbp_chroma = 2 if chroma_ac_nz else (1 if chroma_dc_nz else 0)
 
-        # ---- syntax: mb_type (I_16x16, pred mode 2 = DC), chroma mode,
-        # qp_delta (0: constant QP), residuals
-        mb_type = 1 + 2 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+        # ---- syntax: mb_type (I_16x16 with the chosen pred mode),
+        # chroma mode, qp_delta (0: constant QP), residuals
+        mb_type = (1 + predmode + 4 * cbp_chroma
+                   + 12 * (1 if cbp_luma else 0))
         w.ue(mb_type)
         w.ue(0)  # intra_chroma_pred_mode: DC
         w.se(0)  # mb_qp_delta (always present for Intra_16x16)
@@ -624,14 +643,17 @@ class _MbEncoder:
             else:
                 cnnz[cny0:cny0 + 2, cnx0:cnx0 + 2] = 0
 
-        # ---- reconstruction (must equal any conformant decoder)
+        # ---- reconstruction (must equal any conformant decoder);
+        # pred is a scalar (DC) or a (16, 1) column (HORIZONTAL)
         dcd = _luma_dc_dequant(_H4 @ zdc @ _H4, qp)
         for by in range(4):
             for bx in range(4):
                 d = _dequant4x4(acz[(bx, by)], qp)
                 d[0, 0] = dcd[by, bx]
                 r = (_inv4x4(d) + 32) >> 6
-                blk = np.clip(r + pred, 0, 255)
+                p_blk = (pred if np.isscalar(pred)
+                         else pred[by * 4:by * 4 + 4])
+                blk = np.clip(r + p_blk, 0, 255)
                 self.ry[y0 + by * 4:y0 + by * 4 + 4,
                         x0 + bx * 4:x0 + bx * 4 + 4] = blk
         for name in ("cb", "cr"):
@@ -729,7 +751,9 @@ def encode_frame_cavlc_slices(nv12: np.ndarray, width: int, height: int,
 
 def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
                              czdc: np.ndarray, cacz: np.ndarray,
-                             qp: int, idr_pic_id: int = 0) -> list[bytes]:
+                             qp: int, idr_pic_id: int = 0,
+                             imode: np.ndarray | None = None
+                             ) -> list[bytes]:
     """Entropy-code precomputed quantized levels into one IDR slice NAL
     **per MB row** (the slice granularity the TPU level computation in
     ops/h264_levels.py assumes: top neighbor never available).
@@ -760,7 +784,8 @@ def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
             cd = czdc[mby, mbx]
             cbp_luma = bool(np.any(a))
             cbp_chroma = 2 if np.any(ca) else (1 if np.any(cd) else 0)
-            w.ue(1 + 2 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
+            pm = 2 if imode is None else int(imode[mby, mbx])
+            w.ue(1 + pm + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
             w.ue(0)  # intra_chroma_pred_mode: DC
             w.se(0)  # mb_qp_delta
             nbx0 = mbx * 4 + 1
@@ -1012,15 +1037,24 @@ class TpuCavlcEncoder(CavlcH264Encoder):
         return self._levels_fn(y, jnp.asarray(uv[:, :, 0]),
                                jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
 
-    def _entropy_nals(self, lv, idr: int, qp: int) -> list[bytes]:
+    def _entropy_nals(self, lv, idr: int, qp: int,
+                      imode=None) -> list[bytes]:
+        """``lv`` is LevelArrays or a (LevelArrays, imode) pair from
+        the level program; ``imode`` (per-MB 1=H / 2=DC) may also be
+        passed explicitly (the GOP encoder's IDR frames)."""
+        if not hasattr(lv, "zdc") and len(lv) == 2:
+            lv, imode = lv
         zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)
+        if imode is not None:
+            imode = np.asarray(imode)
         if self._native:
             from opencv_opencl_tpu import native
 
             return native.cavlc_entropy_rows(
                 zdc, acz, czdc, cacz, qp, idr, threads=self._threads,
-                workspace=self._workspace)
-        return encode_frame_from_levels(zdc, acz, czdc, cacz, qp, idr)
+                workspace=self._workspace, imode=imode)
+        return encode_frame_from_levels(zdc, acz, czdc, cacz, qp, idr,
+                                        imode=imode)
 
     def _encode_nals(self, padded: np.ndarray, w16: int, h16: int,
                      idr: int, qp: int) -> list[bytes]:
@@ -1064,8 +1098,13 @@ class TpuCavlcEncoder(CavlcH264Encoder):
         have moved ``self.qp`` since that batch was dispatched)."""
         from opencv_opencl_tpu.ops.h264_levels import unpack_levels_host
 
+        packed = np.asarray(packed)
+        imode = None
+        if packed.shape[-1] == 410:      # + per-MB intra pred mode lane
+            imode = packed[:, :, 409]
+            packed = packed[:, :, :409]
         lv, qp = unpack_levels_host(packed)
         idr = self._idr_pic_id
         self._idr_pic_id ^= 1
         self.frames += 1
-        return [self._assemble_au(lv, idr, qp)]
+        return [self._assemble_au((lv, imode), idr, qp)]

@@ -1434,13 +1434,15 @@ class TpuGopEncoder:
         cb, cr = jnp.asarray(uv[:, :, 0]), jnp.asarray(uv[:, :, 1])
         qp = self.qp
         if self.frames % self.gop == 0:
-            lv, ry, rcb, rcr = self._i_fn(y, cb, cr, jnp.int32(qp))
+            lv, ry, rcb, rcr, imode = self._i_fn(y, cb, cr,
+                                                 jnp.int32(qp))
             self._recon = (ry, rcb, rcr)
             self._ref_list = [self._recon]
             num = self._intra._idr_pic_id
             self._intra._idr_pic_id ^= 1
             self._frame_num = 1
-            pending = (lv, "i", num, qp, None, None, 1)
+            # the mv slot carries the intra pred-mode plane for IDRs
+            pending = (lv, "i", num, qp, imode, None, 1)
         else:
             if self.refs > 1 and len(self._ref_list) >= 2:
                 plv = self._p2_fn(y, cb, cr, *self._ref_list[0],
@@ -1489,7 +1491,9 @@ class TpuGopEncoder:
     def _assemble(self, lv, kind: str, num: int, qp: int,
                   mv=None, ref=None, active_refs: int = 1) -> bytes:
         if kind == "i":
-            nals = self._intra._entropy_nals(lv, num, qp)
+            nals = self._intra._entropy_nals(
+                lv, num, qp,
+                imode=None if mv is None else np.asarray(mv))
             au = (_START4 + self._intra._sps + _START4 +
                   self._intra._pps +
                   b"".join(_START4 + bytes(n) for n in nals))
@@ -1566,12 +1570,13 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
     mv = packed[:, :, 410:412] if packed.shape[-1] >= 412 else None
     ref = packed[:, :, 412] if packed.shape[-1] == 413 else None
     self.frames += 1
-    if mode[0, 0] == -1:  # IDR frame marker
+    if mode[0, 0] <= -1:  # IDR frame marker (-1 DC / -2 HORIZONTAL)
         num = self._intra._idr_pic_id
         self._intra._idr_pic_id ^= 1
         self._frame_num = 1
         self._since_idr = 0
-        nals = self._intra._entropy_nals(lv, num, qp)
+        nals = self._intra._entropy_nals(
+            lv, num, qp, imode=np.where(mode == -2, 1, 2))
         au = (_START4 + self._intra._sps + _START4 + self._intra._pps +
               b"".join(_START4 + bytes(n) for n in nals))
     else:

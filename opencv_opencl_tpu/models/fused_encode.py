@@ -57,9 +57,10 @@ GOP_PACKED_LANES_MREF = 413
 
 def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
     """Returns a jitted ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32)
-    -> int16[N, mb_h, mb_w, 409]`` computing enhancement + quantized
-    CAVLC levels in one XLA program (qp is traced: one compile serves
-    the whole rate-control range)."""
+    -> int16[N, mb_h, mb_w, 410]`` computing enhancement + quantized
+    CAVLC levels (+ the per-MB intra pred-mode lane) in one XLA
+    program (qp is traced: one compile serves the whole rate-control
+    range)."""
     if cfg.use_ref_frame:
         raise ValueError(
             "fused encode does not support the ref-frame streaming "
@@ -86,12 +87,14 @@ def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
                        (0, 0)), mode="edge")
         # frames stack on the MB-row axis: rows are independent slices,
         # so one scan over MB columns covers the whole batch
-        lv = encode_levels(
+        lv, imode = encode_levels(
             y.reshape(n * h16, w16),
             cbcr[..., 0].reshape(n * (h16 // 2), w16 // 2),
             cbcr[..., 1].reshape(n * (h16 // 2), w16 // 2),
             qp)
-        packed = pack_levels(lv, qp)          # (n*mbh, mbw, 409)
+        packed = jnp.concatenate(
+            [pack_levels(lv, qp), imode[:, :, None]],
+            axis=-1)                          # (n*mbh, mbw, 410)
         return packed.reshape(n, mbh, mbw, -1)
 
     return jax.jit(fn)
@@ -180,9 +183,11 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
 
             def do_i(args):
                 yf, cbf, crf, ry, rcb, rcr, *old = args
-                lv, ry2, rcb2, rcr2 = encode_levels(yf, cbf, crf, qp,
-                                                    full_recon=True)
-                mode = jnp.full((mbh, mbw), -1, jnp.int16)
+                lv, ry2, rcb2, rcr2, imode = encode_levels(
+                    yf, cbf, crf, qp, full_recon=True)
+                # IDR marker doubles as the intra pred mode:
+                # -1 = I_16x16 DC, -2 = I_16x16 HORIZONTAL
+                mode = jnp.where(imode == 1, -2, -1).astype(jnp.int16)
                 # IDR flushes the DPB: the second slot is a dummy
                 # (the next frame's single-reference branch never
                 # reads it)

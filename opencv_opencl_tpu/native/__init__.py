@@ -131,6 +131,7 @@ def _load():
         i16p = ctypes.POINTER(ctypes.c_int16)
         lib.fp_cavlc_entropy_rows.restype = ctypes.c_int64
         lib.fp_cavlc_entropy_rows.argtypes = [
+            i16p,
             i16p, i16p, i16p, i16p, ctypes.c_uint64, ctypes.c_uint64,
             u8p, u64p, ctypes.c_int, u8p, ctypes.c_uint64, u8p, u64p,
         ]
@@ -528,12 +529,14 @@ def cavlc_encode_slices(nv12: np.ndarray, width: int, height: int,
 def cavlc_entropy_rows(zdc: np.ndarray, acz: np.ndarray,
                        czdc: np.ndarray, cacz: np.ndarray, qp: int,
                        idr_pic_id: int, threads: int = 0,
-                       workspace: dict | None = None) -> list[bytes]:
+                       workspace: dict | None = None,
+                       imode: np.ndarray | None = None) -> list[bytes]:
     """Native entropy coding of precomputed quantized levels
     (ops/h264_levels.py LevelArrays) into one IDR slice NAL per MB row
-    — the CPU stage of the TPU encode path.  Byte-identical to
-    ``io.h264_cavlc.encode_frame_from_levels`` (the Python oracle,
-    diffed in tests/test_h264_levels.py)."""
+    — the CPU stage of the TPU encode path.  ``imode`` is the per-MB
+    intra pred mode plane (1 = HORIZONTAL, 2 = DC; None = all DC).
+    Byte-identical to ``io.h264_cavlc.encode_frame_from_levels`` (the
+    Python oracle, diffed in tests/test_h264_levels.py)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native runtime unavailable: {_build_error}")
@@ -544,6 +547,8 @@ def cavlc_entropy_rows(zdc: np.ndarray, acz: np.ndarray,
     acz = np.ascontiguousarray(acz, dtype=np.int16)
     czdc = np.ascontiguousarray(czdc, dtype=np.int16)
     cacz = np.ascontiguousarray(cacz, dtype=np.int16)
+    if imode is not None:
+        imode = np.ascontiguousarray(imode, dtype=np.int16)
     mb_h, mb_w = zdc.shape[:2]
     heads, nbits = [], []
     for i in range(mb_h):
@@ -573,6 +578,7 @@ def cavlc_entropy_rows(zdc: np.ndarray, acz: np.ndarray,
     rc = lib.fp_cavlc_entropy_rows(
         zdc.ctypes.data_as(i16p), acz.ctypes.data_as(i16p),
         czdc.ctypes.data_as(i16p), cacz.ctypes.data_as(i16p),
+        imode.ctypes.data_as(i16p) if imode is not None else None,
         mb_h, mb_w, _ptr(blob),
         nbits_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         threads, _ptr(scratch), stride, _ptr(out),

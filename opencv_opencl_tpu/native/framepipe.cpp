@@ -1183,38 +1183,39 @@ static void encode_mb(FrameCtx& cx, BitW& w, size_t mby, size_t mbx,
         pred = 128;
     }
 
-    // ---- luma transforms + quant
-    int32_t resid[256];
-    for (int y = 0; y < 16; ++y) {
-        const uint8_t* s = nv12 + (mby * 16 + y) * W + mbx * 16;
-        for (int x = 0; x < 16; ++x) resid[y * 16 + x] = int(s[x]) - pred;
-    }
+    // ---- luma transforms + quant: DC candidate, plus HORIZONTAL
+    // (each row replicates its left recon pixel) when left_ok — the
+    // cheaper by the level-cost proxy wins (mirrors the Python oracle)
+    int32_t predrow[16];   // per-row prediction of the chosen mode
     int32_t wdc[16];       // per-block t[0,0], laid out [by*4+bx]
     int32_t acz[16][16];   // quantized AC blocks [by*4+bx][raster]
-    bool cbp_luma = false;
-    for (int by = 0; by < 4; ++by)
-        for (int bx = 0; bx < 4; ++bx) {
-            int32_t blk[16], t[16];
-            for (int r = 0; r < 4; ++r)
-                for (int c = 0; c < 4; ++c)
-                    blk[r * 4 + c] = resid[(by * 4 + r) * 16 + bx * 4 + c];
-            fwd4(blk, t);
-            wdc[by * 4 + bx] = t[0];
-            quant_ac(t, cx.mfq, cx.fq, cx.qbits, acz[by * 4 + bx]);
-            if (!cbp_luma)
-                for (int i = 1; i < 16; ++i)
-                    if (acz[by * 4 + bx][i]) {
-                        cbp_luma = true;
-                        break;
-                    }
+    int32_t zdc[16];
+    int predmode = 2;      // Intra_16x16_DC
+
+    auto luma_levels = [&](const int32_t* prows, int32_t* wdc_,
+                           int32_t (*acz_)[16], int32_t* zdc_) {
+        int32_t resid[256];
+        for (int y = 0; y < 16; ++y) {
+            const uint8_t* s = nv12 + (mby * 16 + y) * W + mbx * 16;
+            for (int x = 0; x < 16; ++x)
+                resid[y * 16 + x] = int(s[x]) - prows[y];
         }
-    // luma DC Hadamard (oracle: (H4 . wdc . H4) >> 1) + quant
-    int32_t ydc[16], zdc[16];
-    {
-        int32_t m[16];
+        for (int by = 0; by < 4; ++by)
+            for (int bx = 0; bx < 4; ++bx) {
+                int32_t blk[16], t[16];
+                for (int r = 0; r < 4; ++r)
+                    for (int c = 0; c < 4; ++c)
+                        blk[r * 4 + c] =
+                            resid[(by * 4 + r) * 16 + bx * 4 + c];
+                fwd4(blk, t);
+                wdc_[by * 4 + bx] = t[0];
+                quant_ac(t, cx.mfq, cx.fq, cx.qbits, acz_[by * 4 + bx]);
+            }
+        // luma DC Hadamard (oracle: (H4 . wdc . H4) >> 1) + quant
+        int32_t m[16], ydc[16];
         for (int j = 0; j < 4; ++j) {
-            int32_t a = wdc[j], b = wdc[4 + j], c = wdc[8 + j],
-                    d = wdc[12 + j];
+            int32_t a = wdc_[j], b = wdc_[4 + j], c = wdc_[8 + j],
+                    d = wdc_[12 + j];
             m[j] = a + b + c + d;
             m[4 + j] = a + b - c - d;
             m[8 + j] = a - b - c + d;
@@ -1234,9 +1235,45 @@ static void encode_mb(FrameCtx& cx, BitW& w, size_t mby, size_t mbx,
             int32_t q =
                 int32_t((int64_t(a) * kMF[cx.qp % 6][0] + f2) >>
                         (cx.qbits + 1));
-            zdc[i] = qclamp(v < 0 ? -q : (v > 0 ? q : 0));
+            zdc_[i] = qclamp(v < 0 ? -q : (v > 0 ? q : 0));
+        }
+    };
+    auto lcost = [](const int32_t* zdc_, const int32_t (*acz_)[16]) {
+        int64_t c = 0;
+        for (int i = 0; i < 16; ++i) {
+            int32_t a = zdc_[i] < 0 ? -zdc_[i] : zdc_[i];
+            c += 2 * a + (a != 0);
+        }
+        for (int b = 0; b < 16; ++b)
+            for (int i = 0; i < 16; ++i) {
+                int32_t a = acz_[b][i] < 0 ? -acz_[b][i] : acz_[b][i];
+                c += 2 * a + (a != 0);
+            }
+        return c;
+    };
+
+    for (int i = 0; i < 16; ++i) predrow[i] = pred;
+    luma_levels(predrow, wdc, acz, zdc);
+    if (left_ok) {
+        int32_t hrow[16], wdc_h[16], acz_h[16][16], zdc_h[16];
+        for (int i = 0; i < 16; ++i)
+            hrow[i] = cx.ry[(y0 + i) * rstride + x0 - 1];
+        luma_levels(hrow, wdc_h, acz_h, zdc_h);
+        if (lcost(zdc_h, acz_h) < lcost(zdc, acz)) {
+            predmode = 1;  // Intra_16x16_HORIZONTAL
+            std::memcpy(predrow, hrow, sizeof(hrow));
+            std::memcpy(wdc, wdc_h, sizeof(wdc));
+            std::memcpy(acz, acz_h, sizeof(acz));
+            std::memcpy(zdc, zdc_h, sizeof(zdc));
         }
     }
+    bool cbp_luma = false;
+    for (int b = 0; b < 16 && !cbp_luma; ++b)
+        for (int i = 1; i < 16; ++i)
+            if (acz[b][i]) {
+                cbp_luma = true;
+                break;
+            }
 
     // ---- chroma (cb = comp 0, cr = comp 1)
     int32_t cwdc[2][4], cacz[2][4][16], czdc[2][4];
@@ -1322,7 +1359,8 @@ static void encode_mb(FrameCtx& cx, BitW& w, size_t mby, size_t mbx,
     int cbp_chroma = chroma_ac_nz ? 2 : (chroma_dc_nz ? 1 : 0);
 
     // ---- syntax (oracle order exactly)
-    w.ue(uint32_t(1 + 2 + 4 * cbp_chroma + 12 * (cbp_luma ? 1 : 0)));
+    w.ue(uint32_t(1 + predmode + 4 * cbp_chroma +
+                  12 * (cbp_luma ? 1 : 0)));
     w.ue(0);  // intra_chroma_pred_mode: DC
     w.se(0);  // mb_qp_delta
     const size_t lstride = cx.mb_w * 4 + 1;
@@ -1425,7 +1463,8 @@ static void encode_mb(FrameCtx& cx, BitW& w, size_t mby, size_t mbx,
             uint8_t* dst = &cx.ry[(y0 + by * 4) * rstride + x0 + bx * 4];
             for (int rr = 0; rr < 4; ++rr)
                 for (int cc = 0; cc < 4; ++cc) {
-                    int v = ((r[rr * 4 + cc] + 32) >> 6) + pred;
+                    int v = ((r[rr * 4 + cc] + 32) >> 6) +
+                            predrow[by * 4 + rr];
                     dst[rr * rstride + cc] =
                         uint8_t(v < 0 ? 0 : (v > 255 ? 255 : v));
                 }
@@ -1777,10 +1816,10 @@ static void entropy_p_mb(BitW& w, size_t mbx, size_t mb_w,
 // args / overflow.
 extern "C" int64_t fp_cavlc_entropy_rows(
     const int16_t* zdc, const int16_t* acz, const int16_t* czdc,
-    const int16_t* cacz, uint64_t mb_h, uint64_t mb_w,
-    const uint8_t* head_bits_blob, const uint64_t* head_nbits,
-    int threads, uint8_t* scratch, uint64_t stride, uint8_t* out,
-    uint64_t* out_lens) {
+    const int16_t* cacz, const int16_t* imode, uint64_t mb_h,
+    uint64_t mb_w, const uint8_t* head_bits_blob,
+    const uint64_t* head_nbits, int threads, uint8_t* scratch,
+    uint64_t stride, uint8_t* out, uint64_t* out_lens) {
     if (mb_h == 0 || mb_w == 0) return -1;
     std::vector<const uint8_t*> heads(mb_h);
     {
@@ -1805,7 +1844,8 @@ extern "C" int64_t fp_cavlc_entropy_rows(
             uint64_t mb = i * mb_w + mbx;
             cavlc::entropy_mb(w, mbx, mb_w, zdc + mb * 16, acz + mb * 256,
                               czdc + mb * 8, cacz + mb * 128, lnnz, cbnnz,
-                              crnnz);
+                              crnnz, /*type_offset=*/0,
+                              /*predmode=*/imode ? int(imode[mb]) : 2);
         }
         w.trailing();
         if (w.overflow) {

@@ -256,32 +256,50 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         ysrc, cbsrc, crsrc, mbx = xs
         left_ok = mbx > 0
 
-        # ---- luma: DC-16x16 pred from the left edge (top never ok)
-        pred = jnp.where(left_ok,
-                         (jnp.sum(y_edge, axis=1) + 8) >> 4, 128)
-        res = ysrc - pred[:, None, None]
-        blk = res.reshape(mb_h, 4, 4, 4, 4)   # (row, by, r, bx, c)
-        t = _cf1d(_cf1d(blk, 2), 4)
-        wdc = t[:, :, 0, :, 0]                # (mb_h, 4, 4) [by, bx]
-        acz = _quant(t, mf_y, f_y, qbits)
-        acz = acz.at[:, :, 0, :, 0].set(0)
-        # luma DC Hadamard ((H4 . wdc . H4) >> 1) + DC-rate quant
-        ydc = _h1d(_h1d(wdc, 1), 2) >> 1
-        zq = (jnp.abs(ydc) * mf0_y + 2 * f_y) >> (qbits + 1)
-        zdc = jnp.clip(jnp.sign(ydc) * zq, -_LEVEL_CLAMP, _LEVEL_CLAMP)
+        # ---- luma: DC and HORIZONTAL 16x16 candidates from the left
+        # edge (top never ok); both predictions are per-row constants,
+        # so one (mb_h, 16) row vector covers either.  The cheaper by
+        # the shared luma level-cost proxy wins (chroma stays DC, so
+        # its terms cancel); imode 2 = DC, 1 = HORIZONTAL.
+        def luma_levels(pred_rows):
+            res = ysrc - pred_rows[:, :, None]
+            blk = res.reshape(mb_h, 4, 4, 4, 4)   # (row, by, r, bx, c)
+            t = _cf1d(_cf1d(blk, 2), 4)
+            wdc = t[:, :, 0, :, 0]                # (mb_h, 4, 4)
+            acz = _quant(t, mf_y, f_y, qbits)
+            acz = acz.at[:, :, 0, :, 0].set(0)
+            ydc = _h1d(_h1d(wdc, 1), 2) >> 1
+            zq = (jnp.abs(ydc) * mf0_y + 2 * f_y) >> (qbits + 1)
+            zdc = jnp.clip(jnp.sign(ydc) * zq, -_LEVEL_CLAMP,
+                           _LEVEL_CLAMP)
+            return zdc, acz
+
+        pred_dc = jnp.where(left_ok,
+                            (jnp.sum(y_edge, axis=1) + 8) >> 4, 128)
+        pred_dc_rows = jnp.broadcast_to(pred_dc[:, None], (mb_h, 16))
+        zdc_d, acz_d = luma_levels(pred_dc_rows)
+        zdc_h, acz_h = luma_levels(y_edge)
+        cost_d = _cost_of(zdc_d, acz_d)
+        cost_h = _cost_of(zdc_h, acz_h)
+        use_h = jnp.logical_and(left_ok, cost_h < cost_d)
+        zdc = jnp.where(use_h[:, None, None], zdc_h, zdc_d)
+        acz = jnp.where(use_h[:, None, None, None, None], acz_h, acz_d)
+        pred_rows = jnp.where(use_h[:, None], y_edge, pred_dc_rows)
+        imode = jnp.where(use_h, 1, 2).astype(jnp.int16)
 
         # ---- chroma
         czdc_cb, acz_cb, pred_cb, _ = chroma_mb(cbsrc, cb_edge, left_ok)
         czdc_cr, acz_cr, pred_cr, _ = chroma_mb(crsrc, cr_edge, left_ok)
 
         dcd = _luma_dc_dequant(_h1d(_h1d(zdc, 1), 2), qp)
+        pred_blk = pred_rows.reshape(mb_h, 4, 4)  # (row, by, r)
         if full_recon:
             # ---- full reconstruction (GOP mode: the next frame's
             # reference); the right edges fall out of it for free
             d = (acz * v_y[None, None, :, None, :]) << (qp // 6)
             d = d.at[:, :, 0, :, 0].set(dcd)
             ry_mb = jnp.clip(
-                _inv_blocks(d) + pred[:, None, None, None, None],
+                _inv_blocks(d) + pred_blk[:, :, :, None, None],
                 0, 255).reshape(mb_h, 16, 16)
             rcb_mb = chroma_full(czdc_cb, acz_cb, pred_cb)
             rcr_mb = chroma_full(czdc_cr, acz_cr, pred_cr)
@@ -290,10 +308,12 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
             cr_edge = rcr_mb[:, :, 7]
         else:
             # ---- reconstruct ONLY the right edge for the next column
+            # (prediction is constant along the row for BOTH modes, so
+            # the right column's pred is just pred_rows)
             d = (acz[:, :, :, 3, :] * v_y) << (qp // 6)  # bx=3 blocks
             d = d.at[:, :, 0, 0].set(dcd[:, :, 3])
             r = (_inv4_2d(d) + 32) >> 6                  # (mb_h,4,4,4)
-            ycol = jnp.clip(r[:, :, :, 3] + pred[:, None, None], 0, 255)
+            ycol = jnp.clip(r[:, :, :, 3] + pred_blk, 0, 255)
             y_edge = ycol.reshape(mb_h, 16)
             cb_edge = chroma_edge(czdc_cb, acz_cb, pred_cb)
             cr_edge = chroma_edge(czdc_cr, acz_cr, pred_cr)
@@ -306,7 +326,8 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                jnp.stack(
                    [acz_cb.transpose(0, 1, 3, 2, 4),
                     acz_cr.transpose(0, 1, 3, 2, 4)], axis=1)
-               .reshape(mb_h, 2, 4, 16).astype(jnp.int16))
+               .reshape(mb_h, 2, 4, 16).astype(jnp.int16),
+               imode)
         if full_recon:
             out = out + (ry_mb.astype(jnp.uint8),
                          rcb_mb.astype(jnp.uint8),
@@ -323,13 +344,15 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                      outs[1].transpose(1, 0, 2, 3),
                      outs[2].transpose(1, 0, 2, 3),
                      outs[3].transpose(1, 0, 2, 3, 4))
+    imode = outs[4].transpose(1, 0)
     if not full_recon:
-        return lv
-    ry, rcb, rcr = outs[4], outs[5], outs[6]   # (mb_w, mb_h, n, n)
+        return lv, imode
+    ry, rcb, rcr = outs[5], outs[6], outs[7]   # (mb_w, mb_h, n, n)
     return (lv,
             ry.transpose(1, 2, 0, 3).reshape(H, W),
             rcb.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
-            rcr.transpose(1, 2, 0, 3).reshape(H // 2, W // 2))
+            rcr.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
+            imode)
 
 
 encode_levels_jit = jax.jit(encode_levels)
@@ -954,9 +977,10 @@ def unpack_levels_host(packed: np.ndarray) -> tuple[LevelArrays, int]:
 
 
 def encode_levels_nv12(nv12: np.ndarray, width: int, height: int,
-                       qp: int) -> LevelArrays:
+                       qp: int):
     """Convenience host-NV12 entry (16-aligned): split planes, run the
-    jitted level computation, return device arrays."""
+    jitted level computation, return (LevelArrays, imode) device
+    arrays."""
     y = jnp.asarray(nv12[:height])
     uv = np.asarray(nv12[height:]).reshape(height // 2, width // 2, 2)
     return encode_levels_jit(y, jnp.asarray(uv[:, :, 0]),

@@ -37,7 +37,7 @@ def measure(width: int, height: int) -> dict:
     @jax.jit
     def chained(y, n):
         def body(i, y):
-            lv = encode_levels(y, cb, cr, jnp.int32(QP))
+            lv, _ = encode_levels(y, cb, cr, jnp.int32(QP))
             # data-dependent feedback so step i+1 cannot start before
             # step i finishes (the axon timing rule)
             bump = (jnp.sum(lv.zdc.astype(jnp.int32)) & 1).astype(jnp.uint8)

@@ -31,8 +31,9 @@ def fused_aus(cfg, spec, frames, qp):
     fn = build_enhance_levels_fn(cfg, spec)
     packed = np.asarray(fn(frames, jnp.int32(qp)))
     assert packed.dtype == np.int16
+    # PACKED_LANES levels+qp plus the per-MB intra pred-mode lane
     assert packed.shape == (len(frames), -(-spec.height // 16),
-                            -(-spec.width // 16), PACKED_LANES)
+                            -(-spec.width // 16), PACKED_LANES + 1)
     enc = TpuCavlcEncoder(spec.width, spec.height, qp=qp)
     return [au for i in range(len(frames))
             for au in enc.encode_from_packed(packed[i])]
@@ -72,7 +73,7 @@ class TestPackedLayout:
 
         w, h, qp = 96, 64, 33
         nv12 = rand_nv12_batch(w, h, 1, seed=3)[0]
-        lv = encode_levels_nv12(nv12, w, h, qp)
+        lv, _ = encode_levels_nv12(nv12, w, h, qp)
         packed = np.asarray(pack_levels(lv, jnp.int32(qp)))
         got, got_qp = unpack_levels_host(packed)
         assert got_qp == qp

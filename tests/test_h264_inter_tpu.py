@@ -146,7 +146,7 @@ class TestNativePEntropy:
                      np.zeros((56, 1))).astype(np.uint8)
         uv0 = f0[h:].reshape(h // 2, w // 2, 2)
         uv1 = f1[h:].reshape(h // 2, w // 2, 2)
-        _, ry, rcb, rcr = encode_levels_recon_jit(
+        _, ry, rcb, rcr, _ = encode_levels_recon_jit(
             jnp.asarray(f0[:h]), jnp.asarray(uv0[:, :, 0]),
             jnp.asarray(uv0[:, :, 1]), jnp.int32(qp))
         plv = encode_p_levels_jit(
@@ -217,7 +217,7 @@ class TestFullReconVariant:
         _, want = encode_frame_cavlc_slices(f, w, h, qp, slices=h // 16,
                                             return_recon=True)
         uv = f[h:].reshape(h // 2, w // 2, 2)
-        lv, ry, rcb, rcr = encode_levels_recon_jit(
+        lv, ry, rcb, rcr, _ = encode_levels_recon_jit(
             jnp.asarray(f[:h]), jnp.asarray(uv[:, :, 0]),
             jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
         assert np.array_equal(np.asarray(ry, np.int64), want[0])
@@ -369,7 +369,7 @@ class TestNativePEntropyMvd:
             [y1, np.roll(base_uv, 4, 1)], 0)
         uv0 = f0[h:].reshape(h // 2, w // 2, 2)
         uv1 = f1[h:].reshape(h // 2, w // 2, 2)
-        _, ry, rcb, rcr = encode_levels_recon_jit(
+        _, ry, rcb, rcr, _ = encode_levels_recon_jit(
             jnp.asarray(f0[:h]), jnp.asarray(uv0[:, :, 0]),
             jnp.asarray(uv0[:, :, 1]), jnp.int32(qp))
         plv = encode_p_levels_jit(
@@ -762,7 +762,7 @@ class TestIntraHorizontalInP:
         f0, f1 = frames[0], frames[1]
         uv0 = f0[h:].reshape(h // 2, w // 2, 2)
         uv1 = f1[h:].reshape(h // 2, w // 2, 2)
-        _, ry, rcb, rcr = encode_levels_recon_jit(
+        _, ry, rcb, rcr, _ = encode_levels_recon_jit(
             jnp.asarray(f0[:h]), jnp.asarray(uv0[:, :, 0]),
             jnp.asarray(uv0[:, :, 1]), jnp.int32(30))
         plv = encode_p_levels_jit(
@@ -794,19 +794,24 @@ class TestIntraHorizontalInP:
         cap.release()
 
     def test_h_mode_compresses_horizontal_gradients(self):
-        """The whole point: intra fallback on a horizontal gradient is
-        much cheaper with the H candidate than DC-only would be —
-        compare P-frame size against the all-DC intra encoder's frame
-        (which also only knows DC)."""
+        """The intra fallback on a gradient cut must ride the H
+        candidate: the P frame stays bounded by the (equally
+        H-capable) intra encoder's frame, and re-encoding the SAME
+        gradient against a matching reference collapses to skips —
+        i.e. the H-coded fallback reconstruction is faithful."""
         from opencv_opencl_tpu.io.h264_cavlc import CavlcH264Encoder
 
         w, h = 96, 64
-        frames = self.hgrad_cut(w, h, 2, seed=7)
+        frames = self.hgrad_cut(w, h, 3, seed=7)
         gop = GopCavlcEncoder(w, h, qp=30, gop=10)
         gop.encode(frames[0])
         p_size = len(gop.encode(frames[1])[0])
         i_size = len(CavlcH264Encoder(w, h, qp=30).encode(frames[1])[0])
-        assert p_size < 0.7 * i_size, (p_size, i_size)
+        assert p_size <= 1.05 * i_size, (p_size, i_size)
+        # frame 2 repeats the gradient: near-total skip after the
+        # H-mode fallback reconstructed it well
+        p2_size = len(gop.encode(frames[2])[0])
+        assert p2_size < 0.2 * p_size, (p2_size, p_size)
 
     def test_native_entropy_handles_mode3(self):
         from opencv_opencl_tpu import native
