@@ -107,6 +107,19 @@ def _v_mat(qp: int) -> np.ndarray:
 _LEVEL_CLAMP = 2063
 
 
+def level_cost(*arrays) -> int:
+    """THE shared CAVLC bit-cost proxy: sum of 2|l| + (l != 0) over
+    every coefficient.  The mode decisions of the oracle encoders, the
+    native C++ encoder and the TPU level programs all use exactly this
+    formula (CLAUDE.md: never let them drift) — Python callers must
+    use this single definition."""
+    c = 0
+    for a in arrays:
+        aa = np.abs(np.asarray(a))
+        c += int((2 * aa + (aa != 0)).sum())
+    return c
+
+
 def _quant4x4(w: np.ndarray, qp: int, skip_dc: bool) -> np.ndarray:
     """Forward quant of a transformed 4x4 (intra rounding f = 2^qbits/3)."""
     qbits = 15 + qp // 6
@@ -547,10 +560,7 @@ class _MbEncoder:
             return zdc_, acz_
 
         def lcost(zdc_, acz_):
-            c = int((2 * np.abs(zdc_) + (zdc_ != 0)).sum())
-            for a_ in acz_.values():
-                c += int((2 * np.abs(a_) + (a_ != 0)).sum())
-            return c
+            return level_cost(zdc_, *acz_.values())
 
         pred = _pred_dc16(self.ry, y0, x0, top_ok, left_ok)
         zdc, acz = luma_levels(pred)

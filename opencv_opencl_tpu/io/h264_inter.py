@@ -587,17 +587,15 @@ def mc_planes_multi(refs: list[dict], mv: np.ndarray, ref: np.ndarray,
 
 
 def _cost(*arrays) -> int:
-    """Deterministic CAVLC bit-cost proxy of quantized levels: sum of
-    2|l| + (l != 0) over every coefficient.  Monotone in both magnitude
-    and count (the two drivers of CAVLC length), integer-exact, and
-    reproducible by the TPU level program in int32 — the whole point:
-    the mode decision must be a pure function of the levels, never of
-    entropy-coded bits."""
-    c = 0
-    for a in arrays:
-        aa = np.abs(a)
-        c += int((2 * aa + (aa != 0)).sum())
-    return c
+    """Deterministic CAVLC bit-cost proxy of quantized levels (the
+    single shared definition: io.h264_cavlc.level_cost).  Monotone in
+    both magnitude and count (the two drivers of CAVLC length),
+    integer-exact, and reproducible by the TPU level program in int32
+    — the whole point: the mode decision must be a pure function of
+    the levels, never of entropy-coded bits."""
+    from opencv_opencl_tpu.io.h264_cavlc import level_cost
+
+    return level_cost(*arrays)
 
 
 _INTRA_BIAS = 8  # intra syntax overhead (mb_type 5+x, chroma mode) in
@@ -1552,9 +1550,10 @@ def _tpu_gop_initial_recon(self):
 
 def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
     """Assemble one access unit from a fused GOP program's packed level
-    tensor (GOP_PACKED_LANES = 409 + the mode lane: -1 marks an IDR
-    frame; GOP_PACKED_LANES_MV adds the two per-MB motion-vector lanes
-    of the search configuration).  Must be called in stream order —
+    tensor (GOP_PACKED_LANES = 409 + the mode lane, whose negative
+    values mark an IDR frame AND carry the per-MB intra pred mode:
+    -1 = DC, -2 = HORIZONTAL; GOP_PACKED_LANES_MV adds the two per-MB
+    motion-vector lanes of the search configuration).  Must be called in stream order —
     frame_num / idr_pic_id advance per call, mirroring the device-side
     idx chain."""
     from opencv_opencl_tpu.ops.h264_levels import unpack_levels_host

@@ -235,10 +235,19 @@ class TestIntraHorizontal:
         ok, d = cap.read()
         cap.release()
         assert ok
-        # recompute the oracle recon for comparison
+        # the decoded luma must equal the oracle's reconstruction —
+        # THE conformance assertion for the H reconstruction path
         cpu = CavlcH264Encoder(w, h, qp=26, slices=h // 16,
                                native="never")
         assert cpu.encode(nv12) == [aus[0]]
+        from opencv_opencl_tpu.io.h264_cavlc import (
+            encode_frame_cavlc_slices)
+
+        _, recon = encode_frame_cavlc_slices(
+            nv12, w, h, 26, idr_pic_id=0, slices=h // 16,
+            return_recon=True)
+        assert np.array_equal(d[:h, :w].astype(np.int64),
+                              recon[0][:h, :w])
 
     def test_h_mode_smaller_than_dc_only_content(self):
         """IDR size on the ramp must be well under the same encoder's
