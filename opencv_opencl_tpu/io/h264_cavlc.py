@@ -7,10 +7,12 @@ the stream.  The in-repo I_PCM backend (io.h264_pcm) is lossless but
 cannot honor a bitrate at all — every frame is raw-size.  This module
 closes that gap with a from-scratch baseline-profile encoder:
 
-- every macroblock is **Intra_16x16** (DC luma prediction, DC chroma
-  prediction), 4x4 integer core transforms + DC Hadamards, QP-scaled
-  quantization, **CAVLC** entropy coding (coeff_token / trailing ones /
-  level prefix-suffix adaptation / total_zeros / run_before);
+- every macroblock is **Intra_16x16** (per-MB best of DC and
+  HORIZONTAL luma prediction by the shared level-cost proxy
+  ``level_cost``; DC chroma prediction), 4x4 integer core transforms +
+  DC Hadamards, QP-scaled quantization, **CAVLC** entropy coding
+  (coeff_token / trailing ones / level prefix-suffix adaptation /
+  total_zeros / run_before);
 - all-IDR stream (SPS+PPS ride ahead of every frame), the low-latency
   analogue of the reference's ``periodicity-idr`` tuning — any receiver
   joins mid-stream and no frame references another;
