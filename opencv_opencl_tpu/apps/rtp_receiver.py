@@ -6,7 +6,9 @@ Usage:
   python -m opencv_opencl_tpu.apps.rtp_receiver --port=5004
       [--kind=jpeg|raw|h264|h265]
       [--width=W --height=H]   # raw needs the geometry
-      [--output=out.mp4]       # h264/h265: an Annex-B elementary file
+      [--output=out.mp4]       # h264: a REAL MP4 (no transcode,
+                               #   io/mp4.py; --fps sets the timescale);
+                               # .h264/.h265: Annex-B elementary file
       [--max-frames=N] [--timeout=5] [--stats-interval=2]
 
 Receives the JPEG/RTP (RFC 2435), raw NV12, or H.26x (RFC 6184/7798)
@@ -31,7 +33,8 @@ def run(argv: list[str]) -> int:
         argv,
         {"port": int, "kind": str, "width": int, "height": int,
          "output": str, "max-frames": int, "timeout": float,
-         "stats-interval": float, "host": str, "pt": int},
+         "stats-interval": float, "host": str, "pt": int,
+         "fps": float},
     )
     port = opts.get("port", 5004)
     kind = opts.get("kind", "jpeg")
@@ -115,16 +118,21 @@ def run(argv: list[str]) -> int:
 
 
 def _run_h26x(opts, port, kind, timeout, max_frames, interval) -> int:
-    """Record an RFC 6184/7798 stream to an Annex-B elementary file
-    (playable with ffmpeg/mpv; the depacketized analogue of the
-    reference's rtph264depay leg)."""
+    """Record an RFC 6184/7798 stream to an Annex-B elementary file,
+    or — when ``--output`` ends in .mp4 and kind is h264 — to a REAL
+    MP4 container with no transcode (io/mp4.py muxes the received
+    access units; the reference's mp4mux tee leg)."""
     from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
 
     rx = H26xRtpReceiver(host=opts.get("host", "0.0.0.0"), port=port,
                          codec=kind, timeout=timeout,
                          pt=opts.get("pt"))  # None = lock first dynamic PT
     print(f"Listening for {kind} RTP on :{rx.port}")
-    out = open(opts["output"], "wb") if "output" in opts else None
+    mux_mp4 = ("output" in opts and kind == "h264"
+               and opts["output"].lower().endswith(".mp4"))
+    mp4_aus: list[bytes] = []
+    out = (open(opts["output"], "wb")
+           if "output" in opts and not mux_mp4 else None)
     aus = 0
     nbytes = 0
     t0 = time.monotonic()
@@ -140,6 +148,8 @@ def _run_h26x(opts, port, kind, timeout, max_frames, interval) -> int:
             nbytes += len(au)
             if out is not None:
                 out.write(au)
+            if mux_mp4:
+                mp4_aus.append(au)
             now = time.monotonic()
             if now - last_tick >= interval:
                 line = (f"[stats] aus={aus} fps={aus / (now - t0):.1f} "
@@ -159,6 +169,15 @@ def _run_h26x(opts, port, kind, timeout, max_frames, interval) -> int:
             out.close()
             print(f"Saved {aus} access units ({nbytes} bytes) "
                   f"to {opts['output']}")
+        if mux_mp4 and mp4_aus:
+            from opencv_opencl_tpu.io.mp4 import write_mp4
+
+            info = write_mp4(opts["output"], mp4_aus,
+                             fps=opts.get("fps", 30.0))
+            print(f"MP4 saved to {opts['output']}: "
+                  f"{info['samples']} samples "
+                  f"{info['width']}x{info['height']} "
+                  f"({info['sync_samples']} sync)")
         rx.close()
     wall = time.monotonic() - t0
     print(f"Received {aus} access units in {wall:.1f}s "
