@@ -92,6 +92,7 @@ def run(argv: list[str]) -> int:
 
     sinks = []
     descs = []
+    mp4_tee: dict = {}
     if "udp" in opts:
         # the reference's RTP/UDP leg of the tee, natively
         udp_host, udp_port = opts["udp"].rsplit(":", 1)
@@ -104,14 +105,25 @@ def run(argv: list[str]) -> int:
             from opencv_opencl_tpu.io.encoder import encoded_rtp_sink_from_url
 
             try:
-                sinks.append(encoded_rtp_sink_from_url(
+                esink = encoded_rtp_sink_from_url(
                     f"rtp+{kind}://{opts['udp']}", spec.width, spec.height,
                     fps=fps, bitrate_kbps=opts.get("bitrate", 25000),
                     backend=opts.get("encoder", "auto"),
-                    rtcp_schedule=opts.get("rtcp-schedule", "tick")))
+                    rtcp_schedule=opts.get("rtcp-schedule", "tick"))
             except ValueError as e:
                 print(str(e), file=sys.stderr)
                 return 2
+            # the reference's ACTUAL tee: ONE encode into udpsink +
+            # mp4mux (CLAHECompare.cpp:438-483) — when the file leg is
+            # an .mp4 and the udp leg is h264, mux the SAME access
+            # units at close (io/mp4.py) instead of re-encoding pixels
+            if (kind == "h264" and opts.get("output", "")
+                    .lower().endswith(".mp4")
+                    and not opts.get("udp-only")):
+                tee_aus: list[bytes] = []
+                esink.au_tap = tee_aus.append
+                mp4_tee.update(path=opts["output"], aus=tee_aus)
+            sinks.append(esink)
         else:
             from opencv_opencl_tpu.io.rtp import RtpUdpSink
 
@@ -121,8 +133,11 @@ def run(argv: list[str]) -> int:
         descs.append(f"rtp+{kind}://{opts['udp']}" if kind != "jpeg"
                      else f"rtp://{opts['udp']}")
     if opts.get("output") and not opts.get("udp-only"):
-        sinks.append(FileSink(opts["output"], spec))
-        descs.append(opts["output"])
+        if mp4_tee:
+            descs.append(f"{opts['output']} (same-encode mp4 tee)")
+        else:
+            sinks.append(FileSink(opts["output"], spec))
+            descs.append(opts["output"])
     if not sinks:
         sinks.append(NullSink())
         descs.append("(udp-only / null sink)")
@@ -185,6 +200,12 @@ def run(argv: list[str]) -> int:
     for sink in sinks:
         if isinstance(sink, FileSink):
             print(f"MP4 saved ({sink.frames} frames)")
+    if mp4_tee and mp4_tee["aus"]:
+        from opencv_opencl_tpu.io.mp4 import write_mp4
+
+        info = write_mp4(mp4_tee["path"], mp4_tee["aus"], fps)
+        print(f"MP4 saved ({info['samples']} frames, same-encode tee, "
+              f"{info['sync_samples']} sync samples)")
     timing.final_report()
     return 0
 

@@ -220,18 +220,28 @@ class EncodedRtpSink:
 
     def __init__(self, encoder: Any, host: str, port: int,
                  fps: float = 30.0, mtu: int = 1200,
-                 rtcp_schedule: str = "tick") -> None:
+                 rtcp_schedule: str = "tick",
+                 au_tap=None) -> None:
         from opencv_opencl_tpu.io.rtp_h26x import H26xRtpSink
 
         self.encoder = encoder
         self.rtp = H26xRtpSink(host, port, codec=encoder.codec, fps=fps,
                                mtu=mtu, rtcp_schedule=rtcp_schedule)
         self.aus_sent = 0
+        # tee: an optional callable receiving every shipped AU (the
+        # reference tees ONE encode into udpsink + mp4mux; apps pass a
+        # collector here and mux at close — io/mp4.py)
+        self.au_tap = au_tap
+
+    def _ship(self, au: bytes) -> None:
+        self.rtp.write(au)
+        self.aus_sent += 1
+        if self.au_tap is not None:
+            self.au_tap(au)
 
     def write(self, nv12: np.ndarray) -> None:
         for au in self.encoder.encode(nv12):
-            self.rtp.write(au)
-            self.aus_sent += 1
+            self._ship(au)
 
     def write_packed(self, packed: np.ndarray) -> int:
         """Ship the access unit of one fused-program packed level tensor
@@ -239,8 +249,7 @@ class EncodedRtpSink:
         AU bytes shipped, for the caller's byte counters."""
         total = 0
         for au in self.encoder.encode_from_packed(packed):
-            self.rtp.write(au)
-            self.aus_sent += 1
+            self._ship(au)
             total += len(au)
         return total
 
@@ -255,8 +264,7 @@ class EncodedRtpSink:
     def close(self) -> None:
         try:
             for au in self.encoder.flush():
-                self.rtp.write(au)
-                self.aus_sent += 1
+                self._ship(au)
         finally:
             self.encoder.close()
             self.rtp.close()

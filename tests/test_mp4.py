@@ -131,3 +131,62 @@ class TestReceiverMp4:
             n += 1
         cap.release()
         assert n == 6
+
+
+class TestClaheVideoTee:
+    def test_same_encode_tee_udp_plus_mp4(self, tmp_path, capsys):
+        """clahe_video with an h264 udp leg AND an .mp4 output: ONE
+        encode feeds both (the reference's CLAHECompare tee) — the
+        received RTP elementary stream and the MP4 samples come from
+        the same AUs, and the file decodes."""
+        import threading
+
+        import cv2
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+
+        from opencv_opencl_tpu.apps import clahe_video
+        from opencv_opencl_tpu.io.rtp_h26x import H26xRtpReceiver
+
+        rng = np.random.default_rng(5)
+        vid = str(tmp_path / "in.mp4")
+        wtr = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                              (64, 48))
+        assert wtr.isOpened()
+        for _ in range(6):
+            wtr.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+        wtr.release()
+
+        rx = H26xRtpReceiver(codec="h264", timeout=30.0)
+        got = []
+
+        def drain():
+            for _ in range(6):
+                au = rx.recv_access_unit()
+                if au is None:
+                    break
+                got.append(au)
+
+        t = threading.Thread(target=drain, daemon=True)
+        t.start()
+        out = str(tmp_path / "tee.mp4")
+        rc = clahe_video.run([
+            f"--input={vid}", f"--output={out}",
+            f"--udp=127.0.0.1:{rx.port}", "--udp-kind=h264",
+            "--encoder=cavlc:qp=30:gop=3", "--resolution=64x48",
+            "--tile=4", "--max-frames=6", "--fps=30"])
+        t.join(timeout=60)
+        rx.close()
+        assert rc == 0
+        text = capsys.readouterr().out
+        assert "same-encode" in text
+        cap = cv2.VideoCapture(out)
+        assert cap.isOpened()
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert n == 6
+        assert len(got) == 6
