@@ -138,7 +138,7 @@ def main() -> None:
     )
 
 
-def _emit_backend_error(exc: BaseException) -> None:
+def _emit_backend_error(exc: BaseException, attempts: int) -> None:
     """The contract is ONE JSON line even when the TPU tunnel is down
     (transient axon outages happen): emit an honest error record
     instead of a stack trace so the driver's capture stays parseable."""
@@ -148,18 +148,70 @@ def _emit_backend_error(exc: BaseException) -> None:
         "unit": "fps",
         "vs_baseline": None,
         "detail": {"error": f"TPU backend unavailable: {exc}",
-                   "note": "transient tunnel outage — rerun when the "
-                           "axon backend is reachable; last good "
-                           "hardware figure: BENCH_r02.json / "
-                           "docs/RESULTS_R3.md (≈695 fps sustained)"},
+                   "attempts": attempts,
+                   "note": "tunnel outage outlasted the in-process retry "
+                           "window — rerun when the axon backend is "
+                           "reachable; last good hardware figure: "
+                           "BENCH_r02.json / docs/RESULTS_R3.md "
+                           "(≈695 fps sustained)"},
     }))
 
 
-if __name__ == "__main__":
+def _is_backend_unavailable(exc: BaseException) -> bool:
+    s = str(exc)
+    return "backend" in s.lower() or "UNAVAILABLE" in s
+
+
+def _probe_backend(timeout_s: float) -> bool:
+    """True iff the TPU backend initializes within ``timeout_s``, checked
+    in a SUBPROCESS.  An axon outage can make ``jax.devices()`` hang
+    forever rather than raise (observed 2026-08-18: >550 s with no
+    exception), and a hang inside backend init in THIS process could not
+    be recovered — no JSON line would ever be printed.  A killed probe
+    subprocess converts the hang into a retryable 'unavailable'."""
+    import subprocess
+
     try:
-        main()
-    except RuntimeError as e:
-        if "backend" in str(e).lower() or "UNAVAILABLE" in str(e):
-            _emit_backend_error(e)
-            sys.exit(1)
-        raise
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_with_retry() -> None:
+    """A single driver attempt must not lose a round's number to a
+    transient tunnel blip (round 3 did): probe the backend (bounded) and
+    retry unavailability a few times (~10 min total) before emitting the
+    error JSON.  Overridable for tests via BENCH_RETRY_* env vars."""
+    import os
+
+    attempts = int(os.environ.get("BENCH_RETRY_ATTEMPTS", "3"))
+    delay_s = float(os.environ.get("BENCH_RETRY_DELAY_S", "120"))
+    probe_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "150"))
+    last: BaseException = RuntimeError(
+        "TPU backend probe timed out (tunnel down or hung)")
+    for i in range(attempts):
+        try:
+            if not _probe_backend(probe_s):
+                raise RuntimeError(
+                    f"TPU backend probe timed out after {probe_s:.0f}s "
+                    "(tunnel down or hung)")
+            main()
+            return
+        except RuntimeError as e:
+            if not _is_backend_unavailable(e):
+                raise
+            last = e
+            if i + 1 < attempts:
+                print(f"bench: TPU backend unavailable (attempt {i + 1}/"
+                      f"{attempts}), retrying in {delay_s:.0f}s",
+                      file=sys.stderr, flush=True)
+                time.sleep(delay_s)
+    _emit_backend_error(last, attempts)
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    _run_with_retry()
