@@ -710,7 +710,7 @@ def build_pps_cavlc() -> bytes:
 
 
 def _slice_head_cavlc(w: _BitWriter, idr_pic_id: int, qp: int,
-                      first_mb: int = 0) -> None:
+                      first_mb: int = 0, deblock: bool = False) -> None:
     w.u(0, 1).u(3, 2).u(5, 5)  # nal header: IDR slice
     w.ue(first_mb)             # first_mb_in_slice
     w.ue(7)                    # slice_type: I (all slices of picture)
@@ -720,13 +720,19 @@ def _slice_head_cavlc(w: _BitWriter, idr_pic_id: int, qp: int,
     w.u(0, 1)                  # no_output_of_prior_pics_flag
     w.u(0, 1)                  # long_term_reference_flag
     w.se(qp - 26)              # slice_qp_delta
-    w.ue(1)                    # disable_deblocking_filter_idc: OFF
+    if deblock:
+        w.ue(0)                # disable_deblocking_filter_idc: ON
+        w.se(0)                # slice_alpha_c0_offset_div2
+        w.se(0)                # slice_beta_offset_div2
+    else:
+        w.ue(1)                # disable_deblocking_filter_idc: OFF
 
 
 def encode_frame_cavlc_slices(nv12: np.ndarray, width: int, height: int,
                               qp: int, idr_pic_id: int = 0,
                               slices: int = 1,
-                              return_recon: bool = False):
+                              return_recon: bool = False,
+                              deblock: bool = False):
     """Encode one NV12 frame as ``slices`` independent CAVLC IDR slice
     NALs (MB-row bands, like the reference's ``num-slices=8`` OMX tuning
     and the PCM encoder's ``slices``).  H.264 slices share no contexts:
@@ -748,7 +754,7 @@ def encode_frame_cavlc_slices(nv12: np.ndarray, width: int, height: int,
     for i in range(slices):
         w = _BitWriter()
         _slice_head_cavlc(w, idr_pic_id, qp,
-                          first_mb=bounds[i] * st.mb_w)
+                          first_mb=bounds[i] * st.mb_w, deblock=deblock)
         for mby in range(bounds[i], bounds[i + 1]):
             for mbx in range(st.mb_w):
                 st.encode_mb(w, mby, mbx, y, cb, cr,

@@ -131,7 +131,8 @@ def _quant4x4_inter(w: np.ndarray, qp: int) -> np.ndarray:
 
 
 def _slice_head_p(w: _BitWriter, qp: int, frame_num: int,
-                  first_mb: int = 0, active_refs: int = 1) -> None:
+                  first_mb: int = 0, active_refs: int = 1,
+                  deblock: bool = False) -> None:
     """Non-IDR P slice header (deblocking off, POC type 2: no POC
     syntax, sliding-window marking).  ``active_refs`` > 1 overrides
     the PPS's single active reference (multi-ref streams: the list is
@@ -149,13 +150,19 @@ def _slice_head_p(w: _BitWriter, qp: int, frame_num: int,
     w.u(0, 1)                  # ref_pic_list_modification_flag_l0
     w.u(0, 1)                  # adaptive_ref_pic_marking_mode_flag
     w.se(qp - 26)              # slice_qp_delta
-    w.ue(1)                    # disable_deblocking_filter_idc: OFF
+    if deblock:
+        w.ue(0)                # disable_deblocking_filter_idc: ON
+        w.se(0)                # slice_alpha_c0_offset_div2
+        w.se(0)                # slice_beta_offset_div2
+    else:
+        w.ue(1)                # disable_deblocking_filter_idc: OFF
 
 
 def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                           height: int, qp: int, frame_num: int,
                           slices: int = 1, return_recon: bool = False,
-                          search: int = 0, subpel: int = 0):
+                          search: int = 0, subpel: int = 0,
+                          deblock: bool = False, deblock_info=None):
     """Encode one 16-aligned NV12 frame as ``slices`` P slice NALs
     against ``recon`` = (ry, rcb, rcr), the reconstructed previous
     picture (int arrays, unpadded HxW — exactly what
@@ -229,7 +236,7 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
     for si in range(slices):
         w = _BitWriter()
         _slice_head_p(w, qp, frame_num, first_mb=bounds[si] * mb_w,
-                      active_refs=active_refs)
+                      active_refs=active_refs, deblock=deblock)
         # per-slice nC context rows (one MB row of 4x4 blocks + left pad;
         # P slices still use spatial neighbors for nC, within the slice)
         lnnz = np.zeros((mb_h * 4 + 1, mb_w * 4 + 1), dtype=np.int64)
@@ -251,7 +258,7 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                     mv_coded=mv_coded, inter_mask=inter_mask,
                     slice_top=bounds[si],
                     ref2=int(refsel[mby, mbx]),
-                    active_refs=active_refs)
+                    active_refs=active_refs, dbi=deblock_info)
         if skip_run:
             w.ue(skip_run)  # trailing skipped MBs end the slice
         w.trailing()
@@ -757,7 +764,7 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
                  mv_coded: np.ndarray | None = None,
                  inter_mask: np.ndarray | None = None,
                  slice_top: int = 0, ref2: int = 0,
-                 active_refs: int = 1) -> int:
+                 active_refs: int = 1, dbi=None) -> int:
     """One P macroblock: P_Skip if the inter candidate quantizes to all
     zero (and the searched MV matches the skip predictor with
     reference 0), else the cheaper of P_L0_16x16 (te(v) ref_idx when
@@ -828,6 +835,8 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
         if inter_mask is not None:
             inter_mask[mby, mbx] = True
             mv_coded[mby, mbx] = mv2
+        if dbi is not None:  # P_Skip: no levels, mv = skip predictor
+            dbi.mv[mby, mbx] = mv2
         return skip_run + 1
 
     cost_inter = _cost(*lz.values(),
@@ -839,6 +848,8 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
     if intra["cost"] < cost_inter:
         _write_intra_in_p(w, mby, mbx, out, qp, qpc, skip_run, intra,
                           lnnz, cbnnz, crnnz, top_ok, left_ok)
+        if dbi is not None:
+            dbi.intra[mby, mbx] = True
         return 0
 
     # ---- coded inter MB: P_L0_16x16
@@ -851,6 +862,9 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
             w.u(1 - ref2, 1)
         else:
             w.ue(ref2)
+    if dbi is not None:  # coded inter: real mv/ref; nnz4 filled below
+        dbi.mv[mby, mbx] = mv2
+        dbi.ref[mby, mbx] = ref2
     # mvd in quarter-pel, horizontal component first (spec 7.3.5.1
     # compIdx order)
     if inter_mask is not None:
@@ -896,6 +910,8 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
         tc = _write_residual_block(
             w, [int(flat[i]) for i in _ZIGZAG], nc)
         lnnz[nby0 + by, nbx0 + bx] = tc
+        if dbi is not None:
+            dbi.nnz4[mby * 4 + by, mbx * 4 + bx] = tc != 0
     # chroma DC
     if cbp_chroma:
         for name in ("cb", "cr"):
@@ -1081,7 +1097,8 @@ class GopCavlcEncoder:
                  gop: int = 30, bitrate_kbps: int | None = None,
                  fps: float = 30.0, slices: int = 1,
                  search: int = 0, halfpel: bool = False,
-                 quarterpel: bool = False, refs: int = 1) -> None:
+                 quarterpel: bool = False, refs: int = 1,
+                 deblock: bool = False) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import (
             CavlcH264Encoder, build_pps_cavlc)
 
@@ -1103,6 +1120,12 @@ class GopCavlcEncoder:
                 raise ValueError("refs > 1 requires one slice per MB "
                                  f"row (slices={mb_h} here)")
         self.refs = int(refs)
+        # in-loop deblocking (spec 8.7, the VCU's actual output mode —
+        # omx deblocking defaults, OpenCVequalHist.cpp:313-315): the
+        # stream signals idc=0 and every reference picture is the
+        # FILTERED reconstruction (io.h264_deblock); intra prediction
+        # within a frame still reads unfiltered samples (spec 8.3).
+        self.deblock = bool(deblock)
         # reuse the intra encoder's padding + geometry checks
         self._intra = CavlcH264Encoder(width, height, qp=qp,
                                        native="never", slices=slices)
@@ -1128,10 +1151,12 @@ class GopCavlcEncoder:
         rows = self.height * 3 // 2
         arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
         padded, w16, h16 = self._intra._pad(arr)
+        dbi = None
         if self.frames % self.gop == 0:
             nals, recon = encode_frame_cavlc_slices(
                 padded, w16, h16, self.qp, idr_pic_id=self._idr_pic_id,
-                slices=self.slices, return_recon=True)
+                slices=self.slices, return_recon=True,
+                deblock=self.deblock)
             self._idr_pic_id ^= 1
             self._frame_num = 1
             self._ref_list = []  # IDR flushes the DPB
@@ -1140,13 +1165,24 @@ class GopCavlcEncoder:
         else:
             refarg = (self._ref_list[:self.refs] if self.refs > 1
                       else self._recon)
+            if self.deblock:
+                from opencv_opencl_tpu.io.h264_deblock import DeblockInfo
+
+                dbi = DeblockInfo(h16 // 16, w16 // 16)
             nals, recon = encode_frame_p_slices(
                 padded, refarg, w16, h16, self.qp,
                 frame_num=self._frame_num, slices=self.slices,
                 return_recon=True, search=self.search,
-                subpel=self.subpel)
+                subpel=self.subpel, deblock=self.deblock,
+                deblock_info=dbi)
             self._frame_num = (self._frame_num + 1) % 16
             au = b"".join(_START4 + bytes(n) for n in nals)
+        if self.deblock:
+            from opencv_opencl_tpu.io.h264_deblock import deblock_picture
+
+            # the reference chain (and the decoder's display picture)
+            # is the FILTERED reconstruction; dbi=None == all-intra IDR
+            recon = deblock_picture(*recon, self.qp, dbi)
         self._recon = recon
         self._ref_list = ([recon] + getattr(self, "_ref_list", [])
                           )[:self.refs]
