@@ -277,6 +277,14 @@ def run(argv: list[str]) -> int:
 
         enc = sink.encoder
         fused_gop = isinstance(enc, TpuGopEncoder)
+        if getattr(enc, "deblock", False):
+            # the fused GOP program chains recon inside its own device
+            # scan; the in-loop filter is not wired into that chain yet
+            # (the standalone tpu:gop=N:deblock path has it)
+            print("--fused-encode does not compose with :deblock yet "
+                  "(use --encoder=tpu:gop=N:deblock without "
+                  "--fused-encode)", file=sys.stderr)
+            return 2
         if fused_gop:
             # GOP: the device programs chain recon/frame-index state
             # across batches; padding would advance it on fake frames

@@ -359,6 +359,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         refs = 1
         halfpel = False
         quarterpel = False
+        deblock = False
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
             if key == "halfpel" and not val:
@@ -367,12 +368,15 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key == "quarterpel" and not val:
                 quarterpel = True
                 continue
+            if key == "deblock" and not val:
+                deblock = True
+                continue
             if (key not in ("qp", "slices", "gop", "search", "refs")
                     or not val):
                 raise ValueError(
                     f"bad cavlc option {opt!r} "
                     "(qp=N, slices=N, gop=N, search=N, refs=N, "
-                    "halfpel, quarterpel)")
+                    "halfpel, quarterpel, deblock)")
             try:
                 ival = int(val)
             except ValueError:
@@ -407,12 +411,13 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                                        slices=slices, search=search,
                                        halfpel=halfpel,
                                        quarterpel=quarterpel,
-                                       refs=refs)
+                                       refs=refs, deblock=deblock)
             return GopCavlcEncoder(width, height, qp=30, gop=gop,
                                    bitrate_kbps=bitrate_kbps, fps=fps,
                                    slices=slices, search=search,
                                    halfpel=halfpel,
-                                   quarterpel=quarterpel, refs=refs)
+                                   quarterpel=quarterpel, refs=refs,
+                                   deblock=deblock)
         if search or halfpel or quarterpel or refs > 1:
             raise ValueError(
                 "cavlc search=N/halfpel/quarterpel need a gop=N option "
@@ -421,10 +426,11 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         if qp is not None:
             # fixed quantizer: no rate control
             return CavlcH264Encoder(width, height, qp=qp, slices=slices,
-                                    threads=threads)
+                                    threads=threads, deblock=deblock)
         return CavlcH264Encoder(width, height, qp=30,
                                 bitrate_kbps=bitrate_kbps, fps=fps,
-                                slices=slices, threads=threads)
+                                slices=slices, threads=threads,
+                                deblock=deblock)
     if backend == "tpu" or backend.startswith("tpu:"):
         # the CAVLC encoder with its arithmetic on the TPU (one jitted
         # prediction/transform/quant program, ops/h264_levels.py); the
@@ -441,6 +447,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         refs = 1
         halfpel = False
         quarterpel = False
+        deblock = False
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
             if key == "overlap" and not val:
@@ -451,6 +458,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 continue
             if key == "quarterpel" and not val:
                 quarterpel = True
+                continue
+            if key == "deblock" and not val:
+                deblock = True
                 continue
             if key == "gop" and val:
                 try:
@@ -475,7 +485,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key != "qp" or not val:
                 raise ValueError(
                     f"bad tpu option {opt!r} (qp=N|gop=N|search=N|"
-                    "refs=N|halfpel|quarterpel|overlap)")
+                    "refs=N|halfpel|quarterpel|deblock|overlap)")
             try:
                 qp = int(val)
             except ValueError:
@@ -490,21 +500,24 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 return TpuGopEncoder(width, height, qp=qp, gop=gop,
                                      overlap=overlap, search=search,
                                      halfpel=halfpel,
-                                     quarterpel=quarterpel, refs=refs)
+                                     quarterpel=quarterpel, refs=refs,
+                                     deblock=deblock)
             return TpuGopEncoder(width, height, qp=30, gop=gop,
                                  bitrate_kbps=bitrate_kbps, fps=fps,
                                  overlap=overlap, search=search,
                                  halfpel=halfpel,
-                                 quarterpel=quarterpel, refs=refs)
+                                 quarterpel=quarterpel, refs=refs,
+                                 deblock=deblock)
         if search or halfpel or quarterpel or refs > 1:
             raise ValueError(
                 "tpu search=N/halfpel/quarterpel need a gop=N option "
                 "(motion search is a P-frame feature)")
         if qp is not None:
-            return TpuCavlcEncoder(width, height, qp=qp, overlap=overlap)
+            return TpuCavlcEncoder(width, height, qp=qp, overlap=overlap,
+                                   deblock=deblock)
         return TpuCavlcEncoder(width, height, qp=30,
                                bitrate_kbps=bitrate_kbps, fps=fps,
-                               overlap=overlap)
+                               overlap=overlap, deblock=deblock)
     if backend == "ffmpeg":
         if not shutil.which("ffmpeg"):
             raise ValueError("ffmpeg not on PATH (try --encoder=pcm)")

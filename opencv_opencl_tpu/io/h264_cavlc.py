@@ -770,7 +770,8 @@ def encode_frame_cavlc_slices(nv12: np.ndarray, width: int, height: int,
 def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
                              czdc: np.ndarray, cacz: np.ndarray,
                              qp: int, idr_pic_id: int = 0,
-                             imode: np.ndarray | None = None
+                             imode: np.ndarray | None = None,
+                             deblock: bool = False
                              ) -> list[bytes]:
     """Entropy-code precomputed quantized levels into one IDR slice NAL
     **per MB row** (the slice granularity the TPU level computation in
@@ -789,7 +790,8 @@ def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
     nals = []
     for mby in range(mb_h):
         w = _BitWriter()
-        _slice_head_cavlc(w, idr_pic_id, qp, first_mb=mby * mb_w)
+        _slice_head_cavlc(w, idr_pic_id, qp, first_mb=mby * mb_w,
+                          deblock=deblock)
         # per-slice nC context: rows of 4x4 blocks within this MB row
         # (+1 left pad), reset every slice
         lnnz = np.zeros((4, mb_w * 4 + 1), dtype=np.int64)
@@ -901,11 +903,15 @@ class CavlcH264Encoder:
     def __init__(self, width: int, height: int, qp: int = 30,
                  bitrate_kbps: int | None = None, fps: float = 30.0,
                  native: str = "auto", slices: int = 1,
-                 threads: int = 0) -> None:
+                 threads: int = 0, deblock: bool = False) -> None:
         """``slices`` > 1 splits each frame into that many independent
         IDR slices (MB-row bands — the reference's ``num-slices=8``
         analogue): smaller NALs on the wire and, with ``threads`` > 0 on
-        the native path, parallel per-band encoding."""
+        the native path, parallel per-band encoding.  ``deblock``
+        signals the in-loop filter ON (idc=0): for this all-IDR stream
+        the encode is unchanged — only the decoder's displayed picture
+        gains the spec 8.7 filtering (io.h264_deblock is the oracle of
+        what it displays)."""
         if width % 2 or height % 2:
             raise ValueError("NV12 requires even dimensions")
         if slices < 1:
@@ -913,6 +919,7 @@ class CavlcH264Encoder:
         self.width = width
         self.height = height
         self.qp = int(qp)
+        self.deblock = bool(deblock)
         self.slices = int(slices)
         self._threads = max(0, int(threads))
         self.bitrate_kbps = bitrate_kbps
@@ -959,9 +966,11 @@ class CavlcH264Encoder:
 
             return native.cavlc_encode_slices(
                 padded, w16, h16, qp, idr, slices=self.slices,
-                threads=self._threads, workspace=self._workspace)
+                threads=self._threads, workspace=self._workspace,
+                deblock=self.deblock)
         return encode_frame_cavlc_slices(padded, w16, h16, qp, idr,
-                                         slices=self.slices)
+                                         slices=self.slices,
+                                         deblock=self.deblock)
 
     def _rate_control(self, used: int) -> None:
         """Proportional control in the QP domain: intra bits halve
@@ -1029,7 +1038,7 @@ class TpuCavlcEncoder(CavlcH264Encoder):
     def __init__(self, width: int, height: int, qp: int = 30,
                  bitrate_kbps: int | None = None, fps: float = 30.0,
                  native: str = "auto", threads: int = 0,
-                 overlap: bool = False) -> None:
+                 overlap: bool = False, deblock: bool = False) -> None:
         h16 = -(-height // 16) * 16
         if threads == 0:
             import os
@@ -1037,7 +1046,7 @@ class TpuCavlcEncoder(CavlcH264Encoder):
             threads = os.cpu_count() or 1
         super().__init__(width, height, qp=qp, bitrate_kbps=bitrate_kbps,
                          fps=fps, native=native, slices=h16 // 16,
-                         threads=threads)
+                         threads=threads, deblock=deblock)
         # jax import lives here, not module top — the pure-CPU encoder
         # classes above must stay importable without it
         from opencv_opencl_tpu.ops.h264_levels import encode_levels_jit
@@ -1070,9 +1079,11 @@ class TpuCavlcEncoder(CavlcH264Encoder):
 
             return native.cavlc_entropy_rows(
                 zdc, acz, czdc, cacz, qp, idr, threads=self._threads,
-                workspace=self._workspace, imode=imode)
+                workspace=self._workspace, imode=imode,
+                deblock=self.deblock)
         return encode_frame_from_levels(zdc, acz, czdc, cacz, qp, idr,
-                                        imode=imode)
+                                        imode=imode,
+                                        deblock=self.deblock)
 
     def _encode_nals(self, padded: np.ndarray, w16: int, h16: int,
                      idr: int, qp: int) -> list[bytes]:

@@ -1207,7 +1207,8 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                                frame_num: int,
                                mv: np.ndarray | None = None,
                                ref: np.ndarray | None = None,
-                               active_refs: int = 1) -> list[bytes]:
+                               active_refs: int = 1,
+                               deblock: bool = False) -> list[bytes]:
     """Entropy-code one P frame from PLevelArrays-layout arrays
     (ops/h264_levels.encode_p_levels) into one slice NAL per MB row —
     the TPU program's slice granularity.  Byte-identical to
@@ -1227,7 +1228,7 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
     for mby in range(mb_h):
         w = _BitWriter()
         _slice_head_p(w, qp, frame_num, first_mb=mby * mb_w,
-                      active_refs=active_refs)
+                      active_refs=active_refs, deblock=deblock)
         lnnz = np.zeros((4, mb_w * 4 + 1), dtype=np.int64)
         cbnnz = np.zeros((2, mb_w * 2 + 1), dtype=np.int64)
         crnnz = np.zeros_like(cbnnz)
@@ -1404,7 +1405,8 @@ class TpuGopEncoder:
                  fps: float = 30.0, native: str = "auto",
                  threads: int = 0, overlap: bool = False,
                  search: int = 0, halfpel: bool = False,
-                 quarterpel: bool = False, refs: int = 1) -> None:
+                 quarterpel: bool = False, refs: int = 1,
+                 deblock: bool = False) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         if gop < 1:
@@ -1425,7 +1427,8 @@ class TpuGopEncoder:
         # plumbing) comes from the TPU intra encoder; we swap the SPS
         # for the 1-reference GOP variant and drive our own GOP loop
         self._intra = TpuCavlcEncoder(width, height, qp=qp,
-                                      native=native, threads=threads)
+                                      native=native, threads=threads,
+                                      deblock=deblock)
         self._intra._sps = build_sps_gop(width, height, refs=self.refs)
         self.width, self.height = width, height
         self.qp = int(qp)
@@ -1448,6 +1451,24 @@ class TpuGopEncoder:
         self._i_fn = encode_levels_recon_jit
         self._p_fn = encode_p_levels_jit
         self._p2_fn = encode_p_levels2_jit
+        # in-loop deblocking: every reference picture is the FILTERED
+        # reconstruction, computed ON DEVICE by the wavefront program
+        # (ops/h264_deblock.py) so the recon chain stays in HBM.
+        self.deblock = bool(deblock)
+        if self.deblock:
+            import jax.numpy as jnp
+
+            from opencv_opencl_tpu.ops.h264_deblock import (
+                deblock_planes_jit)
+
+            self._deblock_fn = deblock_planes_jit
+            mb_h = -(-height // 16)
+            mb_w = -(-width // 16)
+            # static all-intra metadata for IDR pictures
+            self._dbi_idr = (jnp.ones((mb_h, mb_w), jnp.bool_),
+                             jnp.zeros((mb_h * 4, mb_w * 4), jnp.bool_),
+                             jnp.zeros((mb_h, mb_w, 2), jnp.int32),
+                             jnp.zeros((mb_h, mb_w), jnp.int32))
         if self.refs > 1:
             import jax as _jax
 
@@ -1470,6 +1491,9 @@ class TpuGopEncoder:
         if self.frames % self.gop == 0:
             lv, ry, rcb, rcr, imode = self._i_fn(y, cb, cr,
                                                  jnp.int32(qp))
+            if self.deblock:
+                ry, rcb, rcr = self._deblock_fn(
+                    ry, rcb, rcr, jnp.int32(qp), *self._dbi_idr)
             self._recon = (ry, rcb, rcr)
             self._ref_list = [self._recon]
             num = self._intra._idr_pic_id
@@ -1493,7 +1517,26 @@ class TpuGopEncoder:
                                  jnp.int32(qp), self.search,
                                  self.subpel)
                 active = 1
-            self._recon = (plv.recon_y, plv.recon_cb, plv.recon_cr)
+            recon = (plv.recon_y, plv.recon_cb, plv.recon_cr)
+            if self.deblock:
+                # metadata from the level tensors: intra = mode 2;
+                # per-4x4 nonzero from the chosen-mode levels (intra
+                # rows are never consulted — intra edges are bS 3/4
+                # regardless); zero mv/ref in the configurations that
+                # ship no field
+                mb_h, mb_w = plv.mode.shape
+                nnz4 = jnp.any(plv.acz != 0, axis=-1).reshape(
+                    mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(
+                    mb_h * 4, mb_w * 4)
+                mvd = (jnp.zeros((mb_h, mb_w, 2), jnp.int32)
+                       if plv.mv is None else plv.mv.astype(jnp.int32))
+                refd = (jnp.zeros((mb_h, mb_w), jnp.int32)
+                        if plv.ref is None
+                        else plv.ref.astype(jnp.int32))
+                recon = self._deblock_fn(*recon, jnp.int32(qp),
+                                         plv.mode >= 2, nnz4, mvd,
+                                         refd)  # 2=I DC, 3=I HORIZ
+            self._recon = recon
             self._ref_list = ([self._recon]
                               + getattr(self, "_ref_list", [])
                               )[:self.refs]
@@ -1517,10 +1560,12 @@ class TpuGopEncoder:
                     mode, zdc, acz, czdc, cacz, qp, num,
                     threads=self._intra._threads,
                     workspace=self._intra._workspace, mv=mv,
-                    ref=ref, active_refs=active_refs)
+                    ref=ref, active_refs=active_refs,
+                    deblock=self.deblock)
         return encode_frame_p_from_levels(mode, zdc, acz, czdc, cacz,
                                           qp, num, mv=mv, ref=ref,
-                                          active_refs=active_refs)
+                                          active_refs=active_refs,
+                                          deblock=self.deblock)
 
     def _assemble(self, lv, kind: str, num: int, qp: int,
                   mv=None, ref=None, active_refs: int = 1) -> bytes:

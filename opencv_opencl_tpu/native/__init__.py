@@ -471,7 +471,8 @@ def cavlc_encode_frame(nv12: np.ndarray, width: int, height: int, qp: int,
 def cavlc_encode_slices(nv12: np.ndarray, width: int, height: int,
                         qp: int, idr_pic_id: int, slices: int = 1,
                         threads: int = 0,
-                        workspace: dict | None = None) -> list[bytes]:
+                        workspace: dict | None = None,
+                        deblock: bool = False) -> list[bytes]:
     """Native multi-slice CAVLC encode: ``slices`` independent MB-row
     bands, each an IDR slice NAL (no start codes), byte-identical per
     slice to ``io.h264_cavlc.encode_frame_cavlc_slices``.  ``threads``
@@ -490,7 +491,8 @@ def cavlc_encode_slices(nv12: np.ndarray, width: int, height: int,
     heads, nbits = [], []
     for i in range(slices):
         w = _BitWriter()
-        _slice_head_cavlc(w, idr_pic_id, qp, first_mb=bounds[i] * mb_w)
+        _slice_head_cavlc(w, idr_pic_id, qp, first_mb=bounds[i] * mb_w,
+                          deblock=deblock)
         heads.append(np.packbits(np.asarray(w._bits, dtype=np.uint8)))
         nbits.append(len(w._bits))
     blob = np.concatenate(heads)
@@ -530,7 +532,8 @@ def cavlc_entropy_rows(zdc: np.ndarray, acz: np.ndarray,
                        czdc: np.ndarray, cacz: np.ndarray, qp: int,
                        idr_pic_id: int, threads: int = 0,
                        workspace: dict | None = None,
-                       imode: np.ndarray | None = None) -> list[bytes]:
+                       imode: np.ndarray | None = None,
+                       deblock: bool = False) -> list[bytes]:
     """Native entropy coding of precomputed quantized levels
     (ops/h264_levels.py LevelArrays) into one IDR slice NAL per MB row
     — the CPU stage of the TPU encode path.  ``imode`` is the per-MB
@@ -553,7 +556,8 @@ def cavlc_entropy_rows(zdc: np.ndarray, acz: np.ndarray,
     heads, nbits = [], []
     for i in range(mb_h):
         w = _BitWriter()
-        _slice_head_cavlc(w, idr_pic_id, qp, first_mb=i * mb_w)
+        _slice_head_cavlc(w, idr_pic_id, qp, first_mb=i * mb_w,
+                          deblock=deblock)
         heads.append(np.packbits(np.asarray(w._bits, dtype=np.uint8)))
         nbits.append(len(w._bits))
     blob = np.concatenate(heads)
@@ -597,7 +601,8 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
                          workspace: dict | None = None,
                          mv: np.ndarray | None = None,
                          ref: np.ndarray | None = None,
-                         active_refs: int = 1) -> list[bytes]:
+                         active_refs: int = 1,
+                         deblock: bool = False) -> list[bytes]:
     """Native entropy coding of one P frame's chosen-mode levels
     (ops/h264_levels.py PLevelArrays) into one P slice NAL per MB row —
     the CPU stage of the TPU GOP path.  ``mv`` is the (mb_h, mb_w, 2)
@@ -626,7 +631,7 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
     for i in range(mb_h):
         w = _BitWriter()
         _slice_head_p(w, qp, frame_num, first_mb=i * mb_w,
-                      active_refs=active_refs)
+                      active_refs=active_refs, deblock=deblock)
         heads.append(np.packbits(np.asarray(w._bits, dtype=np.uint8)))
         nbits.append(len(w._bits))
     blob = np.concatenate(heads)

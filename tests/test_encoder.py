@@ -168,6 +168,25 @@ class TestBackendSelection:
         with pytest.raises(ValueError, match="h264-only"):
             make_encoder("pcm", 64, 48, codec="h265")
 
+    @pytest.mark.parametrize("spec,cls", [
+        ("cavlc:qp=30:deblock", "CavlcH264Encoder"),
+        ("cavlc:qp=30:gop=8:search=2:deblock", "GopCavlcEncoder"),
+        ("tpu:qp=30:deblock", "TpuCavlcEncoder"),
+        ("tpu:qp=30:gop=8:deblock", "TpuGopEncoder"),
+    ])
+    def test_deblock_flag_in_specs(self, spec, cls):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        enc = make_encoder(spec, 64, 48)
+        assert type(enc).__name__ == cls
+        assert enc.deblock is True
+
+    def test_deblock_flag_takes_no_value(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        with pytest.raises(ValueError, match="bad cavlc option"):
+            make_encoder("cavlc:deblock=1", 64, 48)
+
 
 class TestEncodedRtp:
     def test_rtp_loopback_byte_identical_es(self):
