@@ -277,6 +277,14 @@ def run(argv: list[str]) -> int:
 
         enc = sink.encoder
         fused_gop = isinstance(enc, TpuGopEncoder)
+        if getattr(enc, "gdr", 0):
+            # the fused GOP program's device idx chain alternates
+            # IDR/P by gop period; the marching GDR band is not wired
+            # into it (the standalone tpu:gdr=N path has it)
+            print("--fused-encode does not compose with :gdr yet "
+                  "(use --encoder=tpu:gdr=N without --fused-encode)",
+                  file=sys.stderr)
+            return 2
         if getattr(enc, "deblock", False):
             # the fused GOP program chains recon inside its own device
             # scan; the in-loop filter is not wired into that chain yet

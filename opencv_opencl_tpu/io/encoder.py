@@ -355,6 +355,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         qp = None
         slices = 1
         gop = None
+        gdr = 0
         search = 0
         refs = 1
         halfpel = False
@@ -371,11 +372,12 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key == "deblock" and not val:
                 deblock = True
                 continue
-            if (key not in ("qp", "slices", "gop", "search", "refs")
+            if (key not in ("qp", "slices", "gop", "search", "refs",
+                            "gdr")
                     or not val):
                 raise ValueError(
                     f"bad cavlc option {opt!r} "
-                    "(qp=N, slices=N, gop=N, search=N, refs=N, "
+                    "(qp=N, slices=N, gop=N, gdr=N, search=N, refs=N, "
                     "halfpel, quarterpel, deblock)")
             try:
                 ival = int(val)
@@ -389,6 +391,10 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 if ival < 1:
                     raise ValueError(f"cavlc gop must be >= 1, got {ival}")
                 gop = ival
+            elif key == "gdr":
+                if ival < 1:
+                    raise ValueError(f"cavlc gdr must be >= 1, got {ival}")
+                gdr = ival
             elif key == "search":
                 search = ival  # validated by the encoder: int in [1, 15]
             elif key == "refs":
@@ -400,6 +406,29 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 slices = ival
         import os
 
+        if gdr:
+            # GDR horizontal intra refresh (gdr-mode=horizontal): a
+            # gop-less stream — one IDR, then a marching intra band
+            # every `gdr` frames with recovery point SEIs
+            from opencv_opencl_tpu.io.h264_inter import GopCavlcEncoder
+
+            if gop is not None:
+                raise ValueError(
+                    "cavlc gdr=N replaces gop=N (GDR streams have no "
+                    "periodic IDR) — give one or the other")
+            mb_h = -(-height // 16)
+            if qp is not None:
+                return GopCavlcEncoder(width, height, qp=qp, gdr=gdr,
+                                       slices=mb_h, search=search,
+                                       halfpel=halfpel,
+                                       quarterpel=quarterpel,
+                                       refs=refs, deblock=deblock)
+            return GopCavlcEncoder(width, height, qp=30, gdr=gdr,
+                                   bitrate_kbps=bitrate_kbps, fps=fps,
+                                   slices=mb_h, search=search,
+                                   halfpel=halfpel,
+                                   quarterpel=quarterpel,
+                                   refs=refs, deblock=deblock)
         if gop is not None and gop > 1:
             # low-delay-P GOP stream (the reference's gop-mode=low-delay-p
             # periodicity-idr analogue): IDR every `gop` frames,
@@ -442,6 +471,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
 
         qp = None
         gop = None
+        gdr = 0
         overlap = False
         search = 0
         refs = 1
@@ -470,6 +500,14 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 if gop < 1:
                     raise ValueError(f"tpu gop must be >= 1, got {gop}")
                 continue
+            if key == "gdr" and val:
+                try:
+                    gdr = int(val)
+                except ValueError:
+                    raise ValueError(f"bad tpu gdr in {backend!r}")
+                if gdr < 1:
+                    raise ValueError(f"tpu gdr must be >= 1, got {gdr}")
+                continue
             if key == "search" and val:
                 try:
                     search = int(val)
@@ -484,14 +522,34 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 continue
             if key != "qp" or not val:
                 raise ValueError(
-                    f"bad tpu option {opt!r} (qp=N|gop=N|search=N|"
-                    "refs=N|halfpel|quarterpel|deblock|overlap)")
+                    f"bad tpu option {opt!r} (qp=N|gop=N|gdr=N|"
+                    "search=N|refs=N|halfpel|quarterpel|deblock|"
+                    "overlap)")
             try:
                 qp = int(val)
             except ValueError:
                 raise ValueError(f"bad tpu qp in {backend!r}")
             if not 0 <= qp <= 51:
                 raise ValueError(f"tpu qp must be 0..51, got {qp}")
+        if gdr:
+            from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+
+            if gop is not None:
+                raise ValueError(
+                    "tpu gdr=N replaces gop=N (GDR streams have no "
+                    "periodic IDR) — give one or the other")
+            if qp is not None:
+                return TpuGopEncoder(width, height, qp=qp, gdr=gdr,
+                                     overlap=overlap, search=search,
+                                     halfpel=halfpel,
+                                     quarterpel=quarterpel, refs=refs,
+                                     deblock=deblock)
+            return TpuGopEncoder(width, height, qp=30, gdr=gdr,
+                                 bitrate_kbps=bitrate_kbps, fps=fps,
+                                 overlap=overlap, search=search,
+                                 halfpel=halfpel,
+                                 quarterpel=quarterpel, refs=refs,
+                                 deblock=deblock)
         if gop is not None and gop > 1:
             # GOP stream with device-resident reconstruction
             from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder

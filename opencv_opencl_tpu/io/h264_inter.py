@@ -69,7 +69,8 @@ from opencv_opencl_tpu.io.h264_cavlc import (
 from opencv_opencl_tpu.io.h264_pcm import (
     _START4, _BitWriter, _escape, _level_for)
 
-__all__ = ["build_sps_gop", "encode_frame_p_slices",
+__all__ = ["build_sps_gop", "build_recovery_point_sei",
+           "encode_frame_p_slices",
            "encode_frame_p_from_levels", "GopCavlcEncoder",
            "TpuGopEncoder", "search_candidates",
            "search_candidates_qpel", "halfpel_planes",
@@ -110,6 +111,34 @@ def build_sps_gop(width: int, height: int, refs: int = 1) -> bytes:
     w.u(0, 1)                        # vui_parameters_present_flag
     w.trailing()
     return _escape(w.bytes())
+
+
+def build_recovery_point_sei(recovery_frame_cnt: int,
+                             exact_match: bool = True) -> bytes:
+    """Recovery point SEI NAL (spec D.1.8/D.2.8) — the stream marker of
+    GDR refresh: a decoder that starts here has bit-exact output after
+    ``recovery_frame_cnt`` more frames (``exact_match_flag=1``; the
+    marching-intra wave guarantees it).  The reference requests this
+    stream shape with ``gdr-mode=horizontal``
+    (``OpenCVequalHist.cpp:313,325``)."""
+    p = _BitWriter()
+    p.ue(recovery_frame_cnt)
+    p.u(1 if exact_match else 0, 1)   # exact_match_flag
+    p.u(0, 1)                         # broken_link_flag
+    p.u(0, 2)                         # changing_slice_group_idc
+    if len(p._bits) % 8:              # sei_payload byte alignment
+        p.u(1, 1)
+        while len(p._bits) % 8:
+            p.u(0, 1)
+    payload = p.bytes()
+    w = _BitWriter()
+    w.u(0, 1).u(0, 2).u(6, 5)         # nal header: SEI (ref_idc 0)
+    w.u(6, 8)                         # payloadType: recovery_point
+    w.u(len(payload), 8)              # payloadSize
+    for b in payload:
+        w.u(b, 8)
+    w.trailing()
+    return bytes(_escape(w.bytes()))
 
 
 # coded_block_pattern -> codeNum for Inter MBs (spec Table 9-4,
@@ -162,7 +191,8 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                           height: int, qp: int, frame_num: int,
                           slices: int = 1, return_recon: bool = False,
                           search: int = 0, subpel: int = 0,
-                          deblock: bool = False, deblock_info=None):
+                          deblock: bool = False, deblock_info=None,
+                          force_intra_rows: tuple[int, int] | None = None):
     """Encode one 16-aligned NV12 frame as ``slices`` P slice NALs
     against ``recon`` = (ry, rcb, rcr), the reconstructed previous
     picture (int arrays, unpadded HxW — exactly what
@@ -258,7 +288,10 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                     mv_coded=mv_coded, inter_mask=inter_mask,
                     slice_top=bounds[si],
                     ref2=int(refsel[mby, mbx]),
-                    active_refs=active_refs, dbi=deblock_info)
+                    active_refs=active_refs, dbi=deblock_info,
+                    force_intra=(force_intra_rows is not None
+                                 and force_intra_rows[0] <= mby
+                                 < force_intra_rows[1]))
         if skip_run:
             w.ue(skip_run)  # trailing skipped MBs end the slice
         w.trailing()
@@ -764,7 +797,8 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
                  mv_coded: np.ndarray | None = None,
                  inter_mask: np.ndarray | None = None,
                  slice_top: int = 0, ref2: int = 0,
-                 active_refs: int = 1, dbi=None) -> int:
+                 active_refs: int = 1, dbi=None,
+                 force_intra: bool = False) -> int:
     """One P macroblock: P_Skip if the inter candidate quantizes to all
     zero (and the searched MV matches the skip predictor with
     reference 0), else the cheaper of P_L0_16x16 (te(v) ref_idx when
@@ -774,6 +808,19 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
     the updated skip_run."""
     y0, x0 = mby * 16, mbx * 16
     cy0, cx0 = mby * 8, mbx * 8
+
+    if force_intra:
+        # GDR refresh band: the MB is intra regardless of cost (the
+        # marching wave of gdr-mode=horizontal,
+        # OpenCVequalHist.cpp:313,325) — no inter candidate is even
+        # computed, so the band never references the previous picture
+        intra = _intra_candidate(mby, mbx, src, out, qp, qpc, top_ok,
+                                 left_ok)
+        _write_intra_in_p(w, mby, mbx, out, qp, qpc, skip_run, intra,
+                          lnnz, cbnnz, crnnz, top_ok, left_ok)
+        if dbi is not None:
+            dbi.intra[mby, mbx] = True
+        return 0
 
     # ---- inter candidate: residual vs co-located reference
     pred_y = ref["y"][y0:y0 + 16, x0:x0 + 16]
@@ -1098,12 +1145,42 @@ class GopCavlcEncoder:
                  fps: float = 30.0, slices: int = 1,
                  search: int = 0, halfpel: bool = False,
                  quarterpel: bool = False, refs: int = 1,
-                 deblock: bool = False) -> None:
+                 deblock: bool = False, gdr: int = 0) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import (
             CavlcH264Encoder, build_pps_cavlc)
 
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
+        # GDR horizontal intra refresh (gdr-mode=horizontal,
+        # OpenCVequalHist.cpp:313,325): no IDRs after the first frame;
+        # instead an intra MB-row band marches down the picture every
+        # ``gdr`` frames, each wave start carrying SPS+PPS+recovery
+        # point SEI.  Zero-motion P keeps the clean-region invariant
+        # for mid-stream joiners automatically (co-located prediction
+        # never reads below the co-located row).
+        self.gdr = int(gdr)
+        if self.gdr:
+            mb_h = -(-height // 16)
+            if self.gdr < 1:
+                raise ValueError(f"gdr must be >= 1, got {gdr}")
+            if search:
+                raise ValueError(
+                    "gdr does not compose with search=R yet (motion "
+                    "must be restricted to the refreshed region; "
+                    "zero-motion P is the supported configuration)")
+            if refs > 1:
+                raise ValueError("gdr requires refs=1")
+            if deblock:
+                raise ValueError(
+                    "gdr does not compose with deblock yet (the "
+                    "filter would bleed unrefreshed pixels across the "
+                    "wave boundary; needs idc=2 slice-local filtering)")
+            if max(1, min(int(slices), mb_h)) != mb_h:
+                raise ValueError("gdr requires one slice per MB row "
+                                 f"(slices={mb_h} here)")
+            self._gdr_period = min(self.gdr, mb_h)
+            self._gdr_rows = -(-mb_h // self._gdr_period)
+            gop = 1 << 30  # one IDR ever; refresh rides the wave
         self.search = int(search)
         self.subpel = 2 if quarterpel else (1 if halfpel else 0)
         if (halfpel or quarterpel) and not search:
@@ -1169,14 +1246,26 @@ class GopCavlcEncoder:
                 from opencv_opencl_tpu.io.h264_deblock import DeblockInfo
 
                 dbi = DeblockInfo(h16 // 16, w16 // 16)
+            band = None
+            prefix = b""
+            if self.gdr:
+                m = (self.frames - 1) % self._gdr_period
+                band = (m * self._gdr_rows,
+                        min((m + 1) * self._gdr_rows, h16 // 16))
+                if m == 0:
+                    # wave start: a mid-stream joiner needs parameter
+                    # sets + the recovery point marker
+                    prefix = (_START4 + self._sps + _START4 + self._pps
+                              + _START4 + build_recovery_point_sei(
+                                  self._gdr_period - 1))
             nals, recon = encode_frame_p_slices(
                 padded, refarg, w16, h16, self.qp,
                 frame_num=self._frame_num, slices=self.slices,
                 return_recon=True, search=self.search,
                 subpel=self.subpel, deblock=self.deblock,
-                deblock_info=dbi)
+                deblock_info=dbi, force_intra_rows=band)
             self._frame_num = (self._frame_num + 1) % 16
-            au = b"".join(_START4 + bytes(n) for n in nals)
+            au = prefix + b"".join(_START4 + bytes(n) for n in nals)
         if self.deblock:
             from opencv_opencl_tpu.io.h264_deblock import deblock_picture
 
@@ -1362,10 +1451,13 @@ def _gop_rate_control(enc, used: int) -> None:
     GOP encoders: a lone IDR over the per-frame budget is EXPECTED, so
     react only to the windowed mean (first window passes uncontrolled
     while it fills)."""
+    # GDR streams have no GOP; their homogeneous cost period is the
+    # refresh wave (one intra band per frame), so control over that
+    win = enc._gdr_period if getattr(enc, "gdr", 0) else enc.gop
     enc._au_window.append(used)
-    if len(enc._au_window) > enc.gop:
+    if len(enc._au_window) > win:
         enc._au_window.pop(0)
-    if len(enc._au_window) < enc.gop:
+    if len(enc._au_window) < win:
         return
     mean = sum(enc._au_window) / len(enc._au_window)
     target = enc.bitrate_kbps * 1000 / 8 / enc.fps
@@ -1406,11 +1498,32 @@ class TpuGopEncoder:
                  threads: int = 0, overlap: bool = False,
                  search: int = 0, halfpel: bool = False,
                  quarterpel: bool = False, refs: int = 1,
-                 deblock: bool = False) -> None:
+                 deblock: bool = False, gdr: int = 0) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
+        # GDR horizontal intra refresh — same stream shape and refusal
+        # matrix as GopCavlcEncoder(gdr=N); the wave band rides into
+        # the device program as two traced scalars (no recompiles)
+        self.gdr = int(gdr)
+        if self.gdr:
+            if search:
+                raise ValueError(
+                    "gdr does not compose with search=R yet (motion "
+                    "must be restricted to the refreshed region; "
+                    "zero-motion P is the supported configuration)")
+            if refs > 1:
+                raise ValueError("gdr requires refs=1")
+            if deblock:
+                raise ValueError(
+                    "gdr does not compose with deblock yet (the "
+                    "filter would bleed unrefreshed pixels across the "
+                    "wave boundary; needs idc=2 slice-local filtering)")
+            mb_h = -(-height // 16)
+            self._gdr_period = min(self.gdr, mb_h)
+            self._gdr_rows = -(-mb_h // self._gdr_period)
+            gop = 1 << 30  # one IDR ever; refresh rides the wave
         self.search = int(search)
         self.subpel = 2 if quarterpel else (1 if halfpel else 0)
         if (halfpel or quarterpel) and not search:
@@ -1488,6 +1601,7 @@ class TpuGopEncoder:
         uv = padded[h16:].reshape(h16 // 2, w16 // 2, 2)
         cb, cr = jnp.asarray(uv[:, :, 0]), jnp.asarray(uv[:, :, 1])
         qp = self.qp
+        prefix = b""
         if self.frames % self.gop == 0:
             lv, ry, rcb, rcr, imode = self._i_fn(y, cb, cr,
                                                  jnp.int32(qp))
@@ -1512,6 +1626,22 @@ class TpuGopEncoder:
                                        jnp.int32(qp), self.search,
                                        self.subpel)
                 active = 1
+            elif self.gdr:
+                m = (self.frames - 1) % self._gdr_period
+                mb_h = y.shape[0] // 16
+                lo = m * self._gdr_rows
+                hi = min((m + 1) * self._gdr_rows, mb_h)
+                plv = self._p_fn(y, cb, cr, *self._recon,
+                                 jnp.int32(qp), self.search,
+                                 self.subpel,
+                                 gdr_band=(jnp.int32(lo),
+                                           jnp.int32(hi)))
+                active = 1
+                if m == 0:
+                    prefix = (_START4 + self._intra._sps + _START4 +
+                              self._intra._pps + _START4 +
+                              build_recovery_point_sei(
+                                  self._gdr_period - 1))
             else:
                 plv = self._p_fn(y, cb, cr, *self._recon,
                                  jnp.int32(qp), self.search,
@@ -1541,7 +1671,7 @@ class TpuGopEncoder:
                               + getattr(self, "_ref_list", [])
                               )[:self.refs]
             pending = (plv[:5], "p", self._frame_num, qp, plv.mv,
-                       plv.ref, active)
+                       plv.ref, active, prefix)
             self._frame_num = (self._frame_num + 1) % 16
         self.frames += 1
         return pending
@@ -1568,7 +1698,8 @@ class TpuGopEncoder:
                                           deblock=self.deblock)
 
     def _assemble(self, lv, kind: str, num: int, qp: int,
-                  mv=None, ref=None, active_refs: int = 1) -> bytes:
+                  mv=None, ref=None, active_refs: int = 1,
+                  prefix: bytes = b"") -> bytes:
         if kind == "i":
             nals = self._intra._entropy_nals(
                 lv, num, qp,
@@ -1583,7 +1714,8 @@ class TpuGopEncoder:
                 mv=None if mv is None else np.asarray(mv),
                 ref=None if ref is None else np.asarray(ref),
                 active_refs=active_refs)
-            au = b"".join(_START4 + bytes(n) for n in nals)
+            # GDR wave starts carry SPS+PPS+recovery point SEI
+            au = prefix + b"".join(_START4 + bytes(n) for n in nals)
         if self.bitrate_kbps:
             _gop_rate_control(self, len(au))
         return au

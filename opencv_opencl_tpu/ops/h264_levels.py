@@ -673,7 +673,8 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                     subpel: int = 0,
                     ry2: jax.Array | None = None,
                     rcb2: jax.Array | None = None,
-                    rcr2: jax.Array | None = None) -> PLevelArrays:
+                    rcr2: jax.Array | None = None,
+                    gdr_band: tuple | None = None) -> PLevelArrays:
     """Levels + mode decisions + reconstruction of one P frame with one
     slice per MB row (oracle: io.h264_inter.encode_frame_p_slices at
     slices=mb_h; byte-identity proven in tests/test_h264_inter_tpu.py).
@@ -718,6 +719,16 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         mv = None
         pred_y, pred_cb, pred_cr = ry, rcb, rcr
         mv_zero = jnp.ones((mb_h, mb_w), bool)
+
+    # GDR refresh band (io.h264_inter GopCavlcEncoder gdr=N): MB rows
+    # in [lo, hi) are forced intra — the marching wave; traced scalars
+    # so the band position moves every frame without recompiling
+    band = None
+    if gdr_band is not None:
+        lo, hi = gdr_band
+        rows = jnp.arange(mb_h, dtype=jnp.int32)
+        band = (rows >= jnp.asarray(lo, jnp.int32)) & (
+            rows < jnp.asarray(hi, jnp.int32))
 
     mf_y = jnp.asarray(_MF_TAB)[qp % 6][jnp.asarray(_POS_CLASS)]
     mf_c = jnp.asarray(_MF_TAB)[qpc % 6][jnp.asarray(_POS_CLASS)]
@@ -836,6 +847,9 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                           cacz_cb_i, cacz_cr_i) + INTRA_BIAS
         skip = jnp.logical_and(cost_p == 0, mvz)
         use_intra = jnp.logical_and(~skip, cost_i < cost_p)
+        if band is not None:  # GDR wave rows: intra regardless of cost
+            skip = jnp.logical_and(skip, ~band)
+            use_intra = jnp.logical_or(use_intra, band)
         # intra mode value: 2 = I_16x16 DC, 3 = I_16x16 HORIZONTAL
         mode = jnp.where(skip, 0,
                          jnp.where(use_intra,
