@@ -361,6 +361,8 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         halfpel = False
         quarterpel = False
         deblock = False
+        cpb_ms = None
+        initdelay_ms = None
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
             if key == "halfpel" and not val:
@@ -373,12 +375,13 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 deblock = True
                 continue
             if (key not in ("qp", "slices", "gop", "search", "refs",
-                            "gdr")
+                            "gdr", "cpb", "initdelay")
                     or not val):
                 raise ValueError(
                     f"bad cavlc option {opt!r} "
                     "(qp=N, slices=N, gop=N, gdr=N, search=N, refs=N, "
-                    "halfpel, quarterpel, deblock)")
+                    "cpb=MS, initdelay=MS, halfpel, quarterpel, "
+                    "deblock)")
             try:
                 ival = int(val)
             except ValueError:
@@ -395,6 +398,10 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 if ival < 1:
                     raise ValueError(f"cavlc gdr must be >= 1, got {ival}")
                 gdr = ival
+            elif key == "cpb":
+                cpb_ms = ival   # validated by HrdParams
+            elif key == "initdelay":
+                initdelay_ms = ival
             elif key == "search":
                 search = ival  # validated by the encoder: int in [1, 15]
             elif key == "refs":
@@ -417,49 +424,45 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     "cavlc gdr=N replaces gop=N (GDR streams have no "
                     "periodic IDR) — give one or the other")
             mb_h = -(-height // 16)
+            kw = dict(slices=mb_h, search=search, halfpel=halfpel,
+                      quarterpel=quarterpel, refs=refs,
+                      deblock=deblock, cpb_ms=cpb_ms,
+                      initial_delay_ms=initdelay_ms)
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gdr=gdr,
-                                       slices=mb_h, search=search,
-                                       halfpel=halfpel,
-                                       quarterpel=quarterpel,
-                                       refs=refs, deblock=deblock)
+                                       **kw)
             return GopCavlcEncoder(width, height, qp=30, gdr=gdr,
                                    bitrate_kbps=bitrate_kbps, fps=fps,
-                                   slices=mb_h, search=search,
-                                   halfpel=halfpel,
-                                   quarterpel=quarterpel,
-                                   refs=refs, deblock=deblock)
+                                   **kw)
         if gop is not None and gop > 1:
             # low-delay-P GOP stream (the reference's gop-mode=low-delay-p
             # periodicity-idr analogue): IDR every `gop` frames,
             # zero-motion P pictures in between (io.h264_inter)
             from opencv_opencl_tpu.io.h264_inter import GopCavlcEncoder
 
+            kw = dict(slices=slices, search=search, halfpel=halfpel,
+                      quarterpel=quarterpel, refs=refs,
+                      deblock=deblock, cpb_ms=cpb_ms,
+                      initial_delay_ms=initdelay_ms)
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gop=gop,
-                                       slices=slices, search=search,
-                                       halfpel=halfpel,
-                                       quarterpel=quarterpel,
-                                       refs=refs, deblock=deblock)
+                                       **kw)
             return GopCavlcEncoder(width, height, qp=30, gop=gop,
                                    bitrate_kbps=bitrate_kbps, fps=fps,
-                                   slices=slices, search=search,
-                                   halfpel=halfpel,
-                                   quarterpel=quarterpel, refs=refs,
-                                   deblock=deblock)
+                                   **kw)
         if search or halfpel or quarterpel or refs > 1:
             raise ValueError(
                 "cavlc search=N/halfpel/quarterpel need a gop=N option "
                 "(motion search is a P-frame feature)")
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
+        kw = dict(slices=slices, threads=threads, deblock=deblock,
+                  cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms)
         if qp is not None:
             # fixed quantizer: no rate control
-            return CavlcH264Encoder(width, height, qp=qp, slices=slices,
-                                    threads=threads, deblock=deblock)
+            return CavlcH264Encoder(width, height, qp=qp, **kw)
         return CavlcH264Encoder(width, height, qp=30,
                                 bitrate_kbps=bitrate_kbps, fps=fps,
-                                slices=slices, threads=threads,
-                                deblock=deblock)
+                                **kw)
     if backend == "tpu" or backend.startswith("tpu:"):
         # the CAVLC encoder with its arithmetic on the TPU (one jitted
         # prediction/transform/quant program, ops/h264_levels.py); the
@@ -478,10 +481,22 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         halfpel = False
         quarterpel = False
         deblock = False
+        cpb_ms = None
+        initdelay_ms = None
         for opt in backend.split(":")[1:]:
             key, _, val = opt.partition("=")
             if key == "overlap" and not val:
                 overlap = True
+                continue
+            if key in ("cpb", "initdelay") and val:
+                try:
+                    ms = int(val)
+                except ValueError:
+                    raise ValueError(f"bad tpu {key} in {backend!r}")
+                if key == "cpb":
+                    cpb_ms = ms
+                else:
+                    initdelay_ms = ms
                 continue
             if key == "halfpel" and not val:
                 halfpel = True
@@ -523,8 +538,8 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key != "qp" or not val:
                 raise ValueError(
                     f"bad tpu option {opt!r} (qp=N|gop=N|gdr=N|"
-                    "search=N|refs=N|halfpel|quarterpel|deblock|"
-                    "overlap)")
+                    "search=N|refs=N|cpb=MS|initdelay=MS|halfpel|"
+                    "quarterpel|deblock|overlap)")
             try:
                 qp = int(val)
             except ValueError:
@@ -538,44 +553,41 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 raise ValueError(
                     "tpu gdr=N replaces gop=N (GDR streams have no "
                     "periodic IDR) — give one or the other")
+            kw = dict(overlap=overlap, search=search, halfpel=halfpel,
+                      quarterpel=quarterpel, refs=refs,
+                      deblock=deblock, cpb_ms=cpb_ms,
+                      initial_delay_ms=initdelay_ms)
             if qp is not None:
                 return TpuGopEncoder(width, height, qp=qp, gdr=gdr,
-                                     overlap=overlap, search=search,
-                                     halfpel=halfpel,
-                                     quarterpel=quarterpel, refs=refs,
-                                     deblock=deblock)
+                                     **kw)
             return TpuGopEncoder(width, height, qp=30, gdr=gdr,
                                  bitrate_kbps=bitrate_kbps, fps=fps,
-                                 overlap=overlap, search=search,
-                                 halfpel=halfpel,
-                                 quarterpel=quarterpel, refs=refs,
-                                 deblock=deblock)
+                                 **kw)
         if gop is not None and gop > 1:
             # GOP stream with device-resident reconstruction
             from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
 
+            kw = dict(overlap=overlap, search=search, halfpel=halfpel,
+                      quarterpel=quarterpel, refs=refs,
+                      deblock=deblock, cpb_ms=cpb_ms,
+                      initial_delay_ms=initdelay_ms)
             if qp is not None:
                 return TpuGopEncoder(width, height, qp=qp, gop=gop,
-                                     overlap=overlap, search=search,
-                                     halfpel=halfpel,
-                                     quarterpel=quarterpel, refs=refs,
-                                     deblock=deblock)
+                                     **kw)
             return TpuGopEncoder(width, height, qp=30, gop=gop,
                                  bitrate_kbps=bitrate_kbps, fps=fps,
-                                 overlap=overlap, search=search,
-                                 halfpel=halfpel,
-                                 quarterpel=quarterpel, refs=refs,
-                                 deblock=deblock)
+                                 **kw)
         if search or halfpel or quarterpel or refs > 1:
             raise ValueError(
                 "tpu search=N/halfpel/quarterpel need a gop=N option "
                 "(motion search is a P-frame feature)")
+        kw = dict(overlap=overlap, deblock=deblock, cpb_ms=cpb_ms,
+                  initial_delay_ms=initdelay_ms)
         if qp is not None:
-            return TpuCavlcEncoder(width, height, qp=qp, overlap=overlap,
-                                   deblock=deblock)
+            return TpuCavlcEncoder(width, height, qp=qp, **kw)
         return TpuCavlcEncoder(width, height, qp=30,
                                bitrate_kbps=bitrate_kbps, fps=fps,
-                               overlap=overlap, deblock=deblock)
+                               **kw)
     if backend == "ffmpeg":
         if not shutil.which("ffmpeg"):
             raise ValueError("ffmpeg not on PATH (try --encoder=pcm)")

@@ -903,7 +903,9 @@ class CavlcH264Encoder:
     def __init__(self, width: int, height: int, qp: int = 30,
                  bitrate_kbps: int | None = None, fps: float = 30.0,
                  native: str = "auto", slices: int = 1,
-                 threads: int = 0, deblock: bool = False) -> None:
+                 threads: int = 0, deblock: bool = False,
+                 cpb_ms: int | None = None,
+                 initial_delay_ms: int | None = None) -> None:
         """``slices`` > 1 splits each frame into that many independent
         IDR slices (MB-row bands — the reference's ``num-slices=8``
         analogue): smaller NALs on the wire and, with ``threads`` > 0 on
@@ -924,7 +926,27 @@ class CavlcH264Encoder:
         self._threads = max(0, int(threads))
         self.bitrate_kbps = bitrate_kbps
         self.fps = fps
-        self._sps = build_sps(width, height)
+        # CPB/HRD hard constraint (control-rate=low-latency cpb-size=N
+        # initial-delay=M, OpenCVequalHist.cpp:313-314): the windowed/
+        # proportional control shapes the average; the leaky bucket is
+        # the per-frame ceiling, enforced by re-encoding at higher QP
+        self._cpb = None
+        if cpb_ms is None and initial_delay_ms is not None:
+            raise ValueError("initdelay requires cpb")
+        if cpb_ms is not None:
+            from opencv_opencl_tpu.io.h264_hrd import CpbModel
+
+            if not bitrate_kbps:
+                raise ValueError(
+                    "cpb needs bitrate control (bitrate_kbps), not a "
+                    "fixed qp")
+            self._cpb = CpbModel(
+                bitrate_kbps, cpb_ms,
+                cpb_ms // 2 if initial_delay_ms is None
+                else initial_delay_ms, fps)
+        self._sps = build_sps(
+            width, height,
+            hrd=None if self._cpb is None else self._cpb.params)
         self._pps = build_pps_cavlc()
         self._idr_pic_id = 0
         self.frames = 0
@@ -986,6 +1008,14 @@ class CavlcH264Encoder:
             delta = round(6 * math.log2(used / target))
             self.qp = min(51, max(10, self.qp + min(6, max(-3, delta))))
 
+    def _cpb_bump(self, qp: int, bits: int, budget: int) -> int:
+        """QP step that should bring ``bits`` under ``budget`` (intra
+        bits roughly halve per +6 QP)."""
+        import math
+
+        step = round(6 * math.log2(bits / max(budget, 1)))
+        return min(51, qp + max(1, min(6, step)))
+
     def encode(self, nv12: np.ndarray) -> list[bytes]:
         rows = self.height * 3 // 2
         arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
@@ -993,9 +1023,20 @@ class CavlcH264Encoder:
         idr = self._idr_pic_id
         self._idr_pic_id ^= 1
         self.frames += 1
-        nals = self._encode_nals(padded, w16, h16, idr, self.qp)
-        au = (_START4 + self._sps + _START4 + self._pps +
-              b"".join(_START4 + bytes(n) for n in nals))
+        qp = self.qp
+        while True:
+            nals = self._encode_nals(padded, w16, h16, idr, qp)
+            au = (_START4 + self._sps + _START4 + self._pps +
+                  b"".join(_START4 + bytes(n) for n in nals))
+            if self._cpb is None or qp >= 51:
+                break
+            budget = self._cpb.budget_bits()
+            if 8 * len(au) <= budget:
+                break
+            qp = self._cpb_bump(qp, 8 * len(au), budget)
+        if self._cpb is not None:
+            self._cpb.add_frame(8 * len(au))
+            self.qp = qp  # the forced QP carries forward
         if self.bitrate_kbps:
             self._rate_control(len(au))
         return [au]
@@ -1038,15 +1079,23 @@ class TpuCavlcEncoder(CavlcH264Encoder):
     def __init__(self, width: int, height: int, qp: int = 30,
                  bitrate_kbps: int | None = None, fps: float = 30.0,
                  native: str = "auto", threads: int = 0,
-                 overlap: bool = False, deblock: bool = False) -> None:
+                 overlap: bool = False, deblock: bool = False,
+                 cpb_ms: int | None = None,
+                 initial_delay_ms: int | None = None) -> None:
         h16 = -(-height // 16) * 16
         if threads == 0:
             import os
 
             threads = os.cpu_count() or 1
+        if overlap and cpb_ms is not None:
+            raise ValueError(
+                "cpb does not compose with overlap (the CPB re-encode "
+                "loop is synchronous per frame)")
         super().__init__(width, height, qp=qp, bitrate_kbps=bitrate_kbps,
                          fps=fps, native=native, slices=h16 // 16,
-                         threads=threads, deblock=deblock)
+                         threads=threads, deblock=deblock,
+                         cpb_ms=cpb_ms,
+                         initial_delay_ms=initial_delay_ms)
         # jax import lives here, not module top — the pure-CPU encoder
         # classes above must stay importable without it
         from opencv_opencl_tpu.ops.h264_levels import encode_levels_jit

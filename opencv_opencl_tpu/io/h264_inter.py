@@ -78,7 +78,8 @@ __all__ = ["build_sps_gop", "build_recovery_point_sei",
            "SEARCH_KEY_RADIX"]
 
 
-def build_sps_gop(width: int, height: int, refs: int = 1) -> bytes:
+def build_sps_gop(width: int, height: int, refs: int = 1,
+                  hrd=None) -> bytes:
     """SPS for a low-delay-P stream: like io.h264_pcm.build_sps but with
     ``max_num_ref_frames=refs`` (P pictures reference the previous
     ``refs`` pictures; the sliding window evicts older ones
@@ -108,7 +109,10 @@ def build_sps_gop(width: int, height: int, refs: int = 1) -> bytes:
         w.ue(0).ue(crop_r).ue(0).ue(crop_b)
     else:
         w.u(0, 1)
-    w.u(0, 1)                        # vui_parameters_present_flag
+    if hrd is None:
+        w.u(0, 1)                    # vui_parameters_present_flag
+    else:
+        hrd.write_vui(w)
     w.trailing()
     return _escape(w.bytes())
 
@@ -249,10 +253,14 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
         planes = (quarterpel_planes(ry, margin) if subpel == 2
                   else halfpel_planes(ry, margin))
         mv = motion_search(y, ry, search, subpel=subpel, planes=planes,
-                           margin=margin)
+                           margin=margin,
+                           clean_rows=None if force_intra_rows is None
+                           else force_intra_rows[0])
         pred = mc_planes(ref, mv, planes=planes, margin=margin)
     elif search:
-        mv = motion_search(y, ry, search)
+        mv = motion_search(y, ry, search,
+                           clean_rows=None if force_intra_rows is None
+                           else force_intra_rows[0])
         pred = mc_planes(ref, mv)
     else:
         mv = np.zeros((mb_h, mb_w, 2), dtype=np.int64)
@@ -444,10 +452,25 @@ def _plane_index(fy, fx, nplanes: int):
     return fy * 0
 
 
+# Reference rows read BELOW an MC block's bottom sample, per vertical
+# quarter fraction (qy & 3): 0 none; 1/2 the 6-tap half-sample support
+# (+3, also covers the chroma bilinear's +2); 3 the down-average
+# quarter positions (n/p/q/r read the NEXT row's half samples: +4).
+# This is the exact reach bound the GDR clean-region restriction uses.
+_MC_ROW_EXT = (0, 3, 3, 4)
+
+# Exclusion key for restricted candidates: strictly above every valid
+# packed key (max sad 65280 * radix 8192 + idx < 2^30) and equal to
+# the device program's int32 init value, so oracle and device make
+# identical selections even on all-excluded ties.
+_BAD_KEY = (1 << 31) - 1
+
+
 def motion_search(y: np.ndarray, ry: np.ndarray, search: int,
                   subpel: int = 0,
                   planes: np.ndarray | None = None,
-                  margin: int = 0) -> np.ndarray:
+                  margin: int = 0,
+                  clean_rows: int | None = None) -> np.ndarray:
     """Exhaustive per-MB SAD search over :func:`search_candidates_qpel`
     against the reconstructed previous picture; returns the MV field
     ``(mb_h, mb_w, 2)`` int64 as (dy, dx) in QUARTER-pel units.  With
@@ -475,6 +498,7 @@ def motion_search(y: np.ndarray, ry: np.ndarray, search: int,
                         ).astype(np.uint8)[None]
     cur = y.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
     cands = search_candidates_qpel(search, subpel)
+    rows = np.arange(mb_h)
     best = None
     best_key = None
     for idx, (qy, qx) in enumerate(cands):
@@ -485,6 +509,16 @@ def motion_search(y: np.ndarray, ry: np.ndarray, search: int,
             cur - ref.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
         ).sum(axis=(1, 3), dtype=np.int64)
         key = sad * SEARCH_KEY_RADIX + idx
+        if clean_rows is not None:
+            # GDR clean-region restriction: an already-refreshed MB row
+            # must not read reference samples at or below the wave
+            # (16*clean_rows), including interpolation support — a
+            # mid-stream joiner's dirty region would leak in otherwise.
+            # The zero-MV candidate is always legal, so every row keeps
+            # at least one choice.
+            maxrow = 16 * rows + 15 + (qy >> 2) + _MC_ROW_EXT[qy & 3]
+            bad = (rows < clean_rows) & (maxrow > 16 * clean_rows - 1)
+            key = np.where(bad[:, None], np.int64(_BAD_KEY), key)
         if best is None:
             best, best_key = np.full((mb_h, mb_w), idx), key
         else:
@@ -1145,7 +1179,9 @@ class GopCavlcEncoder:
                  fps: float = 30.0, slices: int = 1,
                  search: int = 0, halfpel: bool = False,
                  quarterpel: bool = False, refs: int = 1,
-                 deblock: bool = False, gdr: int = 0) -> None:
+                 deblock: bool = False, gdr: int = 0,
+                 cpb_ms: int | None = None,
+                 initial_delay_ms: int | None = None) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import (
             CavlcH264Encoder, build_pps_cavlc)
 
@@ -1163,11 +1199,6 @@ class GopCavlcEncoder:
             mb_h = -(-height // 16)
             if self.gdr < 1:
                 raise ValueError(f"gdr must be >= 1, got {gdr}")
-            if search:
-                raise ValueError(
-                    "gdr does not compose with search=R yet (motion "
-                    "must be restricted to the refreshed region; "
-                    "zero-motion P is the supported configuration)")
             if refs > 1:
                 raise ValueError("gdr requires refs=1")
             if deblock:
@@ -1212,7 +1243,26 @@ class GopCavlcEncoder:
         self.slices = int(slices)
         self.bitrate_kbps = bitrate_kbps
         self.fps = fps
-        self._sps = build_sps_gop(width, height, refs=self.refs)
+        # CPB/HRD hard constraint (cpb-size/initial-delay,
+        # OpenCVequalHist.cpp:313-314): leaky-bucket ceiling enforced
+        # by re-encoding over-budget frames at higher QP
+        self._cpb = None
+        if cpb_ms is None and initial_delay_ms is not None:
+            raise ValueError("initdelay requires cpb")
+        if cpb_ms is not None:
+            from opencv_opencl_tpu.io.h264_hrd import CpbModel
+
+            if not bitrate_kbps:
+                raise ValueError(
+                    "cpb needs bitrate control (bitrate_kbps), not a "
+                    "fixed qp")
+            self._cpb = CpbModel(
+                bitrate_kbps, cpb_ms,
+                cpb_ms // 2 if initial_delay_ms is None
+                else initial_delay_ms, fps)
+        self._sps = build_sps_gop(
+            width, height, refs=self.refs,
+            hrd=None if self._cpb is None else self._cpb.params)
         self._pps = build_pps_cavlc()
         self._idr_pic_id = 0
         self._frame_num = 0
@@ -1220,23 +1270,21 @@ class GopCavlcEncoder:
         self.frames = 0
         self._au_window: list[int] = []
 
-    def encode(self, nv12: np.ndarray) -> list[bytes]:
+    def _encode_at(self, padded, w16: int, h16: int, qp: int):
+        """Encode the current frame at ``qp`` WITHOUT committing any
+        encoder state (the CPB loop may retry at a higher QP).
+        Returns (au, recon, dbi, is_idr)."""
         from opencv_opencl_tpu.io.h264_cavlc import (
             encode_frame_cavlc_slices)
         from opencv_opencl_tpu.io.h264_pcm import _START4
 
-        rows = self.height * 3 // 2
-        arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
-        padded, w16, h16 = self._intra._pad(arr)
         dbi = None
-        if self.frames % self.gop == 0:
+        is_idr = self.frames % self.gop == 0
+        if is_idr:
             nals, recon = encode_frame_cavlc_slices(
-                padded, w16, h16, self.qp, idr_pic_id=self._idr_pic_id,
+                padded, w16, h16, qp, idr_pic_id=self._idr_pic_id,
                 slices=self.slices, return_recon=True,
                 deblock=self.deblock)
-            self._idr_pic_id ^= 1
-            self._frame_num = 1
-            self._ref_list = []  # IDR flushes the DPB
             au = (_START4 + self._sps + _START4 + self._pps +
                   b"".join(_START4 + bytes(n) for n in nals))
         else:
@@ -1259,19 +1307,44 @@ class GopCavlcEncoder:
                               + _START4 + build_recovery_point_sei(
                                   self._gdr_period - 1))
             nals, recon = encode_frame_p_slices(
-                padded, refarg, w16, h16, self.qp,
+                padded, refarg, w16, h16, qp,
                 frame_num=self._frame_num, slices=self.slices,
                 return_recon=True, search=self.search,
                 subpel=self.subpel, deblock=self.deblock,
                 deblock_info=dbi, force_intra_rows=band)
-            self._frame_num = (self._frame_num + 1) % 16
             au = prefix + b"".join(_START4 + bytes(n) for n in nals)
+        return au, recon, dbi, is_idr
+
+    def encode(self, nv12: np.ndarray) -> list[bytes]:
+        rows = self.height * 3 // 2
+        arr = np.asarray(nv12, dtype=np.uint8).reshape(rows, self.width)
+        padded, w16, h16 = self._intra._pad(arr)
+        qp = self.qp
+        while True:
+            au, recon, dbi, is_idr = self._encode_at(padded, w16, h16,
+                                                     qp)
+            if self._cpb is None or qp >= 51:
+                break
+            budget = self._cpb.budget_bits()
+            if 8 * len(au) <= budget:
+                break
+            qp = self._intra._cpb_bump(qp, 8 * len(au), budget)
+        if self._cpb is not None:
+            self._cpb.add_frame(8 * len(au))
+            self.qp = qp  # the forced QP carries forward
+        # ---- commit
+        if is_idr:
+            self._idr_pic_id ^= 1
+            self._frame_num = 1
+            self._ref_list = []  # IDR flushes the DPB
+        else:
+            self._frame_num = (self._frame_num + 1) % 16
         if self.deblock:
             from opencv_opencl_tpu.io.h264_deblock import deblock_picture
 
             # the reference chain (and the decoder's display picture)
             # is the FILTERED reconstruction; dbi=None == all-intra IDR
-            recon = deblock_picture(*recon, self.qp, dbi)
+            recon = deblock_picture(*recon, qp, dbi)
         self._recon = recon
         self._ref_list = ([recon] + getattr(self, "_ref_list", [])
                           )[:self.refs]
@@ -1498,7 +1571,9 @@ class TpuGopEncoder:
                  threads: int = 0, overlap: bool = False,
                  search: int = 0, halfpel: bool = False,
                  quarterpel: bool = False, refs: int = 1,
-                 deblock: bool = False, gdr: int = 0) -> None:
+                 deblock: bool = False, gdr: int = 0,
+                 cpb_ms: int | None = None,
+                 initial_delay_ms: int | None = None) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         if gop < 1:
@@ -1508,11 +1583,6 @@ class TpuGopEncoder:
         # the device program as two traced scalars (no recompiles)
         self.gdr = int(gdr)
         if self.gdr:
-            if search:
-                raise ValueError(
-                    "gdr does not compose with search=R yet (motion "
-                    "must be restricted to the refreshed region; "
-                    "zero-motion P is the supported configuration)")
             if refs > 1:
                 raise ValueError("gdr requires refs=1")
             if deblock:
@@ -1564,6 +1634,38 @@ class TpuGopEncoder:
         self._i_fn = encode_levels_recon_jit
         self._p_fn = encode_p_levels_jit
         self._p2_fn = encode_p_levels2_jit
+        # CPB/HRD hard ceiling: the re-encode loop snapshots encoder
+        # state and re-dispatches over-budget frames at higher QP — so
+        # the reference planes must SURVIVE a dispatch (non-donating P
+        # programs; one extra recon set stays alive, the price of
+        # retryability)
+        self._cpb = None
+        if cpb_ms is None and initial_delay_ms is not None:
+            raise ValueError("initdelay requires cpb")
+        if cpb_ms is not None:
+            import jax as _jax
+
+            from opencv_opencl_tpu.io.h264_hrd import CpbModel
+            from opencv_opencl_tpu.ops.h264_levels import (
+                encode_p_levels as _ep)
+
+            if not bitrate_kbps:
+                raise ValueError(
+                    "cpb needs bitrate control (bitrate_kbps), not a "
+                    "fixed qp")
+            if overlap:
+                raise ValueError(
+                    "cpb does not compose with overlap (the CPB "
+                    "re-encode loop is synchronous per frame)")
+            self._cpb = CpbModel(
+                bitrate_kbps, cpb_ms,
+                cpb_ms // 2 if initial_delay_ms is None
+                else initial_delay_ms, fps)
+            self._p_fn = _jax.jit(_ep, static_argnums=(7, 8))
+            self._p2_fn = self._p_fn
+            self._intra._sps = build_sps_gop(width, height,
+                                             refs=self.refs,
+                                             hrd=self._cpb.params)
         # in-loop deblocking: every reference picture is the FILTERED
         # reconstruction, computed ON DEVICE by the wavefront program
         # (ops/h264_deblock.py) so the recon chain stays in HBM.
@@ -1589,9 +1691,10 @@ class TpuGopEncoder:
             # donated (it becomes the next frame's second reference)
             self._p1_keep_fn = _jax.jit(_ep, static_argnums=(7, 8))
 
-    def _dispatch(self, nv12: np.ndarray):
+    def _dispatch(self, nv12: np.ndarray, qp_override: int | None = None):
         """Run the (async) device program for one frame; returns the
-        pending tuple (levels-on-device, kind, number, qp)."""
+        pending tuple (levels-on-device, kind, number, qp).
+        ``qp_override`` serves the CPB re-encode loop."""
         import jax.numpy as jnp
 
         rows = self.height * 3 // 2
@@ -1600,7 +1703,7 @@ class TpuGopEncoder:
         y = jnp.asarray(padded[:h16])
         uv = padded[h16:].reshape(h16 // 2, w16 // 2, 2)
         cb, cr = jnp.asarray(uv[:, :, 0]), jnp.asarray(uv[:, :, 1])
-        qp = self.qp
+        qp = self.qp if qp_override is None else qp_override
         prefix = b""
         if self.frames % self.gop == 0:
             lv, ry, rcb, rcr, imode = self._i_fn(y, cb, cr,
@@ -1699,7 +1802,7 @@ class TpuGopEncoder:
 
     def _assemble(self, lv, kind: str, num: int, qp: int,
                   mv=None, ref=None, active_refs: int = 1,
-                  prefix: bytes = b"") -> bytes:
+                  prefix: bytes = b"", do_rc: bool = True) -> bytes:
         if kind == "i":
             nals = self._intra._entropy_nals(
                 lv, num, qp,
@@ -1716,11 +1819,37 @@ class TpuGopEncoder:
                 active_refs=active_refs)
             # GDR wave starts carry SPS+PPS+recovery point SEI
             au = prefix + b"".join(_START4 + bytes(n) for n in nals)
-        if self.bitrate_kbps:
+        if do_rc and self.bitrate_kbps:
             _gop_rate_control(self, len(au))
         return au
 
     def encode(self, nv12: np.ndarray) -> list[bytes]:
+        if self._cpb is not None:
+            # synchronous CPB loop: snapshot the chain state, dispatch
+            # + entropy-code, and retry at a higher QP when the AU
+            # exceeds the leaky-bucket budget (the non-donating P
+            # programs keep the snapshot's reference planes alive)
+            snap = (self._recon, getattr(self, "_ref_list", None),
+                    self._frame_num, self.frames,
+                    self._intra._idr_pic_id)
+            qp = self.qp
+            while True:
+                au = self._assemble(*self._dispatch(nv12,
+                                                    qp_override=qp),
+                                    do_rc=False)
+                if qp >= 51:
+                    break
+                budget = self._cpb.budget_bits()
+                if 8 * len(au) <= budget:
+                    break
+                (self._recon, self._ref_list, self._frame_num,
+                 self.frames, self._intra._idr_pic_id) = snap
+                qp = self._intra._cpb_bump(qp, 8 * len(au), budget)
+            self._cpb.add_frame(8 * len(au))
+            self.qp = qp  # the forced QP carries forward
+            if self.bitrate_kbps:
+                _gop_rate_control(self, len(au))
+            return [au]
         pending = self._dispatch(nv12)
         if not self._overlap:
             return [self._assemble(*pending)]

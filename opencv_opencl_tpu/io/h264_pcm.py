@@ -161,8 +161,10 @@ def _level_for(mbs: int, dpb_frames: int = 1) -> int:
     return 62
 
 
-def build_sps(width: int, height: int) -> bytes:
-    """Sequence parameter set for a frame_mbs_only baseline stream."""
+def build_sps(width: int, height: int, hrd=None) -> bytes:
+    """Sequence parameter set for a frame_mbs_only baseline stream.
+    ``hrd`` (io.h264_hrd.HrdParams) adds VUI timing + NAL HRD
+    parameters — the declared CPB model of cpb-constrained streams."""
     mb_w = -(-width // 16)
     mb_h = -(-height // 16)
     crop_r = (mb_w * 16 - width) // 2   # CropUnitX = 2 (4:2:0)
@@ -186,7 +188,10 @@ def build_sps(width: int, height: int) -> bytes:
         w.ue(0).ue(crop_r).ue(0).ue(crop_b)
     else:
         w.u(0, 1)
-    w.u(0, 1)                        # vui_parameters_present_flag
+    if hrd is None:
+        w.u(0, 1)                    # vui_parameters_present_flag
+    else:
+        hrd.write_vui(w)
     w.trailing()
     return _escape(w.bytes())
 

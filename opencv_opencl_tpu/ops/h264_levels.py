@@ -452,7 +452,7 @@ def quarterpel_planes_jax(ry: jax.Array, margin: int) -> jax.Array:
 
 def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
                      rcr: jax.Array, search: int,
-                     subpel: int = 0):
+                     subpel: int = 0, clean_rows=None):
     """Device-side exhaustive motion search + motion compensation in
     ONE pass over the candidate set: per candidate, the SAD field and
     a running best-key/best-pred update — when the loop ends the
@@ -489,7 +489,8 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     units, pred_y, pred_cb, pred_cr int32 planes).
     """
     from opencv_opencl_tpu.io.h264_inter import (
-        SEARCH_KEY_RADIX, _plane_index, search_candidates_qpel)
+        _BAD_KEY, _MC_ROW_EXT, SEARCH_KEY_RADIX, _plane_index,
+        search_candidates_qpel)
 
     H, W = y.shape
     mb_h, mb_w = H // 16, W // 16
@@ -545,6 +546,15 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
                     .reshape(mb_h, 16, mb_w, 16)).astype(jnp.int32),
             axis=(1, 3))
         key = sad * SEARCH_KEY_RADIX + i
+        if clean_rows is not None:
+            # GDR clean-region restriction (oracle twin in
+            # io.h264_inter.motion_search): refreshed MB rows must not
+            # read at or below the wave, interpolation reach included
+            rows = jnp.arange(mb_h, dtype=jnp.int32)
+            maxrow = (16 * rows + 15 + (qy >> 2)
+                      + jnp.asarray(_MC_ROW_EXT, jnp.int32)[qy & 3])
+            bad = (rows < clean_rows) & (maxrow > 16 * clean_rows - 1)
+            key = jnp.where(bad[:, None], jnp.int32(_BAD_KEY), key)
         take = key < best_key                       # (mb_h, mb_w)
         ty = jnp.repeat(jnp.repeat(take, 16, 0), 16, 1)
         tc = jnp.repeat(jnp.repeat(take, 8, 0), 8, 1)
@@ -705,6 +715,9 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     qpc = jnp.asarray(_QPC_TAB)[jnp.clip(qp, 0, 51)]
 
     refsel = None
+    if gdr_band is not None and ry2 is not None:
+        raise ValueError("gdr_band does not compose with two "
+                         "references")
     if search and ry2 is not None:
         # two-reference search: P_Skip additionally requires ref 0
         mv, refsel, pred_y, pred_cb, pred_cr = motion_search_mc_multi(
@@ -713,7 +726,9 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                    & (refsel == 0))
     elif search:
         mv, pred_y, pred_cb, pred_cr = motion_search_mc(
-            y, ry, rcb, rcr, search, subpel)
+            y, ry, rcb, rcr, search, subpel,
+            clean_rows=None if gdr_band is None
+            else jnp.asarray(gdr_band[0], jnp.int32))
         mv_zero = (mv[:, :, 0] == 0) & (mv[:, :, 1] == 0)
     else:
         mv = None

@@ -95,16 +95,22 @@ class TestConformance:
                 d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
                 f"frame {i}"
 
-    def test_midstream_join_recovers_exactly(self, tmp_path):
+    @pytest.mark.parametrize("kw", [
+        {}, {"search": 2}, {"search": 2, "quarterpel": True},
+    ], ids=["zero-motion", "fullpel", "quarterpel"])
+    def test_midstream_join_recovers_exactly(self, kw, tmp_path):
         """Drop every AU before the frame-4 recovery point; libavcodec
         discards the not-yet-clean frames and the FIRST output frame is
         the wave-completion picture, bit-identical to the continuous
-        decode (exact_match_flag=1 semantics)."""
+        decode (exact_match_flag=1 semantics).  The search variants are
+        THE proof of the clean-region motion restriction: one MV read
+        below the wave would leak the joiner's garbage into the clean
+        region and break the bit-identity forever."""
         import cv2
 
         w, h = 64, 48  # mb_h=3, gdr=3: waves start at frames 1, 4, 7
         fs = moving_frames(w, h, 10, seed=1)
-        aus, recons = encode_gdr(fs, w, h, qp=28, gdr=3)
+        aus, recons = encode_gdr(fs, w, h, qp=28, gdr=3, **kw)
         join = 4
         p = tmp_path / "join.h264"
         p.write_bytes(b"".join(aus[join:]) + aus[-1])
@@ -127,11 +133,14 @@ class TestConformance:
 
 
 class TestTpuParity:
-    def test_byte_identical_to_oracle(self):
+    @pytest.mark.parametrize("kw", [
+        {}, {"search": 2}, {"search": 2, "quarterpel": True},
+    ], ids=["zero-motion", "fullpel", "quarterpel"])
+    def test_byte_identical_to_oracle(self, kw):
         w, h = 64, 48
         fs = moving_frames(w, h, 8, seed=2)
-        a = GopCavlcEncoder(w, h, qp=28, gdr=3, slices=h // 16)
-        b = TpuGopEncoder(w, h, qp=28, gdr=3)
+        a = GopCavlcEncoder(w, h, qp=28, gdr=3, slices=h // 16, **kw)
+        b = TpuGopEncoder(w, h, qp=28, gdr=3, **kw)
         for i, f in enumerate(fs):
             assert a.encode(f) == b.encode(f), f"frame {i}"
 
@@ -159,14 +168,56 @@ class TestTpuParity:
         assert aus_a == aus_b
 
 
+class TestMotionRestriction:
+    def test_clean_rows_never_read_below_the_wave(self):
+        """Content whose best match lies BELOW the wave: unrestricted
+        search would take it; the clean-region search must not."""
+        from opencv_opencl_tpu.io.h264_inter import (
+            _MC_ROW_EXT, motion_search)
+
+        rng = np.random.default_rng(0)
+        w, h = 64, 64  # 4 MB rows
+        ry = rng.integers(0, 256, (h, w)).astype(np.int64)
+        # current row 0 == reference rows 8..24 shifted up: best match
+        # at dy=+8 full-pel (= 32 quarter), which reads rows 8..31
+        y = np.roll(ry, -8, axis=0)
+        free = motion_search(y, ry, search=8)
+        restricted = motion_search(y, ry, search=8, clean_rows=1)
+        assert (free[0, :, 0] == 32).all()      # takes the true motion
+        for mbx in range(w // 16):
+            dy = int(restricted[0, mbx, 0])
+            # every restricted choice honors the reach bound
+            assert 15 + (dy >> 2) + _MC_ROW_EXT[dy & 3] <= 15
+        # rows at/below the wave stay unrestricted
+        assert np.array_equal(free[1:], restricted[1:])
+
+    def test_device_restriction_matches_oracle(self):
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import motion_search
+        from opencv_opencl_tpu.ops.h264_levels import motion_search_mc
+
+        rng = np.random.default_rng(1)
+        w, h = 64, 64
+        ry = rng.integers(0, 256, (h, w)).astype(np.int64)
+        y = np.roll(ry, -6, axis=0)
+        for subpel in (0, 2):
+            o = motion_search(y, ry, 4, subpel=subpel, clean_rows=2)
+            d, _, _, _ = motion_search_mc(
+                jnp.asarray(y, jnp.uint8), jnp.asarray(ry, jnp.uint8),
+                jnp.full((h // 2, w // 2), 128, jnp.uint8),
+                jnp.full((h // 2, w // 2), 128, jnp.uint8),
+                4, subpel, clean_rows=jnp.int32(2))
+            assert np.array_equal(o, np.asarray(d, dtype=np.int64)), \
+                f"subpel={subpel}"
+
+
 class TestRefusals:
     @pytest.mark.parametrize("cls", [GopCavlcEncoder, TpuGopEncoder])
     def test_unsupported_compositions(self, cls):
         kw = {} if cls is TpuGopEncoder else {"slices": 3}
-        with pytest.raises(ValueError, match="search"):
-            cls(64, 48, gdr=3, search=2, **kw)
         with pytest.raises(ValueError, match="refs"):
-            cls(64, 48, gdr=3, refs=2, **kw)
+            cls(64, 48, gdr=3, refs=2, search=2, **kw)
         with pytest.raises(ValueError, match="deblock"):
             cls(64, 48, gdr=3, deblock=True, **kw)
 
