@@ -710,7 +710,8 @@ def build_pps_cavlc() -> bytes:
 
 
 def _slice_head_cavlc(w: _BitWriter, idr_pic_id: int, qp: int,
-                      first_mb: int = 0, deblock: bool = False) -> None:
+                      first_mb: int = 0, deblock: bool = False,
+                      slice_local: bool = False) -> None:
     w.u(0, 1).u(3, 2).u(5, 5)  # nal header: IDR slice
     w.ue(first_mb)             # first_mb_in_slice
     w.ue(7)                    # slice_type: I (all slices of picture)
@@ -721,7 +722,9 @@ def _slice_head_cavlc(w: _BitWriter, idr_pic_id: int, qp: int,
     w.u(0, 1)                  # long_term_reference_flag
     w.se(qp - 26)              # slice_qp_delta
     if deblock:
-        w.ue(0)                # disable_deblocking_filter_idc: ON
+        # disable_deblocking_filter_idc: 0 = filter everywhere,
+        # 2 = filter but not across slice boundaries (GDR+deblock)
+        w.ue(2 if slice_local else 0)
         w.se(0)                # slice_alpha_c0_offset_div2
         w.se(0)                # slice_beta_offset_div2
     else:

@@ -203,13 +203,22 @@ def _filter_chroma_edge(A: np.ndarray, B: np.ndarray, bs: np.ndarray,
 
 
 def deblock_picture(ry: np.ndarray, rcb: np.ndarray, rcr: np.ndarray,
-                    qp: int, info: DeblockInfo | None = None
+                    qp: int, info: DeblockInfo | None = None,
+                    slice_local_rows: bool = False
                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Apply the in-loop filter to one reconstructed picture and return
     the filtered (Y, Cb, Cr) — the picture a conformant decoder
     displays AND the one P frames must reference.  ``info=None`` means
     an all-intra (IDR) picture.  Planes must be 16-aligned (the padded
-    encode geometry); inputs are not modified."""
+    encode geometry); inputs are not modified.
+
+    ``slice_local_rows=True`` is ``disable_deblocking_filter_idc=2``
+    for this repo's one-slice-per-MB-row pictures (the GDR stream
+    shape): edges that coincide with slice boundaries — every
+    horizontal MB-row edge — are not filtered (spec 8.7,
+    filterTopMbEdgeFlag), so no sample ever crosses an MB-row boundary
+    and the GDR refresh wave cannot bleed unrefreshed pixels into the
+    clean region."""
     h, w = ry.shape
     if h % 16 or w % 16:
         raise ValueError("deblock_picture requires 16-aligned planes")
@@ -222,6 +231,11 @@ def deblock_picture(ry: np.ndarray, rcb: np.ndarray, rcr: np.ndarray,
     ac, bc, tc = int(ALPHA[qpc]), int(BETA[qpc]), TC0[:, qpc]
     bs_v = _bs_edges(info, vertical=True)
     bs_h = _bs_edges(info, vertical=False)
+    if slice_local_rows:
+        # every MB-row boundary is a slice boundary: kill the
+        # horizontal MB edges (block rows 0 mod 4); the co-located
+        # chroma edges read the same zeroed rows
+        bs_h[::4, :] = 0
     y = ry.astype(np.int64, copy=True)
     cb = rcb.astype(np.int64, copy=True)
     cr = rcr.astype(np.int64, copy=True)

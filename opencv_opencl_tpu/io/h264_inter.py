@@ -165,7 +165,8 @@ def _quant4x4_inter(w: np.ndarray, qp: int) -> np.ndarray:
 
 def _slice_head_p(w: _BitWriter, qp: int, frame_num: int,
                   first_mb: int = 0, active_refs: int = 1,
-                  deblock: bool = False) -> None:
+                  deblock: bool = False,
+                  slice_local: bool = False) -> None:
     """Non-IDR P slice header (deblocking off, POC type 2: no POC
     syntax, sliding-window marking).  ``active_refs`` > 1 overrides
     the PPS's single active reference (multi-ref streams: the list is
@@ -184,7 +185,9 @@ def _slice_head_p(w: _BitWriter, qp: int, frame_num: int,
     w.u(0, 1)                  # adaptive_ref_pic_marking_mode_flag
     w.se(qp - 26)              # slice_qp_delta
     if deblock:
-        w.ue(0)                # disable_deblocking_filter_idc: ON
+        # idc 0 = filter everywhere; idc 2 = not across slice
+        # boundaries (one-slice-per-MB-row GDR+deblock streams)
+        w.ue(2 if slice_local else 0)
         w.se(0)                # slice_alpha_c0_offset_div2
         w.se(0)                # slice_beta_offset_div2
     else:
@@ -196,7 +199,8 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                           slices: int = 1, return_recon: bool = False,
                           search: int = 0, subpel: int = 0,
                           deblock: bool = False, deblock_info=None,
-                          force_intra_rows: tuple[int, int] | None = None):
+                          force_intra_rows: tuple[int, int] | None = None,
+                          slice_local: bool = False):
     """Encode one 16-aligned NV12 frame as ``slices`` P slice NALs
     against ``recon`` = (ry, rcb, rcr), the reconstructed previous
     picture (int arrays, unpadded HxW — exactly what
@@ -274,7 +278,8 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
     for si in range(slices):
         w = _BitWriter()
         _slice_head_p(w, qp, frame_num, first_mb=bounds[si] * mb_w,
-                      active_refs=active_refs, deblock=deblock)
+                      active_refs=active_refs, deblock=deblock,
+                      slice_local=slice_local)
         # per-slice nC context rows (one MB row of 4x4 blocks + left pad;
         # P slices still use spatial neighbors for nC, within the slice)
         lnnz = np.zeros((mb_h * 4 + 1, mb_w * 4 + 1), dtype=np.int64)
@@ -1201,11 +1206,6 @@ class GopCavlcEncoder:
                 raise ValueError(f"gdr must be >= 1, got {gdr}")
             if refs > 1:
                 raise ValueError("gdr requires refs=1")
-            if deblock:
-                raise ValueError(
-                    "gdr does not compose with deblock yet (the "
-                    "filter would bleed unrefreshed pixels across the "
-                    "wave boundary; needs idc=2 slice-local filtering)")
             if max(1, min(int(slices), mb_h)) != mb_h:
                 raise ValueError("gdr requires one slice per MB row "
                                  f"(slices={mb_h} here)")
@@ -1233,7 +1233,11 @@ class GopCavlcEncoder:
         # stream signals idc=0 and every reference picture is the
         # FILTERED reconstruction (io.h264_deblock); intra prediction
         # within a frame still reads unfiltered samples (spec 8.3).
+        # GDR+deblock: the P slices signal idc=2 (slice-local — every
+        # MB row is its own slice, so no sample crosses the refresh
+        # wave); the IDR keeps idc=0.
         self.deblock = bool(deblock)
+        self._deblock_slice_local = bool(self.gdr and deblock)
         # reuse the intra encoder's padding + geometry checks
         self._intra = CavlcH264Encoder(width, height, qp=qp,
                                        native="never", slices=slices)
@@ -1311,7 +1315,8 @@ class GopCavlcEncoder:
                 frame_num=self._frame_num, slices=self.slices,
                 return_recon=True, search=self.search,
                 subpel=self.subpel, deblock=self.deblock,
-                deblock_info=dbi, force_intra_rows=band)
+                deblock_info=dbi, force_intra_rows=band,
+                slice_local=self._deblock_slice_local)
             au = prefix + b"".join(_START4 + bytes(n) for n in nals)
         return au, recon, dbi, is_idr
 
@@ -1343,8 +1348,13 @@ class GopCavlcEncoder:
             from opencv_opencl_tpu.io.h264_deblock import deblock_picture
 
             # the reference chain (and the decoder's display picture)
-            # is the FILTERED reconstruction; dbi=None == all-intra IDR
-            recon = deblock_picture(*recon, qp, dbi)
+            # is the FILTERED reconstruction; dbi=None == all-intra
+            # IDR.  GDR P pictures filter slice-locally (idc=2); the
+            # IDR's slices signal idc=0, so it filters normally.
+            recon = deblock_picture(
+                *recon, qp, dbi,
+                slice_local_rows=(self._deblock_slice_local
+                                  and not is_idr))
         self._recon = recon
         self._ref_list = ([recon] + getattr(self, "_ref_list", [])
                           )[:self.refs]
@@ -1370,7 +1380,8 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                                mv: np.ndarray | None = None,
                                ref: np.ndarray | None = None,
                                active_refs: int = 1,
-                               deblock: bool = False) -> list[bytes]:
+                               deblock: bool = False,
+                               slice_local: bool = False) -> list[bytes]:
     """Entropy-code one P frame from PLevelArrays-layout arrays
     (ops/h264_levels.encode_p_levels) into one slice NAL per MB row —
     the TPU program's slice granularity.  Byte-identical to
@@ -1390,7 +1401,8 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
     for mby in range(mb_h):
         w = _BitWriter()
         _slice_head_p(w, qp, frame_num, first_mb=mby * mb_w,
-                      active_refs=active_refs, deblock=deblock)
+                      active_refs=active_refs, deblock=deblock,
+                      slice_local=slice_local)
         lnnz = np.zeros((4, mb_w * 4 + 1), dtype=np.int64)
         cbnnz = np.zeros((2, mb_w * 2 + 1), dtype=np.int64)
         crnnz = np.zeros_like(cbnnz)
@@ -1585,11 +1597,6 @@ class TpuGopEncoder:
         if self.gdr:
             if refs > 1:
                 raise ValueError("gdr requires refs=1")
-            if deblock:
-                raise ValueError(
-                    "gdr does not compose with deblock yet (the "
-                    "filter would bleed unrefreshed pixels across the "
-                    "wave boundary; needs idc=2 slice-local filtering)")
             mb_h = -(-height // 16)
             self._gdr_period = min(self.gdr, mb_h)
             self._gdr_rows = -(-mb_h // self._gdr_period)
@@ -1669,7 +1676,10 @@ class TpuGopEncoder:
         # in-loop deblocking: every reference picture is the FILTERED
         # reconstruction, computed ON DEVICE by the wavefront program
         # (ops/h264_deblock.py) so the recon chain stays in HBM.
+        # GDR+deblock filters P pictures slice-locally (idc=2, no
+        # sample crosses the refresh wave); the IDR keeps idc=0.
         self.deblock = bool(deblock)
+        self._deblock_slice_local = bool(self.gdr and deblock)
         if self.deblock:
             import jax.numpy as jnp
 
@@ -1766,9 +1776,9 @@ class TpuGopEncoder:
                 refd = (jnp.zeros((mb_h, mb_w), jnp.int32)
                         if plv.ref is None
                         else plv.ref.astype(jnp.int32))
-                recon = self._deblock_fn(*recon, jnp.int32(qp),
-                                         plv.mode >= 2, nnz4, mvd,
-                                         refd)  # 2=I DC, 3=I HORIZ
+                recon = self._deblock_fn(
+                    *recon, jnp.int32(qp), plv.mode >= 2, nnz4, mvd,
+                    refd, self._deblock_slice_local)  # 2/3 = intra
             self._recon = recon
             self._ref_list = ([self._recon]
                               + getattr(self, "_ref_list", [])
@@ -1794,11 +1804,12 @@ class TpuGopEncoder:
                     threads=self._intra._threads,
                     workspace=self._intra._workspace, mv=mv,
                     ref=ref, active_refs=active_refs,
-                    deblock=self.deblock)
-        return encode_frame_p_from_levels(mode, zdc, acz, czdc, cacz,
-                                          qp, num, mv=mv, ref=ref,
-                                          active_refs=active_refs,
-                                          deblock=self.deblock)
+                    deblock=self.deblock,
+                    slice_local=self._deblock_slice_local)
+        return encode_frame_p_from_levels(
+            mode, zdc, acz, czdc, cacz, qp, num, mv=mv, ref=ref,
+            active_refs=active_refs, deblock=self.deblock,
+            slice_local=self._deblock_slice_local)
 
     def _assemble(self, lv, kind: str, num: int, qp: int,
                   mv=None, ref=None, active_refs: int = 1,

@@ -602,7 +602,8 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
                          mv: np.ndarray | None = None,
                          ref: np.ndarray | None = None,
                          active_refs: int = 1,
-                         deblock: bool = False) -> list[bytes]:
+                         deblock: bool = False,
+                         slice_local: bool = False) -> list[bytes]:
     """Native entropy coding of one P frame's chosen-mode levels
     (ops/h264_levels.py PLevelArrays) into one P slice NAL per MB row —
     the CPU stage of the TPU GOP path.  ``mv`` is the (mb_h, mb_w, 2)
@@ -631,7 +632,8 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
     for i in range(mb_h):
         w = _BitWriter()
         _slice_head_p(w, qp, frame_num, first_mb=i * mb_w,
-                      active_refs=active_refs, deblock=deblock)
+                      active_refs=active_refs, deblock=deblock,
+                      slice_local=slice_local)
         heads.append(np.packbits(np.asarray(w._bits, dtype=np.uint8)))
         nbits.append(len(w._bits))
     blob = np.concatenate(heads)

@@ -222,13 +222,19 @@ def _scatter(plane, rows, cols, patches):
 
 def deblock_planes(y: jax.Array, cb: jax.Array, cr: jax.Array,
                    qp: jax.Array, intra: jax.Array, nnz4: jax.Array,
-                   mv: jax.Array, ref: jax.Array
+                   mv: jax.Array, ref: jax.Array,
+                   slice_local: bool = False
                    ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Filter one reconstructed picture on device; bit-exact twin of
     ``io.h264_deblock.deblock_picture``.  ``y`` (H, W) uint8 with H, W
     16-aligned; ``qp`` traced int32; metadata shapes as DeblockInfo
     (all-intra IDR pictures: pass ``intra=ones`` and zeros elsewhere).
-    Returns uint8 planes."""
+    Returns uint8 planes.
+
+    ``slice_local`` (static) is ``deblock_picture(slice_local_rows=
+    True)``: idc=2 for one-slice-per-MB-row pictures — horizontal MB
+    edges are slice boundaries and stay unfiltered (the GDR+deblock
+    composition)."""
     H, W = y.shape
     mb_h, mb_w = H // 16, W // 16
     qp = jnp.clip(qp.astype(jnp.int32), 0, 51)
@@ -240,6 +246,8 @@ def deblock_planes(y: jax.Array, cb: jax.Array, cr: jax.Array,
     ac, bc, tc = alpha_t[qpc], beta_t[qpc], tc0_t[:, qpc]
 
     bs_v, bs_h = bs_grids(intra, nnz4, mv, ref)
+    if slice_local:
+        bs_h = bs_h.at[::4, :].set(0)
     # pad bS grids to cover the per-lane scratch MB columns with zeros
     scratch_mbs = mb_h
     bs_v = jnp.pad(bs_v, ((0, 0), (0, 4 * scratch_mbs)))
@@ -310,4 +318,5 @@ def deblock_planes(y: jax.Array, cb: jax.Array, cr: jax.Array,
 
 
 # the unfiltered recon is dead once the filtered picture exists
-deblock_planes_jit = jax.jit(deblock_planes, donate_argnums=(0, 1, 2))
+deblock_planes_jit = jax.jit(deblock_planes, donate_argnums=(0, 1, 2),
+                             static_argnums=(8,))

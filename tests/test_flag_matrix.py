@@ -96,7 +96,6 @@ def test_flag_matrix(name, extra, rc, msg, capsys):
 # the encoder classes own these rules; the matrix pins them here too
 SPEC_REFUSALS = [
     ("cavlc:qp=30:gdr=3:gop=8", "replaces gop"),
-    ("tpu:qp=30:gdr=3:deblock", "deblock"),
     ("tpu:qp=30:gdr=3:search=2:refs=2", "refs"),
     ("tpu:qp=30:cpb=500", "bitrate"),
     ("tpu:gop=8:cpb=500:overlap", "overlap"),

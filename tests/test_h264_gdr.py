@@ -97,7 +97,10 @@ class TestConformance:
 
     @pytest.mark.parametrize("kw", [
         {}, {"search": 2}, {"search": 2, "quarterpel": True},
-    ], ids=["zero-motion", "fullpel", "quarterpel"])
+        {"deblock": True},
+        {"deblock": True, "search": 2, "quarterpel": True},
+    ], ids=["zero-motion", "fullpel", "quarterpel", "deblock",
+            "deblock-qpel"])
     def test_midstream_join_recovers_exactly(self, kw, tmp_path):
         """Drop every AU before the frame-4 recovery point; libavcodec
         discards the not-yet-clean frames and the FIRST output frame is
@@ -135,7 +138,10 @@ class TestConformance:
 class TestTpuParity:
     @pytest.mark.parametrize("kw", [
         {}, {"search": 2}, {"search": 2, "quarterpel": True},
-    ], ids=["zero-motion", "fullpel", "quarterpel"])
+        {"deblock": True},
+        {"deblock": True, "search": 2, "quarterpel": True},
+    ], ids=["zero-motion", "fullpel", "quarterpel", "deblock",
+            "deblock-qpel"])
     def test_byte_identical_to_oracle(self, kw):
         w, h = 64, 48
         fs = moving_frames(w, h, 8, seed=2)
@@ -218,8 +224,6 @@ class TestRefusals:
         kw = {} if cls is TpuGopEncoder else {"slices": 3}
         with pytest.raises(ValueError, match="refs"):
             cls(64, 48, gdr=3, refs=2, search=2, **kw)
-        with pytest.raises(ValueError, match="deblock"):
-            cls(64, 48, gdr=3, deblock=True, **kw)
 
     def test_oracle_requires_row_slices(self):
         with pytest.raises(ValueError, match="one slice per MB row"):
