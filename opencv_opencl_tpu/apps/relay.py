@@ -285,21 +285,16 @@ def run(argv: list[str]) -> int:
                   "(use --encoder=tpu:gdr=N without --fused-encode)",
                   file=sys.stderr)
             return 2
-        if getattr(enc, "deblock", False):
-            # the fused GOP program chains recon inside its own device
-            # scan; the in-loop filter is not wired into that chain yet
-            # (the standalone tpu:gop=N:deblock path has it)
-            print("--fused-encode does not compose with :deblock yet "
-                  "(use --encoder=tpu:gop=N:deblock without "
-                  "--fused-encode)", file=sys.stderr)
-            return 2
         if fused_gop:
             # GOP: the device programs chain recon/frame-index state
             # across batches; padding would advance it on fake frames
+            # (deblock rides inside the device scan: the in-loop
+            # filter wavefront keeps the FILTERED reference in HBM)
             fused_fn = build_enhance_gop_fn(cfg, spec, enc.gop,
                                             search=enc.search,
                                             subpel=enc.subpel,
-                                            refs=enc.refs)
+                                            refs=enc.refs,
+                                            deblock=enc.deblock)
             fstate = {"recon": enc.initial_recon(), "idx": 0}
 
             def process_fn(nv12_batch):

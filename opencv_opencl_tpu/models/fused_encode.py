@@ -102,7 +102,7 @@ def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
 
 def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                          search: int = 0, subpel: int = 0,
-                         refs: int = 1):
+                         refs: int = 1, deblock: bool = False):
     """Fused enhance + low-delay-P GOP encode: returns a jitted
     ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32, idx0: int32,
     *recon) -> (int16[N, mb_h, mb_w, L], *recon')`` — recon is 3
@@ -142,6 +142,28 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
     h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
     mbh, mbw = h16 // 16, w16 // 16
     enhance_y, _ = make_enhance_y(cfg, spec)
+    if deblock:
+        # in-loop filter inside the device recon chain (idc=0, same
+        # contract as TpuGopEncoder._dispatch: the reference picture
+        # is the FILTERED reconstruction and never leaves HBM)
+        from opencv_opencl_tpu.ops.h264_deblock import deblock_planes
+
+        _dbi_idr = (jnp.ones((mbh, mbw), jnp.bool_),
+                    jnp.zeros((mbh * 4, mbw * 4), jnp.bool_),
+                    jnp.zeros((mbh, mbw, 2), jnp.int32),
+                    jnp.zeros((mbh, mbw), jnp.int32))
+
+        def _deblock_p(plv, qp):
+            nnz4 = jnp.any(plv.acz != 0, axis=-1).reshape(
+                mbh, mbw, 4, 4).transpose(0, 2, 1, 3).reshape(
+                mbh * 4, mbw * 4)
+            mvd = (jnp.zeros((mbh, mbw, 2), jnp.int32)
+                   if plv.mv is None else plv.mv.astype(jnp.int32))
+            refd = (jnp.zeros((mbh, mbw), jnp.int32)
+                    if plv.ref is None else plv.ref.astype(jnp.int32))
+            return deblock_planes(plv.recon_y, plv.recon_cb,
+                                  plv.recon_cr, qp, plv.mode >= 2,
+                                  nnz4, mvd, refd)
 
     def pack_gop(lv: LevelArrays, qp, mode, mv=None, ref=None):
         base = pack_levels(lv, qp)                  # (mbh, mbw, 409)
@@ -185,6 +207,9 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                 yf, cbf, crf, ry, rcb, rcr, *old = args
                 lv, ry2, rcb2, rcr2, imode = encode_levels(
                     yf, cbf, crf, qp, full_recon=True)
+                if deblock:
+                    ry2, rcb2, rcr2 = deblock_planes(
+                        ry2, rcb2, rcr2, qp, *_dbi_idr)
                 # IDR marker doubles as the intra pred mode:
                 # -1 = I_16x16 DC, -2 = I_16x16 HORIZONTAL
                 mode = jnp.where(imode == 1, -2, -1).astype(jnp.int16)
@@ -200,19 +225,21 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                 plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp,
                                       search, subpel)
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
+                rec = ((plv.recon_y, plv.recon_cb, plv.recon_cr)
+                       if not deblock else _deblock_p(plv, qp))
                 extra = (ry, rcb, rcr) if refs > 1 else ()
                 return (pack_gop(lv, qp, plv.mode, plv.mv),
-                        plv.recon_y, plv.recon_cb,
-                        plv.recon_cr) + extra
+                        *rec) + extra
 
             def do_p2(args):
                 yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr = args
                 plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp,
                                       search, subpel, oy, ocb, ocr)
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
+                rec = ((plv.recon_y, plv.recon_cb, plv.recon_cr)
+                       if not deblock else _deblock_p(plv, qp))
                 return (pack_gop(lv, qp, plv.mode, plv.mv, plv.ref),
-                        plv.recon_y, plv.recon_cb, plv.recon_cr,
-                        ry, rcb, rcr)
+                        *rec, ry, rcb, rcr)
 
             if refs > 1:
                 args = (yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr)

@@ -164,6 +164,12 @@ def main() -> None:
               dict(qp=QP, gop=6, deblock=True),
               dict(qp=QP, gop=6, slices=MB_H, deblock=True),
               kind="square")
+    run_stage("gdr_deblock",
+              dict(qp=QP, gdr=3, deblock=True, search=2,
+                   quarterpel=True),
+              dict(qp=QP, gdr=3, slices=MB_H, deblock=True, search=2,
+                   quarterpel=True),
+              kind="square")
     run_stage("hrd",
               dict(qp=QP, gop=6, bitrate_kbps=400, fps=30.0,
                    cpb_ms=500, initial_delay_ms=250),

@@ -143,6 +143,46 @@ class TestFusedGop:
                 got.extend(enc.encode_from_packed(packed[i]))
         assert got == want
 
+    def test_fused_gop_deblock_matches_unfused(self):
+        """deblock inside the fused device scan: the filtered-reference
+        chain must stream byte-identical to tpu:gop=N:deblock (whose
+        recon filter is decoder-conformance proven)."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        w, h, qp, gop = 96, 64, 30, 3
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op="clahe",
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        frames = rand_nv12_batch(w, h, 6, seed=33)
+        for i in range(1, 6):
+            frames[i] = frames[i - 1].copy()
+            frames[i][5:25, 8 + 4 * i:40 + 4 * i] ^= 0x5A
+
+        plain = build_enhance_fn(cfg, spec, donate=False)
+        enh = np.asarray(plain(frames))
+        ref_enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=2,
+                                deblock=True)
+        want = [au for f in enh for au in ref_enc.encode(f)]
+
+        fn = build_enhance_gop_fn(cfg, spec, gop, search=2,
+                                  deblock=True)
+        enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=2,
+                            deblock=True)
+        recon = enc.initial_recon()
+        idx, got = 0, []
+        for lo, hi in ((0, 4), (4, 6)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(qp), idx,
+                                *recon)
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(
+                    np.asarray(packed)[i]))
+        assert got == want
+
     def test_fused_gop_rejects_gop_one(self):
         from opencv_opencl_tpu.models.fused_encode import (
             build_enhance_gop_fn)
