@@ -277,24 +277,19 @@ def run(argv: list[str]) -> int:
 
         enc = sink.encoder
         fused_gop = isinstance(enc, TpuGopEncoder)
-        if getattr(enc, "gdr", 0):
-            # the fused GOP program's device idx chain alternates
-            # IDR/P by gop period; the marching GDR band is not wired
-            # into it (the standalone tpu:gdr=N path has it)
-            print("--fused-encode does not compose with :gdr yet "
-                  "(use --encoder=tpu:gdr=N without --fused-encode)",
-                  file=sys.stderr)
-            return 2
         if fused_gop:
             # GOP: the device programs chain recon/frame-index state
             # across batches; padding would advance it on fake frames
-            # (deblock rides inside the device scan: the in-loop
-            # filter wavefront keeps the FILTERED reference in HBM)
+            # (deblock and the GDR refresh wave both ride inside the
+            # device scan: the filter wavefront keeps the FILTERED
+            # reference in HBM, the marching band is two traced
+            # scalars derived from the frame index)
             fused_fn = build_enhance_gop_fn(cfg, spec, enc.gop,
                                             search=enc.search,
                                             subpel=enc.subpel,
                                             refs=enc.refs,
-                                            deblock=enc.deblock)
+                                            deblock=enc.deblock,
+                                            gdr=enc.gdr)
             fstate = {"recon": enc.initial_recon(), "idx": 0}
 
             def process_fn(nv12_batch):

@@ -1937,12 +1937,19 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
         # separately from frame_num, which wraps mod 16)
         self._since_idr = getattr(self, "_since_idr", 0) + 1
         active = min(self._since_idr, self.refs)
+        prefix = b""
+        if self.gdr and (self._since_idr - 1) % self._gdr_period == 0:
+            # wave start: parameter sets + recovery point marker for
+            # mid-stream joiners (mirrors _dispatch's GDR prefix)
+            prefix = (_START4 + self._intra._sps + _START4 +
+                      self._intra._pps + _START4 +
+                      build_recovery_point_sei(self._gdr_period - 1))
         nals = self._p_entropy_nals(mode, lv.zdc, lv.acz, lv.czdc,
                                     lv.cacz, qp, self._frame_num,
                                     mv=mv, ref=ref,
                                     active_refs=active)
         self._frame_num = (self._frame_num + 1) % 16
-        au = b"".join(_START4 + bytes(n) for n in nals)
+        au = prefix + b"".join(_START4 + bytes(n) for n in nals)
     if self.bitrate_kbps:
         _gop_rate_control(self, len(au))
     return [au]

@@ -102,7 +102,8 @@ def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
 
 def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                          search: int = 0, subpel: int = 0,
-                         refs: int = 1, deblock: bool = False):
+                         refs: int = 1, deblock: bool = False,
+                         gdr: int = 0):
     """Fused enhance + low-delay-P GOP encode: returns a jitted
     ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32, idx0: int32,
     *recon) -> (int16[N, mb_h, mb_w, L], *recon')`` — recon is 3
@@ -138,9 +139,17 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
         raise ValueError(f"fused GOP refs must be 1 or 2, got {refs}")
     if refs > 1 and not search:
         raise ValueError("fused refs=2 requires search=R > 0")
+    if gdr and refs > 1:
+        raise ValueError("fused gdr requires refs=1")
     h, w = spec.height, spec.width
     h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
     mbh, mbw = h16 // 16, w16 // 16
+    # GDR horizontal intra refresh inside the device scan: the wave
+    # band rides into encode_p_levels as two traced scalars derived
+    # from the frame index (same formula as TpuGopEncoder._dispatch;
+    # the caller keeps gop at the one-IDR-ever sentinel)
+    gdr_period = min(int(gdr), mbh) if gdr else 0
+    gdr_rows = -(-mbh // gdr_period) if gdr else 0
     enhance_y, _ = make_enhance_y(cfg, spec)
     if deblock:
         # in-loop filter inside the device recon chain (idc=0, same
@@ -161,9 +170,12 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                    if plv.mv is None else plv.mv.astype(jnp.int32))
             refd = (jnp.zeros((mbh, mbw), jnp.int32)
                     if plv.ref is None else plv.ref.astype(jnp.int32))
+            # GDR P slices are idc=2 (slice-local: no filtered sample
+            # crosses the refresh wave)
             return deblock_planes(plv.recon_y, plv.recon_cb,
                                   plv.recon_cr, qp, plv.mode >= 2,
-                                  nnz4, mvd, refd)
+                                  nnz4, mvd, refd,
+                                  slice_local=bool(gdr))
 
     def pack_gop(lv: LevelArrays, qp, mode, mv=None, ref=None):
         base = pack_levels(lv, qp)                  # (mbh, mbw, 409)
@@ -222,8 +234,14 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
 
             def do_p1(args):
                 yf, cbf, crf, ry, rcb, rcr, *old = args
+                band = None
+                if gdr:
+                    m = (idx - 1) % gdr_period
+                    band = (m.astype(jnp.int32) * gdr_rows,
+                            jnp.minimum((m + 1) * gdr_rows, mbh)
+                            .astype(jnp.int32))
                 plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp,
-                                      search, subpel)
+                                      search, subpel, gdr_band=band)
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
                 rec = ((plv.recon_y, plv.recon_cb, plv.recon_cr)
                        if not deblock else _deblock_p(plv, qp))

@@ -56,6 +56,9 @@ MATRIX = [
     ("fused_gop_deblock", ["--sink=rtp+h264://127.0.0.1:56479",
                            "--encoder=tpu:qp=40:gop=4:deblock",
                            "--fused-encode"], 0, None),
+    ("fused_gdr", ["--sink=rtp+h264://127.0.0.1:56480",
+                   "--encoder=tpu:qp=40:gdr=3", "--fused-encode"],
+     0, None),
     # ---- refusals: approximate vs exact-only paths
     ("downsample_x_mesh", ["--sink=null", "--hist-downsample=2",
                            "--mesh=2x1"], 2, "not supported"),
@@ -76,9 +79,6 @@ MATRIX = [
                              "--encoder=cavlc:qp=40",
                              "--fused-encode"], 2,
      "--fused-encode requires"),
-    ("fused_x_gdr", ["--sink=rtp+h264://127.0.0.1:56480",
-                     "--encoder=tpu:qp=40:gdr=3", "--fused-encode"],
-     2, "gdr"),
 ]
 
 

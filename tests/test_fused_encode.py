@@ -183,6 +183,54 @@ class TestFusedGop:
                     np.asarray(packed)[i]))
         assert got == want
 
+    @pytest.mark.parametrize("kw", [
+        {}, {"search": 2, "quarterpel": True},
+        {"deblock": True, "search": 2},
+    ], ids=["zero-motion", "qpel", "deblock-search"])
+    def test_fused_gdr_matches_unfused(self, kw):
+        """GDR inside the fused device scan: the marching intra band
+        (traced from the frame index), wave-start SPS+PPS+recovery SEI
+        on the host side, restricted motion and slice-local (idc=2)
+        deblocking must all stream byte-identical to tpu:gdr=N."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        w, h, qp, gdr = 96, 64, 30, 3
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op="clahe",
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        frames = rand_nv12_batch(w, h, 8, seed=44)
+        for i in range(1, 8):
+            frames[i] = frames[i - 1].copy()
+            frames[i][5:25, 8 + 4 * i:40 + 4 * i] ^= 0x5A
+
+        plain = build_enhance_fn(cfg, spec, donate=False)
+        enh = np.asarray(plain(frames))
+        ref_enc = TpuGopEncoder(w, h, qp=qp, gdr=gdr, **kw)
+        want = [au for f in enh for au in ref_enc.encode(f)]
+
+        enc = TpuGopEncoder(w, h, qp=qp, gdr=gdr, **kw)
+        fn = build_enhance_gop_fn(cfg, spec, enc.gop,
+                                  search=enc.search,
+                                  subpel=enc.subpel,
+                                  deblock=enc.deblock, gdr=gdr)
+        recon = enc.initial_recon()
+        idx, got = 0, []
+        for lo, hi in ((0, 3), (3, 6), (6, 8)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(qp), idx,
+                                *recon)
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(
+                    np.asarray(packed)[i]))
+        assert got == want
+        # GDR stream shape survives the fused path: no IDR after
+        # frame 0, SEI at every wave start
+        assert b"".join(got[1:]).find(b"\x00\x00\x00\x01\x65") < 0
+
     def test_fused_gop_rejects_gop_one(self):
         from opencv_opencl_tpu.models.fused_encode import (
             build_enhance_gop_fn)
