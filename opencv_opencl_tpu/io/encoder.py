@@ -360,6 +360,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         refs = 1
         halfpel = False
         quarterpel = False
+        fastsub = False
         deblock = False
         cpb_ms = None
         initdelay_ms = None
@@ -371,6 +372,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key == "quarterpel" and not val:
                 quarterpel = True
                 continue
+            if key == "fastsub" and not val:
+                fastsub = True
+                continue
             if key == "deblock" and not val:
                 deblock = True
                 continue
@@ -381,7 +385,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     f"bad cavlc option {opt!r} "
                     "(qp=N, slices=N, gop=N, gdr=N, search=N, refs=N, "
                     "cpb=MS, initdelay=MS, halfpel, quarterpel, "
-                    "deblock)")
+                    "fastsub, deblock)")
             try:
                 ival = int(val)
             except ValueError:
@@ -425,7 +429,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     "periodic IDR) — give one or the other")
             mb_h = -(-height // 16)
             kw = dict(slices=mb_h, search=search, halfpel=halfpel,
-                      quarterpel=quarterpel, refs=refs,
+                      quarterpel=quarterpel, fastsub=fastsub, refs=refs,
                       deblock=deblock, cpb_ms=cpb_ms,
                       initial_delay_ms=initdelay_ms)
             if qp is not None:
@@ -441,7 +445,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             from opencv_opencl_tpu.io.h264_inter import GopCavlcEncoder
 
             kw = dict(slices=slices, search=search, halfpel=halfpel,
-                      quarterpel=quarterpel, refs=refs,
+                      quarterpel=quarterpel, fastsub=fastsub, refs=refs,
                       deblock=deblock, cpb_ms=cpb_ms,
                       initial_delay_ms=initdelay_ms)
             if qp is not None:
@@ -450,10 +454,10 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             return GopCavlcEncoder(width, height, qp=30, gop=gop,
                                    bitrate_kbps=bitrate_kbps, fps=fps,
                                    **kw)
-        if search or halfpel or quarterpel or refs > 1:
+        if search or halfpel or quarterpel or fastsub or refs > 1:
             raise ValueError(
-                "cavlc search=N/halfpel/quarterpel need a gop=N option "
-                "(motion search is a P-frame feature)")
+                "cavlc search=N/halfpel/quarterpel/fastsub need a "
+                "gop=N option (motion search is a P-frame feature)")
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
         kw = dict(slices=slices, threads=threads, deblock=deblock,
                   cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms)
@@ -480,6 +484,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         refs = 1
         halfpel = False
         quarterpel = False
+        fastsub = False
         deblock = False
         cpb_ms = None
         initdelay_ms = None
@@ -503,6 +508,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 continue
             if key == "quarterpel" and not val:
                 quarterpel = True
+                continue
+            if key == "fastsub" and not val:
+                fastsub = True
                 continue
             if key == "deblock" and not val:
                 deblock = True
@@ -539,7 +547,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 raise ValueError(
                     f"bad tpu option {opt!r} (qp=N|gop=N|gdr=N|"
                     "search=N|refs=N|cpb=MS|initdelay=MS|halfpel|"
-                    "quarterpel|deblock|overlap)")
+                    "quarterpel|fastsub|deblock|overlap)")
             try:
                 qp = int(val)
             except ValueError:
@@ -554,7 +562,8 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     "tpu gdr=N replaces gop=N (GDR streams have no "
                     "periodic IDR) — give one or the other")
             kw = dict(overlap=overlap, search=search, halfpel=halfpel,
-                      quarterpel=quarterpel, refs=refs,
+                      quarterpel=quarterpel, fastsub=fastsub,
+                      refs=refs,
                       deblock=deblock, cpb_ms=cpb_ms,
                       initial_delay_ms=initdelay_ms)
             if qp is not None:
@@ -568,7 +577,8 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
 
             kw = dict(overlap=overlap, search=search, halfpel=halfpel,
-                      quarterpel=quarterpel, refs=refs,
+                      quarterpel=quarterpel, fastsub=fastsub,
+                      refs=refs,
                       deblock=deblock, cpb_ms=cpb_ms,
                       initial_delay_ms=initdelay_ms)
             if qp is not None:
@@ -577,10 +587,10 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             return TpuGopEncoder(width, height, qp=30, gop=gop,
                                  bitrate_kbps=bitrate_kbps, fps=fps,
                                  **kw)
-        if search or halfpel or quarterpel or refs > 1:
+        if search or halfpel or quarterpel or fastsub or refs > 1:
             raise ValueError(
-                "tpu search=N/halfpel/quarterpel need a gop=N option "
-                "(motion search is a P-frame feature)")
+                "tpu search=N/halfpel/quarterpel/fastsub need a gop=N "
+                "option (motion search is a P-frame feature)")
         kw = dict(overlap=overlap, deblock=deblock, cpb_ms=cpb_ms,
                   initial_delay_ms=initdelay_ms)
         if qp is not None:

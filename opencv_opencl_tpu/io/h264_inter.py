@@ -242,6 +242,11 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
         if max(1, min(int(slices), mb_h)) != mb_h:
             raise NotImplementedError(
                 "multi-ref P frames require one slice per MB row")
+        if subpel == 3:
+            raise NotImplementedError(
+                "fastsub does not compose with refs > 1 (the "
+                "refinement stage has no multi-reference formulation "
+                "yet)")
         margin = search + 1
         builders = {2: quarterpel_planes, 1: halfpel_planes}
         build = builders.get(subpel)
@@ -252,6 +257,16 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
         mv, refsel = motion_search_multi(y, planes_list, search,
                                          subpel, margin)
         pred = mc_planes_multi(refs, mv, refsel, planes_list, margin)
+    elif search and subpel == 3:
+        # hierarchical quarter-pel (fastsub): full-pel stage + one
+        # 49-offset refinement; MC reads the same 16-plane stack
+        margin = search + 1
+        planes = quarterpel_planes(ry, margin)
+        mv = motion_search_fast(
+            y, ry, search, planes=planes, margin=margin,
+            clean_rows=None if force_intra_rows is None
+            else force_intra_rows[0])
+        pred = mc_planes(ref, mv, planes=planes, margin=margin)
     elif search and subpel:
         margin = search + 1
         planes = (quarterpel_planes(ry, margin) if subpel == 2
@@ -584,6 +599,83 @@ def mc_planes(ref: dict, mv: np.ndarray,
         out[name] = (wa * p[r0, c0] + wb * p[r0, c1] +
                      wc * p[r1, c0] + wd * p[r1, c1] + 32) >> 6
     return out
+
+
+# Hierarchical refinement neighborhood: every quarter-pel offset
+# within (-1, 1) pel of the full-pel winner, in the shared
+# deterministic order (sorted by (|qy| + |qx|, qy, qx), (0, 0) first —
+# index 0 IS the full-pel winner, so an all-tie field keeps it).
+# 49 < SEARCH_KEY_RADIX, so the same key packing applies.
+FASTSUB_OFFSETS: list[tuple[int, int]] = sorted(
+    ((a, b) for a in range(-3, 4) for b in range(-3, 4)),
+    key=lambda d: (abs(d[0]) + abs(d[1]), d[0], d[1]))
+
+
+def motion_search_fast(y: np.ndarray, ry: np.ndarray, search: int,
+                       planes: np.ndarray | None = None,
+                       margin: int = 0,
+                       clean_rows: int | None = None) -> np.ndarray:
+    """Hierarchical quarter-pel search (``fastsub``): exhaustive
+    FULL-pel stage (:func:`motion_search`), then one refinement stage
+    over :data:`FASTSUB_OFFSETS` — all 49 quarter-pel offsets within
+    ±3/4 pel of each MB's full-pel winner.  (2R+1)² + 49 SAD passes
+    instead of the exhaustive lattice's (8R+1)² — at R=8 that is
+    12.5x fewer — at the cost of assuming the sub-pel optimum lies
+    around the full-pel one (the standard coarse-to-fine trade;
+    x264's subme ladder makes the same bet).
+
+    The refinement stays TPU-uniform because the full-pel winner
+    contributes no fraction: every offset's plane index (off & 3) and
+    patch offset (off >> 2) are the SAME for all MBs — the device twin
+    (ops.h264_levels.motion_search_mc_fast) exploits exactly this with
+    one per-MB recentering gather.  Selection per stage is the argmin
+    of ``sad * SEARCH_KEY_RADIX + index`` over the stage's candidate
+    list — the decision rule (both stages) is part of the TPU/oracle
+    byte-exactness contract.  Radius may be 1..15 (the quarter-pel
+    R<=11 bound does not apply: the stage candidate counts are
+    (2R+1)² <= 961 and 49).
+
+    Returns the MV field (mb_h, mb_w, 2) int64 in QUARTER-pel units,
+    |mv| <= 4*search + 3."""
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    if planes is None:
+        margin = search + 1
+        planes = quarterpel_planes(ry, margin)
+    mv0 = motion_search(y, ry, search, clean_rows=clean_rows)
+    cur = y.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
+    dyg = np.repeat(np.repeat(mv0[:, :, 0] >> 2, 16, 0), 16, 1)
+    dxg = np.repeat(np.repeat(mv0[:, :, 1] >> 2, 16, 0), 16, 1)
+    rows0 = margin + np.arange(H)[:, None] + dyg
+    cols0 = margin + np.arange(W)[None, :] + dxg
+    rows_mb = np.arange(mb_h)[:, None]
+    ext = np.asarray(_MC_ROW_EXT)
+    best = None
+    best_key = None
+    for j, (qy, qx) in enumerate(FASTSUB_OFFSETS):
+        p = planes[(qy & 3) * 4 + (qx & 3)]
+        ref = p[rows0 + (qy >> 2), cols0 + (qx >> 2)]
+        sad = np.abs(
+            cur - ref.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
+        ).sum(axis=(1, 3), dtype=np.int64)
+        key = sad * SEARCH_KEY_RADIX + j
+        if clean_rows is not None:
+            # same clean-region reach bound as the exhaustive search,
+            # with the per-MB total MV (winner + offset); index 0 is
+            # the full-pel winner (reach EXT[0] = 0), already legal —
+            # every MB keeps at least one choice
+            ty = mv0[:, :, 0] + qy
+            maxrow = 16 * rows_mb + 15 + (ty >> 2) + ext[qy & 3]
+            bad = (rows_mb < clean_rows) & (maxrow > 16 * clean_rows - 1)
+            key = np.where(bad, np.int64(_BAD_KEY), key)
+        if best is None:
+            best, best_key = np.full((mb_h, mb_w), j), key
+        else:
+            take = key < best_key
+            best = np.where(take, j, best)
+            best_key = np.where(take, key, best_key)
+    offs = np.asarray(FASTSUB_OFFSETS, dtype=np.int64)
+    return mv0 + offs[best]
 
 
 def motion_search_multi(y: np.ndarray, planes_list: list[np.ndarray],
@@ -1183,7 +1275,8 @@ class GopCavlcEncoder:
                  gop: int = 30, bitrate_kbps: int | None = None,
                  fps: float = 30.0, slices: int = 1,
                  search: int = 0, halfpel: bool = False,
-                 quarterpel: bool = False, refs: int = 1,
+                 quarterpel: bool = False, fastsub: bool = False,
+                 refs: int = 1,
                  deblock: bool = False, gdr: int = 0,
                  cpb_ms: int | None = None,
                  initial_delay_ms: int | None = None) -> None:
@@ -1213,14 +1306,25 @@ class GopCavlcEncoder:
             self._gdr_rows = -(-mb_h // self._gdr_period)
             gop = 1 << 30  # one IDR ever; refresh rides the wave
         self.search = int(search)
-        self.subpel = 2 if quarterpel else (1 if halfpel else 0)
-        if (halfpel or quarterpel) and not search:
-            raise ValueError("halfpel/quarterpel require search=R > 0")
+        if fastsub and (halfpel or quarterpel):
+            raise ValueError("fastsub replaces halfpel/quarterpel "
+                             "(it IS a quarter-pel mode)")
+        self.subpel = (3 if fastsub
+                       else 2 if quarterpel else (1 if halfpel else 0))
+        if (halfpel or quarterpel or fastsub) and not search:
+            raise ValueError("halfpel/quarterpel/fastsub require "
+                             "search=R > 0")
         if search:
-            search_candidates_qpel(search, self.subpel)  # validates
+            # fastsub validates the full-pel stage's radius (its
+            # refinement count is a constant 49)
+            search_candidates_qpel(search, 0 if fastsub
+                                   else self.subpel)
         if not 1 <= refs <= 4:
             raise ValueError(f"refs must be in [1, 4], got {refs}")
         if refs > 1:
+            if fastsub:
+                raise ValueError("fastsub does not compose with "
+                                 "refs > 1")
             if not search:
                 raise ValueError("refs > 1 requires search=R > 0")
             mb_h = -(-height // 16)
@@ -1582,7 +1686,8 @@ class TpuGopEncoder:
                  fps: float = 30.0, native: str = "auto",
                  threads: int = 0, overlap: bool = False,
                  search: int = 0, halfpel: bool = False,
-                 quarterpel: bool = False, refs: int = 1,
+                 quarterpel: bool = False, fastsub: bool = False,
+                 refs: int = 1,
                  deblock: bool = False, gdr: int = 0,
                  cpb_ms: int | None = None,
                  initial_delay_ms: int | None = None) -> None:
@@ -1602,14 +1707,24 @@ class TpuGopEncoder:
             self._gdr_rows = -(-mb_h // self._gdr_period)
             gop = 1 << 30  # one IDR ever; refresh rides the wave
         self.search = int(search)
-        self.subpel = 2 if quarterpel else (1 if halfpel else 0)
-        if (halfpel or quarterpel) and not search:
-            raise ValueError("halfpel/quarterpel require search=R > 0")
+        if fastsub and (halfpel or quarterpel):
+            raise ValueError("fastsub replaces halfpel/quarterpel "
+                             "(it IS a quarter-pel mode)")
+        self.subpel = (3 if fastsub
+                       else 2 if quarterpel else (1 if halfpel else 0))
+        if (halfpel or quarterpel or fastsub) and not search:
+            raise ValueError("halfpel/quarterpel/fastsub require "
+                             "search=R > 0")
         if search:
-            search_candidates_qpel(search, self.subpel)  # validates
+            # fastsub validates the full-pel stage's radius (its
+            # refinement count is a constant 49)
+            search_candidates_qpel(search, 0 if fastsub
+                                   else self.subpel)
         if not 1 <= refs <= 2:
             raise ValueError(
                 f"TPU GOP refs must be 1 or 2, got {refs}")
+        if refs > 1 and fastsub:
+            raise ValueError("fastsub does not compose with refs > 1")
         if refs > 1 and not search:
             raise ValueError("refs > 1 requires search=R > 0")
         self.refs = int(refs)

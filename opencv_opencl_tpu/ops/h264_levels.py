@@ -573,6 +573,136 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     return mv, pred_y, pred_cb, pred_cr
 
 
+def motion_search_mc_fast(y: jax.Array, ry: jax.Array, rcb: jax.Array,
+                          rcr: jax.Array, search: int,
+                          clean_rows=None):
+    """Hierarchical quarter-pel search + MC (``fastsub``; oracle:
+    io.h264_inter.motion_search_fast — byte-exact decision contract).
+
+    Stage 1 sweeps the exhaustive FULL-pel grid with the usual uniform
+    dynamic-slice loop, but carries only the packed selection key (no
+    prediction accumulation — the refinement re-reads the winner).
+
+    Stage 2 is the TPU-shaped half of the design: ONE per-MB
+    recentering gather pulls a 17x17 patch around each MB's full-pel
+    winner out of every spec 8.4.2.2.1 sub-sample plane
+    (16, mb_h, mb_w, 17, 17), and then ALL 49 refinement offsets in
+    ±3/4 pel become STATIC slices of that tensor — the offset's
+    fraction (off & 3 -> plane) and integer part (off >> 2 -> patch
+    row/col) are the same for every MB because the full-pel winner
+    contributes no fraction.  So the only non-uniform access in the
+    whole search is one gather of ~18 frame-equivalents, against
+    (8R+1)² - (2R+1)² ~ 3900 (at R=8) uniform full-frame passes the
+    exhaustive lattice would spend on the same neighborhood.
+
+    Chroma MC at the winning MV mirrors the oracle's mc_planes
+    clipped-gather bilinear (spec 8.4.2.2.2) — per-sample clipping IS
+    the edge replication, so no padding is needed.
+
+    Returns (mv (mb_h, mb_w, 2) int32 quarter-pel, pred_y, pred_cb,
+    pred_cr uint8 planes) — the motion_search_mc contract.
+    """
+    from opencv_opencl_tpu.io.h264_inter import (
+        _BAD_KEY, _MC_ROW_EXT, FASTSUB_OFFSETS, SEARCH_KEY_RADIX,
+        search_candidates_qpel)
+
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    cands = np.asarray(search_candidates_qpel(search, 0), np.int32)
+    n = len(cands)
+    pad = jnp.pad(ry, search, mode="edge")
+    cur = y.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
+    cand_arr = jnp.asarray(cands)
+    rows_mb = jnp.arange(mb_h, dtype=jnp.int32)
+
+    def body(i, best_key):
+        qy, qx = cand_arr[i, 0], cand_arr[i, 1]
+        ref = jax.lax.dynamic_slice(
+            pad, (search + (qy >> 2), search + (qx >> 2)), (H, W))
+        sad = jnp.sum(
+            jnp.abs(cur - ref.astype(jnp.int16)
+                    .reshape(mb_h, 16, mb_w, 16)).astype(jnp.int32),
+            axis=(1, 3))
+        key = sad * SEARCH_KEY_RADIX + i
+        if clean_rows is not None:
+            # full-pel candidates: interpolation reach is 0
+            maxrow = 16 * rows_mb + 15 + (qy >> 2)
+            bad = ((rows_mb < clean_rows)
+                   & (maxrow > 16 * clean_rows - 1))
+            key = jnp.where(bad[:, None], jnp.int32(_BAD_KEY), key)
+        return jnp.minimum(best_key, key)
+
+    init = jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max, jnp.int32)
+    best_key = jax.lax.fori_loop(0, n, body, init)
+    mv0 = cand_arr[best_key % SEARCH_KEY_RADIX]     # (mb_h, mb_w, 2)
+    v = mv0 >> 2                                    # full-pel winner
+
+    margin = search + 1
+    planes = quarterpel_planes_jax(ry, margin)
+    # the one per-MB gather: 17x17 recentered patches, every plane
+    ri = ((margin - 1 + v[:, :, 0]
+           + 16 * rows_mb[:, None])[:, :, None]
+          + jnp.arange(17, dtype=jnp.int32)[None, None, :])
+    ci = ((margin - 1 + v[:, :, 1]
+           + 16 * jnp.arange(mb_w, dtype=jnp.int32)[None, :])
+          [:, :, None]
+          + jnp.arange(17, dtype=jnp.int32)[None, None, :])
+    patches = planes[:, ri[:, :, :, None], ci[:, :, None, :]]
+
+    curb = cur.transpose(0, 2, 1, 3)                # (mb_h, mb_w, 16, 16)
+    best_key = jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max,
+                        jnp.int32)
+    best_pred = jnp.zeros((mb_h, mb_w, 16, 16), jnp.uint8)
+    ext = _MC_ROW_EXT
+    for j, (qy, qx) in enumerate(FASTSUB_OFFSETS):
+        p = (qy & 3) * 4 + (qx & 3)
+        oy, ox = (qy >> 2) + 1, (qx >> 2) + 1       # static in {0, 1}
+        ref = patches[p, :, :, oy:oy + 16, ox:ox + 16]
+        sad = jnp.sum(
+            jnp.abs(curb - ref.astype(jnp.int16)).astype(jnp.int32),
+            axis=(2, 3))
+        key = sad * SEARCH_KEY_RADIX + j
+        if clean_rows is not None:
+            ty = mv0[:, :, 0] + qy
+            maxrow = (16 * rows_mb[:, None] + 15 + (ty >> 2)
+                      + int(ext[qy & 3]))
+            bad = ((rows_mb[:, None] < clean_rows)
+                   & (maxrow > 16 * clean_rows - 1))
+            key = jnp.where(bad, jnp.int32(_BAD_KEY), key)
+        take = key < best_key
+        best_key = jnp.minimum(best_key, key)
+        best_pred = jnp.where(take[:, :, None, None], ref, best_pred)
+    offs = jnp.asarray(np.asarray(FASTSUB_OFFSETS, np.int32))
+    mv = mv0 + offs[best_key % SEARCH_KEY_RADIX]
+    pred_y = best_pred.transpose(0, 2, 1, 3).reshape(H, W)
+
+    # chroma MC at the per-MB winner: clipped-gather bilinear, the
+    # exact arithmetic of io.h264_inter.mc_planes
+    ch, cw = H // 2, W // 2
+    cdy = jnp.repeat(jnp.repeat(mv[:, :, 0] >> 3, 8, 0), 8, 1)
+    cdx = jnp.repeat(jnp.repeat(mv[:, :, 1] >> 3, 8, 0), 8, 1)
+    fy = jnp.repeat(jnp.repeat(mv[:, :, 0] & 7, 8, 0), 8, 1)
+    fx = jnp.repeat(jnp.repeat(mv[:, :, 1] & 7, 8, 0), 8, 1)
+    rbase = jnp.arange(ch, dtype=jnp.int32)[:, None] + cdy
+    cbase = jnp.arange(cw, dtype=jnp.int32)[None, :] + cdx
+    r0 = jnp.clip(rbase, 0, ch - 1)
+    r1 = jnp.clip(rbase + 1, 0, ch - 1)
+    c0 = jnp.clip(cbase, 0, cw - 1)
+    c1 = jnp.clip(cbase + 1, 0, cw - 1)
+    wa = (8 - fx) * (8 - fy)
+    wb = fx * (8 - fy)
+    wc = (8 - fx) * fy
+    wd = fx * fy
+
+    def chroma_mc(plane):
+        p = plane.astype(jnp.int32)
+        return (((wa * p[r0, c0] + wb * p[r0, c1] +
+                  wc * p[r1, c0] + wd * p[r1, c1] + 32) >> 6)
+                .astype(jnp.uint8))
+
+    return mv, pred_y, chroma_mc(rcb), chroma_mc(rcr)
+
+
 def _cost_of(*arrays):
     """CAVLC bit-cost proxy: sum of 2|l| + (l != 0) over every
     coefficient, reduced over all but the leading MB-row axis — MUST
@@ -719,11 +849,22 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         raise ValueError("gdr_band does not compose with two "
                          "references")
     if search and ry2 is not None:
+        if subpel == 3:
+            raise ValueError("fastsub does not compose with two "
+                             "references")
         # two-reference search: P_Skip additionally requires ref 0
         mv, refsel, pred_y, pred_cb, pred_cr = motion_search_mc_multi(
             y, [(ry, rcb, rcr), (ry2, rcb2, rcr2)], search, subpel)
         mv_zero = ((mv[:, :, 0] == 0) & (mv[:, :, 1] == 0)
                    & (refsel == 0))
+    elif search and subpel == 3:
+        # hierarchical quarter-pel (fastsub): full-pel sweep + one
+        # per-MB recentering gather + 49 static refinement slices
+        mv, pred_y, pred_cb, pred_cr = motion_search_mc_fast(
+            y, ry, rcb, rcr, search,
+            clean_rows=None if gdr_band is None
+            else jnp.asarray(gdr_band[0], jnp.int32))
+        mv_zero = (mv[:, :, 0] == 0) & (mv[:, :, 1] == 0)
     elif search:
         mv, pred_y, pred_cb, pred_cr = motion_search_mc(
             y, ry, rcb, rcr, search, subpel,

@@ -131,19 +131,38 @@ def parity() -> dict:
 
 def main() -> None:
     out = {"what": "encode_p_levels device ms/frame (chained, qp=30) "
-                   "across the search ladder + hardware byte-identity "
-                   "vs CPU oracle on panning content",
-           "parity": parity(),
-           "geometries": [measure(1920, 1080, SEARCH),
-                          measure(1920, 1080, SEARCH, subpel=1),
-                          measure(1920, 1080, 4, subpel=2),
-                          measure(1920, 1080, SEARCH, refs=2),
-                          measure(3840, 2160, SEARCH),
-                          measure(3840, 2160, 4, subpel=2)]}
+                   "across the search ladder (subpel 3 = fastsub: "
+                   "hierarchical full-pel + 49-offset refinement) + "
+                   "hardware byte-identity vs CPU oracle on panning "
+                   "content",
+           "parity": parity(), "geometries": []}
+
+    def save() -> None:  # incremental: a mid-run outage keeps evidence
+        with open("scripts/tpu_r3_motion.json", "w") as f:
+            json.dump(out, f, indent=1)
+
+    save()
+    for args, kw in (
+            ((1920, 1080, SEARCH), {}),
+            ((1920, 1080, SEARCH), {"subpel": 1}),
+            ((1920, 1080, 4), {"subpel": 2}),
+            ((1920, 1080, 4), {"subpel": 3}),   # fastsub, same R
+            ((1920, 1080, SEARCH), {"subpel": 3}),  # fastsub at R=8
+            ((1920, 1080, SEARCH), {"refs": 2}),
+            ((3840, 2160, SEARCH), {}),
+            ((3840, 2160, 4), {"subpel": 2}),
+            ((3840, 2160, SEARCH), {"subpel": 3}),
+    ):
+        try:
+            out["geometries"].append(measure(*args, **kw))
+        except Exception as e:  # land the failure, keep the ladder
+            out["geometries"].append(
+                {"width": args[0], "height": args[1],
+                 "search": args[2], **kw,
+                 "error": f"{type(e).__name__}: {e}"})
+        save()
     if not out["parity"]["byte_identical"]:
         raise SystemExit("PARITY FAILURE")
-    with open("scripts/tpu_r3_motion.json", "w") as f:
-        json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
 
 

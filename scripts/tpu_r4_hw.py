@@ -13,6 +13,8 @@ Stages (each writes scripts/tpu_r4_hw.json incrementally):
   gdr_search   gdr=3 + search=2 quarterpel (restricted motion)
   deblock      deblock=True recon chain (device wavefront)
   hrd          cpb=500/initdelay=250 re-encode loop (snapshot chain)
+  fused_*      build_enhance_gop_fn (CLAHE fused into the GOP scan)
+               vs the unfused device chain AND the CPU entropy oracle
   conformance  every stage's stream decoded through libavcodec
 
     python scripts/tpu_r4_hw.py          # on the real TPU (axon)
@@ -126,6 +128,62 @@ def run_stage(name: str, tpu_kw: dict, oracle_kw: dict,
     print(f"[{name}] {rec}", flush=True)
 
 
+def run_fused_stage(name: str, tpu_kw: dict, oracle_kw: dict,
+                    kind: str = "square") -> None:
+    """build_enhance_gop_fn byte-identity on hardware: the fused
+    CLAHE+GOP device scan must stream byte-identical to (a) the plain
+    enhance program + TpuGopEncoder device chain and (b) the CPU
+    entropy oracle (GopCavlcEncoder) fed the device-enhanced frames.
+    Mirrors tests/test_fused_encode.py::test_fused_gdr_matches_unfused
+    but runs on the real TPU."""
+    import jax.numpy as jnp
+    from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+    from opencv_opencl_tpu.io.h264_inter import (GopCavlcEncoder,
+                                                 TpuGopEncoder)
+    from opencv_opencl_tpu.models.enhancer import (EnhancerConfig,
+                                                   build_enhance_fn)
+    from opencv_opencl_tpu.models.fused_encode import (
+        build_enhance_gop_fn)
+    t0 = time.perf_counter()
+    try:
+        frames = np.stack(make_frames(kind))
+        spec = FrameSpec(width=W, height=H, fps=30)
+        cfg = EnhancerConfig(op="clahe", clip_limit=2.0,
+                             tile_grid=(8, 8),
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        plain = build_enhance_fn(cfg, spec, donate=False)
+        enh = np.asarray(plain(frames))
+        want_dev = stream(TpuGopEncoder(W, H, **tpu_kw), list(enh))
+        want_cpu = stream(GopCavlcEncoder(W, H, **oracle_kw),
+                          list(enh))
+        enc = TpuGopEncoder(W, H, **tpu_kw)
+        fn = build_enhance_gop_fn(cfg, spec, enc.gop,
+                                  search=enc.search,
+                                  subpel=enc.subpel, refs=enc.refs,
+                                  deblock=enc.deblock, gdr=enc.gdr)
+        recon = list(enc.initial_recon())
+        got, idx = [], 0
+        for lo, hi in ((0, 3), (3, 6), (6, N)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(QP), idx,
+                                *recon)
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(
+                    np.asarray(packed)[i]))
+        conf = decode_ok(got, N)
+        rec = {"ok": bool(got == want_dev == want_cpu and conf),
+               "fused_eq_device": bool(got == want_dev),
+               "fused_eq_cpu_oracle": bool(got == want_cpu),
+               "libavcodec_frames_ok": bool(conf),
+               "au_bytes": [len(a) for a in got],
+               "tpu_wall_s": round(time.perf_counter() - t0, 1)}
+    except Exception as e:  # land the failure, keep going
+        rec = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+    RESULTS["stages"][name] = rec
+    save()
+    print(f"[{name}] {rec}", flush=True)
+
+
 def main() -> None:
     import jax
     RESULTS["platform"] = jax.default_backend()
@@ -151,6 +209,15 @@ def main() -> None:
               dict(qp=QP, gop=8, search=4, refs=2),
               dict(qp=QP, gop=8, slices=MB_H, search=4, refs=2),
               kind="flicker")
+    run_stage("fastsub",
+              dict(qp=QP, gop=6, search=4, fastsub=True),
+              dict(qp=QP, gop=6, slices=MB_H, search=4,
+                   fastsub=True))
+    run_stage("gdr_fastsub",
+              dict(qp=QP, gdr=3, search=2, fastsub=True),
+              dict(qp=QP, gdr=3, slices=MB_H, search=2,
+                   fastsub=True),
+              kind="square")
     run_stage("gdr",
               dict(qp=QP, gdr=3),
               dict(qp=QP, gdr=3, slices=MB_H),
@@ -178,6 +245,16 @@ def main() -> None:
               kind="square",
               extra=lambda got, want: {
                   "cpb_check": _cpb_clean(got, 400, 500, 250)})
+    run_fused_stage("fused_gop_deblock",
+                    dict(qp=QP, gop=6, deblock=True, search=2,
+                         quarterpel=True),
+                    dict(qp=QP, gop=6, slices=MB_H, deblock=True,
+                         search=2, quarterpel=True))
+    run_fused_stage("fused_gdr",
+                    dict(qp=QP, gdr=3, deblock=True, search=2,
+                         quarterpel=True),
+                    dict(qp=QP, gdr=3, slices=MB_H, deblock=True,
+                         search=2, quarterpel=True))
     RESULTS["wall_s"] = round(time.perf_counter() - t0, 1)
     RESULTS["all_ok"] = all(s.get("ok") for s in
                             RESULTS["stages"].values())

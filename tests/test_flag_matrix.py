@@ -45,6 +45,9 @@ MATRIX = [
     ("encoded_tpu_gdr_search", ["--sink=rtp+h264://127.0.0.1:56481",
                                 "--encoder=tpu:qp=40:gdr=3:search=2"],
      0, None),
+    ("encoded_tpu_fastsub",
+     ["--sink=rtp+h264://127.0.0.1:56482",
+      "--encoder=tpu:qp=40:gop=4:search=2:fastsub"], 0, None),
     ("encoded_cpb", ["--sink=rtp+h264://127.0.0.1:56473",
                      "--bitrate=800", "--encoder=cavlc:cpb=500"],
      0, None),
@@ -104,6 +107,9 @@ SPEC_REFUSALS = [
     ("tpu:qp=30:halfpel", "need a gop"),
     ("cavlc:qp=30:gop=8:halfpel", "require search"),
     ("cavlc:qp=30:gop=8:refs=2", "requires search"),
+    ("tpu:qp=30:gop=8:fastsub", "require"),
+    ("tpu:qp=30:gop=8:search=2:fastsub:quarterpel", "replaces"),
+    ("cavlc:qp=30:gop=8:search=2:fastsub:refs=2", "refs"),
 ]
 
 

@@ -376,6 +376,44 @@ class TestFusedGopSearch:
         # the MV lanes must actually carry motion on panning content
         assert packed[:, :, :, 410:412].any()
 
+    def test_fused_fastsub_matches_unfused(self):
+        """Hierarchical quarter-pel search inside the fused device
+        scan (subpel=3 flows through encode_p_levels unchanged):
+        byte-identical to enhance-then-TpuGopEncoder(fastsub)."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        w, h, qp, gop = 96, 64, 30, 3
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op="clahe",
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        from tests.conftest import sinusoid_pan_frames
+        frames = np.stack(sinusoid_pan_frames(w, h, 6, step=0.3,
+                                              seed=6, terms=3))
+
+        plain = build_enhance_fn(cfg, spec, donate=False)
+        enh = np.asarray(plain(frames))
+        ref_enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=3,
+                                fastsub=True)
+        want = [au for f in enh for au in ref_enc.encode(f)]
+
+        fn = build_enhance_gop_fn(cfg, spec, gop, search=3, subpel=3)
+        enc = TpuGopEncoder(w, h, qp=qp, gop=gop, search=3,
+                            fastsub=True)
+        recon = enc.initial_recon()
+        idx, got = 0, []
+        for lo, hi in ((0, 2), (2, 6)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(qp), idx,
+                                *recon)
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(
+                    np.asarray(packed)[i]))
+        assert got == want
+
     def test_from_packed_rejects_bad_lane_count(self):
         from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
 

@@ -97,10 +97,11 @@ class TestConformance:
 
     @pytest.mark.parametrize("kw", [
         {}, {"search": 2}, {"search": 2, "quarterpel": True},
+        {"search": 2, "fastsub": True},
         {"deblock": True},
         {"deblock": True, "search": 2, "quarterpel": True},
-    ], ids=["zero-motion", "fullpel", "quarterpel", "deblock",
-            "deblock-qpel"])
+    ], ids=["zero-motion", "fullpel", "quarterpel", "fastsub",
+            "deblock", "deblock-qpel"])
     def test_midstream_join_recovers_exactly(self, kw, tmp_path):
         """Drop every AU before the frame-4 recovery point; libavcodec
         discards the not-yet-clean frames and the FIRST output frame is
@@ -138,10 +139,11 @@ class TestConformance:
 class TestTpuParity:
     @pytest.mark.parametrize("kw", [
         {}, {"search": 2}, {"search": 2, "quarterpel": True},
+        {"search": 2, "fastsub": True},
         {"deblock": True},
         {"deblock": True, "search": 2, "quarterpel": True},
-    ], ids=["zero-motion", "fullpel", "quarterpel", "deblock",
-            "deblock-qpel"])
+    ], ids=["zero-motion", "fullpel", "quarterpel", "fastsub",
+            "deblock", "deblock-qpel"])
     def test_byte_identical_to_oracle(self, kw):
         w, h = 64, 48
         fs = moving_frames(w, h, 8, seed=2)

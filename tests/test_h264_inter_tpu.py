@@ -600,6 +600,107 @@ class TestTpuQuarterPel:
             make_encoder("tpu:gop=4:search=12:quarterpel", 96, 64)
 
 
+class TestTpuFastsub:
+    """Hierarchical quarter-pel search (``:fastsub``): exhaustive
+    full-pel stage + one 49-offset refinement around each MB's winner
+    ((2R+1)^2 + 49 SAD passes instead of (8R+1)^2).  Oracle:
+    io.h264_inter.motion_search_fast; device:
+    ops.h264_levels.motion_search_mc_fast (one per-MB recentering
+    gather, then every refinement offset is a STATIC slice)."""
+
+    def pan(self, w, h, n, seed=0):
+        from tests.conftest import sinusoid_pan_frames
+
+        return sinusoid_pan_frames(w, h, n, step=0.3, seed=seed,
+                                   terms=3)
+
+    def test_fastsub_stream_byte_identical_to_oracle(self):
+        w, h = 96, 64
+        frames = self.pan(w, h, 6, seed=4)
+        tpu = TpuGopEncoder(w, h, qp=28, gop=6, search=3,
+                            fastsub=True)
+        oracle = GopCavlcEncoder(w, h, qp=28, gop=6, slices=h // 16,
+                                 search=3, fastsub=True)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
+
+    def test_fastsub_conformance_through_libavcodec(self, tmp_path):
+        import cv2
+
+        w, h = 96, 64
+        frames = self.pan(w, h, 5, seed=11)
+        enc = TpuGopEncoder(w, h, qp=26, gop=5, search=3,
+                            fastsub=True)
+        aus, recons = [], []
+        for f in frames:
+            aus.append(enc.encode(f)[0])
+            recons.append(np.asarray(enc._recon[0]).copy())
+        p = tmp_path / "fs.h264"
+        p.write_bytes(b"".join(aus) + aus[-1])
+        cap = cv2.VideoCapture(str(p))
+        assert cap.isOpened()
+        cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        for i in range(5):
+            ok, d = cap.read()
+            assert ok
+            assert np.array_equal(d[:h, :w], recons[i][:h, :w]), i
+        cap.release()
+
+    def test_fastsub_quality_tracks_exhaustive(self):
+        """The deviation quantification the hierarchical trade
+        requires: on sub-pel panning content, fastsub P frames must
+        (a) beat the full-pel-only search (the refinement is real)
+        and (b) stay within 30% of the exhaustive quarter-pel
+        lattice's total (the coarse-to-fine bet holds)."""
+        w, h = 96, 64
+        frames = self.pan(w, h, 6, seed=7)
+
+        def total(**kw):
+            enc = GopCavlcEncoder(w, h, qp=28, gop=6,
+                                  slices=h // 16, search=3, **kw)
+            return sum(len(a) for f in frames[1:]
+                       for a in enc.encode(f))
+
+        fast = total(fastsub=True)
+        full = total()
+        exh = total(quarterpel=True)
+        assert fast < full, (fast, full)
+        assert fast <= 1.3 * exh, (fast, exh)
+
+    def test_fastsub_refinement_moves_off_fullpel(self):
+        """The winning MVs must actually use sub-pel fractions on
+        sub-pel motion (otherwise the refinement is dead code)."""
+        from opencv_opencl_tpu.io.h264_inter import (
+            motion_search_fast)
+
+        frames = self.pan(96, 64, 3, seed=5)
+        y0 = frames[1][:64].astype(np.int64)
+        y1 = frames[2][:64].astype(np.int64)
+        mv = motion_search_fast(y1, y0, 3)
+        assert (mv & 3).any(), "no quarter-pel fraction chosen"
+        assert np.abs(mv).max() <= 4 * 3 + 3
+
+    def test_make_encoder_fastsub(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        e = make_encoder("tpu:gop=4:search=3:fastsub", 96, 64)
+        assert isinstance(e, TpuGopEncoder) and e.subpel == 3
+        e2 = make_encoder("cavlc:gop=4:search=3:fastsub", 96, 64)
+        assert isinstance(e2, GopCavlcEncoder) and e2.subpel == 3
+        # fastsub allows R > 11 (the quarter-pel lattice bound is a
+        # candidate-count bound; fastsub's stages stay small)
+        e3 = make_encoder("tpu:gop=4:search=13:fastsub", 96, 64)
+        assert e3.search == 13
+        with pytest.raises(ValueError, match="require"):
+            make_encoder("tpu:gop=4:fastsub", 96, 64)
+        with pytest.raises(ValueError, match="replaces"):
+            make_encoder("tpu:gop=4:search=3:fastsub:quarterpel",
+                         96, 64)
+        with pytest.raises(ValueError, match="refs"):
+            make_encoder("tpu:gop=4:search=3:fastsub:refs=2", 96, 64)
+
+
 class TestTpuMultiRef:
     def flicker(self, w, h, n, seed=0):
         from tests.conftest import flicker_frames
