@@ -242,20 +242,20 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
         if max(1, min(int(slices), mb_h)) != mb_h:
             raise NotImplementedError(
                 "multi-ref P frames require one slice per MB row")
-        if subpel == 3:
-            raise NotImplementedError(
-                "fastsub does not compose with refs > 1 (the "
-                "refinement stage has no multi-reference formulation "
-                "yet)")
         margin = search + 1
-        builders = {2: quarterpel_planes, 1: halfpel_planes}
+        builders = {3: quarterpel_planes, 2: quarterpel_planes,
+                    1: halfpel_planes}
         build = builders.get(subpel)
         if build is None:
             def build(p, m):
                 return np.pad(p, m, mode="edge").astype(np.uint8)[None]
         planes_list = [build(r["y"], margin) for r in refs]
-        mv, refsel = motion_search_multi(y, planes_list, search,
-                                         subpel, margin)
+        if subpel == 3:
+            mv, refsel = motion_search_fast_multi(y, planes_list,
+                                                  search, margin)
+        else:
+            mv, refsel = motion_search_multi(y, planes_list, search,
+                                             subpel, margin)
         pred = mc_planes_multi(refs, mv, refsel, planes_list, margin)
     elif search and subpel == 3:
         # hierarchical quarter-pel (fastsub): full-pel stage + one
@@ -714,6 +714,53 @@ def motion_search_multi(y: np.ndarray, planes_list: list[np.ndarray],
                 best_ref = np.where(take, r, best_ref)
     carr = np.asarray(cands, dtype=np.int64)
     return carr[best_idx], best_ref
+
+
+def motion_search_fast_multi(y: np.ndarray,
+                             planes_list: list[np.ndarray],
+                             search: int, margin: int
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Hierarchical quarter-pel search over MULTIPLE references
+    (``fastsub`` + ``refs>1``): the exhaustive full-pel stage picks a
+    per-MB (ref, mv) with :func:`motion_search_multi`'s exact rule
+    (ref-major order, strict less-than), then the 49-offset
+    :data:`FASTSUB_OFFSETS` refinement runs on each MB's WINNING
+    reference only (the reference choice is a stage-1 decision — the
+    refinement adjusts the vector, never the picture, so ref_idx
+    coding cost stays what the full-pel stage saw).
+
+    ``planes_list[r]`` must be reference r's 16-plane quarter-pel
+    stack (the full-pel stage reads its plane 0 — the integer
+    samples).  Returns (mv quarter-pel, ref), the
+    :func:`motion_search_multi` contract."""
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    mv0, ref0 = motion_search_multi(y, planes_list, search, 0, margin)
+    big = np.concatenate(planes_list)
+    P = len(planes_list[0])
+    cur = y.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
+    pg = np.repeat(np.repeat(ref0 * P, 16, 0), 16, 1)
+    dyg = np.repeat(np.repeat(mv0[:, :, 0] >> 2, 16, 0), 16, 1)
+    dxg = np.repeat(np.repeat(mv0[:, :, 1] >> 2, 16, 0), 16, 1)
+    rows0 = margin + np.arange(H)[:, None] + dyg
+    cols0 = margin + np.arange(W)[None, :] + dxg
+    best = None
+    best_key = None
+    for j, (qy, qx) in enumerate(FASTSUB_OFFSETS):
+        ref = big[pg + (qy & 3) * 4 + (qx & 3),
+                  rows0 + (qy >> 2), cols0 + (qx >> 2)]
+        sad = np.abs(
+            cur - ref.reshape(mb_h, 16, mb_w, 16).astype(np.int32)
+        ).sum(axis=(1, 3), dtype=np.int64)
+        key = sad * SEARCH_KEY_RADIX + j
+        if best is None:
+            best, best_key = np.full((mb_h, mb_w), j), key
+        else:
+            take = key < best_key
+            best = np.where(take, j, best)
+            best_key = np.where(take, key, best_key)
+    offs = np.asarray(FASTSUB_OFFSETS, dtype=np.int64)
+    return mv0 + offs[best], ref0
 
 
 def mc_planes_multi(refs: list[dict], mv: np.ndarray, ref: np.ndarray,
@@ -1322,9 +1369,6 @@ class GopCavlcEncoder:
         if not 1 <= refs <= 4:
             raise ValueError(f"refs must be in [1, 4], got {refs}")
         if refs > 1:
-            if fastsub:
-                raise ValueError("fastsub does not compose with "
-                                 "refs > 1")
             if not search:
                 raise ValueError("refs > 1 requires search=R > 0")
             mb_h = -(-height // 16)
@@ -1723,8 +1767,6 @@ class TpuGopEncoder:
         if not 1 <= refs <= 2:
             raise ValueError(
                 f"TPU GOP refs must be 1 or 2, got {refs}")
-        if refs > 1 and fastsub:
-            raise ValueError("fastsub does not compose with refs > 1")
         if refs > 1 and not search:
             raise ValueError("refs > 1 requires search=R > 0")
         self.refs = int(refs)

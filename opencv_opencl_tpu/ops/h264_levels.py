@@ -703,6 +703,120 @@ def motion_search_mc_fast(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     return mv, pred_y, chroma_mc(rcb), chroma_mc(rcr)
 
 
+def motion_search_mc_fast_multi(y: jax.Array, refs: list[tuple],
+                                search: int):
+    """Multi-reference hierarchical quarter-pel search + MC (oracle:
+    io.h264_inter.motion_search_fast_multi + mc_planes_multi).  The
+    full-pel stage sweeps references ref-major with strict less-than
+    (earlier/more recent reference wins ties — motion_search_mc_multi's
+    rule), carrying key + ref only; the per-MB recentering gather then
+    adds ``best_ref * 16`` to the plane index, and the 49 refinement
+    offsets stay STATIC slices exactly as in the single-reference
+    :func:`motion_search_mc_fast`.  Chroma gathers from the stacked
+    reference planes with the per-MB ref grid (clipped-gather
+    bilinear, = mc_planes_multi sample for sample).
+
+    Returns (mv quarter-pel, ref field, pred_y, pred_cb, pred_cr).
+    """
+    from opencv_opencl_tpu.io.h264_inter import (
+        FASTSUB_OFFSETS, SEARCH_KEY_RADIX, search_candidates_qpel)
+
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    cands = np.asarray(search_candidates_qpel(search, 0), np.int32)
+    n = len(cands)
+    nrefs = len(refs)
+    margin = search + 1
+    pstack = jnp.concatenate(
+        [quarterpel_planes_jax(r[0], margin) for r in refs])
+    cur = y.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
+    cand_arr = jnp.asarray(cands)
+    rows_mb = jnp.arange(mb_h, dtype=jnp.int32)
+
+    def body(i, state):
+        best_key, best_ref = state
+        r = i // n
+        idx = i % n
+        qy, qx = cand_arr[idx, 0], cand_arr[idx, 1]
+        # plane r*16 + 0 IS reference r's integer samples
+        ref = jax.lax.dynamic_slice(
+            pstack, (r * 16, margin + (qy >> 2), margin + (qx >> 2)),
+            (1, H, W))[0]
+        sad = jnp.sum(
+            jnp.abs(cur - ref.astype(jnp.int16)
+                    .reshape(mb_h, 16, mb_w, 16)).astype(jnp.int32),
+            axis=(1, 3))
+        key = sad * SEARCH_KEY_RADIX + idx
+        take = key < best_key
+        return (jnp.minimum(best_key, key),
+                jnp.where(take, r, best_ref))
+
+    init = (jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max,
+                     jnp.int32),
+            jnp.zeros((mb_h, mb_w), jnp.int32))
+    best_key, best_ref = jax.lax.fori_loop(0, nrefs * n, body, init)
+    mv0 = cand_arr[best_key % SEARCH_KEY_RADIX]
+    v = mv0 >> 2
+
+    # per-MB recentering gather from the WINNING reference's stack
+    ri = ((margin - 1 + v[:, :, 0]
+           + 16 * rows_mb[:, None])[:, :, None]
+          + jnp.arange(17, dtype=jnp.int32)[None, None, :])
+    ci = ((margin - 1 + v[:, :, 1]
+           + 16 * jnp.arange(mb_w, dtype=jnp.int32)[None, :])
+          [:, :, None]
+          + jnp.arange(17, dtype=jnp.int32)[None, None, :])
+    pidx = (best_ref[None, :, :] * 16
+            + jnp.arange(16, dtype=jnp.int32)[:, None, None])
+    patches = pstack[pidx[:, :, :, None, None],
+                     ri[None, :, :, :, None],
+                     ci[None, :, :, None, :]]
+
+    curb = cur.transpose(0, 2, 1, 3)
+    best_key = jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max,
+                        jnp.int32)
+    best_pred = jnp.zeros((mb_h, mb_w, 16, 16), jnp.uint8)
+    for j, (qy, qx) in enumerate(FASTSUB_OFFSETS):
+        p = (qy & 3) * 4 + (qx & 3)
+        oy, ox = (qy >> 2) + 1, (qx >> 2) + 1
+        ref = patches[p, :, :, oy:oy + 16, ox:ox + 16]
+        sad = jnp.sum(
+            jnp.abs(curb - ref.astype(jnp.int16)).astype(jnp.int32),
+            axis=(2, 3))
+        key = sad * SEARCH_KEY_RADIX + j
+        take = key < best_key
+        best_key = jnp.minimum(best_key, key)
+        best_pred = jnp.where(take[:, :, None, None], ref, best_pred)
+    offs = jnp.asarray(np.asarray(FASTSUB_OFFSETS, np.int32))
+    mv = mv0 + offs[best_key % SEARCH_KEY_RADIX]
+    pred_y = best_pred.transpose(0, 2, 1, 3).reshape(H, W)
+
+    ch, cw = H // 2, W // 2
+    rg = jnp.repeat(jnp.repeat(best_ref, 8, 0), 8, 1)
+    cdy = jnp.repeat(jnp.repeat(mv[:, :, 0] >> 3, 8, 0), 8, 1)
+    cdx = jnp.repeat(jnp.repeat(mv[:, :, 1] >> 3, 8, 0), 8, 1)
+    fy = jnp.repeat(jnp.repeat(mv[:, :, 0] & 7, 8, 0), 8, 1)
+    fx = jnp.repeat(jnp.repeat(mv[:, :, 1] & 7, 8, 0), 8, 1)
+    rbase = jnp.arange(ch, dtype=jnp.int32)[:, None] + cdy
+    cbase = jnp.arange(cw, dtype=jnp.int32)[None, :] + cdx
+    r0 = jnp.clip(rbase, 0, ch - 1)
+    r1 = jnp.clip(rbase + 1, 0, ch - 1)
+    c0 = jnp.clip(cbase, 0, cw - 1)
+    c1 = jnp.clip(cbase + 1, 0, cw - 1)
+    wa = (8 - fx) * (8 - fy)
+    wb = fx * (8 - fy)
+    wc = (8 - fx) * fy
+    wd = fx * fy
+
+    def chroma_mc(idx: int):
+        p = jnp.stack([r[idx] for r in refs]).astype(jnp.int32)
+        return (((wa * p[rg, r0, c0] + wb * p[rg, r0, c1] +
+                  wc * p[rg, r1, c0] + wd * p[rg, r1, c1] + 32) >> 6)
+                .astype(jnp.uint8))
+
+    return mv, best_ref, pred_y, chroma_mc(1), chroma_mc(2)
+
+
 def _cost_of(*arrays):
     """CAVLC bit-cost proxy: sum of 2|l| + (l != 0) over every
     coefficient, reduced over all but the leading MB-row axis — MUST
@@ -849,12 +963,16 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         raise ValueError("gdr_band does not compose with two "
                          "references")
     if search and ry2 is not None:
-        if subpel == 3:
-            raise ValueError("fastsub does not compose with two "
-                             "references")
         # two-reference search: P_Skip additionally requires ref 0
-        mv, refsel, pred_y, pred_cb, pred_cr = motion_search_mc_multi(
-            y, [(ry, rcb, rcr), (ry2, rcb2, rcr2)], search, subpel)
+        if subpel == 3:
+            mv, refsel, pred_y, pred_cb, pred_cr = (
+                motion_search_mc_fast_multi(
+                    y, [(ry, rcb, rcr), (ry2, rcb2, rcr2)], search))
+        else:
+            mv, refsel, pred_y, pred_cb, pred_cr = (
+                motion_search_mc_multi(
+                    y, [(ry, rcb, rcr), (ry2, rcb2, rcr2)], search,
+                    subpel))
         mv_zero = ((mv[:, :, 0] == 0) & (mv[:, :, 1] == 0)
                    & (refsel == 0))
     elif search and subpel == 3:

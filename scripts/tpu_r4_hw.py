@@ -218,6 +218,11 @@ def main() -> None:
               dict(qp=QP, gdr=3, slices=MB_H, search=2,
                    fastsub=True),
               kind="square")
+    run_stage("fastsub_refs2",
+              dict(qp=QP, gop=8, search=4, fastsub=True, refs=2),
+              dict(qp=QP, gop=8, slices=MB_H, search=4,
+                   fastsub=True, refs=2),
+              kind="flicker")
     run_stage("gdr",
               dict(qp=QP, gdr=3),
               dict(qp=QP, gdr=3, slices=MB_H),

@@ -109,7 +109,6 @@ SPEC_REFUSALS = [
     ("cavlc:qp=30:gop=8:refs=2", "requires search"),
     ("tpu:qp=30:gop=8:fastsub", "require"),
     ("tpu:qp=30:gop=8:search=2:fastsub:quarterpel", "replaces"),
-    ("cavlc:qp=30:gop=8:search=2:fastsub:refs=2", "refs"),
 ]
 
 

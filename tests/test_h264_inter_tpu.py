@@ -697,8 +697,24 @@ class TestTpuFastsub:
         with pytest.raises(ValueError, match="replaces"):
             make_encoder("tpu:gop=4:search=3:fastsub:quarterpel",
                          96, 64)
-        with pytest.raises(ValueError, match="refs"):
-            make_encoder("tpu:gop=4:search=3:fastsub:refs=2", 96, 64)
+        e4 = make_encoder("tpu:gop=4:search=3:fastsub:refs=2", 96, 64)
+        assert e4.subpel == 3 and e4.refs == 2
+
+    def test_fastsub_refs2_byte_identical(self):
+        """fastsub + refs=2: stage 1 picks (ref, mv) over both
+        references ref-major; the refinement adjusts the vector on
+        the winning reference only — device == oracle byte-exact."""
+        from tests.conftest import flicker_frames
+
+        w, h = 96, 64
+        frames = flicker_frames(w, h, 6, seed=8)
+        tpu = TpuGopEncoder(w, h, qp=28, gop=6, search=3,
+                            fastsub=True, refs=2)
+        oracle = GopCavlcEncoder(w, h, qp=28, gop=6, slices=h // 16,
+                                 search=3, fastsub=True, refs=2)
+        got = [au for f in frames for au in tpu.encode(f)]
+        want = [au for f in frames for au in oracle.encode(f)]
+        assert got == want
 
 
 class TestTpuMultiRef:
