@@ -485,6 +485,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         halfpel = False
         quarterpel = False
         fastsub = False
+        bitpack = False
         deblock = False
         cpb_ms = None
         initdelay_ms = None
@@ -511,6 +512,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 continue
             if key == "fastsub" and not val:
                 fastsub = True
+                continue
+            if key == "bitpack" and not val:
+                bitpack = True
                 continue
             if key == "deblock" and not val:
                 deblock = True
@@ -547,13 +551,17 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 raise ValueError(
                     f"bad tpu option {opt!r} (qp=N|gop=N|gdr=N|"
                     "search=N|refs=N|cpb=MS|initdelay=MS|halfpel|"
-                    "quarterpel|fastsub|deblock|overlap)")
+                    "quarterpel|fastsub|deblock|bitpack|overlap)")
             try:
                 qp = int(val)
             except ValueError:
                 raise ValueError(f"bad tpu qp in {backend!r}")
             if not 0 <= qp <= 51:
                 raise ValueError(f"tpu qp must be 0..51, got {qp}")
+        if bitpack and (gdr or (gop is not None and gop > 1)):
+            raise ValueError(
+                "tpu bitpack is intra-only for now (device bit-packing "
+                "of P slices is not implemented yet)")
         if gdr:
             from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
 
@@ -591,8 +599,8 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             raise ValueError(
                 "tpu search=N/halfpel/quarterpel/fastsub need a gop=N "
                 "option (motion search is a P-frame feature)")
-        kw = dict(overlap=overlap, deblock=deblock, cpb_ms=cpb_ms,
-                  initial_delay_ms=initdelay_ms)
+        kw = dict(overlap=overlap, deblock=deblock, bitpack=bitpack,
+                  cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms)
         if qp is not None:
             return TpuCavlcEncoder(width, height, qp=qp, **kw)
         return TpuCavlcEncoder(width, height, qp=30,

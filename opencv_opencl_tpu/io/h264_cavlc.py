@@ -1077,12 +1077,23 @@ class TpuCavlcEncoder(CavlcH264Encoder):
     stream gains exactly one frame of latency (``flush`` drains the
     tail) and the closed-loop rate control reacts one frame later; the
     emitted bytes per frame are unchanged.
+
+    ``bitpack=True`` moves the entropy stage's BIT-LEVEL work onto the
+    device too (ops/h264_bitpack.py): the program also emits every
+    MB's packed CAVLC bitstring, and the host does only slice headers,
+    concatenation, trailing bits and emulation prevention — no VLC
+    work (the shape of the reference's VCU, whose entropy engine is
+    part of the hardware block).  Streams stay byte-identical; an MB
+    overflowing the ``nw_mb``-word transfer cap (worst-case random
+    noise near the cap; never at production QPs) flips the frame to
+    the host entropy path, which is byte-identical by construction.
     """
 
     def __init__(self, width: int, height: int, qp: int = 30,
                  bitrate_kbps: int | None = None, fps: float = 30.0,
                  native: str = "auto", threads: int = 0,
                  overlap: bool = False, deblock: bool = False,
+                 bitpack: bool = False, nw_mb: int = 64,
                  cpb_ms: int | None = None,
                  initial_delay_ms: int | None = None) -> None:
         h16 = -(-height // 16) * 16
@@ -1106,6 +1117,23 @@ class TpuCavlcEncoder(CavlcH264Encoder):
         self._levels_fn = encode_levels_jit
         self._overlap = bool(overlap)
         self._pending = None  # (LevelArrays on device, idr, qp)
+        self._bitpack = bool(bitpack)
+        self._nw_mb = int(nw_mb)
+        if self._bitpack:
+            import jax
+
+            from opencv_opencl_tpu.ops.h264_bitpack import pack_i_mbs
+            from opencv_opencl_tpu.ops.h264_levels import encode_levels
+
+            def _bits_program(y, cb, cr, qp):
+                lv, imode = encode_levels(y, cb, cr, qp)
+                words, nbits = pack_i_mbs(lv.zdc, lv.acz, lv.czdc,
+                                          lv.cacz, imode,
+                                          nw_mb=self._nw_mb)
+                return words, nbits, lv, imode
+
+            _jitted = jax.jit(_bits_program)
+            self._bits_fn = lambda *a: ("bits", *_jitted(*a))
 
     def _dispatch_levels(self, padded: np.ndarray, w16: int, h16: int,
                          qp: int):
@@ -1113,14 +1141,39 @@ class TpuCavlcEncoder(CavlcH264Encoder):
 
         y = jnp.asarray(padded[:h16])
         uv = padded[h16:].reshape(h16 // 2, w16 // 2, 2)
-        return self._levels_fn(y, jnp.asarray(uv[:, :, 0]),
-                               jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
+        fn = self._bits_fn if self._bitpack else self._levels_fn
+        return fn(y, jnp.asarray(uv[:, :, 0]),
+                  jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
 
     def _entropy_nals(self, lv, idr: int, qp: int,
                       imode=None) -> list[bytes]:
         """``lv`` is LevelArrays or a (LevelArrays, imode) pair from
         the level program; ``imode`` (per-MB 1=H / 2=DC) may also be
-        passed explicitly (the GOP encoder's IDR frames)."""
+        passed explicitly (the GOP encoder's IDR frames).  With
+        ``bitpack``, a ("bits", words, nbits, lv, imode) tuple: the
+        device already packed every MB's bitstring and the host only
+        fetches words + counts (the levels stay on-device unless an
+        MB overflowed the transfer cap — the fallback is byte-
+        identical by construction)."""
+        if isinstance(lv, tuple) and len(lv) == 5 and lv[0] == "bits":
+            from opencv_opencl_tpu.ops.h264_bitpack import (
+                assemble_slices_from_bits)
+
+            _, words, nbits, lvl, im = lv
+            nbits_h = np.asarray(nbits)
+            if int(nbits_h.max(initial=0)) <= 32 * self._nw_mb:
+                mb_w = nbits_h.shape[1]
+
+                def header_fn(mby):
+                    w = _BitWriter()
+                    _slice_head_cavlc(w, idr, qp,
+                                      first_mb=mby * mb_w,
+                                      deblock=self.deblock)
+                    return w
+
+                return assemble_slices_from_bits(
+                    np.asarray(words), nbits_h, header_fn)
+            lv = (lvl, im)   # overflow: host entropy path
         if not hasattr(lv, "zdc") and len(lv) == 2:
             lv, imode = lv
         zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)

@@ -1,0 +1,437 @@
+"""Device CAVLC bit-packing: the entropy stage's bit-level work as
+part of the TPU program.
+
+The host entropy stage is the in-repo encoder's only CPU stage
+(io/h264_cavlc.py; threaded C++ rows in native/framepipe.cpp).  Its
+work is almost entirely *parallel-friendly*: ``total_coeff`` of every
+4x4 block is a pure function of the quantized levels, so every nC
+context is a shifted array lookup (one slice per MB row means the
+only neighbors are LEFT and the within-MB TOP — no raster scan), and
+the only sequential state (level ``suffixLength`` adaptation, the
+``run_before`` ``zerosLeft`` countdown) lives INSIDE a block, bounded
+by 16 steps.  This module therefore:
+
+  1. tokenizes every residual block in parallel (34 fixed token slots
+     per block, each a (value, length<=28) pair — spec 9.2's
+     coeff_token / trailing-one signs / level prefix+suffix (merged
+     into one token) / total_zeros / run_before),
+  2. packs each block's tokens into a bit buffer (MSB-first u32
+     words) with a 34-step loop, vectorized over all blocks,
+  3. concatenates header + 27 block pieces per MB with dynamic
+     bit-shifts (28 static steps, vectorized over all MBs),
+
+leaving the host only the slice header, MB-string concatenation,
+rbsp trailing bits and emulation prevention (pure numpy bit moves —
+no VLC work).  Byte-exactness oracle:
+io.h264_cavlc.encode_frame_from_levels (tests/test_h264_bitpack.py).
+
+The VLC tables are built from io/h264_cavlc.py's dicts (spec tables
+9-2..9-10) — ONE source of truth.  Every MB's packed size is capped
+at ``nw_mb`` u32 words; frames where any MB overflows raise the
+``overflow`` flag and the caller falls back to the host entropy path
+(byte-identical by construction), so the cap is a transfer-size
+trade, not a correctness one.
+
+Reference analogue: the VCU's entropy engine is part of the hardware
+encoder (`/root/reference/OpenCVequalHist.cpp:308-332` never sees a
+bit of CAVLC on the CPU); this brings the in-repo encoder to the
+same shape — pixels AND bits on the accelerator.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opencv_opencl_tpu.io.h264_cavlc import (_CT_NC0, _CT_NC2, _CT_NC4,
+                                             _CT_NCM1, _RUN_BEFORE,
+                                             _TZ, _TZ_CDC, _ZIGZAG)
+
+# ---------------------------------------------------------------- tables ----
+
+# coeff_token VLC tables (spec 9-2), [nc_class][total][t1s] -> len/code
+_CT_LEN = np.zeros((3, 17, 4), np.int32)
+_CT_CODE = np.zeros((3, 17, 4), np.int32)
+for _k, _tab in enumerate((_CT_NC0, _CT_NC2, _CT_NC4)):
+    for (_t, _t1), (_ln, _cd) in _tab.items():
+        _CT_LEN[_k, _t, _t1] = _ln
+        _CT_CODE[_k, _t, _t1] = _cd
+_CDC_LEN = np.zeros((5, 4), np.int32)
+_CDC_CODE = np.zeros((5, 4), np.int32)
+for (_t, _t1), (_ln, _cd) in _CT_NCM1.items():
+    _CDC_LEN[_t, _t1] = _ln
+    _CDC_CODE[_t, _t1] = _cd
+
+# total_zeros (9-7/9-8), [total][zeros] — total 1..15
+_TZ_LEN = np.zeros((16, 16), np.int32)
+_TZ_CODE = np.zeros((16, 16), np.int32)
+for _t, _rows in _TZ.items():
+    for _z, (_ln, _cd) in enumerate(_rows):
+        _TZ_LEN[_t, _z] = _ln
+        _TZ_CODE[_t, _z] = _cd
+# chroma DC total_zeros (9-9a), total 1..3
+_TZC_LEN = np.zeros((4, 4), np.int32)
+_TZC_CODE = np.zeros((4, 4), np.int32)
+for _t, _rows in _TZ_CDC.items():
+    for _z, (_ln, _cd) in enumerate(_rows):
+        _TZC_LEN[_t, _z] = _ln
+        _TZC_CODE[_t, _z] = _cd
+# run_before (9-10), [min(zeros_left,7)][run]
+_RB_LEN = np.zeros((8, 15), np.int32)
+_RB_CODE = np.zeros((8, 15), np.int32)
+for _zl, _rows in _RUN_BEFORE.items():
+    for _r, (_ln, _cd) in enumerate(_rows):
+        _RB_LEN[_zl, _r] = _ln
+        _RB_CODE[_zl, _r] = _cd
+
+_ZZ = np.asarray(_ZIGZAG, np.int32)
+# luma AC piece order: _BLOCK_SCAN's (bx, by) pairs as by*4+bx indices
+_LUMA_SCAN = np.asarray(
+    [by * 4 + bx for bx, by in
+     [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+      (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3)]],
+    np.int32)
+
+# token slots per residual block: coeff_token, t1 signs, 16 levels,
+# total_zeros, 14 run_before
+NT_BLOCK = 33
+# block bit bound: 16 + 3 + 16*28 + 9 + 14*11 = 630 -> 20 words
+NW_BLOCK = 20
+
+
+def _ue_token(v):
+    """Exp-Golomb ue(v) as one (value, length) token (v < 2^15)."""
+    code = v + 1
+    nbits = jnp.zeros_like(v)
+    for k in range(16):
+        nbits = nbits + (code > ((1 << k) - 1))
+    return code, 2 * nbits - 1
+
+
+def block_tokens(lv, nc, max_coeffs: int, cdc: bool):
+    """Tokenize residual blocks (spec 9.2): ``lv`` (..., C) int32
+    scanned coefficients (LOW->HIGH frequency), ``nc`` the (...)-shaped
+    nC context (ignored when ``cdc``).  Returns (vals, lens), each
+    (..., NT_BLOCK) int32 — zero-length slots are no-ops.  Mirrors
+    io.h264_cavlc._write_residual_block decision for decision."""
+    C = lv.shape[-1]
+    lv = lv.astype(jnp.int32)
+    nzm = (lv != 0).astype(jnp.int32)
+    total = jnp.sum(nzm, -1)
+    # rank from the high-frequency end (rank 0 = highest nonzero)
+    rank = (jnp.cumsum(nzm[..., ::-1], -1)[..., ::-1] - nzm)
+    # value/position at each rank via one-hot (C x C per block)
+    R = jnp.where(nzm > 0, rank, C)
+    onehot = (R[..., None, :] == jnp.arange(C, dtype=jnp.int32)
+              [:, None]).astype(jnp.int32)
+    vr = jnp.sum(onehot * lv[..., None, :], -1)        # (..., C)
+    pr = jnp.sum(onehot * jnp.arange(C, dtype=jnp.int32), -1)
+    av = jnp.abs(vr)
+    # trailing ones (<= 3, from rank 0, stop at first non-one)
+    a0 = (av[..., 0] == 1) & (total >= 1)
+    a1 = a0 & (av[..., 1] == 1) & (total >= 2) if C > 1 else a0 & False
+    a2 = a1 & (av[..., 2] == 1) & (total >= 3) if C > 2 else a1 & False
+    t1s = (a0.astype(jnp.int32) + a1.astype(jnp.int32)
+           + a2.astype(jnp.int32))
+
+    vals = []
+    lens = []
+    # --- slot 0: coeff_token
+    if cdc:
+        ct_len = jnp.asarray(_CDC_LEN)[total, t1s]
+        ct_code = jnp.asarray(_CDC_CODE)[total, t1s]
+    else:
+        tab = jnp.where(nc < 2, 0, jnp.where(nc < 4, 1, 2))
+        flc = nc >= 8
+        ct_len = jnp.where(flc, 6,
+                           jnp.asarray(_CT_LEN)[tab, total, t1s])
+        ct_code = jnp.where(
+            flc, jnp.where(total == 0, 0b000011,
+                           ((total - 1) << 2) | t1s),
+            jnp.asarray(_CT_CODE)[tab, total, t1s])
+    vals.append(ct_code)
+    lens.append(ct_len)
+    # --- slot 1: trailing one signs (high frequency first, 1=neg)
+    signs = jnp.zeros_like(total)
+    for j in range(min(3, C)):
+        use = j < t1s
+        signs = jnp.where(use, (signs << 1) | (vr[..., j] < 0), signs)
+    vals.append(signs)
+    lens.append(t1s)
+    # --- slots 2..2+C-1: remaining levels (high frequency first)
+    suffix_len = jnp.where((total > 10) & (t1s < 3), 1, 0)
+    for r in range(C):
+        emit = (r >= t1s) & (r < total)
+        c = vr[..., r]
+        lc = jnp.where(c > 0, 2 * c - 2, -2 * c - 1)
+        lc = lc - 2 * ((r == t1s) & (t1s < 3)).astype(jnp.int32)
+        sl = suffix_len
+        # merged prefix+suffix token per case
+        prefix = lc >> jnp.clip(sl, 0, 6)
+        esc = jnp.where(sl == 0, lc >= 30, prefix >= 15)
+        mid0 = (sl == 0) & (lc >= 14) & (lc < 30)   # prefix-14 escape
+        v_pl = jnp.where(
+            sl == 0,
+            jnp.where(mid0, (1 << 4) | (lc - 14), 1),
+            (1 << sl) | (lc & ((1 << sl) - 1)))
+        l_pl = jnp.where(
+            sl == 0,
+            jnp.where(mid0, 19, lc + 1),
+            prefix + 1 + sl)
+        v_esc = (1 << 12) | (lc - jnp.where(sl == 0, 30, 15 << sl))
+        tok_v = jnp.where(esc, v_esc, v_pl)
+        tok_l = jnp.where(esc, 28, l_pl)
+        vals.append(jnp.where(emit, tok_v, 0))
+        lens.append(jnp.where(emit, tok_l, 0))
+        # state update (exact oracle order)
+        sl2 = jnp.where(sl == 0, 1, sl)
+        sl2 = sl2 + ((jnp.abs(c) > (3 << jnp.clip(sl2 - 1, 0, 5)))
+                     & (sl2 < 6)).astype(jnp.int32)
+        suffix_len = jnp.where(emit, sl2, sl)
+    for _ in range(C, 16):
+        z = jnp.zeros_like(total)
+        vals.append(z)
+        lens.append(z)
+    # --- slot 18: total_zeros
+    tz = pr[..., 0] + 1 - total
+    emit_tz = (total > 0) & (total < max_coeffs)
+    if cdc:
+        tz_len = jnp.asarray(_TZC_LEN)[jnp.clip(total, 0, 3),
+                                       jnp.clip(tz, 0, 3)]
+        tz_code = jnp.asarray(_TZC_CODE)[jnp.clip(total, 0, 3),
+                                         jnp.clip(tz, 0, 3)]
+    else:
+        tz_len = jnp.asarray(_TZ_LEN)[jnp.clip(total, 0, 15),
+                                      jnp.clip(tz, 0, 15)]
+        tz_code = jnp.asarray(_TZ_CODE)[jnp.clip(total, 0, 15),
+                                        jnp.clip(tz, 0, 15)]
+    vals.append(jnp.where(emit_tz, tz_code, 0))
+    lens.append(jnp.where(emit_tz, tz_len, 0))
+    # --- slots 19..: run_before (high frequency first; the lowest
+    # coefficient carries no run).  tz is garbage when total == 0 but
+    # every slot is gated on total >= 2 then.
+    zl = tz
+    for r in range(min(C - 1, 14)):
+        emit = (r <= total - 2) & (zl > 0)
+        run = pr[..., r] - (pr[..., r + 1] if r + 1 < C
+                            else jnp.zeros_like(total)) - 1
+        runc = jnp.clip(run, 0, 14)
+        zlc = jnp.clip(zl, 0, 7)
+        vals.append(jnp.where(emit, jnp.asarray(_RB_CODE)[zlc, runc],
+                              0))
+        lens.append(jnp.where(emit, jnp.asarray(_RB_LEN)[zlc, runc],
+                              0))
+        zl = zl - jnp.where(emit, runc, 0)
+    while len(vals) < NT_BLOCK:
+        z = jnp.zeros_like(total)
+        vals.append(z)
+        lens.append(z)
+    return (jnp.stack(vals, -1), jnp.stack(lens, -1))
+
+
+def pack_tokens(vals, lens, nw: int):
+    """Pack (..., NT) (value, length) tokens into (..., nw) MSB-first
+    uint32 words + total bit count.  Bits beyond the count are zero
+    (required by the concat stage's OR-placement)."""
+    nt = vals.shape[-1]
+    words = [jnp.zeros(vals.shape[:-1], jnp.uint32)
+             for _ in range(nw)]
+    pos = jnp.zeros(vals.shape[:-1], jnp.int32)
+    for t in range(nt):
+        v = vals[..., t].astype(jnp.uint32)
+        ln = lens[..., t]
+        wi = pos >> 5
+        off = pos & 31
+        rem = 32 - off
+        spill = ln > rem
+        hi = jnp.where(
+            spill,
+            v >> jnp.clip(ln - rem, 0, 31).astype(jnp.uint32),
+            v << jnp.clip(rem - ln, 0, 31).astype(jnp.uint32))
+        lo = jnp.where(
+            spill,
+            v << jnp.clip(32 - (ln - rem), 1, 31).astype(jnp.uint32),
+            jnp.uint32(0))
+        for k in range(nw):
+            words[k] = words[k] | jnp.where(wi == k, hi, jnp.uint32(0))
+            if k:
+                words[k] = words[k] | jnp.where(wi == k - 1, lo,
+                                                jnp.uint32(0))
+        pos = pos + ln
+    return jnp.stack(words, -1), pos
+
+
+def concat_pieces(piece_words, piece_bits, nw_out: int):
+    """Concatenate P bit-strings per lane: ``piece_words``
+    (..., P, NWp) uint32, ``piece_bits`` (..., P).  Returns
+    ((..., nw_out) words, total bits).  Bits beyond each piece's
+    count MUST be zero."""
+    P, nwp = piece_words.shape[-2], piece_words.shape[-1]
+    out = jnp.zeros(piece_words.shape[:-2] + (nw_out,), jnp.uint32)
+    pos = jnp.zeros(piece_words.shape[:-2], jnp.int32)
+    oidx = jnp.arange(nw_out, dtype=jnp.int32)
+    for p in range(P):
+        w = piece_words[..., p, :]
+        off = (pos & 31).astype(jnp.uint32)[..., None]
+        # shift the piece right by off with cross-word carry (+1 word)
+        wl = jnp.concatenate(
+            [jnp.zeros(w.shape[:-1] + (1,), jnp.uint32), w], -1)
+        wr = jnp.concatenate(
+            [w, jnp.zeros(w.shape[:-1] + (1,), jnp.uint32)], -1)
+        carry = jnp.where(off > 0,
+                          wl << jnp.clip(32 - off, 0, 31), 0)
+        shifted = (wr >> off) | carry          # (..., nwp + 1)
+        # place at word offset pos >> 5
+        rel = oidx - (pos >> 5)[..., None]     # (..., nw_out)
+        ok = (rel >= 0) & (rel <= nwp)
+        gathered = jnp.take_along_axis(
+            shifted, jnp.clip(rel, 0, nwp), axis=-1)
+        out = out | jnp.where(ok, gathered, jnp.uint32(0))
+        pos = pos + piece_bits[..., p]
+    return out, pos
+
+
+# ------------------------------------------------------- I-frame packing ----
+
+
+def _luma_nc(lnnz):
+    """nC context grid for the 16 luma AC blocks of every MB (one
+    slice per MB row: left neighbor crosses MBs, top stays within the
+    MB).  ``lnnz`` (mb_h, mb_w, 16) per-block total_coeff.  Returns
+    (nc (mb_h, mb_w, 16), dc_nc (mb_h, mb_w))."""
+    mb_h, mb_w = lnnz.shape[:2]
+    grid = (lnnz.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3)
+            .reshape(mb_h, 4, mb_w * 4))
+    left = jnp.pad(grid, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+    top = jnp.pad(grid, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
+    x = jnp.arange(mb_w * 4, dtype=jnp.int32)
+    nc0 = left[:, 0:1]                              # by = 0
+    ncn = jnp.where(x > 0, (left[:, 1:] + top[:, 1:] + 1) >> 1,
+                    top[:, 1:])                     # by >= 1
+    nc = jnp.concatenate([nc0, ncn], 1)
+    nc = (nc.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 1, 3)
+          .reshape(mb_h, mb_w, 16))
+    dc_nc = left[:, 0].reshape(mb_h, mb_w, 4)[:, :, 0]
+    return nc, dc_nc
+
+
+def _chroma_nc(cnnz):
+    """nC grid for one component's 4 chroma AC blocks,
+    ``cnnz`` (mb_h, mb_w, 4)."""
+    mb_h, mb_w = cnnz.shape[:2]
+    grid = (cnnz.reshape(mb_h, mb_w, 2, 2).transpose(0, 2, 1, 3)
+            .reshape(mb_h, 2, mb_w * 2))
+    left = jnp.pad(grid, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+    top = jnp.pad(grid, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
+    x = jnp.arange(mb_w * 2, dtype=jnp.int32)
+    nc0 = left[:, 0:1]
+    ncn = jnp.where(x > 0, (left[:, 1:] + top[:, 1:] + 1) >> 1,
+                    top[:, 1:])
+    nc = jnp.concatenate([nc0, ncn], 1)
+    return (nc.reshape(mb_h, 2, mb_w, 2).transpose(0, 2, 1, 3)
+            .reshape(mb_h, mb_w, 4))
+
+
+def pack_i_mbs(zdc, acz, czdc, cacz, imode, nw_mb: int = 64):
+    """Pack every I_16x16 MB of one frame into its bitstring
+    (device; oracle io.h264_cavlc.encode_frame_from_levels MB body).
+    Level layouts are LevelArrays' (ops/h264_levels.py).  Returns
+    (words (mb_h, mb_w, nw_mb) uint32, nbits (mb_h, mb_w) int32) —
+    an MB whose true size exceeds the cap reports its TRUE nbits
+    (the overflow signal) with truncated words."""
+    mb_h, mb_w = zdc.shape[:2]
+    zdc = zdc.astype(jnp.int32)
+    acz = acz.astype(jnp.int32)
+    czdc = czdc.astype(jnp.int32)
+    cacz = cacz.astype(jnp.int32)
+    lnnz = jnp.sum((acz != 0).astype(jnp.int32), -1)
+    cnnz = jnp.sum((cacz != 0).astype(jnp.int32), -1)  # (mbh,mbw,2,4)
+    cbp_luma = (jnp.sum(lnnz, -1) > 0).astype(jnp.int32)
+    cbp_chroma = jnp.where(
+        jnp.any(cacz != 0, axis=(-1, -2, -3)), 2,
+        jnp.where(jnp.any(czdc != 0, axis=(-1, -2)), 1, 0))
+
+    nc_l, nc_dc = _luma_nc(lnnz)
+    nc_cb = _chroma_nc(cnnz[:, :, 0])
+    nc_cr = _chroma_nc(cnnz[:, :, 1])
+
+    # header: mb_type ue, intra_chroma_pred_mode ue(0), mb_qp_delta
+    # se(0) — the latter two are the 1-bit code '1'
+    pm = (jnp.full((mb_h, mb_w), 2, jnp.int32) if imode is None
+          else imode.astype(jnp.int32))
+    mbt = 1 + pm + 4 * cbp_chroma + 12 * cbp_luma
+    uev, uel = _ue_token(mbt)
+    ones = jnp.ones((mb_h, mb_w), jnp.int32)
+    hdr_w, hdr_n = pack_tokens(
+        jnp.stack([uev, ones, ones], -1),
+        jnp.stack([uel, ones, ones], -1), 2)
+    hdr_w = jnp.pad(hdr_w, ((0, 0), (0, 0), (0, NW_BLOCK - 2)))
+
+    zz = jnp.asarray(_ZZ)
+    dc_v, dc_l = block_tokens(zdc[..., zz], nc_dc, 16, False)
+    dc_w, dc_n = pack_tokens(dc_v, dc_l, NW_BLOCK)
+
+    ac_v, ac_l = block_tokens(acz[..., zz[1:]], nc_l, 15, False)
+    ac_w, ac_n = pack_tokens(ac_v, ac_l, NW_BLOCK)
+    gate_l = cbp_luma[..., None]
+    ac_w = ac_w * gate_l[..., None].astype(jnp.uint32)
+    ac_n = ac_n * gate_l
+    ac_w = ac_w[:, :, jnp.asarray(_LUMA_SCAN)]      # piece order
+    ac_n = ac_n[:, :, jnp.asarray(_LUMA_SCAN)]
+
+    cdc_v, cdc_l = block_tokens(czdc, jnp.zeros_like(czdc[..., 0]),
+                                4, True)
+    cdc_w, cdc_n = pack_tokens(cdc_v, cdc_l, NW_BLOCK)
+    gate_c = (cbp_chroma >= 1)[..., None]
+    cdc_w = cdc_w * gate_c[..., None].astype(jnp.uint32)
+    cdc_n = cdc_n * gate_c
+
+    nc_c = jnp.stack([nc_cb, nc_cr], 2)             # (mbh,mbw,2,4)
+    cac_v, cac_l = block_tokens(cacz[..., zz[1:]], nc_c, 15, False)
+    cac_w, cac_n = pack_tokens(cac_v, cac_l, NW_BLOCK)
+    gate_a = (cbp_chroma == 2)[..., None, None]
+    cac_w = cac_w * gate_a[..., None].astype(jnp.uint32)
+    cac_n = cac_n * gate_a
+    cac_w = cac_w.reshape(mb_h, mb_w, 8, NW_BLOCK)
+    cac_n = cac_n.reshape(mb_h, mb_w, 8)
+
+    pieces_w = jnp.concatenate(
+        [hdr_w[:, :, None], dc_w[:, :, None], ac_w,
+         cdc_w, cac_w], 2)                          # (mbh,mbw,28,20)
+    pieces_n = jnp.concatenate(
+        [hdr_n[:, :, None], dc_n[:, :, None], ac_n,
+         cdc_n, cac_n], 2)
+    return concat_pieces(pieces_w, pieces_n, nw_mb)
+
+
+# --------------------------------------------------------- host assembly ----
+
+
+def assemble_slices_from_bits(words: np.ndarray, nbits: np.ndarray,
+                              header_fn) -> list[bytes]:
+    """Host: one NAL per MB row from device-packed MB bitstrings.
+    ``header_fn(mby) -> _BitWriter`` writes the slice header.  Pure
+    numpy bit moves — no VLC work."""
+    from opencv_opencl_tpu.io.h264_pcm import _escape
+
+    mb_h, mb_w, nw = words.shape
+    # device words are MSB-first u32: big-endian bytes unpack in order
+    allbits = np.unpackbits(
+        words.astype(">u4").view(np.uint8).reshape(mb_h, mb_w, nw * 4),
+        axis=-1)
+    nals = []
+    for mby in range(mb_h):
+        w = header_fn(mby)
+        head = np.asarray(w._bits, np.uint8)
+        segs = [head]
+        row = allbits[mby]
+        for mbx in range(mb_w):
+            segs.append(row[mbx, :nbits[mby, mbx]])
+        bits = np.concatenate(segs)
+        # rbsp trailing: stop bit + zero pad to a byte
+        n = bits.size + 1
+        pad = (-n) % 8
+        bits = np.concatenate(
+            [bits, np.ones(1, np.uint8), np.zeros(pad, np.uint8)])
+        nals.append(bytes(_escape(np.packbits(bits))))
+    return nals
