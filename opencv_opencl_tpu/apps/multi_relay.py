@@ -10,7 +10,7 @@ Usage:
                          # rtp: stream i goes to port+2*i; rtp+h264/h265
                          # runs the encoded emit chain per stream
                          # (encoder backend via --encoder=..., io.encoder syntax incl.
-                         #  gop=N:search=R[:halfpel|:quarterpel|:fastsub][:refs=2])
+                         #  gop=N:search=R[:halfpel|:quarterpel|:fastsub][:bitpack][:refs=2])
       [--status-interval=2]
       [--mesh=auto|DxS]  # multi-chip serving: shard the stream batch
                          # over a (data, space) device mesh

@@ -11,7 +11,7 @@ Usage:
                    # rtp+h264://host:port / rtp+h265://host:port
                    # (encoded RFC 6184/7798 — the full reference emit
                    # chain, encoder chosen via --encoder)
-      [--encoder=auto|pcm[:slices]|cavlc[:qp=N][:slices=M][:gop=N][:search=R][:halfpel|:quarterpel|:fastsub]|ffmpeg|gi]  # encoder for rtp+h26x
+      [--encoder=auto|pcm[:slices]|cavlc[:qp=N][:slices=M][:gop=N][:search=R][:halfpel|:quarterpel|:fastsub][:bitpack]|ffmpeg|gi]  # encoder for rtp+h26x
                    # sinks (io.encoder; pcm = in-repo lossless I_PCM)
       [--fused-encode]  # with --sink=rtp+h264:// --encoder=tpu[...]:
                    # enhance + H.264 level computation fuse into ONE

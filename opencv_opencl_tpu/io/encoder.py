@@ -558,10 +558,6 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 raise ValueError(f"bad tpu qp in {backend!r}")
             if not 0 <= qp <= 51:
                 raise ValueError(f"tpu qp must be 0..51, got {qp}")
-        if bitpack and (gdr or (gop is not None and gop > 1)):
-            raise ValueError(
-                "tpu bitpack is intra-only for now (device bit-packing "
-                "of P slices is not implemented yet)")
         if gdr:
             from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
 
@@ -571,7 +567,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     "periodic IDR) — give one or the other")
             kw = dict(overlap=overlap, search=search, halfpel=halfpel,
                       quarterpel=quarterpel, fastsub=fastsub,
-                      refs=refs,
+                      refs=refs, bitpack=bitpack,
                       deblock=deblock, cpb_ms=cpb_ms,
                       initial_delay_ms=initdelay_ms)
             if qp is not None:
@@ -586,7 +582,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
 
             kw = dict(overlap=overlap, search=search, halfpel=halfpel,
                       quarterpel=quarterpel, fastsub=fastsub,
-                      refs=refs,
+                      refs=refs, bitpack=bitpack,
                       deblock=deblock, cpb_ms=cpb_ms,
                       initial_delay_ms=initdelay_ms)
             if qp is not None:

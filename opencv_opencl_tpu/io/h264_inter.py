@@ -1733,6 +1733,7 @@ class TpuGopEncoder:
                  quarterpel: bool = False, fastsub: bool = False,
                  refs: int = 1,
                  deblock: bool = False, gdr: int = 0,
+                 bitpack: bool = False, nw_mb: int = 64,
                  cpb_ms: int | None = None,
                  initial_delay_ms: int | None = None) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
@@ -1857,6 +1858,28 @@ class TpuGopEncoder:
             # first P after an IDR has one reference which must NOT be
             # donated (it becomes the next frame's second reference)
             self._p1_keep_fn = _jax.jit(_ep, static_argnums=(7, 8))
+        # device CAVLC bit-packing (ops/h264_bitpack.py): a second
+        # small dispatch per frame packs every MB's bitstring on the
+        # accelerator so the host entropy stage shrinks to headers +
+        # concatenation + emulation prevention.  Separate program so
+        # the level programs' donation chains stay untouched; the
+        # levels stay device-resident unless an MB overflows nw_mb
+        # (then the frame falls back to the host path, byte-identical)
+        self._bitpack = bool(bitpack)
+        self._nw_mb = int(nw_mb)
+        if self._bitpack:
+            import jax as _jax
+
+            from opencv_opencl_tpu.ops.h264_bitpack import (pack_i_mbs,
+                                                            pack_p_mbs)
+            nw = self._nw_mb
+            self._pack_i_jit = _jax.jit(
+                lambda zdc, acz, czdc, cacz, imode: pack_i_mbs(
+                    zdc, acz, czdc, cacz, imode, nw_mb=nw))
+            self._pack_p_jit = _jax.jit(
+                lambda mode, zdc, acz, czdc, cacz, mv, ref, act:
+                pack_p_mbs(mode, zdc, acz, czdc, cacz, mv, ref, act,
+                           nw_mb=nw))
 
     def _dispatch(self, nv12: np.ndarray, qp_override: int | None = None):
         """Run the (async) device program for one frame; returns the
@@ -1885,6 +1908,9 @@ class TpuGopEncoder:
             self._frame_num = 1
             # the mv slot carries the intra pred-mode plane for IDRs
             pending = (lv, "i", num, qp, imode, None, 1)
+            if self._bitpack:
+                pending += (b"", self._pack_i_jit(
+                    lv.zdc, lv.acz, lv.czdc, lv.cacz, imode))
         else:
             if self.refs > 1 and len(self._ref_list) >= 2:
                 plv = self._p2_fn(y, cb, cr, *self._ref_list[0],
@@ -1942,9 +1968,70 @@ class TpuGopEncoder:
                               )[:self.refs]
             pending = (plv[:5], "p", self._frame_num, qp, plv.mv,
                        plv.ref, active, prefix)
+            if self._bitpack:
+                import jax.numpy as jnp_
+
+                pending += (self._pack_p_jit(
+                    plv.mode, plv.zdc, plv.acz, plv.czdc, plv.cacz,
+                    plv.mv, plv.ref, jnp_.int32(active)),)
             self._frame_num = (self._frame_num + 1) % 16
         self.frames += 1
         return pending
+
+    def _bits_nals(self, bits, lv, kind: str, num: int, qp: int,
+                   active_refs: int) -> list[bytes] | None:
+        """Assemble slice NALs from device-packed MB bitstrings
+        (ops/h264_bitpack.py): the host writes headers, concatenates,
+        and escapes — no VLC work.  Returns None when an MB overflowed
+        the ``nw_mb`` transfer cap (caller falls back to the host
+        entropy path; byte-identical by construction)."""
+        from opencv_opencl_tpu.io.h264_cavlc import _slice_head_cavlc
+        from opencv_opencl_tpu.ops.h264_bitpack import (
+            assemble_slices_from_bits)
+
+        words, nbits = bits
+        nbits_h = np.asarray(nbits)
+        if int(nbits_h.max(initial=0)) > 32 * self._nw_mb:
+            return None
+        mb_w = nbits_h.shape[1]
+        if kind == "i":
+
+            def header_fn(mby):
+                w = _BitWriter()
+                _slice_head_cavlc(w, num, qp, first_mb=mby * mb_w,
+                                  deblock=self.deblock)
+                return w
+
+            tail_fn = None
+        else:
+            # P: the slice tail carries the trailing skip run — the
+            # only entropy the device doesn't emit (it needs the mode
+            # row, a tiny D2H)
+            mode = np.asarray(lv[0])
+
+            def header_fn(mby):
+                w = _BitWriter()
+                _slice_head_p(w, qp, num, first_mb=mby * mb_w,
+                              active_refs=active_refs,
+                              deblock=self.deblock,
+                              slice_local=self._deblock_slice_local)
+                return w
+
+            def tail_fn(mby):
+                run = 0
+                for mbx in range(mb_w - 1, -1, -1):
+                    if mode[mby, mbx] == 0:
+                        run += 1
+                    else:
+                        break
+                if not run:
+                    return None
+                w = _BitWriter()
+                w.ue(run)
+                return w
+
+        return assemble_slices_from_bits(np.asarray(words), nbits_h,
+                                         header_fn, tail_fn)
 
     def _p_entropy_nals(self, mode, zdc, acz, czdc, cacz, qp: int,
                         num: int, mv=None, ref=None,
@@ -1970,7 +2057,23 @@ class TpuGopEncoder:
 
     def _assemble(self, lv, kind: str, num: int, qp: int,
                   mv=None, ref=None, active_refs: int = 1,
-                  prefix: bytes = b"", do_rc: bool = True) -> bytes:
+                  prefix: bytes = b"", bits=None,
+                  do_rc: bool = True) -> bytes:
+        if bits is not None:
+            nals = self._bits_nals(bits, lv, kind, num, qp,
+                                   active_refs)
+            if nals is not None:
+                if kind == "i":
+                    au = (_START4 + self._intra._sps + _START4 +
+                          self._intra._pps +
+                          b"".join(_START4 + bytes(n) for n in nals))
+                else:
+                    au = prefix + b"".join(_START4 + bytes(n)
+                                           for n in nals)
+                if do_rc and self.bitrate_kbps:
+                    _gop_rate_control(self, len(au))
+                return au
+            # an MB overflowed the transfer cap: host entropy path
         if kind == "i":
             nals = self._intra._entropy_nals(
                 lv, num, qp,

@@ -234,9 +234,9 @@ def pack_tokens(vals, lens, nw: int):
     uint32 words + total bit count.  Bits beyond the count are zero
     (required by the concat stage's OR-placement)."""
     nt = vals.shape[-1]
-    words = [jnp.zeros(vals.shape[:-1], jnp.uint32)
-             for _ in range(nw)]
+    words = jnp.zeros(vals.shape[:-1] + (nw,), jnp.uint32)
     pos = jnp.zeros(vals.shape[:-1], jnp.int32)
+    widx = jnp.arange(nw, dtype=jnp.int32)
     for t in range(nt):
         v = vals[..., t].astype(jnp.uint32)
         ln = lens[..., t]
@@ -252,13 +252,13 @@ def pack_tokens(vals, lens, nw: int):
             spill,
             v << jnp.clip(32 - (ln - rem), 1, 31).astype(jnp.uint32),
             jnp.uint32(0))
-        for k in range(nw):
-            words[k] = words[k] | jnp.where(wi == k, hi, jnp.uint32(0))
-            if k:
-                words[k] = words[k] | jnp.where(wi == k - 1, lo,
-                                                jnp.uint32(0))
+        words = (words
+                 | jnp.where(widx == wi[..., None], hi[..., None],
+                             jnp.uint32(0))
+                 | jnp.where(widx == wi[..., None] + 1, lo[..., None],
+                             jnp.uint32(0)))
         pos = pos + ln
-    return jnp.stack(words, -1), pos
+    return words, pos
 
 
 def concat_pieces(piece_words, piece_bits, nw_out: int):
@@ -404,29 +404,208 @@ def pack_i_mbs(zdc, acz, czdc, cacz, imode, nw_mb: int = 64):
     return concat_pieces(pieces_w, pieces_n, nw_mb)
 
 
+# ------------------------------------------------------- P-frame packing ----
+
+
+def pack_p_mbs(mode, zdc, acz, czdc, cacz, mv, ref, active_refs,
+               nw_mb: int = 64):
+    """Pack every MB of one P frame (device; oracle
+    io.h264_inter.encode_frame_p_from_levels MB body).  ``mode``
+    (mb_h, mb_w): 0 skip, 1 inter, 2 intra-DC, 3 intra-HORIZONTAL;
+    ``mv`` the quarter-pel field (None == zero motion); ``ref`` the
+    per-MB reference (None == 0); ``active_refs`` a TRACED int32 (the
+    ref_idx te(v) bit appears only when it is 2 — traced so the
+    first-P-after-IDR frame reuses the compiled program).
+
+    P specifics, all still raster-free: the skip run before each
+    coded MB is ``x - 1 - cummax(coded ? x : -1)`` over the row; the
+    MV predictor is the LEFT MB's vector gated on it being inter
+    (P_Skip carries (0,0) and intra resets to (0,0) — one masked
+    shift); inter luma blocks carry 16 coefficients gated per 8x8
+    quadrant while intra-in-P keeps the I-frame 15+DC shape — both
+    variants are packed and selected per MB.  Skipped MBs report
+    nbits=0 (the slice-end run is the host's, from the mode row).
+
+    Returns (words (mb_h, mb_w, nw_mb) uint32, nbits (mb_h, mb_w))."""
+    from opencv_opencl_tpu.io.h264_inter import _CBP_INTER_CODENUM
+
+    mb_h, mb_w = mode.shape
+    mode = mode.astype(jnp.int32)
+    zdc = zdc.astype(jnp.int32)
+    acz = acz.astype(jnp.int32)
+    czdc = czdc.astype(jnp.int32)
+    cacz = cacz.astype(jnp.int32)
+    active_refs = jnp.asarray(active_refs, jnp.int32)
+    if mv is None:
+        mv = jnp.zeros((mb_h, mb_w, 2), jnp.int32)
+    mv = mv.astype(jnp.int32)
+    refsel = (jnp.zeros((mb_h, mb_w), jnp.int32) if ref is None
+              else ref.astype(jnp.int32))
+    coded = mode != 0
+    intra = mode >= 2
+
+    # nC grids: nnz is a pure function of the levels, zeroed at skips
+    lnnz = jnp.sum((acz != 0).astype(jnp.int32), -1) * coded[..., None]
+    cnnz = (jnp.sum((cacz != 0).astype(jnp.int32), -1)
+            * coded[..., None, None])
+    nc_l, nc_dc = _luma_nc(lnnz)
+    nc_cb = _chroma_nc(cnnz[:, :, 0])
+    nc_cr = _chroma_nc(cnnz[:, :, 1])
+
+    cbp_chroma = jnp.where(
+        jnp.any(cacz != 0, axis=(-1, -2, -3)), 2,
+        jnp.where(jnp.any(czdc != 0, axis=(-1, -2)), 1, 0)) * coded
+    cbp_luma_i = (jnp.sum(lnnz, -1) > 0).astype(jnp.int32)
+    # inter CBP: one bit per 8x8 quadrant (block q = (bx>=2) + 2*(by>=2))
+    blk_nz = (lnnz > 0).reshape(mb_h, mb_w, 4, 4)
+    quad = jnp.stack([
+        blk_nz[:, :, :2, :2].any((-1, -2)),
+        blk_nz[:, :, :2, 2:].any((-1, -2)),
+        blk_nz[:, :, 2:, :2].any((-1, -2)),
+        blk_nz[:, :, 2:, 2:].any((-1, -2))], -1).astype(jnp.int32)
+    cbp_bits = (quad[..., 0] | (quad[..., 1] << 1)
+                | (quad[..., 2] << 2) | (quad[..., 3] << 3))
+    cbp = cbp_bits | (cbp_chroma << 4)
+
+    # skip run before each coded MB (cummax over the row)
+    xs = jnp.arange(mb_w, dtype=jnp.int32)
+    prev = jax.lax.cummax(jnp.where(coded, xs, -1), axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((mb_h, 1), -1, jnp.int32), prev[:, :-1]], 1)
+    skip_run = xs - prev - 1
+
+    # MV predictor: the left MB's vector when it is INTER (skip
+    # carries (0,0), intra resets to (0,0)) — one masked shift
+    left_inter = jnp.concatenate(
+        [jnp.zeros((mb_h, 1), bool), (mode == 1)[:, :-1]], 1)
+    left_mv = jnp.concatenate(
+        [jnp.zeros((mb_h, 1, 2), jnp.int32), mv[:, :-1]], 1)
+    mvp = jnp.where(left_inter[..., None], left_mv, 0)
+    mvd = mv - mvp
+
+    def _se_token(v):
+        return _ue_token(jnp.where(v > 0, 2 * v - 1, -2 * v))
+
+    # --- header: 8 token slots covering both MB kinds
+    one = jnp.ones((mb_h, mb_w), jnp.int32)
+    sr_v, sr_l = _ue_token(skip_run)
+    pm = jnp.where(mode == 3, 1, 2)
+    mbt_i_v, mbt_i_l = _ue_token(5 + 1 + pm + 4 * cbp_chroma
+                                 + 12 * cbp_luma_i)
+    ref_l = jnp.where(jnp.logical_and(~intra, active_refs == 2), 1, 0)
+    ref_v = jnp.where(ref_l > 0, 1 - refsel, 0)
+    mvdx_v, mvdx_l = _se_token(mvd[..., 1])
+    mvdy_v, mvdy_l = _se_token(mvd[..., 0])
+    cbp_v, cbp_l = _ue_token(
+        jnp.asarray(_CBP_INTER_CODENUM.astype(np.int32))[cbp])
+    dqp_l = (cbp != 0).astype(jnp.int32)
+    ii = intra.astype(jnp.int32)
+    hdr_v = jnp.stack([
+        sr_v,
+        jnp.where(intra, mbt_i_v, 1),
+        jnp.where(intra, one, ref_v),           # ue(0) | te ref
+        jnp.where(intra, one, mvdx_v),          # se(0) | se(mvd_x)
+        jnp.where(intra, 0, mvdy_v),
+        jnp.where(intra, 0, cbp_v),
+        jnp.where(intra, 0, one),               # - | se(0) if cbp
+        jnp.zeros_like(one)], -1)
+    hdr_l = jnp.stack([
+        sr_l,
+        jnp.where(intra, mbt_i_l, 1),
+        jnp.where(intra, one, ref_l),
+        jnp.where(intra, one, mvdx_l),
+        jnp.where(intra, 0, mvdy_l),
+        jnp.where(intra, 0, cbp_l),
+        jnp.where(intra, 0, dqp_l),
+        jnp.zeros_like(one)], -1)
+    hdr_w, hdr_n = pack_tokens(hdr_v, hdr_l, 3)
+    hdr_w = jnp.pad(hdr_w, ((0, 0), (0, 0), (0, NW_BLOCK - 3)))
+
+    zz = jnp.asarray(_ZZ)
+    # luma DC: intra-in-P only
+    dc_v, dc_l = block_tokens(zdc[..., zz], nc_dc, 16, False)
+    dc_w, dc_n = pack_tokens(dc_v, dc_l, NW_BLOCK)
+    gate_dc = ii[..., None]
+    dc_w = dc_w * gate_dc.astype(jnp.uint32)
+    dc_n = dc_n * ii
+
+    # luma AC: both variants packed, selected per MB
+    aci_v, aci_l = block_tokens(acz[..., zz[1:]], nc_l, 15, False)
+    aci_w, aci_n = pack_tokens(aci_v, aci_l, NW_BLOCK)
+    acp_v, acp_l = block_tokens(acz[..., zz], nc_l, 16, False)
+    acp_w, acp_n = pack_tokens(acp_v, acp_l, NW_BLOCK)
+    # per-block quadrant index (acz block order by*4+bx)
+    bq = np.asarray([(bx >= 2) + 2 * (by >= 2)
+                     for by in range(4) for bx in range(4)], np.int32)
+    quad_gate = jnp.take_along_axis(
+        quad, jnp.broadcast_to(jnp.asarray(bq), (mb_h, mb_w, 16)), -1)
+    gi = ii[..., None] * cbp_luma_i[..., None]
+    gp = (1 - ii[..., None]) * coded[..., None] * quad_gate
+    ac_w = (aci_w * gi[..., None].astype(jnp.uint32)
+            + acp_w * gp[..., None].astype(jnp.uint32))
+    ac_n = aci_n * gi + acp_n * gp
+    ac_w = ac_w[:, :, jnp.asarray(_LUMA_SCAN)]
+    ac_n = ac_n[:, :, jnp.asarray(_LUMA_SCAN)]
+
+    cdc_v, cdc_l = block_tokens(czdc, jnp.zeros_like(czdc[..., 0]),
+                                4, True)
+    cdc_w, cdc_n = pack_tokens(cdc_v, cdc_l, NW_BLOCK)
+    gate_c = (cbp_chroma >= 1)[..., None]
+    cdc_w = cdc_w * gate_c[..., None].astype(jnp.uint32)
+    cdc_n = cdc_n * gate_c
+
+    nc_c = jnp.stack([nc_cb, nc_cr], 2)
+    cac_v, cac_l = block_tokens(cacz[..., zz[1:]], nc_c, 15, False)
+    cac_w, cac_n = pack_tokens(cac_v, cac_l, NW_BLOCK)
+    gate_a = (cbp_chroma == 2)[..., None, None]
+    cac_w = cac_w * gate_a[..., None].astype(jnp.uint32)
+    cac_n = cac_n * gate_a
+    cac_w = cac_w.reshape(mb_h, mb_w, 8, NW_BLOCK)
+    cac_n = cac_n.reshape(mb_h, mb_w, 8)
+
+    pieces_w = jnp.concatenate(
+        [hdr_w[:, :, None], dc_w[:, :, None], ac_w, cdc_w, cac_w], 2)
+    pieces_n = jnp.concatenate(
+        [hdr_n[:, :, None], dc_n[:, :, None], ac_n, cdc_n, cac_n], 2)
+    # skipped MBs contribute nothing at all
+    cg = coded[..., None]
+    words, nbits = concat_pieces(pieces_w * cg[..., None],
+                                 pieces_n * cg, nw_mb)
+    return words, nbits * coded
+
+
 # --------------------------------------------------------- host assembly ----
 
 
 def assemble_slices_from_bits(words: np.ndarray, nbits: np.ndarray,
-                              header_fn) -> list[bytes]:
+                              header_fn, tail_fn=None) -> list[bytes]:
     """Host: one NAL per MB row from device-packed MB bitstrings.
-    ``header_fn(mby) -> _BitWriter`` writes the slice header.  Pure
+    ``header_fn(mby) -> _BitWriter`` writes the slice header;
+    ``tail_fn(mby) -> _BitWriter | None`` optionally appends
+    end-of-slice syntax (the P slice's trailing skip run).  Pure
     numpy bit moves — no VLC work."""
     from opencv_opencl_tpu.io.h264_pcm import _escape
 
     mb_h, mb_w, nw = words.shape
-    # device words are MSB-first u32: big-endian bytes unpack in order
-    allbits = np.unpackbits(
-        words.astype(">u4").view(np.uint8).reshape(mb_h, mb_w, nw * 4),
-        axis=-1)
     nals = []
     for mby in range(mb_h):
         w = header_fn(mby)
         head = np.asarray(w._bits, np.uint8)
-        segs = [head]
-        row = allbits[mby]
-        for mbx in range(mb_w):
-            segs.append(row[mbx, :nbits[mby, mbx]])
+        nb = np.asarray(nbits[mby])
+        # unpack only the words this row actually uses; device words
+        # are MSB-first u32, so big-endian bytes unpack in order and
+        # row[mask] flattens in C order == the concatenation of every
+        # MB's first nbits bits
+        mw = (int(nb.max(initial=0)) + 31) >> 5
+        rowbits = np.unpackbits(
+            np.ascontiguousarray(words[mby, :, :mw]).astype(">u4")
+            .view(np.uint8).reshape(mb_w, mw * 4), axis=-1)
+        mask = np.arange(mw * 32)[None, :] < nb[:, None]
+        segs = [head, rowbits[mask]]
+        if tail_fn is not None:
+            tw = tail_fn(mby)
+            if tw is not None:
+                segs.append(np.asarray(tw._bits, np.uint8))
         bits = np.concatenate(segs)
         # rbsp trailing: stop bit + zero pad to a byte
         n = bits.size + 1

@@ -223,6 +223,15 @@ def main() -> None:
               dict(qp=QP, gop=8, slices=MB_H, search=4,
                    fastsub=True, refs=2),
               kind="flicker")
+    run_stage("bitpack_gop",
+              dict(qp=QP, gop=6, search=2, bitpack=True),
+              dict(qp=QP, gop=6, slices=MB_H, search=2))
+    run_stage("bitpack_gdr_deblock",
+              dict(qp=QP, gdr=3, search=2, deblock=True,
+                   bitpack=True),
+              dict(qp=QP, gdr=3, slices=MB_H, search=2,
+                   deblock=True),
+              kind="square")
     run_stage("gdr",
               dict(qp=QP, gdr=3),
               dict(qp=QP, gdr=3, slices=MB_H),

@@ -113,6 +113,71 @@ class TestFramePack:
         assert [bytes(n) for n in got] == [bytes(n) for n in want]
 
 
+class TestPFramePack:
+    def test_p_frame_byte_identical_to_host_entropy(self):
+        """Direct pack_p_mbs vs encode_frame_p_from_levels on a frame
+        mixing skip, inter and intra-in-P MBs (eager, no jit)."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import (
+            _slice_head_p, encode_frame_p_from_levels)
+        from opencv_opencl_tpu.ops.h264_bitpack import (
+            assemble_slices_from_bits, pack_p_mbs)
+        from opencv_opencl_tpu.ops.h264_levels import (encode_levels,
+                                                       encode_p_levels)
+
+        rng = np.random.default_rng(6)
+        w, h, qp = 96, 64, 30
+        mbw = w // 16
+        y0 = rng.integers(0, 256, (h, w), np.uint8)
+        cb0 = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+        cr0 = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+        out = encode_levels(jnp.asarray(y0), jnp.asarray(cb0),
+                            jnp.asarray(cr0), jnp.int32(qp),
+                            full_recon=True)
+        ry, rcb, rcr = out[1], out[2], out[3]
+        # static background (skips) + moved band (inter) + noise strip
+        # (intra)
+        y1 = np.asarray(ry).copy()
+        y1[16:32] = np.roll(y1[16:32], 2, 1)
+        y1[48:64] = rng.integers(0, 256, (16, w), np.uint8)
+        plv = encode_p_levels(jnp.asarray(y1), rcb, rcr, ry, rcb, rcr,
+                              jnp.int32(qp), 2, 0)
+        mode = np.asarray(plv.mode)
+        assert set(np.unique(mode)) >= {0, 1}  # skips AND coded MBs
+        want = encode_frame_p_from_levels(
+            mode, np.asarray(plv.zdc), np.asarray(plv.acz),
+            np.asarray(plv.czdc), np.asarray(plv.cacz), qp, 1,
+            mv=np.asarray(plv.mv), ref=None, active_refs=1)
+        words, nbits = pack_p_mbs(plv.mode, plv.zdc, plv.acz,
+                                  plv.czdc, plv.cacz, plv.mv, None,
+                                  jnp.int32(1))
+
+        def header_fn(mby):
+            bw = _BitWriter()
+            _slice_head_p(bw, qp, 1, first_mb=mby * mbw,
+                          active_refs=1)
+            return bw
+
+        def tail_fn(mby):
+            run = 0
+            for mbx in range(mbw - 1, -1, -1):
+                if mode[mby, mbx] == 0:
+                    run += 1
+                else:
+                    break
+            if not run:
+                return None
+            bw = _BitWriter()
+            bw.ue(run)
+            return bw
+
+        got = assemble_slices_from_bits(np.asarray(words),
+                                        np.asarray(nbits),
+                                        header_fn, tail_fn)
+        assert [bytes(n) for n in got] == [bytes(n) for n in want]
+
+
 class TestBitpackEncoder:
     @pytest.mark.parametrize("w,h", [(96, 64), (100, 56)])
     def test_stream_byte_identical(self, w, h):
@@ -175,10 +240,64 @@ class TestBitpackEncoder:
 
     def test_make_encoder_bitpack(self):
         from opencv_opencl_tpu.io.encoder import make_encoder
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
 
         e = make_encoder("tpu:qp=30:bitpack", 96, 64)
         assert isinstance(e, TpuCavlcEncoder) and e._bitpack
-        with pytest.raises(ValueError, match="intra-only"):
-            make_encoder("tpu:qp=30:gop=4:bitpack", 96, 64)
-        with pytest.raises(ValueError, match="intra-only"):
-            make_encoder("tpu:qp=30:gdr=3:bitpack", 96, 64)
+        e2 = make_encoder("tpu:qp=30:gop=4:search=2:bitpack", 96, 64)
+        assert isinstance(e2, TpuGopEncoder) and e2._bitpack
+        e3 = make_encoder("tpu:qp=30:gdr=3:bitpack", 96, 64)
+        assert isinstance(e3, TpuGopEncoder) and e3._bitpack
+
+
+class TestGopBitpack:
+    """P-slice device bit-packing: the full GOP stream (skip runs,
+    mvd against the left-only predictor, te(v) ref_idx, inter CBP
+    me(v), intra-in-P, GDR bands, deblock headers) must be
+    byte-identical with and without the device packer; an overflow
+    falls back to the host rows."""
+
+    def frames_of(self, w, h, n, seed=5):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+        out = []
+        for i in range(n):
+            f = np.concatenate(
+                [np.roll(base[:h], 3 * i, 1),
+                 np.roll(base[h:], 3 * i, 1)], 0)
+            if i == n - 2:  # scene cut: intra-in-P MBs
+                f = rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+            out.append(f)
+        return out
+
+    @staticmethod
+    def stream(enc, frames):
+        out = [au for f in frames for au in enc.encode(f)]
+        return out + enc.flush()
+
+    @pytest.mark.parametrize("kw", [
+        {"gop": 4, "search": 2},
+        {"gdr": 3, "search": 2, "deblock": True},
+        {"gop": 6, "search": 2, "refs": 2},
+    ], ids=["gop-search", "gdr-deblock", "refs2"])
+    def test_gop_stream_byte_identical(self, kw):
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+
+        w, h = 96, 64
+        frames = self.frames_of(w, h, 6)
+        want = self.stream(TpuGopEncoder(w, h, qp=30, **kw), frames)
+        got = self.stream(
+            TpuGopEncoder(w, h, qp=30, bitpack=True, **kw), frames)
+        assert got == want
+
+    def test_gop_overflow_falls_back(self):
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+
+        w, h = 96, 64
+        frames = self.frames_of(w, h, 4, seed=9)
+        want = self.stream(
+            TpuGopEncoder(w, h, qp=24, gop=4, search=2), frames)
+        got = self.stream(
+            TpuGopEncoder(w, h, qp=24, gop=4, search=2, bitpack=True,
+                          nw_mb=3), frames)
+        assert got == want
