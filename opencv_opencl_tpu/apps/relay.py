@@ -284,12 +284,11 @@ def run(argv: list[str]) -> int:
             # device scan: the filter wavefront keeps the FILTERED
             # reference in HBM, the marching band is two traced
             # scalars derived from the frame index)
-            fused_fn = build_enhance_gop_fn(cfg, spec, enc.gop,
-                                            search=enc.search,
-                                            subpel=enc.subpel,
-                                            refs=enc.refs,
-                                            deblock=enc.deblock,
-                                            gdr=enc.gdr)
+            fused_fn = build_enhance_gop_fn(
+                cfg, spec, enc.gop, search=enc.search,
+                subpel=enc.subpel, refs=enc.refs,
+                deblock=enc.deblock, gdr=enc.gdr,
+                bitpack=(enc._nw_mb if enc._bitpack else 0))
             fstate = {"recon": enc.initial_recon(), "idx": 0}
 
             def process_fn(nv12_batch):
@@ -305,7 +304,9 @@ def run(argv: list[str]) -> int:
                 fstate["recon"] = enc.initial_recon()
                 fstate["idx"] = 0
         else:
-            fused_fn = build_enhance_levels_fn(cfg, spec)
+            fused_fn = build_enhance_levels_fn(
+                cfg, spec,
+                bitpack=(enc._nw_mb if enc._bitpack else 0))
 
             def process_fn(nv12_batch):
                 # qp is read at dispatch time and rides in-band in the

@@ -1173,6 +1173,8 @@ class TpuCavlcEncoder(CavlcH264Encoder):
 
                 return assemble_slices_from_bits(
                     np.asarray(words), nbits_h, header_fn)
+            if lvl is None:  # caller keeps the levels (fused packed
+                return None  # tensor): it runs the fallback itself
             lv = (lvl, im)   # overflow: host entropy path
         if not hasattr(lv, "zdc") and len(lv) == 2:
             lv, imode = lv
@@ -1233,12 +1235,32 @@ class TpuCavlcEncoder(CavlcH264Encoder):
         from opencv_opencl_tpu.ops.h264_levels import unpack_levels_host
 
         packed = np.asarray(packed)
+        # fused bitpack: device-packed MB bitstrings ride as extra
+        # lanes after the 410-lane base (fused_encode._bits_lanes)
+        bits = None
+        if (self._bitpack
+                and packed.shape[-1] == 410 + 1 + 2 * self._nw_mb):
+            from opencv_opencl_tpu.io.h264_inter import (
+                _split_bits_lanes)
+
+            bits = _split_bits_lanes(packed[:, :, 410:])
+            packed = packed[:, :, :410]
         imode = None
         if packed.shape[-1] == 410:      # + per-MB intra pred mode lane
             imode = packed[:, :, 409]
             packed = packed[:, :, :409]
-        lv, qp = unpack_levels_host(packed)
         idr = self._idr_pic_id
         self._idr_pic_id ^= 1
         self.frames += 1
+        if bits is not None:
+            qp = int(packed[0, 0, 408])  # in-band qp lane
+            nals = self._entropy_nals(
+                ("bits", bits[0], bits[1], None, None), idr, qp)
+            if nals is not None:
+                au = (_START4 + self._sps + _START4 + self._pps +
+                      b"".join(_START4 + bytes(n) for n in nals))
+                if self.bitrate_kbps:
+                    self._rate_control(len(au))
+                return [au]
+        lv, qp = unpack_levels_host(packed)
         return [self._assemble_au((lv, imode), idr, qp)]

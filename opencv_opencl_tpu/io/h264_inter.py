@@ -2161,6 +2161,18 @@ def _tpu_gop_initial_recon(self):
     return one
 
 
+def _split_bits_lanes(lanes: np.ndarray) -> tuple[np.ndarray,
+                                                  np.ndarray]:
+    """Host inverse of models.fused_encode._bits_lanes: lane 0 is the
+    per-MB bit count, the remaining 2*nw int16 lanes are the LE halves
+    of the packed uint32 words (a contiguous view, no copy beyond the
+    contiguify)."""
+    nbits = lanes[:, :, 0].astype(np.int64)
+    words = (np.ascontiguousarray(lanes[:, :, 1:])
+             .view(np.uint32))
+    return words, nbits
+
+
 def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
     """Assemble one access unit from a fused GOP program's packed level
     tensor (GOP_PACKED_LANES = 409 + the mode lane, whose negative
@@ -2172,13 +2184,21 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
     from opencv_opencl_tpu.ops.h264_levels import unpack_levels_host
 
     packed = np.asarray(packed)
+    # fused bitpack: the device-packed MB bitstrings ride as extra
+    # lanes after the base layout (models.fused_encode._bits_lanes)
+    base = 413 if self.refs > 1 else (412 if self.search else 410)
+    bits = None
+    if (getattr(self, "_bitpack", False)
+            and packed.shape[-1] == base + 1 + 2 * self._nw_mb):
+        bits = _split_bits_lanes(packed[:, :, base:])
+        packed = packed[:, :, :base]
     if packed.shape[-1] not in (410, 412, 413):
         raise ValueError(
             f"fused GOP packed levels have {packed.shape[-1]} lanes, "
             "expected 410 (zero motion), 412 (motion search) or 413 "
             "(two references)")
-    lv, qp = unpack_levels_host(packed[:, :, :409])
     mode = packed[:, :, 409]
+    qp = int(packed[0, 0, 408])       # in-band qp lane (pack_levels)
     mv = packed[:, :, 410:412] if packed.shape[-1] >= 412 else None
     ref = packed[:, :, 412] if packed.shape[-1] == 413 else None
     self.frames += 1
@@ -2187,8 +2207,12 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
         self._intra._idr_pic_id ^= 1
         self._frame_num = 1
         self._since_idr = 0
-        nals = self._intra._entropy_nals(
-            lv, num, qp, imode=np.where(mode == -2, 1, 2))
+        nals = (None if bits is None
+                else self._bits_nals(bits, None, "i", num, qp, 1))
+        if nals is None:
+            lv, qp = unpack_levels_host(packed[:, :, :409])
+            nals = self._intra._entropy_nals(
+                lv, num, qp, imode=np.where(mode == -2, 1, 2))
         au = (_START4 + self._intra._sps + _START4 + self._intra._pps +
               b"".join(_START4 + bytes(n) for n in nals))
     else:
@@ -2204,10 +2228,15 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
             prefix = (_START4 + self._intra._sps + _START4 +
                       self._intra._pps + _START4 +
                       build_recovery_point_sei(self._gdr_period - 1))
-        nals = self._p_entropy_nals(mode, lv.zdc, lv.acz, lv.czdc,
-                                    lv.cacz, qp, self._frame_num,
-                                    mv=mv, ref=ref,
-                                    active_refs=active)
+        nals = (None if bits is None
+                else self._bits_nals(bits, (mode,), "p",
+                                     self._frame_num, qp, active))
+        if nals is None:
+            lv, qp = unpack_levels_host(packed[:, :, :409])
+            nals = self._p_entropy_nals(mode, lv.zdc, lv.acz, lv.czdc,
+                                        lv.cacz, qp, self._frame_num,
+                                        mv=mv, ref=ref,
+                                        active_refs=active)
         self._frame_num = (self._frame_num + 1) % 16
         au = prefix + b"".join(_START4 + bytes(n) for n in nals)
     if self.bitrate_kbps:

@@ -55,12 +55,16 @@ GOP_PACKED_LANES_MV = 412
 GOP_PACKED_LANES_MREF = 413
 
 
-def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
+def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec,
+                            bitpack: int = 0):
     """Returns a jitted ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32)
     -> int16[N, mb_h, mb_w, 410]`` computing enhancement + quantized
     CAVLC levels (+ the per-MB intra pred-mode lane) in one XLA
     program (qp is traced: one compile serves the whole rate-control
-    range)."""
+    range).  ``bitpack=nw`` appends each MB's device-packed CAVLC
+    bitstring as 1 + 2*nw extra lanes (ops/h264_bitpack.py; rows
+    stacked across the batch stay independent slices, so the nC grids
+    are computed on the stacked layout directly)."""
     if cfg.use_ref_frame:
         raise ValueError(
             "fused encode does not support the ref-frame streaming "
@@ -95,15 +99,34 @@ def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec):
         packed = jnp.concatenate(
             [pack_levels(lv, qp), imode[:, :, None]],
             axis=-1)                          # (n*mbh, mbw, 410)
+        if bitpack:
+            from opencv_opencl_tpu.ops.h264_bitpack import pack_i_mbs
+
+            packed = jnp.concatenate(
+                [packed, _bits_lanes(*pack_i_mbs(
+                    lv.zdc, lv.acz, lv.czdc, lv.cacz, imode,
+                    nw_mb=int(bitpack)))], axis=-1)
         return packed.reshape(n, mbh, mbw, -1)
 
     return jax.jit(fn)
 
 
+def _bits_lanes(words, nbits):
+    """Fold device-packed CAVLC bitstrings into int16 feeder lanes:
+    one nbits lane + 2*nw bitcast word lanes (LE halves; the host
+    inverse is a contiguous uint32 view — io.h264_inter
+    _split_bits_lanes)."""
+    mbh, mbw, nw = words.shape
+    wl = jax.lax.bitcast_convert_type(
+        words, jnp.int16).reshape(mbh, mbw, 2 * nw)
+    return jnp.concatenate(
+        [nbits.astype(jnp.int16)[:, :, None], wl], axis=-1)
+
+
 def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                          search: int = 0, subpel: int = 0,
                          refs: int = 1, deblock: bool = False,
-                         gdr: int = 0):
+                         gdr: int = 0, bitpack: int = 0):
     """Fused enhance + low-delay-P GOP encode: returns a jitted
     ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32, idx0: int32,
     *recon) -> (int16[N, mb_h, mb_w, L], *recon')`` — recon is 3
@@ -150,6 +173,14 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
     # the caller keeps gop at the one-IDR-ever sentinel)
     gdr_period = min(int(gdr), mbh) if gdr else 0
     gdr_rows = -(-mbh // gdr_period) if gdr else 0
+    # device CAVLC bit-packing inside the scan (ops/h264_bitpack.py):
+    # each frame's MB bitstrings ride down as extra int16 lanes
+    # (1 nbits lane + 2*nw bitcast word lanes) next to the levels,
+    # which stay in the tensor as the overflow/entropy fallback
+    nw_mb = int(bitpack)
+    if nw_mb:
+        from opencv_opencl_tpu.ops.h264_bitpack import (pack_i_mbs,
+                                                        pack_p_mbs)
     enhance_y, _ = make_enhance_y(cfg, spec)
     if deblock:
         # in-loop filter inside the device recon chain (idc=0, same
@@ -225,12 +256,17 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                 # IDR marker doubles as the intra pred mode:
                 # -1 = I_16x16 DC, -2 = I_16x16 HORIZONTAL
                 mode = jnp.where(imode == 1, -2, -1).astype(jnp.int16)
+                out = pack_gop(lv, qp, mode)
+                if nw_mb:
+                    out = jnp.concatenate(
+                        [out, _bits_lanes(*pack_i_mbs(
+                            lv.zdc, lv.acz, lv.czdc, lv.cacz, imode,
+                            nw_mb=nw_mb))], axis=-1)
                 # IDR flushes the DPB: the second slot is a dummy
                 # (the next frame's single-reference branch never
                 # reads it)
                 extra = (ry2, rcb2, rcr2) if refs > 1 else ()
-                return (pack_gop(lv, qp, mode),
-                        ry2, rcb2, rcr2) + extra
+                return (out, ry2, rcb2, rcr2) + extra
 
             def do_p1(args):
                 yf, cbf, crf, ry, rcb, rcr, *old = args
@@ -245,9 +281,15 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
                 rec = ((plv.recon_y, plv.recon_cb, plv.recon_cr)
                        if not deblock else _deblock_p(plv, qp))
+                out = pack_gop(lv, qp, plv.mode, plv.mv)
+                if nw_mb:
+                    out = jnp.concatenate(
+                        [out, _bits_lanes(*pack_p_mbs(
+                            plv.mode, plv.zdc, plv.acz, plv.czdc,
+                            plv.cacz, plv.mv, None, jnp.int32(1),
+                            nw_mb=nw_mb))], axis=-1)
                 extra = (ry, rcb, rcr) if refs > 1 else ()
-                return (pack_gop(lv, qp, plv.mode, plv.mv),
-                        *rec) + extra
+                return (out, *rec) + extra
 
             def do_p2(args):
                 yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr = args
@@ -256,8 +298,14 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
                 rec = ((plv.recon_y, plv.recon_cb, plv.recon_cr)
                        if not deblock else _deblock_p(plv, qp))
-                return (pack_gop(lv, qp, plv.mode, plv.mv, plv.ref),
-                        *rec, ry, rcb, rcr)
+                out = pack_gop(lv, qp, plv.mode, plv.mv, plv.ref)
+                if nw_mb:
+                    out = jnp.concatenate(
+                        [out, _bits_lanes(*pack_p_mbs(
+                            plv.mode, plv.zdc, plv.acz, plv.czdc,
+                            plv.cacz, plv.mv, plv.ref, jnp.int32(2),
+                            nw_mb=nw_mb))], axis=-1)
+                return (out, *rec, ry, rcb, rcr)
 
             if refs > 1:
                 args = (yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr)

@@ -55,41 +55,57 @@ def main() -> None:
             break
     print(f"12-frame byte-identity vs oracle: {ok}", flush=True)
 
-    # sustained soak, overlap mode (dispatch/entropy pipelined)
-    enc = TpuGopEncoder(W, H, qp=QP, gop=GOP, search=SEARCH,
-                        overlap=True)
-    sizes = []
+    # sustained soaks, overlap mode (dispatch/entropy pipelined):
+    # host-entropy arm, then the device bit-packing arm
     frames = list(make_frames(FRAMES))
-    # warm the compiles
-    for f in frames[:3]:
-        for au in enc.encode(f):
-            sizes.append(len(au))
-    t0 = time.perf_counter()
-    done0 = len(sizes)
-    for f in frames[3:]:
-        for au in enc.encode(f):
-            sizes.append(len(au))
-    for au in enc.flush():
-        sizes.append(len(au))
-    dt = time.perf_counter() - t0
-    n = len(sizes) - done0
-    fps = n / dt
-    idr = sizes[:: GOP]
-    p_sizes = [s for i, s in enumerate(sizes) if i % GOP]
     out = {"what": "TpuGopEncoder 1080p soak (gop=30, search=8, "
-                   "overlap, native entropy): sustained fps of the "
-                   "complete encoder incl. host entropy",
-           "frames": len(sizes), "byte_identity_12": bool(ok),
-           "fps": round(fps, 1), "ms_per_frame": round(1e3 / fps, 3),
-           "idr_bytes_mean": int(np.mean(idr)),
-           "p_bytes_mean": int(np.mean(p_sizes)),
-           "p_bytes_p95": int(np.percentile(p_sizes, 95)),
-           "total_kbits_per_s_at_30fps": round(
-               sum(sizes) * 8 * 30 / len(sizes) / 1e3, 1)}
+                   "overlap): sustained fps of the complete encoder; "
+                   "arm 'bitpack' packs the CAVLC bits on device "
+                   "(host = headers + concat + escape only)",
+           "byte_identity_12": bool(ok), "arms": {}}
+
+    def save() -> None:
+        with open("scripts/tpu_r3_enc_soak.json", "w") as f:
+            json.dump(out, f, indent=1)
+
+    for label, kw in (("host_entropy", {}), ("bitpack",
+                                            {"bitpack": True})):
+        enc = TpuGopEncoder(W, H, qp=QP, gop=GOP, search=SEARCH,
+                            overlap=True, **kw)
+        sizes = []
+        for f in frames[:3]:        # warm the compiles
+            for au in enc.encode(f):
+                sizes.append(len(au))
+        t0 = time.perf_counter()
+        done0 = len(sizes)
+        for f in frames[3:]:
+            for au in enc.encode(f):
+                sizes.append(len(au))
+        for au in enc.flush():
+            sizes.append(len(au))
+        dt = time.perf_counter() - t0
+        n = len(sizes) - done0
+        fps = n / dt
+        idr = sizes[:: GOP]
+        p_sizes = [s for i, s in enumerate(sizes) if i % GOP]
+        out["arms"][label] = {
+            "frames": len(sizes),
+            "fps": round(fps, 1), "ms_per_frame": round(1e3 / fps, 3),
+            "idr_bytes_mean": int(np.mean(idr)),
+            "p_bytes_mean": int(np.mean(p_sizes)),
+            "p_bytes_p95": int(np.percentile(p_sizes, 95)),
+            "total_bytes": int(sum(sizes)),
+            "total_kbits_per_s_at_30fps": round(
+                sum(sizes) * 8 * 30 / len(sizes) / 1e3, 1)}
+        print(f"[{label}] {out['arms'][label]}", flush=True)
+        save()
+    arms = out["arms"]
+    out["streams_equal_bytes"] = (
+        arms["host_entropy"]["total_bytes"]
+        == arms["bitpack"]["total_bytes"])
+    save()
     if not ok:
         raise SystemExit("PARITY FAILURE")
-    with open("scripts/tpu_r3_enc_soak.json", "w") as f:
-        json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
 
 

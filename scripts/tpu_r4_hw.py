@@ -157,10 +157,10 @@ def run_fused_stage(name: str, tpu_kw: dict, oracle_kw: dict,
         want_cpu = stream(GopCavlcEncoder(W, H, **oracle_kw),
                           list(enh))
         enc = TpuGopEncoder(W, H, **tpu_kw)
-        fn = build_enhance_gop_fn(cfg, spec, enc.gop,
-                                  search=enc.search,
-                                  subpel=enc.subpel, refs=enc.refs,
-                                  deblock=enc.deblock, gdr=enc.gdr)
+        fn = build_enhance_gop_fn(
+            cfg, spec, enc.gop, search=enc.search, subpel=enc.subpel,
+            refs=enc.refs, deblock=enc.deblock, gdr=enc.gdr,
+            bitpack=(enc._nw_mb if enc._bitpack else 0))
         recon = list(enc.initial_recon())
         got, idx = [], 0
         for lo, hi in ((0, 3), (3, 6), (6, N)):
@@ -269,6 +269,9 @@ def main() -> None:
                          quarterpel=True),
                     dict(qp=QP, gdr=3, slices=MB_H, deblock=True,
                          search=2, quarterpel=True))
+    run_fused_stage("fused_bitpack",
+                    dict(qp=QP, gop=6, search=2, bitpack=True),
+                    dict(qp=QP, gop=6, slices=MB_H, search=2))
     RESULTS["wall_s"] = round(time.perf_counter() - t0, 1)
     RESULTS["all_ok"] = all(s.get("ok") for s in
                             RESULTS["stages"].values())

@@ -62,6 +62,9 @@ MATRIX = [
     ("fused_gdr", ["--sink=rtp+h264://127.0.0.1:56480",
                    "--encoder=tpu:qp=40:gdr=3", "--fused-encode"],
      0, None),
+    ("fused_bitpack", ["--sink=rtp+h264://127.0.0.1:56483",
+                       "--encoder=tpu:qp=40:gop=4:bitpack",
+                       "--fused-encode"], 0, None),
     # ---- refusals: approximate vs exact-only paths
     ("downsample_x_mesh", ["--sink=null", "--hist-downsample=2",
                            "--mesh=2x1"], 2, "not supported"),

@@ -290,6 +290,78 @@ class TestGopBitpack:
             TpuGopEncoder(w, h, qp=30, bitpack=True, **kw), frames)
         assert got == want
 
+    def test_fused_bitpack_byte_identical(self):
+        """enhance -> GOP encode -> CAVLC bit-packing as ONE device
+        program: the bits lanes ride the fused tensor and the stream
+        equals the unfused plain encoder's."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+        from opencv_opencl_tpu.models.enhancer import (EnhancerConfig,
+                                                       build_enhance_fn)
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        w, h, qp = 96, 64, 30
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op="clahe",
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        rng = np.random.default_rng(44)
+        frames = rng.integers(0, 256, (6, h * 3 // 2, w), np.uint8)
+        for i in range(1, 6):
+            frames[i] = frames[i - 1].copy()
+            frames[i][5:25, 8 + 4 * i:40 + 4 * i] ^= 0x5A
+        plain = build_enhance_fn(cfg, spec, donate=False)
+        enh = np.asarray(plain(frames))
+        ref_enc = TpuGopEncoder(w, h, qp=qp, gop=3, search=2)
+        want = [au for f in enh for au in ref_enc.encode(f)]
+        enc = TpuGopEncoder(w, h, qp=qp, gop=3, search=2,
+                            bitpack=True)
+        fn = build_enhance_gop_fn(cfg, spec, enc.gop,
+                                  search=enc.search,
+                                  bitpack=enc._nw_mb)
+        recon = list(enc.initial_recon())
+        got, idx = [], 0
+        for lo, hi in ((0, 4), (4, 6)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(qp), idx,
+                                *recon)
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(
+                    np.asarray(packed)[i]))
+        assert got == want
+
+    def test_fused_intra_bitpack_and_overflow(self):
+        """build_enhance_levels_fn + bitpack lanes, plus the overflow
+        fallback through the fused tensor's level lanes."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+        from opencv_opencl_tpu.models.enhancer import (EnhancerConfig,
+                                                       build_enhance_fn)
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_levels_fn)
+
+        w, h, qp = 96, 64, 30
+        spec = FrameSpec(width=w, height=h, fps=30)
+        cfg = EnhancerConfig(op="histeq",
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 256, (3, h * 3 // 2, w), np.uint8)
+        plain = build_enhance_fn(cfg, spec, donate=False)
+        enh = np.asarray(plain(frames))
+        ref_enc = TpuCavlcEncoder(w, h, qp=qp)
+        want = [au for f in enh for au in ref_enc.encode(f)]
+        for nw in (64, 3):      # roomy cap; 3-word cap = overflow
+            enc = TpuCavlcEncoder(w, h, qp=qp, bitpack=True,
+                                  nw_mb=nw)
+            fn = build_enhance_levels_fn(cfg, spec, bitpack=nw)
+            packed = np.asarray(fn(frames, jnp.int32(qp)))
+            got = [au for i in range(3)
+                   for au in enc.encode_from_packed(packed[i])]
+            assert got == want, nw
+
     def test_gop_overflow_falls_back(self):
         from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
 
