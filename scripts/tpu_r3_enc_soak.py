@@ -34,7 +34,11 @@ def make_frames(n):
     base_uv = rng.integers(96, 160, (H // 2, W), np.uint8)
     for i in range(n):
         y = np.roll(base_y, (2 * i) % 64, 1)
-        uv = np.roll(base_uv, i % 32, 1)
+        # base_uv is INTERLEAVED NV12 UV: one chroma pixel = 2 bytes,
+        # so the roll must be even or U/V swap phase and chroma becomes
+        # unpredictable noise (the original i%32 roll made P frames as
+        # large as IDRs).  2 bytes/frame = 1 chroma px = the luma pan/2.
+        uv = np.roll(base_uv, (2 * i) % 64, 1)
         yield np.concatenate([y, uv], 0)
 
 
@@ -45,7 +49,11 @@ def main() -> None:
     # byte-identity spot check first (12 frames: one IDR + 11 P;
     # the exhaustive numpy oracle is slow at 1080p, keep it short)
     tpu = TpuGopEncoder(W, H, qp=QP, gop=GOP, search=SEARCH)
-    oracle = GopCavlcEncoder(W, H, qp=QP, gop=GOP, slices=H // 16,
+    # one slice per padded MB row (1080 -> 68 rows): TpuGopEncoder's
+    # contract is GopCavlcEncoder(slices=mb_h), NOT H // 16 — the two
+    # differ at non-16-divisible heights (verified: H=184 mismatches
+    # with H//16, matches with the ceil)
+    oracle = GopCavlcEncoder(W, H, qp=QP, gop=GOP, slices=-(-H // 16),
                              search=SEARCH)
     ok = True
     for i, f in enumerate(make_frames(12)):
