@@ -49,6 +49,14 @@ def main() -> None:
     import cv2
     import numpy as np
 
+    import jax
+    try:  # reuse cached executables (remote compiles are slow)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
     from opencv_opencl_tpu.models.enhancer import EnhancerConfig, build_enhance_fn

@@ -19,6 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # reuse cached executables across runs (remote compiles are slow)
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:
+    pass
+
 from opencv_opencl_tpu.ops.h264_levels import encode_p_levels
 
 CHAIN = 64

@@ -1,15 +1,15 @@
-"""Hardware timing of the fused enhance+GOP-encode program chain
-(models/fused_encode.build_enhance_gop_fn): CLAHE 2.0 8x8 + low-delay-P
-H.264 level computation with device-resident reconstruction, batch 4.
+"""Round-5 hardware timing of the fused enhance+GOP program WITH the
+device motion search (VERDICT r4 item 7): the r3 fused headline
+(scripts/tpu_r3_fused_gop.json — 2.47 ms 1080p / 11.68 ms 4K) is
+qp=30 zero-search; search is the expensive part.  This ladder times
+build_enhance_gop_fn with full-pel search and with the hierarchical
+quarter-pel mode (fastsub) at 1080p and 4K, chained with the real
+recon feedback, and states explicitly whether 4K60 fused-with-search
+holds (ms_per_frame <= 16.67).
 
-The chained loop feeds each batch's recon back into the next call — the
-real streaming dependency — so the number is the honest steady-state
-per-frame device cost of the WHOLE encoder front half (enhance +
-prediction + transforms + quant + mode decisions + recon).
+    python scripts/tpu_r5_fused_search.py
 
-    python scripts/tpu_r3_fused_gop.py
-
-Writes scripts/tpu_r3_fused_gop.json.
+Writes scripts/tpu_r5_fused_search.json incrementally.
 """
 import json
 import os
@@ -28,21 +28,26 @@ try:  # reuse cached executables across runs (remote compiles are slow)
 except Exception:
     pass
 
-from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
-from opencv_opencl_tpu.models.enhancer import EnhancerConfig
-from opencv_opencl_tpu.models.fused_encode import build_enhance_gop_fn
-
+OUT = os.path.join(os.path.dirname(__file__),
+                   "tpu_r5_fused_search.json")
 BATCH = 4
-CHAIN = 48
+CHAIN = 32
 QP = 30
 GOP = 32
 
 
-def measure(width: int, height: int) -> dict:
+def measure(width: int, height: int, search: int,
+            subpel: int) -> dict:
+    from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+    from opencv_opencl_tpu.models.enhancer import EnhancerConfig
+    from opencv_opencl_tpu.models.fused_encode import (
+        build_enhance_gop_fn)
+
     spec = FrameSpec(width=width, height=height, fps=30)
     cfg = EnhancerConfig(op="clahe", clip_limit=2.0, tile_grid=(8, 8),
                          chroma=ChromaPolicy.PASSTHROUGH)
-    fused = build_enhance_gop_fn(cfg, spec, GOP)
+    fused = build_enhance_gop_fn(cfg, spec, GOP, search=search,
+                                 subpel=subpel)
     h16 = -(-height // 16) * 16
     w16 = -(-width // 16) * 16
     rng = np.random.default_rng(0)
@@ -70,7 +75,8 @@ def measure(width: int, height: int) -> dict:
     t0 = time.perf_counter()
     _ = int(chained(batch, 1, *r0))
     compile_s = time.perf_counter() - t0
-    print(f"{width}x{height}: compiled in {compile_s:.1f}s", flush=True)
+    print(f"{width}x{height} search={search} subpel={subpel}: "
+          f"compiled in {compile_s:.1f}s", flush=True)
 
     def one_sample() -> float:
         t0 = time.perf_counter()
@@ -90,21 +96,47 @@ def measure(width: int, height: int) -> dict:
     samples = sorted(one_sample() for _ in range(5))
     ms = samples[2] * 1e3
     spread = (samples[-1] - samples[0]) / samples[2] * 100.0
-    print(f"{width}x{height}: {ms:.3f} ms/frame fused enhance+GOP "
+    print(f"{width}x{height} search={search} subpel={subpel}: "
+          f"{ms:.3f} ms/frame fused enhance+GOP+search "
           f"({1e3 / ms:.1f} fps, spread {spread:.1f}%)", flush=True)
     return {"width": width, "height": height, "qp": QP, "gop": GOP,
-            "batch": BATCH, "ms_per_frame": round(ms, 4),
+            "batch": BATCH, "search": search, "subpel": subpel,
+            "ms_per_frame": round(ms, 4),
             "fps": round(1e3 / ms, 1), "spread_pct": round(spread, 1),
             "chain": CHAIN, "compile_s": round(compile_s, 1)}
 
 
 def main() -> None:
-    out = {"what": "fused enhance(CLAHE)+GOP H.264 levels device "
+    out = {"what": "fused enhance(CLAHE)+GOP+motion-search device "
                    "ms/frame (chained with recon feedback, qp=30, "
-                   "gop=32, batch=4)",
-           "geometries": [measure(1920, 1080), measure(3840, 2160)]}
-    with open("scripts/tpu_r3_fused_gop.json", "w") as f:
-        json.dump(out, f, indent=1)
+                   "gop=32, batch=4); subpel 3 = fastsub "
+                   "(hierarchical quarter-pel)",
+           "no_search_baseline": "scripts/tpu_r3_fused_gop.json",
+           "geometries": []}
+
+    def save() -> None:
+        with open(OUT, "w") as f:
+            json.dump(out, f, indent=1)
+
+    save()
+    for args in ((1920, 1080, 8, 0), (1920, 1080, 8, 3),
+                 (3840, 2160, 8, 0), (3840, 2160, 8, 3),
+                 (3840, 2160, 4, 0)):
+        try:
+            out["geometries"].append(measure(*args))
+        except Exception as e:  # land the failure, keep the ladder
+            out["geometries"].append(
+                {"width": args[0], "height": args[1],
+                 "search": args[2], "subpel": args[3],
+                 "error": f"{type(e).__name__}: {e}"})
+        save()
+    four_k = [g for g in out["geometries"]
+              if g.get("width") == 3840 and "ms_per_frame" in g]
+    if four_k:
+        best = min(g["ms_per_frame"] for g in four_k)
+        out["fused_4k60_with_search"] = bool(best <= 1000.0 / 60.0)
+        out["fused_4k_best_ms"] = best
+    save()
     print(json.dumps(out), flush=True)
 
 
