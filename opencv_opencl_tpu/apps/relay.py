@@ -218,20 +218,28 @@ def run(argv: list[str]) -> int:
             return 2
         print(f"APPROXIMATE histogram mode: every "
               f"{cfg.hist_downsample}th row (not bit-exact vs cv2)")
+    mesh = None
+    fused = bool(opts.get("fused-encode"))
     if "mesh" in opts:
         # multi-chip: shard the batch over `data`, rows over `space` —
         # the scaling analogue of the reference's worker pool, one flag
         from opencv_opencl_tpu.parallel.mesh import mesh_from_cli
-        from opencv_opencl_tpu.parallel.sharded import ShardedEnhancer
 
         try:
             # one shared parser (relay + multi_relay): only mesh
             # construction errors belong to the flag; anything
-            # ShardedEnhancer itself raises is a real config error
+            # the sharded builders raise is a real config error
             mesh = mesh_from_cli(opts["mesh"])
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
+    if mesh is not None and fused:
+        # enhancement fuses INTO the mesh encode program
+        # (parallel/sharded_encode): no separate sharded enhancer
+        enhancer = None
+    elif mesh is not None:
+        from opencv_opencl_tpu.parallel.sharded import ShardedEnhancer
+
         enhancer = ShardedEnhancer(cfg, spec, mesh=mesh)
         ndata = enhancer.mesh.shape["data"]
         if batch < 1 or batch % ndata:
@@ -255,18 +263,17 @@ def run(argv: list[str]) -> int:
             return 2
     counters = FrameRateCounters()
 
-    process_fn = enhancer.process_batch
-    fused = bool(opts.get("fused-encode"))
+    process_fn = enhancer.process_batch if enhancer is not None else None
     fused_gop = False
     fused_reset = None
     if fused:
         from opencv_opencl_tpu.io.encoder import EncodedRtpSink
 
-        if (gst_mode or "mesh" in opts or cfg.use_ref_frame
+        if (gst_mode or cfg.use_ref_frame
                 or not isinstance(sink, EncodedRtpSink)
                 or not hasattr(sink.encoder, "encode_from_packed")):
             print("--fused-encode requires --sink=rtp+h264:// with "
-                  "--encoder=tpu[...] (and no --io=gst, --mesh or "
+                  "--encoder=tpu[...] (and no --io=gst or "
                   "--ref-frame)", file=sys.stderr)
             return 2
         import jax.numpy as jnp
@@ -277,7 +284,55 @@ def run(argv: list[str]) -> int:
 
         enc = sink.encoder
         fused_gop = isinstance(enc, TpuGopEncoder)
-        if fused_gop:
+        if mesh is not None:
+            # multi-chip fused enhance+encode: GOP-per-device data
+            # parallelism (parallel/sharded_encode) — byte-identical
+            # to the sequential stream because GOPs are independent
+            # encode units (every IDR ignores the incoming recon)
+            import jax
+
+            from opencv_opencl_tpu.parallel.sharded_encode import (
+                build_mesh_gop_fn, build_mesh_levels_fn,
+                pad_batch_for_mesh)
+
+            if fused_gop and (enc.gdr or enc._cpb is not None):
+                print("--fused-encode with --mesh requires IDR GOP "
+                      "boundaries and per-frame-synchronous state to "
+                      "stay on one chip: no gdr, no cpb",
+                      file=sys.stderr)
+                return 2
+            ndev = len(mesh.devices.flat)
+            if fused_gop:
+                mesh_fn, mesh_sharding, unit = build_mesh_gop_fn(
+                    cfg, spec, enc.gop, mesh, search=enc.search,
+                    subpel=enc.subpel, refs=enc.refs,
+                    deblock=enc.deblock,
+                    bitpack=(enc._nw_mb if enc._bitpack else 0))
+            else:
+                mesh_fn, mesh_sharding, unit = build_mesh_levels_fn(
+                    cfg, spec, mesh,
+                    bitpack=(enc._nw_mb if enc._bitpack else 0))
+            if batch < 1 or batch % (ndev * unit):
+                print(f"--batch={batch} must be a positive multiple "
+                      f"of mesh devices x GOP frames "
+                      f"({ndev} x {unit})", file=sys.stderr)
+                return 2
+
+            def process_fn(nv12_batch):
+                # stateless steps make padding safe (pad frames are
+                # causally downstream of every real output); the tail
+                # of a stream just encodes a short final GOP
+                padded, real = pad_batch_for_mesh(
+                    np.asarray(nv12_batch), ndev, unit)
+                packed = mesh_fn(jax.device_put(padded, mesh_sharding),
+                                 jnp.int32(enc.qp))
+                return packed[:real]
+
+            print(f"Fused enhance+encode over mesh "
+                  f"{dict(mesh.shape)} ({ndev} devices, "
+                  f"{'GOP' if fused_gop else 'frame'}-per-device; "
+                  f"frames stay in HBM as pixels)")
+        elif fused_gop:
             # GOP: the device programs chain recon/frame-index state
             # across batches; padding would advance it on fake frames
             # (deblock and the GDR refresh wave both ride inside the
@@ -315,10 +370,11 @@ def run(argv: list[str]) -> int:
                 # quantized with
                 return fused_fn(nv12_batch, jnp.int32(enc.qp))
 
-        print("Fused enhance+encode: frames stay in HBM as pixels; the "
-              "host receives quantized levels only"
-              + (f" (GOP {enc.gop}, recon resident in HBM)"
-                 if fused_gop else ""))
+        if mesh is None:
+            print("Fused enhance+encode: frames stay in HBM as "
+                  "pixels; the host receives quantized levels only"
+                  + (f" (GOP {enc.gop}, recon resident in HBM)"
+                     if fused_gop else ""))
 
     def on_output(seq, frame, meta):
         if fused:

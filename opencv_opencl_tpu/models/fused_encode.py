@@ -56,7 +56,7 @@ GOP_PACKED_LANES_MREF = 413
 
 
 def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec,
-                            bitpack: int = 0):
+                            bitpack: int = 0, jit: bool = True):
     """Returns a jitted ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32)
     -> int16[N, mb_h, mb_w, 410]`` computing enhancement + quantized
     CAVLC levels (+ the per-MB intra pred-mode lane) in one XLA
@@ -64,7 +64,9 @@ def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec,
     range).  ``bitpack=nw`` appends each MB's device-packed CAVLC
     bitstring as 1 + 2*nw extra lanes (ops/h264_bitpack.py; rows
     stacked across the batch stay independent slices, so the nC grids
-    are computed on the stacked layout directly)."""
+    are computed on the stacked layout directly).  ``jit=False``
+    returns the raw traceable closure (parallel/sharded_encode wraps
+    it in shard_map, which must jit the OUTER step)."""
     if cfg.use_ref_frame:
         raise ValueError(
             "fused encode does not support the ref-frame streaming "
@@ -108,7 +110,7 @@ def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec,
                     nw_mb=int(bitpack)))], axis=-1)
         return packed.reshape(n, mbh, mbw, -1)
 
-    return jax.jit(fn)
+    return jax.jit(fn) if jit else fn
 
 
 def _bits_lanes(words, nbits):
@@ -126,7 +128,8 @@ def _bits_lanes(words, nbits):
 def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                          search: int = 0, subpel: int = 0,
                          refs: int = 1, deblock: bool = False,
-                         gdr: int = 0, bitpack: int = 0):
+                         gdr: int = 0, bitpack: int = 0,
+                         jit: bool = True):
     """Fused enhance + low-delay-P GOP encode: returns a jitted
     ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32, idx0: int32,
     *recon) -> (int16[N, mb_h, mb_w, L], *recon')`` — recon is 3
@@ -329,6 +332,12 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
             per_frame, init, (y, cbcr[..., 0], cbcr[..., 1]))
         return (packed, *recs)
 
+    if not jit:
+        # raw traceable closure for parallel/sharded_encode: the GOP-
+        # per-device step creates its recon zeros inside shard_map, so
+        # donation does not apply (XLA dead-code-eliminates the final
+        # recon outputs instead)
+        return fn
     if refs > 1:
         return jax.jit(fn, donate_argnums=(3, 4, 5, 6, 7, 8))
     return jax.jit(fn, donate_argnums=(3, 4, 5))

@@ -74,9 +74,23 @@ MATRIX = [
     # ---- refusals: fused-encode preconditions
     ("fused_x_null_sink", ["--sink=null", "--fused-encode"], 2,
      "--fused-encode requires"),
-    ("fused_x_mesh", ["--sink=rtp+h264://127.0.0.1:56476",
-                      "--encoder=tpu:qp=40", "--mesh=2x1",
-                      "--fused-encode"], 2, "--fused-encode requires"),
+    # fused x mesh WORKS since round 5 (parallel/sharded_encode:
+    # frame/GOP-per-device data parallelism, byte-identical streams)
+    ("fused_mesh_intra", ["--sink=rtp+h264://127.0.0.1:56476",
+                          "--encoder=tpu:qp=40", "--mesh=2x1",
+                          "--fused-encode"], 0, None),
+    ("fused_mesh_gop", ["--sink=rtp+h264://127.0.0.1:56484",
+                        "--encoder=tpu:qp=40:gop=2:search=2",
+                        "--mesh=2x2", "--batch=8", "--max-frames=8",
+                        "--fused-encode"], 0, None),
+    # ...but the sequential-state configurations stay single-chip
+    ("fused_mesh_x_gdr", ["--sink=rtp+h264://127.0.0.1:56485",
+                          "--encoder=tpu:qp=40:gdr=3", "--mesh=2x1",
+                          "--fused-encode"], 2, "no gdr, no cpb"),
+    ("fused_mesh_x_batch", ["--sink=rtp+h264://127.0.0.1:56486",
+                            "--encoder=tpu:qp=40:gop=4", "--mesh=2x1",
+                            "--fused-encode"], 2,
+     "positive multiple of mesh devices"),
     ("fused_x_ref_frame", ["--sink=rtp+h264://127.0.0.1:56477",
                            "--op=clahe", "--ref-frame",
                            "--encoder=tpu:qp=40", "--fused-encode"], 2,
