@@ -177,7 +177,7 @@ def main() -> None:
             spec7, gop=30, search=8)
         rng7 = np.random.default_rng(7)
         f0 = rng7.integers(0, 256, (spec7.buffer_rows, 1920), np.uint8)
-        uv0 = f0[1080:].reshape(544, 960, 2)
+        uv0 = f0[1080:].reshape(540, 960, 2)  # pad to 544 below
         _, ry0, rcb0, rcr0, _ = encode_levels_recon_jit(
             jnp.asarray(np.pad(f0[:1080], ((0, 8), (0, 0)),
                                mode="edge")),
