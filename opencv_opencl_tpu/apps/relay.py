@@ -284,6 +284,15 @@ def run(argv: list[str]) -> int:
 
         enc = sink.encoder
         fused_gop = isinstance(enc, TpuGopEncoder)
+        if fused_gop and getattr(enc, "parts", False):
+            # the fused GOP program packs ONE mv per MB (412 lanes);
+            # the quadrant field of the partition modes doesn't ride
+            # in it yet — unfused tpu:parts works
+            print("--fused-encode does not compose with encoder "
+                  "parts (the fused program packs per-MB 16x16 "
+                  "fields); drop --fused-encode or :parts",
+                  file=sys.stderr)
+            return 2
         if mesh is not None:
             # multi-chip fused enhance+encode: GOP-per-device data
             # parallelism (parallel/sharded_encode) — byte-identical

@@ -361,6 +361,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         halfpel = False
         quarterpel = False
         fastsub = False
+        parts = False
         deblock = False
         cpb_ms = None
         initdelay_ms = None
@@ -375,6 +376,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key == "fastsub" and not val:
                 fastsub = True
                 continue
+            if key == "parts" and not val:
+                parts = True
+                continue
             if key == "deblock" and not val:
                 deblock = True
                 continue
@@ -385,7 +389,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     f"bad cavlc option {opt!r} "
                     "(qp=N, slices=N, gop=N, gdr=N, search=N, refs=N, "
                     "cpb=MS, initdelay=MS, halfpel, quarterpel, "
-                    "fastsub, deblock)")
+                    "fastsub, parts, deblock)")
             try:
                 ival = int(val)
             except ValueError:
@@ -430,7 +434,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             mb_h = -(-height // 16)
             kw = dict(slices=mb_h, search=search, halfpel=halfpel,
                       quarterpel=quarterpel, fastsub=fastsub, refs=refs,
-                      deblock=deblock, cpb_ms=cpb_ms,
+                      parts=parts, deblock=deblock, cpb_ms=cpb_ms,
                       initial_delay_ms=initdelay_ms)
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gdr=gdr,
@@ -444,9 +448,13 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             # zero-motion P pictures in between (io.h264_inter)
             from opencv_opencl_tpu.io.h264_inter import GopCavlcEncoder
 
+            if parts and slices == 1:
+                # partitions need the one-row-slice predictor collapse
+                # (the TPU contract); default there like gdr does
+                slices = -(-height // 16)
             kw = dict(slices=slices, search=search, halfpel=halfpel,
                       quarterpel=quarterpel, fastsub=fastsub, refs=refs,
-                      deblock=deblock, cpb_ms=cpb_ms,
+                      parts=parts, deblock=deblock, cpb_ms=cpb_ms,
                       initial_delay_ms=initdelay_ms)
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gop=gop,
@@ -454,10 +462,11 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             return GopCavlcEncoder(width, height, qp=30, gop=gop,
                                    bitrate_kbps=bitrate_kbps, fps=fps,
                                    **kw)
-        if search or halfpel or quarterpel or fastsub or refs > 1:
+        if (search or halfpel or quarterpel or fastsub or parts
+                or refs > 1):
             raise ValueError(
-                "cavlc search=N/halfpel/quarterpel/fastsub need a "
-                "gop=N option (motion search is a P-frame feature)")
+                "cavlc search=N/halfpel/quarterpel/fastsub/parts need "
+                "a gop=N option (motion search is a P-frame feature)")
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
         kw = dict(slices=slices, threads=threads, deblock=deblock,
                   cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms)
@@ -485,6 +494,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         halfpel = False
         quarterpel = False
         fastsub = False
+        parts = False
         bitpack = False
         deblock = False
         cpb_ms = None
@@ -515,6 +525,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 continue
             if key == "bitpack" and not val:
                 bitpack = True
+                continue
+            if key == "parts" and not val:
+                parts = True
                 continue
             if key == "deblock" and not val:
                 deblock = True
@@ -551,7 +564,8 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 raise ValueError(
                     f"bad tpu option {opt!r} (qp=N|gop=N|gdr=N|"
                     "search=N|refs=N|cpb=MS|initdelay=MS|halfpel|"
-                    "quarterpel|fastsub|deblock|bitpack|overlap)")
+                    "quarterpel|fastsub|parts|deblock|bitpack|"
+                    "overlap)")
             try:
                 qp = int(val)
             except ValueError:
@@ -567,7 +581,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     "periodic IDR) — give one or the other")
             kw = dict(overlap=overlap, search=search, halfpel=halfpel,
                       quarterpel=quarterpel, fastsub=fastsub,
-                      refs=refs, bitpack=bitpack,
+                      refs=refs, parts=parts, bitpack=bitpack,
                       deblock=deblock, cpb_ms=cpb_ms,
                       initial_delay_ms=initdelay_ms)
             if qp is not None:
@@ -582,7 +596,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
 
             kw = dict(overlap=overlap, search=search, halfpel=halfpel,
                       quarterpel=quarterpel, fastsub=fastsub,
-                      refs=refs, bitpack=bitpack,
+                      refs=refs, parts=parts, bitpack=bitpack,
                       deblock=deblock, cpb_ms=cpb_ms,
                       initial_delay_ms=initdelay_ms)
             if qp is not None:
@@ -591,10 +605,11 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             return TpuGopEncoder(width, height, qp=30, gop=gop,
                                  bitrate_kbps=bitrate_kbps, fps=fps,
                                  **kw)
-        if search or halfpel or quarterpel or fastsub or refs > 1:
+        if (search or halfpel or quarterpel or fastsub or parts
+                or refs > 1):
             raise ValueError(
-                "tpu search=N/halfpel/quarterpel/fastsub need a gop=N "
-                "option (motion search is a P-frame feature)")
+                "tpu search=N/halfpel/quarterpel/fastsub/parts need a "
+                "gop=N option (motion search is a P-frame feature)")
         kw = dict(overlap=overlap, deblock=deblock, bitpack=bitpack,
                   cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms)
         if qp is not None:

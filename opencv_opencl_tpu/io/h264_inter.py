@@ -200,7 +200,8 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                           search: int = 0, subpel: int = 0,
                           deblock: bool = False, deblock_info=None,
                           force_intra_rows: tuple[int, int] | None = None,
-                          slice_local: bool = False):
+                          slice_local: bool = False,
+                          parts: bool = False):
     """Encode one 16-aligned NV12 frame as ``slices`` P slice NALs
     against ``recon`` = (ry, rcb, rcr), the reconstructed previous
     picture (int arrays, unpadded HxW — exactly what
@@ -232,7 +233,34 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
     ref = refs[0]
     ry, rcb, rcr = ref["y"], ref["cb"], ref["cr"]
     refsel = np.zeros((mb_h, mb_w), dtype=np.int64)
-    if active_refs > 1:
+    pmode = mv4 = None
+    if parts:
+        # sub-16x16 partitions (16x8 / 8x16 / 8x8): per-partition mvd
+        # needs the one-row-slice predictor collapse, and the other
+        # sequential-state features don't compose (scope mirrors the
+        # TPU program — ops/h264_levels.encode_p_levels parts=1)
+        if not search:
+            raise ValueError("parts requires search=R > 0")
+        if subpel == 3:
+            raise ValueError("parts does not compose with fastsub")
+        if active_refs > 1 or force_intra_rows is not None or deblock:
+            raise ValueError("parts requires refs=1, no gdr, no "
+                             "deblock")
+        if max(1, min(int(slices), mb_h)) != mb_h:
+            raise ValueError("parts requires one slice per MB row "
+                             f"(slices={mb_h} here)")
+        margin = search + (1 if subpel else 0)
+        planes = (quarterpel_planes(ry, margin) if subpel == 2
+                  else halfpel_planes(ry, margin) if subpel == 1
+                  else None)
+        pmode, mv4 = motion_search_parts(y, ry, search, subpel=subpel,
+                                         planes=planes, margin=margin,
+                                         qp=qp)
+        pred = mc_planes(ref, mv4_to_quadrant_field(mv4),
+                         planes=planes, margin=margin, block=8)
+        mv = mv4[:, :, 0]       # 16x16-context fallback (q0 == the
+        #                         full-MB mv whenever pmode == 0)
+    elif active_refs > 1:
         # multi-reference P: the MV predictor stays the left-only rule
         # only at one slice per MB row (8.4.1.3's B/C-unavailable case
         # uses the RAW left MV regardless of its refIdx; the general
@@ -306,6 +334,8 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
         # mask — what spec 8.4.1.3's neighbor derivation reads.
         mv_coded = np.zeros((mb_h, mb_w, 2), dtype=np.int64)
         inter_mask = np.zeros((mb_h, mb_w), dtype=bool)
+        mvq_coded = (np.zeros((mb_h * 2, mb_w * 2, 2), dtype=np.int64)
+                     if parts else None)
         for mby in range(bounds[si], bounds[si + 1]):
             for mbx in range(mb_w):
                 skip_run = _encode_p_mb(
@@ -319,7 +349,10 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                     active_refs=active_refs, dbi=deblock_info,
                     force_intra=(force_intra_rows is not None
                                  and force_intra_rows[0] <= mby
-                                 < force_intra_rows[1]))
+                                 < force_intra_rows[1]),
+                    part2=(None if not parts
+                           else (int(pmode[mby, mbx]), mv4[mby, mbx])),
+                    mvq_coded=mvq_coded)
         if skip_run:
             w.ue(skip_run)  # trailing skipped MBs end the slice
         w.trailing()
@@ -358,6 +391,13 @@ def search_candidates(search: int) -> list[tuple[int, int]]:
 # count ((8*11+1)^2 = 7921 at quarter-pel R=11) while keeping
 # sad * RADIX + idx < 2^31 exact in int32 (65280 * 8192 ~= 5.3e8 OK)
 SEARCH_KEY_RADIX = 8192
+
+# Partition-decision lambda (SAD units per extra motion vector), the
+# x264-style sqrt-lambda curve quantized to integers so the oracle and
+# the TPU program share ONE exact table: an extra mvd costs ~8 bits,
+# and bits cost ~2^((qp-12)/6) SAD each at the inter operating point.
+# Part of the byte-exactness contract like SEARCH_KEY_RADIX.
+PART_LAMBDA = tuple(round(8 * 2 ** ((q - 12) / 6)) for q in range(52))
 
 
 def search_candidates_qpel(search: int,
@@ -549,9 +589,99 @@ def motion_search(y: np.ndarray, ry: np.ndarray, search: int,
     return carr[best]
 
 
+def motion_search_parts(y: np.ndarray, ry: np.ndarray, search: int,
+                        subpel: int = 0,
+                        planes: np.ndarray | None = None,
+                        margin: int = 0, qp: int = 30):
+    """Exhaustive per-PARTITION SAD search (P_L0_16x16 / P_L0_L0_16x8 /
+    P_L0_L0_8x16 / P_8x8 with 8x8 sub-partitions): one sweep over the
+    shared candidate order accumulates 8x8-granular SAD minima, from
+    which every partition hypothesis's best MV falls out (a 16x8 SAD is
+    the sum of its two 8x8 halves for the SAME candidate, so each
+    hypothesis keeps its own running ``sad * SEARCH_KEY_RADIX + idx``
+    key).  The partition mode minimizes ``SAD + PART_LAMBDA[qp] *
+    extra_mvs`` with ties preferring coarser partitions — a pure
+    function of the SAD field, reproduced exactly by the TPU program
+    (ops/h264_levels.motion_search_mc_parts).
+
+    Returns ``(pmode (mb_h, mb_w) int64 in {0: 16x16, 1: 16x8,
+    2: 8x16, 3: 8x8}, mv4 (mb_h, mb_w, 4, 2) int64 quarter-pel MVs in
+    quadrant raster order [q0 tl, q1 tr, q2 bl, q3 br])`` — partitions
+    wider than a quadrant replicate their MV into every quadrant they
+    cover, so MC is uniformly 8x8-granular.
+
+    Reference analogue: the VCU's low-delay-P partition decisions
+    behind ``/root/reference/OpenCVequalHist.cpp:313-315``.
+    """
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    if subpel and planes is None:
+        margin = search + 1
+        planes = (quarterpel_planes(ry, margin) if subpel == 2
+                  else halfpel_planes(ry, margin))
+    elif not subpel:
+        margin = search
+        planes = np.pad(ry, search, mode="edge"
+                        ).astype(np.uint8)[None]
+    cur = y.reshape(mb_h, 2, 8, mb_w, 2, 8).astype(np.int32)
+    cands = search_candidates_qpel(search, subpel)
+    kq = kh = kv = kf = None
+    for idx, (qy, qx) in enumerate(cands):
+        p = planes[_plane_index(qy & 3, qx & 3, len(planes))]
+        iy, ix = margin + (qy >> 2), margin + (qx >> 2)
+        ref = p[iy:iy + H, ix:ix + W]
+        sad8 = np.abs(
+            cur - ref.reshape(mb_h, 2, 8, mb_w, 2, 8).astype(np.int32)
+        ).sum(axis=(2, 5), dtype=np.int64)      # (mb_h, 2, mb_w, 2)
+        keyq = sad8 * SEARCH_KEY_RADIX + idx
+        keyh = sad8.sum(axis=3) * SEARCH_KEY_RADIX + idx
+        keyv = sad8.sum(axis=1) * SEARCH_KEY_RADIX + idx
+        keyf = sad8.sum(axis=(1, 3)) * SEARCH_KEY_RADIX + idx
+        if kq is None:
+            kq, kh, kv, kf = keyq, keyh, keyv, keyf
+        else:
+            kq = np.minimum(kq, keyq)
+            kh = np.minimum(kh, keyh)
+            kv = np.minimum(kv, keyv)
+            kf = np.minimum(kf, keyf)
+    carr = np.asarray(cands, dtype=np.int64)
+    lam = PART_LAMBDA[min(max(int(qp), 0), 51)]
+    cost_f = kf // SEARCH_KEY_RADIX
+    cost_h = (kh // SEARCH_KEY_RADIX).sum(axis=1) + lam
+    cost_v = (kv // SEARCH_KEY_RADIX).sum(axis=2) + lam
+    cost_q = (kq // SEARCH_KEY_RADIX).sum(axis=(1, 3)) + 3 * lam
+    pmode = np.zeros((mb_h, mb_w), np.int64)
+    best = cost_f
+    for m, c in ((1, cost_h), (2, cost_v), (3, cost_q)):
+        take = c < best                 # strict: ties keep coarser
+        pmode = np.where(take, m, pmode)
+        best = np.where(take, c, best)
+    mvf = carr[kf % SEARCH_KEY_RADIX]               # (mb_h, mb_w, 2)
+    mvh = carr[kh % SEARCH_KEY_RADIX]               # (mb_h, 2, mb_w, 2)
+    mvv = carr[kv % SEARCH_KEY_RADIX]               # (mb_h, mb_w, 2, 2)
+    mvq = carr[kq % SEARCH_KEY_RADIX]            # (mb_h, 2, mb_w, 2, 2)
+    mv4_f = np.broadcast_to(mvf[:, :, None, :], (mb_h, mb_w, 4, 2))
+    mv4_h = np.repeat(mvh.transpose(0, 2, 1, 3), 2, axis=2)
+    mv4_v = np.tile(mvv, (1, 1, 2, 1))
+    mv4_q = mvq.transpose(0, 2, 1, 3, 4).reshape(mb_h, mb_w, 4, 2)
+    sel = pmode[:, :, None, None]
+    mv4 = np.where(sel == 0, mv4_f,
+                   np.where(sel == 1, mv4_h,
+                            np.where(sel == 2, mv4_v, mv4_q)))
+    return pmode, mv4
+
+
+def mv4_to_quadrant_field(mv4: np.ndarray) -> np.ndarray:
+    """(mb_h, mb_w, 4, 2) quadrant-major MV field -> the 8x8-granular
+    grid (2*mb_h, 2*mb_w, 2) that block-8 MC consumes."""
+    mb_h, mb_w = mv4.shape[:2]
+    return (mv4.reshape(mb_h, mb_w, 2, 2, 2).transpose(0, 2, 1, 3, 4)
+            .reshape(2 * mb_h, 2 * mb_w, 2))
+
+
 def mc_planes(ref: dict, mv: np.ndarray,
               planes: np.ndarray | None = None,
-              margin: int = 0) -> dict:
+              margin: int = 0, block: int = 16) -> dict:
     """Motion-compensated prediction planes for a per-MB QUARTER-pel
     MV field.  Luma: a block copy at full-pel positions (``planes``
     None — requires mv % 4 == 0), or a per-MB select from the
@@ -565,10 +695,13 @@ def mc_planes(ref: dict, mv: np.ndarray,
     ``((8-xF)(8-yF)A + xF(8-yF)B + (8-xF)yF C + xF yF D + 32) >> 6``
     — exact integer arithmetic; at zero fractions it reduces to the
     block copy.  A zero field returns the co-located planes
-    byte-for-byte."""
+    byte-for-byte.  ``block`` is the MV-field granularity in luma
+    samples: 16 for per-MB fields, 8 for the quadrant fields of the
+    partition modes (chroma granularity is block/2)."""
     H, W = ref["y"].shape
-    dyg = np.repeat(np.repeat(mv[:, :, 0] >> 2, 16, 0), 16, 1)
-    dxg = np.repeat(np.repeat(mv[:, :, 1] >> 2, 16, 0), 16, 1)
+    cb2 = block // 2
+    dyg = np.repeat(np.repeat(mv[:, :, 0] >> 2, block, 0), block, 1)
+    dxg = np.repeat(np.repeat(mv[:, :, 1] >> 2, block, 0), block, 1)
     if planes is None:
         rows = np.clip(np.arange(H)[:, None] + dyg, 0, H - 1)
         cols = np.clip(np.arange(W)[None, :] + dxg, 0, W - 1)
@@ -576,15 +709,15 @@ def mc_planes(ref: dict, mv: np.ndarray,
     else:
         pidx = _plane_index(mv[:, :, 0] & 3, mv[:, :, 1] & 3,
                             len(planes))
-        pg = np.repeat(np.repeat(pidx, 16, 0), 16, 1)
+        pg = np.repeat(np.repeat(pidx, block, 0), block, 1)
         rows = margin + np.arange(H)[:, None] + dyg
         cols = margin + np.arange(W)[None, :] + dxg
         stack = np.asarray(planes)
         out = {"y": stack[pg, rows, cols].astype(np.int64)}
-    cdyg = np.repeat(np.repeat(mv[:, :, 0] >> 3, 8, 0), 8, 1)
-    cdxg = np.repeat(np.repeat(mv[:, :, 1] >> 3, 8, 0), 8, 1)
-    fyg = np.repeat(np.repeat(mv[:, :, 0] & 7, 8, 0), 8, 1)
-    fxg = np.repeat(np.repeat(mv[:, :, 1] & 7, 8, 0), 8, 1)
+    cdyg = np.repeat(np.repeat(mv[:, :, 0] >> 3, cb2, 0), cb2, 1)
+    cdxg = np.repeat(np.repeat(mv[:, :, 1] >> 3, cb2, 0), cb2, 1)
+    fyg = np.repeat(np.repeat(mv[:, :, 0] & 7, cb2, 0), cb2, 1)
+    fxg = np.repeat(np.repeat(mv[:, :, 1] & 7, cb2, 0), cb2, 1)
     ch, cw = H // 2, W // 2
     r0 = np.clip(np.arange(ch)[:, None] + cdyg, 0, ch - 1)
     r1 = np.clip(np.arange(ch)[:, None] + cdyg + 1, 0, ch - 1)
@@ -967,6 +1100,70 @@ def _mvp_skip(mby: int, mbx: int, mv_coded: np.ndarray,
     return _mvp_16x16(mby, mbx, mv_coded, inter_mask, slice_top, mb_w)
 
 
+def _median2(a, b, c) -> tuple[int, int]:
+    """Component-wise median of three MVs (spec 8.4.1.3.1)."""
+    return (sorted((a[0], b[0], c[0]))[1],
+            sorted((a[1], b[1], c[1]))[1])
+
+
+def _mvp_parts(pidx: int, pmode: int, left_inter: bool,
+               left_q1, left_q3, own) -> tuple[int, int]:
+    """MV predictor for partition ``pidx`` of a partitioned P MB under
+    ONE slice per MB row (spec 8.4.1.3 with every above-row neighbor
+    unavailable — the same collapse the 16x16 path documents in
+    :func:`_mvp_16x16`).  ``left_q1``/``left_q3`` are the left MB's
+    right-edge quadrant MVs ((0, 0) unless ``left_inter``); ``own`` is
+    this MB's already-coded quadrant MVs q0..q3 (the coded field always
+    equals the searched field, so callers pass mv4 directly).
+
+    Derivation per partition (neighbors at 4x4 granularity relative to
+    the partition corner; B/C/D above the MB row are out-of-slice,
+    within-MB neighbors are inter by construction):
+
+    - 16x16 / 16x8 top / 8x8 q0: only A = left MB q1 participates;
+      the B,C-unavailable copy rule makes the median collapse to A's
+      effective MV ((0, 0) when the left MB is intra or absent).
+    - 16x8 bottom: directional A rule (A = left q3) when the left MB
+      is inter; otherwise B = own top partition is the only
+      reference-matching candidate (exactly-one rule).
+    - 8x16 left: directional A (= left q1) when left is inter, else
+      the copy rule yields (0, 0).
+    - 8x16 right: directional C is out-of-slice, so the copy rule
+      collapses to A = own left partition.
+    - 8x8 q1: A = own q0, B/C unavailable -> copy rule -> q0.
+    - 8x8 q2: median(A = left q3 effective, B = own q0, C = own q1).
+    - 8x8 q3: median(A = own q2, B = own q1, C -> D = own q0).
+    """
+    la1 = left_q1 if left_inter else (0, 0)
+    la3 = left_q3 if left_inter else (0, 0)
+    if pmode == 0:
+        return la1
+    if pmode == 1:                       # 16x8: partitions (q0, q2)
+        if pidx == 0:
+            return la1
+        return la3 if left_inter else tuple(own[0])
+    if pmode == 2:                       # 8x16: partitions (q0, q1)
+        if pidx == 0:
+            return la1 if left_inter else (0, 0)
+        return tuple(own[0])
+    # pmode 3: 8x8 sub-partitions q0..q3
+    if pidx == 0:
+        return la1
+    if pidx == 1:
+        return tuple(own[0])
+    if pidx == 2:
+        return _median2(la3, own[0], own[1])
+    return _median2(own[2], own[1], own[0])
+
+
+# partition list per pmode: (partition index for mvd order,
+# quadrant indices covered)
+_PART_QUADS = {0: ((0, (0, 1, 2, 3)),),
+               1: ((0, (0, 1)), (1, (2, 3))),
+               2: ((0, (0, 2)), (1, (1, 3))),
+               3: ((0, (0,)), (1, (1,)), (2, (2,)), (3, (3,)))}
+
+
 def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
                  out: dict, qp: int, qpc: int, skip_run: int,
                  lnnz: np.ndarray, cbnnz: np.ndarray, crnnz: np.ndarray,
@@ -976,14 +1173,22 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
                  inter_mask: np.ndarray | None = None,
                  slice_top: int = 0, ref2: int = 0,
                  active_refs: int = 1, dbi=None,
-                 force_intra: bool = False) -> int:
+                 force_intra: bool = False,
+                 part2: tuple | None = None,
+                 mvq_coded: np.ndarray | None = None) -> int:
     """One P macroblock: P_Skip if the inter candidate quantizes to all
     zero (and the searched MV matches the skip predictor with
     reference 0), else the cheaper of P_L0_16x16 (te(v) ref_idx when
     more than one reference is active, mvd = mv - mvp) and I_16x16 by
     the ``_cost`` proxy.  ``ref`` is the motion-compensated prediction
     plane set (the raw previous picture when search is off).  Returns
-    the updated skip_run."""
+    the updated skip_run.
+
+    ``part2 = (pmode, mv4)`` selects the partitioned write path
+    (P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 with per-partition mvd —
+    requires one slice per MB row and ``mvq_coded``, the 8x8-granular
+    coded-MV context); the prediction planes are already partition-
+    compensated, so the residual/recon path is untouched."""
     y0, x0 = mby * 16, mbx * 16
     cy0, cx0 = mby * 8, mbx * 8
 
@@ -1047,8 +1252,10 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
     cny0, cnx0 = mby * 2 + 1, mbx * 2 + 1
 
     mb_w = inter_mask.shape[1] if inter_mask is not None else 0
-    if cbp == 0 and ref2 == 0 and (inter_mask is None or mv2 == _mvp_skip(
-            mby, mbx, mv_coded, inter_mask, slice_top, mb_w)):
+    if (cbp == 0 and ref2 == 0
+            and (part2 is None or part2[0] == 0)
+            and (inter_mask is None or mv2 == _mvp_skip(
+                mby, mbx, mv_coded, inter_mask, slice_top, mb_w))):
         # P_Skip: recon = the MC prediction (decoder MC at mvp_skip ==
         # our searched MV by the guard above); zero nC context
         out["y"][y0:y0 + 16, x0:x0 + 16] = pred_y
@@ -1060,6 +1267,8 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
         if inter_mask is not None:
             inter_mask[mby, mbx] = True
             mv_coded[mby, mbx] = mv2
+        if mvq_coded is not None:
+            mvq_coded[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = mv2
         if dbi is not None:  # P_Skip: no levels, mv = skip predictor
             dbi.mv[mby, mbx] = mv2
         return skip_run + 1
@@ -1077,29 +1286,61 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
             dbi.intra[mby, mbx] = True
         return 0
 
-    # ---- coded inter MB: P_L0_16x16
+    # ---- coded inter MB: P_L0_16x16 or a partition mode
     w.ue(skip_run)             # mb_skip_run before this MB
-    w.ue(0)                    # mb_type: P_L0_16x16
-    if active_refs > 1:
-        # ref_idx_l0 as te(v): with 2 active refs, one INVERTED bit
-        # (spec 9.1.1: the coded bit is !codeNum); >2 would be ue(v)
-        if active_refs == 2:
-            w.u(1 - ref2, 1)
-        else:
-            w.ue(ref2)
-    if dbi is not None:  # coded inter: real mv/ref; nnz4 filled below
-        dbi.mv[mby, mbx] = mv2
-        dbi.ref[mby, mbx] = ref2
-    # mvd in quarter-pel, horizontal component first (spec 7.3.5.1
-    # compIdx order)
-    if inter_mask is not None:
-        mvp = _mvp_16x16(mby, mbx, mv_coded, inter_mask, slice_top,
-                         mb_w)
-        w.se(mv2[1] - mvp[1]).se(mv2[0] - mvp[0])
+    if part2 is not None:
+        # partitioned write path (one slice per MB row): mb_type is
+        # the pmode code, P_8x8 adds four sub_mb_type 0 (8x8), then
+        # one mvd per partition against the 8.4.1.3 predictors
+        # collapsed for out-of-slice above rows (_mvp_parts)
+        pmode, mv4 = part2
+        w.ue(int(pmode))       # 0/1/2/3: 16x16 / 16x8 / 8x16 / 8x8
+        if pmode == 3:
+            for _ in range(4):
+                w.ue(0)        # sub_mb_type: P_L0_8x8
+        left_inter = mbx > 0 and bool(inter_mask[mby, mbx - 1])
+        lq1 = ((int(mvq_coded[2 * mby, 2 * mbx - 1, 0]),
+                int(mvq_coded[2 * mby, 2 * mbx - 1, 1]))
+               if left_inter else (0, 0))
+        lq3 = ((int(mvq_coded[2 * mby + 1, 2 * mbx - 1, 0]),
+                int(mvq_coded[2 * mby + 1, 2 * mbx - 1, 1]))
+               if left_inter else (0, 0))
+        for pidx, quads in _PART_QUADS[int(pmode)]:
+            q0 = quads[0]
+            pmv = (int(mv4[q0][0]), int(mv4[q0][1]))
+            mvp = _mvp_parts(pidx, int(pmode), left_inter, lq1, lq3,
+                             mv4)
+            w.se(pmv[1] - int(mvp[1])).se(pmv[0] - int(mvp[0]))
+        for q in range(4):     # 8x8-granular coded-MV context
+            mvq_coded[2 * mby + q // 2, 2 * mbx + q % 2] = (
+                int(mv4[q][0]), int(mv4[q][1]))
         inter_mask[mby, mbx] = True
         mv_coded[mby, mbx] = mv2
+        if dbi is not None:
+            dbi.mv[mby, mbx] = mv2
+            dbi.ref[mby, mbx] = ref2
     else:
-        w.se(0).se(0)
+        w.ue(0)                # mb_type: P_L0_16x16
+        if active_refs > 1:
+            # ref_idx_l0 as te(v): with 2 active refs, one INVERTED
+            # bit (spec 9.1.1: the coded bit is !codeNum); >2 = ue(v)
+            if active_refs == 2:
+                w.u(1 - ref2, 1)
+            else:
+                w.ue(ref2)
+        if dbi is not None:  # coded inter: real mv/ref; nnz4 below
+            dbi.mv[mby, mbx] = mv2
+            dbi.ref[mby, mbx] = ref2
+        # mvd in quarter-pel, horizontal component first (spec 7.3.5.1
+        # compIdx order)
+        if inter_mask is not None:
+            mvp = _mvp_16x16(mby, mbx, mv_coded, inter_mask, slice_top,
+                             mb_w)
+            w.se(mv2[1] - mvp[1]).se(mv2[0] - mvp[0])
+            inter_mask[mby, mbx] = True
+            mv_coded[mby, mbx] = mv2
+        else:
+            w.se(0).se(0)
     if cbp == 0:
         # searched MV != skip predictor but the residual quantized to
         # zero: a 5-field MB (type + mvd + cbp), no residual syntax
@@ -1323,7 +1564,7 @@ class GopCavlcEncoder:
                  fps: float = 30.0, slices: int = 1,
                  search: int = 0, halfpel: bool = False,
                  quarterpel: bool = False, fastsub: bool = False,
-                 refs: int = 1,
+                 refs: int = 1, parts: bool = False,
                  deblock: bool = False, gdr: int = 0,
                  cpb_ms: int | None = None,
                  initial_delay_ms: int | None = None) -> None:
@@ -1376,6 +1617,23 @@ class GopCavlcEncoder:
                 raise ValueError("refs > 1 requires one slice per MB "
                                  f"row (slices={mb_h} here)")
         self.refs = int(refs)
+        # sub-16x16 inter partitions (16x8 / 8x16 / 8x8 with
+        # per-partition mvd): encode_frame_p_slices(parts=True).
+        # Composition limits mirror its checks so misconfigurations
+        # fail at construction, not mid-stream.
+        self.parts = bool(parts)
+        if self.parts:
+            if not search:
+                raise ValueError("parts requires search=R > 0")
+            if fastsub:
+                raise ValueError("parts does not compose with fastsub")
+            if refs > 1 or gdr or deblock:
+                raise ValueError("parts requires refs=1, no gdr, no "
+                                 "deblock")
+            mb_h = -(-height // 16)
+            if max(1, min(int(slices), mb_h)) != mb_h:
+                raise ValueError("parts requires one slice per MB row "
+                                 f"(slices={mb_h} here)")
         # in-loop deblocking (spec 8.7, the VCU's actual output mode —
         # omx deblocking defaults, OpenCVequalHist.cpp:313-315): the
         # stream signals idc=0 and every reference picture is the
@@ -1464,7 +1722,8 @@ class GopCavlcEncoder:
                 return_recon=True, search=self.search,
                 subpel=self.subpel, deblock=self.deblock,
                 deblock_info=dbi, force_intra_rows=band,
-                slice_local=self._deblock_slice_local)
+                slice_local=self._deblock_slice_local,
+                parts=self.parts)
             au = prefix + b"".join(_START4 + bytes(n) for n in nals)
         return au, recon, dbi, is_idr
 
@@ -1529,7 +1788,9 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                                ref: np.ndarray | None = None,
                                active_refs: int = 1,
                                deblock: bool = False,
-                               slice_local: bool = False) -> list[bytes]:
+                               slice_local: bool = False,
+                               pmode: np.ndarray | None = None
+                               ) -> list[bytes]:
     """Entropy-code one P frame from PLevelArrays-layout arrays
     (ops/h264_levels.encode_p_levels) into one slice NAL per MB row —
     the TPU program's slice granularity.  Byte-identical to
@@ -1543,7 +1804,12 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
     8.4.1.3 predictor collapses to the left-only rule: mvp = the left
     MB's MV when it is inter (P_Skip MBs carry (0, 0) — skip is
     restricted to the zero predictor), (0, 0) after an intra MB or at
-    the row start."""
+    the row start.
+
+    ``pmode`` (the partition configuration, encode_p_levels parts=1):
+    per-MB partition mode in {0: 16x16, 1: 16x8, 2: 8x16, 3: 8x8} and
+    ``mv`` is the quadrant-major (mb_h, mb_w, 4, 2) field; mvd uses
+    the :func:`_mvp_parts` predictor collapse."""
     mb_h, mb_w = mode.shape[:2]
     nals = []
     for mby in range(mb_h):
@@ -1556,6 +1822,8 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
         crnnz = np.zeros_like(cbnnz)
         skip_run = 0
         left_mv = None  # (dy, dx) of the left MB when inter, else None
+        # parts context: the left MB's right-edge quadrant MVs
+        left_inter, lq1, lq3 = False, (0, 0), (0, 0)
         for mbx in range(mb_w):
             m = int(mode[mby, mbx])
             nbx0 = mbx * 4 + 1
@@ -1564,6 +1832,7 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
             if m == 0:
                 skip_run += 1
                 left_mv = (0, 0)
+                left_inter, lq1, lq3 = True, (0, 0), (0, 0)
                 lnnz[:, nbx0:nbx0 + 4] = 0
                 cbnnz[:, cnx0:cnx0 + 2] = 0
                 crnnz[:, cnx0:cnx0 + 2] = 0
@@ -1576,6 +1845,7 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
             skip_run = 0
             if m in (2, 3):
                 left_mv = None
+                left_inter = False
                 # I_16x16 inside the P slice (mb_type offset +5);
                 # mode 3 = HORIZONTAL prediction, 2 = DC
                 cbp_luma = bool(np.any(a))
@@ -1615,18 +1885,41 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                                 (2 if by >= 2 else 0)
                             cbp_luma_bits |= 1 << q
                 cbp = cbp_luma_bits | (cbp_chroma << 4)
-                w.ue(0)
-                if active_refs > 1:
-                    r2 = int(ref[mby, mbx]) if ref is not None else 0
-                    if active_refs == 2:
-                        w.u(1 - r2, 1)   # te(v): single inverted bit
-                    else:
-                        w.ue(r2)
-                dy, dx = ((int(mv[mby, mbx, 0]), int(mv[mby, mbx, 1]))
-                          if mv is not None else (0, 0))
-                mvp = left_mv if left_mv is not None else (0, 0)
-                w.se(dx - mvp[1]).se(dy - mvp[0])
-                left_mv = (dy, dx)
+                if pmode is not None:
+                    # partitioned MB: mb_type = pmode, P_8x8 adds four
+                    # sub_mb_type 0, one mvd per partition against the
+                    # one-row-slice predictor collapse (_mvp_parts)
+                    pm = int(pmode[mby, mbx])
+                    m4 = mv[mby, mbx]                       # (4, 2)
+                    w.ue(pm)
+                    if pm == 3:
+                        for _ in range(4):
+                            w.ue(0)          # sub_mb_type: P_L0_8x8
+                    for pidx, quads in _PART_QUADS[pm]:
+                        q0 = quads[0]
+                        pmv = (int(m4[q0][0]), int(m4[q0][1]))
+                        mvp = _mvp_parts(pidx, pm, left_inter, lq1,
+                                         lq3, m4)
+                        w.se(pmv[1] - int(mvp[1])).se(
+                            pmv[0] - int(mvp[0]))
+                    left_inter = True
+                    lq1 = (int(m4[1][0]), int(m4[1][1]))
+                    lq3 = (int(m4[3][0]), int(m4[3][1]))
+                else:
+                    w.ue(0)
+                    if active_refs > 1:
+                        r2 = (int(ref[mby, mbx]) if ref is not None
+                              else 0)
+                        if active_refs == 2:
+                            w.u(1 - r2, 1)  # te(v): one inverted bit
+                        else:
+                            w.ue(r2)
+                    dy, dx = ((int(mv[mby, mbx, 0]),
+                               int(mv[mby, mbx, 1]))
+                              if mv is not None else (0, 0))
+                    mvp = left_mv if left_mv is not None else (0, 0)
+                    w.se(dx - mvp[1]).se(dy - mvp[0])
+                    left_mv = (dy, dx)
                 w.ue(int(_CBP_INTER_CODENUM[cbp]))
                 if cbp:
                     w.se(0)    # mb_qp_delta (only when cbp != 0)
@@ -1731,7 +2024,7 @@ class TpuGopEncoder:
                  threads: int = 0, overlap: bool = False,
                  search: int = 0, halfpel: bool = False,
                  quarterpel: bool = False, fastsub: bool = False,
-                 refs: int = 1,
+                 refs: int = 1, parts: bool = False,
                  deblock: bool = False, gdr: int = 0,
                  bitpack: bool = False, nw_mb: int = 64,
                  cpb_ms: int | None = None,
@@ -1771,6 +2064,22 @@ class TpuGopEncoder:
         if refs > 1 and not search:
             raise ValueError("refs > 1 requires search=R > 0")
         self.refs = int(refs)
+        # sub-16x16 inter partitions (ops/h264_levels parts=1): the
+        # entropy stage needs the quadrant MV field, so the device
+        # bit-packers and the native C++ rows (both per-MB 16x16
+        # layouts) don't compose — the Python from-levels path codes
+        # partitioned frames
+        self.parts = bool(parts)
+        if self.parts:
+            if not search:
+                raise ValueError("parts requires search=R > 0")
+            if fastsub:
+                raise ValueError("parts does not compose with fastsub")
+            if refs > 1 or gdr or deblock or bitpack:
+                raise ValueError("parts requires refs=1, no gdr, no "
+                                 "deblock, no bitpack")
+            if cpb_ms is not None:
+                raise ValueError("parts does not compose with cpb")
         # the intra machinery (padding, native/python entropy, SPS/PPS
         # plumbing) comes from the TPU intra encoder; we swap the SPS
         # for the 1-reference GOP variant and drive our own GOP loop
@@ -1799,6 +2108,15 @@ class TpuGopEncoder:
         self._i_fn = encode_levels_recon_jit
         self._p_fn = encode_p_levels_jit
         self._p2_fn = encode_p_levels2_jit
+        if self.parts:
+            import jax as _jax
+
+            # parts is a static config bit: close over it so the call
+            # shape stays identical to encode_p_levels_jit
+            self._p_fn = _jax.jit(
+                lambda y, cb, cr, ry, rcb, rcr, qp, s, sp: _ep(
+                    y, cb, cr, ry, rcb, rcr, qp, s, sp, parts=1),
+                donate_argnums=(3, 4, 5), static_argnums=(7, 8))
         # CPB/HRD hard ceiling: the re-encode loop snapshots encoder
         # state and re-dispatches over-budget frames at higher QP — so
         # the reference planes must SURVIVE a dispatch (non-donating P
@@ -1966,7 +2284,11 @@ class TpuGopEncoder:
             self._ref_list = ([self._recon]
                               + getattr(self, "_ref_list", [])
                               )[:self.refs]
-            pending = (plv[:5], "p", self._frame_num, qp, plv.mv,
+            # parts: the mv slot carries (quadrant mv field, pmode) —
+            # the pending-tuple layout must not grow (the 9th element
+            # is reserved for the bitpack bits, mutually exclusive)
+            mv_out = ((plv.mv, plv.pmode) if self.parts else plv.mv)
+            pending = (plv[:5], "p", self._frame_num, qp, mv_out,
                        plv.ref, active, prefix)
             if self._bitpack:
                 import jax.numpy as jnp_
@@ -2035,11 +2357,14 @@ class TpuGopEncoder:
 
     def _p_entropy_nals(self, mode, zdc, acz, czdc, cacz, qp: int,
                         num: int, mv=None, ref=None,
-                        active_refs: int = 1) -> list[bytes]:
+                        active_refs: int = 1,
+                        pmode=None) -> list[bytes]:
         """P-frame entropy stage: native C++ rows when available (same
         production path as the intra rows — mvd and te(v) ref_idx
-        included), Python oracle otherwise."""
-        if self._intra._native:
+        included), Python oracle otherwise.  Partitioned frames
+        (``pmode`` set) always take the Python path — the native rows
+        speak the per-MB 16x16 layout only."""
+        if self._intra._native and pmode is None:
             from opencv_opencl_tpu import native
 
             if hasattr(native._load(), "fp_cavlc_entropy_rows_p"):
@@ -2053,7 +2378,7 @@ class TpuGopEncoder:
         return encode_frame_p_from_levels(
             mode, zdc, acz, czdc, cacz, qp, num, mv=mv, ref=ref,
             active_refs=active_refs, deblock=self.deblock,
-            slice_local=self._deblock_slice_local)
+            slice_local=self._deblock_slice_local, pmode=pmode)
 
     def _assemble(self, lv, kind: str, num: int, qp: int,
                   mv=None, ref=None, active_refs: int = 1,
@@ -2083,11 +2408,15 @@ class TpuGopEncoder:
                   b"".join(_START4 + bytes(n) for n in nals))
         else:
             mode, zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)
+            pm = None
+            if isinstance(mv, tuple):   # parts: (mv4 field, pmode)
+                mv, pm = mv
+                pm = np.asarray(pm)
             nals = self._p_entropy_nals(
                 mode, zdc, acz, czdc, cacz, qp, num,
                 mv=None if mv is None else np.asarray(mv),
                 ref=None if ref is None else np.asarray(ref),
-                active_refs=active_refs)
+                active_refs=active_refs, pmode=pm)
             # GDR wave starts carry SPS+PPS+recovery point SEI
             au = prefix + b"".join(_START4 + bytes(n) for n in nals)
         if do_rc and self.bitrate_kbps:

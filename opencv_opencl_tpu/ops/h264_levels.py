@@ -392,6 +392,10 @@ class PLevelArrays(NamedTuple):
     recon_cr: jax.Array
     mv: jax.Array | None = None
     ref: jax.Array | None = None
+    # partition mode per MB (parts=1 configurations only): 0 P_L0_16x16,
+    # 1 P_L0_L0_16x8, 2 P_L0_L0_8x16, 3 P_8x8 — and mv becomes the
+    # quadrant-major (mb_h, mb_w, 4, 2) field (see motion_search_mc_parts)
+    pmode: jax.Array | None = None
 
 
 def _base_planes_jax(ry: jax.Array, margin: int,
@@ -817,6 +821,140 @@ def motion_search_mc_fast_multi(y: jax.Array, refs: list[tuple],
     return mv, best_ref, pred_y, chroma_mc(1), chroma_mc(2)
 
 
+def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
+                           rcr: jax.Array, search: int, subpel: int,
+                           qp: jax.Array):
+    """Device twin of io.h264_inter.motion_search_parts + the block-8
+    mc_planes: one sweep over the shared candidate order accumulates
+    8x8-granular SAD minima (four running keys: quadrants, 16x8
+    halves, 8x16 halves, whole MB — each ``sad * SEARCH_KEY_RADIX +
+    idx``), the partition mode minimizes ``SAD + PART_LAMBDA[qp] *
+    extra_mvs`` with coarser-partition tie preference, and ONE
+    per-quadrant recentering gather assembles the prediction planes
+    (the fastsub patch-gather pattern at 8x8 granularity; chroma is
+    the clipped-gather spec 8.4.2.2.2 bilinear at 4x4 granularity).
+
+    Returns ``(pmode (mb_h, mb_w) int32, mv4 (mb_h, mb_w, 4, 2) int32
+    quarter-pel quadrant-major, pred_y, pred_cb, pred_cr uint8)`` —
+    byte-exact decision + prediction twin of the oracle (part of the
+    stream byte-identity contract).
+    """
+    from opencv_opencl_tpu.io.h264_inter import (
+        PART_LAMBDA, SEARCH_KEY_RADIX, _plane_index,
+        search_candidates_qpel)
+
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    cands = np.asarray(search_candidates_qpel(search, subpel),
+                       np.int32)
+    n = len(cands)
+    if subpel == 2:
+        margin = search + 1
+        pstack = quarterpel_planes_jax(ry, margin)
+    elif subpel == 1:
+        margin = search + 1
+        pstack = halfpel_planes_jax(ry, margin)
+    else:
+        margin = search
+        pstack = jnp.pad(ry, search, mode="edge")[None]
+    P = int(pstack.shape[0])
+    pidx = np.asarray(_plane_index(cands[:, 0] & 3, cands[:, 1] & 3,
+                                   P), np.int32)
+    cur8 = y.astype(jnp.int16).reshape(mb_h, 2, 8, mb_w, 2, 8)
+    cand_arr = jnp.asarray(cands)
+    pidx_arr = jnp.asarray(pidx)
+    R = SEARCH_KEY_RADIX
+
+    def body(i, st):
+        kq, kh, kv, kf = st
+        qy, qx = cand_arr[i, 0], cand_arr[i, 1]
+        ref = jax.lax.dynamic_slice(
+            pstack, (pidx_arr[i], margin + (qy >> 2),
+                     margin + (qx >> 2)), (1, H, W))[0]
+        # |diff| <= 255; 8x8 sums <= 16320 (int32 keys stay exact:
+        # whole-MB sum 65280 * 8192 + idx < 2^31, the existing bound)
+        sad8 = jnp.sum(
+            jnp.abs(cur8 - ref.astype(jnp.int16)
+                    .reshape(mb_h, 2, 8, mb_w, 2, 8)).astype(jnp.int32),
+            axis=(2, 5))                        # (mb_h, 2, mb_w, 2)
+        return (jnp.minimum(kq, sad8 * R + i),
+                jnp.minimum(kh, jnp.sum(sad8, axis=3) * R + i),
+                jnp.minimum(kv, jnp.sum(sad8, axis=1) * R + i),
+                jnp.minimum(kf, jnp.sum(sad8, axis=(1, 3)) * R + i))
+
+    big = jnp.iinfo(jnp.int32).max
+    init = (jnp.full((mb_h, 2, mb_w, 2), big, jnp.int32),
+            jnp.full((mb_h, 2, mb_w), big, jnp.int32),
+            jnp.full((mb_h, mb_w, 2), big, jnp.int32),
+            jnp.full((mb_h, mb_w), big, jnp.int32))
+    kq, kh, kv, kf = jax.lax.fori_loop(0, n, body, init)
+
+    lam = jnp.asarray(np.asarray(PART_LAMBDA, np.int32)
+                      )[jnp.clip(qp, 0, 51)]
+    cost_f = kf // R
+    cost_h = jnp.sum(kh // R, axis=1) + lam
+    cost_v = jnp.sum(kv // R, axis=2) + lam
+    cost_q = jnp.sum(kq // R, axis=(1, 3)) + 3 * lam
+    pmode = jnp.zeros((mb_h, mb_w), jnp.int32)
+    best = cost_f
+    for m, c in ((1, cost_h), (2, cost_v), (3, cost_q)):
+        take = c < best                 # strict: ties keep coarser
+        pmode = jnp.where(take, m, pmode)
+        best = jnp.where(take, c, best)
+    mvf = cand_arr[kf % R]                      # (mb_h, mb_w, 2)
+    mvh = cand_arr[kh % R]                      # (mb_h, 2, mb_w, 2)
+    mvv = cand_arr[kv % R]                      # (mb_h, mb_w, 2, 2)
+    mvq = cand_arr[kq % R]                      # (mb_h, 2, mb_w, 2, 2)
+    mv4_f = jnp.broadcast_to(mvf[:, :, None, :], (mb_h, mb_w, 4, 2))
+    mv4_h = jnp.repeat(mvh.transpose(0, 2, 1, 3), 2, axis=2)
+    mv4_v = jnp.tile(mvv, (1, 1, 2, 1))
+    mv4_q = mvq.transpose(0, 2, 1, 3, 4).reshape(mb_h, mb_w, 4, 2)
+    sel = pmode[:, :, None, None]
+    mv4 = jnp.where(sel == 0, mv4_f,
+                    jnp.where(sel == 1, mv4_h,
+                              jnp.where(sel == 2, mv4_v, mv4_q)))
+
+    # ---- MC at quadrant granularity (oracle: mc_planes block=8)
+    mvq8 = (mv4.reshape(mb_h, mb_w, 2, 2, 2).transpose(0, 2, 1, 3, 4)
+            .reshape(2 * mb_h, 2 * mb_w, 2))
+    rows_q = jnp.arange(2 * mb_h, dtype=jnp.int32)
+    cols_q = jnp.arange(2 * mb_w, dtype=jnp.int32)
+    pidx_q = _plane_index(mvq8[:, :, 0] & 3, mvq8[:, :, 1] & 3, P)
+    ri = ((margin + (mvq8[:, :, 0] >> 2)
+           + 8 * rows_q[:, None])[:, :, None]
+          + jnp.arange(8, dtype=jnp.int32)[None, None, :])
+    ci = ((margin + (mvq8[:, :, 1] >> 2)
+           + 8 * cols_q[None, :])[:, :, None]
+          + jnp.arange(8, dtype=jnp.int32)[None, None, :])
+    patches = pstack[pidx_q[:, :, None, None], ri[:, :, :, None],
+                     ci[:, :, None, :]]       # (2mb_h, 2mb_w, 8, 8)
+    pred_y = patches.transpose(0, 2, 1, 3).reshape(H, W)
+
+    ch, cw = H // 2, W // 2
+    cdy = jnp.repeat(jnp.repeat(mvq8[:, :, 0] >> 3, 4, 0), 4, 1)
+    cdx = jnp.repeat(jnp.repeat(mvq8[:, :, 1] >> 3, 4, 0), 4, 1)
+    fy = jnp.repeat(jnp.repeat(mvq8[:, :, 0] & 7, 4, 0), 4, 1)
+    fx = jnp.repeat(jnp.repeat(mvq8[:, :, 1] & 7, 4, 0), 4, 1)
+    rbase = jnp.arange(ch, dtype=jnp.int32)[:, None] + cdy
+    cbase = jnp.arange(cw, dtype=jnp.int32)[None, :] + cdx
+    r0 = jnp.clip(rbase, 0, ch - 1)
+    r1 = jnp.clip(rbase + 1, 0, ch - 1)
+    c0 = jnp.clip(cbase, 0, cw - 1)
+    c1 = jnp.clip(cbase + 1, 0, cw - 1)
+    wa = (8 - fx) * (8 - fy)
+    wb = fx * (8 - fy)
+    wc = (8 - fx) * fy
+    wd = fx * fy
+
+    def chroma_mc(plane):
+        p = plane.astype(jnp.int32)
+        return (((wa * p[r0, c0] + wb * p[r0, c1] +
+                  wc * p[r1, c0] + wd * p[r1, c1] + 32) >> 6)
+                .astype(jnp.uint8))
+
+    return pmode, mv4, pred_y, chroma_mc(rcb), chroma_mc(rcr)
+
+
 def _cost_of(*arrays):
     """CAVLC bit-cost proxy: sum of 2|l| + (l != 0) over every
     coefficient, reduced over all but the leading MB-row axis — MUST
@@ -928,7 +1066,8 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                     ry2: jax.Array | None = None,
                     rcb2: jax.Array | None = None,
                     rcr2: jax.Array | None = None,
-                    gdr_band: tuple | None = None) -> PLevelArrays:
+                    gdr_band: tuple | None = None,
+                    parts: int = 0) -> PLevelArrays:
     """Levels + mode decisions + reconstruction of one P frame with one
     slice per MB row (oracle: io.h264_inter.encode_frame_p_slices at
     slices=mb_h; byte-identity proven in tests/test_h264_inter_tpu.py).
@@ -959,10 +1098,25 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     qpc = jnp.asarray(_QPC_TAB)[jnp.clip(qp, 0, 51)]
 
     refsel = None
+    pmode_f = None
     if gdr_band is not None and ry2 is not None:
         raise ValueError("gdr_band does not compose with two "
                          "references")
-    if search and ry2 is not None:
+    if parts:
+        # sub-16x16 partitions (static config): same composition
+        # limits as the oracle (encode_frame_p_slices parts=True)
+        if not search:
+            raise ValueError("parts requires search=R > 0")
+        if subpel == 3:
+            raise ValueError("parts does not compose with fastsub")
+        if ry2 is not None or gdr_band is not None:
+            raise ValueError("parts requires refs=1 and no gdr")
+        pmode_f, mv, pred_y, pred_cb, pred_cr = motion_search_mc_parts(
+            y, ry, rcb, rcr, search, subpel, qp)
+        # P_Skip needs the whole-MB hypothesis at (0, 0)
+        mv_zero = ((pmode_f == 0) & (mv[:, :, 0, 0] == 0)
+                   & (mv[:, :, 0, 1] == 0))
+    elif search and ry2 is not None:
         # two-reference search: P_Skip additionally requires ref 0
         if subpel == 3:
             mv, refsel, pred_y, pred_cb, pred_cr = (
@@ -1211,6 +1365,7 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         rcro.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
         None if mv is None else mv.astype(jnp.int16),
         None if refsel is None else refsel.astype(jnp.int16),
+        None if pmode_f is None else pmode_f.astype(jnp.int16),
     )
 
 

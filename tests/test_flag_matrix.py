@@ -48,6 +48,9 @@ MATRIX = [
     ("encoded_tpu_fastsub",
      ["--sink=rtp+h264://127.0.0.1:56482",
       "--encoder=tpu:qp=40:gop=4:search=2:fastsub"], 0, None),
+    ("encoded_tpu_parts",
+     ["--sink=rtp+h264://127.0.0.1:56487",
+      "--encoder=tpu:qp=40:gop=4:search=2:parts"], 0, None),
     ("encoded_cpb", ["--sink=rtp+h264://127.0.0.1:56473",
                      "--bitrate=800", "--encoder=cavlc:cpb=500"],
      0, None),
@@ -91,6 +94,9 @@ MATRIX = [
                             "--encoder=tpu:qp=40:gop=4", "--mesh=2x1",
                             "--fused-encode"], 2,
      "positive multiple of mesh devices"),
+    ("fused_x_parts", ["--sink=rtp+h264://127.0.0.1:56488",
+                       "--encoder=tpu:qp=40:gop=4:search=2:parts",
+                       "--fused-encode"], 2, "parts"),
     ("fused_x_ref_frame", ["--sink=rtp+h264://127.0.0.1:56477",
                            "--op=clahe", "--ref-frame",
                            "--encoder=tpu:qp=40", "--fused-encode"], 2,

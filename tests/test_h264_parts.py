@@ -1,0 +1,266 @@
+"""Sub-16x16 inter partitions (16x8 / 8x16 / 8x8 with per-partition
+mvd): the VCU's low-delay-P partition coding
+(/root/reference/OpenCVequalHist.cpp:313-315) rebuilt on the shared
+oracle/TPU contract:
+
+- the oracle stream must be libavcodec-conformant with BIT-IDENTICAL
+  reconstruction (proves mb_type/sub_mb_type/mvd and the one-row-slice
+  8.4.1.3 predictor collapse against a real decoder);
+- the TPU program (ops/h264_levels.encode_p_levels parts=1) must be
+  byte-identical to the oracle;
+- partitions must MEASURABLY beat P_16x16 on shear/rotation content
+  (the round-4 verdict's acceptance bar).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opencv_opencl_tpu.io.h264_inter import (
+    GopCavlcEncoder, TpuGopEncoder, motion_search_parts)
+
+W, H, QP, N = 128, 96, 30, 6
+MB_H = H // 16
+
+
+def shear_frames(n=N, w=W, h=H, split=40, step=3):
+    """Top band pans +step px/frame, bottom band -step, with the split
+    INSIDE an MB row so straddling MBs want 16x8 partitions."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (h, w), np.uint8)
+    base = (base.reshape(h // 4, 4, w // 4, 4).mean((1, 3))
+            .astype(np.uint8).repeat(4, 0).repeat(4, 1))
+    uvb = rng.integers(96, 160, (h // 2, w), np.uint8)
+    frames = []
+    for i in range(n):
+        y = base.copy()
+        y[:split] = np.roll(base[:split], step * i, 1)
+        y[split:] = np.roll(base[split:], -step * i, 1)
+        uv = uvb.copy()
+        uv[:split // 2] = np.roll(uvb[:split // 2], 2 * i, 1)
+        uv[split // 2:] = np.roll(uvb[split // 2:], -2 * i, 1)
+        frames.append(np.concatenate([y, uv], 0))
+    return frames
+
+
+def rotation_frames(n=N, w=W, h=H, deg=1.5):
+    """Slow rotation: the motion field varies continuously across the
+    frame — the content class where one MV per MB collapses toward
+    intra cost but per-quadrant MVs keep cheap P MBs."""
+    import cv2
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (h, w), np.uint8)
+    base = (base.reshape(h // 8, 8, w // 8, 8).mean((1, 3))
+            .astype(np.uint8).repeat(8, 0).repeat(8, 1))
+    uvb = np.full((h // 2, w), 128, np.uint8)
+    frames = []
+    for i in range(n):
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), deg * i, 1.0)
+        y = cv2.warpAffine(base, m, (w, h),
+                           flags=cv2.INTER_NEAREST,
+                           borderMode=cv2.BORDER_REPLICATE)
+        frames.append(np.concatenate([y, uvb], 0))
+    return frames
+
+
+def stream(enc, frames):
+    return [au for f in frames for au in enc.encode(f)]
+
+
+def decode_gray(es: bytes, tmp_path, n, w):
+    import cv2
+
+    p = tmp_path / "parts.h264"
+    p.write_bytes(es)
+    cap = cv2.VideoCapture(str(p))
+    cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+    out = []
+    for i in range(n):
+        ok, f = cap.read()
+        assert ok, f"decoder produced only {i}/{n} frames"
+        out.append(f.reshape(-1, w).copy())
+    cap.release()
+    return out
+
+
+# ---------------------------------------------------------------- oracle
+
+class TestOracle:
+    @pytest.mark.parametrize("kw", [
+        dict(search=4),
+        dict(search=4, halfpel=True),
+        dict(search=2, quarterpel=True),
+    ], ids=["fullpel", "halfpel", "qpel"])
+    def test_conformant_bitexact_recon(self, kw, tmp_path):
+        frames = shear_frames()
+        enc = GopCavlcEncoder(W, H, qp=QP, gop=N, slices=MB_H,
+                              parts=True, **kw)
+        aus, recons = [], []
+        for f in frames:
+            aus += enc.encode(f)
+            recons.append(enc._recon)
+        dec = decode_gray(b"".join(aus) + aus[0], tmp_path, N, W)
+        for i in range(N):
+            assert np.array_equal(dec[i][:H],
+                                  recons[i][0].astype(np.uint8)), \
+                f"libavcodec recon mismatch at frame {i}"
+
+    def test_partition_decision_shapes(self):
+        """The decision picks the partition matching the motion
+        geometry: 16x8 on a horizontal shear line, 8x16 on a vertical
+        one, and opposing MVs land in the right quadrants."""
+        frames = shear_frames()
+        y1, y0 = frames[2][:H].astype(np.int64), \
+            frames[1][:H].astype(np.int64)
+        pmode, mv4 = motion_search_parts(y1, y0, 4, qp=QP)
+        row = 40 // 16                      # the straddling MB row
+        assert (pmode[row] == 1).sum() >= MB_H, \
+            f"expected 16x8 on the shear row, got {pmode[row]}"
+        mb = mv4[row, 3]
+        # top pans +x so its reference block sits at -x (and vice
+        # versa for the bottom partition)
+        assert mb[0][1] < 0 < mb[2][1]
+        assert np.all(mb[0] == mb[1]) and np.all(mb[2] == mb[3])
+        # transpose the content: vertical split -> 8x16
+        pmode_t, mv4_t = motion_search_parts(
+            np.ascontiguousarray(y1.T[:W // 16 * 16, :H // 16 * 16]),
+            np.ascontiguousarray(y0.T[:W // 16 * 16, :H // 16 * 16]),
+            4, qp=QP)
+        col = 40 // 16
+        assert (pmode_t[:, col] == 2).sum() >= 3, \
+            f"expected 8x16 on the transposed shear col, " \
+            f"got {pmode_t[:, col]}"
+
+    def test_parts_beat_16x16_on_rotation(self):
+        """The verdict's acceptance bar: a measured AU-size win where
+        P_16x16 degrades toward intra cost."""
+        frames = rotation_frames()
+        plain = stream(GopCavlcEncoder(W, H, qp=QP, gop=N,
+                                       slices=MB_H, search=4), frames)
+        parts = stream(GopCavlcEncoder(W, H, qp=QP, gop=N,
+                                       slices=MB_H, search=4,
+                                       parts=True), frames)
+        p_plain = sum(map(len, plain[1:]))
+        p_parts = sum(map(len, parts[1:]))
+        assert p_parts < p_plain, (p_parts, p_plain)
+
+    def test_refusals(self):
+        with pytest.raises(ValueError, match="parts requires search"):
+            GopCavlcEncoder(W, H, gop=N, slices=MB_H, parts=True)
+        with pytest.raises(ValueError, match="fastsub"):
+            GopCavlcEncoder(W, H, gop=N, slices=MB_H, search=4,
+                            fastsub=True, parts=True)
+        with pytest.raises(ValueError, match="refs=1"):
+            GopCavlcEncoder(W, H, gop=N, slices=MB_H, search=4,
+                            refs=2, parts=True)
+        with pytest.raises(ValueError, match="one slice per MB row"):
+            GopCavlcEncoder(W, H, gop=N, slices=1, search=4,
+                            parts=True)
+        with pytest.raises(ValueError, match="refs=1"):
+            GopCavlcEncoder(W, H, slices=MB_H, search=4, gdr=2,
+                            parts=True)
+
+
+# ------------------------------------------------------------- TPU twin
+
+class TestTpuParity:
+    @pytest.mark.parametrize("kw", [
+        dict(search=4),
+        dict(search=4, halfpel=True),
+        dict(search=2, quarterpel=True),
+    ], ids=["fullpel", "halfpel", "qpel"])
+    def test_byte_identity_shear(self, kw):
+        frames = shear_frames()
+        got = stream(TpuGopEncoder(W, H, qp=QP, gop=N, parts=True,
+                                   **kw), frames)
+        want = stream(GopCavlcEncoder(W, H, qp=QP, gop=N,
+                                      slices=MB_H, parts=True, **kw),
+                      frames)
+        assert got == want
+
+    def test_byte_identity_rotation_overlap(self):
+        frames = rotation_frames()
+        got = stream(TpuGopEncoder(W, H, qp=QP, gop=N, search=4,
+                                   parts=True, overlap=True), frames)
+        got += TpuGopEncoder(W, H, qp=QP, gop=N, search=4,
+                             parts=True).flush()  # overlap flushes []
+        want = stream(GopCavlcEncoder(W, H, qp=QP, gop=N,
+                                      slices=MB_H, search=4,
+                                      parts=True), frames)
+        # overlap delays by one frame; drain it
+        enc = TpuGopEncoder(W, H, qp=QP, gop=N, search=4, parts=True,
+                            overlap=True)
+        got = [au for f in frames for au in enc.encode(f)]
+        got += enc.flush()
+        assert got == want
+
+    def test_byte_identity_nonaligned_geometry(self):
+        w, h = 104, 56                       # pads to 112x64
+        frames = shear_frames(w=w, h=h, split=24, step=2)
+        got = stream(TpuGopEncoder(w, h, qp=QP, gop=N, search=2,
+                                   parts=True), frames)
+        want = stream(GopCavlcEncoder(w, h, qp=QP, gop=N,
+                                      slices=-(-h // 16), search=2,
+                                      parts=True), frames)
+        assert got == want
+
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_byte_identity_fuzz(self, seed):
+        """Random content at a high qp mixes skip / intra / every
+        partition mode through both paths."""
+        rng = np.random.default_rng(seed)
+        qp = int(rng.integers(24, 44))
+        frames = []
+        base = rng.integers(0, 256, (H, W), np.uint8)
+        for i in range(4):
+            y = np.roll(base, int(rng.integers(-3, 4)), 1)
+            y[40:56, 16:64] = rng.integers(0, 256, (16, 48), np.uint8)
+            uv = rng.integers(0, 256, (H // 2, W), np.uint8)
+            frames.append(np.concatenate([y, uv], 0))
+        got = stream(TpuGopEncoder(W, H, qp=qp, gop=4, search=2,
+                                   parts=True), frames)
+        want = stream(GopCavlcEncoder(W, H, qp=qp, gop=4,
+                                      slices=MB_H, search=2,
+                                      parts=True), frames)
+        assert got == want
+
+    def test_conformance_of_tpu_stream(self, tmp_path):
+        import cv2
+
+        frames = rotation_frames()
+        aus = stream(TpuGopEncoder(W, H, qp=QP, gop=N, search=4,
+                                   parts=True), frames)
+        p = tmp_path / "tpu_parts.h264"
+        p.write_bytes(b"".join(aus) + aus[0])
+        cap = cv2.VideoCapture(str(p))
+        n = 0
+        while True:
+            ok, _ = cap.read()
+            if not ok:
+                break
+            n += 1
+        cap.release()
+        assert n >= N
+
+
+# ------------------------------------------------------------- plumbing
+
+class TestSpec:
+    def test_encoder_spec_parses(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        enc = make_encoder("tpu:qp=30:gop=4:search=2:parts", W, H)
+        assert isinstance(enc, TpuGopEncoder) and enc.parts
+        enc2 = make_encoder("cavlc:qp=30:gop=4:search=2:parts", W, H)
+        assert isinstance(enc2, GopCavlcEncoder) and enc2.parts
+
+    def test_spec_refusals(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        with pytest.raises(ValueError, match="bitpack"):
+            make_encoder("tpu:qp=30:gop=4:search=2:parts:bitpack",
+                         W, H)
+        with pytest.raises(ValueError, match="gop"):
+            make_encoder("tpu:qp=30:parts", W, H)
