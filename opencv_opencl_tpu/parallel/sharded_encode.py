@@ -52,6 +52,7 @@ __all__ = [
     "build_mesh_gop_fn",
     "build_mesh_levels_fn",
     "pad_batch_for_mesh",
+    "BandedTpuGopEncoder",
 ]
 
 
@@ -136,3 +137,169 @@ def pad_batch_for_mesh(batch: np.ndarray, ndev: int,
         return batch, n
     pad = np.broadcast_to(batch[-1:], (want - n,) + batch.shape[1:])
     return np.concatenate([batch, pad], axis=0), n
+
+
+class BandedTpuGopEncoder:
+    """Spatially-banded single-stream GOP encoder: ONE frame's MB rows
+    are sharded over every mesh device, scaling per-frame LATENCY (the
+    GOP-per-device mode above scales throughput but each frame still
+    runs on one chip).  This is the round-4 verdict's stretch goal:
+    slice-band sharding with an MC-halo exchange.
+
+    Byte-identity by construction, reusing the single-chip programs
+    unchanged: every device ``all_gather``s the reference planes over
+    ICI (the only collective; ~12 MB at 4K), slices a 16-aligned
+    WINDOW around its band — the band rows plus ``S16`` halo rows
+    covering the motion-search reach and the 6-tap/bilinear
+    interpolation support, edge-replicated exactly like the
+    full-frame program at picture borders — runs the unchanged
+    :func:`~opencv_opencl_tpu.ops.h264_levels.encode_p_levels` (or the
+    intra scan) on the window, and CROPS the outputs to its band.
+    One slice per MB row makes every per-row computation (intra left
+    edge, skip predictor, entropy contexts) band-local, so the crop
+    is exact; the halo windows only cost ``2 * S16 / 16`` redundant
+    MB rows per device.
+
+    Implementation note: this subclasses nothing but REUSES
+    TpuGopEncoder's host entropy machinery by delegation — the banded
+    device functions return the same PLevelArrays / LevelArrays
+    pytrees (sharded over bands), and numpy fetches gather
+    transparently.
+
+    Composition: search >= 1 required (banding exists for the MC
+    halo; zero-motion bands are trivially independent through the
+    GOP-per-device mode), full/half/quarter-pel and ``parts``
+    compose; gdr / deblock / refs=2 / bitpack / cpb do not (cross-row
+    or per-MB-layout state).
+    """
+
+    codec = "h264"
+
+    def __init__(self, width: int, height: int, mesh: Mesh,
+                 qp: int = 30, gop: int = 30, search: int = 4,
+                 halfpel: bool = False, quarterpel: bool = False,
+                 parts: bool = False, overlap: bool = False) -> None:
+        from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
+        from opencv_opencl_tpu.ops.h264_levels import (
+            encode_levels, encode_p_levels)
+
+        if search < 1:
+            raise ValueError("banded encoding requires search=R >= 1")
+        self._inner = TpuGopEncoder(width, height, qp=qp, gop=gop,
+                                    search=search, halfpel=halfpel,
+                                    quarterpel=quarterpel, parts=parts,
+                                    overlap=overlap)
+        self.mesh = mesh
+        axes = tuple(mesh.axis_names)
+        nb = len(mesh.devices.flat)
+        h16 = -(-height // 16) * 16
+        w16 = -(-width // 16) * 16
+        mb_h = h16 // 16
+        if mb_h % nb:
+            raise ValueError(
+                f"banded encoding needs MB rows ({mb_h}) divisible by "
+                f"the device count ({nb})")
+        band_mbs = mb_h // nb
+        band_rows = band_mbs * 16
+        subpel = self._inner.subpel
+        # halo: search reach + 6-tap/bilinear support rows, rounded to
+        # whole MB rows so the window stays a valid frame
+        s16 = 16 * (-(-(search + (3 if subpel else 0)) // 16))
+        self.band_mbs, self.halo_rows = band_mbs, s16
+        nspace = mesh.shape[axes[1]] if len(axes) > 1 else 1
+
+        def band_index():
+            i = jax.lax.axis_index(axes[0])
+            if len(axes) > 1:
+                i = i * nspace + jax.lax.axis_index(axes[1])
+            return i
+
+        def band_i(y, cb, cr, qp_t):
+            a = band_index()
+            yw = jax.lax.dynamic_slice(y, (band_rows * a, 0),
+                                       (band_rows, w16))
+            cbw = jax.lax.dynamic_slice(cb, (band_rows // 2 * a, 0),
+                                        (band_rows // 2, w16 // 2))
+            crw = jax.lax.dynamic_slice(cr, (band_rows // 2 * a, 0),
+                                        (band_rows // 2, w16 // 2))
+            return encode_levels(yw, cbw, crw, qp_t, full_recon=True)
+
+        def band_p(y, cb, cr, ryb, rcbb, rcrb, qp_t):
+            ry = jax.lax.all_gather(ryb, axes, axis=0, tiled=True)
+            rcb = jax.lax.all_gather(rcbb, axes, axis=0, tiled=True)
+            rcr = jax.lax.all_gather(rcrb, axes, axis=0, tiled=True)
+            a = band_index()
+
+            def win(full, halo, rows):
+                padded = jnp.pad(full, ((halo, halo), (0, 0)),
+                                 mode="edge")
+                return jax.lax.dynamic_slice(
+                    padded, (rows * a, 0),
+                    (rows + 2 * halo, full.shape[1]))
+
+            yw = win(y, s16, band_rows)
+            cbw = win(cb, s16 // 2, band_rows // 2)
+            crw = win(cr, s16 // 2, band_rows // 2)
+            rw = win(ry, s16, band_rows)
+            rcbw = win(rcb, s16 // 2, band_rows // 2)
+            rcrw = win(rcr, s16 // 2, band_rows // 2)
+            plv = encode_p_levels(yw, cbw, crw, rw, rcbw, rcrw, qp_t,
+                                  search, subpel,
+                                  parts=1 if parts else 0)
+            k = s16 // 16
+
+            def crop_mb(x):
+                return None if x is None else x[k:k + band_mbs]
+
+            return type(plv)(
+                crop_mb(plv.mode), crop_mb(plv.zdc), crop_mb(plv.acz),
+                crop_mb(plv.czdc), crop_mb(plv.cacz),
+                plv.recon_y[s16:s16 + band_rows],
+                plv.recon_cb[s16 // 2:s16 // 2 + band_rows // 2],
+                plv.recon_cr[s16 // 2:s16 // 2 + band_rows // 2],
+                crop_mb(plv.mv), crop_mb(plv.ref), crop_mb(plv.pmode))
+
+        from opencv_opencl_tpu.ops.h264_levels import (LevelArrays,
+                                                       PLevelArrays)
+
+        band = P(axes, None)
+        band3 = P(axes, None, None)
+        band4 = P(axes, None, None, None)
+        band5 = P(axes, None, None, None, None)
+        lv_spec = (band3, band4, band4, band5)  # zdc, acz, czdc, cacz
+        i_out = (LevelArrays(*lv_spec), band, band, band, band)
+        p_out = PLevelArrays(
+            band, *lv_spec, band, band, band,
+            band4 if parts else band3,
+            None, band if parts else None)
+        self._inner._i_fn = jax.jit(shard_map(
+            band_i, mesh=mesh, in_specs=(P(), P(), P(), P()),
+            out_specs=i_out, check_vma=False))
+        sm_p = shard_map(
+            band_p, mesh=mesh,
+            in_specs=(P(), P(), P(), band, band, band, P()),
+            out_specs=p_out, check_vma=False)
+        # search/subpel are closed over; the wrapper keeps the parent
+        # _dispatch call shape (it passes them positionally)
+        self._inner._p_fn = jax.jit(
+            lambda y, cb, cr, ry, rcb, rcr, qp, s, sp: sm_p(
+                y, cb, cr, ry, rcb, rcr, qp),
+            static_argnums=(7, 8))
+
+    # ---- io.encoder protocol: delegate to the (re-wired) inner
+    @property
+    def gop(self):
+        return self._inner.gop
+
+    @property
+    def qp(self):
+        return self._inner.qp
+
+    def encode(self, nv12) -> list[bytes]:
+        return self._inner.encode(nv12)
+
+    def flush(self) -> list[bytes]:
+        return self._inner.flush()
+
+    def close(self) -> None:
+        self._inner.close()

@@ -139,3 +139,57 @@ def test_mesh_intra_byte_identical():
     got = [au for i in range(real)
            for au in enc.encode_from_packed(packed[i])]
     assert got == want
+
+
+# ---------------------------------------------------- spatial banding
+
+def _shear_frames(n, w, h):
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (h, w), np.uint8)
+    base = (base.reshape(h // 4, 4, w // 4, 4).mean((1, 3))
+            .astype(np.uint8).repeat(4, 0).repeat(4, 1))
+    uvb = rng.integers(96, 160, (h // 2, w), np.uint8)
+    out = []
+    for i in range(n):
+        y = base.copy()
+        y[:h // 2 + 8] = np.roll(base[:h // 2 + 8], 3 * i, 1)
+        y[h // 2 + 8:] = np.roll(base[h // 2 + 8:], -3 * i, 1)
+        out.append(np.concatenate([y, np.roll(uvb, 2 * i, 1)], 0))
+    return out
+
+
+@pytest.mark.parametrize("kw", [
+    dict(search=4),
+    dict(search=4, halfpel=True),
+    dict(search=2, quarterpel=True),
+    dict(search=4, parts=True),
+    dict(search=4, overlap=True),
+], ids=["full", "half", "qpel", "parts", "overlap"])
+def test_banded_byte_identical(kw):
+    """Slice-band spatial sharding (per-frame LATENCY scaling): the
+    halo-windowed band program must stream byte-identical to the
+    single-chip encoder — MB rows shard over all 8 virtual devices."""
+    from opencv_opencl_tpu.parallel.sharded_encode import (
+        BandedTpuGopEncoder)
+
+    w, h, n = 64, 128, 6                   # mb_h = 8 = device count
+    frames = _shear_frames(n, w, h)
+    mesh = make_mesh(8)
+    banded = BandedTpuGopEncoder(w, h, mesh, qp=QP, gop=n, **kw)
+    plain = TpuGopEncoder(w, h, qp=QP, gop=n, **kw)
+    got = [au for f in frames for au in banded.encode(f)]
+    got += banded.flush()
+    want = [au for f in frames for au in plain.encode(f)]
+    want += plain.flush()
+    assert got == want
+
+
+def test_banded_refusals():
+    from opencv_opencl_tpu.parallel.sharded_encode import (
+        BandedTpuGopEncoder)
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="search"):
+        BandedTpuGopEncoder(64, 128, mesh, gop=4, search=0)
+    with pytest.raises(ValueError, match="divisible"):
+        BandedTpuGopEncoder(64, 48, mesh, gop=4, search=4)  # mb_h 3
