@@ -284,15 +284,6 @@ def run(argv: list[str]) -> int:
 
         enc = sink.encoder
         fused_gop = isinstance(enc, TpuGopEncoder)
-        if fused_gop and getattr(enc, "parts", False):
-            # the fused GOP program packs ONE mv per MB (412 lanes);
-            # the quadrant field of the partition modes doesn't ride
-            # in it yet — unfused tpu:parts works
-            print("--fused-encode does not compose with encoder "
-                  "parts (the fused program packs per-MB 16x16 "
-                  "fields); drop --fused-encode or :parts",
-                  file=sys.stderr)
-            return 2
         if mesh is not None:
             # multi-chip fused enhance+encode: GOP-per-device data
             # parallelism (parallel/sharded_encode) — byte-identical
@@ -316,7 +307,8 @@ def run(argv: list[str]) -> int:
                     cfg, spec, enc.gop, mesh, search=enc.search,
                     subpel=enc.subpel, refs=enc.refs,
                     deblock=enc.deblock,
-                    bitpack=(enc._nw_mb if enc._bitpack else 0))
+                    bitpack=(enc._nw_mb if enc._bitpack else 0),
+                    parts=enc.parts)
             else:
                 mesh_fn, mesh_sharding, unit = build_mesh_levels_fn(
                     cfg, spec, mesh,
@@ -352,7 +344,8 @@ def run(argv: list[str]) -> int:
                 cfg, spec, enc.gop, search=enc.search,
                 subpel=enc.subpel, refs=enc.refs,
                 deblock=enc.deblock, gdr=enc.gdr,
-                bitpack=(enc._nw_mb if enc._bitpack else 0))
+                bitpack=(enc._nw_mb if enc._bitpack else 0),
+                parts=enc.parts)
             fstate = {"recon": enc.initial_recon(), "idx": 0}
 
             def process_fn(nv12_batch):

@@ -2515,21 +2515,30 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
     packed = np.asarray(packed)
     # fused bitpack: the device-packed MB bitstrings ride as extra
     # lanes after the base layout (models.fused_encode._bits_lanes)
-    base = 413 if self.refs > 1 else (412 if self.search else 410)
+    base = (419 if getattr(self, "parts", False)
+            else 413 if self.refs > 1
+            else (412 if self.search else 410))
     bits = None
     if (getattr(self, "_bitpack", False)
             and packed.shape[-1] == base + 1 + 2 * self._nw_mb):
         bits = _split_bits_lanes(packed[:, :, base:])
         packed = packed[:, :, :base]
-    if packed.shape[-1] not in (410, 412, 413):
+    if packed.shape[-1] not in (410, 412, 413, 419):
         raise ValueError(
             f"fused GOP packed levels have {packed.shape[-1]} lanes, "
-            "expected 410 (zero motion), 412 (motion search) or 413 "
-            "(two references)")
+            "expected 410 (zero motion), 412 (motion search), 413 "
+            "(two references) or 419 (partitions)")
     mode = packed[:, :, 409]
     qp = int(packed[0, 0, 408])       # in-band qp lane (pack_levels)
-    mv = packed[:, :, 410:412] if packed.shape[-1] >= 412 else None
-    ref = packed[:, :, 412] if packed.shape[-1] == 413 else None
+    pmode = None
+    if packed.shape[-1] == 419:       # parts: 8 quadrant-MV lanes +
+        mbh, mbw = mode.shape         # the partition-mode lane
+        mv = packed[:, :, 410:418].reshape(mbh, mbw, 4, 2)
+        ref = None
+        pmode = packed[:, :, 418]
+    else:
+        mv = packed[:, :, 410:412] if packed.shape[-1] >= 412 else None
+        ref = packed[:, :, 412] if packed.shape[-1] == 413 else None
     self.frames += 1
     if mode[0, 0] <= -1:  # IDR frame marker (-1 DC / -2 HORIZONTAL)
         num = self._intra._idr_pic_id
@@ -2565,7 +2574,8 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
             nals = self._p_entropy_nals(mode, lv.zdc, lv.acz, lv.czdc,
                                         lv.cacz, qp, self._frame_num,
                                         mv=mv, ref=ref,
-                                        active_refs=active)
+                                        active_refs=active,
+                                        pmode=pmode)
         self._frame_num = (self._frame_num + 1) % 16
         au = prefix + b"".join(_START4 + bytes(n) for n in nals)
     if self.bitrate_kbps:

@@ -42,7 +42,7 @@ from opencv_opencl_tpu.ops.h264_levels import (
 
 __all__ = ["build_enhance_levels_fn", "build_enhance_gop_fn",
            "GOP_PACKED_LANES", "GOP_PACKED_LANES_MV",
-           "GOP_PACKED_LANES_MREF"]
+           "GOP_PACKED_LANES_MREF", "GOP_PACKED_LANES_PARTS"]
 
 # GOP packing = the intra packing (408 levels + qp) + a mode lane:
 # per-MB 0/1/2 (P_Skip / P_L0_16x16 / I_16x16) on P frames, -1 on IDR
@@ -53,6 +53,8 @@ __all__ = ["build_enhance_levels_fn", "build_enhance_gop_fn",
 GOP_PACKED_LANES = 410
 GOP_PACKED_LANES_MV = 412
 GOP_PACKED_LANES_MREF = 413
+# partition configuration: 8 quadrant-MV lanes + the pmode lane
+GOP_PACKED_LANES_PARTS = 419
 
 
 def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec,
@@ -129,7 +131,7 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                          search: int = 0, subpel: int = 0,
                          refs: int = 1, deblock: bool = False,
                          gdr: int = 0, bitpack: int = 0,
-                         jit: bool = True):
+                         parts: bool = False, jit: bool = True):
     """Fused enhance + low-delay-P GOP encode: returns a jitted
     ``fn(nv12_batch: uint8[N, H*3/2, W], qp: int32, idx0: int32,
     *recon) -> (int16[N, mb_h, mb_w, L], *recon')`` — recon is 3
@@ -167,6 +169,15 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
         raise ValueError("fused refs=2 requires search=R > 0")
     if gdr and refs > 1:
         raise ValueError("fused gdr requires refs=1")
+    if parts:
+        # same composition limits as TpuGopEncoder(parts=True)
+        if not search:
+            raise ValueError("fused parts requires search=R > 0")
+        if subpel == 3:
+            raise ValueError("parts does not compose with fastsub")
+        if refs > 1 or gdr or deblock or bitpack:
+            raise ValueError("fused parts requires refs=1, no gdr, "
+                             "no deblock, no bitpack")
     h, w = spec.height, spec.width
     h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
     mbh, mbw = h16 // 16, w16 // 16
@@ -211,17 +222,28 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                                   nnz4, mvd, refd,
                                   slice_local=bool(gdr))
 
-    def pack_gop(lv: LevelArrays, qp, mode, mv=None, ref=None):
+    def pack_gop(lv: LevelArrays, qp, mode, mv=None, ref=None,
+                 pmode=None):
         base = pack_levels(lv, qp)                  # (mbh, mbw, 409)
-        parts = [base, mode.astype(jnp.int16)[:, :, None]]
+        lanes = [base, mode.astype(jnp.int16)[:, :, None]]
+        if parts:
+            # 8 quadrant-MV lanes + the partition-mode lane (IDR
+            # frames pack zeros; the mode lane marks them)
+            lanes.append(jnp.zeros((mbh, mbw, 8), jnp.int16)
+                         if mv is None
+                         else mv.astype(jnp.int16).reshape(mbh, mbw, 8))
+            lanes.append(jnp.zeros((mbh, mbw, 1), jnp.int16)
+                         if pmode is None
+                         else pmode.astype(jnp.int16)[:, :, None])
+            return jnp.concatenate(lanes, axis=-1)
         if search:
-            parts.append(jnp.zeros((mbh, mbw, 2), jnp.int16)
+            lanes.append(jnp.zeros((mbh, mbw, 2), jnp.int16)
                          if mv is None else mv.astype(jnp.int16))
         if refs > 1:
-            parts.append(jnp.zeros((mbh, mbw, 1), jnp.int16)
+            lanes.append(jnp.zeros((mbh, mbw, 1), jnp.int16)
                          if ref is None
                          else ref.astype(jnp.int16)[:, :, None])
-        return jnp.concatenate(parts, axis=-1)
+        return jnp.concatenate(lanes, axis=-1)
 
     def fn(nv12_batch, qp, idx0, ry, rcb, rcr,
            oy=None, ocb=None, ocr=None):
@@ -280,11 +302,13 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                             jnp.minimum((m + 1) * gdr_rows, mbh)
                             .astype(jnp.int32))
                 plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp,
-                                      search, subpel, gdr_band=band)
+                                      search, subpel, gdr_band=band,
+                                      parts=1 if parts else 0)
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
                 rec = ((plv.recon_y, plv.recon_cb, plv.recon_cr)
                        if not deblock else _deblock_p(plv, qp))
-                out = pack_gop(lv, qp, plv.mode, plv.mv)
+                out = pack_gop(lv, qp, plv.mode, plv.mv,
+                               pmode=plv.pmode)
                 if nw_mb:
                     out = jnp.concatenate(
                         [out, _bits_lanes(*pack_p_mbs(

@@ -66,7 +66,7 @@ def _frame_pspec(mesh: Mesh) -> P:
 def build_mesh_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                       mesh: Mesh, search: int = 0, subpel: int = 0,
                       refs: int = 1, deblock: bool = False,
-                      bitpack: int = 0):
+                      bitpack: int = 0, parts: bool = False):
     """Returns ``(fn, sharding, unit)``: a jitted
     ``fn(nv12: uint8[N, H*3/2, W], qp: int32) -> int16[N, mbh, mbw, L]``
     where N must be ``unit * len(mesh.devices)`` whole GOPs per device
@@ -83,7 +83,8 @@ def build_mesh_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
     raw = build_enhance_gop_fn(cfg, spec, gop, search=search,
                                subpel=subpel, refs=refs,
                                deblock=deblock, gdr=0,
-                               bitpack=bitpack, jit=False)
+                               bitpack=bitpack, parts=parts,
+                               jit=False)
     h16 = -(-spec.height // 16) * 16
     w16 = -(-spec.width // 16) * 16
     pspec = _frame_pspec(mesh)

@@ -94,9 +94,15 @@ MATRIX = [
                             "--encoder=tpu:qp=40:gop=4", "--mesh=2x1",
                             "--fused-encode"], 2,
      "positive multiple of mesh devices"),
-    ("fused_x_parts", ["--sink=rtp+h264://127.0.0.1:56488",
-                       "--encoder=tpu:qp=40:gop=4:search=2:parts",
-                       "--fused-encode"], 2, "parts"),
+    # fused x parts WORKS (419-lane packing: 8 quadrant-MV lanes +
+    # the pmode lane), incl. over the mesh (GOP-per-device)
+    ("fused_parts", ["--sink=rtp+h264://127.0.0.1:56488",
+                     "--encoder=tpu:qp=40:gop=2:search=2:parts",
+                     "--fused-encode"], 0, None),
+    ("fused_mesh_parts", ["--sink=rtp+h264://127.0.0.1:56489",
+                          "--encoder=tpu:qp=40:gop=2:search=2:parts",
+                          "--mesh=2x1", "--batch=4", "--max-frames=4",
+                          "--fused-encode"], 0, None),
     ("fused_x_ref_frame", ["--sink=rtp+h264://127.0.0.1:56477",
                            "--op=clahe", "--ref-frame",
                            "--encoder=tpu:qp=40", "--fused-encode"], 2,

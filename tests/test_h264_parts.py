@@ -264,3 +264,58 @@ class TestSpec:
                          W, H)
         with pytest.raises(ValueError, match="gop"):
             make_encoder("tpu:qp=30:parts", W, H)
+
+
+class TestFused:
+    def test_fused_parts_matches_unfused(self):
+        """The fused enhance+GOP program with parts (419 lanes: 8
+        quadrant-MV lanes + pmode) streams byte-identical to the
+        unfused device chain on the same enhanced frames."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+        from opencv_opencl_tpu.models.enhancer import (
+            EnhancerConfig, build_enhance_fn)
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        frames = np.stack(shear_frames())
+        spec = FrameSpec(width=W, height=H, fps=30)
+        cfg = EnhancerConfig(op="clahe", clip_limit=2.0,
+                             tile_grid=(8, 8),
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        plain = build_enhance_fn(cfg, spec, donate=False)
+        enh = np.asarray(plain(frames))
+        ref_enc = TpuGopEncoder(W, H, qp=QP, gop=N, search=4,
+                                parts=True)
+        want = [au for f in enh for au in ref_enc.encode(f)]
+
+        enc = TpuGopEncoder(W, H, qp=QP, gop=N, search=4, parts=True)
+        fn = build_enhance_gop_fn(cfg, spec, enc.gop, search=4,
+                                  parts=True)
+        recon = list(enc.initial_recon())
+        got, idx = [], 0
+        for lo, hi in ((0, 3), (3, N)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(QP), idx,
+                                *recon)
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(
+                    np.asarray(packed)[i]))
+        assert got == want
+
+    def test_fused_parts_refusals(self):
+        from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+        from opencv_opencl_tpu.models.enhancer import EnhancerConfig
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        spec = FrameSpec(width=W, height=H, fps=30)
+        cfg = EnhancerConfig(op="clahe", clip_limit=2.0,
+                             tile_grid=(8, 8),
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        with pytest.raises(ValueError, match="parts requires search"):
+            build_enhance_gop_fn(cfg, spec, 4, parts=True)
+        with pytest.raises(ValueError, match="no deblock"):
+            build_enhance_gop_fn(cfg, spec, 4, search=2, parts=True,
+                                 deblock=True)

@@ -57,7 +57,8 @@ def _mesh_aus(frames: np.ndarray, spec: FrameSpec, mesh,
     fn, sharding, unit = build_mesh_gop_fn(
         _cfg(), spec, enc.gop, mesh, search=enc.search,
         subpel=enc.subpel, refs=enc.refs, deblock=enc.deblock,
-        bitpack=(enc._nw_mb if enc._bitpack else 0))
+        bitpack=(enc._nw_mb if enc._bitpack else 0),
+        parts=enc.parts)
     ndev = len(mesh.devices.flat)
     padded, real = pad_batch_for_mesh(frames, ndev, unit)
     packed = np.asarray(fn(jax.device_put(padded, sharding),
@@ -72,7 +73,8 @@ def _mesh_aus(frames: np.ndarray, spec: FrameSpec, mesh,
     dict(gop=4, search=2, refs=2),
     dict(gop=3, deblock=True),
     dict(gop=3, search=2, bitpack=True, nw_mb=64),
-], ids=["search", "fastsub", "refs2", "deblock", "bitpack"])
+    dict(gop=3, search=2, parts=True),
+], ids=["search", "fastsub", "refs2", "deblock", "bitpack", "parts"])
 def test_mesh_gop_byte_identical(enc_kw):
     spec = FrameSpec(width=W, height=H, fps=30)
     mesh = make_mesh(8)
