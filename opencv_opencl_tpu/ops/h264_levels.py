@@ -901,58 +901,67 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
         take = c < best                 # strict: ties keep coarser
         pmode = jnp.where(take, m, pmode)
         best = jnp.where(take, c, best)
-    mvf = cand_arr[kf % R]                      # (mb_h, mb_w, 2)
-    mvh = cand_arr[kh % R]                      # (mb_h, 2, mb_w, 2)
-    mvv = cand_arr[kv % R]                      # (mb_h, mb_w, 2, 2)
-    mvq = cand_arr[kq % R]                      # (mb_h, 2, mb_w, 2, 2)
-    mv4_f = jnp.broadcast_to(mvf[:, :, None, :], (mb_h, mb_w, 4, 2))
-    mv4_h = jnp.repeat(mvh.transpose(0, 2, 1, 3), 2, axis=2)
-    mv4_v = jnp.tile(mvv, (1, 1, 2, 1))
-    mv4_q = mvq.transpose(0, 2, 1, 3, 4).reshape(mb_h, mb_w, 4, 2)
-    sel = pmode[:, :, None, None]
-    mv4 = jnp.where(sel == 0, mv4_f,
-                    jnp.where(sel == 1, mv4_h,
-                              jnp.where(sel == 2, mv4_v, mv4_q)))
+    # per-quadrant chosen candidate index on the (mb_h, 2, mb_w, 2)
+    # quadrant grid, selected by partition mode
+    pm4 = pmode[:, None, :, None]
+    iq = jnp.where(
+        pm4 == 0,
+        jnp.broadcast_to((kf % R)[:, None, :, None],
+                         (mb_h, 2, mb_w, 2)),
+        jnp.where(pm4 == 1,
+                  jnp.broadcast_to((kh % R)[:, :, :, None],
+                                   (mb_h, 2, mb_w, 2)),
+                  jnp.where(pm4 == 2,
+                            jnp.broadcast_to((kv % R)[:, None, :, :],
+                                             (mb_h, 2, mb_w, 2)),
+                            kq % R)))
+    # quadrant-major (q0 tl, q1 tr, q2 bl, q3 br) per-MB MV field
+    mv4 = cand_arr[iq.transpose(0, 2, 1, 3).reshape(mb_h, mb_w, 4)]
 
-    # ---- MC at quadrant granularity (oracle: mc_planes block=8)
-    mvq8 = (mv4.reshape(mb_h, mb_w, 2, 2, 2).transpose(0, 2, 1, 3, 4)
-            .reshape(2 * mb_h, 2 * mb_w, 2))
-    rows_q = jnp.arange(2 * mb_h, dtype=jnp.int32)
-    cols_q = jnp.arange(2 * mb_w, dtype=jnp.int32)
-    pidx_q = _plane_index(mvq8[:, :, 0] & 3, mvq8[:, :, 1] & 3, P)
-    ri = ((margin + (mvq8[:, :, 0] >> 2)
-           + 8 * rows_q[:, None])[:, :, None]
-          + jnp.arange(8, dtype=jnp.int32)[None, None, :])
-    ci = ((margin + (mvq8[:, :, 1] >> 2)
-           + 8 * cols_q[None, :])[:, :, None]
-          + jnp.arange(8, dtype=jnp.int32)[None, None, :])
-    patches = pstack[pidx_q[:, :, None, None], ri[:, :, :, None],
-                     ci[:, :, None, :]]       # (2mb_h, 2mb_w, 8, 8)
-    pred_y = patches.transpose(0, 2, 1, 3).reshape(H, W)
-
+    # ---- MC at quadrant granularity (oracle: mc_planes block=8): a
+    # SECOND uniform-dynamic-slice sweep selecting each quadrant's
+    # pixels where its chosen candidate comes up — gathers are far
+    # slower than n more uniform passes on this hardware (measured:
+    # the per-quadrant patch gather cost 735 ms/frame at 1080p R=8)
+    iq8 = iq.reshape(2 * mb_h, 2 * mb_w)
+    cs = search // 2 + 1
+    pad_cb = jnp.pad(rcb, cs, mode="edge")
+    pad_cr = jnp.pad(rcr, cs, mode="edge")
     ch, cw = H // 2, W // 2
-    cdy = jnp.repeat(jnp.repeat(mvq8[:, :, 0] >> 3, 4, 0), 4, 1)
-    cdx = jnp.repeat(jnp.repeat(mvq8[:, :, 1] >> 3, 4, 0), 4, 1)
-    fy = jnp.repeat(jnp.repeat(mvq8[:, :, 0] & 7, 4, 0), 4, 1)
-    fx = jnp.repeat(jnp.repeat(mvq8[:, :, 1] & 7, 4, 0), 4, 1)
-    rbase = jnp.arange(ch, dtype=jnp.int32)[:, None] + cdy
-    cbase = jnp.arange(cw, dtype=jnp.int32)[None, :] + cdx
-    r0 = jnp.clip(rbase, 0, ch - 1)
-    r1 = jnp.clip(rbase + 1, 0, ch - 1)
-    c0 = jnp.clip(cbase, 0, cw - 1)
-    c1 = jnp.clip(cbase + 1, 0, cw - 1)
-    wa = (8 - fx) * (8 - fy)
-    wb = fx * (8 - fy)
-    wc = (8 - fx) * fy
-    wd = fx * fy
 
-    def chroma_mc(plane):
-        p = plane.astype(jnp.int32)
-        return (((wa * p[r0, c0] + wb * p[r0, c1] +
-                  wc * p[r1, c0] + wd * p[r1, c1] + 32) >> 6)
+    def chroma_pred(pad_c, qy, qx):
+        base = jax.lax.dynamic_slice(
+            pad_c, (cs + (qy >> 3), cs + (qx >> 3)),
+            (ch + 1, cw + 1)).astype(jnp.int32)
+        fy = qy & 7
+        fx = qx & 7
+        wa = (8 - fx) * (8 - fy)
+        wb = fx * (8 - fy)
+        wc = (8 - fx) * fy
+        wd = fx * fy
+        return (((wa * base[:ch, :cw] + wb * base[:ch, 1:] +
+                  wc * base[1:, :cw] + wd * base[1:, 1:] + 32) >> 6)
                 .astype(jnp.uint8))
 
-    return pmode, mv4, pred_y, chroma_mc(rcb), chroma_mc(rcr)
+    def body_mc(i, st):
+        py, pcb, pcr = st
+        qy, qx = cand_arr[i, 0], cand_arr[i, 1]
+        ref = jax.lax.dynamic_slice(
+            pstack, (pidx_arr[i], margin + (qy >> 2),
+                     margin + (qx >> 2)), (1, H, W))[0]
+        take = iq8 == i                     # (2mb_h, 2mb_w)
+        ty = jnp.repeat(jnp.repeat(take, 8, 0), 8, 1)
+        tc = jnp.repeat(jnp.repeat(take, 4, 0), 4, 1)
+        return (jnp.where(ty, ref, py),
+                jnp.where(tc, chroma_pred(pad_cb, qy, qx), pcb),
+                jnp.where(tc, chroma_pred(pad_cr, qy, qx), pcr))
+
+    pred_y, pred_cb, pred_cr = jax.lax.fori_loop(
+        0, n, body_mc,
+        (jnp.zeros((H, W), jnp.uint8),
+         jnp.zeros((ch, cw), jnp.uint8),
+         jnp.zeros((ch, cw), jnp.uint8)))
+    return pmode, mv4, pred_y, pred_cb, pred_cr
 
 
 def _cost_of(*arrays):
