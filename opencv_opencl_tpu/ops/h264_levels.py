@@ -860,34 +860,59 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     P = int(pstack.shape[0])
     pidx = np.asarray(_plane_index(cands[:, 0] & 3, cands[:, 1] & 3,
                                    P), np.int32)
-    cur8 = y.astype(jnp.int16).reshape(mb_h, 2, 8, mb_w, 2, 8)
+    cur = y.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
     cand_arr = jnp.asarray(cands)
     pidx_arr = jnp.asarray(pidx)
     R = SEARCH_KEY_RADIX
 
+    # Layout note (measured on hardware, scripts/tpu_r5_parts_diag):
+    # an interleaved (mb_h, 2, 8, mb_w, 2, 8) SAD reduce costs 15x the
+    # (mb_h, 16, mb_w, 16) one, and per-iteration sums over the tiny
+    # interleaved key arrays another ~300 ms/frame — all relayouts.
+    # So the loop carries NINE clean (mb_h, mb_w) int32 keys (four
+    # quadrants, four halves, whole MB) and computes each quadrant SAD
+    # as a quarter-window reduce of the SAME 4D shape class the 16x16
+    # search uses; the halves/whole are plain adds.
     def body(i, st):
-        kq, kh, kv, kf = st
+        kq0, kq1, kq2, kq3, kh0, kh1, kv0, kv1, kf = st
         qy, qx = cand_arr[i, 0], cand_arr[i, 1]
         ref = jax.lax.dynamic_slice(
             pstack, (pidx_arr[i], margin + (qy >> 2),
                      margin + (qx >> 2)), (1, H, W))[0]
+        ad = cur - ref.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
         # |diff| <= 255; 8x8 sums <= 16320 (int32 keys stay exact:
         # whole-MB sum 65280 * 8192 + idx < 2^31, the existing bound)
-        sad8 = jnp.sum(
-            jnp.abs(cur8 - ref.astype(jnp.int16)
-                    .reshape(mb_h, 2, 8, mb_w, 2, 8)).astype(jnp.int32),
-            axis=(2, 5))                        # (mb_h, 2, mb_w, 2)
-        return (jnp.minimum(kq, sad8 * R + i),
-                jnp.minimum(kh, jnp.sum(sad8, axis=3) * R + i),
-                jnp.minimum(kv, jnp.sum(sad8, axis=1) * R + i),
-                jnp.minimum(kf, jnp.sum(sad8, axis=(1, 3)) * R + i))
+        q0 = jnp.sum(jnp.abs(ad[:, :8, :, :8]).astype(jnp.int32),
+                     axis=(1, 3))
+        q1 = jnp.sum(jnp.abs(ad[:, :8, :, 8:]).astype(jnp.int32),
+                     axis=(1, 3))
+        q2 = jnp.sum(jnp.abs(ad[:, 8:, :, :8]).astype(jnp.int32),
+                     axis=(1, 3))
+        q3 = jnp.sum(jnp.abs(ad[:, 8:, :, 8:]).astype(jnp.int32),
+                     axis=(1, 3))
+        h0, h1 = q0 + q1, q2 + q3
+        v0, v1 = q0 + q2, q1 + q3
+        return (jnp.minimum(kq0, q0 * R + i),
+                jnp.minimum(kq1, q1 * R + i),
+                jnp.minimum(kq2, q2 * R + i),
+                jnp.minimum(kq3, q3 * R + i),
+                jnp.minimum(kh0, h0 * R + i),
+                jnp.minimum(kh1, h1 * R + i),
+                jnp.minimum(kv0, v0 * R + i),
+                jnp.minimum(kv1, v1 * R + i),
+                jnp.minimum(kf, (h0 + h1) * R + i))
 
     big = jnp.iinfo(jnp.int32).max
-    init = (jnp.full((mb_h, 2, mb_w, 2), big, jnp.int32),
-            jnp.full((mb_h, 2, mb_w), big, jnp.int32),
-            jnp.full((mb_h, mb_w, 2), big, jnp.int32),
-            jnp.full((mb_h, mb_w), big, jnp.int32))
-    kq, kh, kv, kf = jax.lax.fori_loop(0, n, body, init)
+    init = tuple(jnp.full((mb_h, mb_w), big, jnp.int32)
+                 for _ in range(9))
+    kq0, kq1, kq2, kq3, kh0, kh1, kv0, kv1, kf = jax.lax.fori_loop(
+        0, n, body, init)
+    # reassemble the interleaved hypothesis-key tensors the decision
+    # and the oracle twin speak (one-time, outside the loop)
+    kq = jnp.stack([jnp.stack([kq0, kq1], -1),
+                    jnp.stack([kq2, kq3], -1)], 1)  # (mb_h,2,mb_w,2)
+    kh = jnp.stack([kh0, kh1], 1)                   # (mb_h, 2, mb_w)
+    kv = jnp.stack([kv0, kv1], -1)                  # (mb_h, mb_w, 2)
 
     lam = jnp.asarray(np.asarray(PART_LAMBDA, np.int32)
                       )[jnp.clip(qp, 0, 51)]
