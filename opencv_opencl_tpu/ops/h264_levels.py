@@ -36,7 +36,7 @@ through libavcodec.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -454,6 +454,85 @@ def quarterpel_planes_jax(ry: jax.Array, margin: int) -> jax.Array:
     ]).astype(jnp.uint8)
 
 
+@lru_cache(maxsize=None)
+def _sad_block_mats(H: int, W: int, b: int):
+    """Block-ones matrices for the two-dot MXU SAD reduction:
+    ``RB (H/b, H) @ |ad| @ CB (W, W/b)`` equals the block-b SAD field.
+    Cached per geometry; returned as numpy so they become compile-time
+    constants under jit."""
+    cb = np.zeros((W, W // b), np.float32)
+    rb = np.zeros((H // b, H), np.float32)
+    for j in range(W // b):
+        cb[j * b:(j + 1) * b, j] = 1.0
+    for i in range(H // b):
+        rb[i, i * b:(i + 1) * b] = 1.0
+    return rb, cb
+
+
+def _sad_field(ad: jax.Array, b: int) -> jax.Array:
+    """Exact block-``b`` SAD of a flat (H, W) difference via two MXU
+    block-ones dots — hardware-measured EXACT and 7x (b=16) / 21x
+    (b=8) faster than the VPU window reduce
+    (scripts/tpu_r5_mxu_sad.json: sum|vpu-mxu| = 0 over all 289
+    full-pel offsets at 1080p).
+
+    Exactness argument (per the measured bf16-split rule, CLAUDE.md /
+    scripts/tpu_r2b_lut.json): the inner dot's operands are |ad| <=
+    255 (8-bit, bf16-exact) and 0/1 block columns, so the default
+    split passes are exact; the outer dot's colsum operand holds up to
+    b*255 <= 4080 (12 bits), which needs ``Precision.HIGHEST`` split
+    passes (exact for <= 15-bit operands).  Accumulation is f32 and
+    every block sum <= 65280 < 2^24, so the cast back to int32 is
+    exact.  On CPU both dots are plain f32 FMA over integers < 2^24 —
+    exact as well, keeping the TPU/oracle byte-identity contract.
+    """
+    H, W = ad.shape
+    rb, cb = _sad_block_mats(H, W, b)
+    a = jnp.abs(ad).astype(jnp.float32)
+    return jnp.dot(jnp.asarray(rb), a @ jnp.asarray(cb),
+                   precision=jax.lax.Precision.HIGHEST
+                   ).astype(jnp.int32)
+
+
+@lru_cache(maxsize=None)
+def _sad_quad_mats(H: int, W: int):
+    """Quadrant-split block-ones matrices: even/odd 8-wide halves of
+    each 16 block, so each MB-quadrant SAD comes off the MXU as a
+    clean (mb_h, mb_w) array with no strided slices (Mosaic/XLA
+    relayouts were the measured 22x parts slowdown —
+    scripts/tpu_r5_parts_diag.log)."""
+    mb_h, mb_w = H // 16, W // 16
+    cbe = np.zeros((W, mb_w), np.float32)
+    cbo = np.zeros((W, mb_w), np.float32)
+    rbe = np.zeros((mb_h, H), np.float32)
+    rbo = np.zeros((mb_h, H), np.float32)
+    for j in range(mb_w):
+        cbe[j * 16:j * 16 + 8, j] = 1.0
+        cbo[j * 16 + 8:j * 16 + 16, j] = 1.0
+    for i in range(mb_h):
+        rbe[i, i * 16:i * 16 + 8] = 1.0
+        rbo[i, i * 16 + 8:i * 16 + 16] = 1.0
+    return rbe, rbo, cbe, cbo
+
+
+def _sad_quad_fields(ad: jax.Array):
+    """The four MB-quadrant SADs (q0 tl, q1 tr, q2 bl, q3 br), each
+    (mb_h, mb_w) int32, via two colsum dots + four tiny row dots on
+    the MXU.  Same exactness argument as :func:`_sad_field` (8x8 sums
+    <= 16320 < 2^24)."""
+    H, W = ad.shape
+    rbe, rbo, cbe, cbo = _sad_quad_mats(H, W)
+    a = jnp.abs(ad).astype(jnp.float32)
+    ce = a @ jnp.asarray(cbe)
+    co = a @ jnp.asarray(cbo)
+    hp = jax.lax.Precision.HIGHEST
+    q0 = jnp.dot(jnp.asarray(rbe), ce, precision=hp).astype(jnp.int32)
+    q1 = jnp.dot(jnp.asarray(rbe), co, precision=hp).astype(jnp.int32)
+    q2 = jnp.dot(jnp.asarray(rbo), ce, precision=hp).astype(jnp.int32)
+    q3 = jnp.dot(jnp.asarray(rbo), co, precision=hp).astype(jnp.int32)
+    return q0, q1, q2, q3
+
+
 def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
                      rcr: jax.Array, search: int,
                      subpel: int = 0, clean_rows=None):
@@ -518,7 +597,7 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     cs = search // 2 + 1
     pad_cb = jnp.pad(rcb, cs, mode="edge")
     pad_cr = jnp.pad(rcr, cs, mode="edge")
-    cur = y.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
+    cur = y.astype(jnp.int16)
     cand_arr = jnp.asarray(cands)
     pidx_arr = jnp.asarray(pidx)
     ch, cw = H // 2, W // 2
@@ -543,12 +622,9 @@ def motion_search_mc(y: jax.Array, ry: jax.Array, rcb: jax.Array,
         ref = jax.lax.dynamic_slice(
             pstack, (pidx_arr[i], margin + (qy >> 2),
                      margin + (qx >> 2)), (1, H, W))[0]
-        # |diff| <= 255 fits int16; accumulate the 256-sample block
-        # sums in int32 (max 65280)
-        sad = jnp.sum(
-            jnp.abs(cur - ref.astype(jnp.int16)
-                    .reshape(mb_h, 16, mb_w, 16)).astype(jnp.int32),
-            axis=(1, 3))
+        # |diff| <= 255 fits int16; block sums (max 65280) exact via
+        # the MXU block-ones dots (see _sad_field)
+        sad = _sad_field(cur - ref.astype(jnp.int16), 16)
         key = sad * SEARCH_KEY_RADIX + i
         if clean_rows is not None:
             # GDR clean-region restriction (oracle twin in
@@ -615,7 +691,7 @@ def motion_search_mc_fast(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     cands = np.asarray(search_candidates_qpel(search, 0), np.int32)
     n = len(cands)
     pad = jnp.pad(ry, search, mode="edge")
-    cur = y.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
+    cur = y.astype(jnp.int16)
     cand_arr = jnp.asarray(cands)
     rows_mb = jnp.arange(mb_h, dtype=jnp.int32)
 
@@ -623,10 +699,7 @@ def motion_search_mc_fast(y: jax.Array, ry: jax.Array, rcb: jax.Array,
         qy, qx = cand_arr[i, 0], cand_arr[i, 1]
         ref = jax.lax.dynamic_slice(
             pad, (search + (qy >> 2), search + (qx >> 2)), (H, W))
-        sad = jnp.sum(
-            jnp.abs(cur - ref.astype(jnp.int16)
-                    .reshape(mb_h, 16, mb_w, 16)).astype(jnp.int32),
-            axis=(1, 3))
+        sad = _sad_field(cur - ref.astype(jnp.int16), 16)
         key = sad * SEARCH_KEY_RADIX + i
         if clean_rows is not None:
             # full-pel candidates: interpolation reach is 0
@@ -653,7 +726,8 @@ def motion_search_mc_fast(y: jax.Array, ry: jax.Array, rcb: jax.Array,
           + jnp.arange(17, dtype=jnp.int32)[None, None, :])
     patches = planes[:, ri[:, :, :, None], ci[:, :, None, :]]
 
-    curb = cur.transpose(0, 2, 1, 3)                # (mb_h, mb_w, 16, 16)
+    curb = (cur.reshape(mb_h, 16, mb_w, 16)
+            .transpose(0, 2, 1, 3))                 # (mb_h, mb_w, 16, 16)
     best_key = jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max,
                         jnp.int32)
     best_pred = jnp.zeros((mb_h, mb_w, 16, 16), jnp.uint8)
@@ -733,7 +807,7 @@ def motion_search_mc_fast_multi(y: jax.Array, refs: list[tuple],
     margin = search + 1
     pstack = jnp.concatenate(
         [quarterpel_planes_jax(r[0], margin) for r in refs])
-    cur = y.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
+    cur = y.astype(jnp.int16)
     cand_arr = jnp.asarray(cands)
     rows_mb = jnp.arange(mb_h, dtype=jnp.int32)
 
@@ -746,10 +820,7 @@ def motion_search_mc_fast_multi(y: jax.Array, refs: list[tuple],
         ref = jax.lax.dynamic_slice(
             pstack, (r * 16, margin + (qy >> 2), margin + (qx >> 2)),
             (1, H, W))[0]
-        sad = jnp.sum(
-            jnp.abs(cur - ref.astype(jnp.int16)
-                    .reshape(mb_h, 16, mb_w, 16)).astype(jnp.int32),
-            axis=(1, 3))
+        sad = _sad_field(cur - ref.astype(jnp.int16), 16)
         key = sad * SEARCH_KEY_RADIX + idx
         take = key < best_key
         return (jnp.minimum(best_key, key),
@@ -776,7 +847,7 @@ def motion_search_mc_fast_multi(y: jax.Array, refs: list[tuple],
                      ri[None, :, :, :, None],
                      ci[None, :, :, None, :]]
 
-    curb = cur.transpose(0, 2, 1, 3)
+    curb = cur.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
     best_key = jnp.full((mb_h, mb_w), jnp.iinfo(jnp.int32).max,
                         jnp.int32)
     best_pred = jnp.zeros((mb_h, mb_w, 16, 16), jnp.uint8)
@@ -860,7 +931,7 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     P = int(pstack.shape[0])
     pidx = np.asarray(_plane_index(cands[:, 0] & 3, cands[:, 1] & 3,
                                    P), np.int32)
-    cur = y.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
+    cur = y.astype(jnp.int16)
     cand_arr = jnp.asarray(cands)
     pidx_arr = jnp.asarray(pidx)
     R = SEARCH_KEY_RADIX
@@ -870,26 +941,20 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     # (mb_h, 16, mb_w, 16) one, and per-iteration sums over the tiny
     # interleaved key arrays another ~300 ms/frame — all relayouts.
     # So the loop carries NINE clean (mb_h, mb_w) int32 keys (four
-    # quadrants, four halves, whole MB) and computes each quadrant SAD
-    # as a quarter-window reduce of the SAME 4D shape class the 16x16
-    # search uses; the halves/whole are plain adds.
+    # quadrants, four halves, whole MB); each quadrant SAD comes off
+    # the MXU via the quadrant-split block-ones dots (_sad_quad_fields
+    # — hardware-measured 21x over the VPU 8x8 window reduce,
+    # scripts/tpu_r5_mxu_sad.json); the halves/whole are plain adds.
     def body(i, st):
         kq0, kq1, kq2, kq3, kh0, kh1, kv0, kv1, kf = st
         qy, qx = cand_arr[i, 0], cand_arr[i, 1]
         ref = jax.lax.dynamic_slice(
             pstack, (pidx_arr[i], margin + (qy >> 2),
                      margin + (qx >> 2)), (1, H, W))[0]
-        ad = cur - ref.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
+        ad = cur - ref.astype(jnp.int16)
         # |diff| <= 255; 8x8 sums <= 16320 (int32 keys stay exact:
         # whole-MB sum 65280 * 8192 + idx < 2^31, the existing bound)
-        q0 = jnp.sum(jnp.abs(ad[:, :8, :, :8]).astype(jnp.int32),
-                     axis=(1, 3))
-        q1 = jnp.sum(jnp.abs(ad[:, :8, :, 8:]).astype(jnp.int32),
-                     axis=(1, 3))
-        q2 = jnp.sum(jnp.abs(ad[:, 8:, :, :8]).astype(jnp.int32),
-                     axis=(1, 3))
-        q3 = jnp.sum(jnp.abs(ad[:, 8:, :, 8:]).astype(jnp.int32),
-                     axis=(1, 3))
+        q0, q1, q2, q3 = _sad_quad_fields(ad)
         h0, h1 = q0 + q1, q2 + q3
         v0, v1 = q0 + q2, q1 + q3
         return (jnp.minimum(kq0, q0 * R + i),
@@ -1039,7 +1104,7 @@ def motion_search_mc_multi(y: jax.Array, refs: list[tuple],
     cs = search // 2 + 1
     pad_cb = jnp.stack([jnp.pad(r[1], cs, mode="edge") for r in refs])
     pad_cr = jnp.stack([jnp.pad(r[2], cs, mode="edge") for r in refs])
-    cur = y.astype(jnp.int16).reshape(mb_h, 16, mb_w, 16)
+    cur = y.astype(jnp.int16)
     cand_arr = jnp.asarray(cands)
     base_pidx = np.asarray(
         _plane_index(cands[:, 0] & 3, cands[:, 1] & 3, P), np.int32)
@@ -1068,10 +1133,7 @@ def motion_search_mc_multi(y: jax.Array, refs: list[tuple],
         ref = jax.lax.dynamic_slice(
             pstack, (r * P + pidx_arr[idx], margin + (qy >> 2),
                      margin + (qx >> 2)), (1, H, W))[0]
-        sad = jnp.sum(
-            jnp.abs(cur - ref.astype(jnp.int16)
-                    .reshape(mb_h, 16, mb_w, 16)).astype(jnp.int32),
-            axis=(1, 3))
+        sad = _sad_field(cur - ref.astype(jnp.int16), 16)
         key = sad * SEARCH_KEY_RADIX + idx
         take = key < best_key
         ty = jnp.repeat(jnp.repeat(take, 16, 0), 16, 1)
