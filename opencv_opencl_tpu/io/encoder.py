@@ -363,6 +363,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         fastsub = False
         parts = False
         deblock = False
+        i4 = False
         cpb_ms = None
         initdelay_ms = None
         for opt in backend.split(":")[1:]:
@@ -382,6 +383,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key == "deblock" and not val:
                 deblock = True
                 continue
+            if key == "i4" and not val:
+                i4 = True
+                continue
             if (key not in ("qp", "slices", "gop", "search", "refs",
                             "gdr", "cpb", "initdelay")
                     or not val):
@@ -389,7 +393,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     f"bad cavlc option {opt!r} "
                     "(qp=N, slices=N, gop=N, gdr=N, search=N, refs=N, "
                     "cpb=MS, initdelay=MS, halfpel, quarterpel, "
-                    "fastsub, parts, deblock)")
+                    "fastsub, parts, deblock, i4)")
             try:
                 ival = int(val)
             except ValueError:
@@ -435,7 +439,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             kw = dict(slices=mb_h, search=search, halfpel=halfpel,
                       quarterpel=quarterpel, fastsub=fastsub, refs=refs,
                       parts=parts, deblock=deblock, cpb_ms=cpb_ms,
-                      initial_delay_ms=initdelay_ms)
+                      initial_delay_ms=initdelay_ms, i4=i4)
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gdr=gdr,
                                        **kw)
@@ -455,7 +459,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             kw = dict(slices=slices, search=search, halfpel=halfpel,
                       quarterpel=quarterpel, fastsub=fastsub, refs=refs,
                       parts=parts, deblock=deblock, cpb_ms=cpb_ms,
-                      initial_delay_ms=initdelay_ms)
+                      initial_delay_ms=initdelay_ms, i4=i4)
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gop=gop,
                                        **kw)
@@ -469,7 +473,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 "a gop=N option (motion search is a P-frame feature)")
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
         kw = dict(slices=slices, threads=threads, deblock=deblock,
-                  cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms)
+                  cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms, i4=i4)
         if qp is not None:
             # fixed quantizer: no rate control
             return CavlcH264Encoder(width, height, qp=qp, **kw)

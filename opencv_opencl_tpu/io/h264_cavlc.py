@@ -496,6 +496,155 @@ def _pred_dc_chroma(recon: np.ndarray, y0: int, x0: int, top_ok: bool,
     return pred
 
 
+# ---------------------------------------------------------------- I_4x4 ----
+
+# coded_block_pattern me(v) mapping for Intra_4x4 (spec Table 9-4,
+# ChromaArrayType = 1): codeNum -> cbp.  Validated by being a
+# permutation of 0..47 at import and, decisively, by libavcodec
+# decoding I_4x4 streams to bit-identical reconstruction
+# (tests/test_h264_i4.py) — a wrong entry would misparse every
+# residual that follows.
+_CBP_INTRA_TAB = np.array([
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41],
+    dtype=np.int64)
+assert sorted(_CBP_INTRA_TAB.tolist()) == list(range(48))
+# inverse: cbp -> codeNum (what the encoder writes as ue)
+_CBP_INTRA_CODE = np.empty(48, dtype=np.int64)
+_CBP_INTRA_CODE[_CBP_INTRA_TAB] = np.arange(48)
+
+# per-block trial bit-cost proxy for the Intra_4x4 mode signaling:
+# prev_intra4x4_pred_mode_flag alone (1 bit) when the chosen mode IS
+# the predicted one, flag + rem_intra4x4_pred_mode (4 bits) otherwise
+_I4_MODE_BITS = (1, 4)
+
+# test hooks (tests/test_h264_i4.py): restrict the trial to one mode
+# and/or force the MB decision to Intra_4x4, so every spec 8.3.1.2
+# predictor is individually conformance-proven through libavcodec on
+# MBs that actually code it.  None/False in production.
+_I4_FORCE_MODE: int | None = None
+_I4_FORCE_MB = False
+
+
+def _pred_i4(mode: int, t8, l4, c: int) -> np.ndarray:
+    """One Intra_4x4 luma prediction (spec 8.3.1.2.1-9).  ``t8`` is
+    p[0..7, -1] (top + top-right, already substituted per 8.3.1 when
+    the above-right block is unavailable), ``l4`` is p[-1, 0..3],
+    ``c`` is p[-1, -1].  Only called with the samples the mode needs
+    available (the encoder's availability filter in _i4_trial).
+    Returns the (4, 4) int64 prediction indexed [y, x]."""
+    p = np.empty((4, 4), dtype=np.int64)
+
+    def T(i):
+        return c if i == -1 else int(t8[i])
+
+    def L(i):
+        return c if i == -1 else int(l4[i])
+
+    if mode == 0:                                   # VERTICAL
+        p[:] = np.asarray(t8[:4], dtype=np.int64)[None, :]
+    elif mode == 1:                                 # HORIZONTAL
+        p[:] = np.asarray(l4, dtype=np.int64)[:, None]
+    elif mode == 2:                                 # DC (all-available)
+        p[:] = (int(np.sum(t8[:4])) + int(np.sum(l4)) + 4) >> 3
+    elif mode == 3:                                 # DIAG_DOWN_LEFT
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (T(6) + 3 * T(7) + 2) >> 2
+                else:
+                    p[y, x] = (T(x + y) + 2 * T(x + y + 1)
+                               + T(x + y + 2) + 2) >> 2
+    elif mode == 4:                                 # DIAG_DOWN_RIGHT
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    p[y, x] = (T(x - y - 2) + 2 * T(x - y - 1)
+                               + T(x - y) + 2) >> 2
+                elif x < y:
+                    p[y, x] = (L(y - x - 2) + 2 * L(y - x - 1)
+                               + L(y - x) + 2) >> 2
+                else:
+                    p[y, x] = (T(0) + 2 * c + L(0) + 2) >> 2
+    elif mode == 5:                                 # VERTICAL_RIGHT
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    p[y, x] = (T(i - 1) + T(i) + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    p[y, x] = (T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (L(0) + 2 * c + T(0) + 2) >> 2
+                else:
+                    p[y, x] = (L(y - 2 * x - 1) + 2 * L(y - 2 * x - 2)
+                               + L(y - 2 * x - 3) + 2) >> 2
+    elif mode == 6:                                 # HORIZONTAL_DOWN
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    p[y, x] = (L(i - 1) + L(i) + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    p[y, x] = (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (L(0) + 2 * c + T(0) + 2) >> 2
+                else:
+                    p[y, x] = (T(x - 2 * y - 1) + 2 * T(x - 2 * y - 2)
+                               + T(x - 2 * y - 3) + 2) >> 2
+    elif mode == 7:                                 # VERTICAL_LEFT
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (T(i) + T(i + 1) + 1) >> 1
+                else:
+                    p[y, x] = (T(i) + 2 * T(i + 1) + T(i + 2) + 2) >> 2
+    elif mode == 8:                                 # HORIZONTAL_UP
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z < 5 and z % 2 == 0:
+                    i = y + (x >> 1)
+                    p[y, x] = (L(i) + L(i + 1) + 1) >> 1
+                elif z < 5:
+                    i = y + (x >> 1)
+                    p[y, x] = (L(i) + 2 * L(i + 1) + L(i + 2) + 2) >> 2
+                elif z == 5:
+                    p[y, x] = (L(2) + 3 * L(3) + 2) >> 2
+                else:
+                    p[y, x] = L(3)
+    else:
+        raise ValueError(f"bad intra4x4 mode {mode}")
+    return p
+
+
+def _pred_i4_dc_partial(t8, l4, t_ok: bool, l_ok: bool) -> np.ndarray:
+    """DC prediction when not all neighbors exist (spec 8.3.1.2.3)."""
+    p = np.empty((4, 4), dtype=np.int64)
+    if t_ok and l_ok:
+        p[:] = (int(np.sum(t8[:4])) + int(np.sum(l4)) + 4) >> 3
+    elif t_ok:
+        p[:] = (int(np.sum(t8[:4])) + 2) >> 2
+    elif l_ok:
+        p[:] = (int(np.sum(l4)) + 2) >> 2
+    else:
+        p[:] = 128
+    return p
+
+
+# within-MB above-right 4x4 availability for by > 0 (z-scan decoding
+# order): unavailable for (bx, by) where the block above-right has a
+# LARGER z index or sits in the not-yet-decoded MB to the right
+def _i4_tr_ok(bx: int, by: int) -> bool:
+    return not (bx == 3 or (bx == 1 and by in (1, 3)))
+
+
 def _nc_context(nnz: np.ndarray, by: int, bx: int, top_ok: bool,
                 left_ok: bool) -> int:
     """nC from neighboring 4x4 blocks' total_coeff (spec 9.2.1)."""
@@ -513,11 +662,13 @@ def _nc_context(nnz: np.ndarray, by: int, bx: int, top_ok: bool,
 class _MbEncoder:
     """Per-frame state: reconstruction planes + nnz context arrays."""
 
-    def __init__(self, width: int, height: int, qp: int) -> None:
+    def __init__(self, width: int, height: int, qp: int,
+                 i4: bool = False) -> None:
         self.mb_w = width // 16
         self.mb_h = height // 16
         self.qp = qp
         self.qpc = _QPC[min(max(qp, 0), 51)]
+        self.i4 = i4
         # recon planes padded by 1 px top/left for neighbor reads
         self.ry = np.zeros((self.mb_h * 16 + 1, self.mb_w * 16 + 1),
                            dtype=np.int64)
@@ -529,6 +680,101 @@ class _MbEncoder:
         self.cb_nnz = np.zeros((self.mb_h * 2 + 1, self.mb_w * 2 + 1),
                                dtype=np.int64)
         self.cr_nnz = np.zeros_like(self.cb_nnz)
+        # Intra_4x4 entropy context: per-MB coded-as-I4x4 flag and the
+        # per-4x4-block chosen modes (spec 8.3.1.1 neighbor rule: a
+        # neighbor in a non-I4x4 MB contributes mode 2/DC)
+        self.is_i4 = np.zeros((self.mb_h, self.mb_w), dtype=bool)
+        self.i4modes = np.full((self.mb_h * 4, self.mb_w * 4), 2,
+                               dtype=np.int64)
+
+    def _i4_trial(self, mby: int, mbx: int, src_y: np.ndarray,
+                  top_ok: bool, left_ok: bool):
+        """Trial-encode one MB as Intra_4x4: sequential 4x4 blocks in
+        z-scan order, per-block best of the AVAILABLE spec modes by
+        ``level_cost(levels) + _I4_MODE_BITS`` (strict less-than: the
+        lower mode index wins ties — the device twin's rule).  WRITES
+        the MB's luma reconstruction into self.ry (caller restores it
+        if I_16x16 wins).  Returns (modes z-order (16,), levels
+        z-order (16, 4, 4), cost, predicted modes z-order (16,))."""
+        qp = self.qp
+        y0, x0 = mby * 16 + 1, mbx * 16 + 1
+        ry = self.ry
+        src = src_y[mby * 16:mby * 16 + 16,
+                    mbx * 16:mbx * 16 + 16].astype(np.int64)
+        modes = np.empty(16, dtype=np.int64)
+        levels = np.empty((16, 4, 4), dtype=np.int64)
+        predms = np.empty(16, dtype=np.int64)
+        cost = 0
+        left_is_i4 = left_ok and bool(self.is_i4[mby, mbx - 1])
+        top_is_i4 = top_ok and bool(self.is_i4[mby - 1, mbx])
+        zof = {(bx, by): z for z, (bx, by) in enumerate(_BLOCK_SCAN)}
+        for z, (bx, by) in enumerate(_BLOCK_SCAN):
+            gx0, gy0 = x0 + bx * 4, y0 + by * 4
+            t_ok = (by > 0) or top_ok
+            l_ok = (bx > 0) or left_ok
+            t8 = np.zeros(8, dtype=np.int64)
+            l4 = np.zeros(4, dtype=np.int64)
+            c = 0
+            if t_ok:
+                t8[:4] = ry[gy0 - 1, gx0:gx0 + 4]
+                if by > 0:
+                    tr_ok = _i4_tr_ok(bx, by)
+                else:
+                    # above-right lives in the already-decoded MB row
+                    # above; at bx=3 that is the above-RIGHT MB
+                    tr_ok = bx < 3 or mbx < self.mb_w - 1
+                if tr_ok:
+                    t8[4:] = ry[gy0 - 1, gx0 + 4:gx0 + 8]
+                else:               # spec 8.3.1: substitute p[3, -1]
+                    t8[4:] = t8[3]
+            if l_ok:
+                l4[:] = ry[gy0:gy0 + 4, gx0 - 1]
+            if t_ok and l_ok:
+                c = int(ry[gy0 - 1, gx0 - 1])
+            # entropy-predicted mode (spec 8.3.1.1)
+            if bx > 0:
+                ma = int(modes[zof[(bx - 1, by)]])
+                a_ok = True
+            else:
+                ma = (int(self.i4modes[mby * 4 + by, mbx * 4 - 1])
+                      if left_is_i4 else 2)
+                a_ok = left_ok
+            if by > 0:
+                mb_ = int(modes[zof[(bx, by - 1)]])
+                b_ok = True
+            else:
+                mb_ = (int(self.i4modes[mby * 4 - 1, mbx * 4 + bx])
+                       if top_is_i4 else 2)
+                b_ok = top_ok
+            predm = min(ma, mb_) if (a_ok and b_ok) else 2
+            predms[z] = predm
+            avail = [m for m in range(9)
+                     if (m == 2
+                         or (m in (0, 3, 7) and t_ok)
+                         or (m in (1, 8) and l_ok)
+                         or (m in (4, 5, 6) and t_ok and l_ok))]
+            if _I4_FORCE_MODE is not None and _I4_FORCE_MODE in avail:
+                avail = [_I4_FORCE_MODE]
+            blk = src[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            best = None
+            for m in avail:
+                if m == 2 and not (t_ok and l_ok):
+                    pr = _pred_i4_dc_partial(t8, l4, t_ok, l_ok)
+                else:
+                    pr = _pred_i4(m, t8, l4, c)
+                zq = _quant4x4(_CF @ (blk - pr) @ _CF.T, qp,
+                               skip_dc=False)
+                cm = level_cost(zq) + _I4_MODE_BITS[m != predm]
+                if best is None or cm < best[0]:
+                    best = (cm, m, zq, pr)
+            cm, m, zq, pr = best
+            cost += cm
+            modes[z] = m
+            levels[z] = zq
+            d = _dequant4x4(zq, qp)
+            r = (_inv4x4(d) + 32) >> 6
+            ry[gy0:gy0 + 4, gx0:gx0 + 4] = np.clip(r + pr, 0, 255)
+        return modes, levels, cost, predms
 
     def encode_mb(self, w: _BitWriter, mby: int, mbx: int,
                   src_y: np.ndarray, src_cb: np.ndarray,
@@ -574,6 +820,18 @@ class _MbEncoder:
                 pred, zdc, acz, predmode = pred_h, zdc_h, acz_h, 1
         cbp_luma = any(np.any(acz[k]) for k in acz)
 
+        # ---- Intra_4x4 candidate (``i4``): the trial writes its own
+        # luma recon; strict less-than keeps I_16x16 on ties
+        use_i4 = False
+        if self.i4:
+            saved = self.ry[y0:y0 + 16, x0:x0 + 16].copy()
+            i4m, i4lv, i4cost, i4pred = self._i4_trial(
+                mby, mbx, src_y, top_ok, left_ok)
+            if _I4_FORCE_MB or i4cost < lcost(zdc, acz):
+                use_i4 = True
+            else:
+                self.ry[y0:y0 + 16, x0:x0 + 16] = saved
+
         # ---- chroma
         cy0, cx0 = mby * 8 + 1, mbx * 8 + 1
         cdata = {}
@@ -605,32 +863,67 @@ class _MbEncoder:
             cdata[name] = (cpred, cwdc, cacz, czdc)
         cbp_chroma = 2 if chroma_ac_nz else (1 if chroma_dc_nz else 0)
 
-        # ---- syntax: mb_type (I_16x16 with the chosen pred mode),
-        # chroma mode, qp_delta (0: constant QP), residuals
-        mb_type = (1 + predmode + 4 * cbp_chroma
-                   + 12 * (1 if cbp_luma else 0))
-        w.ue(mb_type)
-        w.ue(0)  # intra_chroma_pred_mode: DC
-        w.se(0)  # mb_qp_delta (always present for Intra_16x16)
-
-        # luma DC: nC as for 4x4 block 0
+        # ---- syntax + luma residual
         nnz = self.luma_nnz
         nby0, nbx0 = mby * 4 + 1, mbx * 4 + 1
-        nc = _nc_context(nnz, nby0, nbx0, top_ok, left_ok)
-        _write_residual_block(w, _zigzag_list(zdc, skip_dc=False), nc)
-        # luma AC blocks in coding order (only if cbp_luma)
-        block_tc = np.zeros((4, 4), dtype=np.int64)
-        if cbp_luma:
-            for bx, by in _BLOCK_SCAN:
+        if use_i4:
+            self.is_i4[mby, mbx] = True
+            for z, (bx, by) in enumerate(_BLOCK_SCAN):
+                self.i4modes[mby * 4 + by, mbx * 4 + bx] = i4m[z]
+            cbpl = 0
+            for q in range(4):
+                if np.any(i4lv[4 * q:4 * q + 4]):
+                    cbpl |= 1 << q
+            cbp = cbpl | (cbp_chroma << 4)
+            w.ue(0)                 # mb_type: I_4x4
+            for z in range(16):     # mb_pred(): per-block mode bits
+                m, pm = int(i4m[z]), int(i4pred[z])
+                if m == pm:
+                    w.u(1, 1)       # prev_intra4x4_pred_mode_flag
+                else:
+                    w.u(0, 1)
+                    w.u(m if m < pm else m - 1, 3)
+            w.ue(0)                 # intra_chroma_pred_mode: DC
+            w.ue(int(_CBP_INTRA_CODE[cbp]))     # cbp, me(v) intra
+            if cbp:
+                w.se(0)             # mb_qp_delta
+            for z, (bx, by) in enumerate(_BLOCK_SCAN):
+                if not (cbpl >> (z >> 2)) & 1:
+                    nnz[nby0 + by, nbx0 + bx] = 0
+                    continue
                 t_ok = top_ok if by == 0 else True
                 l_ok = left_ok if bx == 0 else True
                 nc = _nc_context(nnz, nby0 + by, nbx0 + bx, t_ok, l_ok)
                 tc = _write_residual_block(
-                    w, _zigzag_list(acz[(bx, by)], skip_dc=True), nc)
+                    w, _zigzag_list(i4lv[z], skip_dc=False), nc)
                 nnz[nby0 + by, nbx0 + bx] = tc
-                block_tc[by, bx] = tc
         else:
-            nnz[nby0:nby0 + 4, nbx0:nbx0 + 4] = 0
+            self.is_i4[mby, mbx] = False
+            # mb_type (I_16x16 with the chosen pred mode), chroma mode,
+            # qp_delta (0: constant QP), residuals
+            mb_type = (1 + predmode + 4 * cbp_chroma
+                       + 12 * (1 if cbp_luma else 0))
+            w.ue(mb_type)
+            w.ue(0)  # intra_chroma_pred_mode: DC
+            w.se(0)  # mb_qp_delta (always present for Intra_16x16)
+
+            # luma DC: nC as for 4x4 block 0
+            nc = _nc_context(nnz, nby0, nbx0, top_ok, left_ok)
+            _write_residual_block(w, _zigzag_list(zdc, skip_dc=False),
+                                  nc)
+            # luma AC blocks in coding order (only if cbp_luma)
+            if cbp_luma:
+                for bx, by in _BLOCK_SCAN:
+                    t_ok = top_ok if by == 0 else True
+                    l_ok = left_ok if bx == 0 else True
+                    nc = _nc_context(nnz, nby0 + by, nbx0 + bx, t_ok,
+                                     l_ok)
+                    tc = _write_residual_block(
+                        w, _zigzag_list(acz[(bx, by)], skip_dc=True),
+                        nc)
+                    nnz[nby0 + by, nbx0 + bx] = tc
+            else:
+                nnz[nby0:nby0 + 4, nbx0:nbx0 + 4] = 0
         # chroma DC (both components) if cbp_chroma
         if cbp_chroma:
             for name in ("cb", "cr"):
@@ -656,18 +949,20 @@ class _MbEncoder:
                 cnnz[cny0:cny0 + 2, cnx0:cnx0 + 2] = 0
 
         # ---- reconstruction (must equal any conformant decoder);
-        # pred is a scalar (DC) or a (16, 1) column (HORIZONTAL)
-        dcd = _luma_dc_dequant(_H4 @ zdc @ _H4, qp)
-        for by in range(4):
-            for bx in range(4):
-                d = _dequant4x4(acz[(bx, by)], qp)
-                d[0, 0] = dcd[by, bx]
-                r = (_inv4x4(d) + 32) >> 6
-                p_blk = (pred if np.isscalar(pred)
-                         else pred[by * 4:by * 4 + 4])
-                blk = np.clip(r + p_blk, 0, 255)
-                self.ry[y0 + by * 4:y0 + by * 4 + 4,
-                        x0 + bx * 4:x0 + bx * 4 + 4] = blk
+        # pred is a scalar (DC) or a (16, 1) column (HORIZONTAL).
+        # The Intra_4x4 trial already wrote its luma recon.
+        if not use_i4:
+            dcd = _luma_dc_dequant(_H4 @ zdc @ _H4, qp)
+            for by in range(4):
+                for bx in range(4):
+                    d = _dequant4x4(acz[(bx, by)], qp)
+                    d[0, 0] = dcd[by, bx]
+                    r = (_inv4x4(d) + 32) >> 6
+                    p_blk = (pred if np.isscalar(pred)
+                             else pred[by * 4:by * 4 + 4])
+                    blk = np.clip(r + p_blk, 0, 255)
+                    self.ry[y0 + by * 4:y0 + by * 4 + 4,
+                            x0 + bx * 4:x0 + bx * 4 + 4] = blk
         for name in ("cb", "cr"):
             rp = self.rcb if name == "cb" else self.rcr
             cpred, _, cacz, czdc = cdata[name]
@@ -735,7 +1030,8 @@ def encode_frame_cavlc_slices(nv12: np.ndarray, width: int, height: int,
                               qp: int, idr_pic_id: int = 0,
                               slices: int = 1,
                               return_recon: bool = False,
-                              deblock: bool = False):
+                              deblock: bool = False,
+                              i4: bool = False):
     """Encode one NV12 frame as ``slices`` independent CAVLC IDR slice
     NALs (MB-row bands, like the reference's ``num-slices=8`` OMX tuning
     and the PCM encoder's ``slices``).  H.264 slices share no contexts:
@@ -750,7 +1046,7 @@ def encode_frame_cavlc_slices(nv12: np.ndarray, width: int, height: int,
     uv = nv12[height:].reshape(height // 2, width // 2, 2)
     cb = uv[:, :, 0].astype(np.int64)
     cr = uv[:, :, 1].astype(np.int64)
-    st = _MbEncoder(width, height, qp)
+    st = _MbEncoder(width, height, qp, i4=i4)
     slices = max(1, min(int(slices), st.mb_h))
     bounds = [round(i * st.mb_h / slices) for i in range(slices + 1)]
     nals = []
@@ -774,7 +1070,8 @@ def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
                              czdc: np.ndarray, cacz: np.ndarray,
                              qp: int, idr_pic_id: int = 0,
                              imode: np.ndarray | None = None,
-                             deblock: bool = False
+                             deblock: bool = False,
+                             i4modes: np.ndarray | None = None
                              ) -> list[bytes]:
     """Entropy-code precomputed quantized levels into one IDR slice NAL
     **per MB row** (the slice granularity the TPU level computation in
@@ -790,6 +1087,7 @@ def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
     the oracle the native port is diffed against.
     """
     mb_h, mb_w = zdc.shape[:2]
+    zof = {bxby: z for z, bxby in enumerate(_BLOCK_SCAN)}
     nals = []
     for mby in range(mb_h):
         w = _BitWriter()
@@ -800,37 +1098,102 @@ def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
         lnnz = np.zeros((4, mb_w * 4 + 1), dtype=np.int64)
         cbnnz = np.zeros((2, mb_w * 2 + 1), dtype=np.int64)
         crnnz = np.zeros_like(cbnnz)
+        prev_is_i4 = False      # left MB's I_4x4 mode context
+        prev_m3 = [2, 2, 2, 2]  # its bx=3 block modes per by
         for mbx in range(mb_w):
             left_ok = mbx > 0
             a = acz[mby, mbx]
             ca = cacz[mby, mbx]
             cd = czdc[mby, mbx]
-            cbp_luma = bool(np.any(a))
             cbp_chroma = 2 if np.any(ca) else (1 if np.any(cd) else 0)
             pm = 2 if imode is None else int(imode[mby, mbx])
-            w.ue(1 + pm + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0))
-            w.ue(0)  # intra_chroma_pred_mode: DC
-            w.se(0)  # mb_qp_delta
             nbx0 = mbx * 4 + 1
-            nc = int(lnnz[0, nbx0 - 1]) if left_ok else 0
-            dcflat = zdc[mby, mbx]
-            _write_residual_block(
-                w, [int(dcflat[i]) for i in _ZIGZAG], nc)
-            if cbp_luma:
-                for bx, by in _BLOCK_SCAN:
+            if pm == 0:
+                # ---- I_4x4 (device twin of the oracle's use_i4
+                # branch in _MbEncoder.encode_mb): acz slots carry the
+                # FULL 16-coeff blocks, no luma DC block
+                zm = i4modes[mby, mbx]          # (16,) z-order
+                cbpl = 0
+                for q in range(4):
+                    if any(np.any(a[by * 4 + bx])
+                           for bx, by in _BLOCK_SCAN[4 * q:4 * q + 4]):
+                        cbpl |= 1 << q
+                cbp = cbpl | (cbp_chroma << 4)
+                w.ue(0)                         # mb_type: I_4x4
+                for z, (bx, by) in enumerate(_BLOCK_SCAN):
+                    # predicted mode, spec 8.3.1.1 at top_ok=False
+                    if by == 0:
+                        predm = 2
+                    else:
+                        mb_ = int(zm[zof[(bx, by - 1)]])
+                        if bx > 0:
+                            predm = min(int(zm[zof[(bx - 1, by)]]),
+                                        mb_)
+                        elif left_ok:
+                            predm = min(prev_m3[by] if prev_is_i4
+                                        else 2, mb_)
+                        else:
+                            predm = 2
+                    m = int(zm[z])
+                    if m == predm:
+                        w.u(1, 1)
+                    else:
+                        w.u(0, 1)
+                        w.u(m if m < predm else m - 1, 3)
+                w.ue(0)                         # intra_chroma: DC
+                w.ue(int(_CBP_INTRA_CODE[cbp]))
+                if cbp:
+                    w.se(0)                     # mb_qp_delta
+                for z, (bx, by) in enumerate(_BLOCK_SCAN):
+                    if not (cbpl >> (z >> 2)) & 1:
+                        lnnz[by, nbx0 + bx] = 0
+                        continue
                     l_ok = left_ok if bx == 0 else True
                     if by == 0:
                         nc = int(lnnz[0, nbx0 + bx - 1]) if l_ok else 0
                     else:
-                        na = int(lnnz[by, nbx0 + bx - 1]) if l_ok else None
+                        na = (int(lnnz[by, nbx0 + bx - 1])
+                              if l_ok else None)
                         nb = int(lnnz[by - 1, nbx0 + bx])
-                        nc = (na + nb + 1) >> 1 if na is not None else nb
+                        nc = ((na + nb + 1) >> 1
+                              if na is not None else nb)
                     flat = a[by * 4 + bx]
                     tc = _write_residual_block(
-                        w, [int(flat[i]) for i in _ZIGZAG[1:]], nc)
+                        w, [int(flat[i]) for i in _ZIGZAG], nc)
                     lnnz[by, nbx0 + bx] = tc
+                prev_is_i4 = True
+                prev_m3 = [int(zm[zof[(3, byy)]]) for byy in range(4)]
+                # chroma residual below is shared with I_16x16
             else:
-                lnnz[:, nbx0:nbx0 + 4] = 0
+                cbp_luma = bool(np.any(a))
+                w.ue(1 + pm + 4 * cbp_chroma
+                     + 12 * (1 if cbp_luma else 0))
+                w.ue(0)  # intra_chroma_pred_mode: DC
+                w.se(0)  # mb_qp_delta
+                nc = int(lnnz[0, nbx0 - 1]) if left_ok else 0
+                dcflat = zdc[mby, mbx]
+                _write_residual_block(
+                    w, [int(dcflat[i]) for i in _ZIGZAG], nc)
+                if cbp_luma:
+                    for bx, by in _BLOCK_SCAN:
+                        l_ok = left_ok if bx == 0 else True
+                        if by == 0:
+                            nc = (int(lnnz[0, nbx0 + bx - 1])
+                                  if l_ok else 0)
+                        else:
+                            na = (int(lnnz[by, nbx0 + bx - 1])
+                                  if l_ok else None)
+                            nb = int(lnnz[by - 1, nbx0 + bx])
+                            nc = ((na + nb + 1) >> 1
+                                  if na is not None else nb)
+                        flat = a[by * 4 + bx]
+                        tc = _write_residual_block(
+                            w, [int(flat[i]) for i in _ZIGZAG[1:]], nc)
+                        lnnz[by, nbx0 + bx] = tc
+                else:
+                    lnnz[:, nbx0:nbx0 + 4] = 0
+                prev_is_i4 = False
+                prev_m3 = [2, 2, 2, 2]
             if cbp_chroma:
                 for comp in range(2):
                     _write_residual_block(
@@ -908,7 +1271,8 @@ class CavlcH264Encoder:
                  native: str = "auto", slices: int = 1,
                  threads: int = 0, deblock: bool = False,
                  cpb_ms: int | None = None,
-                 initial_delay_ms: int | None = None) -> None:
+                 initial_delay_ms: int | None = None,
+                 i4: bool = False) -> None:
         """``slices`` > 1 splits each frame into that many independent
         IDR slices (MB-row bands — the reference's ``num-slices=8``
         analogue): smaller NALs on the wire and, with ``threads`` > 0 on
@@ -925,6 +1289,7 @@ class CavlcH264Encoder:
         self.height = height
         self.qp = int(qp)
         self.deblock = bool(deblock)
+        self.i4 = bool(i4)
         self.slices = int(slices)
         self._threads = max(0, int(threads))
         self.bitrate_kbps = bitrate_kbps
@@ -986,7 +1351,10 @@ class CavlcH264Encoder:
         """Produce the slice NALs of one padded frame (the overridable
         compute stage — TpuCavlcEncoder replaces it with the TPU level
         computation)."""
-        if self._native:
+        if self._native and not self.i4:
+            # the native C++ rows do not speak Intra_4x4 yet — with
+            # ``i4`` the tested Python oracle path encodes (the same
+            # fallback contract as the parts entropy stage)
             from opencv_opencl_tpu import native
 
             return native.cavlc_encode_slices(
@@ -995,7 +1363,8 @@ class CavlcH264Encoder:
                 deblock=self.deblock)
         return encode_frame_cavlc_slices(padded, w16, h16, qp, idr,
                                          slices=self.slices,
-                                         deblock=self.deblock)
+                                         deblock=self.deblock,
+                                         i4=self.i4)
 
     def _rate_control(self, used: int) -> None:
         """Proportional control in the QP domain: intra bits halve

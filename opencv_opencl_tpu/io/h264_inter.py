@@ -1567,7 +1567,8 @@ class GopCavlcEncoder:
                  refs: int = 1, parts: bool = False,
                  deblock: bool = False, gdr: int = 0,
                  cpb_ms: int | None = None,
-                 initial_delay_ms: int | None = None) -> None:
+                 initial_delay_ms: int | None = None,
+                 i4: bool = False) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import (
             CavlcH264Encoder, build_pps_cavlc)
 
@@ -1644,6 +1645,10 @@ class GopCavlcEncoder:
         # wave); the IDR keeps idc=0.
         self.deblock = bool(deblock)
         self._deblock_slice_local = bool(self.gdr and deblock)
+        # Intra_4x4 on IDR frames (``i4``): the P-frame intra
+        # candidate stays I_16x16 (the raster-free mode decision the
+        # device GOP program needs — ops/h264_levels.encode_p_levels)
+        self.i4 = bool(i4)
         # reuse the intra encoder's padding + geometry checks
         self._intra = CavlcH264Encoder(width, height, qp=qp,
                                        native="never", slices=slices)
@@ -1694,7 +1699,7 @@ class GopCavlcEncoder:
             nals, recon = encode_frame_cavlc_slices(
                 padded, w16, h16, qp, idr_pic_id=self._idr_pic_id,
                 slices=self.slices, return_recon=True,
-                deblock=self.deblock)
+                deblock=self.deblock, i4=self.i4)
             au = (_START4 + self._sps + _START4 + self._pps +
                   b"".join(_START4 + bytes(n) for n in nals))
         else:
