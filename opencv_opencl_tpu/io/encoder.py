@@ -501,6 +501,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         parts = False
         bitpack = False
         deblock = False
+        i4 = False
         cpb_ms = None
         initdelay_ms = None
         for opt in backend.split(":")[1:]:
@@ -536,6 +537,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key == "deblock" and not val:
                 deblock = True
                 continue
+            if key == "i4" and not val:
+                i4 = True
+                continue
             if key == "gop" and val:
                 try:
                     gop = int(val)
@@ -569,7 +573,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     f"bad tpu option {opt!r} (qp=N|gop=N|gdr=N|"
                     "search=N|refs=N|cpb=MS|initdelay=MS|halfpel|"
                     "quarterpel|fastsub|parts|deblock|bitpack|"
-                    "overlap)")
+                    "overlap|i4)")
             try:
                 qp = int(val)
             except ValueError:
@@ -587,7 +591,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                       quarterpel=quarterpel, fastsub=fastsub,
                       refs=refs, parts=parts, bitpack=bitpack,
                       deblock=deblock, cpb_ms=cpb_ms,
-                      initial_delay_ms=initdelay_ms)
+                      initial_delay_ms=initdelay_ms, i4=i4)
             if qp is not None:
                 return TpuGopEncoder(width, height, qp=qp, gdr=gdr,
                                      **kw)
@@ -602,7 +606,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                       quarterpel=quarterpel, fastsub=fastsub,
                       refs=refs, parts=parts, bitpack=bitpack,
                       deblock=deblock, cpb_ms=cpb_ms,
-                      initial_delay_ms=initdelay_ms)
+                      initial_delay_ms=initdelay_ms, i4=i4)
             if qp is not None:
                 return TpuGopEncoder(width, height, qp=qp, gop=gop,
                                      **kw)
@@ -615,7 +619,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 "tpu search=N/halfpel/quarterpel/fastsub/parts need a "
                 "gop=N option (motion search is a P-frame feature)")
         kw = dict(overlap=overlap, deblock=deblock, bitpack=bitpack,
-                  cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms)
+                  cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms, i4=i4)
         if qp is not None:
             return TpuCavlcEncoder(width, height, qp=qp, **kw)
         return TpuCavlcEncoder(width, height, qp=30,

@@ -1464,7 +1464,8 @@ class TpuCavlcEncoder(CavlcH264Encoder):
                  overlap: bool = False, deblock: bool = False,
                  bitpack: bool = False, nw_mb: int = 64,
                  cpb_ms: int | None = None,
-                 initial_delay_ms: int | None = None) -> None:
+                 initial_delay_ms: int | None = None,
+                 i4: bool = False) -> None:
         h16 = -(-height // 16) * 16
         if threads == 0:
             import os
@@ -1474,16 +1475,28 @@ class TpuCavlcEncoder(CavlcH264Encoder):
             raise ValueError(
                 "cpb does not compose with overlap (the CPB re-encode "
                 "loop is synchronous per frame)")
+        if i4 and bitpack:
+            raise ValueError("i4 does not compose with bitpack yet "
+                             "(the device bit packer speaks I_16x16 "
+                             "rows only)")
         super().__init__(width, height, qp=qp, bitrate_kbps=bitrate_kbps,
                          fps=fps, native=native, slices=h16 // 16,
                          threads=threads, deblock=deblock,
                          cpb_ms=cpb_ms,
-                         initial_delay_ms=initial_delay_ms)
+                         initial_delay_ms=initial_delay_ms, i4=i4)
         # jax import lives here, not module top — the pure-CPU encoder
         # classes above must stay importable without it
         from opencv_opencl_tpu.ops.h264_levels import encode_levels_jit
 
         self._levels_fn = encode_levels_jit
+        if self.i4:
+            import jax as _jax
+
+            from opencv_opencl_tpu.ops.h264_levels import encode_levels
+
+            self._levels_fn = _jax.jit(
+                lambda y, cb, cr, q: encode_levels(y, cb, cr, q,
+                                                   i4=True))
         self._overlap = bool(overlap)
         self._pending = None  # (LevelArrays on device, idr, qp)
         self._bitpack = bool(bitpack)
@@ -1545,12 +1558,18 @@ class TpuCavlcEncoder(CavlcH264Encoder):
             if lvl is None:  # caller keeps the levels (fused packed
                 return None  # tensor): it runs the fallback itself
             lv = (lvl, im)   # overflow: host entropy path
-        if not hasattr(lv, "zdc") and len(lv) == 2:
-            lv, imode = lv
+        i4modes = None
+        if not hasattr(lv, "zdc"):
+            if len(lv) == 3:     # i4 program: (lv, imode, i4modes)
+                lv, imode, i4modes = lv
+            elif len(lv) == 2:
+                lv, imode = lv
         zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)
         if imode is not None:
             imode = np.asarray(imode)
-        if self._native:
+        if i4modes is not None:
+            i4modes = np.asarray(i4modes)
+        if self._native and i4modes is None:
             from opencv_opencl_tpu import native
 
             return native.cavlc_entropy_rows(
@@ -1559,7 +1578,8 @@ class TpuCavlcEncoder(CavlcH264Encoder):
                 deblock=self.deblock)
         return encode_frame_from_levels(zdc, acz, czdc, cacz, qp, idr,
                                         imode=imode,
-                                        deblock=self.deblock)
+                                        deblock=self.deblock,
+                                        i4modes=i4modes)
 
     def _encode_nals(self, padded: np.ndarray, w16: int, h16: int,
                      idr: int, qp: int) -> list[bytes]:

@@ -2033,11 +2033,19 @@ class TpuGopEncoder:
                  deblock: bool = False, gdr: int = 0,
                  bitpack: bool = False, nw_mb: int = 64,
                  cpb_ms: int | None = None,
-                 initial_delay_ms: int | None = None) -> None:
+                 initial_delay_ms: int | None = None,
+                 i4: bool = False) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
+        # Intra_4x4 on IDR frames (the P-frame intra candidate stays
+        # I_16x16 — the raster-free decision the P programs need)
+        self.i4 = bool(i4)
+        if self.i4 and bitpack:
+            raise ValueError("i4 does not compose with bitpack yet "
+                             "(the device IDR bit packer speaks "
+                             "I_16x16 rows only)")
         # GDR horizontal intra refresh — same stream shape and refusal
         # matrix as GopCavlcEncoder(gdr=N); the wave band rides into
         # the device program as two traced scalars (no recompiles)
@@ -2111,6 +2119,14 @@ class TpuGopEncoder:
             encode_p_levels as _ep)
 
         self._i_fn = encode_levels_recon_jit
+        if self.i4:
+            import jax as _jax
+
+            from opencv_opencl_tpu.ops.h264_levels import encode_levels
+
+            self._i_fn = _jax.jit(
+                lambda y, cb, cr, q: encode_levels(
+                    y, cb, cr, q, full_recon=True, i4=True))
         self._p_fn = encode_p_levels_jit
         self._p2_fn = encode_p_levels2_jit
         if self.parts:
@@ -2219,8 +2235,13 @@ class TpuGopEncoder:
         qp = self.qp if qp_override is None else qp_override
         prefix = b""
         if self.frames % self.gop == 0:
-            lv, ry, rcb, rcr, imode = self._i_fn(y, cb, cr,
-                                                 jnp.int32(qp))
+            if self.i4:
+                lv, ry, rcb, rcr, imode, i4m = self._i_fn(
+                    y, cb, cr, jnp.int32(qp))
+                lv = (lv, imode, i4m)   # _entropy_nals's i4 triple
+            else:
+                lv, ry, rcb, rcr, imode = self._i_fn(y, cb, cr,
+                                                     jnp.int32(qp))
             if self.deblock:
                 ry, rcb, rcr = self._deblock_fn(
                     ry, rcb, rcr, jnp.int32(qp), *self._dbi_idr)
@@ -2230,7 +2251,9 @@ class TpuGopEncoder:
             self._intra._idr_pic_id ^= 1
             self._frame_num = 1
             # the mv slot carries the intra pred-mode plane for IDRs
-            pending = (lv, "i", num, qp, imode, None, 1)
+            # (with i4, imode rides inside the lv triple instead)
+            pending = (lv, "i", num, qp,
+                       None if self.i4 else imode, None, 1)
             if self._bitpack:
                 pending += (b"", self._pack_i_jit(
                     lv.zdc, lv.acz, lv.czdc, lv.cacz, imode))

@@ -164,8 +164,103 @@ def _chroma_dc_dequant(f: jax.Array, qpc: jax.Array) -> jax.Array:
     return ((f * ls) << (qpc // 6)) >> 5
 
 
+# z-scan of 4x4 luma blocks within a MB (oracle _BLOCK_SCAN): (bx, by)
+_I4_SCAN = ((0, 0), (1, 0), (0, 1), (1, 1),
+            (2, 0), (3, 0), (2, 1), (3, 1),
+            (0, 2), (1, 2), (0, 3), (1, 3),
+            (2, 2), (3, 2), (2, 3), (3, 3))
+_I4_Z_OF = {bxby: z for z, bxby in enumerate(_I4_SCAN)}
+# oracle _I4_MODE_BITS: flag-only vs flag+rem signaling cost proxy
+_I4_MODE_BITS = (1, 4)
+
+
+def _i4_pred_dev(mode: int, t8: jax.Array, l4: jax.Array,
+                 c: jax.Array) -> jax.Array:
+    """Device twin of the oracle's spec 8.3.1.2 Intra_4x4 predictors
+    (io.h264_cavlc._pred_i4), with STATIC mode — each call traces one
+    formula vectorized over the leading (mb_h,) axis.  ``t8`` is
+    (mb_h, 8) p[0..7, -1] (top-right already substituted), ``l4`` is
+    (mb_h, 4), ``c`` (mb_h,).  Returns (mb_h, 4, 4) indexed [y, x].
+    All int32 (samples <= 255: every intermediate fits trivially)."""
+
+    def T(i):
+        return c if i == -1 else t8[:, i]
+
+    def L(i):
+        return c if i == -1 else l4[:, i]
+
+    out = []
+    for yy in range(4):
+        for xx in range(4):
+            if mode == 0:
+                e = T(xx)
+            elif mode == 1:
+                e = L(yy)
+            elif mode == 3:
+                if xx == 3 and yy == 3:
+                    e = (T(6) + 3 * T(7) + 2) >> 2
+                else:
+                    e = (T(xx + yy) + 2 * T(xx + yy + 1)
+                         + T(xx + yy + 2) + 2) >> 2
+            elif mode == 4:
+                if xx > yy:
+                    e = (T(xx - yy - 2) + 2 * T(xx - yy - 1)
+                         + T(xx - yy) + 2) >> 2
+                elif xx < yy:
+                    e = (L(yy - xx - 2) + 2 * L(yy - xx - 1)
+                         + L(yy - xx) + 2) >> 2
+                else:
+                    e = (T(0) + 2 * c + L(0) + 2) >> 2
+            elif mode == 5:
+                z = 2 * xx - yy
+                i = xx - (yy >> 1)
+                if z >= 0 and z % 2 == 0:
+                    e = (T(i - 1) + T(i) + 1) >> 1
+                elif z >= 0:
+                    e = (T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2
+                elif z == -1:
+                    e = (L(0) + 2 * c + T(0) + 2) >> 2
+                else:
+                    e = (L(yy - 2 * xx - 1) + 2 * L(yy - 2 * xx - 2)
+                         + L(yy - 2 * xx - 3) + 2) >> 2
+            elif mode == 6:
+                z = 2 * yy - xx
+                i = yy - (xx >> 1)
+                if z >= 0 and z % 2 == 0:
+                    e = (L(i - 1) + L(i) + 1) >> 1
+                elif z >= 0:
+                    e = (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+                elif z == -1:
+                    e = (L(0) + 2 * c + T(0) + 2) >> 2
+                else:
+                    e = (T(xx - 2 * yy - 1) + 2 * T(xx - 2 * yy - 2)
+                         + T(xx - 2 * yy - 3) + 2) >> 2
+            elif mode == 7:
+                i = xx + (yy >> 1)
+                if yy % 2 == 0:
+                    e = (T(i) + T(i + 1) + 1) >> 1
+                else:
+                    e = (T(i) + 2 * T(i + 1) + T(i + 2) + 2) >> 2
+            elif mode == 8:
+                z = xx + 2 * yy
+                i = yy + (xx >> 1)
+                if z < 5 and z % 2 == 0:
+                    e = (L(i) + L(i + 1) + 1) >> 1
+                elif z < 5:
+                    e = (L(i) + 2 * L(i + 1) + L(i + 2) + 2) >> 2
+                elif z == 5:
+                    e = (L(2) + 3 * L(3) + 2) >> 2
+                else:
+                    e = L(3)
+            else:
+                raise ValueError(f"bad device intra4x4 mode {mode}")
+            out.append(e)
+    return jnp.stack(out, axis=-1).reshape(-1, 4, 4)
+
+
 def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
-                  qp: jax.Array, full_recon: bool = False):
+                  qp: jax.Array, full_recon: bool = False,
+                  i4: bool = False):
     """Compute the quantized CAVLC levels of one 16-aligned frame with
     one-slice-per-MB-row semantics (top neighbor never available).
 
@@ -251,8 +346,117 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         full = jnp.clip(r + pred.reshape(mb_h, 2, 4, 2, 4), 0, 255)
         return full.reshape(mb_h, 8, 8)
 
+    def _i4_mb(ysrc, y_edge, left_ok, lm4, lis4):
+        """Device twin of the oracle Intra_4x4 MB trial
+        (io.h264_cavlc._MbEncoder._i4_trial with top_ok=False — the
+        one-row-slice contract makes by=0 availability STATIC here):
+        16 sub-blocks in z-scan order, per block the best AVAILABLE
+        spec mode by ``level_cost + _I4_MODE_BITS``, sequential
+        within-MB reconstruction.  Vectorized over MB rows; ``lm4``/
+        ``lis4`` carry the left MB's bx=3 modes and is-I4x4 flag for
+        the spec 8.3.1.1 predicted-mode rule.  Returns (cost (mb_h,),
+        levels-flat (mb_h, 16, 16) raster [by*4+bx] FULL 16-coeff
+        blocks, modes z-order (mb_h, 16), recon (mb_h, 16, 16))."""
+        big = jnp.int32(1 << 30)
+        mbrec = jnp.zeros((mb_h, 16, 16), jnp.int32)
+        modes: dict = {}
+        zqs: dict = {}
+        cost_i4 = jnp.zeros((mb_h,), jnp.int32)
+        for z, (bx, by) in enumerate(_I4_SCAN):
+            blk = ysrc[:, by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            l4 = (mbrec[:, by * 4:by * 4 + 4, bx * 4 - 1] if bx > 0
+                  else y_edge[:, by * 4:by * 4 + 4])
+            if by > 0:
+                t4 = mbrec[:, by * 4 - 1, bx * 4:bx * 4 + 4]
+                if not (bx == 3 or (bx == 1 and by in (1, 3))):
+                    t8 = jnp.concatenate(
+                        [t4, mbrec[:, by * 4 - 1, bx * 4 + 4:bx * 4 + 8]],
+                        axis=1)
+                else:       # above-right not yet decoded: p[3, -1]
+                    t8 = jnp.concatenate(
+                        [t4, jnp.broadcast_to(t4[:, 3:4], (mb_h, 4))],
+                        axis=1)
+                c_ = (mbrec[:, by * 4 - 1, bx * 4 - 1] if bx > 0
+                      else y_edge[:, by * 4 - 1])
+            else:
+                t8 = jnp.zeros((mb_h, 8), jnp.int32)
+                c_ = jnp.zeros((mb_h,), jnp.int32)
+            # predicted mode (spec 8.3.1.1; top MB row: other slice)
+            if by == 0:
+                predm = jnp.full((mb_h,), 2, jnp.int32)
+            else:
+                mB = modes[(bx, by - 1)]
+                if bx > 0:
+                    predm = jnp.minimum(modes[(bx - 1, by)], mB)
+                else:
+                    mA = jnp.where(lis4, lm4[:, by], 2)
+                    predm = jnp.where(left_ok,
+                                      jnp.minimum(mA, mB), 2)
+            cand = ([1, 2, 8] if by == 0 else list(range(9)))
+            best_cost = jnp.full((mb_h,), big)
+            best_zq = jnp.zeros((mb_h, 4, 4), jnp.int32)
+            best_pred = jnp.zeros((mb_h, 4, 4), jnp.int32)
+            best_mode = jnp.zeros((mb_h,), jnp.int32)
+            for m in cand:
+                valid = None
+                if m == 2:
+                    if by == 0:
+                        dc = (jnp.sum(l4, axis=1) + 2) >> 2
+                        if bx == 0:
+                            dc = jnp.where(left_ok, dc, 128)
+                    else:
+                        both = (jnp.sum(t8[:, :4], axis=1)
+                                + jnp.sum(l4, axis=1) + 4) >> 3
+                        if bx == 0:
+                            dc = jnp.where(
+                                left_ok, both,
+                                (jnp.sum(t8[:, :4], axis=1) + 2) >> 2)
+                        else:
+                            dc = both
+                    pred = jnp.broadcast_to(dc[:, None, None],
+                                            (mb_h, 4, 4))
+                else:
+                    pred = _i4_pred_dev(m, t8, l4, c_)
+                    if bx == 0 and m in (1, 8, 4, 5, 6):
+                        valid = left_ok
+                t = _cf1d(_cf1d(blk - pred, 1), 2)
+                q = (jnp.abs(t) * mf_y[None] + f_y) >> qbits
+                zq = jnp.clip(jnp.sign(t) * q, -_LEVEL_CLAMP,
+                              _LEVEL_CLAMP)
+                lc = jnp.sum(2 * jnp.abs(zq)
+                             + (zq != 0).astype(jnp.int32),
+                             axis=(1, 2))
+                cm = lc + jnp.where(predm == m, _I4_MODE_BITS[0],
+                                    _I4_MODE_BITS[1])
+                if valid is not None:
+                    cm = jnp.where(valid, cm, big)
+                take = cm < best_cost
+                best_cost = jnp.where(take, cm, best_cost)
+                best_mode = jnp.where(take, m, best_mode)
+                best_zq = jnp.where(take[:, None, None], zq, best_zq)
+                best_pred = jnp.where(take[:, None, None], pred,
+                                      best_pred)
+            modes[(bx, by)] = best_mode
+            zqs[z] = best_zq
+            cost_i4 = cost_i4 + best_cost
+            d = (best_zq * v_y[None]) << (qp // 6)  # full block incl DC
+            r = (_inv4_2d(d) + 32) >> 6
+            mbrec = mbrec.at[:, by * 4:by * 4 + 4,
+                             bx * 4:bx * 4 + 4].set(
+                jnp.clip(r + best_pred, 0, 255))
+        flat = jnp.stack(
+            [zqs[_I4_Z_OF[(bxx, byy)]].reshape(mb_h, 16)
+             for byy in range(4) for bxx in range(4)],
+            axis=1)                              # (mb_h, 16, 16) raster
+        zmodes = jnp.stack([modes[_I4_SCAN[z]] for z in range(16)],
+                           axis=1)               # z-order
+        return cost_i4, flat, zmodes, mbrec
+
     def step(carry, xs):
-        y_edge, cb_edge, cr_edge = carry      # recon right cols (int32)
+        if i4:
+            y_edge, cb_edge, cr_edge, lm4, lis4 = carry
+        else:
+            y_edge, cb_edge, cr_edge = carry      # recon right cols
         ysrc, cbsrc, crsrc, mbx = xs
         left_ok = mbx > 0
 
@@ -287,6 +491,20 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         pred_rows = jnp.where(use_h[:, None], y_edge, pred_dc_rows)
         imode = jnp.where(use_h, 1, 2).astype(jnp.int16)
 
+        # ---- Intra_4x4 candidate: strictly cheaper than the chosen
+        # I_16x16 wins (oracle decision rule, i4cost < lcost)
+        if i4:
+            cost_i4, i4flat, i4zmodes, i4rec = _i4_mb(
+                ysrc, y_edge, left_ok, lm4, lis4)
+            cost16 = jnp.where(use_h, cost_h, cost_d)
+            use_i4 = cost_i4 < cost16             # (mb_h,)
+            imode = jnp.where(use_i4, 0, imode).astype(jnp.int16)
+            lm4 = jnp.where(
+                use_i4[:, None],
+                jnp.stack([i4zmodes[:, _I4_Z_OF[(3, byy)]]
+                           for byy in range(4)], axis=1), 2)
+            lis4 = use_i4
+
         # ---- chroma
         czdc_cb, acz_cb, pred_cb, _ = chroma_mb(cbsrc, cb_edge, left_ok)
         czdc_cr, acz_cr, pred_cr, _ = chroma_mb(crsrc, cr_edge, left_ok)
@@ -301,6 +519,8 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
             ry_mb = jnp.clip(
                 _inv_blocks(d) + pred_blk[:, :, :, None, None],
                 0, 255).reshape(mb_h, 16, 16)
+            if i4:
+                ry_mb = jnp.where(use_i4[:, None, None], i4rec, ry_mb)
             rcb_mb = chroma_full(czdc_cb, acz_cb, pred_cb)
             rcr_mb = chroma_full(czdc_cr, acz_cr, pred_cr)
             y_edge = ry_mb[:, :, 15]
@@ -315,12 +535,23 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
             r = (_inv4_2d(d) + 32) >> 6                  # (mb_h,4,4,4)
             ycol = jnp.clip(r[:, :, :, 3] + pred_blk, 0, 255)
             y_edge = ycol.reshape(mb_h, 16)
+            if i4:
+                y_edge = jnp.where(use_i4[:, None], i4rec[:, :, 15],
+                                   y_edge)
             cb_edge = chroma_edge(czdc_cb, acz_cb, pred_cb)
             cr_edge = chroma_edge(czdc_cr, acz_cr, pred_cr)
 
-        out = (zdc.reshape(mb_h, 16).astype(jnp.int16),
-               acz.transpose(0, 1, 3, 2, 4)       # -> [by, bx, r, c]
-               .reshape(mb_h, 16, 16).astype(jnp.int16),
+        zdc_flat = zdc.reshape(mb_h, 16)
+        acz_flat = (acz.transpose(0, 1, 3, 2, 4)  # -> [by, bx, r, c]
+                    .reshape(mb_h, 16, 16))
+        if i4:
+            # I_4x4 MBs have no luma DC block; their acz slots carry
+            # the FULL 16-coeff blocks (DC in the raster slot)
+            zdc_flat = jnp.where(use_i4[:, None], 0, zdc_flat)
+            acz_flat = jnp.where(use_i4[:, None, None], i4flat,
+                                 acz_flat)
+        out = (zdc_flat.astype(jnp.int16),
+               acz_flat.astype(jnp.int16),
                jnp.stack([czdc_cb, czdc_cr], axis=1)
                .reshape(mb_h, 2, 4).astype(jnp.int16),
                jnp.stack(
@@ -328,15 +559,23 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                     acz_cr.transpose(0, 1, 3, 2, 4)], axis=1)
                .reshape(mb_h, 2, 4, 16).astype(jnp.int16),
                imode)
+        if i4:
+            out = out + (jnp.where(use_i4[:, None], i4zmodes, 2)
+                         .astype(jnp.int16),)
         if full_recon:
             out = out + (ry_mb.astype(jnp.uint8),
                          rcb_mb.astype(jnp.uint8),
                          rcr_mb.astype(jnp.uint8))
-        return (y_edge, cb_edge, cr_edge), out
+        carry = ((y_edge, cb_edge, cr_edge, lm4, lis4) if i4
+                 else (y_edge, cb_edge, cr_edge))
+        return carry, out
 
     init = (jnp.zeros((mb_h, 16), jnp.int32),
             jnp.zeros((mb_h, 8), jnp.int32),
             jnp.zeros((mb_h, 8), jnp.int32))
+    if i4:
+        init = init + (jnp.full((mb_h, 4), 2, jnp.int32),
+                       jnp.zeros((mb_h,), bool))
     xs = (ycols, cbcols, crcols, jnp.arange(mb_w, dtype=jnp.int32))
     _, outs = jax.lax.scan(step, init, xs)
     # scan stacks on axis 0 = mb_w; entropy wants (mb_h, mb_w, ...)
@@ -345,14 +584,20 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                      outs[2].transpose(1, 0, 2, 3),
                      outs[3].transpose(1, 0, 2, 3, 4))
     imode = outs[4].transpose(1, 0)
+    nout = 5
+    i4modes = None
+    if i4:
+        i4modes = outs[5].transpose(1, 0, 2)
+        nout = 6
     if not full_recon:
-        return lv, imode
-    ry, rcb, rcr = outs[5], outs[6], outs[7]   # (mb_w, mb_h, n, n)
-    return (lv,
+        return (lv, imode, i4modes) if i4 else (lv, imode)
+    ry, rcb, rcr = outs[nout], outs[nout + 1], outs[nout + 2]
+    full = (lv,
             ry.transpose(1, 2, 0, 3).reshape(H, W),
             rcb.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
             rcr.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
             imode)
+    return full + ((i4modes,) if i4 else ())
 
 
 encode_levels_jit = jax.jit(encode_levels)

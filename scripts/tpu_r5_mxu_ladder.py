@@ -153,14 +153,26 @@ def identity_smoke() -> None:
         yp = base[32 + dy:32 + dy + H, 32 + dx:32 + dx + W]
         uv = rng.integers(0, 256, (H // 2, W), np.uint8)
         frames.append(np.concatenate([yp, uv]).copy())
+    mb_h = -(-H // 16)
     for tag, spec_str in (("16x16", "tpu:gop=8:search=8"),
                           ("parts", "tpu:gop=8:search=8:parts")):
-        oracle_spec = spec_str.replace("tpu:", "cavlc:")
+        # the TPU path's oracle twin is one slice per MB row
+        oracle_spec = (spec_str.replace("tpu:", "cavlc:")
+                       + f":slices={mb_h}")
+
+        def stream(spec):
+            enc = make_encoder(spec, W, H, 30)
+            out = b""
+            for f in frames:
+                r = enc.encode(f)
+                out += b"".join(r) if isinstance(r, list) else r
+            fl = getattr(enc, "flush", lambda: b"")()
+            return out + (b"".join(fl) if isinstance(fl, list)
+                          else (fl or b""))
+
         t0 = time.perf_counter()
-        enc_t = make_encoder(spec_str, W, H, 30)
-        enc_o = make_encoder(oracle_spec, W, H, 30)
-        bt = b"".join(enc_t.encode(f) for f in frames) + enc_t.flush()
-        bo = b"".join(enc_o.encode(f) for f in frames) + enc_o.flush()
+        bt = stream(spec_str)
+        bo = stream(oracle_spec)
         ok = bt == bo
         RES["identity"][tag] = {
             "byte_identical": bool(ok), "stream_bytes": len(bt),

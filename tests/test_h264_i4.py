@@ -134,6 +134,67 @@ class TestDecision:
         assert [bytes(x) for x in a] == [bytes(x) for x in b]
 
 
+class TestDeviceTwin:
+    """ops/h264_levels.encode_levels(i4=True) — byte-exact stream twin
+    of the oracle at one slice per MB row (the TPU contract)."""
+
+    W2, H2 = 96, 64     # small: the i4 program unrolls 16 x 9 trials
+
+    def _nv12(self, kind):
+        rng = np.random.default_rng(9)
+        yy, xx = np.mgrid[0:self.H2, 0:self.W2]
+        if kind == "structured":
+            y = ((xx * 2 + yy * 3) * 4 % 256).astype(np.uint8)
+            y = np.clip(y.astype(np.int32)
+                        + rng.integers(-4, 5, y.shape),
+                        0, 255).astype(np.uint8)
+        else:
+            y = rng.integers(0, 256, (self.H2, self.W2), np.uint8)
+        uv = rng.integers(0, 256, (self.H2 // 2, self.W2), np.uint8)
+        return np.concatenate([y, uv])
+
+    @pytest.mark.parametrize("qp", [24, 34])
+    def test_stream_byte_identity(self, qp):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        nv12 = self._nv12("structured")
+        mb_h = self.H2 // 16
+        et = make_encoder(f"tpu:qp={qp}:i4", self.W2, self.H2, 30)
+        eo = make_encoder(f"cavlc:qp={qp}:slices={mb_h}:i4",
+                          self.W2, self.H2, 30)
+        bt = b"".join(et.encode(nv12))
+        bo = b"".join(eo.encode(nv12))
+        assert bt == bo
+        # the decision must actually pick I_4x4 somewhere
+        lv = et._dispatch_levels(*et._pad(nv12.reshape(-1, self.W2)),
+                                 qp)
+        assert (np.asarray(lv[1]) == 0).any()
+
+    def test_gop_stream_byte_identity(self):
+        """tpu:gop with i4 IDRs: P frames reference the i4 recon."""
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        rng = np.random.default_rng(11)
+        base = ((np.mgrid[0:self.H2 + 16, 0:self.W2 + 16][1] * 3
+                 + np.mgrid[0:self.H2 + 16, 0:self.W2 + 16][0] * 5)
+                * 4 % 256).astype(np.uint8)
+        frames = []
+        for i in range(3):
+            y = base[2 * i:2 * i + self.H2, 3 * i:3 * i + self.W2]
+            uv = rng.integers(0, 256, (self.H2 // 2, self.W2),
+                              np.uint8)
+            frames.append(np.concatenate([y, uv]).copy())
+        mb_h = self.H2 // 16
+
+        def run(spec):
+            enc = make_encoder(spec, self.W2, self.H2, 30)
+            return b"".join(b"".join(enc.encode(f)) for f in frames)
+
+        bt = run("tpu:qp=30:gop=3:search=2:i4")
+        bo = run(f"cavlc:qp=30:gop=3:search=2:slices={mb_h}:i4")
+        assert bt == bo
+
+
 class TestIntegration:
     def test_make_encoder_flag(self, tmp_path):
         from opencv_opencl_tpu.io.encoder import make_encoder
