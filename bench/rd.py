@@ -154,10 +154,12 @@ def run_anchor_mp4v(frames) -> dict:
 
 RUNGS = [
     ("intra_only", dict(gop=1)),
+    ("intra_only_i4", dict(gop=1, i4=True)),
     ("gop_zero_motion", dict(gop=GOP)),
     ("gop_search8", dict(gop=GOP, search=8)),
     ("gop_fastsub8", dict(gop=GOP, search=8, fastsub=True)),
     ("gop_search8_parts", dict(gop=GOP, search=8, parts=True)),
+    ("gop_search8_i4", dict(gop=GOP, search=8, i4=True)),
 ]
 
 

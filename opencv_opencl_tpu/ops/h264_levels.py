@@ -36,12 +36,20 @@ through libavcodec.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# MB-column scan unroll: the level scans run mb_w tiny sequential
+# steps (240 at 4K), so per-iteration fixed cost dominates the now-
+# MXU-accelerated programs; unrolling is a PURE loop transformation
+# (byte-exact) that amortizes it.  Hardware-probed in
+# scripts/tpu_r5_unroll.py; env override for probing.
+_SCAN_UNROLL = int(os.environ.get("OPENCV_TPU_SCAN_UNROLL", "1"))
 
 __all__ = ["LevelArrays", "encode_levels", "encode_levels_jit",
            "encode_levels_recon_jit", "PLevelArrays", "encode_p_levels",
@@ -577,7 +585,7 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         init = init + (jnp.full((mb_h, 4), 2, jnp.int32),
                        jnp.zeros((mb_h,), bool))
     xs = (ycols, cbcols, crcols, jnp.arange(mb_w, dtype=jnp.int32))
-    _, outs = jax.lax.scan(step, init, xs)
+    _, outs = jax.lax.scan(step, init, xs, unroll=_SCAN_UNROLL)
     # scan stacks on axis 0 = mb_w; entropy wants (mb_h, mb_w, ...)
     lv = LevelArrays(outs[0].transpose(1, 0, 2),
                      outs[1].transpose(1, 0, 2, 3),
@@ -1694,7 +1702,7 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     xs = (ycols, cbcols, crcols, rycols, rcbcols, rcrcols, mvzcols,
           jnp.arange(mb_w, dtype=jnp.int32))
     _, (mode, zdc, acz, czdc, cacz, ryo, rcbo, rcro) = jax.lax.scan(
-        step, init, xs)
+        step, init, xs, unroll=_SCAN_UNROLL)
     return PLevelArrays(
         mode.transpose(1, 0),
         zdc.transpose(1, 0, 2),

@@ -1,0 +1,191 @@
+"""Probe: MB-column scan unroll on the level programs.
+
+The fused-with-search 4K cost is now scan-latency-bound (the MXU SAD
+cut search to ~4 ms; the remaining ~12 ms is mb_w=240 tiny sequential
+scan steps).  ``lax.scan(unroll=N)`` is a pure loop transformation —
+byte-exact by construction — that amortizes per-iteration fixed cost.
+This probe times the P-level program and the fused enhance+GOP+search
+program at several unroll factors and checks output equality against
+unroll=1 on the chip.
+
+    python scripts/tpu_r5_unroll.py
+
+Writes scripts/tpu_r5_unroll.json.
+"""
+import importlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(__file__), "tpu_r5_unroll.json")
+RES = {"what": "lax.scan unroll factor on the level programs: "
+               "chained ms/frame + on-chip output equality vs "
+               "unroll=1", "platform": None, "p_program": {},
+       "fused_4k_s2": {}, "equal_vs_unroll1": None}
+
+
+def save() -> None:
+    with open(OUT, "w") as f:
+        json.dump(RES, f, indent=1)
+
+
+def set_unroll(n: int):
+    import opencv_opencl_tpu.ops.h264_levels as hl
+
+    hl._SCAN_UNROLL = n
+    return hl
+
+
+def chain_ms(run, warm_args, chain=8):
+    t0 = time.perf_counter()
+    run(*warm_args, 1)
+    comp = time.perf_counter() - t0
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(*warm_args, 1)
+        t1 = time.perf_counter()
+        run(*warm_args, chain + 1)
+        t2 = time.perf_counter()
+        samples.append(max(((t2 - t1) - (t1 - t0)) / chain, 1e-9)
+                       * 1e3)
+    return sorted(samples)[1], comp
+
+
+def main() -> None:
+    RES["platform"] = jax.default_backend()
+    print("platform:", RES["platform"], flush=True)
+    save()
+    W, H = 1920, 1088
+    rng = np.random.default_rng(0)
+    y = jax.device_put(rng.integers(0, 256, (H, W), np.uint8))
+    cb = jax.device_put(rng.integers(0, 256, (H // 2, W // 2),
+                                     np.uint8))
+    cr = jax.device_put(rng.integers(0, 256, (H // 2, W // 2),
+                                     np.uint8))
+
+    ref_out = None
+    for n in (1, 2, 4, 8):
+        hl = set_unroll(n)
+
+        def p_fn(a, b, c, ra, rb, rc):
+            o = hl.encode_p_levels(a, b, c, ra, rb, rc,
+                                   jnp.int32(30), search=2)
+            return o.recon_y, o.recon_cb, o.recon_cr, o.acz
+
+        jp = jax.jit(p_fn)
+
+        @jax.jit
+        def chained(a, b, c, k):
+            def body(i, st):
+                ra, rb, rc = st
+                ry, rcb, rcr, _ = jp(a, b, c, ra, rb, rc)
+                return ry, rcb, rcr
+
+            ry, rcb, rcr = jax.lax.fori_loop(0, k, body, (a, b, c))
+            return jnp.sum(ry.astype(jnp.int32))
+
+        def run(a, b, c, k):
+            return int(chained(a, b, c, k))
+
+        ms, comp = chain_ms(run, (y, cb, cr))
+        RES["p_program"][str(n)] = {"ms_per_frame_1080p": round(ms, 3),
+                                    "compile_s": round(comp, 1)}
+        print(f"P program unroll={n}: {ms:.3f} ms/frame "
+              f"(compile {comp:.0f}s)", flush=True)
+        save()
+        out = jp(y, cb, cr, y, cb, cr)
+        acz = np.asarray(out[3])
+        if n == 1:
+            ref_out = acz
+        elif RES["equal_vs_unroll1"] is not False:
+            RES["equal_vs_unroll1"] = bool(
+                np.array_equal(ref_out, acz))
+        save()
+
+    # fused 4K search=2 at the best-looking unroll factors
+    from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+    from opencv_opencl_tpu.models.enhancer import EnhancerConfig
+
+    spec = FrameSpec(width=3840, height=2160, fps=30)
+    cfg = EnhancerConfig(op="clahe", clip_limit=2.0, tile_grid=(8, 8),
+                         chroma=ChromaPolicy.PASSTHROUGH)
+    batch = jax.device_put(rng.integers(
+        0, 256, (4, 2160 * 3 // 2, 3840), np.uint8))
+    for n in (1, 4, 8):
+        set_unroll(n)
+        import opencv_opencl_tpu.models.fused_encode as fe
+        importlib.reload(fe)
+        fused = fe.build_enhance_gop_fn(cfg, spec, 32, search=2,
+                                        subpel=0)
+        r0 = (jnp.zeros((2160, 3840), jnp.uint8),
+              jnp.zeros((1080, 1920), jnp.uint8),
+              jnp.zeros((1080, 1920), jnp.uint8))
+
+        @jax.jit
+        def chainedf(b, k, ry, rcb, rcr):
+            def body(i, st):
+                bb, ry, rcb, rcr = st
+                packed, ry, rcb, rcr = fused(bb, jnp.int32(30),
+                                             i * 4, ry, rcb, rcr)
+                bump = (jnp.sum(packed[..., 409].astype(jnp.int32))
+                        & 1).astype(jnp.uint8)
+                return (bb + bump, ry, rcb, rcr)
+
+            b, ry, rcb, rcr = jax.lax.fori_loop(0, k, body,
+                                                (b, ry, rcb, rcr))
+            return jnp.sum(b.astype(jnp.int32))
+
+        def runf(b, k):
+            return int(chainedf(b, k, *r0))
+
+        def run4(b, k):   # per frame: k batches of 4
+            t = runf(b, k)
+            return t
+
+        t0 = time.perf_counter()
+        run4(batch, 1)
+        comp = time.perf_counter() - t0
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run4(batch, 1)
+            t1 = time.perf_counter()
+            run4(batch, 9)
+            t2 = time.perf_counter()
+            samples.append(max(((t2 - t1) - (t1 - t0)) / (8 * 4),
+                               1e-9) * 1e3)
+        ms = sorted(samples)[1]
+        RES["fused_4k_s2"][str(n)] = {
+            "ms_per_frame": round(ms, 3),
+            "fps": round(1e3 / ms, 1),
+            "compile_s": round(comp, 1)}
+        print(f"fused 4K s2 unroll={n}: {ms:.3f} ms/frame "
+              f"({1e3 / ms:.1f} fps, compile {comp:.0f}s)",
+              flush=True)
+        save()
+    best = min(RES["fused_4k_s2"].items(),
+               key=lambda kv: kv[1]["ms_per_frame"])
+    RES["best_unroll"] = int(best[0])
+    RES["fused_4k60_with_search"] = bool(
+        best[1]["ms_per_frame"] <= 1000.0 / 60.0)
+    save()
+    print(json.dumps(RES), flush=True)
+
+
+if __name__ == "__main__":
+    main()
