@@ -364,6 +364,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         parts = False
         deblock = False
         i4 = False
+        chromah = False
         cpb_ms = None
         initdelay_ms = None
         for opt in backend.split(":")[1:]:
@@ -386,6 +387,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key == "i4" and not val:
                 i4 = True
                 continue
+            if key == "chromah" and not val:
+                chromah = True
+                continue
             if (key not in ("qp", "slices", "gop", "search", "refs",
                             "gdr", "cpb", "initdelay")
                     or not val):
@@ -393,7 +397,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     f"bad cavlc option {opt!r} "
                     "(qp=N, slices=N, gop=N, gdr=N, search=N, refs=N, "
                     "cpb=MS, initdelay=MS, halfpel, quarterpel, "
-                    "fastsub, parts, deblock, i4)")
+                    "fastsub, parts, deblock, i4, chromah)")
             try:
                 ival = int(val)
             except ValueError:
@@ -439,7 +443,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             kw = dict(slices=mb_h, search=search, halfpel=halfpel,
                       quarterpel=quarterpel, fastsub=fastsub, refs=refs,
                       parts=parts, deblock=deblock, cpb_ms=cpb_ms,
-                      initial_delay_ms=initdelay_ms, i4=i4)
+                      initial_delay_ms=initdelay_ms, i4=i4, chromah=chromah)
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gdr=gdr,
                                        **kw)
@@ -459,7 +463,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             kw = dict(slices=slices, search=search, halfpel=halfpel,
                       quarterpel=quarterpel, fastsub=fastsub, refs=refs,
                       parts=parts, deblock=deblock, cpb_ms=cpb_ms,
-                      initial_delay_ms=initdelay_ms, i4=i4)
+                      initial_delay_ms=initdelay_ms, i4=i4, chromah=chromah)
             if qp is not None:
                 return GopCavlcEncoder(width, height, qp=qp, gop=gop,
                                        **kw)
@@ -473,7 +477,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 "a gop=N option (motion search is a P-frame feature)")
         threads = min(slices, os.cpu_count() or 1) if slices > 1 else 0
         kw = dict(slices=slices, threads=threads, deblock=deblock,
-                  cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms, i4=i4)
+                  cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms, i4=i4, chromah=chromah)
         if qp is not None:
             # fixed quantizer: no rate control
             return CavlcH264Encoder(width, height, qp=qp, **kw)
@@ -502,6 +506,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
         bitpack = False
         deblock = False
         i4 = False
+        chromah = False
         cpb_ms = None
         initdelay_ms = None
         for opt in backend.split(":")[1:]:
@@ -540,6 +545,9 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
             if key == "i4" and not val:
                 i4 = True
                 continue
+            if key == "chromah" and not val:
+                chromah = True
+                continue
             if key == "gop" and val:
                 try:
                     gop = int(val)
@@ -573,7 +581,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                     f"bad tpu option {opt!r} (qp=N|gop=N|gdr=N|"
                     "search=N|refs=N|cpb=MS|initdelay=MS|halfpel|"
                     "quarterpel|fastsub|parts|deblock|bitpack|"
-                    "overlap|i4)")
+                    "overlap|i4|chromah)")
             try:
                 qp = int(val)
             except ValueError:
@@ -591,7 +599,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                       quarterpel=quarterpel, fastsub=fastsub,
                       refs=refs, parts=parts, bitpack=bitpack,
                       deblock=deblock, cpb_ms=cpb_ms,
-                      initial_delay_ms=initdelay_ms, i4=i4)
+                      initial_delay_ms=initdelay_ms, i4=i4, chromah=chromah)
             if qp is not None:
                 return TpuGopEncoder(width, height, qp=qp, gdr=gdr,
                                      **kw)
@@ -606,7 +614,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                       quarterpel=quarterpel, fastsub=fastsub,
                       refs=refs, parts=parts, bitpack=bitpack,
                       deblock=deblock, cpb_ms=cpb_ms,
-                      initial_delay_ms=initdelay_ms, i4=i4)
+                      initial_delay_ms=initdelay_ms, i4=i4, chromah=chromah)
             if qp is not None:
                 return TpuGopEncoder(width, height, qp=qp, gop=gop,
                                      **kw)
@@ -619,7 +627,7 @@ def make_encoder(backend: str, width: int, height: int, fps: float = 30.0,
                 "tpu search=N/halfpel/quarterpel/fastsub/parts need a "
                 "gop=N option (motion search is a P-frame feature)")
         kw = dict(overlap=overlap, deblock=deblock, bitpack=bitpack,
-                  cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms, i4=i4)
+                  cpb_ms=cpb_ms, initial_delay_ms=initdelay_ms, i4=i4, chromah=chromah)
         if qp is not None:
             return TpuCavlcEncoder(width, height, qp=qp, **kw)
         return TpuCavlcEncoder(width, height, qp=30,

@@ -663,12 +663,13 @@ class _MbEncoder:
     """Per-frame state: reconstruction planes + nnz context arrays."""
 
     def __init__(self, width: int, height: int, qp: int,
-                 i4: bool = False) -> None:
+                 i4: bool = False, chromah: bool = False) -> None:
         self.mb_w = width // 16
         self.mb_h = height // 16
         self.qp = qp
         self.qpc = _QPC[min(max(qp, 0), 51)]
         self.i4 = i4
+        self.chromah = chromah
         # recon planes padded by 1 px top/left for neighbor reads
         self.ry = np.zeros((self.mb_h * 16 + 1, self.mb_w * 16 + 1),
                            dtype=np.int64)
@@ -832,35 +833,61 @@ class _MbEncoder:
             else:
                 self.ry[y0:y0 + 16, x0:x0 + 16] = saved
 
-        # ---- chroma
+        # ---- chroma: DC always; HORIZONTAL (spec 8.3.4.2) when
+        # ``chromah`` and the left column exists.  One mode covers
+        # both components (intra_chroma_pred_mode); the cheaper by the
+        # shared cost proxy + the ue() bit difference wins, strict
+        # less-than keeping DC.
         cy0, cx0 = mby * 8 + 1, mbx * 8 + 1
-        cdata = {}
-        chroma_dc_nz = False
-        chroma_ac_nz = False
-        for name, plane in (("cb", src_cb), ("cr", src_cr)):
-            rp = self.rcb if name == "cb" else self.rcr
-            cpred = _pred_dc_chroma(rp, cy0, cx0, top_ok, left_ok)
-            cres = plane[mby * 8:mby * 8 + 8,
-                         mbx * 8:mbx * 8 + 8].astype(np.int64) - cpred
-            cwdc = np.empty((2, 2), dtype=np.int64)
-            cacz = {}
-            for by in range(2):
-                for bx in range(2):
-                    blk = cres[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
-                    t = _CF @ blk @ _CF.T
-                    cwdc[by, bx] = t[0, 0]
-                    cacz[(bx, by)] = _quant4x4(t, qpc, skip_dc=True)
-            fdc = _H2 @ cwdc @ _H2
-            cqbits = 15 + qpc // 6
-            cf2 = 2 * ((1 << cqbits) // 3)
-            czdc = np.sign(fdc) * ((np.abs(fdc) * _MF[qpc % 6][0] + cf2) >>
-                                   (cqbits + 1))
-            np.clip(czdc, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=czdc)
-            if np.any(czdc):
-                chroma_dc_nz = True
-            if any(np.any(cacz[k]) for k in cacz):
-                chroma_ac_nz = True
-            cdata[name] = (cpred, cwdc, cacz, czdc)
+
+        def chroma_cand(cmode: int):
+            cd = {}
+            dc_nz = ac_nz = False
+            cost = 0
+            for name, plane in (("cb", src_cb), ("cr", src_cr)):
+                rp = self.rcb if name == "cb" else self.rcr
+                if cmode == 0:
+                    cpred = _pred_dc_chroma(rp, cy0, cx0, top_ok,
+                                            left_ok)
+                else:       # HORIZONTAL: pred[y][x] = p[-1, y]
+                    cpred = np.broadcast_to(
+                        rp[cy0:cy0 + 8, cx0 - 1:cx0], (8, 8))
+                cres = plane[mby * 8:mby * 8 + 8,
+                             mbx * 8:mbx * 8 + 8].astype(np.int64) \
+                    - cpred
+                cwdc = np.empty((2, 2), dtype=np.int64)
+                cacz = {}
+                for by in range(2):
+                    for bx in range(2):
+                        blk = cres[by * 4:by * 4 + 4,
+                                   bx * 4:bx * 4 + 4]
+                        t = _CF @ blk @ _CF.T
+                        cwdc[by, bx] = t[0, 0]
+                        cacz[(bx, by)] = _quant4x4(t, qpc,
+                                                   skip_dc=True)
+                fdc = _H2 @ cwdc @ _H2
+                cqbits = 15 + qpc // 6
+                cf2 = 2 * ((1 << cqbits) // 3)
+                czdc = np.sign(fdc) * (
+                    (np.abs(fdc) * _MF[qpc % 6][0] + cf2)
+                    >> (cqbits + 1))
+                np.clip(czdc, -_LEVEL_CLAMP, _LEVEL_CLAMP, out=czdc)
+                if np.any(czdc):
+                    dc_nz = True
+                if any(np.any(cacz[k]) for k in cacz):
+                    ac_nz = True
+                cost += level_cost(czdc, *cacz.values())
+                cd[name] = (cpred, cwdc, cacz, czdc)
+            return cost, cd, dc_nz, ac_nz
+
+        ccost, cdata, chroma_dc_nz, chroma_ac_nz = chroma_cand(0)
+        cmode_sel = 0
+        if self.chromah and left_ok:
+            ch = chroma_cand(1)
+            # ue(1) costs 3 bits vs ue(0)'s 1: +2 penalty
+            if ch[0] + 2 < ccost:
+                ccost, cdata, chroma_dc_nz, chroma_ac_nz = ch
+                cmode_sel = 1
         cbp_chroma = 2 if chroma_ac_nz else (1 if chroma_dc_nz else 0)
 
         # ---- syntax + luma residual
@@ -883,7 +910,7 @@ class _MbEncoder:
                 else:
                     w.u(0, 1)
                     w.u(m if m < pm else m - 1, 3)
-            w.ue(0)                 # intra_chroma_pred_mode: DC
+            w.ue(cmode_sel)         # intra_chroma_pred_mode
             w.ue(int(_CBP_INTRA_CODE[cbp]))     # cbp, me(v) intra
             if cbp:
                 w.se(0)             # mb_qp_delta
@@ -904,7 +931,7 @@ class _MbEncoder:
             mb_type = (1 + predmode + 4 * cbp_chroma
                        + 12 * (1 if cbp_luma else 0))
             w.ue(mb_type)
-            w.ue(0)  # intra_chroma_pred_mode: DC
+            w.ue(cmode_sel)  # intra_chroma_pred_mode
             w.se(0)  # mb_qp_delta (always present for Intra_16x16)
 
             # luma DC: nC as for 4x4 block 0
@@ -1031,7 +1058,8 @@ def encode_frame_cavlc_slices(nv12: np.ndarray, width: int, height: int,
                               slices: int = 1,
                               return_recon: bool = False,
                               deblock: bool = False,
-                              i4: bool = False):
+                              i4: bool = False,
+                              chromah: bool = False):
     """Encode one NV12 frame as ``slices`` independent CAVLC IDR slice
     NALs (MB-row bands, like the reference's ``num-slices=8`` OMX tuning
     and the PCM encoder's ``slices``).  H.264 slices share no contexts:
@@ -1046,7 +1074,7 @@ def encode_frame_cavlc_slices(nv12: np.ndarray, width: int, height: int,
     uv = nv12[height:].reshape(height // 2, width // 2, 2)
     cb = uv[:, :, 0].astype(np.int64)
     cr = uv[:, :, 1].astype(np.int64)
-    st = _MbEncoder(width, height, qp, i4=i4)
+    st = _MbEncoder(width, height, qp, i4=i4, chromah=chromah)
     slices = max(1, min(int(slices), st.mb_h))
     bounds = [round(i * st.mb_h / slices) for i in range(slices + 1)]
     nals = []
@@ -1071,7 +1099,8 @@ def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
                              qp: int, idr_pic_id: int = 0,
                              imode: np.ndarray | None = None,
                              deblock: bool = False,
-                             i4modes: np.ndarray | None = None
+                             i4modes: np.ndarray | None = None,
+                             cmode: np.ndarray | None = None
                              ) -> list[bytes]:
     """Entropy-code precomputed quantized levels into one IDR slice NAL
     **per MB row** (the slice granularity the TPU level computation in
@@ -1107,6 +1136,7 @@ def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
             cd = czdc[mby, mbx]
             cbp_chroma = 2 if np.any(ca) else (1 if np.any(cd) else 0)
             pm = 2 if imode is None else int(imode[mby, mbx])
+            cm = 0 if cmode is None else int(cmode[mby, mbx])
             nbx0 = mbx * 4 + 1
             if pm == 0:
                 # ---- I_4x4 (device twin of the oracle's use_i4
@@ -1140,7 +1170,7 @@ def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
                     else:
                         w.u(0, 1)
                         w.u(m if m < predm else m - 1, 3)
-                w.ue(0)                         # intra_chroma: DC
+                w.ue(cm)                        # intra_chroma mode
                 w.ue(int(_CBP_INTRA_CODE[cbp]))
                 if cbp:
                     w.se(0)                     # mb_qp_delta
@@ -1168,7 +1198,7 @@ def encode_frame_from_levels(zdc: np.ndarray, acz: np.ndarray,
                 cbp_luma = bool(np.any(a))
                 w.ue(1 + pm + 4 * cbp_chroma
                      + 12 * (1 if cbp_luma else 0))
-                w.ue(0)  # intra_chroma_pred_mode: DC
+                w.ue(cm)  # intra_chroma_pred_mode
                 w.se(0)  # mb_qp_delta
                 nc = int(lnnz[0, nbx0 - 1]) if left_ok else 0
                 dcflat = zdc[mby, mbx]
@@ -1272,7 +1302,7 @@ class CavlcH264Encoder:
                  threads: int = 0, deblock: bool = False,
                  cpb_ms: int | None = None,
                  initial_delay_ms: int | None = None,
-                 i4: bool = False) -> None:
+                 i4: bool = False, chromah: bool = False) -> None:
         """``slices`` > 1 splits each frame into that many independent
         IDR slices (MB-row bands — the reference's ``num-slices=8``
         analogue): smaller NALs on the wire and, with ``threads`` > 0 on
@@ -1290,6 +1320,7 @@ class CavlcH264Encoder:
         self.qp = int(qp)
         self.deblock = bool(deblock)
         self.i4 = bool(i4)
+        self.chromah = bool(chromah)
         self.slices = int(slices)
         self._threads = max(0, int(threads))
         self.bitrate_kbps = bitrate_kbps
@@ -1351,10 +1382,10 @@ class CavlcH264Encoder:
         """Produce the slice NALs of one padded frame (the overridable
         compute stage — TpuCavlcEncoder replaces it with the TPU level
         computation)."""
-        if self._native and not self.i4:
-            # the native C++ rows do not speak Intra_4x4 yet — with
-            # ``i4`` the tested Python oracle path encodes (the same
-            # fallback contract as the parts entropy stage)
+        if self._native and not self.i4 and not self.chromah:
+            # the native C++ rows do not speak Intra_4x4 / chroma
+            # HORIZONTAL yet — those flags take the tested Python
+            # oracle path (the parts entropy-stage fallback contract)
             from opencv_opencl_tpu import native
 
             return native.cavlc_encode_slices(
@@ -1364,7 +1395,8 @@ class CavlcH264Encoder:
         return encode_frame_cavlc_slices(padded, w16, h16, qp, idr,
                                          slices=self.slices,
                                          deblock=self.deblock,
-                                         i4=self.i4)
+                                         i4=self.i4,
+                                         chromah=self.chromah)
 
     def _rate_control(self, used: int) -> None:
         """Proportional control in the QP domain: intra bits halve
@@ -1465,7 +1497,7 @@ class TpuCavlcEncoder(CavlcH264Encoder):
                  bitpack: bool = False, nw_mb: int = 64,
                  cpb_ms: int | None = None,
                  initial_delay_ms: int | None = None,
-                 i4: bool = False) -> None:
+                 i4: bool = False, chromah: bool = False) -> None:
         h16 = -(-height // 16) * 16
         if threads == 0:
             import os
@@ -1475,28 +1507,29 @@ class TpuCavlcEncoder(CavlcH264Encoder):
             raise ValueError(
                 "cpb does not compose with overlap (the CPB re-encode "
                 "loop is synchronous per frame)")
-        if i4 and bitpack:
-            raise ValueError("i4 does not compose with bitpack yet "
-                             "(the device bit packer speaks I_16x16 "
-                             "rows only)")
+        if (i4 or chromah) and bitpack:
+            raise ValueError("i4/chromah do not compose with bitpack "
+                             "yet (the device bit packer speaks "
+                             "I_16x16-DC-chroma rows only)")
         super().__init__(width, height, qp=qp, bitrate_kbps=bitrate_kbps,
                          fps=fps, native=native, slices=h16 // 16,
                          threads=threads, deblock=deblock,
                          cpb_ms=cpb_ms,
-                         initial_delay_ms=initial_delay_ms, i4=i4)
+                         initial_delay_ms=initial_delay_ms, i4=i4,
+                         chromah=chromah)
         # jax import lives here, not module top — the pure-CPU encoder
         # classes above must stay importable without it
         from opencv_opencl_tpu.ops.h264_levels import encode_levels_jit
 
         self._levels_fn = encode_levels_jit
-        if self.i4:
+        if self.i4 or self.chromah:
             import jax as _jax
 
             from opencv_opencl_tpu.ops.h264_levels import encode_levels
 
             self._levels_fn = _jax.jit(
-                lambda y, cb, cr, q: encode_levels(y, cb, cr, q,
-                                                   i4=True))
+                lambda y, cb, cr, q, _i4=self.i4, _ch=self.chromah:
+                encode_levels(y, cb, cr, q, i4=_i4, chromah=_ch))
         self._overlap = bool(overlap)
         self._pending = None  # (LevelArrays on device, idr, qp)
         self._bitpack = bool(bitpack)
@@ -1524,8 +1557,18 @@ class TpuCavlcEncoder(CavlcH264Encoder):
         y = jnp.asarray(padded[:h16])
         uv = padded[h16:].reshape(h16 // 2, w16 // 2, 2)
         fn = self._bits_fn if self._bitpack else self._levels_fn
-        return fn(y, jnp.asarray(uv[:, :, 0]),
-                  jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
+        out = fn(y, jnp.asarray(uv[:, :, 0]),
+                 jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
+        if self.i4 or self.chromah:
+            d = {"lv": out[0], "imode": out[1]}
+            idx = 2
+            if self.i4:
+                d["i4modes"] = out[idx]
+                idx += 1
+            if self.chromah:
+                d["cmode"] = out[idx]
+            return d
+        return out
 
     def _entropy_nals(self, lv, idr: int, qp: int,
                       imode=None) -> list[bytes]:
@@ -1559,17 +1602,22 @@ class TpuCavlcEncoder(CavlcH264Encoder):
                 return None  # tensor): it runs the fallback itself
             lv = (lvl, im)   # overflow: host entropy path
         i4modes = None
-        if not hasattr(lv, "zdc"):
-            if len(lv) == 3:     # i4 program: (lv, imode, i4modes)
-                lv, imode, i4modes = lv
-            elif len(lv) == 2:
-                lv, imode = lv
+        cmode = None
+        if isinstance(lv, dict):    # the i4/chromah program outputs
+            imode = lv.get("imode")
+            i4modes = lv.get("i4modes")
+            cmode = lv.get("cmode")
+            lv = lv["lv"]
+        elif not hasattr(lv, "zdc") and len(lv) == 2:
+            lv, imode = lv
         zdc, acz, czdc, cacz = (np.asarray(a) for a in lv)
         if imode is not None:
             imode = np.asarray(imode)
         if i4modes is not None:
             i4modes = np.asarray(i4modes)
-        if self._native and i4modes is None:
+        if cmode is not None:
+            cmode = np.asarray(cmode)
+        if self._native and i4modes is None and cmode is None:
             from opencv_opencl_tpu import native
 
             return native.cavlc_entropy_rows(
@@ -1579,7 +1627,8 @@ class TpuCavlcEncoder(CavlcH264Encoder):
         return encode_frame_from_levels(zdc, acz, czdc, cacz, qp, idr,
                                         imode=imode,
                                         deblock=self.deblock,
-                                        i4modes=i4modes)
+                                        i4modes=i4modes,
+                                        cmode=cmode)
 
     def _encode_nals(self, padded: np.ndarray, w16: int, h16: int,
                      idr: int, qp: int) -> list[bytes]:

@@ -1568,7 +1568,7 @@ class GopCavlcEncoder:
                  deblock: bool = False, gdr: int = 0,
                  cpb_ms: int | None = None,
                  initial_delay_ms: int | None = None,
-                 i4: bool = False) -> None:
+                 i4: bool = False, chromah: bool = False) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import (
             CavlcH264Encoder, build_pps_cavlc)
 
@@ -1645,10 +1645,12 @@ class GopCavlcEncoder:
         # wave); the IDR keeps idc=0.
         self.deblock = bool(deblock)
         self._deblock_slice_local = bool(self.gdr and deblock)
-        # Intra_4x4 on IDR frames (``i4``): the P-frame intra
-        # candidate stays I_16x16 (the raster-free mode decision the
-        # device GOP program needs — ops/h264_levels.encode_p_levels)
+        # Intra_4x4 / chroma HORIZONTAL on IDR frames (``i4`` /
+        # ``chromah``): the P-frame intra candidate stays I_16x16 with
+        # DC chroma (the raster-free mode decision the device GOP
+        # program needs — ops/h264_levels.encode_p_levels)
         self.i4 = bool(i4)
+        self.chromah = bool(chromah)
         # reuse the intra encoder's padding + geometry checks
         self._intra = CavlcH264Encoder(width, height, qp=qp,
                                        native="never", slices=slices)
@@ -1699,7 +1701,8 @@ class GopCavlcEncoder:
             nals, recon = encode_frame_cavlc_slices(
                 padded, w16, h16, qp, idr_pic_id=self._idr_pic_id,
                 slices=self.slices, return_recon=True,
-                deblock=self.deblock, i4=self.i4)
+                deblock=self.deblock, i4=self.i4,
+                chromah=self.chromah)
             au = (_START4 + self._sps + _START4 + self._pps +
                   b"".join(_START4 + bytes(n) for n in nals))
         else:
@@ -2034,18 +2037,20 @@ class TpuGopEncoder:
                  bitpack: bool = False, nw_mb: int = 64,
                  cpb_ms: int | None = None,
                  initial_delay_ms: int | None = None,
-                 i4: bool = False) -> None:
+                 i4: bool = False, chromah: bool = False) -> None:
         from opencv_opencl_tpu.io.h264_cavlc import TpuCavlcEncoder
 
         if gop < 1:
             raise ValueError(f"gop must be >= 1, got {gop}")
-        # Intra_4x4 on IDR frames (the P-frame intra candidate stays
-        # I_16x16 — the raster-free decision the P programs need)
+        # Intra_4x4 / chroma HORIZONTAL on IDR frames (the P-frame
+        # intra candidate stays I_16x16 with DC chroma — the
+        # raster-free decision the P programs need)
         self.i4 = bool(i4)
-        if self.i4 and bitpack:
-            raise ValueError("i4 does not compose with bitpack yet "
-                             "(the device IDR bit packer speaks "
-                             "I_16x16 rows only)")
+        self.chromah = bool(chromah)
+        if (self.i4 or self.chromah) and bitpack:
+            raise ValueError("i4/chromah do not compose with bitpack "
+                             "yet (the device IDR bit packer speaks "
+                             "I_16x16-DC-chroma rows only)")
         # GDR horizontal intra refresh — same stream shape and refusal
         # matrix as GopCavlcEncoder(gdr=N); the wave band rides into
         # the device program as two traced scalars (no recompiles)
@@ -2119,14 +2124,15 @@ class TpuGopEncoder:
             encode_p_levels as _ep)
 
         self._i_fn = encode_levels_recon_jit
-        if self.i4:
+        if self.i4 or self.chromah:
             import jax as _jax
 
             from opencv_opencl_tpu.ops.h264_levels import encode_levels
 
             self._i_fn = _jax.jit(
-                lambda y, cb, cr, q: encode_levels(
-                    y, cb, cr, q, full_recon=True, i4=True))
+                lambda y, cb, cr, q, _i4=self.i4, _ch=self.chromah:
+                encode_levels(y, cb, cr, q, full_recon=True,
+                              i4=_i4, chromah=_ch))
         self._p_fn = encode_p_levels_jit
         self._p2_fn = encode_p_levels2_jit
         if self.parts:
@@ -2235,10 +2241,17 @@ class TpuGopEncoder:
         qp = self.qp if qp_override is None else qp_override
         prefix = b""
         if self.frames % self.gop == 0:
-            if self.i4:
-                lv, ry, rcb, rcr, imode, i4m = self._i_fn(
-                    y, cb, cr, jnp.int32(qp))
-                lv = (lv, imode, i4m)   # _entropy_nals's i4 triple
+            if self.i4 or self.chromah:
+                out = self._i_fn(y, cb, cr, jnp.int32(qp))
+                lv, ry, rcb, rcr, imode = out[:5]
+                d = {"lv": lv, "imode": imode}
+                idx = 5
+                if self.i4:
+                    d["i4modes"] = out[idx]
+                    idx += 1
+                if self.chromah:
+                    d["cmode"] = out[idx]
+                lv = d                  # _entropy_nals's dict protocol
             else:
                 lv, ry, rcb, rcr, imode = self._i_fn(y, cb, cr,
                                                      jnp.int32(qp))
@@ -2251,9 +2264,10 @@ class TpuGopEncoder:
             self._intra._idr_pic_id ^= 1
             self._frame_num = 1
             # the mv slot carries the intra pred-mode plane for IDRs
-            # (with i4, imode rides inside the lv triple instead)
+            # (with i4/chromah, imode rides inside the lv dict)
             pending = (lv, "i", num, qp,
-                       None if self.i4 else imode, None, 1)
+                       None if isinstance(lv, dict) else imode,
+                       None, 1)
             if self._bitpack:
                 pending += (b"", self._pack_i_jit(
                     lv.zdc, lv.acz, lv.czdc, lv.cacz, imode))

@@ -47,9 +47,19 @@ import numpy as np
 # MB-column scan unroll: the level scans run mb_w tiny sequential
 # steps (240 at 4K), so per-iteration fixed cost dominates the now-
 # MXU-accelerated programs; unrolling is a PURE loop transformation
-# (byte-exact) that amortizes it.  Hardware-probed in
-# scripts/tpu_r5_unroll.py; env override for probing.
-_SCAN_UNROLL = int(os.environ.get("OPENCV_TPU_SCAN_UNROLL", "1"))
+# (byte-exact — proven on chip, scripts/tpu_r5_unroll.json
+# equal_vs_unroll1).  Hardware-probed: unroll=8 takes the fused 4K
+# search=2 program 15.83 -> 14.13 ms/frame (70.8 fps) and leaves the
+# standalone P program within noise.  CPU backends keep unroll=1
+# (8x trace size would only slow the test suite's compiles — the
+# outputs are identical either way).  Env override for probing.
+_SCAN_UNROLL_ENV = os.environ.get("OPENCV_TPU_SCAN_UNROLL")
+
+
+def _scan_unroll() -> int:
+    if _SCAN_UNROLL_ENV is not None:
+        return int(_SCAN_UNROLL_ENV)
+    return 8 if jax.default_backend() == "tpu" else 1
 
 __all__ = ["LevelArrays", "encode_levels", "encode_levels_jit",
            "encode_levels_recon_jit", "PLevelArrays", "encode_p_levels",
@@ -268,7 +278,7 @@ def _i4_pred_dev(mode: int, t8: jax.Array, l4: jax.Array,
 
 def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
                   qp: jax.Array, full_recon: bool = False,
-                  i4: bool = False):
+                  i4: bool = False, chromah: bool = False):
     """Compute the quantized CAVLC levels of one 16-aligned frame with
     one-slice-per-MB-row semantics (top neighbor never available).
 
@@ -308,11 +318,25 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     crcols = cr.reshape(mb_h, 8, mb_w, 8).transpose(2, 0, 1, 3)
     crcols = crcols.astype(jnp.int32)
 
+    def chroma_from_pred(src: jax.Array, pred: jax.Array):
+        """Levels of one 8x8 chroma component given its prediction:
+        (czdc raster (mb_h,2,2), cacz (mb_h,2,2,4,4) [by,bx])."""
+        res = src - pred
+        blk = res.reshape(mb_h, 2, 4, 2, 4)      # (row, by, r, bx, c)
+        t = _cf1d(_cf1d(blk, 2), 4)
+        cwdc = t[:, :, 0, :, 0]                  # (mb_h, 2, 2) [by, bx]
+        acz = _quant(t, mf_c, f_c, qbits_c)
+        acz = acz.at[:, :, 0, :, 0].set(0)
+        fdc = _h2_2d(cwdc)
+        zq = (jnp.abs(fdc) * mf0_c + 2 * f_c) >> (qbits_c + 1)
+        czdc = jnp.clip(jnp.sign(fdc) * zq, -_LEVEL_CLAMP, _LEVEL_CLAMP)
+        return czdc, acz
+
     def chroma_mb(src: jax.Array, edge: jax.Array, left_ok: jax.Array,
                   ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-        """One 8x8 chroma component for all rows: returns (czdc raster
-        (mb_h,2,2), cacz (mb_h,2,2,4,4) [by,bx], pred plane (mb_h,8,8),
-        per-block DC pre-Hadamard cwdc (mb_h,2,2))."""
+        """One 8x8 chroma component for all rows (DC prediction):
+        returns (czdc raster (mb_h,2,2), cacz (mb_h,2,2,4,4) [by,bx],
+        pred plane (mb_h,8,8), unused slot kept for signature)."""
         # DC pred per quadrant: with top never available, the top and
         # bottom halves each take the mean of their 4 left pixels
         # (oracle _pred_dc_chroma with top_ok=False).
@@ -323,16 +347,8 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         pred = jnp.concatenate(
             [jnp.broadcast_to(v0[:, None, None], (mb_h, 4, 8)),
              jnp.broadcast_to(v1[:, None, None], (mb_h, 4, 8))], axis=1)
-        res = src - pred
-        blk = res.reshape(mb_h, 2, 4, 2, 4)      # (row, by, r, bx, c)
-        t = _cf1d(_cf1d(blk, 2), 4)
-        cwdc = t[:, :, 0, :, 0]                  # (mb_h, 2, 2) [by, bx]
-        acz = _quant(t, mf_c, f_c, qbits_c)
-        acz = acz.at[:, :, 0, :, 0].set(0)
-        fdc = _h2_2d(cwdc)
-        zq = (jnp.abs(fdc) * mf0_c + 2 * f_c) >> (qbits_c + 1)
-        czdc = jnp.clip(jnp.sign(fdc) * zq, -_LEVEL_CLAMP, _LEVEL_CLAMP)
-        return czdc, acz, pred, cwdc
+        czdc, acz = chroma_from_pred(src, pred)
+        return czdc, acz, pred, None
 
     def chroma_edge(czdc: jax.Array, acz: jax.Array, pred: jax.Array,
                     ) -> jax.Array:
@@ -516,6 +532,31 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         # ---- chroma
         czdc_cb, acz_cb, pred_cb, _ = chroma_mb(cbsrc, cb_edge, left_ok)
         czdc_cr, acz_cr, pred_cr, _ = chroma_mb(crsrc, cr_edge, left_ok)
+        if chromah:
+            # HORIZONTAL candidate (spec 8.3.4.2): pred[y][x] =
+            # p[-1, y]; one mode covers both components, +2 for the
+            # ue() bit difference, strict less-than keeps DC (oracle
+            # decision in io.h264_cavlc chroma_cand)
+            pred_cb_h = jnp.broadcast_to(cb_edge[:, :, None],
+                                         (mb_h, 8, 8))
+            pred_cr_h = jnp.broadcast_to(cr_edge[:, :, None],
+                                         (mb_h, 8, 8))
+            czdc_cb_h, acz_cb_h = chroma_from_pred(cbsrc, pred_cb_h)
+            czdc_cr_h, acz_cr_h = chroma_from_pred(crsrc, pred_cr_h)
+            cost_dc = (_cost_of(czdc_cb, acz_cb)
+                       + _cost_of(czdc_cr, acz_cr))
+            cost_hh = (_cost_of(czdc_cb_h, acz_cb_h)
+                       + _cost_of(czdc_cr_h, acz_cr_h))
+            use_ch = jnp.logical_and(left_ok, cost_hh + 2 < cost_dc)
+            s1 = use_ch[:, None, None]
+            s2 = use_ch[:, None, None, None, None]
+            czdc_cb = jnp.where(s1, czdc_cb_h, czdc_cb)
+            czdc_cr = jnp.where(s1, czdc_cr_h, czdc_cr)
+            acz_cb = jnp.where(s2, acz_cb_h, acz_cb)
+            acz_cr = jnp.where(s2, acz_cr_h, acz_cr)
+            pred_cb = jnp.where(s1, pred_cb_h, pred_cb)
+            pred_cr = jnp.where(s1, pred_cr_h, pred_cr)
+            cmode = jnp.where(use_ch, 1, 0).astype(jnp.int16)
 
         dcd = _luma_dc_dequant(_h1d(_h1d(zdc, 1), 2), qp)
         pred_blk = pred_rows.reshape(mb_h, 4, 4)  # (row, by, r)
@@ -570,6 +611,8 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         if i4:
             out = out + (jnp.where(use_i4[:, None], i4zmodes, 2)
                          .astype(jnp.int16),)
+        if chromah:
+            out = out + (cmode,)
         if full_recon:
             out = out + (ry_mb.astype(jnp.uint8),
                          rcb_mb.astype(jnp.uint8),
@@ -585,7 +628,7 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
         init = init + (jnp.full((mb_h, 4), 2, jnp.int32),
                        jnp.zeros((mb_h,), bool))
     xs = (ycols, cbcols, crcols, jnp.arange(mb_w, dtype=jnp.int32))
-    _, outs = jax.lax.scan(step, init, xs, unroll=_SCAN_UNROLL)
+    _, outs = jax.lax.scan(step, init, xs, unroll=_scan_unroll())
     # scan stacks on axis 0 = mb_w; entropy wants (mb_h, mb_w, ...)
     lv = LevelArrays(outs[0].transpose(1, 0, 2),
                      outs[1].transpose(1, 0, 2, 3),
@@ -594,18 +637,24 @@ def encode_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     imode = outs[4].transpose(1, 0)
     nout = 5
     i4modes = None
+    cmode = None
     if i4:
-        i4modes = outs[5].transpose(1, 0, 2)
-        nout = 6
+        i4modes = outs[nout].transpose(1, 0, 2)
+        nout += 1
+    if chromah:
+        cmode = outs[nout].transpose(1, 0)
+        nout += 1
+    extra = (((i4modes,) if i4 else ())
+             + ((cmode,) if chromah else ()))
     if not full_recon:
-        return (lv, imode, i4modes) if i4 else (lv, imode)
+        return (lv, imode) + extra
     ry, rcb, rcr = outs[nout], outs[nout + 1], outs[nout + 2]
     full = (lv,
             ry.transpose(1, 2, 0, 3).reshape(H, W),
             rcb.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
             rcr.transpose(1, 2, 0, 3).reshape(H // 2, W // 2),
             imode)
-    return full + ((i4modes,) if i4 else ())
+    return full + extra
 
 
 encode_levels_jit = jax.jit(encode_levels)
@@ -1702,7 +1751,7 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
     xs = (ycols, cbcols, crcols, rycols, rcbcols, rcrcols, mvzcols,
           jnp.arange(mb_w, dtype=jnp.int32))
     _, (mode, zdc, acz, czdc, cacz, ryo, rcbo, rcro) = jax.lax.scan(
-        step, init, xs, unroll=_SCAN_UNROLL)
+        step, init, xs, unroll=_scan_unroll())
     return PLevelArrays(
         mode.transpose(1, 0),
         zdc.transpose(1, 0, 2),

@@ -46,7 +46,7 @@ def save() -> None:
 def set_unroll(n: int):
     import opencv_opencl_tpu.ops.h264_levels as hl
 
-    hl._SCAN_UNROLL = n
+    hl._SCAN_UNROLL_ENV = str(n)
     return hl
 
 

@@ -168,7 +168,7 @@ class TestDeviceTwin:
         # the decision must actually pick I_4x4 somewhere
         lv = et._dispatch_levels(*et._pad(nv12.reshape(-1, self.W2)),
                                  qp)
-        assert (np.asarray(lv[1]) == 0).any()
+        assert (np.asarray(lv["imode"]) == 0).any()
 
     def test_gop_stream_byte_identity(self):
         """tpu:gop with i4 IDRs: P frames reference the i4 recon."""
