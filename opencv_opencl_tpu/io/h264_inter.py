@@ -243,23 +243,43 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
             raise ValueError("parts requires search=R > 0")
         if subpel == 3:
             raise ValueError("parts does not compose with fastsub")
-        if active_refs > 1 or force_intra_rows is not None or deblock:
-            raise ValueError("parts requires refs=1, no gdr, no "
-                             "deblock")
+        if force_intra_rows is not None or deblock:
+            raise ValueError("parts requires no gdr, no deblock")
         if max(1, min(int(slices), mb_h)) != mb_h:
             raise ValueError("parts requires one slice per MB row "
                              f"(slices={mb_h} here)")
         margin = search + (1 if subpel else 0)
-        planes = (quarterpel_planes(ry, margin) if subpel == 2
-                  else halfpel_planes(ry, margin) if subpel == 1
-                  else None)
-        pmode, mv4 = motion_search_parts(y, ry, search, subpel=subpel,
-                                         planes=planes, margin=margin,
-                                         qp=qp)
-        pred = mc_planes(ref, mv4_to_quadrant_field(mv4),
-                         planes=planes, margin=margin, block=8)
-        mv = mv4[:, :, 0]       # 16x16-context fallback (q0 == the
-        #                         full-MB mv whenever pmode == 0)
+        if active_refs > 1:
+            # parts x refs: per-partition (ref, mv) from the nine
+            # running minima over the flat ref-major candidate order
+            builders = {2: quarterpel_planes, 1: halfpel_planes}
+            build = builders.get(subpel)
+            if build is None:
+                def build(p, m):
+                    return np.pad(p, m,
+                                  mode="edge").astype(np.uint8)[None]
+                margin = search
+            planes_list = [build(r["y"], margin) for r in refs]
+            pmode, mv4, ref4 = motion_search_parts_multi(
+                y, planes_list, search, subpel, margin, qp=qp)
+            pred = mc_planes_multi(
+                refs, mv4_to_quadrant_field(mv4),
+                ref4_to_quadrant_field(ref4),
+                planes_list, margin, block=8)
+            mv = mv4[:, :, 0]
+            refsel = ref4[:, :, 0]
+        else:
+            planes = (quarterpel_planes(ry, margin) if subpel == 2
+                      else halfpel_planes(ry, margin) if subpel == 1
+                      else None)
+            pmode, mv4 = motion_search_parts(
+                y, ry, search, subpel=subpel, planes=planes,
+                margin=margin, qp=qp)
+            ref4 = None
+            pred = mc_planes(ref, mv4_to_quadrant_field(mv4),
+                             planes=planes, margin=margin, block=8)
+            mv = mv4[:, :, 0]   # 16x16-context fallback (q0 == the
+            #                     full-MB mv whenever pmode == 0)
     elif active_refs > 1:
         # multi-reference P: the MV predictor stays the left-only rule
         # only at one slice per MB row (8.4.1.3's B/C-unavailable case
@@ -336,6 +356,8 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
         inter_mask = np.zeros((mb_h, mb_w), dtype=bool)
         mvq_coded = (np.zeros((mb_h * 2, mb_w * 2, 2), dtype=np.int64)
                      if parts else None)
+        refq_coded = (np.zeros((mb_h * 2, mb_w * 2), dtype=np.int64)
+                      if parts and active_refs > 1 else None)
         for mby in range(bounds[si], bounds[si + 1]):
             for mbx in range(mb_w):
                 skip_run = _encode_p_mb(
@@ -351,8 +373,10 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
                                  and force_intra_rows[0] <= mby
                                  < force_intra_rows[1]),
                     part2=(None if not parts
-                           else (int(pmode[mby, mbx]), mv4[mby, mbx])),
-                    mvq_coded=mvq_coded)
+                           else (int(pmode[mby, mbx]), mv4[mby, mbx],
+                                 None if ref4 is None
+                                 else ref4[mby, mbx])),
+                    mvq_coded=mvq_coded, refq_coded=refq_coded)
         if skip_run:
             w.ue(skip_run)  # trailing skipped MBs end the slice
         w.trailing()
@@ -671,12 +695,106 @@ def motion_search_parts(y: np.ndarray, ry: np.ndarray, search: int,
     return pmode, mv4
 
 
+def motion_search_parts_multi(y: np.ndarray,
+                              planes_list: list[np.ndarray],
+                              search: int, subpel: int,
+                              margin: int, qp: int = 30):
+    """:func:`motion_search_parts` over MULTIPLE references: the
+    references are searched ref-major as one flat candidate sequence
+    (i = r * n + idx, like :func:`motion_search_multi`), so every
+    hypothesis key's winner carries its own (ref, mv) — per-PARTITION
+    reference indices fall out of the same nine running minima.
+    Strict minimum + ref-major order = at equal SAD the earlier (more
+    recent) reference wins, the shared multi-reference rule.
+
+    The flat index must fit the key packing: ``nrefs * len(cands) <=
+    SEARCH_KEY_RADIX`` (full/half-pel: every radius; quarter-pel:
+    R <= 7 at 2 references).
+
+    Returns (pmode, mv4 quadrant-major quarter-pel, ref4 (mb_h, mb_w,
+    4) int64 per-quadrant reference indices).
+    """
+    H, W = y.shape
+    mb_h, mb_w = H // 16, W // 16
+    nrefs = len(planes_list)
+    cur = y.reshape(mb_h, 2, 8, mb_w, 2, 8).astype(np.int32)
+    cands = search_candidates_qpel(search, subpel)
+    n = len(cands)
+    if nrefs * n > SEARCH_KEY_RADIX:
+        raise ValueError(
+            f"parts refs={nrefs} at this sub-pel radius exceeds the "
+            f"key packing ({nrefs}*{n} > {SEARCH_KEY_RADIX}); "
+            "quarter-pel parts with 2 references needs R <= 7")
+    kq = kh = kv = kf = None
+    for r in range(nrefs):
+        planes = planes_list[r]
+        for idx, (qy, qx) in enumerate(cands):
+            i = r * n + idx
+            p = planes[_plane_index(qy & 3, qx & 3, len(planes))]
+            iy, ix = margin + (qy >> 2), margin + (qx >> 2)
+            ref = p[iy:iy + H, ix:ix + W]
+            sad8 = np.abs(
+                cur - ref.reshape(mb_h, 2, 8, mb_w, 2, 8)
+                .astype(np.int32)).sum(axis=(2, 5), dtype=np.int64)
+            keyq = sad8 * SEARCH_KEY_RADIX + i
+            keyh = sad8.sum(axis=3) * SEARCH_KEY_RADIX + i
+            keyv = sad8.sum(axis=1) * SEARCH_KEY_RADIX + i
+            keyf = sad8.sum(axis=(1, 3)) * SEARCH_KEY_RADIX + i
+            if kq is None:
+                kq, kh, kv, kf = keyq, keyh, keyv, keyf
+            else:
+                kq = np.minimum(kq, keyq)
+                kh = np.minimum(kh, keyh)
+                kv = np.minimum(kv, keyv)
+                kf = np.minimum(kf, keyf)
+    carr = np.asarray(cands, dtype=np.int64)
+    lam = PART_LAMBDA[min(max(int(qp), 0), 51)]
+    cost_f = kf // SEARCH_KEY_RADIX
+    cost_h = (kh // SEARCH_KEY_RADIX).sum(axis=1) + lam
+    cost_v = (kv // SEARCH_KEY_RADIX).sum(axis=2) + lam
+    cost_q = (kq // SEARCH_KEY_RADIX).sum(axis=(1, 3)) + 3 * lam
+    pmode = np.zeros((mb_h, mb_w), np.int64)
+    best = cost_f
+    for m, c in ((1, cost_h), (2, cost_v), (3, cost_q)):
+        take = c < best                 # strict: ties keep coarser
+        pmode = np.where(take, m, pmode)
+        best = np.where(take, c, best)
+    iff = kf % SEARCH_KEY_RADIX
+    ihh = kh % SEARCH_KEY_RADIX
+    ivv = kv % SEARCH_KEY_RADIX
+    iqq = kq % SEARCH_KEY_RADIX
+
+    def expand(iw_f, iw_h, iw_v, iw_q):
+        """Per-quadrant winner index field (mb_h, mb_w, 4) selected by
+        partition mode (quadrant-major q0 tl, q1 tr, q2 bl, q3 br)."""
+        e_f = np.broadcast_to(iw_f[:, :, None], (mb_h, mb_w, 4))
+        e_h = np.repeat(iw_h.transpose(0, 2, 1), 2, axis=2)
+        e_v = np.tile(iw_v, (1, 1, 2))
+        e_q = iw_q.transpose(0, 2, 1, 3).reshape(mb_h, mb_w, 4)
+        sel = pmode[:, :, None]
+        return np.where(sel == 0, e_f,
+                        np.where(sel == 1, e_h,
+                                 np.where(sel == 2, e_v, e_q)))
+
+    iq4 = expand(iff, ihh, ivv, iqq)        # (mb_h, mb_w, 4) flat i
+    mv4 = carr[iq4 % n]
+    ref4 = iq4 // n
+    return pmode, mv4, ref4
+
+
 def mv4_to_quadrant_field(mv4: np.ndarray) -> np.ndarray:
     """(mb_h, mb_w, 4, 2) quadrant-major MV field -> the 8x8-granular
     grid (2*mb_h, 2*mb_w, 2) that block-8 MC consumes."""
     mb_h, mb_w = mv4.shape[:2]
     return (mv4.reshape(mb_h, mb_w, 2, 2, 2).transpose(0, 2, 1, 3, 4)
             .reshape(2 * mb_h, 2 * mb_w, 2))
+
+
+def ref4_to_quadrant_field(ref4: np.ndarray) -> np.ndarray:
+    """(mb_h, mb_w, 4) quadrant-major ref field -> (2mb_h, 2mb_w)."""
+    mb_h, mb_w = ref4.shape[:2]
+    return (ref4.reshape(mb_h, mb_w, 2, 2).transpose(0, 2, 1, 3)
+            .reshape(2 * mb_h, 2 * mb_w))
 
 
 def mc_planes(ref: dict, mv: np.ndarray,
@@ -898,29 +1016,32 @@ def motion_search_fast_multi(y: np.ndarray,
 
 def mc_planes_multi(refs: list[dict], mv: np.ndarray, ref: np.ndarray,
                     planes_list: list[np.ndarray],
-                    margin: int) -> dict:
-    """Motion compensation with a per-MB reference index: luma from the
-    concatenated plane stacks (plane id = ref * P + sub-position),
+                    margin: int, block: int = 16) -> dict:
+    """Motion compensation with a per-block reference index: luma from
+    the concatenated plane stacks (plane id = ref * P + sub-position),
     chroma via the general bilinear on per-sample gathers from the
-    stacked reference chroma planes."""
+    stacked reference chroma planes.  ``block`` is the (mv, ref) field
+    granularity in luma samples: 16 for per-MB fields, 8 for the
+    quadrant fields of the partition modes."""
     H, W = refs[0]["y"].shape
     P = len(planes_list[0])
     big = np.concatenate(planes_list)
     pidx = (ref * P
             + _plane_index(mv[:, :, 0] & 3, mv[:, :, 1] & 3, P))
-    pg = np.repeat(np.repeat(pidx, 16, 0), 16, 1)
-    dyg = np.repeat(np.repeat(mv[:, :, 0] >> 2, 16, 0), 16, 1)
-    dxg = np.repeat(np.repeat(mv[:, :, 1] >> 2, 16, 0), 16, 1)
+    pg = np.repeat(np.repeat(pidx, block, 0), block, 1)
+    dyg = np.repeat(np.repeat(mv[:, :, 0] >> 2, block, 0), block, 1)
+    dxg = np.repeat(np.repeat(mv[:, :, 1] >> 2, block, 0), block, 1)
     rows = margin + np.arange(H)[:, None] + dyg
     cols = margin + np.arange(W)[None, :] + dxg
     out = {"y": big[pg, rows, cols].astype(np.int64)}
 
     ch, cw = H // 2, W // 2
-    rg = np.repeat(np.repeat(ref, 8, 0), 8, 1)
-    cdyg = np.repeat(np.repeat(mv[:, :, 0] >> 3, 8, 0), 8, 1)
-    cdxg = np.repeat(np.repeat(mv[:, :, 1] >> 3, 8, 0), 8, 1)
-    fyg = np.repeat(np.repeat(mv[:, :, 0] & 7, 8, 0), 8, 1)
-    fxg = np.repeat(np.repeat(mv[:, :, 1] & 7, 8, 0), 8, 1)
+    cb2 = block // 2
+    rg = np.repeat(np.repeat(ref, cb2, 0), cb2, 1)
+    cdyg = np.repeat(np.repeat(mv[:, :, 0] >> 3, cb2, 0), cb2, 1)
+    cdxg = np.repeat(np.repeat(mv[:, :, 1] >> 3, cb2, 0), cb2, 1)
+    fyg = np.repeat(np.repeat(mv[:, :, 0] & 7, cb2, 0), cb2, 1)
+    fxg = np.repeat(np.repeat(mv[:, :, 1] & 7, cb2, 0), cb2, 1)
     r0 = np.clip(np.arange(ch)[:, None] + cdyg, 0, ch - 1)
     r1 = np.clip(np.arange(ch)[:, None] + cdyg + 1, 0, ch - 1)
     c0 = np.clip(np.arange(cw)[None, :] + cdxg, 0, cw - 1)
@@ -1106,54 +1227,82 @@ def _median2(a, b, c) -> tuple[int, int]:
             sorted((a[1], b[1], c[1]))[1])
 
 
-def _mvp_parts(pidx: int, pmode: int, left_inter: bool,
-               left_q1, left_q3, own) -> tuple[int, int]:
+_MVP_UNAVAIL = ((0, 0), -1, False)
+
+
+def _mvp_parts(pidx: int, pmode: int, left_avail: bool,
+               left_inter: bool, left_q1, left_q3,
+               own, myref: int = 0,
+               left_r1: int = 0, left_r3: int = 0,
+               ownref=None) -> tuple[int, int]:
     """MV predictor for partition ``pidx`` of a partitioned P MB under
     ONE slice per MB row (spec 8.4.1.3 with every above-row neighbor
-    unavailable — the same collapse the 16x16 path documents in
-    :func:`_mvp_16x16`).  ``left_q1``/``left_q3`` are the left MB's
-    right-edge quadrant MVs ((0, 0) unless ``left_inter``); ``own`` is
-    this MB's already-coded quadrant MVs q0..q3 (the coded field always
-    equals the searched field, so callers pass mv4 directly).
+    unavailable), now reference-aware: with ``refs > 1`` the
+    directional rules gate on refIdx equality and the general process
+    applies the exactly-one-match rule before the median.  With one
+    reference every inter neighbor matches and this reproduces the
+    original refs=1 collapse byte for byte (the derivation below).
 
-    Derivation per partition (neighbors at 4x4 granularity relative to
-    the partition corner; B/C/D above the MB row are out-of-slice,
-    within-MB neighbors are inter by construction):
+    ``left_q1``/``left_q3``/``left_r1``/``left_r3`` are the left MB's
+    right-edge quadrant MVs and refs; ``own``/``ownref`` this MB's
+    already-coded quadrant fields; ``myref`` the current partition's
+    reference.
 
-    - 16x16 / 16x8 top / 8x8 q0: only A = left MB q1 participates;
-      the B,C-unavailable copy rule makes the median collapse to A's
-      effective MV ((0, 0) when the left MB is intra or absent).
-    - 16x8 bottom: directional A rule (A = left q3) when the left MB
-      is inter; otherwise B = own top partition is the only
-      reference-matching candidate (exactly-one rule).
-    - 8x16 left: directional A (= left q1) when left is inter, else
-      the copy rule yields (0, 0).
-    - 8x16 right: directional C is out-of-slice, so the copy rule
-      collapses to A = own left partition.
-    - 8x8 q1: A = own q0, B/C unavailable -> copy rule -> q0.
-    - 8x8 q2: median(A = left q3 effective, B = own q0, C = own q1).
-    - 8x8 q3: median(A = own q2, B = own q1, C -> D = own q0).
+    Neighbor map per partition (A left, B above, C above-right with D
+    fallback; anything above the MB row is out-of-slice):
+
+    - 16x16 / 16x8 top / 8x8 q0: B, C, D unavailable -> the spec copy
+      rule returns A = left q1 REGARDLESS of refIdx (ref-independent).
+    - 16x8 bottom: directional A (= left q3) if refs match; else
+      general over (A = left q3, B = own top, C->D = left q1).
+    - 8x16 left: directional A (= left q1) if refs match; else the
+      copy rule still yields left q1's effective MV (ref-independent).
+    - 8x16 right: directional C out-of-slice; copy rule -> own left.
+    - 8x8 q1: copy rule -> own q0.  q2: general over (left q3, own
+      q0, own q1).  q3: general over (own q2, own q1, C->D = own q0).
     """
-    la1 = left_q1 if left_inter else (0, 0)
-    la3 = left_q3 if left_inter else (0, 0)
+    a1 = ((tuple(left_q1) if left_inter else (0, 0)),
+          (left_r1 if left_inter else -1), left_avail)
+    a3 = ((tuple(left_q3) if left_inter else (0, 0)),
+          (left_r3 if left_inter else -1), left_avail)
+
+    def ownn(q):
+        r = 0 if ownref is None else int(ownref[q])
+        return ((int(own[q][0]), int(own[q][1])), r, True)
+
+    def general(A, B, C):
+        eff = [(x[0], x[1]) if x[2] else ((0, 0), -1)
+               for x in (A, B, C)]
+        if not B[2] and not C[2] and A[2]:
+            return eff[0][0]            # spec copy rule: raw mvA
+        match = [e[0] for e in eff if e[1] == myref]
+        if len(match) == 1:
+            return match[0]
+        return _median2(eff[0][0], eff[1][0], eff[2][0])
+
+    U = _MVP_UNAVAIL
     if pmode == 0:
-        return la1
+        return general(a1, U, U)
     if pmode == 1:                       # 16x8: partitions (q0, q2)
         if pidx == 0:
-            return la1
-        return la3 if left_inter else tuple(own[0])
+            return general(a1, U, U)
+        if a3[2] and a3[1] == myref:     # directional A
+            return a3[0]
+        return general(a3, ownn(0), a1)
     if pmode == 2:                       # 8x16: partitions (q0, q1)
         if pidx == 0:
-            return la1 if left_inter else (0, 0)
-        return tuple(own[0])
+            if a1[2] and a1[1] == myref:  # directional A
+                return a1[0]
+            return general(a1, U, U)
+        return general(ownn(0), U, U)
     # pmode 3: 8x8 sub-partitions q0..q3
     if pidx == 0:
-        return la1
+        return general(a1, U, U)
     if pidx == 1:
-        return tuple(own[0])
+        return general(ownn(0), U, U)
     if pidx == 2:
-        return _median2(la3, own[0], own[1])
-    return _median2(own[2], own[1], own[0])
+        return general(a3, ownn(0), ownn(1))
+    return general(ownn(2), ownn(1), ownn(0))
 
 
 # partition list per pmode: (partition index for mvd order,
@@ -1175,7 +1324,8 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
                  active_refs: int = 1, dbi=None,
                  force_intra: bool = False,
                  part2: tuple | None = None,
-                 mvq_coded: np.ndarray | None = None) -> int:
+                 mvq_coded: np.ndarray | None = None,
+                 refq_coded: np.ndarray | None = None) -> int:
     """One P macroblock: P_Skip if the inter candidate quantizes to all
     zero (and the searched MV matches the skip predictor with
     reference 0), else the cheaper of P_L0_16x16 (te(v) ref_idx when
@@ -1269,6 +1419,8 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
             mv_coded[mby, mbx] = mv2
         if mvq_coded is not None:
             mvq_coded[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = mv2
+        if refq_coded is not None:
+            refq_coded[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
         if dbi is not None:  # P_Skip: no levels, mv = skip predictor
             dbi.mv[mby, mbx] = mv2
         return skip_run + 1
@@ -1291,29 +1443,49 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
     if part2 is not None:
         # partitioned write path (one slice per MB row): mb_type is
         # the pmode code, P_8x8 adds four sub_mb_type 0 (8x8), then
-        # one mvd per partition against the 8.4.1.3 predictors
+        # per-partition te(v) ref_idx (refs > 1) and one mvd per
+        # partition against the reference-aware 8.4.1.3 predictors
         # collapsed for out-of-slice above rows (_mvp_parts)
-        pmode, mv4 = part2
+        pmode, mv4, ref4 = (part2 if len(part2) == 3
+                            else (*part2, None))
         w.ue(int(pmode))       # 0/1/2/3: 16x16 / 16x8 / 8x16 / 8x8
         if pmode == 3:
             for _ in range(4):
                 w.ue(0)        # sub_mb_type: P_L0_8x8
-        left_inter = mbx > 0 and bool(inter_mask[mby, mbx - 1])
+        if active_refs > 1:
+            for pidx, quads in _PART_QUADS[int(pmode)]:
+                r = 0 if ref4 is None else int(ref4[quads[0]])
+                if active_refs == 2:    # te(v): one INVERTED bit
+                    w.u(1 - r, 1)
+                else:
+                    w.ue(r)
+        left_avail = mbx > 0
+        left_inter = left_avail and bool(inter_mask[mby, mbx - 1])
         lq1 = ((int(mvq_coded[2 * mby, 2 * mbx - 1, 0]),
                 int(mvq_coded[2 * mby, 2 * mbx - 1, 1]))
                if left_inter else (0, 0))
         lq3 = ((int(mvq_coded[2 * mby + 1, 2 * mbx - 1, 0]),
                 int(mvq_coded[2 * mby + 1, 2 * mbx - 1, 1]))
                if left_inter else (0, 0))
+        lr1 = (int(refq_coded[2 * mby, 2 * mbx - 1])
+               if (left_inter and refq_coded is not None) else 0)
+        lr3 = (int(refq_coded[2 * mby + 1, 2 * mbx - 1])
+               if (left_inter and refq_coded is not None) else 0)
         for pidx, quads in _PART_QUADS[int(pmode)]:
             q0 = quads[0]
             pmv = (int(mv4[q0][0]), int(mv4[q0][1]))
-            mvp = _mvp_parts(pidx, int(pmode), left_inter, lq1, lq3,
-                             mv4)
+            myref = 0 if ref4 is None else int(ref4[q0])
+            mvp = _mvp_parts(pidx, int(pmode), left_avail,
+                             left_inter, lq1, lq3, mv4,
+                             myref=myref, left_r1=lr1, left_r3=lr3,
+                             ownref=ref4)
             w.se(pmv[1] - int(mvp[1])).se(pmv[0] - int(mvp[0]))
-        for q in range(4):     # 8x8-granular coded-MV context
+        for q in range(4):     # 8x8-granular coded-(MV, ref) context
             mvq_coded[2 * mby + q // 2, 2 * mbx + q % 2] = (
                 int(mv4[q][0]), int(mv4[q][1]))
+            if refq_coded is not None:
+                refq_coded[2 * mby + q // 2, 2 * mbx + q % 2] = (
+                    0 if ref4 is None else int(ref4[q]))
         inter_mask[mby, mbx] = True
         mv_coded[mby, mbx] = mv2
         if dbi is not None:
@@ -1628,9 +1800,15 @@ class GopCavlcEncoder:
                 raise ValueError("parts requires search=R > 0")
             if fastsub:
                 raise ValueError("parts does not compose with fastsub")
-            if refs > 1 or gdr or deblock:
-                raise ValueError("parts requires refs=1, no gdr, no "
-                                 "deblock")
+            if gdr or deblock:
+                raise ValueError("parts requires no gdr, no deblock")
+            if refs > 1 and quarterpel:
+                # key-packing bound (motion_search_parts_multi)
+                search_candidates_qpel(min(search, 8), 2)
+                if refs * (8 * search + 1) ** 2 > SEARCH_KEY_RADIX:
+                    raise ValueError(
+                        "quarter-pel parts with refs=2 needs "
+                        f"search <= 7, got {search}")
             mb_h = -(-height // 16)
             if max(1, min(int(slices), mb_h)) != mb_h:
                 raise ValueError("parts requires one slice per MB row "
@@ -1830,8 +2008,9 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
         crnnz = np.zeros_like(cbnnz)
         skip_run = 0
         left_mv = None  # (dy, dx) of the left MB when inter, else None
-        # parts context: the left MB's right-edge quadrant MVs
+        # parts context: the left MB's right-edge quadrant MVs + refs
         left_inter, lq1, lq3 = False, (0, 0), (0, 0)
+        lr1 = lr3 = 0
         for mbx in range(mb_w):
             m = int(mode[mby, mbx])
             nbx0 = mbx * 4 + 1
@@ -1841,6 +2020,7 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                 skip_run += 1
                 left_mv = (0, 0)
                 left_inter, lq1, lq3 = True, (0, 0), (0, 0)
+                lr1 = lr3 = 0
                 lnnz[:, nbx0:nbx0 + 4] = 0
                 cbnnz[:, cnx0:cnx0 + 2] = 0
                 crnnz[:, cnx0:cnx0 + 2] = 0
@@ -1895,24 +2075,40 @@ def encode_frame_p_from_levels(mode: np.ndarray, zdc: np.ndarray,
                 cbp = cbp_luma_bits | (cbp_chroma << 4)
                 if pmode is not None:
                     # partitioned MB: mb_type = pmode, P_8x8 adds four
-                    # sub_mb_type 0, one mvd per partition against the
-                    # one-row-slice predictor collapse (_mvp_parts)
+                    # sub_mb_type 0, per-partition te(v) ref_idx
+                    # (refs > 1), one mvd per partition against the
+                    # reference-aware predictor collapse (_mvp_parts)
                     pm = int(pmode[mby, mbx])
                     m4 = mv[mby, mbx]                       # (4, 2)
+                    r4 = (ref[mby, mbx] if (active_refs > 1
+                                            and ref is not None)
+                          else None)
                     w.ue(pm)
                     if pm == 3:
                         for _ in range(4):
                             w.ue(0)          # sub_mb_type: P_L0_8x8
+                    if active_refs > 1:
+                        for pidx, quads in _PART_QUADS[pm]:
+                            r = 0 if r4 is None else int(r4[quads[0]])
+                            if active_refs == 2:
+                                w.u(1 - r, 1)
+                            else:
+                                w.ue(r)
                     for pidx, quads in _PART_QUADS[pm]:
                         q0 = quads[0]
                         pmv = (int(m4[q0][0]), int(m4[q0][1]))
-                        mvp = _mvp_parts(pidx, pm, left_inter, lq1,
-                                         lq3, m4)
+                        myref = 0 if r4 is None else int(r4[q0])
+                        mvp = _mvp_parts(pidx, pm, left_ok,
+                                         left_inter, lq1, lq3, m4,
+                                         myref=myref, left_r1=lr1,
+                                         left_r3=lr3, ownref=r4)
                         w.se(pmv[1] - int(mvp[1])).se(
                             pmv[0] - int(mvp[0]))
                     left_inter = True
                     lq1 = (int(m4[1][0]), int(m4[1][1]))
                     lq3 = (int(m4[3][0]), int(m4[3][1]))
+                    lr1 = 0 if r4 is None else int(r4[1])
+                    lr3 = 0 if r4 is None else int(r4[3])
                 else:
                     w.ue(0)
                     if active_refs > 1:
@@ -2093,9 +2289,14 @@ class TpuGopEncoder:
                 raise ValueError("parts requires search=R > 0")
             if fastsub:
                 raise ValueError("parts does not compose with fastsub")
-            if refs > 1 or gdr or deblock or bitpack:
-                raise ValueError("parts requires refs=1, no gdr, no "
-                                 "deblock, no bitpack")
+            if gdr or deblock or bitpack:
+                raise ValueError("parts requires no gdr, no deblock, "
+                                 "no bitpack")
+            if refs > 1 and quarterpel and (
+                    refs * (8 * search + 1) ** 2 > SEARCH_KEY_RADIX):
+                raise ValueError(
+                    "quarter-pel parts with refs=2 needs search <= 7, "
+                    f"got {search}")
             if cpb_ms is not None:
                 raise ValueError("parts does not compose with cpb")
         # the intra machinery (padding, native/python entropy, SPS/PPS
@@ -2139,11 +2340,19 @@ class TpuGopEncoder:
             import jax as _jax
 
             # parts is a static config bit: close over it so the call
-            # shape stays identical to encode_p_levels_jit
+            # shapes stay identical to the plain jit wrappers
             self._p_fn = _jax.jit(
                 lambda y, cb, cr, ry, rcb, rcr, qp, s, sp: _ep(
                     y, cb, cr, ry, rcb, rcr, qp, s, sp, parts=1),
                 donate_argnums=(3, 4, 5), static_argnums=(7, 8))
+            if self.refs > 1:
+                self._p2_fn = _jax.jit(
+                    lambda y, cb, cr, ry, rcb, rcr, qp, s, sp, ry2, \
+                    rcb2, rcr2: _ep(
+                        y, cb, cr, ry, rcb, rcr, qp, s, sp,
+                        ry2=ry2, rcb2=rcb2, rcr2=rcr2, parts=1),
+                    donate_argnums=(9, 10, 11),
+                    static_argnums=(7, 8))
         # CPB/HRD hard ceiling: the re-encode loop snapshots encoder
         # state and re-dispatches over-budget frames at higher QP — so
         # the reference planes must SURVIVE a dispatch (non-donating P
@@ -2202,7 +2411,14 @@ class TpuGopEncoder:
 
             # first P after an IDR has one reference which must NOT be
             # donated (it becomes the next frame's second reference)
-            self._p1_keep_fn = _jax.jit(_ep, static_argnums=(7, 8))
+            if self.parts:
+                self._p1_keep_fn = _jax.jit(
+                    lambda y, cb, cr, ry, rcb, rcr, qp, s, sp: _ep(
+                        y, cb, cr, ry, rcb, rcr, qp, s, sp, parts=1),
+                    static_argnums=(7, 8))
+            else:
+                self._p1_keep_fn = _jax.jit(_ep,
+                                            static_argnums=(7, 8))
         # device CAVLC bit-packing (ops/h264_bitpack.py): a second
         # small dispatch per frame packs every MB's bitstring on the
         # accelerator so the host entropy stage shrinks to headers +

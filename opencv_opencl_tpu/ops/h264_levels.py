@@ -1196,7 +1196,7 @@ def motion_search_mc_fast_multi(y: jax.Array, refs: list[tuple],
 
 def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
                            rcr: jax.Array, search: int, subpel: int,
-                           qp: jax.Array):
+                           qp: jax.Array, refs2: tuple | None = None):
     """Device twin of io.h264_inter.motion_search_parts + the block-8
     mc_planes: one sweep over the shared candidate order accumulates
     8x8-granular SAD minima (four running keys: quadrants, 16x8
@@ -1207,10 +1207,18 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     (the fastsub patch-gather pattern at 8x8 granularity; chroma is
     the clipped-gather spec 8.4.2.2.2 bilinear at 4x4 granularity).
 
+    With ``refs2 = (ry2, rcb2, rcr2)`` the sweep runs ref-major over
+    BOTH references' plane stacks (flat index i = r * n + idx, like
+    the oracle motion_search_parts_multi: at equal SAD the earlier
+    reference wins), so each hypothesis key's winner carries its own
+    (ref, mv) and per-PARTITION reference indices fall out of the
+    same nine minima.
+
     Returns ``(pmode (mb_h, mb_w) int32, mv4 (mb_h, mb_w, 4, 2) int32
-    quarter-pel quadrant-major, pred_y, pred_cb, pred_cr uint8)`` —
-    byte-exact decision + prediction twin of the oracle (part of the
-    stream byte-identity contract).
+    quarter-pel quadrant-major, ref4 ((mb_h, mb_w, 4) int32 or None),
+    pred_y, pred_cb, pred_cr uint8)`` — byte-exact decision +
+    prediction twin of the oracle (part of the stream byte-identity
+    contract).
     """
     from opencv_opencl_tpu.io.h264_inter import (
         PART_LAMBDA, SEARCH_KEY_RADIX, _plane_index,
@@ -1221,16 +1229,26 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     cands = np.asarray(search_candidates_qpel(search, subpel),
                        np.int32)
     n = len(cands)
+    nrefs = 2 if refs2 is not None else 1
+    if nrefs * n > SEARCH_KEY_RADIX:
+        raise ValueError(
+            f"parts refs={nrefs} at this sub-pel radius exceeds the "
+            f"key packing ({nrefs}*{n} > {SEARCH_KEY_RADIX}); "
+            "quarter-pel parts with 2 references needs R <= 7")
+    ry_list = [ry] + ([refs2[0]] if refs2 is not None else [])
     if subpel == 2:
         margin = search + 1
-        pstack = quarterpel_planes_jax(ry, margin)
+        pstack = jnp.concatenate(
+            [quarterpel_planes_jax(r, margin) for r in ry_list])
     elif subpel == 1:
         margin = search + 1
-        pstack = halfpel_planes_jax(ry, margin)
+        pstack = jnp.concatenate(
+            [halfpel_planes_jax(r, margin) for r in ry_list])
     else:
         margin = search
-        pstack = jnp.pad(ry, search, mode="edge")[None]
-    P = int(pstack.shape[0])
+        pstack = jnp.concatenate(
+            [jnp.pad(r, search, mode="edge")[None] for r in ry_list])
+    P = int(pstack.shape[0]) // nrefs
     pidx = np.asarray(_plane_index(cands[:, 0] & 3, cands[:, 1] & 3,
                                    P), np.int32)
     cur = y.astype(jnp.int16)
@@ -1249,9 +1267,11 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     # scripts/tpu_r5_mxu_sad.json); the halves/whole are plain adds.
     def body(i, st):
         kq0, kq1, kq2, kq3, kh0, kh1, kv0, kv1, kf = st
-        qy, qx = cand_arr[i, 0], cand_arr[i, 1]
+        idx = i % n
+        qy, qx = cand_arr[idx, 0], cand_arr[idx, 1]
         ref = jax.lax.dynamic_slice(
-            pstack, (pidx_arr[i], margin + (qy >> 2),
+            pstack, ((i // n) * P + pidx_arr[idx],
+                     margin + (qy >> 2),
                      margin + (qx >> 2)), (1, H, W))[0]
         ad = cur - ref.astype(jnp.int16)
         # |diff| <= 255; 8x8 sums <= 16320 (int32 keys stay exact:
@@ -1273,7 +1293,7 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     init = tuple(jnp.full((mb_h, mb_w), big, jnp.int32)
                  for _ in range(9))
     kq0, kq1, kq2, kq3, kh0, kh1, kv0, kv1, kf = jax.lax.fori_loop(
-        0, n, body, init)
+        0, nrefs * n, body, init)
     # reassemble the interleaved hypothesis-key tensors the decision
     # and the oracle twin speak (one-time, outside the loop)
     kq = jnp.stack([jnp.stack([kq0, kq1], -1),
@@ -1307,8 +1327,11 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
                             jnp.broadcast_to((kv % R)[:, None, :, :],
                                              (mb_h, 2, mb_w, 2)),
                             kq % R)))
-    # quadrant-major (q0 tl, q1 tr, q2 bl, q3 br) per-MB MV field
-    mv4 = cand_arr[iq.transpose(0, 2, 1, 3).reshape(mb_h, mb_w, 4)]
+    # quadrant-major (q0 tl, q1 tr, q2 bl, q3 br) per-MB fields; iq
+    # carries the FLAT index (ref * n + idx)
+    iq4 = iq.transpose(0, 2, 1, 3).reshape(mb_h, mb_w, 4)
+    mv4 = cand_arr[iq4 % n]
+    ref4 = (iq4 // n) if nrefs > 1 else None
 
     # ---- MC at quadrant granularity (oracle: mc_planes block=8): a
     # SECOND uniform-dynamic-slice sweep selecting each quadrant's
@@ -1317,14 +1340,16 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
     # the per-quadrant patch gather cost 735 ms/frame at 1080p R=8)
     iq8 = iq.reshape(2 * mb_h, 2 * mb_w)
     cs = search // 2 + 1
-    pad_cb = jnp.pad(rcb, cs, mode="edge")
-    pad_cr = jnp.pad(rcr, cs, mode="edge")
+    rcb_list = [rcb] + ([refs2[1]] if refs2 is not None else [])
+    rcr_list = [rcr] + ([refs2[2]] if refs2 is not None else [])
+    pad_cb = jnp.stack([jnp.pad(c, cs, mode="edge") for c in rcb_list])
+    pad_cr = jnp.stack([jnp.pad(c, cs, mode="edge") for c in rcr_list])
     ch, cw = H // 2, W // 2
 
-    def chroma_pred(pad_c, qy, qx):
+    def chroma_pred(pad_c, r, qy, qx):
         base = jax.lax.dynamic_slice(
-            pad_c, (cs + (qy >> 3), cs + (qx >> 3)),
-            (ch + 1, cw + 1)).astype(jnp.int32)
+            pad_c, (r, cs + (qy >> 3), cs + (qx >> 3)),
+            (1, ch + 1, cw + 1))[0].astype(jnp.int32)
         fy = qy & 7
         fx = qx & 7
         wa = (8 - fx) * (8 - fy)
@@ -1337,23 +1362,25 @@ def motion_search_mc_parts(y: jax.Array, ry: jax.Array, rcb: jax.Array,
 
     def body_mc(i, st):
         py, pcb, pcr = st
-        qy, qx = cand_arr[i, 0], cand_arr[i, 1]
+        r = i // n
+        idx = i % n
+        qy, qx = cand_arr[idx, 0], cand_arr[idx, 1]
         ref = jax.lax.dynamic_slice(
-            pstack, (pidx_arr[i], margin + (qy >> 2),
+            pstack, (r * P + pidx_arr[idx], margin + (qy >> 2),
                      margin + (qx >> 2)), (1, H, W))[0]
         take = iq8 == i                     # (2mb_h, 2mb_w)
         ty = jnp.repeat(jnp.repeat(take, 8, 0), 8, 1)
         tc = jnp.repeat(jnp.repeat(take, 4, 0), 4, 1)
         return (jnp.where(ty, ref, py),
-                jnp.where(tc, chroma_pred(pad_cb, qy, qx), pcb),
-                jnp.where(tc, chroma_pred(pad_cr, qy, qx), pcr))
+                jnp.where(tc, chroma_pred(pad_cb, r, qy, qx), pcb),
+                jnp.where(tc, chroma_pred(pad_cr, r, qy, qx), pcr))
 
     pred_y, pred_cb, pred_cr = jax.lax.fori_loop(
-        0, n, body_mc,
+        0, nrefs * n, body_mc,
         (jnp.zeros((H, W), jnp.uint8),
          jnp.zeros((ch, cw), jnp.uint8),
          jnp.zeros((ch, cw), jnp.uint8)))
-    return pmode, mv4, pred_y, pred_cb, pred_cr
+    return pmode, mv4, ref4, pred_y, pred_cb, pred_cr
 
 
 def _cost_of(*arrays):
@@ -1507,13 +1534,18 @@ def encode_p_levels(y: jax.Array, cb: jax.Array, cr: jax.Array,
             raise ValueError("parts requires search=R > 0")
         if subpel == 3:
             raise ValueError("parts does not compose with fastsub")
-        if ry2 is not None or gdr_band is not None:
-            raise ValueError("parts requires refs=1 and no gdr")
-        pmode_f, mv, pred_y, pred_cb, pred_cr = motion_search_mc_parts(
-            y, ry, rcb, rcr, search, subpel, qp)
-        # P_Skip needs the whole-MB hypothesis at (0, 0)
+        if gdr_band is not None:
+            raise ValueError("parts requires no gdr")
+        refs2 = (None if ry2 is None else (ry2, rcb2, rcr2))
+        pmode_f, mv, ref4, pred_y, pred_cb, pred_cr = (
+            motion_search_mc_parts(y, ry, rcb, rcr, search, subpel,
+                                   qp, refs2=refs2))
+        # P_Skip needs the whole-MB hypothesis at (0, 0) on ref 0
         mv_zero = ((pmode_f == 0) & (mv[:, :, 0, 0] == 0)
                    & (mv[:, :, 0, 1] == 0))
+        if ref4 is not None:
+            refsel = ref4              # (mb_h, mb_w, 4) quadrant refs
+            mv_zero = mv_zero & (ref4[:, :, 0] == 0)
     elif search and ry2 is not None:
         # two-reference search: P_Skip additionally requires ref 0
         if subpel == 3:

@@ -152,13 +152,14 @@ class TestOracle:
         with pytest.raises(ValueError, match="fastsub"):
             GopCavlcEncoder(W, H, gop=N, slices=MB_H, search=4,
                             fastsub=True, parts=True)
-        with pytest.raises(ValueError, match="refs=1"):
-            GopCavlcEncoder(W, H, gop=N, slices=MB_H, search=4,
-                            refs=2, parts=True)
+        with pytest.raises(ValueError, match="search <= 7"):
+            # refs=2 x quarter-pel parts: key-packing bound
+            GopCavlcEncoder(W, H, gop=N, slices=MB_H, search=8,
+                            refs=2, quarterpel=True, parts=True)
         with pytest.raises(ValueError, match="one slice per MB row"):
             GopCavlcEncoder(W, H, gop=N, slices=1, search=4,
                             parts=True)
-        with pytest.raises(ValueError, match="refs=1"):
+        with pytest.raises(ValueError, match="no gdr"):
             GopCavlcEncoder(W, H, slices=MB_H, search=4, gdr=2,
                             parts=True)
 
@@ -319,3 +320,76 @@ class TestFused:
         with pytest.raises(ValueError, match="no deblock"):
             build_enhance_gop_fn(cfg, spec, 4, search=2, parts=True,
                                  deblock=True)
+
+
+# ------------------------------------------------------- parts x refs=2
+
+def flicker_shear_frames():
+    """Shear + alternating-brightness flicker: the 2-back reference
+    matches even frames, 1-back matches odd — mixed per-partition
+    refs AND partition modes (the refs x parts composition's stress
+    content)."""
+    rng = np.random.default_rng(5)
+    base = (rng.integers(0, 256, (H // 8 + 4, W // 8 + 4), np.uint8)
+            .repeat(8, 0).repeat(8, 1))
+    frames = []
+    for i in range(N):
+        y = np.empty((H, W), np.uint8)
+        for r in range(H):
+            y[r] = np.roll(base[r + 8, 8:8 + W], (r * i) // H + 2 * i)
+        if i % 2 == 0:
+            y = np.clip(y.astype(np.int32) + 20, 0,
+                        255).astype(np.uint8)
+        uv = np.full((H // 2, W), 128, np.uint8)
+        frames.append(np.concatenate([y, uv]).copy())
+    return frames
+
+
+class TestPartsRefs2:
+    @pytest.mark.parametrize("kw", [
+        dict(search=3),
+        dict(search=3, halfpel=True),
+        dict(search=2, quarterpel=True),
+    ], ids=["fullpel", "halfpel", "qpel"])
+    def test_conformant_bitexact_recon(self, kw, tmp_path):
+        frames = flicker_shear_frames()
+        enc = GopCavlcEncoder(W, H, qp=QP, gop=N, slices=MB_H,
+                              refs=2, parts=True, **kw)
+        aus, recons = [], []
+        for f in frames:
+            aus += enc.encode(f)
+            recons.append(enc._recon)
+        dec = decode_gray(b"".join(aus) + aus[0], tmp_path, N, W)
+        for i in range(N):
+            assert np.array_equal(dec[i][:H],
+                                  recons[i][0].astype(np.uint8)), \
+                f"libavcodec recon mismatch at frame {i}"
+
+    def test_mixed_refs_and_partitions_exercised(self):
+        from opencv_opencl_tpu.io.h264_inter import (
+            motion_search_parts_multi)
+
+        frames = flicker_shear_frames()
+        cur = frames[4][:H].astype(np.int64)
+        pl = [np.pad(frames[i][:H].astype(np.int64), 3,
+                     mode="edge").astype(np.uint8)[None]
+              for i in (3, 2)]
+        pmode, mv4, ref4 = motion_search_parts_multi(
+            cur, pl, 3, 0, 3, qp=QP)
+        assert (ref4 == 1).any() and (ref4 == 0).any()
+        assert (pmode > 0).any()
+        mixed = (ref4.max(axis=2) != ref4.min(axis=2)).sum()
+        assert mixed > 0, "no MB with mixed per-partition refs"
+
+    def test_tpu_stream_byte_identity(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        frames = flicker_shear_frames()
+
+        def run(spec):
+            enc = make_encoder(spec, W, H, 30)
+            return b"".join(b"".join(enc.encode(f)) for f in frames)
+
+        tail = f"qp={QP}:gop={N}:search=3:refs=2:parts"
+        assert (run("tpu:" + tail)
+                == run(f"cavlc:{tail}:slices={MB_H}"))
