@@ -2618,21 +2618,29 @@ class TpuGopEncoder:
                         active_refs: int = 1,
                         pmode=None) -> list[bytes]:
         """P-frame entropy stage: native C++ rows when available (same
-        production path as the intra rows — mvd and te(v) ref_idx
-        included), Python oracle otherwise.  Partitioned frames
-        (``pmode`` set) always take the Python path — the native rows
-        speak the per-MB 16x16 layout only."""
-        if self._intra._native and pmode is None:
+        production path as the intra rows — mvd, te(v) ref_idx AND
+        the partitioned write path incl. per-partition refs), Python
+        oracle otherwise."""
+        if self._intra._native:
             from opencv_opencl_tpu import native
 
             if hasattr(native._load(), "fp_cavlc_entropy_rows_p"):
+                kw = {}
+                if pmode is not None:
+                    # parts: mv is the quadrant-major (mb_h, mb_w, 4,
+                    # 2) field and ref (refs > 1) the (mb_h, mb_w, 4)
+                    # per-quadrant reference field
+                    kw = dict(pmode=pmode, mv4=mv, ref4=ref,
+                              mv=None, ref=None)
+                else:
+                    kw = dict(mv=mv, ref=ref)
                 return native.cavlc_entropy_rows_p(
                     mode, zdc, acz, czdc, cacz, qp, num,
                     threads=self._intra._threads,
-                    workspace=self._intra._workspace, mv=mv,
-                    ref=ref, active_refs=active_refs,
+                    workspace=self._intra._workspace,
+                    active_refs=active_refs,
                     deblock=self.deblock,
-                    slice_local=self._deblock_slice_local)
+                    slice_local=self._deblock_slice_local, **kw)
         return encode_frame_p_from_levels(
             mode, zdc, acz, czdc, cacz, qp, num, mv=mv, ref=ref,
             active_refs=active_refs, deblock=self.deblock,

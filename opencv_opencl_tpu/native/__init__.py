@@ -139,7 +139,7 @@ def _load():
         lib.fp_cavlc_entropy_rows_p.argtypes = [
             i16p, i16p, i16p, i16p, i16p, i16p, i16p, ctypes.c_int,
             ctypes.c_uint64, ctypes.c_uint64, u8p, u64p, ctypes.c_int,
-            u8p, ctypes.c_uint64, u8p, u64p,
+            u8p, ctypes.c_uint64, u8p, u64p, i16p, i16p, i16p,
         ]
         _lib = lib
         return _lib
@@ -603,15 +603,21 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
                          ref: np.ndarray | None = None,
                          active_refs: int = 1,
                          deblock: bool = False,
-                         slice_local: bool = False) -> list[bytes]:
+                         slice_local: bool = False,
+                         pmode: np.ndarray | None = None,
+                         mv4: np.ndarray | None = None,
+                         ref4: np.ndarray | None = None) -> list[bytes]:
     """Native entropy coding of one P frame's chosen-mode levels
     (ops/h264_levels.py PLevelArrays) into one P slice NAL per MB row —
     the CPU stage of the TPU GOP path.  ``mv`` is the (mb_h, mb_w, 2)
     (dy, dx) QUARTER-pel field from the device motion search (None =
     zero motion); ``ref``/``active_refs`` the multi-reference
     configuration (te(v)-coded ref_idx_l0 when active_refs > 1).
-    Byte-identical to ``io.h264_inter.encode_frame_p_from_levels`` (the
-    Python oracle, diffed in tests/test_h264_inter_tpu.py)."""
+    ``pmode``/``mv4``/``ref4`` select the PARTITIONED write path
+    (16x8/8x16/8x8 mb_types, per-partition mvd and te(v) ref_idx —
+    quadrant-major (mb_h, mb_w, 4[, 2]) fields).  Byte-identical to
+    ``io.h264_inter.encode_frame_p_from_levels`` (the Python oracle,
+    diffed in tests/test_h264_inter_tpu.py / test_h264_parts.py)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native runtime unavailable: {_build_error}")
@@ -627,6 +633,11 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
         mv = np.ascontiguousarray(mv, dtype=np.int16)
     if ref is not None:
         ref = np.ascontiguousarray(ref, dtype=np.int16)
+    if pmode is not None:
+        pmode = np.ascontiguousarray(pmode, dtype=np.int16)
+        mv4 = np.ascontiguousarray(mv4, dtype=np.int16)
+        if ref4 is not None:
+            ref4 = np.ascontiguousarray(ref4, dtype=np.int16)
     mb_h, mb_w = mode.shape[:2]
     heads, nbits = [], []
     for i in range(mb_h):
@@ -664,7 +675,10 @@ def cavlc_entropy_rows_p(mode: np.ndarray, zdc: np.ndarray,
         active_refs, mb_h, mb_w, _ptr(blob),
         nbits_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         threads, _ptr(scratch), stride, _ptr(out),
-        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        pmode.ctypes.data_as(i16p) if pmode is not None else None,
+        mv4.ctypes.data_as(i16p) if pmode is not None else None,
+        ref4.ctypes.data_as(i16p) if ref4 is not None else None)
     if rc != 0:
         raise RuntimeError(
             "fp_cavlc_entropy_rows_p failed (bad args or overflow)")

@@ -19,6 +19,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC framepipe.cpp -o libframepipe.so
 // (done automatically by opencv_opencl_tpu.native.build)
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cstdint>
@@ -1719,20 +1720,10 @@ static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
                    left_ok);
 }
 
-// Inter (P_L0_16x16) MB from precomputed levels: acz holds FULL 4x4
-// blocks (DC included); CBP luma is one bit per 8x8 quadrant.  mvd_x /
-// mvd_y are quarter-pel motion vector differences (0 in the
-// zero-motion configuration).  A cbp==0 MB (possible when the device
-// search picked a non-predictor MV whose residual quantized away) has
-// no mb_qp_delta and no residual syntax.  Mirrors io/h264_inter.py
-// encode_frame_p_from_levels.
-static void entropy_p_mb(BitW& w, size_t mbx, size_t mb_w,
-                         const int16_t* acz, const int16_t* czdc,
-                         const int16_t* cacz, int8_t* lnnz,
-                         int8_t* cbnnz, int8_t* crnnz,
-                         int32_t mvd_x, int32_t mvd_y,
-                         int32_t ref_idx, int active_refs) {
-    const bool left_ok = mbx > 0;
+// cbp of an inter MB from precomputed levels: acz holds FULL 4x4
+// blocks (DC included); CBP luma is one bit per 8x8 quadrant.
+static int inter_cbp(const int16_t* acz, const int16_t* czdc,
+                     const int16_t* cacz) {
     int cbp_luma = 0;
     for (int b = 0; b < 16; ++b) {
         const int16_t* z = acz + b * 16;
@@ -1755,14 +1746,19 @@ static void entropy_p_mb(BitW& w, size_t mbx, size_t mb_w,
             break;
         }
     const int cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
-    const int cbp = cbp_luma | (cbp_chroma << 4);
-    w.ue(0);       // mb_type: P_L0_16x16
-    if (active_refs == 2)
-        w.u(uint32_t(1 - ref_idx), 1);  // te(v): single INVERTED bit
-    else if (active_refs > 2)
-        w.ue(uint32_t(ref_idx));
-    w.se(mvd_x);   // mvd_l0 x
-    w.se(mvd_y);   // mvd_l0 y
+    return cbp_luma | (cbp_chroma << 4);
+}
+
+// shared tail of every coded inter MB: cbp, mb_qp_delta, quadrant-
+// gated full-block luma residuals, chroma (mirrors the Python
+// writers' shared section in encode_frame_p_from_levels).
+static void entropy_p_tail(BitW& w, size_t mbx, size_t mb_w,
+                           const int16_t* acz, const int16_t* czdc,
+                           const int16_t* cacz, int8_t* lnnz,
+                           int8_t* cbnnz, int8_t* crnnz, int cbp) {
+    const bool left_ok = mbx > 0;
+    const int cbp_luma = cbp & 15;
+    const int cbp_chroma = cbp >> 4;
     w.ue(kCbpInterCode[cbp]);
     const size_t lstr = mb_w * 4 + 1;
     const size_t nbx0 = mbx * 4 + 1;
@@ -1804,6 +1800,164 @@ static void entropy_p_mb(BitW& w, size_t mbx, size_t mb_w,
     }
     entropy_chroma(w, mbx, mb_w, czdc, cacz, cbp_chroma, cbnnz, crnnz,
                    left_ok);
+}
+
+// Inter (P_L0_16x16) MB from precomputed levels.  mvd_x / mvd_y are
+// quarter-pel motion vector differences (0 in the zero-motion
+// configuration).  A cbp==0 MB (possible when the device search
+// picked a non-predictor MV whose residual quantized away) has no
+// mb_qp_delta and no residual syntax.  Mirrors io/h264_inter.py
+// encode_frame_p_from_levels.
+static void entropy_p_mb(BitW& w, size_t mbx, size_t mb_w,
+                         const int16_t* acz, const int16_t* czdc,
+                         const int16_t* cacz, int8_t* lnnz,
+                         int8_t* cbnnz, int8_t* crnnz,
+                         int32_t mvd_x, int32_t mvd_y,
+                         int32_t ref_idx, int active_refs) {
+    const int cbp = inter_cbp(acz, czdc, cacz);
+    w.ue(0);       // mb_type: P_L0_16x16
+    if (active_refs == 2)
+        w.u(uint32_t(1 - ref_idx), 1);  // te(v): single INVERTED bit
+    else if (active_refs > 2)
+        w.ue(uint32_t(ref_idx));
+    w.se(mvd_x);   // mvd_l0 x
+    w.se(mvd_y);   // mvd_l0 y
+    entropy_p_tail(w, mbx, mb_w, acz, czdc, cacz, lnnz, cbnnz, crnnz,
+                   cbp);
+}
+
+// ---- partitioned P MBs (16x8 / 8x16 / 8x8 with per-partition mvd
+// and, with refs > 1, per-partition te(v) ref_idx) — the C++ twin of
+// the Python from-levels parts path (encode_frame_p_from_levels with
+// pmode) and the _mvp_parts reference-aware predictor.
+
+struct MvCand {
+    int32_t y, x, ref;
+    bool avail;
+};
+
+// spec 8.4.1.3.1 general process under the one-row-slice collapse:
+// copy rule (B, C unavailable and A available -> raw mvA), then the
+// exactly-one-refIdx-match rule, else the component median.
+static void mvp_general(MvCand A, MvCand B, MvCand C, int myref,
+                        int32_t* oy, int32_t* ox) {
+    int32_t ey[3], ex[3], er[3];
+    const MvCand* nn[3] = {&A, &B, &C};
+    for (int k = 0; k < 3; ++k) {
+        ey[k] = nn[k]->avail ? nn[k]->y : 0;
+        ex[k] = nn[k]->avail ? nn[k]->x : 0;
+        er[k] = nn[k]->avail ? nn[k]->ref : -1;
+    }
+    if (!B.avail && !C.avail && A.avail) {
+        *oy = ey[0];
+        *ox = ex[0];
+        return;
+    }
+    int nm = 0, mi = -1;
+    for (int k = 0; k < 3; ++k)
+        if (er[k] == myref) {
+            ++nm;
+            mi = k;
+        }
+    if (nm == 1) {
+        *oy = ey[mi];
+        *ox = ex[mi];
+        return;
+    }
+    auto med = [](int32_t a, int32_t b, int32_t c) {
+        return std::max(std::min(a, b), std::min(std::max(a, b), c));
+    };
+    *oy = med(ey[0], ey[1], ey[2]);
+    *ox = med(ex[0], ex[1], ex[2]);
+}
+
+// the reference-aware per-partition predictor (io/h264_inter.py
+// _mvp_parts — see its docstring for the case derivation)
+static void mvp_parts(int pidx, int pmode, bool left_avail,
+                      bool left_inter, const int32_t lq1[2],
+                      const int32_t lq3[2], int lr1, int lr3,
+                      const int16_t* mv4, const int16_t* ref4,
+                      int myref, int32_t* oy, int32_t* ox) {
+    MvCand a1{left_inter ? lq1[0] : 0, left_inter ? lq1[1] : 0,
+              left_inter ? lr1 : -1, left_avail};
+    MvCand a3{left_inter ? lq3[0] : 0, left_inter ? lq3[1] : 0,
+              left_inter ? lr3 : -1, left_avail};
+    auto ownn = [&](int q) {
+        return MvCand{int32_t(mv4[q * 2]), int32_t(mv4[q * 2 + 1]),
+                      ref4 ? int32_t(ref4[q]) : 0, true};
+    };
+    const MvCand U{0, 0, -1, false};
+    if (pmode == 0) {
+        mvp_general(a1, U, U, myref, oy, ox);
+    } else if (pmode == 1) {           // 16x8: partitions (q0, q2)
+        if (pidx == 0) {
+            mvp_general(a1, U, U, myref, oy, ox);
+        } else if (a3.avail && a3.ref == myref) {  // directional A
+            *oy = a3.y;
+            *ox = a3.x;
+        } else {
+            mvp_general(a3, ownn(0), a1, myref, oy, ox);
+        }
+    } else if (pmode == 2) {           // 8x16: partitions (q0, q1)
+        if (pidx == 0) {
+            if (a1.avail && a1.ref == myref) {     // directional A
+                *oy = a1.y;
+                *ox = a1.x;
+            } else {
+                mvp_general(a1, U, U, myref, oy, ox);
+            }
+        } else {
+            mvp_general(ownn(0), U, U, myref, oy, ox);
+        }
+    } else {                           // P_8x8 sub-partitions q0..q3
+        if (pidx == 0)
+            mvp_general(a1, U, U, myref, oy, ox);
+        else if (pidx == 1)
+            mvp_general(ownn(0), U, U, myref, oy, ox);
+        else if (pidx == 2)
+            mvp_general(a3, ownn(0), ownn(1), myref, oy, ox);
+        else
+            mvp_general(ownn(2), ownn(1), ownn(0), myref, oy, ox);
+    }
+}
+
+// representative quadrant of each partition, per pmode
+// (io/h264_inter.py _PART_QUADS: quads[0])
+static const int kPartReps[4][4] = {
+    {0, 0, 0, 0}, {0, 2, 0, 0}, {0, 1, 0, 0}, {0, 1, 2, 3}};
+static const int kPartN[4] = {1, 2, 2, 4};
+
+static void entropy_p_mb_parts(
+    BitW& w, size_t mbx, size_t mb_w, const int16_t* acz,
+    const int16_t* czdc, const int16_t* cacz, int8_t* lnnz,
+    int8_t* cbnnz, int8_t* crnnz, int pmode, const int16_t* mv4,
+    const int16_t* ref4, int active_refs, bool left_avail,
+    bool left_inter, const int32_t lq1[2], const int32_t lq3[2],
+    int lr1, int lr3) {
+    const int cbp = inter_cbp(acz, czdc, cacz);
+    w.ue(uint32_t(pmode));   // mb_type: 16x16 / 16x8 / 8x16 / 8x8
+    if (pmode == 3)
+        for (int k = 0; k < 4; ++k) w.ue(0);  // sub_mb_type P_L0_8x8
+    if (active_refs > 1) {
+        for (int p = 0; p < kPartN[pmode]; ++p) {
+            int r = ref4 ? int(ref4[kPartReps[pmode][p]]) : 0;
+            if (active_refs == 2)
+                w.u(uint32_t(1 - r), 1);    // te(v): inverted bit
+            else
+                w.ue(uint32_t(r));
+        }
+    }
+    for (int p = 0; p < kPartN[pmode]; ++p) {
+        const int q0 = kPartReps[pmode][p];
+        const int myref = ref4 ? int(ref4[q0]) : 0;
+        int32_t py, px;
+        mvp_parts(p, pmode, left_avail, left_inter, lq1, lq3, lr1,
+                  lr3, mv4, ref4, myref, &py, &px);
+        w.se(int32_t(mv4[q0 * 2 + 1]) - px);   // x first (7.3.5.1)
+        w.se(int32_t(mv4[q0 * 2]) - py);
+    }
+    entropy_p_tail(w, mbx, mb_w, acz, czdc, cacz, lnnz, cbnnz, crnnz,
+                   cbp);
 }
 
 }  // namespace cavlc
@@ -1894,13 +2048,20 @@ extern "C" int64_t fp_cavlc_entropy_rows(
 // inter MB when active_refs > 1.  Byte-identical to io/h264_inter.py
 // encode_frame_p_from_levels (the Python oracle).  Same scratch/out
 // discipline as fp_cavlc_entropy_rows.
+// ``pmode``/``mv4``/``ref4`` (all nullable; trailing args so the
+// legacy call shape still binds) select the PARTITIONED write path:
+// per-MB partition mode in {0..3}, the quadrant-major (mb_h*mb_w, 4,
+// 2) quarter-pel MV field, and (refs > 1) the (mb_h*mb_w, 4)
+// per-quadrant reference field — the C++ twin of the Python parts
+// path with the reference-aware _mvp_parts predictor.
 extern "C" int64_t fp_cavlc_entropy_rows_p(
     const int16_t* mode, const int16_t* zdc, const int16_t* acz,
     const int16_t* czdc, const int16_t* cacz, const int16_t* mv,
     const int16_t* ref, int active_refs,
     uint64_t mb_h, uint64_t mb_w, const uint8_t* head_bits_blob,
     const uint64_t* head_nbits, int threads, uint8_t* scratch,
-    uint64_t stride, uint8_t* out, uint64_t* out_lens) {
+    uint64_t stride, uint8_t* out, uint64_t* out_lens,
+    const int16_t* pmode, const int16_t* mv4, const int16_t* ref4) {
     if (mb_h == 0 || mb_w == 0) return -1;
     std::vector<const uint8_t*> heads(mb_h);
     {
@@ -1924,6 +2085,9 @@ extern "C" int64_t fp_cavlc_entropy_rows_p(
         uint32_t skip_run = 0;
         bool left_inter = false;     // left MB inter (incl. skip)?
         int32_t lmy = 0, lmx = 0;    // its MV (quarter-pel)
+        int32_t lq1[2] = {0, 0};     // parts: left MB q1/q3 (mv, ref)
+        int32_t lq3[2] = {0, 0};
+        int lr1 = 0, lr3 = 0;
         for (uint64_t mbx = 0; mbx < mb_w; ++mbx) {
             uint64_t mb = i * mb_w + mbx;
             int m = mode[mb];
@@ -1932,6 +2096,8 @@ extern "C" int64_t fp_cavlc_entropy_rows_p(
                 ++skip_run;
                 left_inter = true;   // P_Skip: mv == mvp_skip == (0,0)
                 lmy = lmx = 0;
+                lq1[0] = lq1[1] = lq3[0] = lq3[1] = 0;
+                lr1 = lr3 = 0;
                 for (int by = 0; by < 4; ++by)
                     for (int bx = 0; bx < 4; ++bx)
                         lnnz[by * lstr + nbx0 + bx] = 0;
@@ -1952,6 +2118,22 @@ extern "C" int64_t fp_cavlc_entropy_rows_p(
                                   cacz + mb * 128, lnnz, cbnnz, crnnz,
                                   /*type_offset=*/5,
                                   /*predmode=*/m == 3 ? 1 : 2);
+            } else if (pmode) {
+                const int pm = int(pmode[mb]);
+                const int16_t* m4 = mv4 + mb * 8;
+                const int16_t* r4 = ref4 ? ref4 + mb * 4 : nullptr;
+                cavlc::entropy_p_mb_parts(
+                    w, mbx, mb_w, acz + mb * 256, czdc + mb * 8,
+                    cacz + mb * 128, lnnz, cbnnz, crnnz, pm, m4, r4,
+                    active_refs, mbx > 0, left_inter, lq1, lq3, lr1,
+                    lr3);
+                left_inter = true;
+                lq1[0] = m4[2];          // quadrant q1 (dy, dx)
+                lq1[1] = m4[3];
+                lq3[0] = m4[6];          // quadrant q3
+                lq3[1] = m4[7];
+                lr1 = r4 ? int(r4[1]) : 0;
+                lr3 = r4 ? int(r4[3]) : 0;
             } else {
                 const int32_t dy = mv ? mv[mb * 2] : 0;
                 const int32_t dx = mv ? mv[mb * 2 + 1] : 0;

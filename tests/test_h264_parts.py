@@ -393,3 +393,45 @@ class TestPartsRefs2:
         tail = f"qp={QP}:gop={N}:search=3:refs=2:parts"
         assert (run("tpu:" + tail)
                 == run(f"cavlc:{tail}:slices={MB_H}"))
+
+
+class TestNativePartsRows:
+    """The C++ entropy rows (fp_cavlc_entropy_rows_p pmode/mv4/ref4
+    path) must be byte-identical to the Python from-levels writer."""
+
+    @pytest.mark.parametrize("refs", [1, 2])
+    def test_native_matches_python(self, refs):
+        from opencv_opencl_tpu import native
+
+        if not native.available():
+            pytest.skip(f"native lib unavailable: {native.build_error()}")
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.io.h264_inter import (
+            encode_frame_p_from_levels)
+        from opencv_opencl_tpu.ops import h264_levels as hl
+
+        frames = flicker_shear_frames()
+        y2 = frames[4][:H]
+        r1 = frames[3][:H]
+        r2 = frames[2][:H]
+        c = np.full((H // 2, W // 2), 128, np.uint8)
+        kw = {}
+        if refs == 2:
+            kw = dict(ry2=jnp.asarray(r2), rcb2=jnp.asarray(c),
+                      rcr2=jnp.asarray(c))
+        out = hl.encode_p_levels(
+            jnp.asarray(y2), jnp.asarray(c), jnp.asarray(c),
+            jnp.asarray(r1), jnp.asarray(c), jnp.asarray(c),
+            jnp.int32(QP), search=3, subpel=0, parts=1, **kw)
+        mode, zdc, acz, czdc, cacz = (np.asarray(a) for a in out[:5])
+        mv4 = np.asarray(out.mv)
+        pm = np.asarray(out.pmode)
+        r4 = None if out.ref is None else np.asarray(out.ref)
+        py = encode_frame_p_from_levels(
+            mode, zdc, acz, czdc, cacz, QP, 1, mv=mv4, ref=r4,
+            active_refs=refs, pmode=pm)
+        nat = native.cavlc_entropy_rows_p(
+            mode, zdc, acz, czdc, cacz, QP, 1, active_refs=refs,
+            pmode=pm, mv4=mv4, ref4=r4)
+        assert [bytes(a) for a in py] == [bytes(b) for b in nat]
