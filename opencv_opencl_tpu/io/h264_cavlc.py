@@ -1617,13 +1617,13 @@ class TpuCavlcEncoder(CavlcH264Encoder):
             i4modes = np.asarray(i4modes)
         if cmode is not None:
             cmode = np.asarray(cmode)
-        if self._native and i4modes is None and cmode is None:
+        if self._native:
             from opencv_opencl_tpu import native
 
             return native.cavlc_entropy_rows(
                 zdc, acz, czdc, cacz, qp, idr, threads=self._threads,
                 workspace=self._workspace, imode=imode,
-                deblock=self.deblock)
+                deblock=self.deblock, i4modes=i4modes, cmode=cmode)
         return encode_frame_from_levels(zdc, acz, czdc, cacz, qp, idr,
                                         imode=imode,
                                         deblock=self.deblock,

@@ -134,6 +134,7 @@ def _load():
             i16p,
             i16p, i16p, i16p, i16p, ctypes.c_uint64, ctypes.c_uint64,
             u8p, u64p, ctypes.c_int, u8p, ctypes.c_uint64, u8p, u64p,
+            i16p, i16p,
         ]
         lib.fp_cavlc_entropy_rows_p.restype = ctypes.c_int64
         lib.fp_cavlc_entropy_rows_p.argtypes = [
@@ -533,13 +534,19 @@ def cavlc_entropy_rows(zdc: np.ndarray, acz: np.ndarray,
                        idr_pic_id: int, threads: int = 0,
                        workspace: dict | None = None,
                        imode: np.ndarray | None = None,
-                       deblock: bool = False) -> list[bytes]:
+                       deblock: bool = False,
+                       i4modes: np.ndarray | None = None,
+                       cmode: np.ndarray | None = None) -> list[bytes]:
     """Native entropy coding of precomputed quantized levels
     (ops/h264_levels.py LevelArrays) into one IDR slice NAL per MB row
     — the CPU stage of the TPU encode path.  ``imode`` is the per-MB
-    intra pred mode plane (1 = HORIZONTAL, 2 = DC; None = all DC).
+    intra pred mode plane (0 = I_4x4, 1 = HORIZONTAL, 2 = DC; None =
+    all DC); ``i4modes`` the z-scan (mb_h, mb_w, 16) block-mode field
+    used where imode == 0 (acz then carries FULL 16-coeff blocks);
+    ``cmode`` the per-MB intra_chroma_pred_mode plane (0 DC, 1 HOR).
     Byte-identical to ``io.h264_cavlc.encode_frame_from_levels`` (the
-    Python oracle, diffed in tests/test_h264_levels.py)."""
+    Python oracle, diffed in tests/test_h264_levels.py /
+    test_h264_i4.py / test_h264_chromah.py)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native runtime unavailable: {_build_error}")
@@ -552,6 +559,10 @@ def cavlc_entropy_rows(zdc: np.ndarray, acz: np.ndarray,
     cacz = np.ascontiguousarray(cacz, dtype=np.int16)
     if imode is not None:
         imode = np.ascontiguousarray(imode, dtype=np.int16)
+    if i4modes is not None:
+        i4modes = np.ascontiguousarray(i4modes, dtype=np.int16)
+    if cmode is not None:
+        cmode = np.ascontiguousarray(cmode, dtype=np.int16)
     mb_h, mb_w = zdc.shape[:2]
     heads, nbits = [], []
     for i in range(mb_h):
@@ -586,7 +597,9 @@ def cavlc_entropy_rows(zdc: np.ndarray, acz: np.ndarray,
         mb_h, mb_w, _ptr(blob),
         nbits_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         threads, _ptr(scratch), stride, _ptr(out),
-        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        i4modes.ctypes.data_as(i16p) if i4modes is not None else None,
+        cmode.ctypes.data_as(i16p) if cmode is not None else None)
     if rc != 0:
         raise RuntimeError(
             "fp_cavlc_entropy_rows failed (bad args or overflow)")

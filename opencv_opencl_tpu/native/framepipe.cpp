@@ -1660,7 +1660,8 @@ static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
                        const int16_t* zdc, const int16_t* acz,
                        const int16_t* czdc, const int16_t* cacz,
                        int8_t* lnnz, int8_t* cbnnz, int8_t* crnnz,
-                       int type_offset = 0, int predmode = 2) {
+                       int type_offset = 0, int predmode = 2,
+                       int cmode = 0) {
     const bool left_ok = mbx > 0;
     bool cbp_luma = false;
     for (int i = 0; i < 256; ++i)
@@ -1682,7 +1683,7 @@ static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
     const int cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
     w.ue(uint32_t(type_offset + 1 + predmode + 4 * cbp_chroma +
                   12 * (cbp_luma ? 1 : 0)));
-    w.ue(0);  // intra_chroma_pred_mode: DC
+    w.ue(uint32_t(cmode));  // intra_chroma_pred_mode (0 DC, 1 HOR)
     w.se(0);  // mb_qp_delta
     const size_t lstr = mb_w * 4 + 1;
     const size_t nbx0 = mbx * 4 + 1;
@@ -1715,6 +1716,117 @@ static void entropy_mb(BitW& w, size_t mbx, size_t mb_w,
         for (int by = 0; by < 4; ++by)
             for (int bx = 0; bx < 4; ++bx)
                 lnnz[by * lstr + nbx0 + bx] = 0;
+    }
+    entropy_chroma(w, mbx, mb_w, czdc, cacz, cbp_chroma, cbnnz, crnnz,
+                   left_ok);
+}
+
+// coded_block_pattern me(v) mapping for Intra_4x4 (spec Table 9-4,
+// ChromaArrayType = 1): cbp -> codeNum.  The inverse of the decode
+// table in io/h264_cavlc.py (_CBP_INTRA_CODE) — validated by the
+// lavc-proven byte-identity of the Python twin.
+static const uint8_t kCbpIntraCode[48] = {
+    3, 29, 30, 17, 31, 18, 37, 8, 32, 38, 19, 9, 20, 10, 11, 2,
+    16, 33, 34, 21, 35, 22, 39, 4, 36, 40, 23, 5, 24, 6, 7, 1,
+    41, 42, 43, 25, 44, 26, 46, 12, 45, 47, 27, 13, 28, 14, 15, 0};
+
+// z index of the 4x4 block at (bx, by) in the MB (inverse kBlockScan)
+static const int kZOf[4][4] = {   // [by][bx]
+    {0, 1, 4, 5}, {2, 3, 6, 7}, {8, 9, 12, 13}, {10, 11, 14, 15}};
+
+// Intra_4x4 MB from precomputed levels: acz slots carry FULL
+// 16-coeff blocks (no luma DC block); ``zm`` the 16 chosen modes in
+// z-scan order; predicted-mode derivation under the one-row-slice
+// collapse (top MB row is another slice) with the left MB context.
+// Mirrors io/h264_cavlc.py encode_frame_from_levels' i4 branch.
+static void entropy_i4_mb(BitW& w, size_t mbx, size_t mb_w,
+                          const int16_t* acz, const int16_t* czdc,
+                          const int16_t* cacz, int8_t* lnnz,
+                          int8_t* cbnnz, int8_t* crnnz,
+                          const int16_t* zm, int cmode,
+                          bool prev_is_i4, const int prev_m3[4]) {
+    const bool left_ok = mbx > 0;
+    int cbpl = 0;
+    for (int q = 0; q < 4; ++q) {
+        for (int s = 4 * q; s < 4 * q + 4; ++s) {
+            int bx = kBlockScan[s][0], by = kBlockScan[s][1];
+            const int16_t* z = acz + (by * 4 + bx) * 16;
+            bool nz = false;
+            for (int i = 0; i < 16; ++i)
+                if (z[i]) {
+                    nz = true;
+                    break;
+                }
+            if (nz) {
+                cbpl |= 1 << q;
+                break;
+            }
+        }
+    }
+    bool cac = false, cdc = false;
+    for (int i = 0; i < 128; ++i)
+        if (cacz[i]) {
+            cac = true;
+            break;
+        }
+    for (int i = 0; i < 8; ++i)
+        if (czdc[i]) {
+            cdc = true;
+            break;
+        }
+    const int cbp_chroma = cac ? 2 : (cdc ? 1 : 0);
+    const int cbp = cbpl | (cbp_chroma << 4);
+    w.ue(0);                    // mb_type: I_4x4
+    for (int z = 0; z < 16; ++z) {
+        int bx = kBlockScan[z][0], by = kBlockScan[z][1];
+        int predm;
+        if (by == 0) {
+            predm = 2;          // top neighbor: another slice
+        } else {
+            int mb_ = int(zm[kZOf[by - 1][bx]]);
+            if (bx > 0) {
+                int ma = int(zm[kZOf[by][bx - 1]]);
+                predm = ma < mb_ ? ma : mb_;
+            } else if (left_ok) {
+                int ma = prev_is_i4 ? prev_m3[by] : 2;
+                predm = ma < mb_ ? ma : mb_;
+            } else {
+                predm = 2;
+            }
+        }
+        int m = int(zm[z]);
+        if (m == predm) {
+            w.u(1, 1);          // prev_intra4x4_pred_mode_flag
+        } else {
+            w.u(0, 1);
+            w.u(uint32_t(m < predm ? m : m - 1), 3);
+        }
+    }
+    w.ue(uint32_t(cmode));      // intra_chroma_pred_mode
+    w.ue(kCbpIntraCode[cbp]);   // coded_block_pattern, me(v) intra
+    if (cbp) w.se(0);           // mb_qp_delta
+    const size_t lstr = mb_w * 4 + 1;
+    const size_t nbx0 = mbx * 4 + 1;
+    for (int z = 0; z < 16; ++z) {
+        int bx = kBlockScan[z][0], by = kBlockScan[z][1];
+        if (!((cbpl >> (z >> 2)) & 1)) {
+            lnnz[by * lstr + nbx0 + bx] = 0;
+            continue;
+        }
+        bool l_ok = bx == 0 ? left_ok : true;
+        int nc;
+        if (by == 0)
+            nc = l_ok ? lnnz[nbx0 + bx - 1] : 0;
+        else if (l_ok)
+            nc = (lnnz[by * lstr + nbx0 + bx - 1] +
+                  lnnz[(by - 1) * lstr + nbx0 + bx] + 1) >> 1;
+        else
+            nc = lnnz[(by - 1) * lstr + nbx0 + bx];
+        const int16_t* z16 = acz + (by * 4 + bx) * 16;
+        int32_t scan[16];
+        for (int i = 0; i < 16; ++i) scan[i] = z16[kZigzag[i]];
+        int tc = write_res(w, scan, 16, nc);
+        lnnz[by * lstr + nbx0 + bx] = int8_t(tc);
     }
     entropy_chroma(w, mbx, mb_w, czdc, cacz, cbp_chroma, cbnnz, crnnz,
                    left_ok);
@@ -1968,12 +2080,17 @@ static void entropy_p_mb_parts(
 // Slice i's RBSP goes to scratch+i*stride, the escaped NAL to
 // out+i*stride, its length into out_lens[i].  Returns 0, or -1 on bad
 // args / overflow.
+// ``i4modes``/``cmode`` (nullable trailing args; legacy call shape
+// still binds): per-MB Intra_4x4 block modes (z-scan (mb, 16), used
+// where imode[mb] == 0 — acz slots then carry FULL 16-coeff blocks)
+// and the per-MB intra_chroma_pred_mode plane (0 DC / 1 HORIZONTAL).
 extern "C" int64_t fp_cavlc_entropy_rows(
     const int16_t* zdc, const int16_t* acz, const int16_t* czdc,
     const int16_t* cacz, const int16_t* imode, uint64_t mb_h,
     uint64_t mb_w, const uint8_t* head_bits_blob,
     const uint64_t* head_nbits, int threads, uint8_t* scratch,
-    uint64_t stride, uint8_t* out, uint64_t* out_lens) {
+    uint64_t stride, uint8_t* out, uint64_t* out_lens,
+    const int16_t* i4modes, const int16_t* cmode) {
     if (mb_h == 0 || mb_w == 0) return -1;
     std::vector<const uint8_t*> heads(mb_h);
     {
@@ -1994,12 +2111,29 @@ extern "C" int64_t fp_cavlc_entropy_rows(
         std::memset(lnnz, 0, 4 * lstr);
         std::memset(cbnnz, 0, 2 * cstr);
         std::memset(crnnz, 0, 2 * cstr);
+        bool prev_is_i4 = false;
+        int prev_m3[4] = {2, 2, 2, 2};
         for (uint64_t mbx = 0; mbx < mb_w; ++mbx) {
             uint64_t mb = i * mb_w + mbx;
-            cavlc::entropy_mb(w, mbx, mb_w, zdc + mb * 16, acz + mb * 256,
-                              czdc + mb * 8, cacz + mb * 128, lnnz, cbnnz,
-                              crnnz, /*type_offset=*/0,
-                              /*predmode=*/imode ? int(imode[mb]) : 2);
+            const int cm = cmode ? int(cmode[mb]) : 0;
+            const int pm = imode ? int(imode[mb]) : 2;
+            if (i4modes && pm == 0) {
+                const int16_t* zm = i4modes + mb * 16;
+                cavlc::entropy_i4_mb(w, mbx, mb_w, acz + mb * 256,
+                                     czdc + mb * 8, cacz + mb * 128,
+                                     lnnz, cbnnz, crnnz, zm, cm,
+                                     prev_is_i4, prev_m3);
+                prev_is_i4 = true;
+                for (int by = 0; by < 4; ++by)
+                    prev_m3[by] = int(zm[cavlc::kZOf[by][3]]);
+            } else {
+                cavlc::entropy_mb(w, mbx, mb_w, zdc + mb * 16,
+                                  acz + mb * 256, czdc + mb * 8,
+                                  cacz + mb * 128, lnnz, cbnnz, crnnz,
+                                  /*type_offset=*/0, /*predmode=*/pm,
+                                  /*cmode=*/cm);
+                prev_is_i4 = false;
+            }
         }
         w.trailing();
         if (w.overflow) {

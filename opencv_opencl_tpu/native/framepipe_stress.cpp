@@ -372,12 +372,14 @@ int main() {
             mode.data(), zdc.data(), acz.data(), czdc.data(),
             cacz.data(), mv.data(), reff.data(), 2, mb_h, mb_w,
             heads_blob.data(), head_nbits.data(), 1, scr.data(),
-            stride, seq_o.data(), seq_l.data());
+            stride, seq_o.data(), seq_l.data(), nullptr, nullptr,
+            nullptr);
         int64_t r2 = fp_cavlc_entropy_rows_p(
             mode.data(), zdc.data(), acz.data(), czdc.data(),
             cacz.data(), mv.data(), reff.data(), 2, mb_h, mb_w,
             heads_blob.data(), head_nbits.data(), 4, scr.data(),
-            stride, par_o.data(), par_l.data());
+            stride, par_o.data(), par_l.data(), nullptr, nullptr,
+            nullptr);
         // null mv = zero motion must also hold under threading
         std::vector<uint8_t> z_o(mb_h * stride), z2_o(mb_h * stride);
         std::vector<uint64_t> z_l(mb_h), z2_l(mb_h);
@@ -385,12 +387,14 @@ int main() {
             mode.data(), zdc.data(), acz.data(), czdc.data(),
             cacz.data(), nullptr, nullptr, 1, mb_h, mb_w,
             heads_blob.data(), head_nbits.data(), 1, scr.data(),
-            stride, z_o.data(), z_l.data());
+            stride, z_o.data(), z_l.data(), nullptr, nullptr,
+            nullptr);
         int64_t r4 = fp_cavlc_entropy_rows_p(
             mode.data(), zdc.data(), acz.data(), czdc.data(),
             cacz.data(), nullptr, nullptr, 1, mb_h, mb_w,
             heads_blob.data(), head_nbits.data(), 3, scr.data(),
-            stride, z2_o.data(), z2_l.data());
+            stride, z2_o.data(), z2_l.data(), nullptr, nullptr,
+            nullptr);
         bool ok = r1 == 0 && r2 == 0 && r3 == 0 && r4 == 0;
         for (uint64_t i = 0; ok && i < mb_h; ++i)
             ok = z_l[i] == z2_l[i] &&

@@ -233,3 +233,42 @@ class TestIntegration:
             assert np.array_equal(f.reshape(-1, W)[:H], recons[i][:H]), \
                 f"recon mismatch at frame {i}"
         cap.release()
+
+
+class TestNativeI4Rows:
+    """The C++ intra entropy rows (fp_cavlc_entropy_rows i4modes/cmode
+    path) must be byte-identical to the Python from-levels writer."""
+
+    def test_native_matches_python(self):
+        from opencv_opencl_tpu import native
+
+        if not native.available():
+            pytest.skip(f"native lib unavailable: {native.build_error()}")
+        import jax
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.ops import h264_levels as hl
+
+        rng = np.random.default_rng(3)
+        yy, xx = np.mgrid[0:H, 0:W]
+        y = ((xx * 2 + yy * 3) * 4 % 256).astype(np.uint8)
+        cu = (np.mgrid[0:H // 2, 0:W // 2][0] * 8
+              % 256).astype(np.uint8)
+        cv_ = ((np.mgrid[0:H // 2, 0:W // 2][0] + 40) * 8
+               % 256).astype(np.uint8)
+        enc = jax.jit(lambda a, b, c, q: hl.encode_levels(
+            a, b, c, q, i4=True, chromah=True))
+        lv, imode, i4m, cm = enc(jnp.asarray(y), jnp.asarray(cu),
+                                 jnp.asarray(cv_), jnp.int32(28))
+        zdc, acz, czdc, cacz = (np.asarray(a, np.int64) for a in lv)
+        imode = np.asarray(imode)
+        i4m = np.asarray(i4m)
+        cm = np.asarray(cm)
+        assert (imode == 0).any() and (cm == 1).any()
+        py = hc.encode_frame_from_levels(zdc, acz, czdc, cacz, 28,
+                                         imode=imode, i4modes=i4m,
+                                         cmode=cm)
+        nat = native.cavlc_entropy_rows(zdc, acz, czdc, cacz, 28, 0,
+                                        imode=imode, i4modes=i4m,
+                                        cmode=cm)
+        assert [bytes(a) for a in py] == [bytes(b) for b in nat]
