@@ -78,11 +78,16 @@ class DeblockInfo:
     are ignored.  ``ref``: (mb_h, mb_w) int ref_idx_l0 (one list, so
     index equality == picture equality)."""
 
-    def __init__(self, mb_h: int, mb_w: int) -> None:
+    def __init__(self, mb_h: int, mb_w: int,
+                 parts: bool = False) -> None:
         self.intra = np.zeros((mb_h, mb_w), dtype=bool)
         self.nnz4 = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
-        self.mv = np.zeros((mb_h, mb_w, 2), dtype=np.int64)
-        self.ref = np.zeros((mb_h, mb_w), dtype=np.int64)
+        # with ``parts``, mv/ref are QUADRANT-granular (2mb_h, 2mb_w
+        # [, 2]) — sub-16x16 partitions carry per-8x8 motion, and the
+        # bS derivation detects the granularity by shape
+        g = 2 if parts else 1
+        self.mv = np.zeros((mb_h * g, mb_w * g, 2), dtype=np.int64)
+        self.ref = np.zeros((mb_h * g, mb_w * g), dtype=np.int64)
 
     @classmethod
     def for_idr(cls, mb_h: int, mb_w: int) -> "DeblockInfo":
@@ -98,8 +103,11 @@ def _bs_edges(info: DeblockInfo, vertical: bool) -> np.ndarray:
     row b (vertical=False) at block row/col b.  Column/row 0 is the
     picture edge (never filtered) and stays 0."""
     intra4 = np.repeat(np.repeat(info.intra, 4, axis=0), 4, axis=1)
-    mv4 = np.repeat(np.repeat(info.mv, 4, axis=0), 4, axis=1)
-    ref4 = np.repeat(np.repeat(info.ref, 4, axis=0), 4, axis=1)
+    # mv/ref may be per-MB (repeat 4) or quadrant-granular (repeat 2
+    # — the partition modes' per-8x8 motion)
+    g = 4 if info.mv.shape[0] == info.intra.shape[0] else 2
+    mv4 = np.repeat(np.repeat(info.mv, g, axis=0), g, axis=1)
+    ref4 = np.repeat(np.repeat(info.ref, g, axis=0), g, axis=1)
     ax = 1 if vertical else 0
     p = {"intra": np.roll(intra4, 1, axis=ax),
          "nnz": np.roll(info.nnz4, 1, axis=ax),

@@ -243,8 +243,8 @@ def encode_frame_p_slices(nv12: np.ndarray, recon: tuple, width: int,
             raise ValueError("parts requires search=R > 0")
         if subpel == 3:
             raise ValueError("parts does not compose with fastsub")
-        if force_intra_rows is not None or deblock:
-            raise ValueError("parts requires no gdr, no deblock")
+        if force_intra_rows is not None:
+            raise ValueError("parts requires no gdr")
         if max(1, min(int(slices), mb_h)) != mb_h:
             raise ValueError("parts requires one slice per MB row "
                              f"(slices={mb_h} here)")
@@ -1422,7 +1422,11 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
         if refq_coded is not None:
             refq_coded[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
         if dbi is not None:  # P_Skip: no levels, mv = skip predictor
-            dbi.mv[mby, mbx] = mv2
+            if part2 is not None:   # quadrant-granular dbi fields
+                dbi.mv[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = mv2
+                dbi.ref[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+            else:
+                dbi.mv[mby, mbx] = mv2
         return skip_run + 1
 
     cost_inter = _cost(*lz.values(),
@@ -1488,9 +1492,12 @@ def _encode_p_mb(w: _BitWriter, mby: int, mbx: int, src: dict, ref: dict,
                     0 if ref4 is None else int(ref4[q]))
         inter_mask[mby, mbx] = True
         mv_coded[mby, mbx] = mv2
-        if dbi is not None:
-            dbi.mv[mby, mbx] = mv2
-            dbi.ref[mby, mbx] = ref2
+        if dbi is not None:     # quadrant-granular dbi fields
+            for q in range(4):
+                dbi.mv[2 * mby + q // 2, 2 * mbx + q % 2] = (
+                    int(mv4[q][0]), int(mv4[q][1]))
+                dbi.ref[2 * mby + q // 2, 2 * mbx + q % 2] = (
+                    0 if ref4 is None else int(ref4[q]))
     else:
         w.ue(0)                # mb_type: P_L0_16x16
         if active_refs > 1:
@@ -1800,8 +1807,8 @@ class GopCavlcEncoder:
                 raise ValueError("parts requires search=R > 0")
             if fastsub:
                 raise ValueError("parts does not compose with fastsub")
-            if gdr or deblock:
-                raise ValueError("parts requires no gdr, no deblock")
+            if gdr:
+                raise ValueError("parts requires no gdr")
             if refs > 1 and quarterpel:
                 # key-packing bound (motion_search_parts_multi)
                 search_candidates_qpel(min(search, 8), 2)
@@ -1889,7 +1896,8 @@ class GopCavlcEncoder:
             if self.deblock:
                 from opencv_opencl_tpu.io.h264_deblock import DeblockInfo
 
-                dbi = DeblockInfo(h16 // 16, w16 // 16)
+                dbi = DeblockInfo(h16 // 16, w16 // 16,
+                                  parts=self.parts)
             band = None
             prefix = b""
             if self.gdr:
@@ -2289,9 +2297,8 @@ class TpuGopEncoder:
                 raise ValueError("parts requires search=R > 0")
             if fastsub:
                 raise ValueError("parts does not compose with fastsub")
-            if gdr or deblock or bitpack:
-                raise ValueError("parts requires no gdr, no deblock, "
-                                 "no bitpack")
+            if gdr or bitpack:
+                raise ValueError("parts requires no gdr, no bitpack")
             if refs > 1 and quarterpel and (
                     refs * (8 * search + 1) ** 2 > SEARCH_KEY_RADIX):
                 raise ValueError(
@@ -2530,11 +2537,26 @@ class TpuGopEncoder:
                 nnz4 = jnp.any(plv.acz != 0, axis=-1).reshape(
                     mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(
                     mb_h * 4, mb_w * 4)
-                mvd = (jnp.zeros((mb_h, mb_w, 2), jnp.int32)
-                       if plv.mv is None else plv.mv.astype(jnp.int32))
-                refd = (jnp.zeros((mb_h, mb_w), jnp.int32)
-                        if plv.ref is None
-                        else plv.ref.astype(jnp.int32))
+                if self.parts:
+                    # quadrant-granular fields for the partition
+                    # modes' per-8x8 motion (bS repeat-2 path)
+                    mvd = (plv.mv.astype(jnp.int32)
+                           .reshape(mb_h, mb_w, 2, 2, 2)
+                           .transpose(0, 2, 1, 3, 4)
+                           .reshape(mb_h * 2, mb_w * 2, 2))
+                    refd = (jnp.zeros((mb_h * 2, mb_w * 2), jnp.int32)
+                            if plv.ref is None
+                            else plv.ref.astype(jnp.int32)
+                            .reshape(mb_h, mb_w, 2, 2)
+                            .transpose(0, 2, 1, 3)
+                            .reshape(mb_h * 2, mb_w * 2))
+                else:
+                    mvd = (jnp.zeros((mb_h, mb_w, 2), jnp.int32)
+                           if plv.mv is None
+                           else plv.mv.astype(jnp.int32))
+                    refd = (jnp.zeros((mb_h, mb_w), jnp.int32)
+                            if plv.ref is None
+                            else plv.ref.astype(jnp.int32))
                 recon = self._deblock_fn(
                     *recon, jnp.int32(qp), plv.mode >= 2, nnz4, mvd,
                     refd, self._deblock_slice_local)  # 2/3 = intra

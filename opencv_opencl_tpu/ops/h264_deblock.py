@@ -63,8 +63,11 @@ def bs_grids(intra: jax.Array, nnz4: jax.Array, mv: jax.Array,
     mb_w*4) int32; entry [b, a] is the edge LEFT of block column a /
     ABOVE block row b.  Column/row 0 (picture boundary) is 0."""
     intra4 = jnp.repeat(jnp.repeat(intra.astype(bool), 4, 0), 4, 1)
-    mv4 = jnp.repeat(jnp.repeat(mv.astype(jnp.int32), 4, 0), 4, 1)
-    ref4 = jnp.repeat(jnp.repeat(ref.astype(jnp.int32), 4, 0), 4, 1)
+    # mv/ref may be per-MB (repeat 4) or quadrant-granular (repeat 2
+    # — the partition modes' per-8x8 motion)
+    g = 4 if mv.shape[0] == intra.shape[0] else 2
+    mv4 = jnp.repeat(jnp.repeat(mv.astype(jnp.int32), g, 0), g, 1)
+    ref4 = jnp.repeat(jnp.repeat(ref.astype(jnp.int32), g, 0), g, 1)
     nnz4 = nnz4.astype(bool)
     out = []
     for ax in (1, 0):  # vertical edges compare along columns, H rows

@@ -204,3 +204,58 @@ class TestFilterSemantics:
         b = GopCavlcEncoder(w, h, qp=28, gop=4, deblock=False)
         for f in frames:
             assert a.encode(f) == b.encode(f)
+
+
+class TestPartsDeblock:
+    """parts x deblock: quadrant-granular bS metadata (per-8x8 mv/ref
+    from the partition modes feed the spec 8.7.2.1 derivation at 4x4
+    granularity)."""
+
+    @staticmethod
+    def _shear_frames(w, h, n):
+        rng = np.random.default_rng(7)
+        base = (rng.integers(0, 256, (h // 4, w // 4), np.uint8)
+                .repeat(4, 0).repeat(4, 1))
+        uvb = rng.integers(96, 160, (h // 2, w), np.uint8)
+        frames = []
+        split = 24      # INSIDE MB row 1: straddling MBs want 16x8
+        for i in range(n):
+            y = base.copy()
+            y[:split] = np.roll(base[:split], 3 * i, 1)
+            y[split:] = np.roll(base[split:], -3 * i, 1)
+            frames.append(np.concatenate([y, uvb.copy()], 0))
+        return frames
+
+    @pytest.mark.parametrize("refs", [1, 2])
+    def test_gop_luma_bitexact(self, refs, tmp_path):
+        w, h = 64, 48
+        frames = self._shear_frames(w, h, 5)
+        aus, recons = encode_gop_deblock(
+            frames, w, h, qp=30, gop=5, search=3, parts=True,
+            refs=refs, slices=h // 16)
+        dec = decode_frames(b"".join(aus), tmp_path, 5, aus[-1])
+        for i, d in enumerate(dec):
+            assert np.array_equal(
+                d[:h, :w].astype(np.int64), recons[i][0][:h, :w]), \
+                f"frame {i} mismatch (refs={refs})"
+
+    def test_partitions_and_quadrant_bs_exercised(self):
+        """The composition is only meaningful if partitioned MBs occur
+        AND some within-MB quadrant edge gets a motion-driven bS."""
+        from opencv_opencl_tpu.io.h264_deblock import (DeblockInfo,
+                                                       _bs_edges)
+        from opencv_opencl_tpu.io.h264_inter import (
+            mc_planes, motion_search_parts, mv4_to_quadrant_field)
+
+        w, h = 64, 48
+        frames = self._shear_frames(w, h, 3)
+        y1 = frames[2][:h].astype(np.int64)
+        y0 = frames[1][:h].astype(np.int64)
+        pmode, mv4 = motion_search_parts(y1, y0, 3, qp=30)
+        assert (pmode > 0).any()
+        info = DeblockInfo(h // 16, w // 16, parts=True)
+        info.mv[:] = mv4_to_quadrant_field(mv4)
+        bs_h = _bs_edges(info, vertical=False)
+        # the horizontal mid-MB edges (block rows 2 mod 4) must carry
+        # motion-driven bS 1 somewhere on the shear line
+        assert (bs_h[2::4] >= 1).any()

@@ -96,10 +96,16 @@ class TestTpuGopDeblock:
         (0, {}, 1),
         (2, {"quarterpel": True}, 1),
         (2, {"quarterpel": True}, 2),
+        (3, {"parts": True}, 1),
+        (3, {"parts": True}, 2),
     ])
     def test_byte_identical_to_oracle_gop(self, search, kw, refs):
         w, h = 64, 48
         fs = moving_frames(w, h, 5, seed=search + refs)
+        if kw.get("parts"):
+            # shear so partitioned MBs (and quadrant bS edges) occur
+            for i, f in enumerate(fs):
+                f[:24] = np.roll(f[:24], 2 * i, 1)
         okw = dict(search=search, deblock=True, **kw)
         tkw = dict(okw)
         if refs > 1:
