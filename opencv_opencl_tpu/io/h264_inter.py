@@ -2803,7 +2803,8 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
     packed = np.asarray(packed)
     # fused bitpack: the device-packed MB bitstrings ride as extra
     # lanes after the base layout (models.fused_encode._bits_lanes)
-    base = (419 if getattr(self, "parts", False)
+    parts_cfg = getattr(self, "parts", False)
+    base = ((423 if self.refs > 1 else 419) if parts_cfg
             else 413 if self.refs > 1
             else (412 if self.search else 410))
     bits = None
@@ -2811,19 +2812,22 @@ def _tpu_gop_encode_from_packed(self, packed: np.ndarray) -> list[bytes]:
             and packed.shape[-1] == base + 1 + 2 * self._nw_mb):
         bits = _split_bits_lanes(packed[:, :, base:])
         packed = packed[:, :, :base]
-    if packed.shape[-1] not in (410, 412, 413, 419):
+    if packed.shape[-1] not in (410, 412, 413, 419, 423):
         raise ValueError(
             f"fused GOP packed levels have {packed.shape[-1]} lanes, "
             "expected 410 (zero motion), 412 (motion search), 413 "
-            "(two references) or 419 (partitions)")
+            "(two references), 419 (partitions) or 423 "
+            "(partitions x two references)")
     mode = packed[:, :, 409]
     qp = int(packed[0, 0, 408])       # in-band qp lane (pack_levels)
     pmode = None
-    if packed.shape[-1] == 419:       # parts: 8 quadrant-MV lanes +
-        mbh, mbw = mode.shape         # the partition-mode lane
+    if packed.shape[-1] in (419, 423):  # parts: 8 quadrant-MV lanes +
+        mbh, mbw = mode.shape           # the partition-mode lane
         mv = packed[:, :, 410:418].reshape(mbh, mbw, 4, 2)
-        ref = None
         pmode = packed[:, :, 418]
+        # + 4 per-quadrant reference lanes at two references
+        ref = (packed[:, :, 419:423] if packed.shape[-1] == 423
+               else None)
     else:
         mv = packed[:, :, 410:412] if packed.shape[-1] >= 412 else None
         ref = packed[:, :, 412] if packed.shape[-1] == 413 else None

@@ -175,9 +175,14 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
             raise ValueError("fused parts requires search=R > 0")
         if subpel == 3:
             raise ValueError("parts does not compose with fastsub")
-        if refs > 1 or gdr or deblock or bitpack:
-            raise ValueError("fused parts requires refs=1, no gdr, "
-                             "no deblock, no bitpack")
+        if gdr or bitpack:
+            raise ValueError("fused parts requires no gdr, "
+                             "no bitpack")
+        if refs > 1 and subpel == 2 and (
+                refs * (8 * search + 1) ** 2 > 8192):
+            raise ValueError(
+                "quarter-pel parts with refs=2 needs search <= 7, "
+                f"got {search}")
     h, w = spec.height, spec.width
     h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
     mbh, mbw = h16 // 16, w16 // 16
@@ -211,10 +216,25 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
             nnz4 = jnp.any(plv.acz != 0, axis=-1).reshape(
                 mbh, mbw, 4, 4).transpose(0, 2, 1, 3).reshape(
                 mbh * 4, mbw * 4)
-            mvd = (jnp.zeros((mbh, mbw, 2), jnp.int32)
-                   if plv.mv is None else plv.mv.astype(jnp.int32))
-            refd = (jnp.zeros((mbh, mbw), jnp.int32)
-                    if plv.ref is None else plv.ref.astype(jnp.int32))
+            if parts:
+                # quadrant-granular bS fields (per-8x8 motion)
+                mvd = (plv.mv.astype(jnp.int32)
+                       .reshape(mbh, mbw, 2, 2, 2)
+                       .transpose(0, 2, 1, 3, 4)
+                       .reshape(mbh * 2, mbw * 2, 2))
+                refd = (jnp.zeros((mbh * 2, mbw * 2), jnp.int32)
+                        if plv.ref is None
+                        else plv.ref.astype(jnp.int32)
+                        .reshape(mbh, mbw, 2, 2)
+                        .transpose(0, 2, 1, 3)
+                        .reshape(mbh * 2, mbw * 2))
+            else:
+                mvd = (jnp.zeros((mbh, mbw, 2), jnp.int32)
+                       if plv.mv is None
+                       else plv.mv.astype(jnp.int32))
+                refd = (jnp.zeros((mbh, mbw), jnp.int32)
+                        if plv.ref is None
+                        else plv.ref.astype(jnp.int32))
             # GDR P slices are idc=2 (slice-local: no filtered sample
             # crosses the refresh wave)
             return deblock_planes(plv.recon_y, plv.recon_cb,
@@ -228,13 +248,18 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
         lanes = [base, mode.astype(jnp.int16)[:, :, None]]
         if parts:
             # 8 quadrant-MV lanes + the partition-mode lane (IDR
-            # frames pack zeros; the mode lane marks them)
+            # frames pack zeros; the mode lane marks them); with
+            # refs > 1, 4 per-quadrant reference lanes follow
             lanes.append(jnp.zeros((mbh, mbw, 8), jnp.int16)
                          if mv is None
                          else mv.astype(jnp.int16).reshape(mbh, mbw, 8))
             lanes.append(jnp.zeros((mbh, mbw, 1), jnp.int16)
                          if pmode is None
                          else pmode.astype(jnp.int16)[:, :, None])
+            if refs > 1:
+                lanes.append(jnp.zeros((mbh, mbw, 4), jnp.int16)
+                             if ref is None
+                             else ref.astype(jnp.int16))
             return jnp.concatenate(lanes, axis=-1)
         if search:
             lanes.append(jnp.zeros((mbh, mbw, 2), jnp.int16)
@@ -321,11 +346,13 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
             def do_p2(args):
                 yf, cbf, crf, ry, rcb, rcr, oy, ocb, ocr = args
                 plv = encode_p_levels(yf, cbf, crf, ry, rcb, rcr, qp,
-                                      search, subpel, oy, ocb, ocr)
+                                      search, subpel, oy, ocb, ocr,
+                                      parts=1 if parts else 0)
                 lv = LevelArrays(plv.zdc, plv.acz, plv.czdc, plv.cacz)
                 rec = ((plv.recon_y, plv.recon_cb, plv.recon_cr)
                        if not deblock else _deblock_p(plv, qp))
-                out = pack_gop(lv, qp, plv.mode, plv.mv, plv.ref)
+                out = pack_gop(lv, qp, plv.mode, plv.mv, plv.ref,
+                               pmode=plv.pmode)
                 if nw_mb:
                     out = jnp.concatenate(
                         [out, _bits_lanes(*pack_p_mbs(

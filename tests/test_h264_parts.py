@@ -317,9 +317,9 @@ class TestFused:
                              chroma=ChromaPolicy.PASSTHROUGH)
         with pytest.raises(ValueError, match="parts requires search"):
             build_enhance_gop_fn(cfg, spec, 4, parts=True)
-        with pytest.raises(ValueError, match="no deblock"):
+        with pytest.raises(ValueError, match="no bitpack"):
             build_enhance_gop_fn(cfg, spec, 4, search=2, parts=True,
-                                 deblock=True)
+                                 bitpack=64)
 
 
 # ------------------------------------------------------- parts x refs=2
@@ -435,3 +435,49 @@ class TestNativePartsRows:
             mode, zdc, acz, czdc, cacz, QP, 1, active_refs=refs,
             pmode=pm, mv4=mv4, ref4=r4)
         assert [bytes(a) for a in py] == [bytes(b) for b in nat]
+
+
+class TestFusedPartsRefs2:
+    """fused x parts x refs=2 (423 lanes: +4 per-quadrant reference
+    lanes) and fused x parts x deblock — both byte-identical to the
+    unfused device chain."""
+
+    def _run(self, **kw):
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+        from opencv_opencl_tpu.models.enhancer import EnhancerConfig
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        frames = np.stack(flicker_shear_frames())
+        spec = FrameSpec(width=W, height=H, fps=30)
+        cfg = EnhancerConfig(op="none",
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        ref_enc = TpuGopEncoder(W, H, qp=QP, gop=N, search=3,
+                                parts=True, **kw)
+        want = [au for f in frames for au in ref_enc.encode(f)]
+        fn = build_enhance_gop_fn(cfg, spec, N, search=3, parts=True,
+                                  **kw)
+        enc = TpuGopEncoder(W, H, qp=QP, gop=N, search=3, parts=True,
+                            **kw)
+        recon = list(enc.initial_recon())
+        got, idx, last = [], 0, None
+        for lo, hi in ((0, 3), (3, N)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(QP), idx,
+                                *recon)
+            idx += hi - lo
+            last = np.asarray(packed)
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(last[i]))
+        assert got == want
+        return last
+
+    def test_fused_parts_refs2(self):
+        packed = self._run(refs=2)
+        assert packed.shape[-1] == 423
+        assert packed[:, :, :, 419:423].any(), "ref 1 never chosen"
+
+    def test_fused_parts_deblock(self):
+        packed = self._run(deblock=True)
+        assert packed.shape[-1] == 419

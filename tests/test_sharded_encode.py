@@ -74,7 +74,9 @@ def _mesh_aus(frames: np.ndarray, spec: FrameSpec, mesh,
     dict(gop=3, deblock=True),
     dict(gop=3, search=2, bitpack=True, nw_mb=64),
     dict(gop=3, search=2, parts=True),
-], ids=["search", "fastsub", "refs2", "deblock", "bitpack", "parts"])
+    dict(gop=3, search=2, refs=2, parts=True),
+], ids=["search", "fastsub", "refs2", "deblock", "bitpack", "parts",
+        "parts_refs2"])
 def test_mesh_gop_byte_identical(enc_kw):
     spec = FrameSpec(width=W, height=H, fps=30)
     mesh = make_mesh(8)
