@@ -2297,8 +2297,8 @@ class TpuGopEncoder:
                 raise ValueError("parts requires search=R > 0")
             if fastsub:
                 raise ValueError("parts does not compose with fastsub")
-            if gdr or bitpack:
-                raise ValueError("parts requires no gdr, no bitpack")
+            if gdr:
+                raise ValueError("parts requires no gdr")
             if refs > 1 and quarterpel and (
                     refs * (8 * search + 1) ** 2 > SEARCH_KEY_RADIX):
                 raise ValueError(
@@ -2444,10 +2444,18 @@ class TpuGopEncoder:
             self._pack_i_jit = _jax.jit(
                 lambda zdc, acz, czdc, cacz, imode: pack_i_mbs(
                     zdc, acz, czdc, cacz, imode, nw_mb=nw))
-            self._pack_p_jit = _jax.jit(
-                lambda mode, zdc, acz, czdc, cacz, mv, ref, act:
-                pack_p_mbs(mode, zdc, acz, czdc, cacz, mv, ref, act,
-                           nw_mb=nw))
+            if self.parts:
+                # partitioned lane shapes: quadrant mv4/ref4 + pmode
+                self._pack_p_jit = _jax.jit(
+                    lambda mode, zdc, acz, czdc, cacz, mv4, ref4, \
+                    act, pmode: pack_p_mbs(
+                        mode, zdc, acz, czdc, cacz, None, None, act,
+                        nw_mb=nw, pmode=pmode, mv4=mv4, ref4=ref4))
+            else:
+                self._pack_p_jit = _jax.jit(
+                    lambda mode, zdc, acz, czdc, cacz, mv, ref, act:
+                    pack_p_mbs(mode, zdc, acz, czdc, cacz, mv, ref,
+                               act, nw_mb=nw))
 
     def _dispatch(self, nv12: np.ndarray, qp_override: int | None = None):
         """Run the (async) device program for one frame; returns the
@@ -2573,9 +2581,18 @@ class TpuGopEncoder:
             if self._bitpack:
                 import jax.numpy as jnp_
 
-                pending += (self._pack_p_jit(
-                    plv.mode, plv.zdc, plv.acz, plv.czdc, plv.cacz,
-                    plv.mv, plv.ref, jnp_.int32(active)),)
+                if self.parts:
+                    r4 = (plv.ref if plv.ref is not None else
+                          jnp_.zeros(plv.mode.shape + (4,), jnp_.int16))
+                    pending += (self._pack_p_jit(
+                        plv.mode, plv.zdc, plv.acz, plv.czdc,
+                        plv.cacz, plv.mv, r4, jnp_.int32(active),
+                        plv.pmode),)
+                else:
+                    pending += (self._pack_p_jit(
+                        plv.mode, plv.zdc, plv.acz, plv.czdc,
+                        plv.cacz, plv.mv, plv.ref,
+                        jnp_.int32(active)),)
             self._frame_num = (self._frame_num + 1) % 16
         self.frames += 1
         return pending

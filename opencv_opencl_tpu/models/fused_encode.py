@@ -42,7 +42,8 @@ from opencv_opencl_tpu.ops.h264_levels import (
 
 __all__ = ["build_enhance_levels_fn", "build_enhance_gop_fn",
            "GOP_PACKED_LANES", "GOP_PACKED_LANES_MV",
-           "GOP_PACKED_LANES_MREF", "GOP_PACKED_LANES_PARTS"]
+           "GOP_PACKED_LANES_MREF", "GOP_PACKED_LANES_PARTS",
+           "GOP_PACKED_LANES_PARTS_MREF"]
 
 # GOP packing = the intra packing (408 levels + qp) + a mode lane:
 # per-MB 0/1/2 (P_Skip / P_L0_16x16 / I_16x16) on P frames, -1 on IDR
@@ -54,7 +55,9 @@ GOP_PACKED_LANES = 410
 GOP_PACKED_LANES_MV = 412
 GOP_PACKED_LANES_MREF = 413
 # partition configuration: 8 quadrant-MV lanes + the pmode lane
+# (+ 4 per-quadrant reference lanes at two references)
 GOP_PACKED_LANES_PARTS = 419
+GOP_PACKED_LANES_PARTS_MREF = 423
 
 
 def build_enhance_levels_fn(cfg: EnhancerConfig, spec: FrameSpec,
@@ -175,9 +178,8 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
             raise ValueError("fused parts requires search=R > 0")
         if subpel == 3:
             raise ValueError("parts does not compose with fastsub")
-        if gdr or bitpack:
-            raise ValueError("fused parts requires no gdr, "
-                             "no bitpack")
+        if gdr:
+            raise ValueError("fused parts requires no gdr")
         if refs > 1 and subpel == 2 and (
                 refs * (8 * search + 1) ** 2 > 8192):
             raise ValueError(
@@ -335,11 +337,16 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                 out = pack_gop(lv, qp, plv.mode, plv.mv,
                                pmode=plv.pmode)
                 if nw_mb:
+                    pk = (dict(pmode=plv.pmode, mv4=plv.mv,
+                               ref4=plv.ref) if parts
+                          else dict())
                     out = jnp.concatenate(
                         [out, _bits_lanes(*pack_p_mbs(
                             plv.mode, plv.zdc, plv.acz, plv.czdc,
-                            plv.cacz, plv.mv, None, jnp.int32(1),
-                            nw_mb=nw_mb))], axis=-1)
+                            plv.cacz,
+                            None if parts else plv.mv, None,
+                            jnp.int32(1), nw_mb=nw_mb, **pk))],
+                        axis=-1)
                 extra = (ry, rcb, rcr) if refs > 1 else ()
                 return (out, *rec) + extra
 
@@ -354,11 +361,17 @@ def build_enhance_gop_fn(cfg: EnhancerConfig, spec: FrameSpec, gop: int,
                 out = pack_gop(lv, qp, plv.mode, plv.mv, plv.ref,
                                pmode=plv.pmode)
                 if nw_mb:
+                    pk = (dict(pmode=plv.pmode, mv4=plv.mv,
+                               ref4=plv.ref) if parts
+                          else dict())
                     out = jnp.concatenate(
                         [out, _bits_lanes(*pack_p_mbs(
                             plv.mode, plv.zdc, plv.acz, plv.czdc,
-                            plv.cacz, plv.mv, plv.ref, jnp.int32(2),
-                            nw_mb=nw_mb))], axis=-1)
+                            plv.cacz,
+                            None if parts else plv.mv,
+                            None if parts else plv.ref,
+                            jnp.int32(2), nw_mb=nw_mb, **pk))],
+                        axis=-1)
                 return (out, *rec, ry, rcb, rcr)
 
             if refs > 1:

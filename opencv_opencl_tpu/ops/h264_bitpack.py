@@ -407,8 +407,40 @@ def pack_i_mbs(zdc, acz, czdc, cacz, imode, nw_mb: int = 64):
 # ------------------------------------------------------- P-frame packing ----
 
 
+def _median3(a, b, c):
+    """Component-wise median (the jnp twin of io.h264_inter._median2,
+    vectorized for the parts predictor)."""
+    return jnp.maximum(jnp.minimum(a, b),
+                       jnp.minimum(jnp.maximum(a, b), c))
+
+
+def _mvp_general_vec(amv, aref, aav, bmv, bref, bav, cmv, cref, cav,
+                     myref):
+    """Vectorized spec 8.4.1.3.1 general process (the jnp twin of the
+    oracle's _mvp_parts general step): copy rule, exactly-one-refIdx-
+    match, else component median.  mv args are (..., 2) int32; ref
+    (...,); av (...,) bool (constants broadcast)."""
+    eamv = jnp.where(aav[..., None], amv, 0)
+    ebmv = jnp.where(bav[..., None], bmv, 0)
+    ecmv = jnp.where(cav[..., None], cmv, 0)
+    ear = jnp.where(aav, aref, -1)
+    ebr = jnp.where(bav, bref, -1)
+    ecr = jnp.where(cav, cref, -1)
+    copy = (~bav) & (~cav) & aav
+    ma = ear == myref
+    mb_ = ebr == myref
+    mc = ecr == myref
+    nm = (ma.astype(jnp.int32) + mb_.astype(jnp.int32)
+          + mc.astype(jnp.int32))
+    sel = jnp.where(ma[..., None], eamv,
+                    jnp.where(mb_[..., None], ebmv, ecmv))
+    med = _median3(eamv, ebmv, ecmv)
+    out = jnp.where((nm == 1)[..., None], sel, med)
+    return jnp.where(copy[..., None], eamv, out)
+
+
 def pack_p_mbs(mode, zdc, acz, czdc, cacz, mv, ref, active_refs,
-               nw_mb: int = 64):
+               nw_mb: int = 64, pmode=None, mv4=None, ref4=None):
     """Pack every MB of one P frame (device; oracle
     io.h264_inter.encode_frame_p_from_levels MB body).  ``mode``
     (mb_h, mb_w): 0 skip, 1 inter, 2 intra-DC, 3 intra-HORIZONTAL;
@@ -474,52 +506,163 @@ def pack_p_mbs(mode, zdc, acz, czdc, cacz, mv, ref, active_refs,
         [jnp.full((mb_h, 1), -1, jnp.int32), prev[:, :-1]], 1)
     skip_run = xs - prev - 1
 
-    # MV predictor: the left MB's vector when it is INTER (skip
-    # carries (0,0), intra resets to (0,0)) — one masked shift
-    left_inter = jnp.concatenate(
-        [jnp.zeros((mb_h, 1), bool), (mode == 1)[:, :-1]], 1)
-    left_mv = jnp.concatenate(
-        [jnp.zeros((mb_h, 1, 2), jnp.int32), mv[:, :-1]], 1)
-    mvp = jnp.where(left_inter[..., None], left_mv, 0)
-    mvd = mv - mvp
-
     def _se_token(v):
         return _ue_token(jnp.where(v > 0, 2 * v - 1, -2 * v))
 
-    # --- header: 8 token slots covering both MB kinds
     one = jnp.ones((mb_h, mb_w), jnp.int32)
     sr_v, sr_l = _ue_token(skip_run)
     pm = jnp.where(mode == 3, 1, 2)
     mbt_i_v, mbt_i_l = _ue_token(5 + 1 + pm + 4 * cbp_chroma
                                  + 12 * cbp_luma_i)
-    ref_l = jnp.where(jnp.logical_and(~intra, active_refs == 2), 1, 0)
-    ref_v = jnp.where(ref_l > 0, 1 - refsel, 0)
-    mvdx_v, mvdx_l = _se_token(mvd[..., 1])
-    mvdy_v, mvdy_l = _se_token(mvd[..., 0])
     cbp_v, cbp_l = _ue_token(
         jnp.asarray(_CBP_INTER_CODENUM.astype(np.int32))[cbp])
     dqp_l = (cbp != 0).astype(jnp.int32)
     ii = intra.astype(jnp.int32)
-    hdr_v = jnp.stack([
-        sr_v,
-        jnp.where(intra, mbt_i_v, 1),
-        jnp.where(intra, one, ref_v),           # ue(0) | te ref
-        jnp.where(intra, one, mvdx_v),          # se(0) | se(mvd_x)
-        jnp.where(intra, 0, mvdy_v),
-        jnp.where(intra, 0, cbp_v),
-        jnp.where(intra, 0, one),               # - | se(0) if cbp
-        jnp.zeros_like(one)], -1)
-    hdr_l = jnp.stack([
-        sr_l,
-        jnp.where(intra, mbt_i_l, 1),
-        jnp.where(intra, one, ref_l),
-        jnp.where(intra, one, mvdx_l),
-        jnp.where(intra, 0, mvdy_l),
-        jnp.where(intra, 0, cbp_l),
-        jnp.where(intra, 0, dqp_l),
-        jnp.zeros_like(one)], -1)
-    hdr_w, hdr_n = pack_tokens(hdr_v, hdr_l, 3)
-    hdr_w = jnp.pad(hdr_w, ((0, 0), (0, 0), (0, NW_BLOCK - 3)))
+    if pmode is None:
+        # MV predictor: the left MB's vector when it is INTER (skip
+        # carries (0,0), intra resets to (0,0)) — one masked shift
+        left_inter = jnp.concatenate(
+            [jnp.zeros((mb_h, 1), bool), (mode == 1)[:, :-1]], 1)
+        left_mv = jnp.concatenate(
+            [jnp.zeros((mb_h, 1, 2), jnp.int32), mv[:, :-1]], 1)
+        mvp = jnp.where(left_inter[..., None], left_mv, 0)
+        mvd = mv - mvp
+
+        # --- header: 8 token slots covering both MB kinds
+        ref_l = jnp.where(jnp.logical_and(~intra, active_refs == 2),
+                          1, 0)
+        ref_v = jnp.where(ref_l > 0, 1 - refsel, 0)
+        mvdx_v, mvdx_l = _se_token(mvd[..., 1])
+        mvdy_v, mvdy_l = _se_token(mvd[..., 0])
+        hdr_v = jnp.stack([
+            sr_v,
+            jnp.where(intra, mbt_i_v, 1),
+            jnp.where(intra, one, ref_v),       # ue(0) | te ref
+            jnp.where(intra, one, mvdx_v),      # se(0) | se(mvd_x)
+            jnp.where(intra, 0, mvdy_v),
+            jnp.where(intra, 0, cbp_v),
+            jnp.where(intra, 0, one),           # - | se(0) if cbp
+            jnp.zeros_like(one)], -1)
+        hdr_l = jnp.stack([
+            sr_l,
+            jnp.where(intra, mbt_i_l, 1),
+            jnp.where(intra, one, ref_l),
+            jnp.where(intra, one, mvdx_l),
+            jnp.where(intra, 0, mvdy_l),
+            jnp.where(intra, 0, cbp_l),
+            jnp.where(intra, 0, dqp_l),
+            jnp.zeros_like(one)], -1)
+        hdr_w, hdr_n = pack_tokens(hdr_v, hdr_l, 3)
+        hdr_w = jnp.pad(hdr_w, ((0, 0), (0, 0), (0, NW_BLOCK - 3)))
+    else:
+        # --- partitioned header (device twin of the oracle's
+        # entropy_p_mb_parts / the Python parts writer): mb_type =
+        # pmode, sub_mb_types, per-partition te(v) refs (traced
+        # active_refs), per-partition mvd against the reference-aware
+        # _mvp_parts predictor (io/h264_inter.py; the general process
+        # vectorizes as _mvp_general_vec)
+        pmode = pmode.astype(jnp.int32)
+        mv4 = mv4.astype(jnp.int32)             # (mb_h, mb_w, 4, 2)
+        r4 = (jnp.zeros((mb_h, mb_w, 4), jnp.int32) if ref4 is None
+              else ref4.astype(jnp.int32))
+        # left MB quadrant context (one masked shift; skip rows carry
+        # (0, 0)/ref 0 — their searched field IS zero by the skip
+        # guard — and intra rows mask out via left_inter)
+        left_inter = jnp.concatenate(
+            [jnp.zeros((mb_h, 1), bool), (mode == 1)[:, :-1]], 1)
+        left_avail = jnp.broadcast_to(
+            jnp.arange(mb_w, dtype=jnp.int32)[None, :] > 0,
+            (mb_h, mb_w))
+        lmv = jnp.concatenate(
+            [jnp.zeros((mb_h, 1, 4, 2), jnp.int32), mv4[:, :-1]], 1)
+        lrf = jnp.concatenate(
+            [jnp.zeros((mb_h, 1, 4), jnp.int32), r4[:, :-1]], 1)
+        # skipped left MBs: quadrants (0,0)/ref 0 (mode==0 rows may
+        # carry a searched field only when pmode 0 mv 0 — already 0)
+        lskip = jnp.concatenate(
+            [jnp.zeros((mb_h, 1), bool), (mode == 0)[:, :-1]], 1)
+        lmv = jnp.where(lskip[..., None, None], 0, lmv)
+        lrf = jnp.where(lskip[..., None], 0, lrf)
+        li = left_inter | lskip
+        a1mv = jnp.where(li[..., None], lmv[:, :, 1], 0)
+        a3mv = jnp.where(li[..., None], lmv[:, :, 3], 0)
+        a1r = jnp.where(li, lrf[:, :, 1], -1)
+        a3r = jnp.where(li, lrf[:, :, 3], -1)
+        FALSE = jnp.zeros((mb_h, mb_w), bool)
+        TRUE = jnp.ones((mb_h, mb_w), bool)
+        Z2 = jnp.zeros((mb_h, mb_w, 2), jnp.int32)
+        ZR = jnp.full((mb_h, mb_w), -1, jnp.int32)
+        own = [mv4[:, :, q] for q in range(4)]
+        ownr = [r4[:, :, q] for q in range(4)]
+        reps = jnp.asarray(
+            [[0, 0, 0, 0], [0, 2, 0, 0], [0, 1, 0, 0], [0, 1, 2, 3]],
+            jnp.int32)[pmode]                   # (mb_h, mb_w, 4)
+        nparts = jnp.asarray([1, 2, 2, 4], jnp.int32)[pmode]
+        mvd_v, mvd_l = [], []
+        ref_vs, ref_ls = [], []
+        for p in range(4):
+            rep = reps[:, :, p]
+            myref = jnp.take_along_axis(
+                r4, rep[..., None], -1)[..., 0]
+            pmv = jnp.take_along_axis(
+                mv4, rep[..., None, None].repeat(2, -1), -2)[:, :, 0]
+            if p == 0:
+                mvp = _mvp_general_vec(a1mv, a1r, left_avail,
+                                       Z2, ZR, FALSE, Z2, ZR, FALSE,
+                                       myref)
+            elif p == 1:
+                # pmode 1 bottom: directional A (left q3) on refIdx
+                # match, else general(A=left q3, B=own top, C->D=left
+                # q1); pmode 2 right / pmode 3 q1: copy rule -> own q0
+                dirm = left_avail & (a3r == myref)
+                gen = _mvp_general_vec(a3mv, a3r, left_avail,
+                                       own[0], ownr[0], TRUE,
+                                       a1mv, a1r, left_avail, myref)
+                c1 = jnp.where(dirm[..., None], a3mv, gen)
+                mvp = jnp.where((pmode == 1)[..., None], c1, own[0])
+            elif p == 2:
+                mvp = _mvp_general_vec(a3mv, a3r, left_avail,
+                                       own[0], ownr[0], TRUE,
+                                       own[1], ownr[1], TRUE, myref)
+            else:
+                mvp = _mvp_general_vec(own[2], ownr[2], TRUE,
+                                       own[1], ownr[1], TRUE,
+                                       own[0], ownr[0], TRUE, myref)
+            active = jnp.logical_and(~intra, p < nparts)
+            d = pmv - mvp
+            vx, lx = _se_token(d[..., 1])
+            vy, ly = _se_token(d[..., 0])
+            mvd_v += [jnp.where(active, vx, 0),
+                      jnp.where(active, vy, 0)]
+            mvd_l += [jnp.where(active, lx, 0),
+                      jnp.where(active, ly, 0)]
+            ract = jnp.logical_and(active, active_refs == 2)
+            ref_vs.append(jnp.where(ract, 1 - myref, 0))
+            ref_ls.append(jnp.where(ract, 1, 0))
+        mbt_p_v, mbt_p_l = _ue_token(pmode)
+        subl = jnp.where(jnp.logical_and(~intra, pmode == 3), 1, 0)
+        hdr_v = jnp.stack([
+            sr_v,
+            jnp.where(intra, mbt_i_v, mbt_p_v),
+            jnp.where(intra, one, subl),        # ue(0)chroma | sub0
+            jnp.where(intra, one, subl),        # se(0)qp | sub1
+            jnp.where(intra, 0, subl),          # sub2
+            jnp.where(intra, 0, subl),          # sub3
+            *ref_vs, *mvd_v,
+            jnp.where(intra, 0, cbp_v),
+            jnp.where(intra, 0, one)], -1)      # se(0) if cbp
+        hdr_l = jnp.stack([
+            sr_l,
+            jnp.where(intra, mbt_i_l, mbt_p_l),
+            jnp.where(intra, one, subl),
+            jnp.where(intra, one, subl),
+            jnp.where(intra, 0, subl),
+            jnp.where(intra, 0, subl),
+            *ref_ls, *mvd_l,
+            jnp.where(intra, 0, cbp_l),
+            jnp.where(intra, 0, dqp_l)], -1)
+        hdr_w, hdr_n = pack_tokens(hdr_v, hdr_l, 8)
+        hdr_w = jnp.pad(hdr_w, ((0, 0), (0, 0), (0, NW_BLOCK - 8)))
 
     zz = jnp.asarray(_ZZ)
     # luma DC: intra-in-P only

@@ -260,9 +260,6 @@ class TestSpec:
     def test_spec_refusals(self):
         from opencv_opencl_tpu.io.encoder import make_encoder
 
-        with pytest.raises(ValueError, match="bitpack"):
-            make_encoder("tpu:qp=30:gop=4:search=2:parts:bitpack",
-                         W, H)
         with pytest.raises(ValueError, match="gop"):
             make_encoder("tpu:qp=30:parts", W, H)
 
@@ -317,9 +314,9 @@ class TestFused:
                              chroma=ChromaPolicy.PASSTHROUGH)
         with pytest.raises(ValueError, match="parts requires search"):
             build_enhance_gop_fn(cfg, spec, 4, parts=True)
-        with pytest.raises(ValueError, match="no bitpack"):
+        with pytest.raises(ValueError, match="no gdr"):
             build_enhance_gop_fn(cfg, spec, 4, search=2, parts=True,
-                                 bitpack=64)
+                                 gdr=2)
 
 
 # ------------------------------------------------------- parts x refs=2
@@ -481,3 +478,53 @@ class TestFusedPartsRefs2:
     def test_fused_parts_deblock(self):
         packed = self._run(deblock=True)
         assert packed.shape[-1] == 419
+
+
+class TestPartsBitpack:
+    """Device CAVLC bit-packing for partitioned frames: the parts
+    header (mb_type/sub_mb_type, per-partition te(v) ref_idx, mvd
+    against the vectorized reference-aware predictor) packed ON
+    DEVICE, byte-identical streams."""
+
+    @pytest.mark.parametrize("refs", [1, 2])
+    def test_bitpack_stream_matches_oracle(self, refs):
+        frames = flicker_shear_frames()
+        want = stream(GopCavlcEncoder(W, H, qp=QP, gop=N, slices=MB_H,
+                                      search=3, parts=True, refs=refs),
+                      frames)
+        got = stream(TpuGopEncoder(W, H, qp=QP, gop=N, search=3,
+                                   parts=True, refs=refs,
+                                   bitpack=True, nw_mb=64), frames)
+        assert got == want
+
+    def test_fused_bitpack_matches(self):
+        """fused x parts x bitpack: the packed-bits lanes ride next to
+        the 419-lane level layout and assemble byte-identically."""
+        import jax.numpy as jnp
+
+        from opencv_opencl_tpu.core.frames import ChromaPolicy, FrameSpec
+        from opencv_opencl_tpu.models.enhancer import EnhancerConfig
+        from opencv_opencl_tpu.models.fused_encode import (
+            build_enhance_gop_fn)
+
+        frames = np.stack(flicker_shear_frames())
+        spec = FrameSpec(width=W, height=H, fps=30)
+        cfg = EnhancerConfig(op="none",
+                             chroma=ChromaPolicy.PASSTHROUGH)
+        ref_enc = TpuGopEncoder(W, H, qp=QP, gop=N, search=3,
+                                parts=True)
+        want = [au for f in frames for au in ref_enc.encode(f)]
+        fn = build_enhance_gop_fn(cfg, spec, N, search=3, parts=True,
+                                  bitpack=64)
+        enc = TpuGopEncoder(W, H, qp=QP, gop=N, search=3, parts=True,
+                            bitpack=True, nw_mb=64)
+        recon = list(enc.initial_recon())
+        got, idx = [], 0
+        for lo, hi in ((0, 3), (3, N)):
+            packed, *recon = fn(frames[lo:hi], jnp.int32(QP), idx,
+                                *recon)
+            idx += hi - lo
+            for i in range(hi - lo):
+                got.extend(enc.encode_from_packed(
+                    np.asarray(packed)[i]))
+        assert got == want
