@@ -1507,10 +1507,6 @@ class TpuCavlcEncoder(CavlcH264Encoder):
             raise ValueError(
                 "cpb does not compose with overlap (the CPB re-encode "
                 "loop is synchronous per frame)")
-        if (i4 or chromah) and bitpack:
-            raise ValueError("i4/chromah do not compose with bitpack "
-                             "yet (the device bit packer speaks "
-                             "I_16x16-DC-chroma rows only)")
         super().__init__(width, height, qp=qp, bitrate_kbps=bitrate_kbps,
                          fps=fps, native=native, slices=h16 // 16,
                          threads=threads, deblock=deblock,
@@ -1541,11 +1537,21 @@ class TpuCavlcEncoder(CavlcH264Encoder):
             from opencv_opencl_tpu.ops.h264_levels import encode_levels
 
             def _bits_program(y, cb, cr, qp):
-                lv, imode = encode_levels(y, cb, cr, qp)
+                out = encode_levels(y, cb, cr, qp, i4=self.i4,
+                                    chromah=self.chromah)
+                lv, imode = out[0], out[1]
+                idx = 2
+                i4m = cm = None
+                if self.i4:
+                    i4m = out[idx]
+                    idx += 1
+                if self.chromah:
+                    cm = out[idx]
                 words, nbits = pack_i_mbs(lv.zdc, lv.acz, lv.czdc,
                                           lv.cacz, imode,
-                                          nw_mb=self._nw_mb)
-                return words, nbits, lv, imode
+                                          nw_mb=self._nw_mb,
+                                          i4modes=i4m, cmode=cm)
+                return words, nbits, lv, imode, i4m, cm
 
             _jitted = jax.jit(_bits_program)
             self._bits_fn = lambda *a: ("bits", *_jitted(*a))
@@ -1559,7 +1565,8 @@ class TpuCavlcEncoder(CavlcH264Encoder):
         fn = self._bits_fn if self._bitpack else self._levels_fn
         out = fn(y, jnp.asarray(uv[:, :, 0]),
                  jnp.asarray(uv[:, :, 1]), jnp.int32(qp))
-        if self.i4 or self.chromah:
+        if (self.i4 or self.chromah) and not self._bitpack:
+            # the bits program already returns the tagged tuple
             d = {"lv": out[0], "imode": out[1]}
             idx = 2
             if self.i4:
@@ -1580,11 +1587,16 @@ class TpuCavlcEncoder(CavlcH264Encoder):
         fetches words + counts (the levels stay on-device unless an
         MB overflowed the transfer cap — the fallback is byte-
         identical by construction)."""
-        if isinstance(lv, tuple) and len(lv) == 5 and lv[0] == "bits":
+        if (isinstance(lv, tuple) and len(lv) in (5, 7)
+                and lv[0] == "bits"):
             from opencv_opencl_tpu.ops.h264_bitpack import (
                 assemble_slices_from_bits)
 
-            _, words, nbits, lvl, im = lv
+            if len(lv) == 7:    # i4/chromah program outputs ride too
+                _, words, nbits, lvl, im, i4m_b, cm_b = lv
+            else:
+                _, words, nbits, lvl, im = lv
+                i4m_b = cm_b = None
             nbits_h = np.asarray(nbits)
             if int(nbits_h.max(initial=0)) <= 32 * self._nw_mb:
                 mb_w = nbits_h.shape[1]
@@ -1600,7 +1612,11 @@ class TpuCavlcEncoder(CavlcH264Encoder):
                     np.asarray(words), nbits_h, header_fn)
             if lvl is None:  # caller keeps the levels (fused packed
                 return None  # tensor): it runs the fallback itself
-            lv = (lvl, im)   # overflow: host entropy path
+            # overflow: host entropy path
+            lv = ({"lv": lvl, "imode": im, "i4modes": i4m_b,
+                   "cmode": cm_b}
+                  if (i4m_b is not None or cm_b is not None)
+                  else (lvl, im))
         i4modes = None
         cmode = None
         if isinstance(lv, dict):    # the i4/chromah program outputs

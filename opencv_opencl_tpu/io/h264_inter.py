@@ -2251,10 +2251,6 @@ class TpuGopEncoder:
         # raster-free decision the P programs need)
         self.i4 = bool(i4)
         self.chromah = bool(chromah)
-        if (self.i4 or self.chromah) and bitpack:
-            raise ValueError("i4/chromah do not compose with bitpack "
-                             "yet (the device IDR bit packer speaks "
-                             "I_16x16-DC-chroma rows only)")
         # GDR horizontal intra refresh — same stream shape and refusal
         # matrix as GopCavlcEncoder(gdr=N); the wave band rides into
         # the device program as two traced scalars (no recompiles)
@@ -2441,9 +2437,15 @@ class TpuGopEncoder:
             from opencv_opencl_tpu.ops.h264_bitpack import (pack_i_mbs,
                                                             pack_p_mbs)
             nw = self._nw_mb
-            self._pack_i_jit = _jax.jit(
-                lambda zdc, acz, czdc, cacz, imode: pack_i_mbs(
-                    zdc, acz, czdc, cacz, imode, nw_mb=nw))
+            if self.i4 or self.chromah:
+                self._pack_i_jit = _jax.jit(
+                    lambda zdc, acz, czdc, cacz, imode, i4m, cm:
+                    pack_i_mbs(zdc, acz, czdc, cacz, imode, nw_mb=nw,
+                               i4modes=i4m, cmode=cm))
+            else:
+                self._pack_i_jit = _jax.jit(
+                    lambda zdc, acz, czdc, cacz, imode: pack_i_mbs(
+                        zdc, acz, czdc, cacz, imode, nw_mb=nw))
             if self.parts:
                 # partitioned lane shapes: quadrant mv4/ref4 + pmode
                 self._pack_p_jit = _jax.jit(
@@ -2500,8 +2502,15 @@ class TpuGopEncoder:
                        None if isinstance(lv, dict) else imode,
                        None, 1)
             if self._bitpack:
-                pending += (b"", self._pack_i_jit(
-                    lv.zdc, lv.acz, lv.czdc, lv.cacz, imode))
+                if isinstance(lv, dict):
+                    l0 = lv["lv"]
+                    pending += (b"", self._pack_i_jit(
+                        l0.zdc, l0.acz, l0.czdc, l0.cacz,
+                        lv["imode"], lv.get("i4modes"),
+                        lv.get("cmode")),)
+                else:
+                    pending += (b"", self._pack_i_jit(
+                        lv.zdc, lv.acz, lv.czdc, lv.cacz, imode))
         else:
             if self.refs > 1 and len(self._ref_list) >= 2:
                 plv = self._p2_fn(y, cb, cr, *self._ref_list[0],

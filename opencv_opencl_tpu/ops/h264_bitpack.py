@@ -332,13 +332,35 @@ def _chroma_nc(cnnz):
             .reshape(mb_h, mb_w, 4))
 
 
-def pack_i_mbs(zdc, acz, czdc, cacz, imode, nw_mb: int = 64):
-    """Pack every I_16x16 MB of one frame into its bitstring
-    (device; oracle io.h264_cavlc.encode_frame_from_levels MB body).
-    Level layouts are LevelArrays' (ops/h264_levels.py).  Returns
-    (words (mb_h, mb_w, nw_mb) uint32, nbits (mb_h, mb_w) int32) —
-    an MB whose true size exceeds the cap reports its TRUE nbits
-    (the overflow signal) with truncated words."""
+# z-scan index of the raster 4x4 block (bx, by) — kZOf in the C++
+# rows; flattened raster-major [by * 4 + bx] -> z.  The permutation is
+# an involution, so it also maps z -> raster.
+_Z_OF_RASTER = np.asarray(
+    [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15], np.int32)
+# (bx, by) of z-scan position z (io.h264_cavlc._BLOCK_SCAN)
+_I4_SCAN_BXBY = ((0, 0), (1, 0), (0, 1), (1, 1),
+                 (2, 0), (3, 0), (2, 1), (3, 1),
+                 (0, 2), (1, 2), (0, 3), (1, 3),
+                 (2, 2), (3, 2), (2, 3), (3, 3))
+# intra cbp me(v): cbp -> codeNum (io.h264_cavlc._CBP_INTRA_CODE)
+_CBP_INTRA_CODE = np.asarray(
+    [3, 29, 30, 17, 31, 18, 37, 8, 32, 38, 19, 9, 20, 10, 11, 2,
+     16, 33, 34, 21, 35, 22, 39, 4, 36, 40, 23, 5, 24, 6, 7, 1,
+     41, 42, 43, 25, 44, 26, 46, 12, 45, 47, 27, 13, 28, 14, 15, 0],
+    np.int32)
+
+
+def pack_i_mbs(zdc, acz, czdc, cacz, imode, nw_mb: int = 64,
+               i4modes=None, cmode=None):
+    """Pack every intra MB of one frame into its bitstring (device;
+    oracle io.h264_cavlc.encode_frame_from_levels MB body).  Level
+    layouts are LevelArrays' (ops/h264_levels.py).  ``imode`` 0 marks
+    Intra_4x4 MBs (acz slots then carry FULL 16-coeff blocks and
+    ``i4modes`` the z-scan block modes); ``cmode`` the per-MB
+    intra_chroma_pred_mode plane.  Returns (words (mb_h, mb_w, nw_mb)
+    uint32, nbits (mb_h, mb_w) int32) — an MB whose true size exceeds
+    the cap reports its TRUE nbits (the overflow signal) with
+    truncated words."""
     mb_h, mb_w = zdc.shape[:2]
     zdc = zdc.astype(jnp.int32)
     acz = acz.astype(jnp.int32)
@@ -355,27 +377,115 @@ def pack_i_mbs(zdc, acz, czdc, cacz, imode, nw_mb: int = 64):
     nc_cb = _chroma_nc(cnnz[:, :, 0])
     nc_cr = _chroma_nc(cnnz[:, :, 1])
 
-    # header: mb_type ue, intra_chroma_pred_mode ue(0), mb_qp_delta
-    # se(0) — the latter two are the 1-bit code '1'
     pm = (jnp.full((mb_h, mb_w), 2, jnp.int32) if imode is None
           else imode.astype(jnp.int32))
+    i4sel = (pm == 0) if i4modes is not None else None
+    cmv = (jnp.zeros((mb_h, mb_w), jnp.int32) if cmode is None
+           else cmode.astype(jnp.int32))
+    cm_v, cm_l = _ue_token(cmv)
     mbt = 1 + pm + 4 * cbp_chroma + 12 * cbp_luma
     uev, uel = _ue_token(mbt)
     ones = jnp.ones((mb_h, mb_w), jnp.int32)
-    hdr_w, hdr_n = pack_tokens(
-        jnp.stack([uev, ones, ones], -1),
-        jnp.stack([uel, ones, ones], -1), 2)
-    hdr_w = jnp.pad(hdr_w, ((0, 0), (0, 0), (0, NW_BLOCK - 2)))
+    if i4sel is None:
+        # header: mb_type ue, intra_chroma_pred_mode ue, mb_qp_delta
+        # se(0) (the 1-bit code '1')
+        hdr_w, hdr_n = pack_tokens(
+            jnp.stack([uev, cm_v, ones], -1),
+            jnp.stack([uel, cm_l, ones], -1), 2)
+        hdr_w = jnp.pad(hdr_w, ((0, 0), (0, 0), (0, NW_BLOCK - 2)))
+    else:
+        # --- Intra_4x4 header (device twin of the oracle's i4 branch
+        # / the C++ entropy_i4_mb): mb_type ue(0), 16 per-block mode
+        # tokens against the one-row-slice predicted-mode derivation,
+        # chroma mode, Table 9-4 intra cbp me(v), conditional qp_delta
+        zm = i4modes.astype(jnp.int32)          # (mbh, mbw, 16) z-scan
+        blk_nz = (lnnz > 0)[..., jnp.asarray(_Z_OF_RASTER)]
+        # (mbh, mbw, 16) in z order -> per-z-group cbp bits
+        qnz = blk_nz.reshape(mb_h, mb_w, 4, 4).any(-1)
+        cbpl = (qnz[..., 0].astype(jnp.int32)
+                | (qnz[..., 1].astype(jnp.int32) << 1)
+                | (qnz[..., 2].astype(jnp.int32) << 2)
+                | (qnz[..., 3].astype(jnp.int32) << 3))
+        cbp4 = cbpl | (cbp_chroma << 4)
+        cbp4_v, cbp4_l = _ue_token(
+            jnp.asarray(_CBP_INTRA_CODE)[cbp4])
+        # left-MB mode context (one masked shift)
+        l_is_i4 = jnp.concatenate(
+            [jnp.zeros((mb_h, 1), bool), i4sel[:, :-1]], 1)
+        lzm = jnp.concatenate(
+            [jnp.full((mb_h, 1, 16), 2, jnp.int32), zm[:, :-1]], 1)
+        mode_v, mode_l = [], []
+        zof = _Z_OF_RASTER.reshape(4, 4)        # [by][bx] -> z
+        for z in range(16):
+            bx, by = _I4_SCAN_BXBY[z]
+            if by == 0:
+                predm = jnp.full((mb_h, mb_w), 2, jnp.int32)
+            else:
+                mb_ = zm[:, :, int(zof[by - 1][bx])]
+                if bx > 0:
+                    predm = jnp.minimum(zm[:, :, int(zof[by][bx - 1])],
+                                        mb_)
+                else:
+                    la = jnp.where(l_is_i4,
+                                   lzm[:, :, int(zof[by][3])], 2)
+                    avail = jnp.broadcast_to(
+                        jnp.arange(mb_w, dtype=jnp.int32)[None, :] > 0,
+                        (mb_h, mb_w))
+                    predm = jnp.where(avail, jnp.minimum(la, mb_), 2)
+            m = zm[:, :, z]
+            match = m == predm
+            rem = jnp.where(m < predm, m, m - 1)
+            # prev flag ('1') or '0' + 3-bit rem: value packs both
+            mode_v.append(jnp.where(match, 1, rem))
+            mode_l.append(jnp.where(match, 1, 4))
+        hdr16_v = jnp.stack(
+            [jnp.where(i4sel, 1, uev), *[
+                jnp.where(i4sel, v, 0) for v in mode_v],
+             cm_v,
+             jnp.where(i4sel, cbp4_v, ones),
+             jnp.where(i4sel, ones, 0)], -1)
+        hdr16_l = jnp.stack(
+            [jnp.where(i4sel, 1, uel), *[
+                jnp.where(i4sel, l, 0) for l in mode_l],
+             cm_l,
+             jnp.where(i4sel, cbp4_l, ones),
+             jnp.where(i4sel, (cbp4 != 0).astype(jnp.int32), 0)], -1)
+        hdr_w, hdr_n = pack_tokens(hdr16_v, hdr16_l, 4)
+        hdr_w = jnp.pad(hdr_w, ((0, 0), (0, 0), (0, NW_BLOCK - 4)))
 
     zz = jnp.asarray(_ZZ)
     dc_v, dc_l = block_tokens(zdc[..., zz], nc_dc, 16, False)
     dc_w, dc_n = pack_tokens(dc_v, dc_l, NW_BLOCK)
+    if i4sel is not None:       # I_4x4: no luma DC block
+        dc_w = dc_w * (~i4sel)[..., None].astype(jnp.uint32)
+        dc_n = dc_n * (~i4sel)
 
     ac_v, ac_l = block_tokens(acz[..., zz[1:]], nc_l, 15, False)
     ac_w, ac_n = pack_tokens(ac_v, ac_l, NW_BLOCK)
     gate_l = cbp_luma[..., None]
-    ac_w = ac_w * gate_l[..., None].astype(jnp.uint32)
-    ac_n = ac_n * gate_l
+    if i4sel is not None:
+        # both variants packed, selected per MB: i16 keeps the 15+DC
+        # shape; i4 blocks carry 16 coefficients gated per z-group
+        ac4_v, ac4_l = block_tokens(acz[..., zz], nc_l, 16, False)
+        ac4_w, ac4_n = pack_tokens(ac4_v, ac4_l, NW_BLOCK)
+        bq = np.asarray([(bx >= 2) + 2 * (by >= 2)
+                         for by in range(4) for bx in range(4)],
+                        np.int32)
+        quad4 = jnp.stack(
+            [qnz[..., 0], qnz[..., 1], qnz[..., 2], qnz[..., 3]],
+            -1).astype(jnp.int32)
+        # z-group index of raster block b is the SPATIAL quadrant
+        qg = jnp.take_along_axis(
+            quad4, jnp.broadcast_to(jnp.asarray(bq),
+                                    (mb_h, mb_w, 16)), -1)
+        g16 = (~i4sel)[..., None].astype(jnp.int32) * gate_l
+        g4 = i4sel[..., None].astype(jnp.int32) * qg
+        ac_w = (ac_w * g16[..., None].astype(jnp.uint32)
+                + ac4_w * g4[..., None].astype(jnp.uint32))
+        ac_n = ac_n * g16 + ac4_n * g4
+    else:
+        ac_w = ac_w * gate_l[..., None].astype(jnp.uint32)
+        ac_n = ac_n * gate_l
     ac_w = ac_w[:, :, jnp.asarray(_LUMA_SCAN)]      # piece order
     ac_n = ac_n[:, :, jnp.asarray(_LUMA_SCAN)]
 

@@ -118,9 +118,32 @@ class TestDeviceTwin:
                        ":chromah:i4"))
 
 
-class TestFlagMatrix:
-    def test_bitpack_refuses(self):
+class TestBitpack:
+    """Device bit-packing speaks chromah (and i4): streams from the
+    on-device entropy bits byte-identical to the oracle."""
+
+    @pytest.mark.parametrize("tail", ["chromah", "chromah:i4"])
+    def test_bitpack_stream_matches_oracle(self, tail):
         from opencv_opencl_tpu.io.encoder import make_encoder
 
-        with pytest.raises(ValueError, match="bitpack"):
-            make_encoder("tpu:qp=30:chromah:bitpack", W, H, 30)
+        nv12 = _nv12()
+        et = make_encoder(f"tpu:qp=28:{tail}:bitpack", W, H, 30)
+        eo = make_encoder(f"cavlc:qp=28:{tail}:slices={MB_H}",
+                          W, H, 30)
+        assert (b"".join(et.encode(nv12))
+                == b"".join(eo.encode(nv12)))
+
+    def test_gop_bitpack_stream_matches_oracle(self):
+        from opencv_opencl_tpu.io.encoder import make_encoder
+
+        nv12 = _nv12()
+        frames = [nv12, np.roll(nv12, 3, axis=1).copy(),
+                  np.roll(nv12, 6, axis=1).copy()]
+
+        def run(spec):
+            enc = make_encoder(spec, W, H, 30)
+            return b"".join(b"".join(enc.encode(f)) for f in frames)
+
+        assert (run("tpu:qp=28:gop=3:search=2:chromah:i4:bitpack")
+                == run(f"cavlc:qp=28:gop=3:search=2:slices={MB_H}"
+                       ":chromah:i4"))
