@@ -342,12 +342,6 @@ _I4_SCAN_BXBY = ((0, 0), (1, 0), (0, 1), (1, 1),
                  (2, 0), (3, 0), (2, 1), (3, 1),
                  (0, 2), (1, 2), (0, 3), (1, 3),
                  (2, 2), (3, 2), (2, 3), (3, 3))
-# intra cbp me(v): cbp -> codeNum (io.h264_cavlc._CBP_INTRA_CODE)
-_CBP_INTRA_CODE = np.asarray(
-    [3, 29, 30, 17, 31, 18, 37, 8, 32, 38, 19, 9, 20, 10, 11, 2,
-     16, 33, 34, 21, 35, 22, 39, 4, 36, 40, 23, 5, 24, 6, 7, 1,
-     41, 42, 43, 25, 44, 26, 46, 12, 45, 47, 27, 13, 28, 14, 15, 0],
-    np.int32)
 
 
 def pack_i_mbs(zdc, acz, czdc, cacz, imode, nw_mb: int = 64,
@@ -398,6 +392,8 @@ def pack_i_mbs(zdc, acz, czdc, cacz, imode, nw_mb: int = 64,
         # / the C++ entropy_i4_mb): mb_type ue(0), 16 per-block mode
         # tokens against the one-row-slice predicted-mode derivation,
         # chroma mode, Table 9-4 intra cbp me(v), conditional qp_delta
+        from opencv_opencl_tpu.io.h264_cavlc import _CBP_INTRA_CODE
+
         zm = i4modes.astype(jnp.int32)          # (mbh, mbw, 16) z-scan
         blk_nz = (lnnz > 0)[..., jnp.asarray(_Z_OF_RASTER)]
         # (mbh, mbw, 16) in z order -> per-z-group cbp bits
@@ -408,7 +404,7 @@ def pack_i_mbs(zdc, acz, czdc, cacz, imode, nw_mb: int = 64,
                 | (qnz[..., 3].astype(jnp.int32) << 3))
         cbp4 = cbpl | (cbp_chroma << 4)
         cbp4_v, cbp4_l = _ue_token(
-            jnp.asarray(_CBP_INTRA_CODE)[cbp4])
+            jnp.asarray(_CBP_INTRA_CODE.astype(np.int32))[cbp4])
         # left-MB mode context (one masked shift)
         l_is_i4 = jnp.concatenate(
             [jnp.zeros((mb_h, 1), bool), i4sel[:, :-1]], 1)
