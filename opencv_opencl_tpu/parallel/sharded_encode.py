@@ -169,9 +169,11 @@ class BandedTpuGopEncoder:
 
     Composition: search >= 1 required (banding exists for the MC
     halo; zero-motion bands are trivially independent through the
-    GOP-per-device mode), full/half/quarter-pel and ``parts``
-    compose; gdr / deblock / refs=2 / bitpack / cpb do not (cross-row
-    or per-MB-layout state).
+    GOP-per-device mode), full/half/quarter-pel, ``parts`` and
+    ``refs=2`` compose (both reference reconstructions stay
+    band-sharded; the P step all-gathers and halo-windows each);
+    gdr / deblock / bitpack / cpb do not (cross-row or per-MB-layout
+    state).
     """
 
     codec = "h264"
@@ -179,7 +181,8 @@ class BandedTpuGopEncoder:
     def __init__(self, width: int, height: int, mesh: Mesh,
                  qp: int = 30, gop: int = 30, search: int = 4,
                  halfpel: bool = False, quarterpel: bool = False,
-                 parts: bool = False, overlap: bool = False) -> None:
+                 parts: bool = False, overlap: bool = False,
+                 refs: int = 1) -> None:
         from opencv_opencl_tpu.io.h264_inter import TpuGopEncoder
         from opencv_opencl_tpu.ops.h264_levels import (
             encode_levels, encode_p_levels)
@@ -189,7 +192,7 @@ class BandedTpuGopEncoder:
         self._inner = TpuGopEncoder(width, height, qp=qp, gop=gop,
                                     search=search, halfpel=halfpel,
                                     quarterpel=quarterpel, parts=parts,
-                                    overlap=overlap)
+                                    overlap=overlap, refs=refs)
         self.mesh = mesh
         axes = tuple(mesh.axis_names)
         nb = len(mesh.devices.flat)
@@ -260,6 +263,53 @@ class BandedTpuGopEncoder:
                 plv.recon_cr[s16 // 2:s16 // 2 + band_rows // 2],
                 crop_mb(plv.mv), crop_mb(plv.ref), crop_mb(plv.pmode))
 
+        def band_p2(y, cb, cr, ryb, rcbb, rcrb, qp_t,
+                    ry2b, rcb2b, rcr2b):
+            # two references: gather + halo-window BOTH recon sets
+            a = band_index()
+
+            def gw(full_b, halo, rows):
+                full = jax.lax.all_gather(full_b, axes, axis=0,
+                                          tiled=True)
+                padded = jnp.pad(full, ((halo, halo), (0, 0)),
+                                 mode="edge")
+                return jax.lax.dynamic_slice(
+                    padded, (rows * a, 0),
+                    (rows + 2 * halo, full.shape[1]))
+
+            def winl(full, halo, rows):
+                padded = jnp.pad(full, ((halo, halo), (0, 0)),
+                                 mode="edge")
+                return jax.lax.dynamic_slice(
+                    padded, (rows * a, 0),
+                    (rows + 2 * halo, full.shape[1]))
+
+            yw = winl(y, s16, band_rows)
+            cbw = winl(cb, s16 // 2, band_rows // 2)
+            crw = winl(cr, s16 // 2, band_rows // 2)
+            rw = gw(ryb, s16, band_rows)
+            rcbw = gw(rcbb, s16 // 2, band_rows // 2)
+            rcrw = gw(rcrb, s16 // 2, band_rows // 2)
+            r2w = gw(ry2b, s16, band_rows)
+            rcb2w = gw(rcb2b, s16 // 2, band_rows // 2)
+            rcr2w = gw(rcr2b, s16 // 2, band_rows // 2)
+            plv = encode_p_levels(yw, cbw, crw, rw, rcbw, rcrw, qp_t,
+                                  search, subpel,
+                                  ry2=r2w, rcb2=rcb2w, rcr2=rcr2w,
+                                  parts=1 if parts else 0)
+            k = s16 // 16
+
+            def crop_mb(x):
+                return None if x is None else x[k:k + band_mbs]
+
+            return type(plv)(
+                crop_mb(plv.mode), crop_mb(plv.zdc), crop_mb(plv.acz),
+                crop_mb(plv.czdc), crop_mb(plv.cacz),
+                plv.recon_y[s16:s16 + band_rows],
+                plv.recon_cb[s16 // 2:s16 // 2 + band_rows // 2],
+                plv.recon_cr[s16 // 2:s16 // 2 + band_rows // 2],
+                crop_mb(plv.mv), crop_mb(plv.ref), crop_mb(plv.pmode))
+
         from opencv_opencl_tpu.ops.h264_levels import (LevelArrays,
                                                        PLevelArrays)
 
@@ -286,6 +336,24 @@ class BandedTpuGopEncoder:
             lambda y, cb, cr, ry, rcb, rcr, qp, s, sp: sm_p(
                 y, cb, cr, ry, rcb, rcr, qp),
             static_argnums=(7, 8))
+        if refs > 1:
+            # two-reference P step + the non-donating first-P variant
+            p2_out = PLevelArrays(
+                band, *lv_spec, band, band, band,
+                band4 if parts else band3,
+                band3 if parts else band,
+                band if parts else None)
+            sm_p2 = shard_map(
+                band_p2, mesh=mesh,
+                in_specs=(P(), P(), P(), band, band, band, P(),
+                          band, band, band),
+                out_specs=p2_out, check_vma=False)
+            self._inner._p2_fn = jax.jit(
+                lambda y, cb, cr, ry, rcb, rcr, qp, s, sp, ry2, \
+                rcb2, rcr2: sm_p2(y, cb, cr, ry, rcb, rcr, qp,
+                                  ry2, rcb2, rcr2),
+                static_argnums=(7, 8))
+            self._inner._p1_keep_fn = self._inner._p_fn
 
     # ---- io.encoder protocol: delegate to the (re-wired) inner
     @property

@@ -168,7 +168,10 @@ def _shear_frames(n, w, h):
     dict(search=2, quarterpel=True),
     dict(search=4, parts=True),
     dict(search=4, overlap=True),
-], ids=["full", "half", "qpel", "parts", "overlap"])
+    dict(search=3, refs=2),
+    dict(search=3, refs=2, parts=True),
+], ids=["full", "half", "qpel", "parts", "overlap", "refs2",
+        "parts_refs2"])
 def test_banded_byte_identical(kw):
     """Slice-band spatial sharding (per-frame LATENCY scaling): the
     halo-windowed band program must stream byte-identical to the
